@@ -1,0 +1,112 @@
+package graft.operators
+
+import graft._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Relational operator coverage on the TPC-H-shaped testdata tables:
+  * scans (SURVEY §2.A A5), projections/computed scalars (B1), grouped
+  * multi-aggregate with exact percentiles (D1 — the reference's
+  * "endpoint latencies" shape, api/service.go:315-363), and the
+  * normalized-schema equi-join chain (C3, api/service.go:1300-1327).
+  *
+  * Scale notes (100 TB): every query here is a single scan + single
+  * shuffle-on-group-key (or broadcast join for the dims); filters and
+  * column pruning reach the parquet reader, partial aggregation runs
+  * map-side, and the dimension joins are explicitly `broadcast()` so no
+  * shuffle of the fact side ever happens for them.
+  */
+object Relational extends QueryModule {
+
+  /** D1/T4 flagship: grouped avg/min/max/p50/p90/p99/count over lineitem.
+    * Same operator shape as the reference's endpoint-latency query
+    * (api/service.go:315-363) re-targeted at testdata. Exact `percentile`
+    * for oracle parity; `percentile_approx` is the documented 100 TB path. */
+  def endpointLatencies(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        Exact.avgExact(col("l_extendedprice")).as("avg_price"),
+        round(min(col("l_extendedprice")), 6).as("min_price"),
+        round(max(col("l_extendedprice")), 6).as("max_price"),
+        round(percentile(col("l_extendedprice"), lit(0.5)), 6).as("p50_price"),
+        round(percentile(col("l_extendedprice"), lit(0.9)), 6).as("p90_price"),
+        round(percentile(col("l_extendedprice"), lit(0.99)), 6).as("p99_price"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  private val endpointLatenciesSql: String = {
+    val avg = OracleSql.avgExact("l_extendedprice")
+    s"""SELECT l_returnflag, l_linestatus,
+       | $avg AS avg_price,
+       | round(min(l_extendedprice),6) AS min_price,
+       | round(max(l_extendedprice),6) AS max_price,
+       | round(quantile_cont(l_extendedprice,0.5),6) AS p50_price,
+       | round(quantile_cont(l_extendedprice,0.9),6) AS p90_price,
+       | round(quantile_cont(l_extendedprice,0.99),6) AS p99_price,
+       | CAST(count(*) AS BIGINT) AS n
+       |FROM lineitem GROUP BY 1,2 ORDER BY 1,2""".stripMargin
+  }
+
+  /** A5: full-table scan aggregate (the reference scans denormalized_span on
+    * every query, e.g. api/service.go:177,707). */
+  def scanCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir).agg(
+      count(lit(1)).as("n_rows"),
+      Exact.sumExact(col("l_quantity")).as("sum_qty"))
+
+  /** B1: projection + computed scalar (duration_ns/1e6 analog,
+    * api/service.go:178-185). */
+  def projection(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+          .as("net_price"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** C3: normalized-schema join chain (the reference's dead 3-way join,
+    * api/service.go:1300-1327, rebuilt live): fact ⋈ dims with explicit
+    * broadcast of every dimension — zero fact-side shuffle for the joins,
+    * one shuffle for the final group-by. */
+  def dimJoin(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(Exact.sumExact(col("o_totalprice")), 6).as("revenue"))
+      .orderBy(col("r_name"))
+  }
+
+  val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("t04_endpoint_latencies",
+      "D1/T4 grouped multi-agg with exact percentiles (api/service.go:315-363)",
+      endpointLatencies, Some(endpointLatenciesSql)),
+    GraftQuery("a5_scan_count",
+      "A5 full-table scan aggregate (api/service.go:177,707)",
+      scanCount,
+      Some(s"""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+              | ${OracleSql.sumExact("l_quantity")} AS sum_qty
+              |FROM lineitem""".stripMargin)),
+    GraftQuery("b1_projection",
+      "B1 projection + computed scalar (api/service.go:178-185)",
+      projection,
+      Some("""SELECT l_orderkey, l_linenumber,
+             | round(l_extendedprice*(1.0-l_discount),6) AS net_price
+             |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+    GraftQuery("c3_dim_join",
+      "C3 normalized 3-way equi-join, dims broadcast (api/service.go:1300-1327)",
+      dimJoin,
+      Some(s"""SELECT r_name, CAST(count(*) AS BIGINT) AS n_orders,
+              | round(${OracleSql.sumExact("o_totalprice")},6) AS revenue
+              |FROM orders
+              |JOIN customer ON o_custkey=c_custkey
+              |JOIN nation ON c_nationkey=n_nationkey
+              |JOIN region ON n_regionkey=r_regionkey
+              |GROUP BY 1 ORDER BY 1""".stripMargin)))
+}
