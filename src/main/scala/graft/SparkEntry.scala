@@ -9,7 +9,7 @@ import graft.operators._
   */
 object SparkEntry {
   private def modules: Seq[QueryModule] = Seq(
-    Relational, EventOps, SeriesOps)
+    Relational, EventOps, SeriesOps, SearchOps)
 
   /** All registered operators, in module order. */
   def all: Seq[GraftQuery] = modules.flatMap(_.queries)
