@@ -9,7 +9,7 @@ import graft.operators._
   */
 object SparkEntry {
   private def modules: Seq[QueryModule] = Seq(
-    Relational, EventOps, SeriesOps, SearchOps)
+    Relational, EventOps, SeriesOps, SearchOps, IngestOps)
 
   /** All registered operators, in module order. */
   def all: Seq[GraftQuery] = modules.flatMap(_.queries)

@@ -1,0 +1,210 @@
+package graft.spans
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** OTLP trace ingestion (SURVEY §2.A A1-A4): OTLP/JSON
+  * `ExportTraceServiceRequest` documents → one denormalized row per span.
+  *
+  * Mirrors the reference collector's behavior Spark-first:
+  *  - A2: accepts both the current `scopeSpans` form and the legacy
+  *    `instrumentationLibrarySpans` form incl. `{Value:{StringValue:..}}`
+  *    wrapped attribute values (reference collector/controller.go:54-70,
+  *    97-223) — handled by schema-level coalesce, no JSON text surgery.
+  *  - A3: flattens resource → scope → span → events via `explode` and
+  *    stringifies attribute values with the reference's rules
+  *    (collector/service.go:184-237): string kept; int/double/bool
+  *    rendered; all-string arrays comma-joined, mixed arrays JSON;
+  *    kvlist JSON; bytes stay base64 (OTLP/JSON already base64s bytes).
+  *  - ids: OTLP/JSON carries hex ids; the reference stores base64 of the
+  *    raw bytes (collector/service.go:273-275) — hex ids are re-encoded
+  *    to base64 to match.
+  *  - A4: [[writeSpans]] materializes `duration_ns` (db/clickhouse.go:94)
+  *    and appends date-partitioned parquet — the clustering analog of the
+  *    reference's MergeTree ORDER BY (start_time, trace_id)
+  *    (db/clickhouse.go:107-109): partition pruning + row-group min/max
+  *    stats give the same time-range skipping at scale.
+  *
+  * Everything here is `functions._` expressions — the whole ingest is one
+  * codegen'd projection pipeline, no UDFs.
+  */
+object OtlpIngest {
+
+  // ---- OTLP/JSON schema (protojson shape; int64s arrive as strings) ----
+
+  /** Scalar branch of AnyValue, plus the legacy Go-marshalled
+    * `{Value:{StringValue:..}}` wrapper fields. */
+  private val scalarValue: StructType = StructType(Seq(
+    StructField("stringValue", StringType),
+    StructField("intValue", StringType),
+    StructField("doubleValue", DoubleType),
+    StructField("boolValue", BooleanType),
+    StructField("bytesValue", StringType)))
+
+  private val legacyWrapper: StructType = StructType(Seq(
+    StructField("StringValue", StringType),
+    StructField("IntValue", StringType),
+    StructField("DoubleValue", DoubleType),
+    StructField("BoolValue", BooleanType)))
+
+  private val anyValue: StructType = StructType(
+    scalarValue.fields.toSeq ++ Seq(
+      StructField("arrayValue",
+        StructType(Seq(StructField("values", ArrayType(scalarValue))))),
+      StructField("kvlistValue", StructType(Seq(StructField("values",
+        ArrayType(StructType(Seq(
+          StructField("key", StringType),
+          StructField("value", scalarValue)))))))),
+      StructField("Value", legacyWrapper)))
+
+  private val keyValue: StructType = StructType(Seq(
+    StructField("key", StringType),
+    StructField("value", anyValue)))
+
+  private val spanJson: StructType = StructType(Seq(
+    StructField("traceId", StringType),
+    StructField("spanId", StringType),
+    StructField("parentSpanId", StringType),
+    StructField("flags", IntegerType),
+    StructField("name", StringType),
+    StructField("startTimeUnixNano", StringType),
+    StructField("endTimeUnixNano", StringType),
+    StructField("attributes", ArrayType(keyValue)),
+    StructField("events", ArrayType(StructType(Seq(
+      StructField("timeUnixNano", StringType),
+      StructField("name", StringType),
+      StructField("attributes", ArrayType(keyValue))))))))
+
+  private val scopeSpansJson: StructType = StructType(Seq(
+    StructField("scope", StructType(Seq(StructField("name", StringType)))),
+    StructField("instrumentationLibrary",
+      StructType(Seq(StructField("name", StringType)))),
+    StructField("spans", ArrayType(spanJson))))
+
+  /** Top-level ExportTraceServiceRequest schema (both generations). */
+  val requestSchema: StructType = StructType(Seq(
+    StructField("resourceSpans", ArrayType(StructType(Seq(
+      StructField("resource", StructType(Seq(
+        StructField("attributes", ArrayType(keyValue))))),
+      StructField("schemaUrl", StringType),
+      StructField("scopeSpans", ArrayType(scopeSpansJson)),
+      StructField("instrumentationLibrarySpans", ArrayType(scopeSpansJson))))))))
+
+  // ---- attribute stringification (collector/service.go:184-237) ----
+
+  private def scalarToString(v: Column): Column =
+    coalesce(
+      v.getField("stringValue"),
+      v.getField("intValue"),
+      v.getField("doubleValue").cast(StringType),
+      v.getField("boolValue").cast(StringType),
+      v.getField("bytesValue"))
+
+  /** AnyValue → String per the reference's rules, legacy wrappers included. */
+  def valueToString(v: Column): Column = {
+    val arr = v.getField("arrayValue").getField("values")
+    val allStrings =
+      forall(arr, x => x.getField("stringValue").isNotNull)
+    val legacy = v.getField("Value")
+    coalesce(
+      scalarToString(v),
+      // legacy {Value:{StringValue:..}} wrapper (controller.go:97-223)
+      legacy.getField("StringValue"),
+      legacy.getField("IntValue"),
+      legacy.getField("DoubleValue").cast(StringType),
+      legacy.getField("BoolValue").cast(StringType),
+      // array: comma-join if all-string else JSON (service.go:197-217)
+      when(arr.isNotNull,
+        when(allStrings,
+          array_join(transform(arr, _.getField("stringValue")), ","))
+          .otherwise(to_json(transform(arr, scalarToString(_))))),
+      // kvlist → JSON object (service.go:218-225)
+      when(v.getField("kvlistValue").getField("values").isNotNull,
+        to_json(map_from_entries(
+          transform(v.getField("kvlistValue").getField("values"),
+            kv => struct(kv.getField("key"),
+              scalarToString(kv.getField("value"))))))))
+  }
+
+  /** Array<KeyValue> → MAP<STRING,STRING>; null array → empty map. */
+  def attrsToMap(attrs: Column): Column =
+    when(attrs.isNull, map())
+      .otherwise(map_from_entries(transform(attrs,
+        kv => struct(kv.getField("key"), valueToString(kv.getField("value"))))))
+
+  /** Hex OTLP/JSON ids → base64-of-bytes, matching the reference's stored
+    * form (collector/service.go:273-275); non-hex ids pass through. */
+  def idToBase64(id: Column): Column =
+    when(id.isNull || id === "", lit(""))
+      .otherwise(when(id.rlike("^[0-9a-fA-F]+$") && length(id) % 2 === 0,
+        base64(unhex(id))).otherwise(id))
+
+  // ---- A2+A3: parse + flatten ----
+
+  /** Parse a Dataset of OTLP/JSON request documents and flatten to the
+    * span table (one row per span). */
+  def fromJson(requests: Dataset[String]): DataFrame = {
+    val parsed = requests.toDF("raw")
+      .select(from_json(col("raw"), requestSchema).as("req"))
+    flatten(parsed.select(col("req.resourceSpans").as("resourceSpans")))
+  }
+
+  /** Flatten parsed OTLP structs → SpanSchema rows. */
+  def flatten(parsed: DataFrame): DataFrame = {
+    val legacy = col("rs.instrumentationLibrarySpans")
+    parsed
+      .select(explode(col("resourceSpans")).as("rs"))
+      .select(
+        col("rs.resource.attributes").as("res_attrs"),
+        col("rs.schemaUrl").as("resource_schema_url"),
+        // legacy marker: scopeSpans came from instrumentationLibrarySpans
+        legacy.isNotNull.as("is_legacy"),
+        explode(coalesce(col("rs.scopeSpans"), legacy)).as("ss"))
+      .select(
+        col("res_attrs"), col("resource_schema_url"), col("is_legacy"),
+        coalesce(col("ss.scope.name"),
+          col("ss.instrumentationLibrary.name")).as("scope_name"),
+        explode(col("ss.spans")).as("sp"))
+      .select(
+        idToBase64(col("sp.traceId")).as("trace_id"),
+        idToBase64(col("sp.spanId")).as("span_id"),
+        idToBase64(col("sp.parentSpanId")).as("parent_span_id"),
+        coalesce(col("sp.flags"), lit(0)).as("flags"),
+        col("sp.name").as("name"),
+        col("sp.startTimeUnixNano").cast(LongType).as("start_time_unix_nano"),
+        col("sp.endTimeUnixNano").cast(LongType).as("end_time_unix_nano"),
+        (col("sp.endTimeUnixNano").cast(LongType) -
+          col("sp.startTimeUnixNano").cast(LongType)).as("duration_ns"),
+        col("scope_name"),
+        coalesce(col("resource_schema_url"), lit("")).as("resource_schema_url"),
+        // legacy requests merge span attrs into resource attrs
+        // (controller.go:54-70)
+        when(col("is_legacy"),
+          map_concat(attrsToMap(col("res_attrs")),
+            attrsToMap(col("sp.attributes"))))
+          .otherwise(attrsToMap(col("res_attrs"))).as("resource_attributes"),
+        attrsToMap(col("sp.attributes")).as("span_attributes"),
+        coalesce(transform(col("sp.events"), e => struct(
+          e.getField("timeUnixNano").cast(LongType).as("time_unix_nano"),
+          e.getField("name").as("name"),
+          attrsToMap(e.getField("attributes")).as("attributes"))),
+          array().cast(ArrayType(SpanSchema.eventType))).as("events"))
+      .withColumn("parent_span_id", coalesce(col("parent_span_id"), lit("")))
+  }
+
+  // ---- A4: sink ----
+
+  /** Append the span table as date-partitioned parquet. Partitioning by
+    * event date + parquet min/max stats replaces the reference's MergeTree
+    * time clustering (db/clickhouse.go:107-109) for range pruning. */
+  def writeSpans(spans: DataFrame, path: String): Unit =
+    spans
+      .withColumn("date",
+        to_date(timestamp_micros(expr("start_time_unix_nano div 1000"))))
+      .repartition(col("date"))
+      .write.mode("append").partitionBy("date").parquet(path)
+
+  def readSpans(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+}

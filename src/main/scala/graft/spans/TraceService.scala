@@ -1,0 +1,304 @@
+package graft.spans
+
+import graft.Exact
+import graft.dsl.SearchDsl
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Span-native trace analytics: every read endpoint of the reference
+  * (SURVEY §2.T T1-T18, routes api/controller.go:380-398) as a DataFrame
+  * transformation over a [[SpanSchema]] table. This is the library surface
+  * a reference user switches to; the oracle-checked registry entries in
+  * `graft.operators` exercise the same operator shapes on parquet
+  * fixtures, and `TraceServiceSpec` pins these span-native semantics.
+  *
+  * Scale design: callers hand in a spans DataFrame read from the
+  * date-partitioned store ([[OtlpIngest.readSpans]]); every time-ranged
+  * method filters on `start_time_unix_nano` first so partition pruning +
+  * row-group skipping bound the scan. Top-k queries compile to
+  * TakeOrderedAndProject; per-service aggregate sides of joins are tiny
+  * and broadcast.
+  */
+final case class SearchRequest(
+    query: String = "",
+    startNs: Long = Long.MinValue,
+    endNs: Long = Long.MaxValue,
+    rootOnly: Boolean = true, // trace mode (B2) vs span mode (B3)
+    sortField: String = "start_time_unix_nano",
+    ascending: Boolean = false,
+    page: Int = 1,
+    pageSize: Int = 10)
+
+class TraceService(spans: DataFrame) {
+  private val durMs = (col("duration_ns") / lit(1000000.0)).as("duration_ms")
+  private def isRoot = col("parent_span_id") === ""
+  private def hasException =
+    exists(col("events"), e => e.getField("name") === "exception")
+
+  /** T1: top-n slowest root spans, most recent first
+    * (api/service.go:175-210). */
+  def topSlowTraces(n: Int = 10): DataFrame =
+    spans.filter(isRoot)
+      .select(col("trace_id"), col("name"), col("scope_name"),
+        col("start_time_unix_nano"), durMs)
+      .orderBy(col("start_time_unix_nano").desc, col("duration_ms").desc,
+        col("trace_id"))
+      .limit(n)
+
+  /** T2: latest 100 root spans of one service (api/service.go:212-244). */
+  def serviceTraces(service: String, n: Int = 100): DataFrame =
+    spans.filter(col("scope_name") === service)
+      .select(col("trace_id"), col("span_id"), col("name"),
+        col("start_time_unix_nano"), durMs)
+      .orderBy(col("start_time_unix_nano").desc, col("span_id"))
+      .limit(n)
+
+  /** T3: all spans of one trace in waterfall order, events included
+    * (api/service.go:246-313). */
+  def traceDetails(traceId: String): DataFrame =
+    spans.filter(col("trace_id") === traceId)
+      .select(col("span_id"), col("parent_span_id"), col("name"),
+        col("scope_name"), col("start_time_unix_nano"),
+        col("end_time_unix_nano"), durMs, col("span_attributes"),
+        col("events"))
+      .orderBy(col("start_time_unix_nano"), col("span_id"))
+
+  /** T4: per-endpoint latency stats over root spans
+    * (api/service.go:315-363). Exact percentiles; swap in
+    * `percentile_approx` at 100 TB. */
+  def endpointLatencies(): DataFrame =
+    spans.filter(isRoot)
+      .groupBy(col("name"), col("scope_name"))
+      .agg(
+        Exact.avgExact(col("duration_ns").cast("double")).as("avg_ns"),
+        min(col("duration_ns")).as("min_ns"),
+        max(col("duration_ns")).as("max_ns"),
+        percentile(col("duration_ns"), lit(0.5)).as("p50_ns"),
+        percentile(col("duration_ns"), lit(0.9)).as("p90_ns"),
+        percentile(col("duration_ns"), lit(0.99)).as("p99_ns"),
+        count(lit(1)).as("n"))
+      .orderBy(col("name"), col("scope_name"))
+
+  /** T5: service dependency edges — child span joined to its parent span,
+    * cross-service only (api/service.go:365-398). Both sides shuffle once
+    * on the join key; skew handled by AQE. */
+  def serviceDependencies(): DataFrame = {
+    val parents = spans.select(col("span_id").as("p_span_id"),
+      col("scope_name").as("parent_service"))
+    val children = spans.filter(col("parent_span_id") =!= "")
+      .select(col("parent_span_id").as("c_parent_id"),
+        col("scope_name").as("child_service"))
+    parents.join(children, col("p_span_id") === col("c_parent_id"))
+      .filter(col("parent_service") =!= col("child_service"))
+      .groupBy(col("parent_service"), col("child_service"))
+      .agg(count(lit(1)).as("n_calls"))
+      .orderBy(col("parent_service"), col("child_service"))
+  }
+
+  /** T6: hourly heatmap — count + avg duration per hour, latest 24
+    * (api/service.go:400-433). */
+  def traceHeatmap(): DataFrame =
+    spans.filter(isRoot)
+      .groupBy(expr("start_time_unix_nano div 3600000000000 * 3600")
+        .as("hour_s"))
+      .agg(count(lit(1)).as("n"),
+        Exact.avgExact((col("duration_ns") / 1000000.0)).as("avg_ms"))
+      .orderBy(col("hour_s").desc)
+      .limit(24)
+
+  /** T7: one span + comparative stats vs all same-name spans
+    * (api/service.go:560-592). */
+  def spanDetails(spanId: String): DataFrame = {
+    val stats = spans.groupBy(col("name").as("stat_name"))
+      .agg(Exact.avgExactRaw(col("duration_ns").cast("double")).as("avg_ns"),
+        percentile(col("duration_ns"), lit(0.5)).as("p50_ns"),
+        percentile(col("duration_ns"), lit(0.9)).as("p90_ns"),
+        percentile(col("duration_ns"), lit(0.99)).as("p99_ns"))
+    spans.filter(col("span_id") === spanId)
+      .join(broadcast(stats), col("name") === col("stat_name"))
+      .select(col("span_id"), col("trace_id"), col("name"),
+        col("scope_name"), col("duration_ns"), col("avg_ns"),
+        col("p50_ns"), col("p90_ns"), col("p99_ns"),
+        ((col("duration_ns") - col("avg_ns")) / col("avg_ns") * 100)
+          .as("duration_diff_percent"))
+  }
+
+  /** T8: per-trace rollup with issues = countIf(dur > 2*trace-avg)
+    * (api/service.go:597-640, the ClickHouse nested-aggregate trick,
+    * rebuilt two-phase). */
+  def traceList(): DataFrame = {
+    val avgs = spans.groupBy(col("trace_id").as("t_id"))
+      .agg(Exact.avgExactRaw(col("duration_ns").cast("double")).as("avg_ns"))
+    spans.join(avgs, col("trace_id") === col("t_id"))
+      .groupBy(col("trace_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        max(col("duration_ns")).as("max_ns"),
+        min(col("start_time_unix_nano")).as("start_ns"),
+        sum(when(col("duration_ns") > col("avg_ns") * 2, 1).otherwise(0))
+          .cast("long").as("issues"))
+      .orderBy(col("trace_id"))
+  }
+
+  /** T9: DSL search (SearchDsl.SpanBinder — correct map semantics, see
+    * SURVEY §7 hard-part 3) + mode + range + sort + pagination
+    * (api/service.go:698-892). */
+  def search(req: SearchRequest): DataFrame = {
+    val pred = if (req.query.isEmpty) lit(true)
+      else SearchDsl.predicate(req.query, SearchDsl.SpanBinder)
+    val mode = if (req.rootOnly) isRoot else col("parent_span_id") =!= ""
+    val sortCol = if (req.ascending) col(req.sortField).asc
+      else col(req.sortField).desc
+    spans
+      .filter(col("start_time_unix_nano") >= req.startNs &&
+        col("end_time_unix_nano") <= req.endNs)
+      .filter(pred && mode)
+      .orderBy(sortCol, col("span_id"))
+      .offset((req.page - 1) * req.pageSize)
+      .limit(req.pageSize)
+  }
+
+  /** Series helpers (T10/T14/T15/T16/T17): zero-filled time buckets,
+    * interval = range/15 like the reference (utils/utils.go:81-85),
+    * floor-aligned (utils/utils.go:74-79). */
+  private def seriesFrame(startNs: Long, endNs: Long): (DataFrame, Column, Long) = {
+    val startS = startNs / 1000000000L
+    val endS = endNs / 1000000000L
+    val step = math.max((endS - startS) / 15, 1L)
+    val aligned = startS - startS % step
+    val frame = spans.sparkSession.range(aligned, endS + 1, step)
+      .toDF("bucket_s")
+    val bucket = expr(s"(start_time_unix_nano div 1000000000) - " +
+      s"(start_time_unix_nano div 1000000000) % $step")
+    (frame, bucket, step)
+  }
+
+  private def zeroFilled(startNs: Long, endNs: Long, base: DataFrame,
+      aggs: Seq[Column], fills: Seq[(String, Column)]): DataFrame = {
+    val (frame, bucket, _) = seriesFrame(startNs, endNs)
+    val agg = base
+      .filter(col("start_time_unix_nano") >= startNs &&
+        col("start_time_unix_nano") <= endNs)
+      .groupBy(bucket.as("b")).agg(aggs.head, aggs.tail: _*)
+    frame.join(agg, col("bucket_s") === col("b"), "left")
+      .select(col("bucket_s") +: fills.map { case (n, f) =>
+        coalesce(col(n), f).as(n) }: _*)
+      .orderBy(col("bucket_s"))
+  }
+
+  /** T10: trace-count series (api/service.go:899-959). */
+  def traceCounts(startNs: Long, endNs: Long): DataFrame =
+    zeroFilled(startNs, endNs, spans.filter(isRoot),
+      Seq(count(lit(1)).as("n")), Seq("n" -> lit(0L)))
+
+  /** T14: duration-quantile series, p clamped to [0,100]
+    * (api/service.go:1125-1171). */
+  def percentileSeries(p: Double, startNs: Long, endNs: Long): DataFrame = {
+    val clamped = math.min(math.max(p, 0.0), 100.0) / 100.0
+    zeroFilled(startNs, endNs, spans,
+      Seq(percentile((col("duration_ns") / 1000000.0), lit(clamped)).as("p")),
+      Seq("p" -> lit(0.0)))
+  }
+
+  /** T15: avg-duration series (api/service.go:1173-1238). */
+  def avgSeries(startNs: Long, endNs: Long): DataFrame =
+    zeroFilled(startNs, endNs, spans,
+      Seq(Exact.avgExact((col("duration_ns") / 1000000.0)).as("avg_ms")),
+      Seq("avg_ms" -> lit(0.0)))
+
+  /** T16: error-count series — spans carrying an 'exception' event
+    * (api/service.go:1240-1297). */
+  def errorCounts(startNs: Long, endNs: Long): DataFrame =
+    zeroFilled(startNs, endNs, spans,
+      Seq(sum(when(hasException, 1).otherwise(0)).cast("long").as("n_errors")),
+      Seq("n_errors" -> lit(0L)))
+
+  /** T17: combined single-pass quantile+count+avg series over a search
+    * predicate — the reference's hand-fused 3-metric query
+    * (api/service.go:1339-1428); one `agg` call here. */
+  def searchMetrics(query: String, p: Double, startNs: Long,
+      endNs: Long): DataFrame = {
+    val pred = if (query.isEmpty) lit(true)
+      else SearchDsl.predicate(query, SearchDsl.SpanBinder)
+    val clamped = math.min(math.max(p, 0.0), 100.0) / 100.0
+    zeroFilled(startNs, endNs, spans.filter(pred),
+      Seq(percentile((col("duration_ns") / 1000000.0), lit(clamped)).as("p"),
+        count(lit(1)).as("n"),
+        Exact.avgExact((col("duration_ns") / 1000000.0)).as("avg_ms")),
+      Seq("p" -> lit(0.0), "n" -> lit(0L), "avg_ms" -> lit(0.0)))
+  }
+
+  /** T11: per-service metrics with pseudo error-rate
+    * (api/service.go:961-1024). */
+  def serviceMetrics(): DataFrame = {
+    val avgs = spans.groupBy(col("scope_name").as("svc"))
+      .agg(Exact.avgExactRaw(col("duration_ns").cast("double")).as("avg_ns"))
+    spans.join(broadcast(avgs), col("scope_name") === col("svc"))
+      .groupBy(col("scope_name"))
+      .agg(count(lit(1)).as("n"),
+        Exact.avgExact((col("duration_ns") / 1000000.0)).as("avg_ms"),
+        (sum(when(col("duration_ns") > col("avg_ns") * 2, 1).otherwise(0)) *
+          lit(100.0) / count(lit(1))).as("error_rate"))
+      .orderBy(col("scope_name"))
+  }
+
+  /** T12: per-endpoint count/avg/p95 top-10 (api/service.go:1026-1069). */
+  def endpointMetrics(): DataFrame =
+    spans.groupBy(col("name"))
+      .agg(count(lit(1)).as("n"),
+        Exact.avgExact((col("duration_ns") / 1000000.0)).as("avg_ms"),
+        percentile((col("duration_ns") / 1000000.0), lit(0.95)).as("p95_ms"))
+      .orderBy(col("n").desc, col("name"))
+      .limit(10)
+
+  /** T13: top-10 slowest root spans within a window
+    * (api/service.go:1071-1123). */
+  def slowestTraces(startNs: Long, endNs: Long, n: Int = 10): DataFrame =
+    spans.filter(isRoot &&
+        col("start_time_unix_nano") >= startNs &&
+        col("start_time_unix_nano") <= endNs)
+      .select(col("trace_id"), col("name"), col("scope_name"),
+        col("start_time_unix_nano"), durMs)
+      .orderBy(col("duration_ms").desc, col("trace_id"))
+      .limit(n)
+
+  /** T18: distinct service names from the resource-attribute map —
+    * `element_at` replaces the reference's
+    * arrayElement(values, indexOf(keys,...)) emulation
+    * (api/service.go:1540-1570). */
+  def services(): DataFrame =
+    spans
+      .filter(map_contains_key(col("resource_attributes"), "service.name"))
+      .select(element_at(col("resource_attributes"), "service.name")
+        .as("service_name"))
+      .distinct()
+      .orderBy(col("service_name"))
+
+  /** U1: waterfall geometry per span of a trace — offset%/width%/share%
+    * (ui TraceDetails.tsx:207-242, absorbed engine-side). */
+  def waterfall(traceId: String): DataFrame = {
+    val w = Window.partitionBy(col("trace_id"))
+    spans.filter(col("trace_id") === traceId)
+      .withColumn("t0", min(col("start_time_unix_nano")).over(w))
+      .withColumn("t1", max(col("end_time_unix_nano")).over(w))
+      .select(col("span_id"), col("name"), col("scope_name"),
+        ((col("start_time_unix_nano") - col("t0")) * lit(100.0) /
+          (col("t1") - col("t0"))).as("offset_pct"),
+        (col("duration_ns") * lit(100.0) / (col("t1") - col("t0")))
+          .as("width_pct"))
+      .orderBy(col("span_id"))
+  }
+
+  /** U2: error flag + exception details per span
+    * (TraceDetails.tsx:111-124). */
+  def errorSpans(): DataFrame = {
+    val exc = filter(col("events"), e => e.getField("name") === "exception")
+    spans.filter(hasException)
+      .select(col("trace_id"), col("span_id"), col("name"),
+        element_at(element_at(exc, 1).getField("attributes"),
+          "exception.type").as("exception_type"),
+        element_at(element_at(exc, 1).getField("attributes"),
+          "exception.message").as("exception_message"))
+      .orderBy(col("trace_id"), col("span_id"))
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import graft.spans.{OtlpExamples, OtlpIngest}
+import java.nio.file.Files
+
+/** Ingest semantics: both OTLP generations, attribute stringification
+  * rules (collector/service.go:184-237), id re-encoding, write path. */
+class OtlpIngestSpec extends SparkSpec {
+
+  private lazy val flat = {
+    import spark.implicits._
+    OtlpIngest.fromJson(spark.createDataset(OtlpExamples.all)).cache()
+  }
+
+  test("flattens resource→scope→span tree to one row per span") {
+    assert(flat.count() === 3)
+  }
+
+  test("attribute stringification covers every AnyValue kind") {
+    val attrs = flat.filter(flat("scope_name") === "gateway")
+      .select("resource_attributes").collect().head
+      .getAs[Map[String, String]](0)
+    assert(attrs("service.name") === "gateway")
+    assert(attrs("count") === "42")
+    assert(attrs("ratio") === "0.5")
+    assert(attrs("ok") === "true")
+    assert(attrs("tags") === "a,b")           // all-string array: comma join
+    assert(attrs("mixed") === """["a","1"]""") // mixed array: JSON
+    assert(attrs("meta") === """{"k":"v"}""")  // kvlist: JSON
+    assert(attrs("blob") === "aGVsbG8=")       // bytes stay base64
+  }
+
+  test("hex ids re-encode to base64-of-bytes; empty parent preserved") {
+    val r = flat.filter(flat("name") === "GET /users").collect().head
+    assert(r.getAs[String]("trace_id") === "CgsMDQ==")
+    assert(r.getAs[String]("span_id") === "AQIDBA==")
+    assert(r.getAs[String]("parent_span_id") === "")
+    val child = flat.filter(flat("name") === "SELECT users").collect().head
+    assert(child.getAs[String]("parent_span_id") === "AQIDBA==")
+  }
+
+  test("duration materialized; events carry time/name/attr map") {
+    val r = flat.filter(flat("name") === "GET /users").collect().head
+    assert(r.getAs[Long]("duration_ns") === 100000000L)
+    val events = r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("events"))
+    assert(events.length === 1)
+    assert(events.head.getAs[String]("name") === "exception")
+    assert(events.head.getAs[Map[String, String]]("attributes")
+      .apply("exception.type") === "IOException")
+  }
+
+  test("legacy form: library rename, wrapped values, attr merge") {
+    val r = flat.filter(flat("scope_name") === "legacy-lib").collect().head
+    val res = r.getAs[Map[String, String]]("resource_attributes")
+    assert(res("service.name") === "legacy-svc") // unwrapped {Value:{...}}
+    assert(res("http.status_code") === "500")    // span attrs merged in
+    assert(r.getAs[Map[String, String]]("span_attributes")
+      .apply("http.status_code") === "500")
+  }
+
+  test("A4 write path: date-partitioned parquet round-trips") {
+    val dir = Files.createTempDirectory("graft-spans").toString
+    OtlpIngest.writeSpans(flat, dir)
+    val back = OtlpIngest.readSpans(spark, dir)
+    assert(back.count() === 3)
+    assert(back.columns.contains("date"))
+    assert(back.select("date").distinct().count() === 1)
+  }
+}
