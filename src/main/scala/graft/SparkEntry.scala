@@ -2,6 +2,10 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators._
+import graft.dedup.DedupOps
+import graft.mm.MultimodalOps
+import graft.nlp.TextOps
+import graft.sim.SimilarityOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Every operator from SURVEY.md §2 registers one [[GraftQuery]] in a
@@ -9,7 +13,8 @@ import graft.operators._
   */
 object SparkEntry {
   private def modules: Seq[QueryModule] = Seq(
-    Relational, EventOps, SeriesOps, SearchOps, IngestOps)
+    Relational, EventOps, SeriesOps, SearchOps, IngestOps, SessionOps,
+    TextOps, DedupOps, SimilarityOps, MultimodalOps)
 
   /** All registered operators, in module order. */
   def all: Seq[GraftQuery] = modules.flatMap(_.queries)

@@ -1,0 +1,237 @@
+package graft.dedup
+
+import graft._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over `documents` / `embeddings` (SURVEY §2.V
+  * V1/V2): exact, n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine.
+  *
+  * Scale design (100 TB):
+  *  - exact dedup is one hash-shuffle on the text key (groupBy), the
+  *    canonical Spark shape;
+  *  - n-gram Jaccard joins on exploded shingles — correct but quadratic
+  *    in the worst case; it is the VERIFY step. The scalable CANDIDATE
+  *    step is MinHash banding: candidates are pairs sharing an LSH band
+  *    bucket, so the join key is (band_idx, band_hash) and the shuffle
+  *    is linear in corpus size. SimHash gives the same shape for
+  *    hamming-distance dedup via pigeonhole block keys.
+  *  - the exact-Jaccard verification of MinHash candidates touches only
+  *    candidate pairs, not all pairs.
+  */
+object DedupOps extends QueryModule {
+  private val Tau = 0.5 // near-dup Jaccard threshold
+
+  private def words: Column = split(col("text"), " ")
+
+  /** Distinct 3-word shingles of `text`. */
+  private def shingles: Column = array_distinct(
+    transform(sequence(lit(1), greatest(size(words) - 2, lit(1))),
+      i => concat_ws(" ", element_at(words, i), element_at(words, i + 1),
+        element_at(words, i + 2))))
+
+  /** V1: exact dedup — hash-groupBy on the full text; keeps min doc_id
+    * (the Spark-native `dropDuplicates` semantics, made deterministic). */
+  def exactDedup(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(md5(col("text").cast("binary")).as("text_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"), col("text_hash"))
+      .orderBy(col("keep_id"))
+
+  /** Per-doc distinct shingle sets with sizes. */
+  private def shingleSets(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), shingles.as("sh"))
+      .withColumn("sz", size(col("sh")))
+
+  /** V2a: n-gram (3-word shingle) Jaccard near-dup pairs — the exact
+    * form: explode shingles, join on shingle, count intersections. */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sets = shingleSets(spark, dir)
+    val ex = sets.select(col("doc_id"), col("sz"),
+      explode(col("sh")).as("shingle"))
+    val a = ex.select(col("doc_id").as("i"), col("sz").as("sz_i"),
+      col("shingle"))
+    val b = ex.select(col("doc_id").as("j"), col("sz").as("sz_j"),
+      col("shingle"))
+    a.join(b, Seq("shingle"))
+      .filter(col("i") < col("j"))
+      .groupBy(col("i"), col("j"), col("sz_i"), col("sz_j"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (col("sz_i") + col("sz_j") - col("inter")), 6))
+      .filter(col("jaccard") >= Tau)
+      .select(col("i"), col("j"), col("jaccard"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  // ---- MinHash + LSH banding (V2b) ----
+  private val NumPerm = 32
+  private val Bands = 8 // 4 rows per band
+  private val Prime = 2147483647L
+  /** Fixed permutation coefficients (seeded — stable across runs). */
+  private val coefs: Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(NumPerm)((1L + rnd.nextInt(Int.MaxValue - 1).toLong,
+      rnd.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** MinHash signatures: murmur3 shingle hash h0 folded through NumPerm
+    * affine permutations, min per doc — one groupBy, NumPerm min-aggs,
+    * no 32x explode. */
+  private def signatures(sets: DataFrame): DataFrame = {
+    val ex = sets.select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .withColumn("h0", pmod(hash(col("shingle")).cast("long"), lit(Prime)))
+    val mins = coefs.zipWithIndex.map { case ((a, b), k) =>
+      min(pmod(col("h0") * a + b, lit(Prime))).as(s"m$k")
+    }
+    ex.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+  }
+
+  /** Candidate pairs sharing at least one LSH band bucket. */
+  private def lshCandidates(sigs: DataFrame): DataFrame = {
+    val bandCols = (0 until Bands).map { bi =>
+      hash((4 * bi until 4 * bi + 4).map(k => col(s"m$k")): _*).cast("long")
+    }
+    val banded = sigs.select(col("doc_id"),
+      posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_hash")))
+    val x = banded.select(col("doc_id").as("i"), col("band_idx"),
+      col("band_hash"))
+    val y = banded.select(col("doc_id").as("j"), col("band_idx"),
+      col("band_hash"))
+    x.join(y, Seq("band_idx", "band_hash"))
+      .filter(col("i") < col("j"))
+      .select(col("i"), col("j")).distinct()
+  }
+
+  /** V2b: MinHash+LSH near-dup — banded candidates, then exact-Jaccard
+    * verification restricted to candidates. Same output contract as
+    * [[ngramJaccard]]; the scalable path. No oracle (murmur3 is
+    * Spark-specific) — equivalence to V2a is pinned in DedupSpec. */
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sets = shingleSets(spark, dir).cache()
+    val cands = lshCandidates(signatures(sets))
+    val si = sets.select(col("doc_id").as("i"), col("sh").as("sh_i"),
+      col("sz").as("sz_i"))
+    val sj = sets.select(col("doc_id").as("j"), col("sh").as("sh_j"),
+      col("sz").as("sz_j"))
+    cands.join(si, Seq("i")).join(sj, Seq("j"))
+      .withColumn("inter", size(array_intersect(col("sh_i"), col("sh_j"))))
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (col("sz_i") + col("sz_j") - col("inter")), 6))
+      .filter(col("jaccard") >= Tau)
+      .select(col("i"), col("j"), col("jaccard"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  // ---- SimHash (V2c) ----
+
+  /** 64-bit SimHash per doc over 3-word shingle features (order-sensitive;
+    * unigram features saturate on small vocabularies — every doc shares
+    * nearly the same word SET — while shingles track sequence similarity,
+    * aligning SimHash distance with shingle-Jaccard). */
+  def simhashes(docs: DataFrame): DataFrame = {
+    val ex = docs.select(col("doc_id"), explode(shingles).as("w"))
+      .withColumn("h", xxhash64(col("w")))
+    val bitSums = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"b$b")
+    }
+    val withSums = ex.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val sim = (0 until 64).map { b =>
+      when(col(s"b$b") >= 0, lit(1L) * (1L << b)).otherwise(0L)
+    }.reduce(_ + _)
+    withSums.select(col("doc_id"), sim.as("simhash"))
+  }
+
+  /** V2c: SimHash near-dup — pigeonhole block join (8 x 8-bit blocks: a
+    * pair within hamming ≤ 7 MUST agree on at least one block), then
+    * exact hamming filter. Linear-shuffle candidate generation, like
+    * MinHash banding. */
+  def simhashDedup(spark: SparkSession, dir: String,
+      maxHamming: Int = 7): DataFrame = {
+    val sigs = simhashes(Tables.documents(spark, dir))
+    val blocks = (0 until 8).map(k =>
+      shiftright(col("simhash"), 8 * k).bitwiseAND(lit(0xFFL)))
+    val keyed = sigs.select(col("doc_id"), col("simhash"),
+      posexplode(array(blocks: _*)).as(Seq("blk_idx", "blk")))
+    val x = keyed.select(col("doc_id").as("i"), col("simhash").as("h_i"),
+      col("blk_idx"), col("blk"))
+    val y = keyed.select(col("doc_id").as("j"), col("simhash").as("h_j"),
+      col("blk_idx"), col("blk"))
+    x.join(y, Seq("blk_idx", "blk"))
+      .filter(col("i") < col("j"))
+      .select(col("i"), col("j"),
+        bit_count(col("h_i").bitwiseXOR(col("h_j"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("i"), col("j"))
+  }
+
+  /** V2d: embedding-cosine near-dup pairs (cos ≥ 0.4). Brute all-pairs at
+    * test scale; the LSH/IVF candidate path for 100 TB lives in
+    * `graft.sim.SimilarityOps`. Double-precision throughout so the
+    * sequential fold matches the oracle bit-for-bit. */
+  def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), transform(col("embedding"),
+        x => x.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(aggregate(zip_with(col("v"), col("v"),
+        (x, y) => x * y), lit(0.0), (acc, x) => acc + x)))
+    val a = e.select(col("vec_id").as("i"), col("v").as("v_i"),
+      col("nrm").as("n_i"))
+    val b = e.select(col("vec_id").as("j"), col("v").as("v_j"),
+      col("nrm").as("n_j"))
+    a.crossJoin(b).filter(col("i") < col("j"))
+      .withColumn("cos", round(
+        aggregate(zip_with(col("v_i"), col("v_j"), (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x) / (col("n_i") * col("n_j")), 6))
+      .filter(col("cos") >= 0.4)
+      .select(col("i"), col("j"), col("cos"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  private val shinglesSql =
+    """list_distinct([w[i]||' '||w[i+1]||' '||w[i+2]
+      | for i in generate_series(1, greatest(len(w)-2, 1))])""".stripMargin
+      .replace("\n", " ")
+
+  val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("v1_dedup_exact",
+      "V1 exact dedup: hash-groupBy on text, keep min doc_id",
+      exactDedup,
+      Some("""SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies,
+             | md5(text) AS text_hash
+             |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin)),
+    GraftQuery("v2a_ngram_jaccard",
+      "V2 near-dup via 3-word-shingle Jaccard >= 0.5 (exact form)",
+      ngramJaccard,
+      Some(s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+              | s AS (SELECT doc_id, $shinglesSql AS sh FROM t),
+              | p AS (SELECT a.doc_id i, b.doc_id j,
+              |   round(CAST(len(list_intersect(a.sh,b.sh)) AS DOUBLE) /
+              |     (len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh))),6) AS jaccard
+              |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+              |SELECT i, j, jaccard FROM p WHERE jaccard >= 0.5
+              |ORDER BY i, j""".stripMargin)),
+    GraftQuery("v2b_minhash_lsh",
+      "V2 near-dup via MinHash(32)+LSH(8 bands) candidates + exact verify " +
+        "(scale path; Spark-murmur3-specific, no SQL oracle)",
+      minhashLsh, None),
+    GraftQuery("v2c_simhash",
+      "V2 near-dup via 64-bit SimHash, pigeonhole block join, hamming<=3 " +
+        "(xxhash64-specific, no SQL oracle)",
+      (s, d) => simhashDedup(s, d), None),
+    GraftQuery("v2d_embedding_neardup",
+      "V2 embedding-cosine near-dup pairs (cos >= 0.4)",
+      embeddingNearDup,
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             |  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+             |       CAST(embedding AS DOUBLE[]))) AS nrm FROM embeddings)
+             |SELECT a.vec_id AS i, b.vec_id AS j,
+             | round(list_dot_product(a.v, b.v)/(a.nrm*b.nrm),6) AS cos
+             |FROM e a JOIN e b ON a.vec_id < b.vec_id
+             |WHERE round(list_dot_product(a.v, b.v)/(a.nrm*b.nrm),6) >= 0.4
+             |ORDER BY i, j""".stripMargin)))
+}

@@ -1,0 +1,130 @@
+package graft.nlp
+
+import graft._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** V4 text-analysis operators over the `documents` table (SURVEY §2.V):
+  * language-ID (stopword-marker heuristic), quality scoring, token
+  * counting (whitespace + BPE-ish regex chunks), and document
+  * fingerprinting. All pure `functions._` expressions — codegen'd, no
+  * UDFs, so the whole stage stays inside WholeStageCodegen at 100 TB.
+  */
+object TextOps extends QueryModule {
+
+  // Marker stopwords per language for the n-gram/stopword langid heuristic.
+  private val markers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "la", "de", "los", "que"),
+    "fr" -> Seq("le", "les", "et", "des", "une"))
+
+  private def words: Column = split(lower(col("text")), " ")
+
+  private def markerCount(lang: String): Column =
+    size(filter(words, w => w.isInCollection(markers(lang))))
+
+  /** V4a: language identification — argmax of per-language marker-word
+    * counts, 'und' when nothing matches. Deterministic tie-break order
+    * en > de > es > fr. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val (en, de, es, fr) = (markerCount("en"), markerCount("de"),
+      markerCount("es"), markerCount("fr"))
+    Tables.documents(spark, dir)
+      .withColumn("s_en", en).withColumn("s_de", de)
+      .withColumn("s_es", es).withColumn("s_fr", fr)
+      .withColumn("detected",
+        when(col("s_en") + col("s_de") + col("s_es") + col("s_fr") === 0, "und")
+          .when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") &&
+            col("s_en") >= col("s_fr"), "en")
+          .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr"), "de")
+          .when(col("s_es") >= col("s_fr"), "es")
+          .otherwise("fr"))
+      .groupBy(col("detected"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("detected"))
+  }
+
+  /** V4b: quality scoring — length, lexical diversity, stopword ratio,
+    * alpha ratio, blended into one score. The classic pre-training
+    * heuristics (length/punct/stopword ratios). */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("n_words", size(words))
+      .withColumn("n_distinct", size(array_distinct(words)))
+      .withColumn("stop_ratio",
+        markerCount("en").cast("double") / col("n_words"))
+      .withColumn("ttr", col("n_distinct").cast("double") / col("n_words"))
+      .withColumn("score", round(
+        least(col("n_words").cast("double") / 100.0, lit(1.0)) * 0.4 +
+          col("stop_ratio") * 0.3 + col("ttr") * 0.3, 6))
+      .select(col("doc_id"), col("n_words"), col("n_distinct"),
+        round(col("stop_ratio"), 6).as("stop_ratio"),
+        round(col("ttr"), 6).as("ttr"), col("score"))
+      .orderBy(col("doc_id"))
+
+  /** V4c: token counting — whitespace tokens and BPE-ish greedy ≤4-char
+    * subword chunks via regex. */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(words).as("ws_tokens"),
+        regexp_count(col("text"), lit("[a-z0-9]{1,4}")).as("subword_tokens"),
+        length(col("text")).as("n_chars"))
+      .orderBy(col("doc_id"))
+
+  /** V4d: document fingerprint — md5 over the canonical form (sorted
+    * distinct words). Two docs with the same bag-of-words collide, which
+    * is exactly the dedup-canonicalization use. */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        md5(concat_ws(" ", array_sort(array_distinct(words)))
+          .cast("binary")).as("fingerprint"))
+      .orderBy(col("doc_id"))
+
+  private val wordsSql = "string_split(lower(text), ' ')"
+  private def markerSql(lang: String): String =
+    s"len(list_filter($wordsSql, w -> w IN (${markers(lang).map(s => s"'$s'").mkString(",")})))"
+
+  val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("v4a_lang_id",
+      "V4 language-ID via stopword-marker argmax heuristic",
+      langId,
+      Some(s"""WITH s AS (SELECT doc_id,
+              |  ${markerSql("en")} AS s_en, ${markerSql("de")} AS s_de,
+              |  ${markerSql("es")} AS s_es, ${markerSql("fr")} AS s_fr
+              | FROM documents)
+              |SELECT CASE
+              |  WHEN s_en+s_de+s_es+s_fr = 0 THEN 'und'
+              |  WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+              |  WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+              |  WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS detected,
+              | CAST(count(*) AS BIGINT) AS n_docs
+              |FROM s GROUP BY 1 ORDER BY 1""".stripMargin)),
+    GraftQuery("v4b_quality_score",
+      "V4 quality scoring: length/stopword/diversity blend",
+      qualityScore,
+      Some(s"""SELECT doc_id,
+              | CAST(len($wordsSql) AS INT) AS n_words,
+              | CAST(len(list_distinct($wordsSql)) AS INT) AS n_distinct,
+              | round(CAST(${markerSql("en")} AS DOUBLE)/len($wordsSql),6) AS stop_ratio,
+              | round(CAST(len(list_distinct($wordsSql)) AS DOUBLE)/len($wordsSql),6) AS ttr,
+              | round(least(CAST(len($wordsSql) AS DOUBLE)/100.0, 1.0)*0.4
+              |   + (CAST(${markerSql("en")} AS DOUBLE)/len($wordsSql))*0.3
+              |   + (CAST(len(list_distinct($wordsSql)) AS DOUBLE)/len($wordsSql))*0.3, 6) AS score
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+    GraftQuery("v4c_token_count",
+      "V4 token counting: whitespace + BPE-ish regex chunks",
+      tokenCount,
+      Some(s"""SELECT doc_id, CAST(len($wordsSql) AS INT) AS ws_tokens,
+              | CAST(len(regexp_extract_all(text, '[a-z0-9]{1,4}')) AS INT) AS subword_tokens,
+              | CAST(length(text) AS INT) AS n_chars
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+    GraftQuery("v4d_fingerprint",
+      "V4 document fingerprint: md5 of sorted distinct words",
+      fingerprint,
+      Some(s"""SELECT doc_id,
+              | md5(array_to_string(list_sort(list_distinct($wordsSql)), ' ')) AS fingerprint
+              |FROM documents ORDER BY doc_id""".stripMargin)))
+}

@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** V6: sessionization of the events stream by user — gap-based session
+  * assignment via lag() + running sum, the batch form; the streaming form
+  * (`session_window` with watermark) lives in graft.streaming.
+  *
+  * Scale notes: one shuffle on user_id, then a sorted window pass —
+  * the canonical sessionization plan. Skewed users are the risk at
+  * 100 TB; AQE skew handling or a two-level (user_id, day) pre-split
+  * caps partition size.
+  */
+object SessionOps extends QueryModule {
+  private val GapUs: Long = 30L * 60 * 1000 * 1000 // 30 min session gap
+
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val marked = Tables.events(spark, dir)
+      .withColumn("prev_ts", lag(col("ts_us"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          col("ts_us") - col("prev_ts") > GapUs, 1).otherwise(0))
+      .withColumn("session_idx",
+        sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    marked.groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("start_us"),
+        max(col("ts_us")).as("end_us"),
+        Exact.sumExact(col("value")).as("total_value"))
+      .orderBy(col("user_id"), col("session_idx"))
+  }
+
+  val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("v6_sessionization",
+      "V6 gap-based sessionization (30 min) via lag + running sum",
+      sessionize,
+      Some(s"""WITH m AS (
+              |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+              |   CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+              |     OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > $GapUs
+              |    THEN 1 ELSE 0 END AS new_sess
+              |  FROM events
+              |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+              | s AS (
+              |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+              |    ORDER BY ts_us, event_id
+              |    ROWS UNBOUNDED PRECEDING) AS session_idx
+              |  FROM m)
+              |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+              | CAST(count(*) AS BIGINT) AS n_events,
+              | min(ts_us) AS start_us, max(ts_us) AS end_us,
+              | ${OracleSql.sumExact("value")} AS total_value
+              |FROM s GROUP BY 1,2 ORDER BY 1,2""".stripMargin)))
+}

@@ -1,0 +1,114 @@
+package graft.sim
+
+import graft._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** V3 similarity search over the `embeddings` table: brute-force cosine
+  * top-k as the exactness baseline, and an IVF (inverted-file) variant as
+  * the 100 TB path — cluster the corpus once, then probe only the nearest
+  * `nprobe` partitions per query.
+  *
+  * All vector math is `zip_with` + `aggregate` over double-cast arrays —
+  * sequential fold, so results are bit-identical to the oracle's
+  * list_dot_product. A fused dot-product Catalyst Expression is the
+  * optional upgrade if profiling ever shows the lambda overhead
+  * (SURVEY §4); at 64 dims the codegen'd HOF is already cheap.
+  */
+object SimilarityOps extends QueryModule {
+
+  private def asDouble(c: Column): Column = transform(c, _.cast("double"))
+
+  /** Sequential-fold dot product of two array<double> columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def withNorm(df: DataFrame): DataFrame =
+    df.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+
+  /** V3a: brute-force cosine top-k against the query vector (vec_id=0),
+    * broadcast to every partition; one scan, TakeOrderedAndProject.
+    * Ordering is on the ROUNDED cosine (+ vec_id tie-break) so ulp noise
+    * can never reorder the top-k. */
+  def cosineTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val e = withNorm(Tables.embeddings(spark, dir))
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("v").as("q_v"), col("nrm").as("q_nrm"))
+    e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .withColumn("cos",
+        round(dot(col("v"), col("q_v")) / (col("nrm") * col("q_nrm")), 6))
+      .select(col("vec_id"), col("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** IVF index: assign every vector to its nearest of `nlist` centroids.
+    * Centroids are the first `nlist` vectors by id — deterministic seeding
+    * (k-means iterations would refine but add nondeterminism for no
+    * correctness gain here). Returns (vec_id, v, nrm, centroid_id). */
+  def ivfAssign(spark: SparkSession, dir: String, nlist: Int): DataFrame = {
+    val e = withNorm(Tables.embeddings(spark, dir))
+    val cents = e.filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("cent_id"), col("v").as("c_v"),
+        col("nrm").as("c_nrm"))
+    // nearest centroid per vector: broadcast the centroid table, rank by
+    // cosine, keep rank 1 — one shuffle-free pass over the corpus
+    val scored = e.crossJoin(broadcast(cents))
+      .withColumn("c_cos",
+        dot(col("v"), col("c_v")) / (col("nrm") * col("c_nrm")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("c_cos").desc, col("cent_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cent_id"))
+  }
+
+  /** V3b: IVF-probed approximate top-k — search only the `nprobe`
+    * centroids nearest to the query. At 100 TB the assignment is computed
+    * once at ingest and stored partitioned by centroid_id, so a query
+    * touches nprobe/nlist of the data. No SQL oracle (approximate);
+    * recall vs brute force is pinned in SimilaritySpec. */
+  def ivfTopK(spark: SparkSession, dir: String, k: Int = 10,
+      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val assigned = ivfAssign(spark, dir, nlist).cache()
+    val q = assigned.filter(col("vec_id") === 0)
+      .select(col("v").as("q_v"), col("nrm").as("q_nrm"))
+    val cents = assigned.filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("cent_id2"), col("v").as("c_v"),
+        col("nrm").as("c_nrm"))
+    val probed = cents.crossJoin(broadcast(q))
+      .withColumn("c_cos",
+        dot(col("c_v"), col("q_v")) / (col("c_nrm") * col("q_nrm")))
+      .orderBy(col("c_cos").desc, col("cent_id2"))
+      .limit(nprobe)
+      .select(col("cent_id2").as("cent_id"))
+    assigned.join(broadcast(probed), Seq("cent_id"))
+      .filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .withColumn("cos",
+        round(dot(col("v"), col("q_v")) / (col("nrm") * col("q_nrm")), 6))
+      .select(col("vec_id"), col("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("v3a_cosine_topk",
+      "V3 brute-force cosine top-10 vs query vector (exact baseline)",
+      (s, d) => cosineTopK(s, d),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             |  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+             |       CAST(embedding AS DOUBLE[]))) AS nrm FROM embeddings),
+             | q AS (SELECT v AS q_v, nrm AS q_nrm FROM e WHERE vec_id=0)
+             |SELECT e.vec_id,
+             | round(list_dot_product(e.v, q.q_v)/(e.nrm*q.q_nrm),6) AS cos
+             |FROM e, q WHERE e.vec_id <> 0
+             |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin)),
+    GraftQuery("v3b_ivf_topk",
+      "V3 IVF-probed ANN top-10 (nlist=16, nprobe=4; scale path, " +
+        "approximate — recall pinned in SimilaritySpec)",
+      (s, d) => ivfTopK(s, d), None))
+}

@@ -1,0 +1,47 @@
+package graft
+
+import graft.dedup.DedupOps
+import graft.sim.SimilarityOps
+
+/** Approximate-vs-exact equivalence for the dedup/similarity suite. */
+class DedupSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.01"
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("V2b MinHash+LSH finds exactly the exact-Jaccard pairs") {
+    val exact = pairs(DedupOps.ngramJaccard(spark, sf))
+    val approx = pairs(DedupOps.minhashLsh(spark, sf))
+    // LSH candidates are verified with exact Jaccard, so no false
+    // positives; with 32 perms / 8 bands, P(miss | jac>=0.9) < 1e-10.
+    assert(approx === exact)
+    assert(exact.nonEmpty)
+  }
+
+  test("V2c SimHash captures the planted near-dup pairs, no blowup") {
+    val exact = pairs(DedupOps.ngramJaccard(spark, sf))
+    val sim = DedupOps.simhashDedup(spark, sf)
+    val simPairs = pairs(sim)
+    val recall = exact.count(simPairs.contains).toDouble / exact.size
+    assert(recall >= 0.6, s"simhash recall $recall")
+    // candidate set stays small relative to all C(n,2) pairs
+    assert(simPairs.size < 500, s"simhash pairs ${simPairs.size}")
+  }
+
+  test("V3b IVF top-10 recall vs brute force") {
+    val exact = SimilarityOps.cosineTopK(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    val ivf = SimilarityOps.ivfTopK(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    val recall = exact.count(ivf.contains).toDouble / exact.size
+    assert(recall >= 0.5, s"ivf recall $recall")
+  }
+
+  test("V1 exact dedup keeps every distinct text once") {
+    val docs = Tables.documents(spark, sf)
+    val deduped = DedupOps.exactDedup(spark, sf)
+    assert(deduped.count() ===
+      docs.select("text").distinct().count())
+  }
+}
