@@ -6,6 +6,7 @@ import graft.dedup.DedupOps
 import graft.mm.MultimodalOps
 import graft.nlp.TextOps
 import graft.sim.SimilarityOps
+import graft.streaming.StreamingOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Every operator from SURVEY.md §2 registers one [[GraftQuery]] in a
@@ -14,7 +15,7 @@ import graft.sim.SimilarityOps
 object SparkEntry {
   private def modules: Seq[QueryModule] = Seq(
     Relational, EventOps, SeriesOps, SearchOps, IngestOps, SessionOps,
-    TextOps, DedupOps, SimilarityOps, MultimodalOps)
+    TextOps, DedupOps, SimilarityOps, MultimodalOps, StreamingOps)
 
   /** All registered operators, in module order. */
   def all: Seq[GraftQuery] = modules.flatMap(_.queries)

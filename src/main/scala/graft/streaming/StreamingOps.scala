@@ -1,0 +1,109 @@
+package graft.streaming
+
+import graft._
+import graft.spans.OtlpIngest
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Structured-Streaming surface (SURVEY §1.5, §7 PR 5). The reference's
+  * "streaming" is push-based micro-batching by accident — each OTLP POST
+  * becomes one ClickHouse batch insert (collector/service.go:176,
+  * utils/utils.go:169-240) with no watermark or late-data policy. Here the
+  * same pipeline is an actual streaming job: file/Kafka source of OTLP
+  * JSON → the SAME OtlpIngest transforms (they are plain Column
+  * expressions, batch/stream agnostic) → watermark → sink; monitoring
+  * series become windowed streaming aggregations.
+  *
+  * Late data: spans arriving later than the watermark delay are dropped
+  * from streaming aggregates (the reference silently keeps them because
+  * every query rescans the table — SURVEY §1.5); the batch operators over
+  * the stored table retain that retroactive behavior.
+  */
+object StreamingOps extends QueryModule {
+
+  /** A1-streaming: OTLP/JSON request stream (one JSON document per line)
+    * → flattened span rows with event-time column and watermark. */
+  def streamOtlpJson(spark: SparkSession, inputDir: String,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    import spark.implicits._
+    val raw = spark.readStream.text(inputDir).as[String]
+    OtlpIngest.flatten(
+      raw.toDF("raw")
+        .select(from_json(col("raw"), OtlpIngest.requestSchema).as("req"))
+        .select(col("req.resourceSpans").as("resourceSpans")))
+      .withColumn("start_ts",
+        timestamp_micros(expr("start_time_unix_nano div 1000")))
+      .withWatermark("start_ts", watermarkDelay)
+  }
+
+  /** A4-streaming: append each micro-batch to the date-partitioned span
+    * store via foreachBatch — the exact write path batch ingest uses. */
+  def writeToSpanStore(spans: DataFrame, path: String,
+      checkpoint: String): StreamingQuery =
+    spans.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        OtlpIngest.writeSpans(batch.drop("start_ts"), path)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** D7-streaming: tumbling-window span/event counts. */
+  def windowedCounts(stream: DataFrame, tsCol: String,
+      windowLength: String): DataFrame =
+    stream.groupBy(window(col(tsCol), windowLength))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("window.start")).as("bucket_s"), col("n"))
+
+  /** V6-streaming: gap-based sessionization via session_window — the
+    * streaming twin of SessionOps.sessionize. */
+  def sessionWindows(stream: DataFrame, tsCol: String, userCol: String,
+      gap: String = "30 minutes"): DataFrame =
+    stream.groupBy(col(userCol), session_window(col(tsCol), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(userCol),
+        unix_timestamp(col("session_window.start")).as("start_s"),
+        unix_timestamp(col("session_window.end")).as("end_s"),
+        col("n_events"))
+
+  /** Events parquet as a file stream (schema must be supplied up front in
+    * streaming reads). */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = Tables.table(spark, dir, "events").schema
+    // streaming file sources take a directory; select the one table file
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Run a finite streaming aggregation to completion and return the
+    * final result as a batch DataFrame (memory sink, complete mode). */
+  def runToBatch(spark: SparkSession, agg: DataFrame,
+      name: String): DataFrame = {
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
+  /** ST1: the registry entry — streaming hourly event counts, run to
+    * completion over the events file stream. The result equals the batch
+    * group-by, so it IS oracle-checkable: streaming and batch semantics
+    * agree on finite input. */
+  def streamingCounts(spark: SparkSession, dir: String): DataFrame = {
+    val counts = windowedCounts(eventsStream(spark, dir), "event_ts", "1 hour")
+    runToBatch(spark, counts, s"st1_counts_${System.nanoTime()}")
+      .orderBy(col("bucket_s"))
+  }
+
+  val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("st1_streaming_counts",
+      "D7-streaming tumbling-window counts via Structured Streaming " +
+        "(memory sink, complete mode) — equals the batch group-by",
+      streamingCounts,
+      Some("""SELECT (epoch_us(ts)//1000000)//3600*3600 AS bucket_s,
+             | CAST(count(*) AS BIGINT) AS n
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)))
+}

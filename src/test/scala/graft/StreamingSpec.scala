@@ -1,0 +1,49 @@
+package graft
+
+import graft.spans.{OtlpExamples, OtlpIngest}
+import graft.streaming.StreamingOps
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** Streaming semantics: OTLP file-stream ingest end-to-end, windowed
+  * aggregation parity with batch, session_window parity with the batch
+  * sessionizer. */
+class StreamingSpec extends SparkSpec {
+
+  test("OTLP JSON stream -> watermark -> foreachBatch span store") {
+    val in = Files.createTempDirectory("otlp-in").toString
+    val store = Files.createTempDirectory("span-store").toString
+    val ckpt = Files.createTempDirectory("ckpt").toString
+    Files.writeString(java.nio.file.Paths.get(s"$in/req1.json"),
+      OtlpExamples.current + "\n" + OtlpExamples.legacy + "\n")
+    val stream = StreamingOps.streamOtlpJson(spark, in)
+    val q = StreamingOps.writeToSpanStore(stream, store, ckpt)
+    q.awaitTermination(60000)
+    val back = OtlpIngest.readSpans(spark, store)
+    assert(back.count() === 3)
+    assert(back.filter(col("scope_name") === "legacy-lib").count() === 1)
+    assert(back.columns.contains("date"))
+  }
+
+  test("streaming windowed counts equal batch group-by") {
+    val streamed = StreamingOps.streamingCounts(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = Tables.events(spark, sf0001)
+      .groupBy(expr("ts_s div 3600 * 3600").as("b"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed === batch)
+  }
+
+  test("session_window matches batch gap sessionization") {
+    val stream = StreamingOps.eventsStream(spark, sf0001)
+    val sessions = StreamingOps.runToBatch(spark,
+      StreamingOps.sessionWindows(stream, "event_ts", "user_id"),
+      s"sess_${System.nanoTime()}")
+    val nStreaming = sessions.agg(count(lit(1))).collect().head.getLong(0)
+    val nEvents = sessions.agg(sum("n_events")).collect().head.getLong(0)
+    val batch = graft.operators.SessionOps.sessionize(spark, sf0001)
+    assert(nStreaming === batch.count())
+    assert(nEvents === Tables.events(spark, sf0001).count())
+  }
+}
