@@ -49,8 +49,9 @@ object DedupOps extends QueryModule {
     * form: explode shingles, join on shingle, count intersections. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val sets = shingleSets(spark, dir)
+    // cache: both join sides derive from the same shingle explosion
     val ex = sets.select(col("doc_id"), col("sz"),
-      explode(col("sh")).as("shingle"))
+      explode(col("sh")).as("shingle")).cache()
     val a = ex.select(col("doc_id").as("i"), col("sz").as("sz_i"),
       col("shingle"))
     val b = ex.select(col("doc_id").as("j"), col("sz").as("sz_j"),
@@ -174,19 +175,18 @@ object DedupOps extends QueryModule {
     * `graft.sim.SimilarityOps`. Double-precision throughout so the
     * sequential fold matches the oracle bit-for-bit. */
   def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.dot_product
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), transform(col("embedding"),
         x => x.cast("double")).as("v"))
-      .withColumn("nrm", sqrt(aggregate(zip_with(col("v"), col("v"),
-        (x, y) => x * y), lit(0.0), (acc, x) => acc + x)))
+      .withColumn("nrm", sqrt(dot_product(col("v"), col("v"))))
     val a = e.select(col("vec_id").as("i"), col("v").as("v_i"),
       col("nrm").as("n_i"))
     val b = e.select(col("vec_id").as("j"), col("v").as("v_j"),
       col("nrm").as("n_j"))
     a.crossJoin(b).filter(col("i") < col("j"))
       .withColumn("cos", round(
-        aggregate(zip_with(col("v_i"), col("v_j"), (x, y) => x * y),
-          lit(0.0), (acc, x) => acc + x) / (col("n_i") * col("n_j")), 6))
+        dot_product(col("v_i"), col("v_j")) / (col("n_i") * col("n_j")), 6))
       .filter(col("cos") >= 0.4)
       .select(col("i"), col("j"), col("cos"))
       .orderBy(col("i"), col("j"))

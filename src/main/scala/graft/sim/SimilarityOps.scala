@@ -19,9 +19,12 @@ object SimilarityOps extends QueryModule {
 
   private def asDouble(c: Column): Column = transform(c, _.cast("double"))
 
-  /** Sequential-fold dot product of two array<double> columns. */
+  /** Sequential-fold dot product — the fused codegen Expression
+    * ([[graft.functions.DotProduct]]); identical summation order (and so
+    * identical bits) to `aggregate(zip_with(a,b,*), 0.0, +)` but with no
+    * per-row intermediate array. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorFunctions.dot_product(a, b)
 
   private def withNorm(df: DataFrame): DataFrame =
     df.select(col("vec_id"), asDouble(col("embedding")).as("v"))

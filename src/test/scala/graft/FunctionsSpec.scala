@@ -1,0 +1,39 @@
+package graft
+
+import graft.functions.VectorFunctions.dot_product
+import org.apache.spark.sql.functions._
+
+/** Custom Catalyst expression semantics: interpreted + codegen paths,
+  * null handling, length mismatch. */
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dot_product equals the composed zip_with/aggregate form") {
+    val df = Seq(
+      (Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)),
+      (Seq(0.5, -0.5), Seq(2.0, 2.0))).toDF("a", "b")
+    val got = df.select(dot_product(col("a"), col("b"))).collect()
+      .map(_.getDouble(0)).toSeq
+    val ref = df.select(aggregate(zip_with(col("a"), col("b"),
+      (x, y) => x * y), lit(0.0), (acc, x) => acc + x)).collect()
+      .map(_.getDouble(0)).toSeq
+    assert(got === ref)
+    assert(got === Seq(32.0, 0.0))
+  }
+
+  test("dot_product: null input -> null, shorter array bounds the loop") {
+    val df = Seq(
+      (Some(Seq(1.0, 2.0)), Some(Seq(3.0))),
+      (None: Option[Seq[Double]], Some(Seq(1.0)))).toDF("a", "b")
+    val rows = df.select(dot_product(col("a"), col("b"))).collect()
+    assert(rows(0).getDouble(0) === 3.0)
+    assert(rows(1).isNullAt(0))
+  }
+
+  test("dot_product rejects non-double arrays at analysis time") {
+    val df = Seq((Seq(1, 2), Seq(3, 4))).toDF("a", "b")
+    intercept[Exception] {
+      df.select(dot_product(col("a"), col("b"))).collect()
+    }
+  }
+}
