@@ -1,0 +1,29 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+/** Plan-audit main: dumps the formatted physical plan of every registered
+  * query to one file for review — the ".explain until it's the plan you'd
+  * want" loop (prompt/SURVEY §4). Run:
+  *   sbt "runMain graft.Explain /root/testdata/sf0.001 PLANS.txt"
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, outFile) = args
+    val spark = GraftSession.local(appName = "graft-explain")
+    val sb = new StringBuilder
+    SparkEntry.all.foreach { q =>
+      sb.append(s"==== ${q.id} — ${q.doc}\n")
+      try {
+        val df = q.run(spark, sfDir)
+        sb.append(df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+      } catch {
+        case e: Throwable => sb.append(s"(explain failed: ${e.getMessage})\n")
+      }
+      sb.append("\n")
+    }
+    Files.writeString(Paths.get(outFile), sb.toString)
+    spark.stop()
+  }
+}

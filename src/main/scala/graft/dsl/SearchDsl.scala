@@ -92,6 +92,27 @@ object SearchDsl {
         array_contains(map_values(col("span_attributes")), q)
   }
 
+  /** BUG-COMPAT binder reproducing the reference's pair-UNALIGNED
+    * attribute matching: `has(keys,k) AND has(values,v)` matches the key
+    * and the value in *different* pairs (api/service.go:742-751), so a
+    * span with attrs {a->1, b->2} matches the query `a=2`. Provided for
+    * byte-for-byte reference parity; [[SpanBinder]] (correct map
+    * semantics) is the default. The `!=` form is the same expression
+    * negated per family (api/service.go:752-771). */
+  object SpanBinderCompat extends AttrBinder {
+    def special(key: String): Option[Column] = SpanBinder.special(key)
+    private def unaligned(attrs: String, key: String, value: String) =
+      array_contains(map_keys(col(attrs)), key) &&
+        array_contains(map_values(col(attrs)), value)
+    def genericEq(key: String, value: String): Column =
+      unaligned("resource_attributes", key, value) ||
+        unaligned("span_attributes", key, value)
+    def genericNeq(key: String, value: String): Column =
+      !unaligned("resource_attributes", key, value) &&
+        !unaligned("span_attributes", key, value)
+    def broad(q: String): Column = SpanBinder.broad(q)
+  }
+
   /** Binder for the events table (FIXTURES.md mapping): name ≈ event_type,
     * generic keys look inside the `props` JSON document. */
   object EventsBinder extends AttrBinder {

@@ -83,7 +83,30 @@ object Relational extends QueryModule {
       .orderBy(col("r_name"))
   }
 
+  /** The 100 TB variant of the flagship: `percentile_approx` sketches
+    * (mergeable, bounded memory) instead of exact sort-based percentile.
+    * Rows-only for the driver (approximate ≠ DuckDB's quantile_cont);
+    * RelationalSpec pins it within tolerance of the exact form. */
+  def endpointLatenciesApprox(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        Exact.avgExact(col("l_extendedprice")).as("avg_price"),
+        round(percentile_approx(col("l_extendedprice"), lit(0.5),
+          lit(10000)), 6).as("p50_price"),
+        round(percentile_approx(col("l_extendedprice"), lit(0.9),
+          lit(10000)), 6).as("p90_price"),
+        round(percentile_approx(col("l_extendedprice"), lit(0.99),
+          lit(10000)), 6).as("p99_price"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("t04b_endpoint_latencies_approx",
+      "D1/T4 at 100 TB: mergeable percentile_approx sketches (rows-only; " +
+        "tolerance vs exact pinned in RelationalSpec)",
+      endpointLatenciesApprox, None),
     GraftQuery("t04_endpoint_latencies",
       "D1/T4 grouped multi-agg with exact percentiles (api/service.go:315-363)",
       endpointLatencies, Some(endpointLatenciesSql)),

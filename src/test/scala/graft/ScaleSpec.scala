@@ -1,0 +1,62 @@
+package graft
+
+import graft.dsl.SearchDsl
+import graft.operators.{Relational, Skew}
+import graft.util.TimeRanges
+import org.apache.spark.sql.functions._
+
+/** Scale-path semantics: approx percentiles vs exact, salted join
+  * equivalence, compat search binder divergence, time-range helpers. */
+class ScaleSpec extends SparkSpec {
+
+  test("percentile_approx flagship within 1% of exact at sf0.001") {
+    val exact = Relational.endpointLatencies(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(5)).toMap
+    Relational.endpointLatenciesApprox(spark, sf0001).collect().foreach { r =>
+      val e = exact((r.getString(0), r.getString(1)))
+      val a = r.getAs[Double]("p50_price")
+      assert(math.abs(a - e) / e < 0.01, s"approx $a vs exact $e")
+    }
+  }
+
+  test("salted join equals plain join") {
+    import spark.implicits._
+    val probe = Seq((1, "a"), (1, "b"), (2, "c"), (3, "d"))
+      .toDF("k", "payload")
+    val build = Seq((1, "x"), (2, "y")).toDF("k", "dim")
+    val plain = probe.join(build, Seq("k"))
+      .select("k", "payload", "dim").collect().toSet
+    val salted = Skew.saltedJoin(probe, build, "k", col("payload"))
+      .select("k", "payload", "dim").collect().toSet
+    assert(salted === plain)
+    assert(salted.size === 3)
+  }
+
+  test("compat binder reproduces the reference's pair-unaligned match") {
+    val spans = SpanFixtures.spans(spark)
+      .withColumn("span_attributes",
+        map(lit("a"), lit("1"), lit("b"), lit("2")))
+    // query a=2: key 'a' exists, value '2' exists (under b) => compat
+    // matches, correct map semantics does not (SURVEY §7 hard-part 3)
+    val compat = spans.filter(
+      SearchDsl.predicate("a=2", SearchDsl.SpanBinderCompat)).count()
+    val correct = spans.filter(
+      SearchDsl.predicate("a=2", SearchDsl.SpanBinder)).count()
+    assert(compat === spans.count())
+    assert(correct === 0)
+  }
+
+  test("H15-H17 time-range helpers mirror the reference parsers") {
+    assert(TimeRanges.parseInterval("5 minutes") === Some(300L))
+    assert(TimeRanges.parseInterval("1 day") === Some(86400L))
+    assert(TimeRanges.parseInterval("nope") === None)
+    assert(TimeRanges.parseInterval("-3 hour") === None)
+    assert(TimeRanges.parseRelative("5m") === Some(300L))
+    assert(TimeRanges.parseRelative("24h") === Some(86400L))
+    assert(TimeRanges.parseRelative("7d") === Some(604800L))
+    assert(TimeRanges.parseRelative("x") === None)
+    assert(TimeRanges.bucketSeconds(2592000) === 172800L)
+    assert(TimeRanges.bucketSeconds(10) === 1L)
+    assert(TimeRanges.align(1704067200L, 172800L) === 1703980800L)
+  }
+}
