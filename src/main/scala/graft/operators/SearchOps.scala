@@ -66,6 +66,20 @@ object SearchOps extends QueryModule {
       .offset(offset).limit(pageSize)
   }
 
+  /** F5-at-scale: keyset (cursor) pagination — the deep-pagination form
+    * that replaces OFFSET at 100 TB. Cursor = (ts_us DESC, event_id ASC)
+    * of the last row of the previous page; the predicate prunes straight
+    * at the scan instead of sorting-and-skipping. */
+  def keysetSearch(spark: SparkSession, dir: String, lastTs: Long,
+      lastId: Long, pageSize: Int): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("ts_us") < lastTs ||
+        (col("ts_us") === lastTs && col("event_id") > lastId))
+      .select(col("event_id"), col("event_type"), col("ts_us"),
+        round(col("value"), 6).as("dur"))
+      .orderBy(col("ts_us").desc, col("event_id"))
+      .limit(pageSize)
+
   /** V5: JSON property extraction over `events.props`
     * (get_json_object; SURVEY §2.V). */
   def jsonExtract(spark: SparkSession, dir: String): DataFrame =
@@ -101,6 +115,16 @@ object SearchOps extends QueryModule {
       Some("""SELECT event_id, event_type, epoch_us(ts) AS ts_us FROM events
              |WHERE event_type='purchase' OR props='purchase'
              |ORDER BY event_id""".stripMargin)),
+    GraftQuery("f5b_keyset_pagination",
+      "F5-at-scale keyset/cursor pagination (replaces OFFSET for deep pages)",
+      (s, d) => keysetSearch(s, d, lastTs = 1705708800000000L,
+        lastId = 5000L, pageSize = 20),
+      Some("""SELECT event_id, event_type, epoch_us(ts) AS ts_us,
+             | round(value,6) AS dur
+             |FROM events
+             |WHERE epoch_us(ts) < 1705708800000000
+             |   OR (epoch_us(ts) = 1705708800000000 AND event_id > 5000)
+             |ORDER BY ts_us DESC, event_id LIMIT 20""".stripMargin)),
     GraftQuery("f5_paginated_sort",
       "F5 dynamic sort + LIMIT/OFFSET pagination (api/service.go:823-846)",
       paginatedSort,

@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Stateful streaming trace assembly — the custom-state Structured
+  * Streaming piece (KeyValueGroupedDataset.flatMapGroupsWithState): spans
+  * of one trace arrive across micro-batches; a trace is emitted once the
+  * event-time watermark passes `gap` beyond its latest span (the
+  * reference has no equivalent — its UI re-queries the store per trace;
+  * SURVEY §1.5).
+  *
+  * State per key is one [[TraceBuffer]], bounded by the event-time
+  * timeout — at 100 TB-rate ingest the state store holds only in-flight
+  * traces, and the watermark is the backstop against trace-id leaks.
+  * Event-time (not processing-time) timeouts keep the operator
+  * deterministic and replayable.
+  */
+object TraceAssembler {
+  final case class SpanEvent(trace_id: String, span_id: String,
+      parent_span_id: String, name: String, scope_name: String,
+      start_time_unix_nano: Long, duration_ns: Long)
+
+  final case class TraceBuffer(spans: List[SpanEvent])
+
+  final case class AssembledTrace(trace_id: String, n_spans: Int,
+      root_name: String, services: Seq[String], start_ns: Long,
+      total_duration_ns: Long)
+
+  private def assemble(traceId: String, buf: TraceBuffer): AssembledTrace = {
+    val spans = buf.spans.sortBy(s => (s.start_time_unix_nano, s.span_id))
+    val root = spans.find(_.parent_span_id == "")
+    val end = spans.map(s => s.start_time_unix_nano + s.duration_ns).max
+    AssembledTrace(traceId, spans.length,
+      root.map(_.name).getOrElse(""),
+      spans.map(_.scope_name).distinct.sorted,
+      spans.map(_.start_time_unix_nano).min,
+      end - spans.map(_.start_time_unix_nano).min)
+  }
+
+  /** Flat-map spans grouped by trace_id into completed traces; a trace
+    * completes when the watermark passes its latest span start + `gapMs`
+    * (event time). `watermarkDelay` is the out-of-order tolerance. */
+  def assembleTraces(spans: Dataset[SpanEvent], gapMs: Long = 30000,
+      watermarkDelay: String = "1 second")
+      (implicit spark: SparkSession): Dataset[AssembledTrace] = {
+    import spark.implicits._
+    val watermarked = spans
+      .withColumn("event_ts",
+        timestamp_micros(expr("start_time_unix_nano div 1000")))
+      .withWatermark("event_ts", watermarkDelay)
+      .as[SpanEvent]
+    watermarked.groupByKey(_.trace_id)
+      .flatMapGroupsWithState[TraceBuffer, AssembledTrace](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (traceId, newSpans, state: GroupState[TraceBuffer]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(assemble(traceId, _))
+            state.remove()
+            out.iterator
+          } else {
+            val buf = TraceBuffer(
+              state.getOption.map(_.spans).getOrElse(Nil) ++ newSpans)
+            state.update(buf)
+            val lastMs = buf.spans.map(_.start_time_unix_nano).max / 1000000L
+            // deadline must stay ahead of the current watermark
+            val deadline = math.max(lastMs + gapMs,
+              state.getCurrentWatermarkMs() + 1)
+            state.setTimeoutTimestamp(deadline)
+            Iterator.empty
+          }
+      }
+  }
+
+  /** Batch twin (same assembly semantics, no state machinery) — used to
+    * pin the streaming output in tests. */
+  def assembleBatch(spans: Dataset[SpanEvent])
+      (implicit spark: SparkSession): Dataset[AssembledTrace] = {
+    import spark.implicits._
+    spans.groupByKey(_.trace_id).mapGroups { (id, it) =>
+      assemble(id, TraceBuffer(it.toList))
+    }
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import graft.spans.SpanStore
+import graft.streaming.TraceAssembler
+import graft.streaming.TraceAssembler.SpanEvent
+import org.apache.spark.sql.functions._
+
+/** Extensions registration, bucketed shuffle-free joins, stateful
+  * streaming trace assembly. */
+class AdvancedSpec extends SparkSpec {
+
+  test("GraftExtensions registers dot_product for SQL") {
+    // the extension function applies cleanly to a fresh extensions object
+    new GraftExtensions()(new org.apache.spark.sql.SparkSessionExtensions)
+    // inject into the live session through the same registry mechanism
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_product",
+      exprs => graft.functions.DotProduct(exprs(0), exprs(1)),
+      "built-in")
+    val r = spark.sql(
+      "SELECT dot_product(array(1.0d,2.0d), array(3.0d,4.0d)) AS d")
+      .collect().head.getDouble(0)
+    assert(r === 11.0)
+  }
+
+  test("bucketed span store: self-join rollup plans with zero shuffle") {
+    val spans = SpanFixtures.spans(spark)
+    SpanStore.writeBucketed(spans, "spans_bucketed", buckets = 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val rollup = SpanStore.bucketedTraceList(spark, "spans_bucketed")
+      val plan = rollup.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"unexpected shuffle in bucketed join plan:\n$plan")
+      // and it still computes the right thing
+      val byTrace = rollup.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(byTrace === Map("T1" -> 4L, "T2" -> 1L))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("stateful trace assembly: streaming equals batch twin") {
+    import spark.implicits._
+    implicit val s = spark
+    val spans = SpanFixtures.spans(spark).select(
+      col("trace_id"), col("span_id"), col("parent_span_id"), col("name"),
+      col("scope_name"), col("start_time_unix_nano"), col("duration_ns"))
+      .as[SpanEvent]
+    val batch = TraceAssembler.assembleBatch(spans).collect()
+      .map(t => t.trace_id -> t).toMap
+    assert(batch("T1").n_spans === 4)
+    assert(batch("T1").root_name === "GET /users")
+    assert(batch("T1").services === Seq("db", "gateway", "users"))
+    assert(batch("T2").n_spans === 1)
+
+    // streaming: feed the same spans through a memory stream, advance the
+    // event-time watermark with sentinel spans, and compare
+    val Base = 1704067200000000000L
+    def sentinel(id: String, offsetNs: Long) = SpanEvent(
+      id, "sx", "", "wm", "wm", Base + offsetNs, 1L)
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[SpanEvent](spark)
+    val out = TraceAssembler.assembleTraces(ms.toDS(), gapMs = 60000)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("assembled").start()
+    try {
+      ms.addData(spans.collect().toSeq)
+      q.processAllAvailable()
+      // watermark jumps past every fixture deadline (10 min >> 60s gap)
+      ms.addData(sentinel("WM1", 600L * 1000000000L))
+      q.processAllAvailable()
+      // next batch processes the now-expired T1/T2 timeouts
+      ms.addData(sentinel("WM2", 1200L * 1000000000L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("assembled").as[TraceAssembler.AssembledTrace]
+      .collect().map(t => t.trace_id -> t).toMap
+      .filterNot(_._1.startsWith("WM"))
+    assert(streamed === batch)
+  }
+}
