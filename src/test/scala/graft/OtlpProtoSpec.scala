@@ -1,0 +1,94 @@
+package graft
+
+import graft.spans.OtlpProto
+import java.io.ByteArrayOutputStream
+
+/** Protobuf ingest path: decode hand-encoded OTLP wire bytes and compare
+  * with the JSON path's semantics (stringification, base64 ids,
+  * duration materialization). */
+class OtlpProtoSpec extends SparkSpec {
+
+  // -- minimal protobuf writer (test-only) --
+  private class W {
+    val out = new ByteArrayOutputStream()
+    def varint(v: Long): W = {
+      var x = v
+      while ((x & ~0x7FL) != 0) { out.write(((x & 0x7F) | 0x80).toInt); x >>>= 7 }
+      out.write(x.toInt); this
+    }
+    def tag(field: Int, wire: Int): W = varint((field.toLong << 3) | wire)
+    def bytes(field: Int, bs: Array[Byte]): W = {
+      tag(field, 2).varint(bs.length); out.write(bs); this
+    }
+    def str(field: Int, s: String): W = bytes(field, s.getBytes("UTF-8"))
+    def msg(field: Int, w: W): W = bytes(field, w.out.toByteArray)
+    def fixed64(field: Int, v: Long): W = {
+      tag(field, 1)
+      (0 until 8).foreach(i => out.write(((v >>> (8 * i)) & 0xFF).toInt))
+      this
+    }
+    def vint(field: Int, v: Long): W = tag(field, 0).varint(v)
+  }
+  private def kv(key: String, value: W => W): W =
+    new W().str(1, key).msg(2, value(new W()))
+  private def strVal(s: String): W => W = _.str(1, s)
+
+  private def request: Array[Byte] = {
+    val span1 = new W()
+      .bytes(1, Array[Byte](0x0a, 0x0b, 0x0c, 0x0d)) // trace_id
+      .bytes(2, Array[Byte](1, 2, 3, 4))             // span_id
+      .str(5, "GET /users")
+      .fixed64(7, 1704067200000000000L)
+      .fixed64(8, 1704067200100000000L)
+      .msg(9, kv("http.method", strVal("GET")))
+      .msg(9, kv("retries", _.msg(2, new W().vint(3, 42))))   // int attr
+      .msg(9, kv("ratio", _.msg(2, new W().fixed64(4,
+        java.lang.Double.doubleToLongBits(0.5)))))            // double attr
+      .msg(11, new W()                                        // event
+        .fixed64(1, 1704067200050000000L)
+        .str(2, "exception")
+        .msg(3, kv("exception.type", strVal("IOException"))))
+    val scopeSpans = new W()
+      .msg(1, new W().str(1, "gateway"))
+      .msg(2, span1)
+    val resource = new W()
+      .msg(1, kv("service.name", strVal("gateway")))
+      .msg(1, kv("tags", _.msg(2, new W().msg(5, new W()
+        .msg(1, new W().str(1, "a")).msg(1, new W().str(1, "b"))))))
+    val resourceSpans = new W()
+      .msg(1, resource)
+      .msg(2, scopeSpans)
+      .str(3, "https://example/schema")
+    new W().msg(1, resourceSpans).out.toByteArray
+  }
+
+  test("wire decode: ids, times, attrs, events match the JSON semantics") {
+    val rows = OtlpProto.decodeRequest(request)
+    assert(rows.length === 1)
+    val r = rows.head
+    assert(r.trace_id === "CgsMDQ==")  // same base64 as the JSON path
+    assert(r.span_id === "AQIDBA==")
+    assert(r.parent_span_id === "")
+    assert(r.name === "GET /users")
+    assert(r.duration_ns === 100000000L)
+    assert(r.scope_name === "gateway")
+    assert(r.resource_schema_url === "https://example/schema")
+    assert(r.resource_attributes("service.name") === "gateway")
+    assert(r.resource_attributes("tags") === "a,b") // all-string: comma join
+    assert(r.span_attributes("http.method") === "GET")
+    assert(r.span_attributes("retries") === "42")
+    assert(r.span_attributes("ratio") === "0.5")
+    assert(r.events.head.name === "exception")
+    assert(r.events.head.attributes("exception.type") === "IOException")
+  }
+
+  test("fromProtobuf: DataFrame in SpanSchema column order") {
+    import spark.implicits._
+    val df = OtlpProto.fromProtobuf(spark.createDataset(Seq(request)))
+    assert(df.columns.toSeq === graft.spans.SpanSchema.columns)
+    assert(df.count() === 1)
+    val row = df.collect().head
+    assert(row.getAs[String]("trace_id") === "CgsMDQ==")
+    assert(row.getAs[Long]("duration_ns") === 100000000L)
+  }
+}
