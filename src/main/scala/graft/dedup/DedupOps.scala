@@ -192,6 +192,41 @@ object DedupOps extends QueryModule {
       .orderBy(col("i"), col("j"))
   }
 
+  /** V2e: duplicate-cluster assignment — connected components over the
+    * near-dup pair graph (the step that turns pairs into "keep one per
+    * cluster" decisions). Iterative min-label propagation: each vertex
+    * takes the min label among itself and its neighbours until fixpoint —
+    * O(diameter) joins, each a linear shuffle; the standard
+    * large-scale-dedup shape (GraphX-free). */
+  def dupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = ngramJaccard(spark, dir).select(col("i"), col("j"))
+    // undirected edge list + self-loops over the vertices involved
+    val edges = pairs
+      .union(pairs.select(col("j").as("i"), col("i").as("j")))
+      .cache()
+    val vertices = edges.select(col("i")).distinct()
+    var labels = vertices.withColumn("label", col("i")).cache()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 20) {
+      val viaNeighbor = edges
+        .join(labels.withColumnRenamed("i", "j")
+          .withColumnRenamed("label", "nl"), Seq("j"))
+        .groupBy(col("i")).agg(min(col("nl")).as("nmin"))
+      val next = labels.join(viaNeighbor, Seq("i"), "left")
+        .select(col("i"),
+          least(col("label"), coalesce(col("nmin"), col("label")))
+            .as("label"))
+        .cache()
+      changed = next.join(labels.withColumnRenamed("label", "old"), Seq("i"))
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+      iter += 1
+    }
+    labels.select(col("i").as("doc_id"), col("label").as("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
   private val shinglesSql =
     """list_distinct([w[i]||' '||w[i+1]||' '||w[i+2]
       | for i in generate_series(1, greatest(len(w)-2, 1))])""".stripMargin
@@ -223,6 +258,24 @@ object DedupOps extends QueryModule {
       "V2 near-dup via 64-bit SimHash, pigeonhole block join, hamming<=3 " +
         "(xxhash64-specific, no SQL oracle)",
       (s, d) => simhashDedup(s, d), None),
+    GraftQuery("v2e_dup_clusters",
+      "V2 duplicate clusters: connected components (min-label propagation) " +
+        "over the near-dup pair graph",
+      dupClusters,
+      Some(s"""WITH RECURSIVE
+              | t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+              | s AS (SELECT doc_id, $shinglesSql AS sh FROM t),
+              | p AS (SELECT a.doc_id i, b.doc_id j
+              |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+              |  WHERE round(CAST(len(list_intersect(a.sh,b.sh)) AS DOUBLE) /
+              |     (len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh))),6) >= 0.5),
+              | e AS (SELECT i, j FROM p UNION SELECT j AS i, i AS j FROM p),
+              | reach(a, b) AS (
+              |   SELECT i AS a, i AS b FROM e
+              |   UNION
+              |   SELECT r.a, e.j FROM reach r JOIN e ON r.b = e.i)
+              |SELECT a AS doc_id, min(b) AS cluster_id
+              |FROM reach GROUP BY a ORDER BY a""".stripMargin)),
     GraftQuery("v2d_embedding_neardup",
       "V2 embedding-cosine near-dup pairs (cos >= 0.4)",
       embeddingNearDup,

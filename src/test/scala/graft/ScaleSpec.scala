@@ -46,6 +46,29 @@ class ScaleSpec extends SparkSpec {
     assert(correct === 0)
   }
 
+  test("property: zero-fill grid invariants for any range (SURVEY §5.3)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val gen = for {
+      start <- Gen.chooseNum(1L, 4000000000L)
+      span <- Gen.chooseNum(1L, 400000000L)
+    } yield (start, start + span)
+    val prop = Prop.forAll(gen) { case (start, end) =>
+      val step = TimeRanges.bucketSeconds(end - start)
+      val aligned = TimeRanges.align(start, step)
+      val nBuckets = (end - aligned) / step + 1
+      val last = aligned + (nBuckets - 1) * step
+      aligned % step == 0 && aligned <= start && start - aligned < step &&
+        last <= end && end - last < step &&
+        // grid never coarser than 15 buckets once the range allows it
+        // (sub-15s ranges clamp to 1s steps)
+        (end - start < TimeRanges.NumBuckets ||
+          nBuckets >= TimeRanges.NumBuckets)
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(500), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("H15-H17 time-range helpers mirror the reference parsers") {
     assert(TimeRanges.parseInterval("5 minutes") === Some(300L))
     assert(TimeRanges.parseInterval("1 day") === Some(86400L))
