@@ -18,6 +18,18 @@ object Bench {
       try Tables.table(spark, sfDir, t).count()
       catch { case _: Throwable => () }
     }
+    // warm the codegen'd vector/join path the similarity queries use
+    try {
+      import org.apache.spark.sql.functions._
+      val e = Tables.embeddings(spark, sfDir).limit(64)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+      val x = e.select(col("vec_id").as("i"), col("v").as("vi"))
+      val y = e.select(col("vec_id").as("j"), col("v").as("vj"))
+      x.join(y, col("i") < col("j"))
+        .select(graft.functions.VectorFunctions
+          .dot_product(col("vi"), col("vj"))).count()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -184,7 +184,8 @@ object DedupOps extends QueryModule {
       col("nrm").as("n_i"))
     val b = e.select(col("vec_id").as("j"), col("v").as("v_j"),
       col("nrm").as("n_j"))
-    a.crossJoin(b).filter(col("i") < col("j"))
+    a.join(b, col("i") < col("j")) // condition inside the join: half the
+      // cross product never materializes
       .withColumn("cos", round(
         dot_product(col("v_i"), col("v_j")) / (col("n_i") * col("n_j")), 6))
       .filter(col("cos") >= 0.4)
@@ -194,13 +195,42 @@ object DedupOps extends QueryModule {
 
   /** V2e: duplicate-cluster assignment — connected components over the
     * near-dup pair graph (the step that turns pairs into "keep one per
-    * cluster" decisions). Iterative min-label propagation: each vertex
-    * takes the min label among itself and its neighbours until fixpoint —
-    * O(diameter) joins, each a linear shuffle; the standard
-    * large-scale-dedup shape (GraphX-free). */
+    * cluster" decisions). The pair graph after near-dup filtering is tiny
+    * relative to the corpus (25 pairs from 5k docs here; the same ratio
+    * holds for real corpora), so up to [[LocalEdgeLimit]] edges the
+    * components are solved with driver-side union-find in one pass.
+    * Beyond that, distributed min-label propagation takes over:
+    * O(diameter) joins, each a linear shuffle (the GraphX-free
+    * large-scale shape). Both paths yield min-reachable-id labels. */
   def dupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = ngramJaccard(spark, dir).select(col("i"), col("j"))
-    // undirected edge list + self-loops over the vertices involved
+    val pairs = ngramJaccard(spark, dir).select(col("i"), col("j")).cache()
+    if (pairs.count() <= LocalEdgeLimit) localComponents(spark, pairs)
+    else distributedComponents(pairs)
+  }
+
+  val LocalEdgeLimit = 1000000L
+
+  private[graft] def localComponents(spark: SparkSession,
+      pairs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val edges = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x
+      else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      // min id becomes the root, matching the label-propagation result
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    verts.map(v => (v, find(v))).toSeq
+      .toDF("doc_id", "cluster_id").orderBy(col("doc_id"))
+  }
+
+  private[graft] def distributedComponents(pairs: DataFrame): DataFrame = {
     val edges = pairs
       .union(pairs.select(col("j").as("i"), col("i").as("j")))
       .cache()

@@ -28,11 +28,13 @@ object TextOps extends QueryModule {
     * counts, 'und' when nothing matches. Deterministic tie-break order
     * en > de > es > fr. */
   def langId(spark: SparkSession, dir: String): DataFrame = {
-    val (en, de, es, fr) = (markerCount("en"), markerCount("de"),
-      markerCount("es"), markerCount("fr"))
+    // split once; each marker count filters the shared array
+    def score(lang: String) =
+      size(filter(col("w"), w => w.isInCollection(markers(lang))))
     Tables.documents(spark, dir)
-      .withColumn("s_en", en).withColumn("s_de", de)
-      .withColumn("s_es", es).withColumn("s_fr", fr)
+      .withColumn("w", words)
+      .withColumn("s_en", score("en")).withColumn("s_de", score("de"))
+      .withColumn("s_es", score("es")).withColumn("s_fr", score("fr"))
       .withColumn("detected",
         when(col("s_en") + col("s_de") + col("s_es") + col("s_fr") === 0, "und")
           .when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") &&

@@ -38,6 +38,20 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.5, s"ivf recall $recall")
   }
 
+  test("V2e cluster paths agree: local union-find == distributed labels") {
+    import spark.implicits._
+    // a chain, a triangle, an isolated pair — exercises transitivity
+    val p = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L)).toDF("i", "j")
+    val local = DedupOps.localComponents(spark, p)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dist = DedupOps.distributedComponents(p)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(local === dist)
+    assert(local === Set(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
   test("V1 exact dedup keeps every distinct text once") {
     val docs = Tables.documents(spark, sf)
     val deduped = DedupOps.exactDedup(spark, sf)
