@@ -17,5 +17,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+    // rewrite composed aggregate(zip_with(a,b,*),0,+) into the fused kernel
+    ext.injectOptimizerRule(_ => graft.plans.FuseDotProduct)
   }
 }

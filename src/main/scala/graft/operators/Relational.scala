@@ -102,7 +102,25 @@ object Relational extends QueryModule {
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
+  /** The mergeable-sketch variant (graft.functions.QuantileSketchAgg):
+    * bounded state per group, usable in streaming. Rows-only — centroid
+    * boundaries depend on merge order; accuracy is pinned in
+    * QuantileSketchSpec instead. */
+  def endpointLatenciesSketch(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.QuantileSketch.percentile_sketch
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(percentile_sketch(col("l_extendedprice"), 0.5).as("p50_sketch"),
+        percentile_sketch(col("l_extendedprice"), 0.99).as("p99_sketch"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("t04c_endpoint_latencies_sketch",
+      "D1/T4 with the mergeable centroid-digest sketch aggregate " +
+        "(TypedImperativeAggregate; rows-only, accuracy in spec)",
+      endpointLatenciesSketch, None),
     GraftQuery("t04b_endpoint_latencies_approx",
       "D1/T4 at 100 TB: mergeable percentile_approx sketches (rows-only; " +
         "tolerance vs exact pinned in RelationalSpec)",

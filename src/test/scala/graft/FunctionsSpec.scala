@@ -30,6 +30,30 @@ class FunctionsSpec extends SparkSpec {
     assert(rows(1).isNullAt(0))
   }
 
+  test("FuseDotProduct rule rewrites the composed HOF form") {
+    val df = Seq((Seq(1.0, 2.0), Seq(3.0, 4.0))).toDF("a", "b")
+      .select(aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x).as("dot"))
+    val classic = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+    val before = classic.queryExecution.analyzed
+    val after = graft.plans.FuseDotProduct(before)
+    def hasDot(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+      p.expressions.exists(_.exists(
+        _.isInstanceOf[graft.functions.DotProduct]))
+    assert(!hasDot(before))
+    assert(hasDot(after), s"rule did not fire on:\n$before")
+  }
+
+  test("FuseDotProduct leaves non-matching aggregates alone") {
+    val df = Seq((Seq(1.0, 2.0), Seq(3.0, 4.0))).toDF("a", "b")
+      .select(aggregate(zip_with(col("a"), col("b"), (x, y) => x + y),
+        lit(0.0), (acc, x) => acc + x).as("notdot"))
+    val classic = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+    val after = graft.plans.FuseDotProduct(classic.queryExecution.analyzed)
+    assert(!after.expressions.exists(_.exists(
+      _.isInstanceOf[graft.functions.DotProduct])))
+  }
+
   test("dot_product rejects non-double arrays at analysis time") {
     val df = Seq((Seq(1, 2), Seq(3, 4))).toDF("a", "b")
     intercept[Exception] {
