@@ -85,6 +85,30 @@ object TextOps extends QueryModule {
           .cast("binary")).as("fingerprint"))
       .orderBy(col("doc_id"))
 
+  /** V4e: vocabulary build — global token counts, top-50. The classic
+    * first step of tokenizer training; one explode + one shuffle on the
+    * token key with map-side partial aggregation. */
+  def vocab(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(words).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token"))
+      .limit(50)
+
+  /** V8: per-source cap — keep the first `n` docs of every source
+    * (the per-domain cap step of corpus curation); window row_number,
+    * one shuffle on the source key. */
+  def perSourceCap(spark: SparkSession, dir: String, n: Int = 20): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+    Tables.documents(spark, dir)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= n)
+      .select(col("source"), col("doc_id"), col("rk"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
   private val wordsSql = "string_split(lower(text), ' ')"
   private def markerSql(lang: String): String =
     s"len(list_filter($wordsSql, w -> w IN (${markers(lang).map(s => s"'$s'").mkString(",")})))"
@@ -123,6 +147,21 @@ object TextOps extends QueryModule {
               | CAST(len(regexp_extract_all(text, '[a-z0-9]{1,4}')) AS INT) AS subword_tokens,
               | CAST(length(text) AS INT) AS n_chars
               |FROM documents ORDER BY doc_id""".stripMargin)),
+    GraftQuery("v4e_vocab",
+      "V4 vocabulary build: global token counts, top-50",
+      vocab,
+      Some("""SELECT token, CAST(count(*) AS BIGINT) AS freq
+             |FROM (SELECT unnest(string_split(lower(text), ' ')) AS token
+             |      FROM documents)
+             |GROUP BY 1 ORDER BY freq DESC, token LIMIT 50""".stripMargin)),
+    GraftQuery("v8_per_source_cap",
+      "V8 per-source document cap via window row_number (corpus curation)",
+      (s, d) => perSourceCap(s, d),
+      Some("""SELECT source, doc_id,
+             | CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) AS INT) AS rk
+             |FROM documents
+             |QUALIFY rk <= 20
+             |ORDER BY source, doc_id""".stripMargin)),
     GraftQuery("v4d_fingerprint",
       "V4 document fingerprint: md5 of sorted distinct words",
       fingerprint,

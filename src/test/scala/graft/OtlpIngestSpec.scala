@@ -66,4 +66,24 @@ class OtlpIngestSpec extends SparkSpec {
     assert(back.columns.contains("date"))
     assert(back.select("date").distinct().count() === 1)
   }
+
+  test("date partitioning prunes the scan for time-ranged queries") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft-prune").toString
+    // two batches a year apart -> two date partitions
+    OtlpIngest.writeSpans(flat, dir)
+    OtlpIngest.writeSpans(
+      flat.withColumn("start_time_unix_nano",
+          col("start_time_unix_nano") + expr("31536000000000000L"))
+        .withColumn("end_time_unix_nano",
+          col("end_time_unix_nano") + expr("31536000000000000L")), dir)
+    val all = OtlpIngest.readSpans(spark, dir)
+    assert(all.select("date").distinct().count() === 2)
+    val pruned = all.filter(col("date") === "2024-01-01")
+    val classic = pruned.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+    val scan = classic.queryExecution.executedPlan.toString
+    // partition filter present => only one date directory is read
+    assert(scan.contains("PartitionFilters"), scan)
+    assert(pruned.count() === 3)
+  }
 }
