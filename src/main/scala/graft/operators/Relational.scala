@@ -116,7 +116,35 @@ object Relational extends QueryModule {
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
+  /** V9: column profiling — count/nulls/min/max/distinct per numeric
+    * column, one row per column (the data-quality "describe" step of a
+    * pipeline). Each column is one scan-side aggregate; Catalyst fuses
+    * the union into parallel stages. */
+  def profile(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").map { c =>
+      li.groupBy(lit(c).as("col_name")).agg(
+        count(lit(1)).as("n"),
+        sum(when(col(c).isNull, 1).otherwise(0)).cast("long").as("n_null"),
+        round(min(col(c)), 6).as("min_v"),
+        round(max(col(c)), 6).as("max_v"),
+        countDistinct(col(c)).as("n_distinct"))
+    }.reduce(_ unionAll _).orderBy(col("col_name"))
+  }
+
+  private val profileSql: String =
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").map { c =>
+      s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n,
+         | CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+         | round(min($c),6) AS min_v, round(max($c),6) AS max_v,
+         | CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct
+         |FROM lineitem""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("v9_profile",
+      "V9 column profiling: count/nulls/min/max/distinct per column",
+      profile, Some(profileSql)),
     GraftQuery("t04c_endpoint_latencies_sketch",
       "D1/T4 with the mergeable centroid-digest sketch aggregate " +
         "(TypedImperativeAggregate; rows-only, accuracy in spec)",
