@@ -1,39 +1,73 @@
 package graft
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.IntegralDivide
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import org.apache.spark.sql.graftshim.ColumnBridge
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
-/** Determinism helpers for double aggregation.
+/** Determinism helpers for double aggregation and rounded ratios.
   *
-  * Spark's partial (map-side) aggregation sums doubles in partition order,
-  * which is nondeterministic and drifts from DuckDB's sequential sum by a
-  * few ulps — enough to flip a rounded 6th decimal on large sums. Routing
-  * the sum through DecimalType(18,6) makes it exact and order-independent
-  * in BOTH engines; the final cast back to double is then bit-identical.
-  * The matching oracle-SQL shapes live in [[OracleSql]].
+  * Two failure modes are closed here:
+  *  1. Spark's partial (map-side) aggregation sums doubles in partition
+  *     order — nondeterministic, drifts from DuckDB's sequential sum by
+  *     ulps. Fix: sum in EXACT integer micro-units (1e-6) via a decimal
+  *     cast, order-independent in both engines.
+  *  2. `round(x, 6)` disagrees between engines when x sits exactly on a
+  *     .5e-6 boundary (common for ratios of small integers: half-up on
+  *     the decimal expansion vs scaled-double rounding). Fix: define
+  *     rounding IN INTEGER SPACE — (num*1e6 + den/2) div den — which both
+  *     engines compute identically; the final /1e6 double division is
+  *     then bit-identical. Positive values only (all engine ratios are).
+  *
+  * The matching oracle-SQL spellings live in [[OracleSql]].
   */
 object Exact {
-  /** Order-independent exact sum of a double column, returned as double. */
+  /** Integer division of two non-negative long columns. */
+  def intDiv(a: Column, b: Column): Column =
+    ColumnBridge.column(IntegralDivide(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Exact sum of a double column in 1e-6 units (long). */
+  def microSum(c: Column): Column =
+    sum((c.cast(DecimalType(18, 6)) * 1000000).cast(LongType))
+
+  /** Order-independent exact sum of a double column, as double. */
   def sumExact(c: Column): Column =
     sum(c.cast(DecimalType(18, 6))).cast(DoubleType)
 
-  /** Deterministic mean: exact decimal sum / count, rounded to 6 decimals. */
-  def avgExact(c: Column): Column =
-    round(sumExact(c) / count(lit(1)), 6)
+  /** Half-up-rounded ratio of two non-negative long columns, 6 decimals,
+    * computed in integer space: (num*1e6 + den div 2) div den / 1e6. */
+  def ratio6(num: Column, den: Column): Column =
+    intDiv(num.cast(LongType) * 1000000L + shiftright(den.cast(LongType), 1),
+      den.cast(LongType)).cast(DoubleType) / 1000000.0
 
-  /** Unrounded deterministic mean (for use inside further arithmetic that
-    * must match the oracle formula shape exactly). */
-  def avgExactRaw(c: Column): Column = sumExact(c) / count(lit(1))
+  /** Deterministic mean of a double column: micro-unit sum / count,
+    * half-up in integer space, 6 decimals. */
+  def avgExact(c: Column): Column = {
+    val n = count(lit(1))
+    intDiv(microSum(c) + shiftright(n, 1), n).cast(DoubleType) / 1000000.0
+  }
+
+  /** Unrounded deterministic mean (micro-unit sum / count in double —
+    * identical operands, identical bits) for use inside further
+    * arithmetic mirrored exactly in the oracle SQL. */
+  def avgExactRaw(c: Column): Column =
+    microSum(c).cast(DoubleType) / 1000000.0 / count(lit(1))
 }
 
-/** The DuckDB-side spellings of the [[Exact]] aggregates, for oracle SQL. */
+/** The DuckDB-side spellings of the [[Exact]] helpers, for oracle SQL.
+  * `//` is DuckDB's integer division (floor for non-negative operands,
+  * matching Spark's `div`). */
 object OracleSql {
-  /** round(<exact decimal sum of col>, 6) as double */
+  def microSum(col: String): String =
+    s"sum(CAST(CAST($col AS DECIMAL(18,6)) * 1000000 AS BIGINT))"
   def sumExact(col: String): String =
     s"CAST(sum(CAST($col AS DECIMAL(18,6))) AS DOUBLE)"
+  def ratio6(num: String, den: String): String =
+    s"CAST(($num * 1000000 + ($den) // 2) // ($den) AS DOUBLE) / 1000000.0"
   def avgExact(col: String): String =
-    s"round(${sumExact(col)}/count(*), 6)"
+    s"CAST((${microSum(col)} + count(*) // 2) // count(*) AS DOUBLE) / 1000000.0"
   def avgExactRaw(col: String): String =
-    s"${sumExact(col)}/count(*)"
+    s"CAST(${microSum(col)} AS DOUBLE) / 1000000.0 / count(*)"
 }

@@ -60,8 +60,8 @@ object DedupOps extends QueryModule {
       .filter(col("i") < col("j"))
       .groupBy(col("i"), col("j"), col("sz_i"), col("sz_j"))
       .agg(count(lit(1)).as("inter"))
-      .withColumn("jaccard", round(col("inter").cast("double") /
-        (col("sz_i") + col("sz_j") - col("inter")), 6))
+      .withColumn("jaccard", Exact.ratio6(col("inter"),
+        col("sz_i") + col("sz_j") - col("inter")))
       .filter(col("jaccard") >= Tau)
       .select(col("i"), col("j"), col("jaccard"))
       .orderBy(col("i"), col("j"))
@@ -119,8 +119,8 @@ object DedupOps extends QueryModule {
       col("sz").as("sz_j"))
     cands.join(si, Seq("i")).join(sj, Seq("j"))
       .withColumn("inter", size(array_intersect(col("sh_i"), col("sh_j"))))
-      .withColumn("jaccard", round(col("inter").cast("double") /
-        (col("sz_i") + col("sz_j") - col("inter")), 6))
+      .withColumn("jaccard", Exact.ratio6(col("inter"),
+        col("sz_i") + col("sz_j") - col("inter")))
       .filter(col("jaccard") >= Tau)
       .select(col("i"), col("j"), col("jaccard"))
       .orderBy(col("i"), col("j"))
@@ -275,8 +275,8 @@ object DedupOps extends QueryModule {
       Some(s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
               | s AS (SELECT doc_id, $shinglesSql AS sh FROM t),
               | p AS (SELECT a.doc_id i, b.doc_id j,
-              |   round(CAST(len(list_intersect(a.sh,b.sh)) AS DOUBLE) /
-              |     (len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh))),6) AS jaccard
+              |   ${OracleSql.ratio6("len(list_intersect(a.sh,b.sh))",
+                    "len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh))")} AS jaccard
               |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
               |SELECT i, j, jaccard FROM p WHERE jaccard >= 0.5
               |ORDER BY i, j""".stripMargin)),
@@ -297,8 +297,8 @@ object DedupOps extends QueryModule {
               | s AS (SELECT doc_id, $shinglesSql AS sh FROM t),
               | p AS (SELECT a.doc_id i, b.doc_id j
               |  FROM s a JOIN s b ON a.doc_id < b.doc_id
-              |  WHERE round(CAST(len(list_intersect(a.sh,b.sh)) AS DOUBLE) /
-              |     (len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh))),6) >= 0.5),
+              |  WHERE ${OracleSql.ratio6("len(list_intersect(a.sh,b.sh))",
+                   "len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh))")} >= 0.5),
               | e AS (SELECT i, j FROM p UNION SELECT j AS i, i AS j FROM p),
               | reach(a, b) AS (
               |   SELECT i AS a, i AS b FROM e

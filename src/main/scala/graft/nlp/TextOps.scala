@@ -47,22 +47,27 @@ object TextOps extends QueryModule {
       .orderBy(col("detected"))
   }
 
-  /** V4b: quality scoring — length, lexical diversity, stopword ratio,
-    * alpha ratio, blended into one score. The classic pre-training
-    * heuristics (length/punct/stopword ratios). */
+  /** V4b: quality scoring — length, lexical diversity, stopword ratio
+    * blended into one score (the classic pre-training heuristics).
+    * All ratios are rounded IN INTEGER SPACE ([[Exact.ratio6]]): ratios
+    * of small integers land exactly on .5e-6 boundaries often enough
+    * that engine round() implementations disagree (observed at sf0.1).
+    * score = 0.4*min(nw,100)/100 + 0.3*sm/nw + 0.3*nd/nw
+    *       = (40*min(nw,100)*nw + 3000*(sm+nd)) / (10000*nw). */
   def qualityScore(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .withColumn("n_words", size(words))
-      .withColumn("n_distinct", size(array_distinct(words)))
-      .withColumn("stop_ratio",
-        markerCount("en").cast("double") / col("n_words"))
-      .withColumn("ttr", col("n_distinct").cast("double") / col("n_words"))
-      .withColumn("score", round(
-        least(col("n_words").cast("double") / 100.0, lit(1.0)) * 0.4 +
-          col("stop_ratio") * 0.3 + col("ttr") * 0.3, 6))
+      .withColumn("w", words)
+      .withColumn("n_words", size(col("w")))
+      .withColumn("n_distinct", size(array_distinct(col("w"))))
+      .withColumn("sm",
+        size(filter(col("w"), x => x.isInCollection(markers("en")))))
       .select(col("doc_id"), col("n_words"), col("n_distinct"),
-        round(col("stop_ratio"), 6).as("stop_ratio"),
-        round(col("ttr"), 6).as("ttr"), col("score"))
+        Exact.ratio6(col("sm"), col("n_words")).as("stop_ratio"),
+        Exact.ratio6(col("n_distinct"), col("n_words")).as("ttr"),
+        Exact.ratio6(
+          least(col("n_words"), lit(100)) * col("n_words") * 40 +
+            (col("sm") + col("n_distinct")) * 3000,
+          col("n_words") * 10000).as("score"))
       .orderBy(col("doc_id"))
 
   /** V4c: token counting — whitespace tokens and BPE-ish greedy ≤4-char
@@ -129,17 +134,21 @@ object TextOps extends QueryModule {
               | CAST(count(*) AS BIGINT) AS n_docs
               |FROM s GROUP BY 1 ORDER BY 1""".stripMargin)),
     GraftQuery("v4b_quality_score",
-      "V4 quality scoring: length/stopword/diversity blend",
+      "V4 quality scoring: length/stopword/diversity blend " +
+        "(integer-space rounding)",
       qualityScore,
-      Some(s"""SELECT doc_id,
-              | CAST(len($wordsSql) AS INT) AS n_words,
-              | CAST(len(list_distinct($wordsSql)) AS INT) AS n_distinct,
-              | round(CAST(${markerSql("en")} AS DOUBLE)/len($wordsSql),6) AS stop_ratio,
-              | round(CAST(len(list_distinct($wordsSql)) AS DOUBLE)/len($wordsSql),6) AS ttr,
-              | round(least(CAST(len($wordsSql) AS DOUBLE)/100.0, 1.0)*0.4
-              |   + (CAST(${markerSql("en")} AS DOUBLE)/len($wordsSql))*0.3
-              |   + (CAST(len(list_distinct($wordsSql)) AS DOUBLE)/len($wordsSql))*0.3, 6) AS score
-              |FROM documents ORDER BY doc_id""".stripMargin)),
+      Some(s"""WITH b AS (SELECT doc_id,
+              |  len($wordsSql) AS nw,
+              |  len(list_distinct($wordsSql)) AS nd,
+              |  ${markerSql("en")} AS sm
+              | FROM documents)
+              |SELECT doc_id, CAST(nw AS INT) AS n_words,
+              | CAST(nd AS INT) AS n_distinct,
+              | ${OracleSql.ratio6("sm", "nw")} AS stop_ratio,
+              | ${OracleSql.ratio6("nd", "nw")} AS ttr,
+              | ${OracleSql.ratio6("(least(nw,100)*nw*40 + (sm+nd)*3000)",
+                  "nw*10000")} AS score
+              |FROM b ORDER BY doc_id""".stripMargin)),
     GraftQuery("v4c_token_count",
       "V4 token counting: whitespace + BPE-ish regex chunks",
       tokenCount,

@@ -128,9 +128,10 @@ object EventOps extends QueryModule {
     e.join(broadcast(avgs), col("event_type") === col("et"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
-        round(Exact.avgExactRaw(col("value")), 6).as("avg_dur"),
-        round(sum(when(col("value") > col("avg_v") * 2, 1).otherwise(0)) *
-          lit(100.0) / count(lit(1)), 6).as("error_rate"))
+        Exact.avgExact(col("value")).as("avg_dur"),
+        Exact.ratio6(
+          sum(when(col("value") > col("avg_v") * 2, 1).otherwise(0)) * 100,
+          count(lit(1))).as("error_rate"))
       .orderBy(col("event_type"))
   }
 
@@ -204,6 +205,9 @@ object EventOps extends QueryModule {
         sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
           .over(w).cast("double"))
       .select(col("event_id"), col("ts_us"),
+        // plain double round: µs-scale operands overflow the integer-space
+        // trick, and boundary hits need the denominator to divide 2*10^8 —
+        // measure-zero for ~1e12-scale µs deltas
         round((col("ts_us") - col("t0")) * lit(100.0) / (col("t1") - col("t0")), 6)
           .as("offset_pct"),
         round(col("value") * lit(100.0) / col("total_v"), 6).as("share_pct"))
@@ -289,8 +293,10 @@ object EventOps extends QueryModule {
               |  SELECT event_type AS et, ${OracleSql.avgExactRaw("value")} AS avg_v
               |  FROM events GROUP BY 1)
               |SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
-              | round(${OracleSql.avgExactRaw("value").replace("value", "e.value")},6) AS avg_dur,
-              | round(sum(CASE WHEN e.value > a.avg_v*2 THEN 1 ELSE 0 END)*100.0/count(*),6) AS error_rate
+              | ${OracleSql.avgExact("e.value")} AS avg_dur,
+              | ${OracleSql.ratio6(
+                  "sum(CASE WHEN e.value > a.avg_v*2 THEN 1 ELSE 0 END)*100",
+                  "count(*)")} AS error_rate
               |FROM events e JOIN a ON e.event_type = a.et
               |GROUP BY 1 ORDER BY 1""".stripMargin)),
     GraftQuery("t12_endpoint_metrics",
@@ -333,7 +339,7 @@ object EventOps extends QueryModule {
     GraftQuery("u1_waterfall",
       "U1 waterfall offset%/share% via window functions (TraceDetails.tsx:207-242)",
       waterfall,
-      Some("""SELECT event_id, epoch_us(ts) AS ts_us,
+      Some(s"""SELECT event_id, epoch_us(ts) AS ts_us,
              | round((epoch_us(ts) - min(epoch_us(ts)) OVER w)*100.0 /
              |   (max(epoch_us(ts)) OVER w - min(epoch_us(ts)) OVER w),6) AS offset_pct,
              | round(value*100.0 /

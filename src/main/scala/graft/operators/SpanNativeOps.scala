@@ -78,7 +78,7 @@ object SpanNativeOps extends QueryModule {
       spanLatencies,
       Some(s"""SELECT event_type AS name,
               | 'svc-' || (user_id % 5) AS scope_name,
-              | round(CAST(sum(CAST(CAST($durNs AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE)/count(*),6) AS avg_ns,
+              | ${OracleSql.avgExact(s"CAST($durNs // 1000 AS DOUBLE)")} * 1000 AS avg_ns,
               | round(quantile_cont($durNs, 0.5),6) AS p50_ns,
               | round(quantile_cont($durNs, 0.9),6) AS p90_ns,
               | min($durNs) AS min_ns, max($durNs) AS max_ns,

@@ -71,7 +71,10 @@ class TraceService(spans: DataFrame) {
     spans.filter(isRoot)
       .groupBy(col("name"), col("scope_name"))
       .agg(
-        Exact.avgExact(col("duration_ns").cast("double")).as("avg_ns"),
+        // µs basis: micro-summing raw ns would overflow Long for groups
+        // beyond ~9e3 year-scale spans; µs keeps 1000x headroom
+        (Exact.avgExact(expr("duration_ns div 1000").cast("double")) * 1000)
+          .as("avg_ns"),
         min(col("duration_ns")).as("min_ns"),
         max(col("duration_ns")).as("max_ns"),
         percentile(col("duration_ns"), lit(0.5)).as("p50_ns"),
@@ -111,7 +114,8 @@ class TraceService(spans: DataFrame) {
     * (api/service.go:560-592). */
   def spanDetails(spanId: String): DataFrame = {
     val stats = spans.groupBy(col("name").as("stat_name"))
-      .agg(Exact.avgExactRaw(col("duration_ns").cast("double")).as("avg_ns"),
+      .agg((Exact.avgExactRaw(expr("duration_ns div 1000").cast("double"))
+        * 1000).as("avg_ns"),
         percentile(col("duration_ns"), lit(0.5)).as("p50_ns"),
         percentile(col("duration_ns"), lit(0.9)).as("p90_ns"),
         percentile(col("duration_ns"), lit(0.99)).as("p99_ns"))
@@ -129,7 +133,8 @@ class TraceService(spans: DataFrame) {
     * rebuilt two-phase). */
   def traceList(): DataFrame = {
     val avgs = spans.groupBy(col("trace_id").as("t_id"))
-      .agg(Exact.avgExactRaw(col("duration_ns").cast("double")).as("avg_ns"))
+      .agg((Exact.avgExactRaw(expr("duration_ns div 1000").cast("double"))
+        * 1000).as("avg_ns"))
     spans.join(avgs, col("trace_id") === col("t_id"))
       .groupBy(col("trace_id"))
       .agg(count(lit(1)).as("n_spans"),
@@ -232,7 +237,8 @@ class TraceService(spans: DataFrame) {
     * (api/service.go:961-1024). */
   def serviceMetrics(): DataFrame = {
     val avgs = spans.groupBy(col("scope_name").as("svc"))
-      .agg(Exact.avgExactRaw(col("duration_ns").cast("double")).as("avg_ns"))
+      .agg((Exact.avgExactRaw(expr("duration_ns div 1000").cast("double"))
+        * 1000).as("avg_ns"))
     spans.join(broadcast(avgs), col("scope_name") === col("svc"))
       .groupBy(col("scope_name"))
       .agg(count(lit(1)).as("n"),
