@@ -32,4 +32,32 @@ object GraftSession {
     "spark.sql.session.timeZone" -> "UTC",
     "spark.sql.adaptive.enabled" -> "true",
     "spark.sql.legacy.parquet.nanosAsLong" -> "true")
+
+  /** Query timeout — the analog of the reference's ClickHouse
+    * `max_execution_time: 60` ceiling (db/clickhouse.go:20-22): run the
+    * action in a job group and cancel the group when the deadline
+    * passes. Returns None on timeout. */
+  def runWithTimeout[T](spark: SparkSession, timeoutSeconds: Long,
+      groupId: String)(action: => T): Option[T] = {
+    val sc = spark.sparkContext
+    sc.setJobGroup(groupId, s"graft timeout ${timeoutSeconds}s",
+      interruptOnCancel = true)
+    val canceller = new Thread(() => {
+      try {
+        Thread.sleep(timeoutSeconds * 1000)
+        sc.cancelJobGroup(groupId)
+      } catch { case _: InterruptedException => () }
+    })
+    canceller.setDaemon(true)
+    canceller.start()
+    try Some(action)
+    catch {
+      case e: org.apache.spark.SparkException
+          if e.getMessage != null && e.getMessage.contains("cancelled") =>
+        None
+    } finally {
+      canceller.interrupt()
+      sc.clearJobGroup()
+    }
+  }
 }

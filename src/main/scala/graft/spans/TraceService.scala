@@ -163,6 +163,21 @@ class TraceService(spans: DataFrame) {
       .limit(req.pageSize)
   }
 
+  /** T9 with page metadata: the reference wraps search results with a
+    * total count for pagination (api/service.go:887-891). Two scans
+    * (count + page) — at 100 TB swap the exact total for a cheaper bound
+    * or cache it per predicate; the page itself stays TakeOrdered. */
+  def searchWithTotal(req: SearchRequest): (DataFrame, Long) = {
+    val pred = if (req.query.isEmpty) lit(true)
+      else SearchDsl.predicate(req.query, SearchDsl.SpanBinder)
+    val mode = if (req.rootOnly) isRoot else col("parent_span_id") =!= ""
+    val total = spans
+      .filter(col("start_time_unix_nano") >= req.startNs &&
+        col("end_time_unix_nano") <= req.endNs)
+      .filter(pred && mode).count()
+    (search(req), total)
+  }
+
   /** Series helpers (T10/T14/T15/T16/T17): zero-filled time buckets,
     * interval = range/15 like the reference (utils/utils.go:81-85),
     * floor-aligned (utils/utils.go:74-79). */
