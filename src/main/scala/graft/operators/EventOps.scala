@@ -92,7 +92,7 @@ object EventOps extends QueryModule {
         round(percentile(col("value"), lit(0.5)), 6).as("p50"),
         round(percentile(col("value"), lit(0.9)), 6).as("p90"),
         round(percentile(col("value"), lit(0.99)), 6).as("p99"))
-    e.filter(col("event_id") === 4242)
+    e.filter(col("event_id") === 424)
       .join(broadcast(stats), col("event_type") === col("et"))
       .select(col("event_id"), col("event_type"),
         round(col("value"), 6).as("dur"),
@@ -274,7 +274,7 @@ object EventOps extends QueryModule {
               | s.avg_dur, s.p50, s.p90, s.p99,
               | round((e.value - s.avg_dur)/s.avg_dur*100,6) AS diff_pct
               |FROM events e JOIN s ON e.event_type = s.et
-              |WHERE e.event_id=4242""".stripMargin)),
+              |WHERE e.event_id=424""".stripMargin)),
     GraftQuery("t08_trace_list",
       "T8/D3 per-trace rollup with issues=countIf(d>2*avg) (api/service.go:597-640)",
       traceList,

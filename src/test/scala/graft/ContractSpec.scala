@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.types._
+
+/** Driver-contract invariants for every registered query: the properties
+  * the DuckDB hash-compare depends on, enforced structurally so a future
+  * operator can't silently regress them. */
+class ContractSpec extends SparkSpec {
+
+  private lazy val results =
+    SparkEntry.all.map(q => q -> q.run(spark, sf0001))
+
+  test("no output column is a timestamp (epoch longs only - type drift)") {
+    results.foreach { case (q, df) =>
+      withClue(q.id) {
+        assert(!df.schema.fields.exists(f =>
+          f.dataType.isInstanceOf[TimestampType] ||
+            f.dataType.isInstanceOf[TimestampNTZType] ||
+            f.dataType.isInstanceOf[DateType]))
+      }
+    }
+  }
+
+  test("no output column is a decimal (cast to double before emitting)") {
+    results.foreach { case (q, df) =>
+      withClue(q.id) {
+        assert(!df.schema.fields.exists(
+          _.dataType.isInstanceOf[DecimalType]))
+      }
+    }
+  }
+
+  test("column names are lowercase, unique, and oracle-friendly") {
+    results.foreach { case (q, df) =>
+      withClue(q.id) {
+        assert(df.columns.forall(c => c == c.toLowerCase),
+          s"non-lowercase column in ${df.columns.mkString(",")}")
+        assert(df.columns.distinct.length === df.columns.length)
+        assert(df.columns.forall(_.matches("[a-z][a-z0-9_]*")))
+      }
+    }
+  }
+
+  test("every oracle-declared query yields rows at sf0.001") {
+    results.foreach { case (q, df) =>
+      if (q.oracle.isDefined) {
+        withClue(q.id) { assert(df.count() > 0) }
+      }
+    }
+  }
+
+  test("oracle SQL references only known tables") {
+    val known = Tables.names.toSet
+    SparkEntry.oracleSql.foreach { case (id, sql) =>
+      "(?i)FROM\\s+([a-z_]+)".r.findAllMatchIn(sql).foreach { m =>
+        val t = m.group(1).toLowerCase
+        // CTE names and derived aliases are fine; flag unknown BASE tables
+        // that look like table names but are not testdata tables or CTEs
+        val cteNames = "(?i)([a-z_]+)\\s*(?:\\([a-z_,\\s]*\\))?\\s+AS\\s*\\(".r
+          .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
+        withClue(s"$id: FROM $t") {
+          assert(known.contains(t) || cteNames.contains(t) ||
+            t == "range" || t == "read_parquet")
+        }
+      }
+    }
+  }
+}
