@@ -141,7 +141,38 @@ object Relational extends QueryModule {
          |FROM lineitem""".stripMargin
     }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
 
+  /** Composite showcase (TPC-H Q3 shape): selective dim filter →
+    * fact join → grouped revenue → top-k. Exercises predicate pushdown on
+    * both scan sides, a broadcast fact-dim join, partial aggregation and
+    * TakeOrderedAndProject in one query — the canonical "would this plan
+    * survive 100x" shape. */
+  def shippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < "1998-01-01")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= "1998-01-01")
+    li.join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderpriority"))
+      .agg(round(Exact.sumExact(col("l_extendedprice") *
+        (lit(1.0) - col("l_discount"))), 6).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(20)
+  }
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q3_shipping_priority",
+      "Composite join+agg+topk showcase (TPC-H Q3 shape): filter pushdown " +
+        "both sides, broadcast join, partial agg, TakeOrderedAndProject",
+      shippingPriority,
+      Some(s"""SELECT o_orderkey, o_orderpriority,
+              | round(${OracleSql.sumExact("l_extendedprice*(1.0-l_discount)")},6) AS revenue,
+              | CAST(count(*) AS BIGINT) AS n_items
+              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              |WHERE o_orderdate < TIMESTAMP '1998-01-01'
+              |  AND l_shipdate >= TIMESTAMP '1998-01-01'
+              |GROUP BY 1,2 ORDER BY revenue DESC, o_orderkey LIMIT 20""".stripMargin)),
     GraftQuery("v9_profile",
       "V9 column profiling: count/nulls/min/max/distinct per column",
       profile, Some(profileSql)),

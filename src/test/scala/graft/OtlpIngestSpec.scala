@@ -58,6 +58,25 @@ class OtlpIngestSpec extends SparkSpec {
       .apply("http.status_code") === "500")
   }
 
+  test("minimal span: absent optional fields default sanely") {
+    import spark.implicits._
+    val minimal =
+      """{"resourceSpans":[{"scopeSpans":[{"spans":[
+        |{"traceId":"ff","spanId":"ee","name":"bare",
+        | "startTimeUnixNano":"1","endTimeUnixNano":"2"}]}]}]}"""
+        .stripMargin.replace("\n", "")
+    val row = OtlpIngest.fromJson(spark.createDataset(Seq(minimal)))
+      .collect().head
+    assert(row.getAs[String]("parent_span_id") === "")
+    assert(row.getAs[Int]("flags") === 0)
+    assert(row.getAs[String]("scope_name") === null)
+    assert(row.getAs[String]("resource_schema_url") === "")
+    assert(row.getAs[Map[String, String]]("resource_attributes") === Map())
+    assert(row.getAs[Map[String, String]]("span_attributes") === Map())
+    assert(row.getSeq[Any](row.fieldIndex("events")) === Seq())
+    assert(row.getAs[Long]("duration_ns") === 1L)
+  }
+
   test("A4 write path: date-partitioned parquet round-trips") {
     val dir = Files.createTempDirectory("graft-spans").toString
     OtlpIngest.writeSpans(flat, dir)
