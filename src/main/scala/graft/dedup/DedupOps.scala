@@ -131,20 +131,17 @@ object DedupOps extends QueryModule {
   /** 64-bit SimHash per doc over 3-word shingle features (order-sensitive;
     * unigram features saturate on small vocabularies — every doc shares
     * nearly the same word SET — while shingles track sequence similarity,
-    * aligning SimHash distance with shingle-Jaccard). */
-  def simhashes(docs: DataFrame): DataFrame = {
-    val ex = docs.select(col("doc_id"), explode(shingles).as("w"))
-      .withColumn("h", xxhash64(col("w")))
-    val bitSums = (0 until 64).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1)
-        .otherwise(-1)).as(s"b$b")
-    }
-    val withSums = ex.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-    val sim = (0 until 64).map { b =>
-      when(col(s"b$b") >= 0, lit(1L) * (1L << b)).otherwise(0L)
-    }.reduce(_ + _)
-    withSums.select(col("doc_id"), sim.as("simhash"))
-  }
+    * aligning SimHash distance with shingle-Jaccard).
+    *
+    * Computed WITHOUT a shuffle: hash the shingle array once per row and
+    * fold it through the codegen'd [[graft.functions.SimHash64]]
+    * expression — one projection, map-side only. (The explode + 64-way
+    * groupBy form costs a 500k-row shuffle at sf0.1; 64 `size(filter())`
+    * higher-order calls are CodegenFallback and slower still.) */
+  def simhashes(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.SimHashFunctions.simhash64(
+        transform(shingles, s => xxhash64(s))).as("simhash"))
 
   /** V2c: SimHash near-dup — pigeonhole block join (8 x 8-bit blocks: a
     * pair within hamming ≤ 7 MUST agree on at least one block), then

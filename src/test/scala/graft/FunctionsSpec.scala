@@ -54,6 +54,19 @@ class FunctionsSpec extends SparkSpec {
       _.isInstanceOf[graft.functions.DotProduct])))
   }
 
+  test("simhash64: majority bit votes with ties set") {
+    import graft.functions.SimHashFunctions.simhash64
+    val df = Seq(
+      Seq(1L, 1L, 2L),       // bit0: 2/3 set -> 1; bit1: 1/3 -> 0
+      Seq(3L, 0L),           // ties (1/2) count as set -> bits 0,1 set
+      Seq.empty[Long]).toDF("hs")
+    val got = df.select(simhash64(col("hs"))).collect().map(_.getLong(0))
+    assert(got(0) === 1L)
+    assert(got(1) === 3L)
+    // empty array: every count ties at 0*2 >= 0 -> all bits set (documented)
+    assert(got(2) === -1L)
+  }
+
   test("dot_product rejects non-double arrays at analysis time") {
     val df = Seq((Seq(1, 2), Seq(3, 4))).toDF("a", "b")
     intercept[Exception] {
