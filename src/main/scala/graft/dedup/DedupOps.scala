@@ -78,12 +78,15 @@ object DedupOps extends QueryModule {
       rnd.nextInt(Int.MaxValue).toLong))
   }
 
-  /** MinHash signatures: murmur3 shingle hash h0 folded through NumPerm
-    * affine permutations, min per doc — one groupBy, NumPerm min-aggs,
-    * no 32x explode. */
-  private def signatures(sets: DataFrame): DataFrame = {
-    val ex = sets.select(col("doc_id"), explode(col("sh")).as("shingle"))
-      .withColumn("h0", pmod(hash(col("shingle")).cast("long"), lit(Prime)))
+  /** MinHash signatures: fused shingle hashes
+    * ([[graft.functions.ShingleHashes]], one compiled pass per doc)
+    * folded through NumPerm affine permutations, min per doc — one
+    * groupBy, NumPerm min-aggs, no 32x explode. */
+  private def signatures(docs: DataFrame): DataFrame = {
+    val ex = docs.select(col("doc_id"),
+      explode(graft.functions.ShingleFunctions.shingle_hashes(col("text")))
+        .as("h"))
+      .withColumn("h0", pmod(col("h"), lit(Prime)))
     val mins = coefs.zipWithIndex.map { case ((a, b), k) =>
       min(pmod(col("h0") * a + b, lit(Prime))).as(s"m$k")
     }
@@ -112,7 +115,7 @@ object DedupOps extends QueryModule {
     * Spark-specific) — equivalence to V2a is pinned in DedupSpec. */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val sets = shingleSets(spark, dir).cache()
-    val cands = lshCandidates(signatures(sets))
+    val cands = lshCandidates(signatures(Tables.documents(spark, dir)))
     val si = sets.select(col("doc_id").as("i"), col("sh").as("sh_i"),
       col("sz").as("sz_i"))
     val sj = sets.select(col("doc_id").as("j"), col("sh").as("sh_j"),
@@ -141,7 +144,8 @@ object DedupOps extends QueryModule {
   def simhashes(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       graft.functions.SimHashFunctions.simhash64(
-        transform(shingles, s => xxhash64(s))).as("simhash"))
+        graft.functions.ShingleFunctions.shingle_hashes(col("text")))
+        .as("simhash"))
 
   /** V2c: SimHash near-dup — pigeonhole block join (8 x 8-bit blocks: a
     * pair within hamming ≤ 7 MUST agree on at least one block), then
