@@ -22,13 +22,11 @@ import org.apache.spark.sql.functions._
 object DedupOps extends QueryModule {
   private val Tau = 0.5 // near-dup Jaccard threshold
 
-  private def words: Column = split(col("text"), " ")
-
-  /** Distinct 3-word shingles of `text`. */
-  private def shingles: Column = array_distinct(
-    transform(sequence(lit(1), greatest(size(words) - 2, lit(1))),
-      i => concat_ws(" ", element_at(words, i), element_at(words, i + 1),
-        element_at(words, i + 2))))
+  /** Distinct 3-word shingle strings of `text` — the fused single-pass
+    * expression; string output keeps the DuckDB oracle's shingle
+    * semantics byte-for-byte. */
+  private def shingles: Column =
+    graft.functions.ShingleFunctions.shingle_strings(col("text"))
 
   /** V1: exact dedup — hash-groupBy on the full text; keeps min doc_id
     * (the Spark-native `dropDuplicates` semantics, made deterministic). */

@@ -72,8 +72,49 @@ case class ShingleHashes(child: Expression)
     copy(child = newChild)
 }
 
+/** Distinct 3-word shingle STRINGS in one compiled pass — same window
+  * semantics as [[ShingleHashes]] but emitting the "w1 w2 w3" strings,
+  * for the exact-Jaccard paths whose DuckDB oracle reproduces the string
+  * shingles. */
+case class ShingleStrings(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"shingle_strings expects STRING, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val words = input.asInstanceOf[UTF8String].toString.split(" ")
+    val n = words.length
+    val nShingles = math.max(n - 2, 1)
+    val seen = new java.util.LinkedHashSet[String](nShingles * 2)
+    var i = 0
+    while (i < nShingles) {
+      val end = math.min(i + 3, n)
+      seen.add(words.slice(i, end).mkString(" "))
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object ShingleFunctions {
   /** Column API: distinct FNV-1a-64 hashes of the 3-word shingles. */
   def shingle_hashes(text: Column): Column =
     ColumnBridge.column(ShingleHashes(ColumnBridge.expression(text)))
+
+  /** Column API: distinct 3-word shingle strings. */
+  def shingle_strings(text: Column): Column =
+    ColumnBridge.column(ShingleStrings(ColumnBridge.expression(text)))
 }
