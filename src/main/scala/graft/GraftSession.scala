@@ -10,7 +10,7 @@ import org.apache.spark.sql.SparkSession
   * rather than the 200 default.
   */
 object GraftSession {
-  def local(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"),
+  def local(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"),
             appName: String = "graft"): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

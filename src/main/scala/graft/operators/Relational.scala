@@ -161,7 +161,34 @@ object Relational extends QueryModule {
       .limit(20)
   }
 
+  /** V10: cardinality estimation — exact distinct (oracle surface) next
+    * to HyperLogLog++ (`approx_count_distinct`, the mergeable 100 TB /
+    * streaming form). The approx column is engine-specific, so the oracle
+    * covers the exact columns and RelationalSpec pins the sketch error. */
+  def cardinality(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir).agg(
+      countDistinct(col("l_partkey")).as("n_parts"),
+      countDistinct(col("l_suppkey")).as("n_supps"),
+      countDistinct(col("l_orderkey")).as("n_orders"))
+
+  def cardinalityApprox(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir).agg(
+      approx_count_distinct(col("l_partkey"), 0.02).as("n_parts"),
+      approx_count_distinct(col("l_suppkey"), 0.02).as("n_supps"),
+      approx_count_distinct(col("l_orderkey"), 0.02).as("n_orders"))
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("v10_cardinality",
+      "V10 exact distinct-count cardinalities (dedup accounting)",
+      cardinality,
+      Some("""SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+             | CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+             | CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+             |FROM lineitem""".stripMargin)),
+    GraftQuery("v10b_cardinality_hll",
+      "V10 HyperLogLog++ cardinalities (mergeable sketch; rows-only, " +
+        "error pinned in ScaleSpec)",
+      cardinalityApprox, None),
     GraftQuery("q3_shipping_priority",
       "Composite join+agg+topk showcase (TPC-H Q3 shape): filter pushdown " +
         "both sides, broadcast join, partial agg, TakeOrderedAndProject",

@@ -19,6 +19,15 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("HLL cardinalities within 5% of exact") {
+    val exact = Relational.cardinality(spark, sf0001).collect().head
+    val approx = Relational.cardinalityApprox(spark, sf0001).collect().head
+    (0 until 3).foreach { i =>
+      val (e, a) = (exact.getLong(i).toDouble, approx.getLong(i).toDouble)
+      assert(math.abs(a - e) / e < 0.05, s"col $i: hll $a vs exact $e")
+    }
+  }
+
   test("salted join equals plain join") {
     import spark.implicits._
     val probe = Seq((1, "a"), (1, "b"), (2, "c"), (3, "d"))
