@@ -256,6 +256,20 @@ object DedupOps extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
+  /** V2f: apply the dedup decision — keep only cluster representatives
+    * (min doc_id per near-dup cluster) plus all unclustered docs. A
+    * left_anti join against the non-representative side: the canonical
+    * "materialize the cleaned corpus" step after pair-finding. */
+  def dedupApply(spark: SparkSession, dir: String): DataFrame = {
+    val dropIds = dupClusters(spark, dir)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"))
+    Tables.documents(spark, dir)
+      .join(dropIds, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
   private val shinglesSql =
     """list_distinct([w[i]||' '||w[i+1]||' '||w[i+2]
       | for i in generate_series(1, greatest(len(w)-2, 1))])""".stripMargin
@@ -305,6 +319,27 @@ object DedupOps extends QueryModule {
               |   SELECT r.a, e.j FROM reach r JOIN e ON r.b = e.i)
               |SELECT a AS doc_id, min(b) AS cluster_id
               |FROM reach GROUP BY a ORDER BY a""".stripMargin)),
+    GraftQuery("v2f_dedup_apply",
+      "V2 apply step: left_anti join removes non-representative near-dups",
+      dedupApply,
+      Some(s"""WITH RECURSIVE
+              | t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+              | s AS (SELECT doc_id, $shinglesSql AS sh FROM t),
+              | p AS (SELECT a.doc_id i, b.doc_id j
+              |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+              |  WHERE ${OracleSql.ratio6("len(list_intersect(a.sh,b.sh))",
+                   "len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh))")} >= 0.5),
+              | e AS (SELECT i, j FROM p UNION SELECT j AS i, i AS j FROM p),
+              | reach(a, b) AS (
+              |   SELECT i AS a, i AS b FROM e
+              |   UNION
+              |   SELECT r.a, e.j FROM reach r JOIN e ON r.b = e.i),
+              | drops AS (
+              |   SELECT a AS doc_id FROM reach GROUP BY a
+              |   HAVING a <> min(b))
+              |SELECT doc_id, lang, source FROM documents
+              |WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+              |ORDER BY doc_id""".stripMargin)),
     GraftQuery("v2d_embedding_neardup",
       "V2 embedding-cosine near-dup pairs (cos >= 0.4)",
       embeddingNearDup,

@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   * onto the `events` table per the FIXTURES.md mapping: ts ≈ start_time,
   * event_type ≈ span name / service, user_id ≈ trace id, value ≈ duration.
   * The span-native forms of the same operators (running on the real span
-  * schema) live in [[graft.spans.TraceAnalytics]]; these registry entries
+  * schema) live in [[graft.spans.TraceService]]; these registry entries
   * exist so the DuckDB oracle can verify each operator shape on real
   * parquet fixtures.
   *

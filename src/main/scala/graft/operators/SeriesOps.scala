@@ -100,7 +100,35 @@ object SeriesOps extends QueryModule {
       Seq("p50" -> lit(0.0), "n" -> lit(0L), "avg_v" -> lit(0.0)))
   }
 
+  /** T19 (beyond the reference): trailing 7-day moving window over the
+    * daily count series — window-frame coverage (rowsBetween) the
+    * reference lacks entirely (SURVEY §2.E). */
+  def movingAverage(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(spark, dir)
+      .groupBy(expr("ts_s div 86400 * 86400").as("day_s"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.orderBy(col("day_s")).rowsBetween(-6, 0)
+    daily
+      .withColumn("n_7d", sum(col("n")).over(w))
+      .withColumn("avg_7d", round(avg(col("n")).over(w), 6))
+      .orderBy(col("day_s"))
+  }
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("t19_moving_average",
+      "T19 trailing 7-day moving sum/avg via window frames (rowsBetween)",
+      movingAverage,
+      Some("""WITH d AS (
+             |  SELECT (epoch_us(ts)//1000000)//86400*86400 AS day_s,
+             |   count(*) AS n
+             |  FROM events GROUP BY 1)
+             |SELECT day_s, CAST(n AS BIGINT) AS n,
+             | CAST(sum(n) OVER w AS BIGINT) AS n_7d,
+             | round(avg(n) OVER w, 6) AS avg_7d
+             |FROM d
+             |WINDOW w AS (ORDER BY day_s ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+             |ORDER BY day_s""".stripMargin)),
     GraftQuery("t10_trace_counts",
       "T10/D7+H14 zero-filled count series (api/service.go:899-959)",
       traceCounts,
