@@ -156,6 +156,21 @@ object TextOps extends QueryModule {
               | CAST(len(regexp_extract_all(text, '[a-z0-9]{1,4}')) AS INT) AS subword_tokens,
               | CAST(length(text) AS INT) AS n_chars
               |FROM documents ORDER BY doc_id""".stripMargin)),
+    GraftQuery("v4f_normalize",
+      "V4 text normalization: lowercase, collapse whitespace, trim, " +
+        "content hash (the pre-tokenization canonical form)",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          trim(regexp_replace(lower(col("text")), "\\s+", " "))
+            .as("normalized"))
+        .withColumn("norm_hash", md5(col("normalized").cast("binary")))
+        .withColumn("n_chars_norm", length(col("normalized")))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             | trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS normalized,
+             | md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS norm_hash,
+             | CAST(length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS INT) AS n_chars_norm
+             |FROM documents ORDER BY doc_id""".stripMargin)),
     GraftQuery("v4e_vocab",
       "V4 vocabulary build: global token counts, top-50",
       vocab,
