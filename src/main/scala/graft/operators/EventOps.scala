@@ -73,6 +73,24 @@ object EventOps extends QueryModule {
       .orderBy(col("parent_type"), col("child_type"))
   }
 
+  /** T5 computed through [[Skew.saltedJoin]] — identical semantics and
+    * oracle to t05, exercising the hot-key salting path end-to-end (the
+    * static fallback when AQE skew-split isn't enough). */
+  def serviceDependenciesSalted(spark: SparkSession, dir: String): DataFrame = {
+    val e = ev(spark, dir)
+    val build = e.select(col("user_id"),
+      col("event_type").as("parent_type"), col("ts_us").as("t1"))
+      .filter(col("parent_type").isin("signup", "purchase"))
+    val probe = e.select(col("user_id"), col("event_id"),
+      col("event_type").as("child_type"), col("ts_us").as("t2"))
+    Skew.saltedJoin(probe, build, "user_id", col("event_id"))
+      .filter(col("t2") > col("t1") && col("t2") <= col("t1") + lit(Minute) &&
+        col("parent_type") =!= col("child_type"))
+      .groupBy(col("parent_type"), col("child_type"))
+      .agg(count(lit(1)).as("n_calls"))
+      .orderBy(col("parent_type"), col("child_type"))
+  }
+
   /** T6 (D2): per-hour heatmap — count+avg per hour bucket, latest 24
     * (api/service.go:400-433). */
   def traceHeatmap(spark: SparkSession, dir: String): DataFrame =
@@ -246,6 +264,17 @@ object EventOps extends QueryModule {
     GraftQuery("t05_service_dependencies",
       "T5/C1+D13 dependency-edge self-join + count (api/service.go:365-398)",
       serviceDependencies,
+      Some("""SELECT e1.event_type AS parent_type, e2.event_type AS child_type,
+             | CAST(count(*) AS BIGINT) AS n_calls
+             |FROM events e1 JOIN events e2 ON e1.user_id = e2.user_id
+             | AND epoch_us(e2.ts) > epoch_us(e1.ts)
+             | AND epoch_us(e2.ts) <= epoch_us(e1.ts) + 60000000
+             |WHERE e1.event_type IN ('signup','purchase')
+             | AND e1.event_type <> e2.event_type
+             |GROUP BY 1,2 ORDER BY 1,2""".stripMargin)),
+    GraftQuery("t05b_dependencies_salted",
+      "T5 via the salted-join skew path - same oracle as t05",
+      serviceDependenciesSalted,
       Some("""SELECT e1.event_type AS parent_type, e2.event_type AS child_type,
              | CAST(count(*) AS BIGINT) AS n_calls
              |FROM events e1 JOIN events e2 ON e1.user_id = e2.user_id

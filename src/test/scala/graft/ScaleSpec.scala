@@ -19,6 +19,36 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("property: ratio6 equals BigDecimal HALF_UP rounding") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    val gen = for {
+      num <- Gen.chooseNum(0L, 1000000L)
+      den <- Gen.chooseNum(1L, 1000000L)
+    } yield (num, den)
+    // sample-based check through the actual Column implementation
+    val samples = Gen.listOfN(300, gen).sample.get
+    val df = samples.toDF("num", "den")
+      .select(col("num"), col("den"),
+        Exact.ratio6(col("num"), col("den")).as("r"))
+    df.collect().foreach { row =>
+      val (num, den, r) = (row.getLong(0), row.getLong(1), row.getDouble(2))
+      val expected = BigDecimal(num)./(BigDecimal(den))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r === expected, s"$num/$den")
+    }
+  }
+
+  test("SQL view surface answers the flagship via spark.sql") {
+    GraftCatalog.registerViews(spark, sf0001)
+    val n = spark.sql(
+      "SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY 1")
+      .count()
+    assert(n > 0)
+    assert(spark.sql("SELECT max(ts_us) FROM events_ts").collect()
+      .head.getLong(0) > 0)
+  }
+
   test("HLL cardinalities within 5% of exact") {
     val exact = Relational.cardinality(spark, sf0001).collect().head
     val approx = Relational.cardinalityApprox(spark, sf0001).collect().head
