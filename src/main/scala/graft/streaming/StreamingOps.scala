@@ -98,7 +98,37 @@ object StreamingOps extends QueryModule {
       .orderBy(col("bucket_s"))
   }
 
+  /** ST2: streaming session windows, run to completion — equals the
+    * batch gap-sessionization on finite input (session_window end =
+    * last event + gap), so it is oracle-checkable too. */
+  def streamingSessions(spark: SparkSession, dir: String): DataFrame = {
+    val sess = sessionWindows(eventsStream(spark, dir), "event_ts",
+      "user_id")
+    runToBatch(spark, sess, s"st2_sessions_${System.nanoTime()}")
+      .orderBy(col("user_id"), col("start_s"))
+  }
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("st2_streaming_sessions",
+      "V6-streaming session_window sessionization via Structured " +
+        "Streaming - equals the batch lag-gap form on finite input",
+      streamingSessions,
+      Some("""WITH m AS (
+             |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             |   CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+             |     OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+             |    THEN 1 ELSE 0 END AS new_sess
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+             | s AS (
+             |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+             |    ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS session_idx
+             |  FROM m)
+             |SELECT user_id, min(ts_us)//1000000 AS start_s,
+             | max(ts_us)//1000000 + 1800 AS end_s,
+             | CAST(count(*) AS BIGINT) AS n_events
+             |FROM s GROUP BY user_id, session_idx
+             |ORDER BY user_id, start_s""".stripMargin)),
     GraftQuery("st1_streaming_counts",
       "D7-streaming tumbling-window counts via Structured Streaming " +
         "(memory sink, complete mode) — equals the batch group-by",
