@@ -73,6 +73,43 @@ object TraceAssembler {
       }
   }
 
+  final case class TraceStatus(trace_id: String, n_spans: Int,
+      services: Seq[String], last_start_ns: Long)
+
+  /** Live per-trace status via mapGroupsWithState (update mode): each
+    * micro-batch emits the refreshed status of every trace that received
+    * spans — the "open traces" monitoring view. Unlike
+    * [[assembleTraces]] (append-on-completion), state here is a running
+    * summary, not a span buffer: O(1) per trace. */
+  def traceStatus(spans: Dataset[SpanEvent], watermarkDelay: String = "10 minutes")
+      (implicit spark: SparkSession): Dataset[TraceStatus] = {
+    import spark.implicits._
+    val watermarked = spans
+      .withColumn("event_ts",
+        timestamp_micros(expr("start_time_unix_nano div 1000")))
+      .withWatermark("event_ts", watermarkDelay)
+      .as[SpanEvent]
+    watermarked.groupByKey(_.trace_id)
+      .mapGroupsWithState[TraceStatus, TraceStatus](
+        GroupStateTimeout.EventTimeTimeout) {
+        case (traceId, newSpans, state: GroupState[TraceStatus]) =>
+          val prev = state.getOption
+            .getOrElse(TraceStatus(traceId, 0, Seq.empty, 0L))
+          val spansList = newSpans.toList
+          val next = TraceStatus(traceId,
+            prev.n_spans + spansList.length,
+            (prev.services ++ spansList.map(_.scope_name)).distinct.sorted,
+            math.max(prev.last_start_ns,
+              spansList.map(_.start_time_unix_nano).maxOption.getOrElse(0L)))
+          state.update(next)
+          // expire state once the watermark passes the trace's last span
+          state.setTimeoutTimestamp(
+            next.last_start_ns / 1000000L + 60000L,
+            "0 milliseconds")
+          next
+      }
+  }
+
   /** Batch twin (same assembly semantics, no state machinery) — used to
     * pin the streaming output in tests. */
   def assembleBatch(spans: Dataset[SpanEvent])

@@ -40,6 +40,35 @@ class AdvancedSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("mapGroupsWithState trace status: running summaries per batch") {
+    import spark.implicits._
+    implicit val s = spark
+    val all = SpanFixtures.spans(spark).select(
+      col("trace_id"), col("span_id"), col("parent_span_id"), col("name"),
+      col("scope_name"), col("start_time_unix_nano"), col("duration_ns"))
+      .as[TraceAssembler.SpanEvent].collect().toSeq
+    val (batch1, batch2) = all.partition(_.span_id <= "s2")
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[TraceAssembler.SpanEvent](spark)
+    val q = TraceAssembler.traceStatus(ms.toDS())
+      .writeStream.outputMode("update").format("memory")
+      .queryName("status").start()
+    try {
+      ms.addData(batch1)
+      q.processAllAvailable()
+      val afterB1 = spark.table("status").as[TraceAssembler.TraceStatus]
+        .collect().map(t => t.trace_id -> t.n_spans).toMap
+      assert(afterB1("T1") === 2) // s1, s2 arrived
+      ms.addData(batch2)
+      q.processAllAvailable()
+      // latest status row per trace reflects the full span count
+      val finalT1 = spark.table("status").as[TraceAssembler.TraceStatus]
+        .collect().filter(_.trace_id == "T1").maxBy(_.n_spans)
+      assert(finalT1.n_spans === 4)
+      assert(finalT1.services === Seq("db", "gateway", "users"))
+    } finally q.stop()
+  }
+
   test("stateful trace assembly: streaming equals batch twin") {
     import spark.implicits._
     implicit val s = spark
