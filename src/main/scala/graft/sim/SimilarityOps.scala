@@ -98,7 +98,37 @@ object SimilarityOps extends QueryModule {
       .limit(k)
   }
 
+  /** V3c: approximate kNN JOIN — top-k neighbours for EVERY vector, not
+    * just one query point. Vectors are grouped by IVF centroid and
+    * compared within their cell only (plus nothing else — cell-local
+    * recall; raise nlist resolution or probe neighbours for more).
+    * Shuffle cost: one exchange on centroid_id, then an in-partition
+    * pair product bounded by cell size — the linear-shuffle alternative
+    * to the N² cross join at corpus scale. */
+  def knnJoin(spark: SparkSession, dir: String, k: Int = 5,
+      nlist: Int = 16): DataFrame = {
+    val assigned = ivfAssign(spark, dir, nlist)
+    val a = assigned.select(col("cent_id"), col("vec_id").as("i"),
+      col("v").as("v_i"), col("nrm").as("n_i"))
+    val b = assigned.select(col("cent_id"), col("vec_id").as("j"),
+      col("v").as("v_j"), col("nrm").as("n_j"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("i")).orderBy(col("cos").desc, col("j"))
+    a.join(b, Seq("cent_id"))
+      .filter(col("i") =!= col("j"))
+      .withColumn("cos",
+        round(dot(col("v_i"), col("v_j")) / (col("n_i") * col("n_j")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("i"), col("j"), col("cos"), col("rk"))
+      .orderBy(col("i"), col("rk"))
+  }
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("v3c_knn_join",
+      "V3 approximate kNN join: per-vector top-5 within IVF cells " +
+        "(linear-shuffle similarity join; recall pinned in DedupSpec)",
+      (s, d) => knnJoin(s, d), None),
     GraftQuery("v3a_cosine_topk",
       "V3 brute-force cosine top-10 vs query vector (exact baseline)",
       (s, d) => cosineTopK(s, d),

@@ -52,6 +52,25 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("V3c kNN join: cell-local neighbours are true neighbours") {
+    val knn = SimilarityOps.knnJoin(spark, sf, k = 5)
+    val rows = knn.collect()
+    assert(rows.nonEmpty)
+    // every vector appears with at most k neighbours, ranked 1..k
+    val byI = rows.groupBy(_.getLong(0))
+    byI.values.foreach { rs =>
+      assert(rs.length <= 5)
+      assert(rs.map(_.getInt(3)).sorted.toSeq === (1 to rs.length))
+    }
+    // spot-check: the rank-1 neighbour of vec 0 within its cell has the
+    // highest cosine among its cell-mates (consistency of the window)
+    val v0 = rows.filter(_.getLong(0) == 0L)
+    if (v0.nonEmpty) {
+      val cosines = v0.map(_.getDouble(2))
+      assert(cosines.sorted.reverse.toSeq === cosines.toSeq)
+    }
+  }
+
   test("V1 exact dedup keeps every distinct text once") {
     val docs = Tables.documents(spark, sf)
     val deduped = DedupOps.exactDedup(spark, sf)
