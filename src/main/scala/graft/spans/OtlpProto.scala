@@ -55,7 +55,11 @@ object OtlpProto {
     def skip(wireType: Int): Unit = wireType match {
       case 0 => varint()
       case 1 => pos += 8
-      case 2 => pos += varint().toInt
+      case 2 =>
+        // read the length FIRST: `pos += varint()` would capture the old
+        // pos before varint() advances it, mis-skipping the field
+        val len = varint().toInt
+        pos += len
       case 5 => pos += 4
       case w => throw new IllegalArgumentException(s"wire type $w")
     }

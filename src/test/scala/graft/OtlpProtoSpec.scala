@@ -82,6 +82,31 @@ class OtlpProtoSpec extends SparkSpec {
     assert(r.events.head.attributes("exception.type") === "IOException")
   }
 
+  test("unknown fields are skipped (wire-format forward compatibility)") {
+    // span with extra fields the decoder doesn't know: varint field 90,
+    // fixed64 field 91, length-delimited field 92
+    val span = new W()
+      .bytes(1, Array[Byte](1)).bytes(2, Array[Byte](2))
+      .str(5, "future-span")
+      .fixed64(7, 1000L).fixed64(8, 2000L)
+      .vint(90, 12345L)
+      .fixed64(91, 999L)
+      .str(92, "ignored payload")
+    val req = new W().msg(1, new W()
+      .msg(2, new W().msg(1, new W().str(1, "svc")).msg(2, span)))
+      .out.toByteArray
+    val rows = OtlpProto.decodeRequest(req)
+    assert(rows.length === 1)
+    assert(rows.head.name === "future-span")
+    assert(rows.head.duration_ns === 1000L)
+  }
+
+  test("empty and span-less requests decode to zero rows") {
+    assert(OtlpProto.decodeRequest(Array.emptyByteArray) === Seq.empty)
+    val emptyRs = new W().msg(1, new W()).out.toByteArray
+    assert(OtlpProto.decodeRequest(emptyRs) === Seq.empty)
+  }
+
   test("fromProtobuf: DataFrame in SpanSchema column order") {
     import spark.implicits._
     val df = OtlpProto.fromProtobuf(spark.createDataset(Seq(request)))

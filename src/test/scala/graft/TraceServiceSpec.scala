@@ -76,6 +76,29 @@ class TraceServiceSpec extends SparkSpec {
     assert(rows.head.getLong(1) === 1L) // exception span in first bucket
   }
 
+  test("T11 service metrics: per-service counts and error rates") {
+    val rows = svc.serviceMetrics().collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    assert(rows.keySet === Set("db", "gateway", "users"))
+    assert(rows("gateway")._1 === 2L) // s1 + s4
+    // gateway avg = (100+10)/2 = 55ms; only s1 (100ms) > 110ms? no ->
+    // error_rate 0; and no span anywhere exceeds 2x its service avg
+    assert(rows.values.forall(_._2 === 0.0))
+  }
+
+  test("T12 endpoint metrics: ordered by count desc then name") {
+    val names = svc.endpointMetrics().collect().map(_.getString(0)).toSeq
+    assert(names.length === 5)
+    assert(names === names.sortBy(n => n)) // all counts are 1 -> name order
+  }
+
+  test("T13 slowest in window: only roots inside the range, by duration") {
+    val base = 1704067200000000000L
+    val rows = svc.slowestTraces(base, base + 1000L * 1000000L)
+      .collect().map(_.getString(0))
+    assert(rows.toSeq === Seq("T1", "T2")) // 100ms root before 20ms root
+  }
+
   test("T7 span details: diff percent vs same-name aggregate") {
     val r = svc.spanDetails("s3").collect().head
     assert(r.getAs[Long]("duration_ns") === 40000000L)
