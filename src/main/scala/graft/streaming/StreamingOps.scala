@@ -49,6 +49,31 @@ object StreamingOps extends QueryModule {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** A1-streaming, protobuf branch: a binary-file stream of serialized
+    * ExportTraceServiceRequest payloads (the shape a Kafka value column
+    * has) decoded per micro-batch through the wire decoder. */
+  def streamOtlpProtobuf(spark: SparkSession, inputDir: String,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    import spark.implicits._
+    // binaryFile's fixed schema must be stated explicitly for streaming
+    val binarySchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("modificationTime",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("length",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.BinaryType)))
+    val raw = spark.readStream.format("binaryFile").schema(binarySchema)
+      .option("pathGlobFilter", "*.pb").load(inputDir)
+      .select(col("content")).as[Array[Byte]]
+    graft.spans.OtlpProto.fromProtobuf(raw)
+      .withColumn("start_ts",
+        timestamp_micros(expr("start_time_unix_nano div 1000")))
+      .withWatermark("start_ts", watermarkDelay)
+  }
+
   /** D7-streaming: tumbling-window span/event counts. */
   def windowedCounts(stream: DataFrame, tsCol: String,
       windowLength: String): DataFrame =

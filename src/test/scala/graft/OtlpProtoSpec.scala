@@ -107,6 +107,20 @@ class OtlpProtoSpec extends SparkSpec {
     assert(OtlpProto.decodeRequest(emptyRs) === Seq.empty)
   }
 
+  test("protobuf binary-file stream -> span store end-to-end") {
+    val in = java.nio.file.Files.createTempDirectory("otlp-pb").toString
+    val store = java.nio.file.Files.createTempDirectory("pb-store").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("pb-ckpt").toString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$in/req1.pb"), request)
+    val stream = graft.streaming.StreamingOps.streamOtlpProtobuf(spark, in)
+    val q = graft.streaming.StreamingOps.writeToSpanStore(stream, store, ckpt)
+    q.awaitTermination(60000)
+    val back = graft.spans.OtlpIngest.readSpans(spark, store)
+    assert(back.count() === 1)
+    assert(back.collect().head.getAs[String]("trace_id") === "CgsMDQ==")
+  }
+
   test("fromProtobuf: DataFrame in SpanSchema column order") {
     import spark.implicits._
     val df = OtlpProto.fromProtobuf(spark.createDataset(Seq(request)))
