@@ -121,15 +121,24 @@ object Relational extends QueryModule {
     * pipeline). Each column is one scan-side aggregate; Catalyst fuses
     * the union into parallel stages. */
   def profile(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir)
-    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").map { c =>
-      li.groupBy(lit(c).as("col_name")).agg(
-        count(lit(1)).as("n"),
-        sum(when(col(c).isNull, 1).otherwise(0)).cast("long").as("n_null"),
-        round(min(col(c)), 6).as("min_v"),
-        round(max(col(c)), 6).as("max_v"),
-        countDistinct(col(c)).as("n_distinct"))
-    }.reduce(_ unionAll _).orderBy(col("col_name"))
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    // ONE scan: every column's stats in a single aggregate row, then
+    // stack() back to one row per column (a 4-scan union of aggregates
+    // reads the table four times for nothing)
+    val aggs = cols.flatMap { c =>
+      Seq(count(lit(1)).as(s"n_$c"),
+        sum(when(col(c).isNull, 1).otherwise(0)).cast("long")
+          .as(s"nn_$c"),
+        round(min(col(c)), 6).as(s"mn_$c"),
+        round(max(col(c)), 6).as(s"mx_$c"),
+        countDistinct(col(c)).as(s"nd_$c"))
+    }
+    val one = Tables.lineitem(spark, dir).agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map(c =>
+      s"'$c', n_$c, nn_$c, mn_$c, mx_$c, nd_$c").mkString(", ")
+    one.selectExpr(s"stack(${cols.length}, $stackArgs) AS " +
+        "(col_name, n, n_null, min_v, max_v, n_distinct)")
+      .orderBy(col("col_name"))
   }
 
   private val profileSql: String =

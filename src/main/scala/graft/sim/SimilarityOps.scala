@@ -56,16 +56,18 @@ object SimilarityOps extends QueryModule {
     val cents = e.filter(col("vec_id") < nlist)
       .select(col("vec_id").as("cent_id"), col("v").as("c_v"),
         col("nrm").as("c_nrm"))
-    // nearest centroid per vector: broadcast the centroid table, rank by
-    // cosine, keep rank 1 — one shuffle-free pass over the corpus
+    // nearest centroid per vector: broadcast the centroid table, then a
+    // hash-aggregate max_by — partial/final combine instead of the sort
+    // exchange a row_number window would need (tie-break: higher cosine,
+    // then lower centroid id)
     val scored = e.crossJoin(broadcast(cents))
       .withColumn("c_cos",
         dot(col("v"), col("c_v")) / (col("nrm") * col("c_nrm")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id"))
-      .orderBy(col("c_cos").desc, col("cent_id"))
-    scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
+    scored.groupBy(col("vec_id"))
+      .agg(first(col("v")).as("v"), first(col("nrm")).as("nrm"),
+        max_by(col("cent_id"),
+          struct(col("c_cos"), (-col("cent_id")).as("neg_id")))
+          .as("cent_id"))
       .select(col("vec_id"), col("v"), col("nrm"), col("cent_id"))
   }
 
@@ -107,7 +109,8 @@ object SimilarityOps extends QueryModule {
     * to the N² cross join at corpus scale. */
   def knnJoin(spark: SparkSession, dir: String, k: Int = 5,
       nlist: Int = 16): DataFrame = {
-    val assigned = ivfAssign(spark, dir, nlist)
+    // both join sides reuse one materialization of the assignment
+    val assigned = ivfAssign(spark, dir, nlist).cache()
     val a = assigned.select(col("cent_id"), col("vec_id").as("i"),
       col("v").as("v_i"), col("nrm").as("n_i"))
     val b = assigned.select(col("cent_id"), col("vec_id").as("j"),
