@@ -54,6 +54,15 @@ object Exact {
     * arithmetic mirrored exactly in the oracle SQL. */
   def avgExactRaw(c: Column): Column =
     microSum(c).cast(DoubleType) / 1000000.0 / count(lit(1))
+
+  /** [[avgExactRaw]] over a window partition — each aggregate gets its
+    * own OVER clause (a composite expression can't be `.over`-wrapped
+    * whole); identical operands and order, so identical bits to the
+    * grouped form. */
+  def avgExactRawOver(c: Column,
+      w: org.apache.spark.sql.expressions.WindowSpec): Column =
+    microSum(c).over(w).cast(DoubleType) / 1000000.0 /
+      count(lit(1)).over(w)
 }
 
 /** The DuckDB-side spellings of the [[Exact]] helpers, for oracle SQL.

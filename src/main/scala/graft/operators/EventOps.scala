@@ -121,13 +121,17 @@ object EventOps extends QueryModule {
 
   /** T8 (D3): per-trace rollup with the reference's nested-aggregate
     * `countIf(duration > avg(duration)*2) AS issues` (api/service.go:597-640)
-    * — rebuilt two-phase: per-group exact avg, broadcast back, conditional
-    * count. */
+    * — rebuilt as a window over the trace key: ONE shuffle on user_id
+    * computes the per-trace avg, and the follow-up groupBy on the same key
+    * reuses that hash partitioning (no second Exchange). Per-trace
+    * cardinality grows with the data, so the earlier broadcast-back form
+    * was an unbounded broadcast at scale; the window form is bounded
+    * per-partition. PlanSpec pins the single-Exchange shape. */
   def traceList(spark: SparkSession, dir: String): DataFrame = {
     val e = ev(spark, dir)
-    val avgs = e.groupBy(col("user_id").as("uid"))
-      .agg(Exact.avgExactRaw(col("value")).as("avg_v"))
-    e.join(broadcast(avgs), col("user_id") === col("uid"))
+    val byTrace = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+    e.withColumn("avg_v", Exact.avgExactRawOver(col("value"), byTrace))
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_spans"),
         round(max(col("value")), 6).as("max_dur"),

@@ -152,16 +152,22 @@ object Relational extends QueryModule {
 
   /** Composite showcase (TPC-H Q3 shape): selective dim filter →
     * fact join → grouped revenue → top-k. Exercises predicate pushdown on
-    * both scan sides, a broadcast fact-dim join, partial aggregation and
-    * TakeOrderedAndProject in one query — the canonical "would this plan
-    * survive 100x" shape. */
+    * both scan sides, partial aggregation and TakeOrderedAndProject in
+    * one query — the canonical "would this plan survive 100x" shape.
+    *
+    * No broadcast hint on orders: the `o_orderdate < 1998-01-01` filter
+    * retains ~97% of the table, so orders is fact-sized and a forced
+    * broadcast OOMs at scale. A shuffle join on the key (or whatever AQE
+    * picks from runtime stats) is the plan you'd want at 100 TB; AQE will
+    * still downgrade to broadcast when the filtered side is genuinely
+    * small. PlanSpec pins the absence of a BroadcastExchange here. */
   def shippingPriority(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
       .filter(col("o_orderdate") < "1998-01-01")
       .select(col("o_orderkey"), col("o_orderpriority"))
     val li = Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") >= "1998-01-01")
-    li.join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderkey"), col("o_orderpriority"))
       .agg(round(Exact.sumExact(col("l_extendedprice") *
         (lit(1.0) - col("l_discount"))), 6).as("revenue"),

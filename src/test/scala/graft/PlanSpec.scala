@@ -42,4 +42,30 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("l_shipdate"), p)
     assert(!p.contains("l_returnflag"), p)
   }
+
+  test("q3 does not broadcast the barely-filtered orders side") {
+    // orders retains ~97% of rows after the date filter: a forced
+    // broadcast is fact-sized and OOMs at 100x. AQE may still choose a
+    // broadcast from RUNTIME stats at tiny SF — what must be gone is the
+    // static ResolvedHint-driven exchange, so assert on the pre-AQE plan.
+    val df = graft.operators.Relational.shippingPriority(spark, sf0001)
+    val analyzed = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.optimizedPlan.toString
+    assert(!analyzed.contains("ResolvedHint"), analyzed)
+    assert(!analyzed.toLowerCase.contains("broadcast"), analyzed)
+  }
+
+  test("t08 computes per-trace avg with ONE exchange (window, no broadcast)") {
+    val p = plan(q("t08_trace_list"))
+    assert(!p.contains("BroadcastExchange"), p)
+    // window on user_id + groupBy on user_id share one hash partitioning
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges\n$p")
+  }
+
+  test("v2d exact pair join is block-partitioned, not a nested-loop broadcast") {
+    val p = plan(q("v2d_embedding_neardup"))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("ShuffledHashJoin"), p)
+  }
 }
