@@ -284,10 +284,15 @@ object DedupOps extends QueryModule {
     import spark.implicits._
     val edges = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
     val parent = scala.collection.mutable.Map[Long, Long]()
+    // iterative find with two-pass path compression: union-by-min-id can
+    // chain linearly (ordering, not rank, picks the root), and a
+    // recursive find would blow the driver stack near LocalEdgeLimit
     def find(x: Long): Long = {
-      val p = parent.getOrElse(x, x)
-      if (p == x) x
-      else { val r = find(p); parent(x) = r; r }
+      var root = x
+      while (parent.getOrElse(root, root) != root) root = parent(root)
+      var cur = x
+      while (cur != root) { val nxt = parent(cur); parent(cur) = root; cur = nxt }
+      root
     }
     edges.foreach { case (a, b) =>
       val (ra, rb) = (find(a), find(b))
@@ -299,15 +304,29 @@ object DedupOps extends QueryModule {
       .toDF("doc_id", "cluster_id").orderBy(col("doc_id"))
   }
 
+  /** Iteration ceiling for min-label propagation — a SAFETY bound, not a
+    * convergence knob: propagation needs O(graph diameter) rounds, and a
+    * pair graph with diameter beyond this is not a dedup cluster shape.
+    * Hitting it raises instead of silently returning unconverged labels. */
+  private val MaxLabelIters = 100
+
   private[graft] def distributedComponents(pairs: DataFrame): DataFrame = {
     val edges = pairs
       .union(pairs.select(col("j").as("i"), col("i").as("j")))
       .cache()
     val vertices = edges.select(col("i")).distinct()
-    var labels = vertices.withColumn("label", col("i")).cache()
+    // localCheckpoint severs lineage (each iteration otherwise nests the
+    // previous plan — stack/planning blowup on long chains); superseded
+    // label frames are unpersisted so the loop holds ONE labels frame of
+    // executor memory, not `iter` of them.
+    var labels = vertices.withColumn("label", col("i")).localCheckpoint()
     var changed = 1L
     var iter = 0
-    while (changed > 0 && iter < 20) {
+    while (changed > 0) {
+      if (iter >= MaxLabelIters)
+        throw new IllegalStateException(
+          s"connected components did not converge in $MaxLabelIters " +
+            "iterations — pair-graph diameter is pathological for dedup")
       val viaNeighbor = edges
         .join(labels.withColumnRenamed("i", "j")
           .withColumnRenamed("label", "nl"), Seq("j"))
@@ -316,12 +335,14 @@ object DedupOps extends QueryModule {
         .select(col("i"),
           least(col("label"), coalesce(col("nmin"), col("label")))
             .as("label"))
-        .cache()
+        .localCheckpoint() // eager: materializes before the old frame goes
       changed = next.join(labels.withColumnRenamed("label", "old"), Seq("i"))
         .filter(col("label") =!= col("old")).count()
+      labels.unpersist()
       labels = next
       iter += 1
     }
+    edges.unpersist()
     labels.select(col("i").as("doc_id"), col("label").as("cluster_id"))
       .orderBy(col("doc_id"))
   }

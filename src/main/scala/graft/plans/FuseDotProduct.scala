@@ -19,6 +19,10 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType}
   *
   * The match is deliberately conservative: exact multiply/add lambda
   * shapes, double-typed zero, identity (or absent) finish lambda.
+  * [[DotProduct]] mirrors the composed form's NULL semantics (length
+  * mismatch or a null element → NULL), so the rewrite is
+  * semantics-preserving for every input, not just equal-length
+  * non-null-element arrays — FusionSpec pins both edge cases.
   */
 object FuseDotProduct extends Rule[LogicalPlan] {
 

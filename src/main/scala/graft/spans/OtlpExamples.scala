@@ -48,7 +48,8 @@ object OtlpExamples {
       | "name":"POST /orders",
       | "startTimeUnixNano":"1704067300000000000",
       | "endTimeUnixNano":"1704067300200000000",
-      | "attributes":[{"key":"http.status_code","value":{"Value":{"IntValue":"500"}}}],
+      | "attributes":[{"key":"http.status_code","value":{"Value":{"IntValue":"500"}}},
+      |   {"key":"service.name","value":{"Value":{"StringValue":"legacy-span-svc"}}}],
       | "events":[]}
       |]}]}]}""".stripMargin.replace("\n", "")
 

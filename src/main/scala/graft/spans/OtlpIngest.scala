@@ -127,11 +127,36 @@ object OtlpIngest {
               scalarToString(kv.getField("value"))))))))
   }
 
+  /** Array<KeyValue> → ARRAY<STRUCT<key,value:STRING>> entries; null
+    * array → empty. */
+  private def attrEntries(attrs: Column): Column = {
+    val entryType = ArrayType(StructType(Seq(
+      StructField("key", StringType), StructField("value", StringType))))
+    when(attrs.isNull, array().cast(entryType))
+      .otherwise(transform(attrs, kv => struct(
+        kv.getField("key").as("key"),
+        valueToString(kv.getField("value")).as("value"))))
+  }
+
   /** Array<KeyValue> → MAP<STRING,STRING>; null array → empty map. */
   def attrsToMap(attrs: Column): Column =
-    when(attrs.isNull, map())
-      .otherwise(map_from_entries(transform(attrs,
-        kv => struct(kv.getField("key"), valueToString(kv.getField("value"))))))
+    map_from_entries(attrEntries(attrs))
+
+  /** Legacy-request merge of span attrs INTO resource attrs with the
+    * reference's Go-map overwrite semantics (controller.go:199-207): a
+    * key present in both takes the SPAN value. Built from entry arrays —
+    * resource entries shadowed by a span key are dropped before
+    * map_from_entries, so the merge never trips Spark's default
+    * `spark.sql.mapKeyDedupPolicy=EXCEPTION` (map_concat of the two maps
+    * threw "duplicate map key" for exactly the keys the reference
+    * deliberately duplicates, e.g. service.name). */
+  def mergeAttrsLastWins(resAttrs: Column, spanAttrs: Column): Column = {
+    val span = attrEntries(spanAttrs)
+    val spanKeys = transform(span, e => e.getField("key"))
+    val res = filter(attrEntries(resAttrs),
+      e => !array_contains(spanKeys, e.getField("key")))
+    map_from_entries(concat(res, span))
+  }
 
   /** Hex OTLP/JSON ids → base64-of-bytes, matching the reference's stored
     * form (collector/service.go:273-275); non-hex ids pass through. */
@@ -178,11 +203,10 @@ object OtlpIngest {
           col("sp.startTimeUnixNano").cast(LongType)).as("duration_ns"),
         col("scope_name"),
         coalesce(col("resource_schema_url"), lit("")).as("resource_schema_url"),
-        // legacy requests merge span attrs into resource attrs
-        // (controller.go:54-70)
+        // legacy requests merge span attrs into resource attrs, span
+        // value winning on shared keys (controller.go:54-70,199-207)
         when(col("is_legacy"),
-          map_concat(attrsToMap(col("res_attrs")),
-            attrsToMap(col("sp.attributes"))))
+          mergeAttrsLastWins(col("res_attrs"), col("sp.attributes")))
           .otherwise(attrsToMap(col("res_attrs"))).as("resource_attributes"),
         attrsToMap(col("sp.attributes")).as("span_attributes"),
         coalesce(transform(col("sp.events"), e => struct(

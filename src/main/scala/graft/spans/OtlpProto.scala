@@ -20,48 +20,68 @@ import scala.collection.mutable.ArrayBuffer
 object OtlpProto {
 
   // ---- minimal protobuf wire reader ----
+  // Every read is bounds-checked against the reader's logical `end`, not
+  // just the backing array: a submessage Reader must never consume its
+  // parent's sibling bytes, and a truncated/corrupt request must raise a
+  // descriptive error instead of silently mis-decoding into garbage rows
+  // (this is the untrusted-input ingest path).
   final class Reader(buf: Array[Byte], var pos: Int, val end: Int) {
     def hasNext: Boolean = pos < end
+    private def fail(what: String): Nothing =
+      throw new IllegalArgumentException(
+        s"malformed protobuf: $what at offset $pos (message end $end)")
+    private def need(n: Int): Unit =
+      if (n < 0 || pos + n > end) fail(s"need $n bytes past message bound")
     def varint(): Long = {
       var shift = 0; var result = 0L
       while (shift < 64) {
+        if (pos >= end) fail("varint runs past message bound")
         val b = buf(pos); pos += 1
         result |= (b & 0x7FL) << shift
         if ((b & 0x80) == 0) return result
         shift += 7
       }
-      throw new IllegalArgumentException("malformed varint")
+      fail("varint longer than 10 bytes")
+    }
+    /** varint length prefix, validated to fit in the remaining bytes. */
+    private def lenPrefix(): Int = {
+      val raw = varint()
+      if (raw < 0 || raw > end - pos)
+        fail(s"length $raw exceeds remaining ${end - pos} bytes")
+      raw.toInt
     }
     def fixed64(): Long = {
+      need(8)
       var r = 0L; var i = 0
       while (i < 8) { r |= (buf(pos + i) & 0xFFL) << (8 * i); i += 1 }
       pos += 8; r
     }
     def fixed32(): Int = {
+      need(4)
       var r = 0; var i = 0
       while (i < 4) { r |= (buf(pos + i) & 0xFF) << (8 * i); i += 1 }
       pos += 4; r
     }
     def bytes(): Array[Byte] = {
-      val len = varint().toInt
+      val len = lenPrefix()
       val out = java.util.Arrays.copyOfRange(buf, pos, pos + len)
       pos += len; out
     }
     def sub(): Reader = {
-      val len = varint().toInt
+      val len = lenPrefix()
       val r = new Reader(buf, pos, pos + len)
       pos += len; r
     }
     def skip(wireType: Int): Unit = wireType match {
       case 0 => varint()
-      case 1 => pos += 8
+      case 1 => need(8); pos += 8
       case 2 =>
         // read the length FIRST: `pos += varint()` would capture the old
         // pos before varint() advances it, mis-skipping the field
-        val len = varint().toInt
+        val len = lenPrefix()
         pos += len
-      case 5 => pos += 4
-      case w => throw new IllegalArgumentException(s"wire type $w")
+      case 5 => need(4); pos += 4
+      case w => fail(s"unknown wire type $w")
     }
     /** (fieldNumber, wireType) */
     def tag(): (Int, Int) = { val t = varint(); ((t >>> 3).toInt, (t & 7).toInt) }

@@ -80,8 +80,19 @@ object TraceAssembler {
     * micro-batch emits the refreshed status of every trace that received
     * spans — the "open traces" monitoring view. Unlike
     * [[assembleTraces]] (append-on-completion), state here is a running
-    * summary, not a span buffer: O(1) per trace. */
-  def traceStatus(spans: Dataset[SpanEvent], watermarkDelay: String = "10 minutes")
+    * summary, not a span buffer: O(1) per trace.
+    *
+    * Timeout handling mirrors [[assembleTraces]]: when the watermark
+    * passes `gapMs` beyond a trace's last span the state is REMOVED (the
+    * final status is emitted once more as the closing update) — without
+    * this the state store grows with every trace id ever seen. The
+    * deadline is clamped to watermark+1 because `setTimeoutTimestamp`
+    * throws if handed a timestamp at or before the current watermark
+    * (reachable when a span arrives more than `gapMs` late but within
+    * the watermark tolerance, or on the timed-out path itself where
+    * last_start_ns is already behind the watermark). */
+  def traceStatus(spans: Dataset[SpanEvent], gapMs: Long = 60000,
+      watermarkDelay: String = "10 minutes")
       (implicit spark: SparkSession): Dataset[TraceStatus] = {
     import spark.implicits._
     val watermarked = spans
@@ -93,20 +104,28 @@ object TraceAssembler {
       .mapGroupsWithState[TraceStatus, TraceStatus](
         GroupStateTimeout.EventTimeTimeout) {
         case (traceId, newSpans, state: GroupState[TraceStatus]) =>
-          val prev = state.getOption
-            .getOrElse(TraceStatus(traceId, 0, Seq.empty, 0L))
-          val spansList = newSpans.toList
-          val next = TraceStatus(traceId,
-            prev.n_spans + spansList.length,
-            (prev.services ++ spansList.map(_.scope_name)).distinct.sorted,
-            math.max(prev.last_start_ns,
-              spansList.map(_.start_time_unix_nano).maxOption.getOrElse(0L)))
-          state.update(next)
-          // expire state once the watermark passes the trace's last span
-          state.setTimeoutTimestamp(
-            next.last_start_ns / 1000000L + 60000L,
-            "0 milliseconds")
-          next
+          if (state.hasTimedOut) {
+            val last = state.getOption
+              .getOrElse(TraceStatus(traceId, 0, Seq.empty, 0L))
+            state.remove()
+            last
+          } else {
+            val prev = state.getOption
+              .getOrElse(TraceStatus(traceId, 0, Seq.empty, 0L))
+            val spansList = newSpans.toList
+            val next = TraceStatus(traceId,
+              prev.n_spans + spansList.length,
+              (prev.services ++ spansList.map(_.scope_name)).distinct.sorted,
+              math.max(prev.last_start_ns,
+                spansList.map(_.start_time_unix_nano).maxOption.getOrElse(0L)))
+            state.update(next)
+            // expire once the watermark passes last span + gap; never set
+            // a deadline at/behind the current watermark (throws)
+            val deadline = math.max(next.last_start_ns / 1000000L + gapMs,
+              state.getCurrentWatermarkMs() + 1)
+            state.setTimeoutTimestamp(deadline)
+            next
+          }
       }
   }
 

@@ -69,6 +69,47 @@ class AdvancedSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("trace status timeout: state expires and resets without killing the query") {
+    import spark.implicits._
+    implicit val s = spark
+    val all = SpanFixtures.spans(spark).select(
+      col("trace_id"), col("span_id"), col("parent_span_id"), col("name"),
+      col("scope_name"), col("start_time_unix_nano"), col("duration_ns"))
+      .as[SpanEvent].collect().toSeq
+    val Base = 1704067200000000000L
+    def sentinel(id: String, offsetNs: Long) = SpanEvent(
+      id, "sx", "", "wm", "wm", Base + offsetNs, 1L)
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[SpanEvent](spark)
+    val q = TraceAssembler.traceStatus(ms.toDS())
+      .writeStream.outputMode("update").format("memory")
+      .queryName("status_timeout").start()
+    try {
+      ms.addData(all)
+      q.processAllAvailable()
+      // advance the watermark far past every trace's last_start + 60s gap.
+      // The pre-fix code then called setTimeoutTimestamp with a timestamp
+      // at/behind the watermark on the next invocation and the query died
+      // with IllegalArgumentException; it also never removed state.
+      ms.addData(sentinel("WMA", 1200L * 1000000000L))
+      q.processAllAvailable()
+      ms.addData(sentinel("WMB", 2400L * 1000000000L))
+      q.processAllAvailable() // timed-out traces emit their closing status
+      // T1's state was removed on timeout: a fresh span restarts the
+      // count at 1 instead of resuming at 5
+      ms.addData(SpanEvent("T1", "s9", "", "late-restart", "fresh",
+        Base + 2400L * 1000000000L, 1L))
+      q.processAllAvailable()
+      val t1 = spark.table("status_timeout")
+        .as[TraceAssembler.TraceStatus].collect().filter(_.trace_id == "T1")
+      assert(t1.exists(_.n_spans == 4), t1.mkString("\n")) // pre-timeout
+      assert(!t1.exists(_.n_spans == 5), t1.mkString("\n")) // no resume
+      val restarted = t1.filter(_.services == Seq("fresh"))
+      assert(restarted.nonEmpty && restarted.forall(_.n_spans == 1),
+        t1.mkString("\n"))
+    } finally q.stop()
+  }
+
   test("stateful trace assembly: streaming equals batch twin") {
     import spark.implicits._
     implicit val s = spark

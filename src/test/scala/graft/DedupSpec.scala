@@ -84,6 +84,25 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("V2e long-chain graph converges past the old iteration horizon") {
+    import spark.implicits._
+    // a 14-vertex chain has diameter 13: min-label propagation needs 13
+    // rounds (>5), exercising the checkpoint/unpersist loop shape and the
+    // convergence (not fixed-cap) termination; plus a disjoint triangle
+    val chain = (1L until 14L).map(i => (i, i + 1))
+    val p = (chain ++ Seq((100L, 101L), (101L, 102L), (100L, 102L)))
+      .toDF("i", "j")
+    val dist = DedupOps.distributedComponents(p)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (1L to 14L).map(_ -> 1L).toSet ++
+      Set(100L -> 100L, 101L -> 100L, 102L -> 100L)
+    assert(dist === expected)
+    // and the local path agrees on the same graph
+    val local = DedupOps.localComponents(spark, p)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(local === expected)
+  }
+
   test("V1 exact dedup keeps every distinct text once") {
     val docs = Tables.documents(spark, sf)
     val deduped = DedupOps.exactDedup(spark, sf)

@@ -21,13 +21,27 @@ class FunctionsSpec extends SparkSpec {
     assert(got === Seq(32.0, 0.0))
   }
 
-  test("dot_product: null input -> null, shorter array bounds the loop") {
+  test("dot_product edge semantics match the composed form exactly") {
+    // null input, length mismatch, null element — all must agree with
+    // aggregate(zip_with(a,b,*),0.0,+) or FuseDotProduct changes results
     val df = Seq(
-      (Some(Seq(1.0, 2.0)), Some(Seq(3.0))),
-      (None: Option[Seq[Double]], Some(Seq(1.0)))).toDF("a", "b")
-    val rows = df.select(dot_product(col("a"), col("b"))).collect()
-    assert(rows(0).getDouble(0) === 3.0)
-    assert(rows(1).isNullAt(0))
+      (Some(Seq(Some(1.0), Some(2.0))), Some(Seq(Some(3.0)))), // len mismatch
+      (None: Option[Seq[Option[Double]]], Some(Seq(Some(1.0)))), // null array
+      (Some(Seq(Some(1.0), None)), Some(Seq(Some(2.0), Some(3.0)))), // null elem
+      (Some(Seq.empty[Option[Double]]), Some(Seq.empty[Option[Double]])), // empty
+      (Some(Seq(Some(2.0), Some(3.0))), Some(Seq(Some(4.0), Some(5.0)))))
+      .toDF("a", "b")
+    val fused = df.select(dot_product(col("a"), col("b"))).collect()
+    val composed = df.select(aggregate(zip_with(col("a"), col("b"),
+      (x, y) => x * y), lit(0.0), (acc, x) => acc + x)).collect()
+    (fused zip composed).zipWithIndex.foreach { case ((f, c), i) =>
+      assert(f.isNullAt(0) === c.isNullAt(0), s"row $i null mismatch")
+      if (!f.isNullAt(0))
+        assert(f.getDouble(0) === c.getDouble(0), s"row $i value mismatch")
+    }
+    assert(fused(0).isNullAt(0) && fused(1).isNullAt(0) && fused(2).isNullAt(0))
+    assert(fused(3).getDouble(0) === 0.0)
+    assert(fused(4).getDouble(0) === 23.0)
   }
 
   test("FuseDotProduct rule rewrites the composed HOF form") {

@@ -52,10 +52,17 @@ class OtlpIngestSpec extends SparkSpec {
   test("legacy form: library rename, wrapped values, attr merge") {
     val r = flat.filter(flat("scope_name") === "legacy-lib").collect().head
     val res = r.getAs[Map[String, String]]("resource_attributes")
-    assert(res("service.name") === "legacy-svc") // unwrapped {Value:{...}}
+    // service.name exists in BOTH resource attrs ("legacy-svc") and span
+    // attrs ("legacy-span-svc"): the Go merge is overwrite/last-wins
+    // (controller.go:199-207), so the span value wins — and the merge
+    // must not throw under Spark's EXCEPTION map-key dedup default
+    // (map_concat of the two maps used to die on exactly this input)
+    assert(res("service.name") === "legacy-span-svc")
     assert(res("http.status_code") === "500")    // span attrs merged in
     assert(r.getAs[Map[String, String]]("span_attributes")
       .apply("http.status_code") === "500")
+    assert(r.getAs[Map[String, String]]("span_attributes")
+      .apply("service.name") === "legacy-span-svc")
   }
 
   test("minimal span: absent optional fields default sanely") {

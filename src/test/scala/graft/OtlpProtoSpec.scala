@@ -107,6 +107,33 @@ class OtlpProtoSpec extends SparkSpec {
     assert(OtlpProto.decodeRequest(emptyRs) === Seq.empty)
   }
 
+  test("truncated/corrupt requests raise descriptive errors, not garbage rows") {
+    val full = request
+    // truncating anywhere inside the message must throw a descriptive
+    // malformed-protobuf error (never a raw ArrayIndexOutOfBounds or a
+    // silently wrong decode)
+    for (cut <- Seq(1, full.length / 4, full.length / 2, full.length - 1)) {
+      val e = intercept[IllegalArgumentException] {
+        OtlpProto.decodeRequest(full.take(cut))
+      }
+      assert(e.getMessage.contains("malformed protobuf"), s"cut=$cut: $e")
+    }
+    // a length prefix larger than the remaining bytes is rejected
+    val lyingLen = new W().tag(1, 2).varint(1000L).out.toByteArray
+    val e1 = intercept[IllegalArgumentException] {
+      OtlpProto.decodeRequest(lyingLen ++ Array[Byte](1, 2, 3))
+    }
+    assert(e1.getMessage.contains("exceeds remaining"), e1.getMessage)
+    // a submessage must not read its parent's sibling bytes: resource
+    // attrs submessage claims 2 bytes but its inner field wants more
+    val inner = new W().tag(1, 2).varint(50L) // kv claims 50 bytes, has 0
+    val req = new W().msg(1, new W().msg(1, inner)).out.toByteArray
+    val e2 = intercept[IllegalArgumentException] {
+      OtlpProto.decodeRequest(req)
+    }
+    assert(e2.getMessage.contains("malformed protobuf"), e2.getMessage)
+  }
+
   test("protobuf binary-file stream -> span store end-to-end") {
     val in = java.nio.file.Files.createTempDirectory("otlp-pb").toString
     val store = java.nio.file.Files.createTempDirectory("pb-store").toString
