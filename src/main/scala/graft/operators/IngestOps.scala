@@ -1,33 +1,81 @@
 package graft.operators
 
 import graft._
+import graft.sinks.JdbcSpanSink
 import graft.spans.{OtlpExamples, OtlpIngest}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** OTLP ingest as a registry entry (SURVEY §2.A A2+A3): parse both OTLP
-  * request generations from [[OtlpExamples]] and emit the flattened span
-  * table. Input is embedded JSON (not a parquet table), so there is no
-  * DuckDB oracle — the driver records a rows-only check; the value-level
-  * assertions live in OtlpIngestSpec.
+/** OTLP ingest as registry entries (SURVEY §2.A A2-A4).
+  *
+  * a2a3: parse both OTLP request generations from [[OtlpExamples]],
+  * flatten, WRITE the flattened span table to a fixed parquet path, and
+  * project from that file — so the DuckDB oracle can read the very same
+  * parquet and recompute the projection independently (rows+schema+hash
+  * check on actual ingested values; value-level parse assertions live in
+  * OtlpIngestSpec).
+  *
+  * a4b: the JDBC sink seam round-trip — spans through
+  * [[graft.sinks.JdbcSpanSink]] into embedded Derby and back. Rows-only
+  * (an embedded Derby db is not DuckDB-readable); value assertions in
+  * SinkSpec.
   */
 object IngestOps extends QueryModule {
+
+  /** Fixed path shared by the Spark query and the DuckDB oracle SQL. */
+  val FixturePath: String =
+    s"${sys.props("java.io.tmpdir")}/graft_otlp_fixture"
+
+  private def projection(flat: DataFrame): DataFrame =
+    flat.select(col("trace_id"), col("span_id"), col("parent_span_id"),
+      col("name"), col("scope_id"), col("scope_name"), col("resource_id"),
+      col("duration_ns"),
+      size(col("events")).as("n_events"),
+      size(map_keys(col("resource_attributes"))).as("n_res_attrs"),
+      element_at(col("resource_attributes"), "service.name")
+        .as("service_name"))
+      .orderBy(col("trace_id"), col("span_id"))
 
   def otlpIngest(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     OtlpIngest.fromJson(spark.createDataset(OtlpExamples.all))
-      .select(col("trace_id"), col("span_id"), col("parent_span_id"),
-        col("name"), col("scope_name"), col("duration_ns"),
-        size(col("events")).as("n_events"),
-        size(map_keys(col("resource_attributes"))).as("n_res_attrs"),
-        element_at(col("resource_attributes"), "service.name")
-          .as("service_name"))
+      .write.mode("overwrite").parquet(FixturePath)
+    projection(spark.read.parquet(FixturePath))
+  }
+
+  private val otlpIngestSql: String =
+    s"""SELECT trace_id, span_id, parent_span_id, name, scope_id,
+       | scope_name, resource_id, duration_ns,
+       | CAST(len(events) AS INT) AS n_events,
+       | CAST(cardinality(resource_attributes) AS INT) AS n_res_attrs,
+       | map_extract(resource_attributes,'service.name')[1] AS service_name
+       |FROM read_parquet('$FixturePath/*.parquet')
+       |ORDER BY trace_id, span_id""".stripMargin
+
+  def jdbcSinkRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val db = s"${sys.props("java.io.tmpdir")}/graft_derby_${System.nanoTime()}"
+    val url = s"jdbc:derby:$db;create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    val spans = OtlpIngest.fromJson(spark.createDataset(OtlpExamples.all))
+    new JdbcSpanSink(url, "denormalized_span", props).writeBatch(spans, 0L)
+    JdbcSpanSink.readBack(spark, url, "denormalized_span", props)
+      .select(col("trace_id"), col("span_id"), col("name"),
+        col("scope_name"), col("duration_ns"),
+        col("resource_attributes"), col("events"))
       .orderBy(col("trace_id"), col("span_id"))
   }
 
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("a2a3_otlp_ingest",
-      "A2+A3 OTLP JSON (current+legacy) parse, normalize, flatten " +
+      "A2+A3 OTLP JSON (current+legacy) parse, normalize, flatten; " +
+        "flattened table parquet-dumped so the oracle hash-checks it " +
         "(collector/controller.go:45-223, collector/service.go:100-237)",
-      otlpIngest, None))
+      otlpIngest, Some(otlpIngestSql)),
+    GraftQuery("a4b_jdbc_sink",
+      "A4 JDBC sink seam (ClickHouse batch-insert analog, " +
+        "utils/utils.go:160-244): spans through JdbcSpanSink into " +
+        "embedded Derby and back (rows-only; values in SinkSpec)",
+      jdbcSinkRoundTrip, None))
 }

@@ -1,0 +1,95 @@
+package graft.sinks
+
+import java.util.Properties
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Span sinks behind one seam (SURVEY §1.5/§2.A A4). The reference's only
+  * sink is the ClickHouse batch insert (utils/utils.go:160-244 over the
+  * connection from db/clickhouse.go:13-27); the stated Spark-first
+  * architecture is Structured Streaming → foreachBatch → bulk write. The
+  * trait isolates exactly that decision: the streaming plumbing
+  * ([[SpanSinks.streamTo]]) is sink-agnostic, and a deployment picks
+  * parquet (data-lake store), JDBC (warehouse/ClickHouse-over-JDBC), or
+  * both, without touching the pipeline.
+  *
+  * Scale notes: `foreachBatch` gives at-least-once delivery per
+  * micro-batch with checkpointed offsets; the JDBC writer keeps Spark's
+  * per-partition write parallelism (one connection per partition, batched
+  * inserts) — the distributed equivalent of the reference's single-node
+  * PrepareBatch/Send loop. Exactly-once needs an idempotent target
+  * (ClickHouse ReplacingMergeTree or a batch_id dedup key — batchId is
+  * passed through for that purpose).
+  */
+trait SpanSink {
+  def writeBatch(batch: DataFrame, batchId: Long): Unit
+}
+
+/** Date-partitioned parquet store (the default analytics sink). */
+final class ParquetSpanSink(path: String) extends SpanSink {
+  override def writeBatch(batch: DataFrame, batchId: Long): Unit =
+    graft.spans.OtlpIngest.writeSpans(batch, path)
+}
+
+/** JDBC bulk-append sink — the ClickHouse-insert seam
+  * (utils/utils.go:169-240). Complex columns (attr maps, events) are
+  * serialized to JSON text so the row shape is portable across JDBC
+  * dialects (Derby/Postgres/ClickHouse-JDBC); a ClickHouse target with
+  * native Map columns can override [[JdbcSpanSink.relationalProjection]].
+  * Tested against embedded Derby (the JDBC engine available in-sandbox).
+  */
+final class JdbcSpanSink(url: String, table: String,
+    properties: Properties = new Properties(),
+    batchSize: Int = 10000,
+    createTableColumnTypes: String = JdbcSpanSink.DefaultColumnTypes)
+    extends SpanSink {
+  override def writeBatch(batch: DataFrame, batchId: Long): Unit =
+    JdbcSpanSink.relationalProjection(batch)
+      .write.mode("append")
+      .option("batchsize", batchSize.toString)
+      .option("createTableColumnTypes", createTableColumnTypes)
+      .jdbc(url, table, properties)
+}
+
+object JdbcSpanSink {
+  /** Explicit SQL types for the string columns: without them Spark's
+    * Derby dialect creates CLOBs, which cannot be compared/filtered
+    * (and CLOB-per-id would be pathological on any warehouse). JSON
+    * payload columns get the widest portable VARCHAR. */
+  val DefaultColumnTypes: String = Seq(
+    "trace_id VARCHAR(128)", "span_id VARCHAR(128)",
+    "parent_span_id VARCHAR(128)", "name VARCHAR(1024)",
+    "scope_id VARCHAR(36)", "scope_name VARCHAR(512)",
+    "resource_id VARCHAR(36)", "resource_schema_url VARCHAR(1024)",
+    "resource_attributes VARCHAR(32000)",
+    "span_attributes VARCHAR(32000)", "events VARCHAR(32000)")
+    .mkString(", ")
+  /** Span rows with JDBC-portable types: maps/arrays → JSON text. */
+  def relationalProjection(spans: DataFrame): DataFrame =
+    spans.select(graft.spans.SpanSchema.columns.map {
+      case c @ ("resource_attributes" | "span_attributes" | "events") =>
+        to_json(col(c)).as(c)
+      case c => col(c)
+    }: _*)
+
+  /** Read the sink table back as a DataFrame (inverse of the write
+    * projection minus the JSON decode — verification/round-trip helper). */
+  def readBack(spark: SparkSession, url: String, table: String,
+      properties: Properties = new Properties()): DataFrame =
+    spark.read.jdbc(url, table, properties)
+}
+
+object SpanSinks {
+  /** Stream span rows into a sink via foreachBatch — the one place the
+    * streaming machinery meets the storage decision. */
+  def streamTo(spans: DataFrame, sink: SpanSink,
+      checkpoint: String): StreamingQuery =
+    spans.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink.writeBatch(batch.drop("start_ts"), batchId)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+}

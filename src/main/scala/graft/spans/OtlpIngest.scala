@@ -165,6 +165,41 @@ object OtlpIngest {
       .otherwise(when(id.rlike("^[0-9a-fA-F]+$") && length(id) % 2 === 0,
         base64(unhex(id))).otherwise(id))
 
+  // ---- derived scope/resource ids ----
+
+  /** Deterministic UUID-format id from content (md5 → 8-4-4-4-12 groups).
+    * The reference's denormalized writer leaves scope_id/resource_id as
+    * zero UUIDs (utils/types.go:44-46 — never assigned on the live path);
+    * its dead normalized path draws RANDOM uuids per request
+    * (controller.go:233,259). Content-derived ids keep the row
+    * byte-complete and are the right call at scale: the same
+    * scope/resource hashes to the same id on every executor and every
+    * replay, no coordination, and downstream joins on scope_id actually
+    * mean something. */
+  def contentUuid(parts: Column*): Column = {
+    val h = md5(concat_ws("\u0000", parts: _*))
+    concat_ws("-", substring(h, 1, 8), substring(h, 9, 4),
+      substring(h, 13, 4), substring(h, 17, 4), substring(h, 21, 12))
+  }
+
+  /** Order-insensitive canonical text of an attr map (sorted k=v lines),
+    * so the id does not depend on map entry order. */
+  private def canonicalAttrs(m: Column): Column =
+    array_join(array_sort(transform(map_entries(m),
+      e => concat(e.getField("key"), lit("="),
+        coalesce(e.getField("value"), lit(""))))), "\n")
+
+  /** Populate scope_id/resource_id from scope name and resource identity
+    * (schema url + canonical attrs). Works on any frame with those
+    * columns — both the JSON and protobuf ingest paths route through it. */
+  def withDerivedIds(spans: DataFrame): DataFrame =
+    spans
+      .withColumn("scope_id",
+        contentUuid(lit("scope"), coalesce(col("scope_name"), lit(""))))
+      .withColumn("resource_id", contentUuid(lit("resource"),
+        coalesce(col("resource_schema_url"), lit("")),
+        canonicalAttrs(col("resource_attributes"))))
+
   // ---- A2+A3: parse + flatten ----
 
   /** Parse a Dataset of OTLP/JSON request documents and flatten to the
@@ -215,6 +250,8 @@ object OtlpIngest {
           attrsToMap(e.getField("attributes")).as("attributes"))),
           array().cast(ArrayType(SpanSchema.eventType))).as("events"))
       .withColumn("parent_span_id", coalesce(col("parent_span_id"), lit("")))
+      .transform(withDerivedIds)
+      .select(SpanSchema.columns.map(col): _*)
   }
 
   // ---- A4: sink ----

@@ -284,6 +284,7 @@ object OtlpProto {
     import spark.implicits._
     requests.mapPartitions(_.flatMap(decodeRequest))
       .toDF()
+      .transform(OtlpIngest.withDerivedIds) // same derivation as JSON path
       .select(SpanSchema.columns.map(col): _*)
   }
 }

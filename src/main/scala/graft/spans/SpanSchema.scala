@@ -32,7 +32,17 @@ object SpanSchema {
     StructField("start_time_unix_nano", LongType),
     StructField("end_time_unix_nano", LongType),
     StructField("duration_ns", LongType),
+    // scope_id/resource_id complete the reference's 16 denormalized
+    // columns (db/clickhouse.go:95-97). Its live writer leaves them as
+    // zero UUIDs (utils/types.go:44-46, never assigned on the
+    // denormalized path; the dead normalized path uses random UUIDs,
+    // controller.go:233,259) — here they are deterministic content
+    // hashes in UUID format (OtlpIngest.withDerivedIds): same
+    // scope/resource always gets the same id, with zero cross-executor
+    // coordination and stable replays.
+    StructField("scope_id", StringType),
     StructField("scope_name", StringType), // used as service name
+    StructField("resource_id", StringType),
     StructField("resource_schema_url", StringType),
     StructField("resource_attributes", attrMap),
     StructField("span_attributes", attrMap),

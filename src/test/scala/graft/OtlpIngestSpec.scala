@@ -65,6 +65,30 @@ class OtlpIngestSpec extends SparkSpec {
       .apply("service.name") === "legacy-span-svc")
   }
 
+  test("scope_id/resource_id: deterministic content-derived UUID format") {
+    val uuidRe = "^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$"
+    val rows = flat.select("scope_name", "scope_id", "resource_id").collect()
+    rows.foreach { r =>
+      assert(r.getString(1).matches(uuidRe), r.toString)
+      assert(r.getString(2).matches(uuidRe), r.toString)
+    }
+    // same scope -> same id (both gateway spans agree); distinct scopes
+    // and distinct resources get distinct ids
+    val byScope = rows.groupBy(_.getString(0))
+      .map { case (k, v) => k -> v.map(_.getString(1)).distinct }
+    assert(byScope.values.forall(_.size == 1))
+    assert(byScope("gateway") !== byScope("legacy-lib"))
+    assert(rows.map(_.getString(2)).distinct.length === 2) // two resources
+    // and the ingest is replay-stable: re-parsing yields identical ids
+    import spark.implicits._
+    val again = OtlpIngest.fromJson(spark.createDataset(OtlpExamples.all))
+      .select("span_id", "scope_id", "resource_id").collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+    flat.select("span_id", "scope_id", "resource_id").collect().foreach { r =>
+      assert(again(r.getString(0)) === (r.getString(1), r.getString(2)))
+    }
+  }
+
   test("minimal span: absent optional fields default sanely") {
     import spark.implicits._
     val minimal =

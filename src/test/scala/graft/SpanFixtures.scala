@@ -19,7 +19,7 @@ object SpanFixtures {
     val start = Base + startOffsetMs * 1000000L
     val end = start + durMs * 1000000L
     Row(traceId, spanId, parent, 1, name, start, end, end - start,
-      service, "https://example/schema",
+      s"scope-$service", service, "resource-1", "https://example/schema",
       Map("service.name" -> service), spanAttrs, events)
   }
 
