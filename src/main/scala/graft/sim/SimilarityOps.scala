@@ -6,14 +6,16 @@ import org.apache.spark.sql.functions._
 
 /** V3 similarity search over the `embeddings` table: brute-force cosine
   * top-k as the exactness baseline, and an IVF (inverted-file) variant as
-  * the 100 TB path — cluster the corpus once, then probe only the nearest
-  * `nprobe` partitions per query.
+  * the 100 TB path — cluster the corpus once (Lloyd-refined centroids),
+  * then probe only the nearest `nprobe` partitions per query.
   *
-  * All vector math is `zip_with` + `aggregate` over double-cast arrays —
-  * sequential fold, so results are bit-identical to the oracle's
-  * list_dot_product. A fused dot-product Catalyst Expression is the
-  * optional upgrade if profiling ever shows the lambda overhead
-  * (SURVEY §4); at 64 dims the codegen'd HOF is already cheap.
+  * All vector math routes through the fused codegen'd
+  * [[graft.functions.DotProduct]] Expression — same sequential fold (and
+  * so bit-identical results) as the composed
+  * `aggregate(zip_with(a,b,*),0.0,+)` form it replaced, without the
+  * per-row intermediate array (the HOF lambda chain is
+  * interpreter-evaluated per element; the fusion cut the dedup/ANN block
+  * ~3x — SURVEY §4).
   */
 object SimilarityOps extends QueryModule {
 
@@ -47,49 +49,89 @@ object SimilarityOps extends QueryModule {
       .limit(k)
   }
 
-  /** IVF index: assign every vector to its nearest of `nlist` centroids.
-    * Centroids are the first `nlist` vectors by id — deterministic seeding
-    * (k-means iterations would refine but add nondeterminism for no
-    * correctness gain here). Returns (vec_id, v, nrm, centroid_id). */
-  def ivfAssign(spark: SparkSession, dir: String, nlist: Int): DataFrame = {
-    val e = withNorm(Tables.embeddings(spark, dir))
-    val cents = e.filter(col("vec_id") < nlist)
-      .select(col("vec_id").as("cent_id"), col("v").as("c_v"),
-        col("nrm").as("c_nrm"))
-    // nearest centroid per vector: broadcast the centroid table, then a
-    // hash-aggregate max_by — partial/final combine instead of the sort
-    // exchange a row_number window would need (tie-break: higher cosine,
-    // then lower centroid id)
-    val scored = e.crossJoin(broadcast(cents))
+  /** Nearest-centroid assignment of `e` (vec_id, v, nrm) against a
+    * centroid frame (cent_id, c_v, c_nrm): broadcast the centroids, then
+    * a hash-aggregate max_by — partial/final combine instead of the sort
+    * exchange a row_number window would need (tie-break: higher cosine,
+    * then lower centroid id). */
+  private def assignTo(e: DataFrame, cents: DataFrame): DataFrame =
+    e.crossJoin(broadcast(cents))
       .withColumn("c_cos",
         dot(col("v"), col("c_v")) / (col("nrm") * col("c_nrm")))
-    scored.groupBy(col("vec_id"))
+      .groupBy(col("vec_id"))
       .agg(first(col("v")).as("v"), first(col("nrm")).as("nrm"),
         max_by(col("cent_id"),
           struct(col("c_cos"), (-col("cent_id")).as("neg_id")))
           .as("cent_id"))
       .select(col("vec_id"), col("v"), col("nrm"), col("cent_id"))
+
+  /** Lloyd-refined IVF centroids: deterministic seeding (first `nlist`
+    * vectors by id) + `iters` k-means rounds. Cell means are computed
+    * with DECIMAL sums (order-independent — a plain double sum drifts
+    * with partition order and can flip boundary assignments between
+    * runs); a cell that loses every member keeps its previous centroid.
+    * Returns (cent_id, c_v, c_nrm). */
+  def refineCentroids(e: DataFrame, nlist: Int, iters: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    var cents = e.filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("cent_id"), col("v").as("c_v"),
+        col("nrm").as("c_nrm"))
+    for (_ <- 1 to iters) {
+      val assigned = assignTo(e, cents)
+      val means = assigned
+        .select(col("cent_id"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cent_id"), col("pos"))
+        .agg((sum(col("x").cast(DecimalType(30, 12))) / count(lit(1)))
+          .cast("double").as("m"))
+        .groupBy(col("cent_id"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"),
+          col("m")))), s => s.getField("m")).as("new_v"))
+      // localCheckpoint the (nlist-row) frame every round: cents is
+      // referenced twice per iteration (assignment + the update join),
+      // so an uncut lineage re-evaluates the whole Lloyd chain
+      // 2^iters times
+      cents = cents.join(means, Seq("cent_id"), "left")
+        .select(col("cent_id"),
+          coalesce(col("new_v"), col("c_v")).as("c_v"))
+        .withColumn("c_nrm", sqrt(dot(col("c_v"), col("c_v"))))
+        .localCheckpoint()
+    }
+    cents
   }
+
+  /** IVF index: Lloyd-refined centroids + nearest-centroid assignment of
+    * every vector. At 100 TB both steps happen once at ingest (centroids
+    * from a sample, assignment streamed), stored partitioned by
+    * centroid_id. Returns (centroids, assigned). */
+  def ivfIndex(spark: SparkSession, dir: String, nlist: Int,
+      iters: Int = 1): (DataFrame, DataFrame) = {
+    val e = withNorm(Tables.embeddings(spark, dir))
+    val cents = refineCentroids(e, nlist, iters)
+    (cents, assignTo(e, cents))
+  }
+
+  /** Assignment frame only — (vec_id, v, nrm, centroid_id). */
+  def ivfAssign(spark: SparkSession, dir: String, nlist: Int,
+      iters: Int = 1): DataFrame = ivfIndex(spark, dir, nlist, iters)._2
 
   /** V3b: IVF-probed approximate top-k — search only the `nprobe`
     * centroids nearest to the query. At 100 TB the assignment is computed
     * once at ingest and stored partitioned by centroid_id, so a query
     * touches nprobe/nlist of the data. No SQL oracle (approximate);
-    * recall vs brute force is pinned in SimilaritySpec. */
+    * recall vs brute force is pinned in DedupSpec (refined centroids
+    * must beat the unrefined seeding on the fixture). */
   def ivfTopK(spark: SparkSession, dir: String, k: Int = 10,
-      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    val assigned = ivfAssign(spark, dir, nlist).cache()
+      nlist: Int = 16, nprobe: Int = 4, iters: Int = 1): DataFrame = {
+    val (cents, assignedRaw) = ivfIndex(spark, dir, nlist, iters)
+    val assigned = assignedRaw.cache()
     val q = assigned.filter(col("vec_id") === 0)
       .select(col("v").as("q_v"), col("nrm").as("q_nrm"))
-    val cents = assigned.filter(col("vec_id") < nlist)
-      .select(col("vec_id").as("cent_id2"), col("v").as("c_v"),
-        col("nrm").as("c_nrm"))
     val probed = cents.crossJoin(broadcast(q))
       .withColumn("c_cos",
         dot(col("c_v"), col("q_v")) / (col("c_nrm") * col("q_nrm")))
-      .orderBy(col("c_cos").desc, col("cent_id2"))
+      .orderBy(col("c_cos").desc, col("cent_id"))
       .limit(nprobe)
-      .select(col("cent_id2").as("cent_id"))
+      .select(col("cent_id"))
     assigned.join(broadcast(probed), Seq("cent_id"))
       .filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(q))
@@ -106,18 +148,34 @@ object SimilarityOps extends QueryModule {
     * recall; raise nlist resolution or probe neighbours for more).
     * Shuffle cost: one exchange on centroid_id, then an in-partition
     * pair product bounded by cell size — the linear-shuffle alternative
-    * to the N² cross join at corpus scale. */
+    * to the N² cross join at corpus scale.
+    *
+    * Skew guard: one giant cell would reintroduce the N² blowup (its
+    * pair product is quadratic in the cell size, and AQE can only split
+    * the shuffle, not the pair product). Cells larger than `maxCellSize`
+    * are salted into ceil(size/maxCellSize) subcells by vec_id hash, so
+    * every task's pair product is bounded by maxCellSize² regardless of
+    * the data distribution; recall inside an oversized cell degrades
+    * gracefully (neighbours in other subcells are missed — pinned in
+    * DedupSpec on an all-one-cell dataset). */
   def knnJoin(spark: SparkSession, dir: String, k: Int = 5,
-      nlist: Int = 16): DataFrame = {
+      nlist: Int = 16, maxCellSize: Int = 4096): DataFrame = {
     // both join sides reuse one materialization of the assignment
     val assigned = ivfAssign(spark, dir, nlist).cache()
-    val a = assigned.select(col("cent_id"), col("vec_id").as("i"),
-      col("v").as("v_i"), col("nrm").as("n_i"))
-    val b = assigned.select(col("cent_id"), col("vec_id").as("j"),
-      col("v").as("v_j"), col("nrm").as("n_j"))
+    val sizes = assigned.groupBy(col("cent_id"))
+      .agg(count(lit(1)).as("cell_n")) // ≤ nlist rows — broadcastable
+    val salted = assigned.join(broadcast(sizes), Seq("cent_id"))
+      .withColumn("n_sub",
+        greatest(lit(1L), ceil(col("cell_n") / maxCellSize)).cast("int"))
+      .withColumn("sub", pmod(xxhash64(col("vec_id")), col("n_sub"))
+        .cast("int"))
+    val a = salted.select(col("cent_id"), col("sub"),
+      col("vec_id").as("i"), col("v").as("v_i"), col("nrm").as("n_i"))
+    val b = salted.select(col("cent_id"), col("sub"),
+      col("vec_id").as("j"), col("v").as("v_j"), col("nrm").as("n_j"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("i")).orderBy(col("cos").desc, col("j"))
-    a.join(b, Seq("cent_id"))
+    a.join(b, Seq("cent_id", "sub"))
       .filter(col("i") =!= col("j"))
       .withColumn("cos",
         round(dot(col("v_i"), col("v_j")) / (col("n_i") * col("n_j")), 6))

@@ -42,13 +42,83 @@ class DedupSpec extends SparkSpec {
     assert(exact.nonEmpty)
   }
 
-  test("V3b IVF top-10 recall vs brute force") {
+  test("V3b IVF: k-means refinement improves the index, deterministic") {
+    // Single-query recall is a coin flip on this clusterless fixture
+    // (one query, 10 neighbours), so pin the quantities refinement
+    // actually targets, measured over the whole corpus / 50 queries:
+    //   - quantization: mean cosine of each vector to its centroid
+    //     (the spherical k-means objective; 0.246 -> 0.323 measured)
+    //   - mean recall@10 at nprobe=2 over 50 queries (0.476 -> 0.492)
+    def dotd(a: Seq[Double], b: Seq[Double]): Double =
+      a.lazyZip(b).map(_ * _).sum
+    def stats(iters: Int): (Double, Double) = {
+      val (centsDf, assignedDf) = SimilarityOps.ivfIndex(spark, sf, 16, iters)
+      val cents = centsDf.collect()
+        .map(r => r.getLong(0) -> ((r.getSeq[Double](1), r.getDouble(2))))
+        .toMap
+      val assigned = assignedDf.collect().map(r =>
+        (r.getLong(0), r.getSeq[Double](1), r.getDouble(2), r.getLong(3)))
+      val meanAssignCos = assigned.map { case (_, v, nrm, c) =>
+        val (cv, cn) = cents(c); dotd(v, cv) / (nrm * cn)
+      }.sum / assigned.length
+      val byId = assigned.map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+      val recalls = (0L until 50L).map { q =>
+        val (qv, qn, _) = byId(q)
+        val cos = byId.view.filterKeys(_ != q).mapValues { case (v, n, _) =>
+          dotd(v, qv) / (n * qn) }.toMap
+        val true10 = cos.toSeq.sortBy { case (id, c) => (-c, id) }
+          .take(10).map(_._1).toSet
+        val probed = cents.toSeq.map { case (cid, (cv, cn)) =>
+          (cid, dotd(cv, qv) / (cn * qn)) }
+          .sortBy { case (cid, c) => (-c, cid) }.take(2).map(_._1).toSet
+        val got10 = cos.toSeq
+          .filter { case (id, _) => probed.contains(byId(id)._3) }
+          .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSet
+        true10.count(got10.contains).toDouble / 10
+      }
+      (meanAssignCos, recalls.sum / recalls.length)
+    }
+    val (q0, r0) = stats(0)
+    val (q2, r2) = stats(2)
+    assert(q2 > q0 + 0.02, s"quantization did not improve: $q0 -> $q2")
+    assert(r2 >= r0 - 0.01, s"mean recall regressed: $r0 -> $r2")
+    assert(r2 >= 0.4, s"mean recall floor: $r2")
+    // decimal-exact centroid means: two runs agree bit-for-bit
+    val a = SimilarityOps.ivfTopK(spark, sf).collect().toSeq
+    val b = SimilarityOps.ivfTopK(spark, sf).collect().toSeq
+    assert(a === b)
+    // and the single-query default path keeps a sane floor
     val exact = SimilarityOps.cosineTopK(spark, sf).collect()
       .map(_.getLong(0)).toSet
     val ivf = SimilarityOps.ivfTopK(spark, sf).collect()
       .map(_.getLong(0)).toSet
-    val recall = exact.count(ivf.contains).toDouble / exact.size
-    assert(recall >= 0.5, s"ivf recall $recall")
+    assert(exact.count(ivf.contains) >= 8, s"default recall ${
+      exact.count(ivf.contains)}/10")
+  }
+
+  test("V3c skew guard: a single giant cell stays bounded, recall pinned") {
+    // nlist=1 forces EVERY vector into one cell — the worst skew. With
+    // maxCellSize=50 the 500-vector cell salts into 10 subcells, so the
+    // pair product is ~10*50² instead of 500² (20x less work), bounded
+    // per task no matter the distribution.
+    val guarded = SimilarityOps.knnJoin(spark, sf, k = 3, nlist = 1,
+      maxCellSize = 50).collect()
+    assert(guarded.nonEmpty)
+    val byI = guarded.groupBy(_.getLong(0))
+    byI.values.foreach { rs =>
+      assert(rs.length <= 3)
+      assert(rs.map(_.getInt(3)).sorted.toSeq === (1 to rs.length))
+    }
+    // recall vs the unguarded cell-local join: subcell salting misses
+    // cross-subcell neighbours — rank-1 agreement stays above the floor
+    val full = SimilarityOps.knnJoin(spark, sf, k = 3, nlist = 1)
+      .collect().filter(_.getInt(3) == 1)
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val g1 = guarded.filter(_.getInt(3) == 1)
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val agree = full.count { case (i, j) => g1.get(i).contains(j) }
+    val recall = agree.toDouble / full.size
+    assert(recall >= 0.05, s"rank-1 recall under 10x salting: $recall")
   }
 
   test("V2e cluster paths agree: local union-find == distributed labels") {
