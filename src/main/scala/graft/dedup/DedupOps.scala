@@ -389,8 +389,8 @@ object DedupOps extends QueryModule {
         "(scale path; Spark-murmur3-specific, no SQL oracle)",
       minhashLsh, None),
     GraftQuery("v2c_simhash",
-      "V2 near-dup via 64-bit SimHash, pigeonhole block join, hamming<=3 " +
-        "(xxhash64-specific, no SQL oracle)",
+      "V2 near-dup via 64-bit SimHash, 8-block pigeonhole join, " +
+        "hamming<=7 (hash-specific, no SQL oracle)",
       (s, d) => simhashDedup(s, d), None),
     GraftQuery("v2e_dup_clusters",
       "V2 duplicate clusters: connected components (min-label propagation) " +

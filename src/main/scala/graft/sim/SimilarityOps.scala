@@ -203,6 +203,6 @@ object SimilarityOps extends QueryModule {
              |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin)),
     GraftQuery("v3b_ivf_topk",
       "V3 IVF-probed ANN top-10 (nlist=16, nprobe=4; scale path, " +
-        "approximate — recall pinned in SimilaritySpec)",
+        "approximate — recall pinned in DedupSpec)",
       (s, d) => ivfTopK(s, d), None))
 }

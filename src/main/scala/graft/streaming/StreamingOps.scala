@@ -74,6 +74,39 @@ object StreamingOps extends QueryModule {
       .withWatermark("start_ts", watermarkDelay)
   }
 
+  /** A1-streaming, Kafka branch: `format("kafka")` reader feeding the
+    * SAME decode path as the binary-file stream — the only difference
+    * between the two sources is where the `value: binary` column comes
+    * from. The connector jar (spark-sql-kafka-0-10) is not shipped in
+    * this build's classpath, so this is compile-checked wiring; the
+    * decode half ([[fromKafkaValues]]) is specced against the exact
+    * (key, value, topic, partition, offset, timestamp) row shape the
+    * connector emits, proving plug-compatibility. */
+  def streamOtlpKafka(spark: SparkSession, bootstrapServers: String,
+      topic: String, watermarkDelay: String = "10 minutes"): DataFrame =
+    fromKafkaValues(
+      spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrapServers)
+        .option("subscribe", topic)
+        .option("startingOffsets", "earliest")
+        .load(),
+      watermarkDelay)
+
+  /** Kafka-shaped rows (`value: binary` + source metadata columns) →
+    * flattened watermarked span rows via the protobuf wire decoder.
+    * Works identically on a batch frame (`spark.read.format("kafka")`)
+    * and a streaming one. */
+  def fromKafkaValues(kafkaRows: DataFrame,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val spark = kafkaRows.sparkSession
+    import spark.implicits._
+    graft.spans.OtlpProto.fromProtobuf(
+      kafkaRows.select(col("value")).as[Array[Byte]])
+      .withColumn("start_ts",
+        timestamp_micros(expr("start_time_unix_nano div 1000")))
+      .withWatermark("start_ts", watermarkDelay)
+  }
+
   /** D7-streaming: tumbling-window span/event counts. */
   def windowedCounts(stream: DataFrame, tsCol: String,
       windowLength: String): DataFrame =

@@ -7,60 +7,9 @@ import java.io.ByteArrayOutputStream
   * with the JSON path's semantics (stringification, base64 ids,
   * duration materialization). */
 class OtlpProtoSpec extends SparkSpec {
+  import OtlpProtoSpec.{W, kv, strVal}
 
-  // -- minimal protobuf writer (test-only) --
-  private class W {
-    val out = new ByteArrayOutputStream()
-    def varint(v: Long): W = {
-      var x = v
-      while ((x & ~0x7FL) != 0) { out.write(((x & 0x7F) | 0x80).toInt); x >>>= 7 }
-      out.write(x.toInt); this
-    }
-    def tag(field: Int, wire: Int): W = varint((field.toLong << 3) | wire)
-    def bytes(field: Int, bs: Array[Byte]): W = {
-      tag(field, 2).varint(bs.length); out.write(bs); this
-    }
-    def str(field: Int, s: String): W = bytes(field, s.getBytes("UTF-8"))
-    def msg(field: Int, w: W): W = bytes(field, w.out.toByteArray)
-    def fixed64(field: Int, v: Long): W = {
-      tag(field, 1)
-      (0 until 8).foreach(i => out.write(((v >>> (8 * i)) & 0xFF).toInt))
-      this
-    }
-    def vint(field: Int, v: Long): W = tag(field, 0).varint(v)
-  }
-  private def kv(key: String, value: W => W): W =
-    new W().str(1, key).msg(2, value(new W()))
-  private def strVal(s: String): W => W = _.str(1, s)
-
-  private def request: Array[Byte] = {
-    val span1 = new W()
-      .bytes(1, Array[Byte](0x0a, 0x0b, 0x0c, 0x0d)) // trace_id
-      .bytes(2, Array[Byte](1, 2, 3, 4))             // span_id
-      .str(5, "GET /users")
-      .fixed64(7, 1704067200000000000L)
-      .fixed64(8, 1704067200100000000L)
-      .msg(9, kv("http.method", strVal("GET")))
-      .msg(9, kv("retries", _.msg(2, new W().vint(3, 42))))   // int attr
-      .msg(9, kv("ratio", _.msg(2, new W().fixed64(4,
-        java.lang.Double.doubleToLongBits(0.5)))))            // double attr
-      .msg(11, new W()                                        // event
-        .fixed64(1, 1704067200050000000L)
-        .str(2, "exception")
-        .msg(3, kv("exception.type", strVal("IOException"))))
-    val scopeSpans = new W()
-      .msg(1, new W().str(1, "gateway"))
-      .msg(2, span1)
-    val resource = new W()
-      .msg(1, kv("service.name", strVal("gateway")))
-      .msg(1, kv("tags", _.msg(2, new W().msg(5, new W()
-        .msg(1, new W().str(1, "a")).msg(1, new W().str(1, "b"))))))
-    val resourceSpans = new W()
-      .msg(1, resource)
-      .msg(2, scopeSpans)
-      .str(3, "https://example/schema")
-    new W().msg(1, resourceSpans).out.toByteArray
-  }
+  private def request: Array[Byte] = OtlpProtoSpec.exampleRequestBytes
 
   test("wire decode: ids, times, attrs, events match the JSON semantics") {
     val rows = OtlpProto.decodeRequest(request)
@@ -156,5 +105,65 @@ class OtlpProtoSpec extends SparkSpec {
     val row = df.collect().head
     assert(row.getAs[String]("trace_id") === "CgsMDQ==")
     assert(row.getAs[Long]("duration_ns") === 100000000L)
+  }
+}
+
+/** Wire-bytes fixtures shared with other specs (e.g. the Kafka decode
+  * test in StreamingSpec). */
+object OtlpProtoSpec {
+  // -- minimal protobuf writer (test-only) --
+  private[graft] class W {
+    val out = new ByteArrayOutputStream()
+    def varint(v: Long): W = {
+      var x = v
+      while ((x & ~0x7FL) != 0) { out.write(((x & 0x7F) | 0x80).toInt); x >>>= 7 }
+      out.write(x.toInt); this
+    }
+    def tag(field: Int, wire: Int): W = varint((field.toLong << 3) | wire)
+    def bytes(field: Int, bs: Array[Byte]): W = {
+      tag(field, 2).varint(bs.length); out.write(bs); this
+    }
+    def str(field: Int, s: String): W = bytes(field, s.getBytes("UTF-8"))
+    def msg(field: Int, w: W): W = bytes(field, w.out.toByteArray)
+    def fixed64(field: Int, v: Long): W = {
+      tag(field, 1)
+      (0 until 8).foreach(i => out.write(((v >>> (8 * i)) & 0xFF).toInt))
+      this
+    }
+    def vint(field: Int, v: Long): W = tag(field, 0).varint(v)
+  }
+  private[graft] def kv(key: String, value: W => W): W =
+    new W().str(1, key).msg(2, value(new W()))
+  private[graft] def strVal(s: String): W => W = _.str(1, s)
+
+  /** One ExportTraceServiceRequest: resource attrs (string + array),
+    * scope "gateway", one span with string/int/double attrs + an event. */
+  def exampleRequestBytes: Array[Byte] = {
+    val span1 = new W()
+      .bytes(1, Array[Byte](0x0a, 0x0b, 0x0c, 0x0d)) // trace_id
+      .bytes(2, Array[Byte](1, 2, 3, 4))             // span_id
+      .str(5, "GET /users")
+      .fixed64(7, 1704067200000000000L)
+      .fixed64(8, 1704067200100000000L)
+      .msg(9, kv("http.method", strVal("GET")))
+      .msg(9, kv("retries", _.msg(2, new W().vint(3, 42))))   // int attr
+      .msg(9, kv("ratio", _.msg(2, new W().fixed64(4,
+        java.lang.Double.doubleToLongBits(0.5)))))            // double attr
+      .msg(11, new W()                                        // event
+        .fixed64(1, 1704067200050000000L)
+        .str(2, "exception")
+        .msg(3, kv("exception.type", strVal("IOException"))))
+    val scopeSpans = new W()
+      .msg(1, new W().str(1, "gateway"))
+      .msg(2, span1)
+    val resource = new W()
+      .msg(1, kv("service.name", strVal("gateway")))
+      .msg(1, kv("tags", _.msg(2, new W().msg(5, new W()
+        .msg(1, new W().str(1, "a")).msg(1, new W().str(1, "b"))))))
+    val resourceSpans = new W()
+      .msg(1, resource)
+      .msg(2, scopeSpans)
+      .str(3, "https://example/schema")
+    new W().msg(1, resourceSpans).out.toByteArray
   }
 }

@@ -25,6 +25,30 @@ class StreamingSpec extends SparkSpec {
     assert(back.columns.contains("date"))
   }
 
+  test("Kafka value-column decode: connector row shape -> span rows") {
+    // the exact schema spark-sql-kafka emits; the connector jar itself
+    // is not in this sandbox, so the decode half is pinned against a
+    // hand-built frame of that shape (a MemoryStream/batch frame and a
+    // kafka frame are indistinguishable to fromKafkaValues)
+    import org.apache.spark.sql.types._
+    val kafkaSchema = StructType(Seq(
+      StructField("key", BinaryType), StructField("value", BinaryType),
+      StructField("topic", StringType), StructField("partition", IntegerType),
+      StructField("offset", LongType), StructField("timestamp", TimestampType),
+      StructField("timestampType", IntegerType)))
+    val payload = OtlpProtoSpec.exampleRequestBytes
+    val rows = java.util.Arrays.asList(
+      org.apache.spark.sql.Row(null, payload, "otlp-spans", 0, 0L,
+        new java.sql.Timestamp(0L), 0))
+    val kafkaShaped = spark.createDataFrame(rows, kafkaSchema)
+    val spans = StreamingOps.fromKafkaValues(kafkaShaped)
+    assert(spans.columns.contains("start_ts"))
+    val got = spans.collect()
+    assert(got.length === 1)
+    assert(got.head.getAs[String]("trace_id") === "CgsMDQ==")
+    assert(got.head.getAs[Long]("duration_ns") === 100000000L)
+  }
+
   test("streaming windowed counts equal batch group-by") {
     val streamed = StreamingOps.streamingCounts(spark, sf0001)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
