@@ -39,6 +39,7 @@ object IngestOps extends QueryModule {
   def otlpIngest(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     OtlpIngest.fromJson(spark.createDataset(OtlpExamples.all))
+      .coalesce(1) // 3-row fixture: one file, not 32 task stubs
       .write.mode("overwrite").parquet(FixturePath)
     projection(spark.read.parquet(FixturePath))
   }

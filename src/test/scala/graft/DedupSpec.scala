@@ -10,6 +10,19 @@ class DedupSpec extends SparkSpec {
   private def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
     df.select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
+  test("V2a prefix-filtered variant returns exactly the count-join result") {
+    // the SSJoin/PPJoin prefix lemma is an EXACT optimization: identical
+    // pairs AND identical jaccard values to the all-occurrence join
+    // (which of the two is faster depends on doc length/τ/df skew — see
+    // the DedupOps scaladoc; the count join wins on this corpus)
+    val prefix = DedupOps.ngramJaccardPrefix(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val counted = DedupOps.ngramJaccard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(prefix === counted)
+    assert(prefix.nonEmpty)
+  }
+
   test("V2b MinHash+LSH finds exactly the exact-Jaccard pairs") {
     val exact = pairs(DedupOps.ngramJaccard(spark, sf))
     val approx = pairs(DedupOps.minhashLsh(spark, sf))
