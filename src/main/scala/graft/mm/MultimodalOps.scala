@@ -65,6 +65,60 @@ object MultimodalOps extends QueryModule {
     }.toDF().orderBy(col("doc_id"))
   }
 
+  /** Resize output: original + fitted dimensions. */
+  final case class ResizedMedia(doc_id: Long, width: Int, height: Int,
+      new_width: Int, new_height: Int)
+
+  /** V7b: resize — fit the (stub-decoded) dimensions into a 128x96 box
+    * preserving aspect ratio, integer floor math (the real pixel resample
+    * replaces the stub; the geometry, batch shape and per-partition init
+    * site are the Spark-side deliverable). */
+  def resizeMedia(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir).mapPartitions { rows =>
+      rows.map { r =>
+        val (n, _, w0, h0) = StubDecoder.decode(r.payload)
+        val w = math.max(w0, 1)
+        val h = math.max(h0, 1)
+        // fit into (128, 96): scale = min(128/w, 96/h), floor math
+        val (nw, nh) =
+          if (128L * h <= 96L * w) (128, (h.toLong * 128 / w).toInt)
+          else ((w.toLong * 96 / h).toInt, 96)
+        ResizedMedia(r.doc_id, w, h, nw, nh)
+      }
+    }.toDF().orderBy(col("doc_id"))
+  }
+
+  /** One sampled frame of a (stub) video payload. */
+  final case class FrameSample(doc_id: Long, frame_idx: Int, ts_ms: Int,
+      frame_hash: String)
+
+  /** V7c: frame sampling — treat the payload as fixed-size frames,
+    * keep every `stride`-th, one OUTPUT ROW PER FRAME (the flatMap/
+    * explode shape a video pipeline needs), each frame content-hashed.
+    * A real build swaps the byte-slice "frame" for a container/codec
+    * frame read; the row multiplication, ordering and per-partition
+    * digest reuse carry over unchanged. */
+  def sampleFrames(spark: SparkSession, dir: String,
+      frameBytes: Int = 100, stride: Int = 2): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir).mapPartitions { rows =>
+      // per-partition init (real: demuxer/codec context)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.flatMap { r =>
+        val n = r.payload.length
+        val nFrames = n / frameBytes + 1
+        (0 until nFrames by stride).iterator.map { idx =>
+          val start = idx * frameBytes
+          val end = math.min(start + frameBytes, n)
+          val hash = md.digest(java.util.Arrays.copyOfRange(r.payload,
+            start, end)).map("%02x".format(_)).mkString
+          FrameSample(r.doc_id, idx, idx * 40, hash)
+        }
+      }
+    }.toDF().orderBy(col("doc_id"), col("frame_idx"))
+  }
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("v7_multimodal_features",
       "V7 multimodal binary-column plumbing: mapPartitions batch decode " +
@@ -74,5 +128,32 @@ object MultimodalOps extends QueryModule {
              | md5(text) AS content_hash,
              | CAST(octet_length(CAST(text AS BLOB)) % 640 AS INT) AS width,
              | CAST((octet_length(CAST(text AS BLOB)) * 7) % 480 AS INT) AS height
-             |FROM documents ORDER BY doc_id""".stripMargin)))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+    GraftQuery("v7b_media_resize",
+      "V7 resize step: fit stub-decoded dims into 128x96, integer floor " +
+        "aspect math (batch shape + init site real, resample stubbed)",
+      resizeMedia,
+      Some("""WITH m AS (SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n
+             |  FROM documents),
+             | d AS (SELECT doc_id, greatest(n % 640, 1) AS w,
+             |   greatest((n*7) % 480, 1) AS h FROM m)
+             |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+             | CAST(CASE WHEN 128*h <= 96*w THEN 128 ELSE (w*96)//h END AS INT)
+             |   AS new_width,
+             | CAST(CASE WHEN 128*h <= 96*w THEN (h*128)//w ELSE 96 END AS INT)
+             |   AS new_height
+             |FROM d ORDER BY doc_id""".stripMargin)),
+    GraftQuery("v7c_frame_sample",
+      "V7 frame sampling: payload as fixed-size frames, every 2nd kept, " +
+        "one row per frame with content hash (flatMap row-multiplication " +
+        "shape; ASCII payloads make byte slices == varchar substrings " +
+        "for the oracle)",
+      (s, d) => sampleFrames(s, d),
+      Some("""WITH m AS (SELECT doc_id, text, length(text) AS n FROM documents),
+             | f AS (SELECT doc_id, text,
+             |   unnest(generate_series(0, n//100, 2)) AS idx FROM m)
+             |SELECT doc_id, CAST(idx AS INT) AS frame_idx,
+             | CAST(idx*40 AS INT) AS ts_ms,
+             | md5(substring(text, idx*100 + 1, 100)) AS frame_hash
+             |FROM f ORDER BY doc_id, frame_idx""".stripMargin)))
 }
