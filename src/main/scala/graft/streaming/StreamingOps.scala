@@ -166,7 +166,79 @@ object StreamingOps extends QueryModule {
       .orderBy(col("user_id"), col("start_s"))
   }
 
+  /** ST3: the custom-state trace assembler (flatMapGroupsWithState +
+    * event-time timeouts) as an ORACLE-CHECKED entry. Events map to span
+    * shape (trace = user, start = ts in µs so DuckDB's ns→µs truncation
+    * can't diverge), stream through a MemoryStream, and the watermark is
+    * driven past every trace's gap deadline by two sentinel batches
+    * (timeouts fire one batch after the watermark passes them) — then
+    * sentinels are dropped. On finite input the result equals a
+    * per-trace batch rollup, which DuckDB recomputes independently:
+    * the stateful streaming path itself is driver-verified, like
+    * st1/st2. */
+  def streamingTraceAssembly(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val s: SparkSession = spark
+    val spans = Tables.events(spark, dir).select(
+      col("user_id").cast("string").as("trace_id"),
+      col("event_id").cast("string").as("span_id"),
+      lit("").as("parent_span_id"),
+      col("event_type").as("name"),
+      col("event_type").as("scope_name"),
+      expr("ts div 1000").as("start_time_unix_nano"), // µs basis
+      floor(col("value")).cast("long").as("duration_ns"))
+      .as[TraceAssembler.SpanEvent].collect().toSeq
+    val maxUs = spans.map(_.start_time_unix_nano).max
+    def sentinel(id: String, offsetUs: Long) = TraceAssembler.SpanEvent(
+      id, "sx", "", "wm", "wm", maxUs + offsetUs, 1L)
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[TraceAssembler.SpanEvent](spark)
+    val out = TraceAssembler.assembleTraces(ms.toDS(), gapMs = 60000)
+    val name = s"st3_assembled_${System.nanoTime()}"
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName(name).start()
+    try {
+      ms.addData(spans)
+      q.processAllAvailable()
+      ms.addData(sentinel("WM1", 100000000000L))
+      q.processAllAvailable()
+      ms.addData(sentinel("WM2", 200000000000L))
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(name)
+      .filter(!col("trace_id").startsWith("WM"))
+      .select(col("trace_id"), col("n_spans"), col("root_name"),
+        array_join(col("services"), ",").as("services_csv"),
+        col("start_ns").as("start_us"),
+        col("total_duration_ns").as("total_duration_us"))
+      .orderBy(col("trace_id"))
+  }
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("st3_streaming_trace_assembly",
+      "ST3 stateful streaming trace assembly (flatMapGroupsWithState, " +
+        "event-time timeouts, sentinel-driven watermark) == batch rollup",
+      streamingTraceAssembly,
+      Some("""WITH s AS (
+             |  SELECT CAST(user_id AS VARCHAR) AS trace_id,
+             |   CAST(event_id AS VARCHAR) AS span_id, event_type,
+             |   epoch_us(ts) AS start_us,
+             |   CAST(floor(value) AS BIGINT) AS dur
+             |  FROM events),
+             | roots AS (
+             |  SELECT trace_id, event_type AS root_name,
+             |   row_number() OVER (PARTITION BY trace_id
+             |     ORDER BY start_us, span_id) AS rk
+             |  FROM s)
+             |SELECT s.trace_id, CAST(count(*) AS INT) AS n_spans,
+             | any_value(r.root_name) AS root_name,
+             | array_to_string(list_sort(list_distinct(list(s.event_type))), ',')
+             |   AS services_csv,
+             | min(s.start_us) AS start_us,
+             | max(s.start_us + s.dur) - min(s.start_us) AS total_duration_us
+             |FROM s JOIN roots r ON s.trace_id = r.trace_id AND r.rk = 1
+             |GROUP BY s.trace_id
+             |ORDER BY s.trace_id""".stripMargin)),
     GraftQuery("st2_streaming_sessions",
       "V6-streaming session_window sessionization via Structured " +
         "Streaming - equals the batch lag-gap form on finite input",
