@@ -214,7 +214,62 @@ object StreamingOps extends QueryModule {
       .orderBy(col("trace_id"))
   }
 
+  /** ST4: the mapGroupsWithState running-status operator, oracle-checked
+    * like ST3. Update mode emits a row per trace per batch; the FINAL
+    * status per trace (all spans seen — one batch here — or the closing
+    * emission on timeout) has the max n_spans, so a max_by collapse
+    * yields a deterministic frame DuckDB recomputes as a plain rollup. */
+  def streamingTraceStatus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val s: SparkSession = spark
+    val spans = Tables.events(spark, dir).select(
+      col("user_id").cast("string").as("trace_id"),
+      col("event_id").cast("string").as("span_id"),
+      lit("").as("parent_span_id"),
+      col("event_type").as("name"),
+      col("event_type").as("scope_name"),
+      expr("ts div 1000").as("start_time_unix_nano"), // µs basis
+      floor(col("value")).cast("long").as("duration_ns"))
+      .as[TraceAssembler.SpanEvent].collect().toSeq
+    val maxUs = spans.map(_.start_time_unix_nano).max
+    def sentinel(id: String, offsetUs: Long) = TraceAssembler.SpanEvent(
+      id, "sx", "", "wm", "wm", maxUs + offsetUs, 1L)
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[TraceAssembler.SpanEvent](spark)
+    val out = TraceAssembler.traceStatus(ms.toDS(),
+      watermarkDelay = "1 second")
+    val name = s"st4_status_${System.nanoTime()}"
+    val q = out.writeStream.outputMode("update").format("memory")
+      .queryName(name).start()
+    try {
+      ms.addData(spans)
+      q.processAllAvailable()
+      ms.addData(sentinel("WM1", 100000000000L))
+      q.processAllAvailable()
+      ms.addData(sentinel("WM2", 200000000000L)) // fires the timeouts
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(name)
+      .filter(!col("trace_id").startsWith("WM"))
+      .groupBy(col("trace_id"))
+      .agg(max(col("n_spans")).as("n_spans"),
+        max_by(array_join(col("services"), ","), col("n_spans"))
+          .as("services_csv"),
+        max(col("last_start_ns")).as("last_start_us"))
+      .orderBy(col("trace_id"))
+  }
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("st4_streaming_trace_status",
+      "ST4 mapGroupsWithState live trace status (update mode + timeout " +
+        "expiry) collapsed to final states == batch rollup",
+      streamingTraceStatus,
+      Some("""SELECT CAST(user_id AS VARCHAR) AS trace_id,
+             | CAST(count(*) AS INT) AS n_spans,
+             | array_to_string(list_sort(list_distinct(list(event_type))), ',')
+             |   AS services_csv,
+             | max(epoch_us(ts)) AS last_start_us
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
     GraftQuery("st3_streaming_trace_assembly",
       "ST3 stateful streaming trace assembly (flatMapGroupsWithState, " +
         "event-time timeouts, sentinel-driven watermark) == batch rollup",
