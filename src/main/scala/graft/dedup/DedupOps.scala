@@ -289,7 +289,8 @@ object DedupOps extends QueryModule {
       .select(col("vec_id"), col("cent_id"), col("v"), col("nrm"))
     val x = probed.select(col("cent_id"), col("vec_id").as("i"))
     val y = probed.select(col("cent_id"), col("vec_id").as("j"))
-    val cands = x.join(y, Seq("cent_id"))
+    // hash join beats SMJ on the nlist-key cell join (no sort needed)
+    val cands = x.join(y.hint("shuffle_hash"), Seq("cent_id"))
       .filter(col("i") < col("j"))
       .select(col("i"), col("j"))
       .distinct() // a pair may share several probed cells

@@ -175,7 +175,9 @@ object SimilarityOps extends QueryModule {
       col("vec_id").as("j"), col("v").as("v_j"), col("nrm").as("n_j"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("i")).orderBy(col("cos").desc, col("j"))
-    a.join(b, Seq("cent_id", "sub"))
+    a.join(b.hint("shuffle_hash"), Seq("cent_id", "sub"))
+      // hash join: the ≤nlist·nsub-key cell join gains nothing from
+      // SMJ's sort of both full sides
       .filter(col("i") =!= col("j"))
       .withColumn("cos",
         round(dot(col("v_i"), col("v_j")) / (col("n_i") * col("n_j")), 6))
