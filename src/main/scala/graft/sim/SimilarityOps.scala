@@ -187,6 +187,46 @@ object SimilarityOps extends QueryModule {
       .orderBy(col("i"), col("rk"))
   }
 
+  /** Materialized IVF index: the assignment written as parquet
+    * PARTITIONED BY centroid id — the literal 100 TB layout the scaladoc
+    * above describes. A probe then reads only `nprobe` of `nlist`
+    * directories (partition pruning, asserted in DedupSpec), which is
+    * the whole point of IVF: query cost scales with nprobe/nlist of the
+    * corpus, not the corpus. */
+  def writeIvfIndex(spark: SparkSession, dir: String, indexPath: String,
+      nlist: Int = 16, iters: Int = 1): Unit = {
+    val (cents, assigned) = ivfIndex(spark, dir, nlist, iters)
+    assigned.write.mode("overwrite")
+      .partitionBy("cent_id").parquet(s"$indexPath/vectors")
+    cents.write.mode("overwrite").parquet(s"$indexPath/centroids")
+  }
+
+  /** Top-k against the STORED index: rank centroids from the (tiny)
+    * centroid table, then scan only the probed partitions. Same result
+    * as the in-memory [[ivfTopK]] (pinned in DedupSpec). */
+  def ivfTopKStored(spark: SparkSession, indexPath: String, k: Int = 10,
+      nprobe: Int = 4): DataFrame = {
+    val cents = spark.read.parquet(s"$indexPath/centroids")
+    val vectors = spark.read.parquet(s"$indexPath/vectors")
+    val q = vectors.filter(col("vec_id") === 0)
+      .select(col("v").as("q_v"), col("nrm").as("q_nrm"))
+    val probedIds = cents.crossJoin(broadcast(q))
+      .withColumn("c_cos",
+        dot(col("c_v"), col("q_v")) / (col("c_nrm") * col("q_nrm")))
+      .orderBy(col("c_cos").desc, col("cent_id"))
+      .limit(nprobe)
+      .select(col("cent_id"))
+      .collect().map(_.getLong(0)) // nprobe ids -> partition pruning
+    vectors.filter(col("cent_id").isin(probedIds: _*))
+      .filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .withColumn("cos",
+        round(dot(col("v"), col("q_v")) / (col("nrm") * col("q_nrm")), 6))
+      .select(col("vec_id"), col("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("v3c_knn_join",
       "V3 approximate kNN join: per-vector top-5 within IVF cells " +
@@ -206,5 +246,14 @@ object SimilarityOps extends QueryModule {
     GraftQuery("v3b_ivf_topk",
       "V3 IVF-probed ANN top-10 (nlist=16, nprobe=4; scale path, " +
         "approximate — recall pinned in DedupSpec)",
-      (s, d) => ivfTopK(s, d), None))
+      (s, d) => ivfTopK(s, d), None),
+    GraftQuery("v3b2_ivf_stored",
+      "V3 stored IVF index: assignment parquet-partitioned by centroid, " +
+        "probe reads only nprobe partitions (pruning + equality pinned " +
+        "in DedupSpec; rows-only — approximate)",
+      (s, d) => {
+        val idx = s"${sys.props("java.io.tmpdir")}/graft_ivf_index"
+        writeIvfIndex(s, d, idx)
+        ivfTopKStored(s, idx)
+      }, None))
 }

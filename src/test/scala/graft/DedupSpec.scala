@@ -109,6 +109,22 @@ class DedupSpec extends SparkSpec {
       exact.count(ivf.contains)}/10")
   }
 
+  test("V3b stored IVF index: partition-pruned probe equals in-memory") {
+    val idx = java.nio.file.Files.createTempDirectory("ivf-index").toString
+    SimilarityOps.writeIvfIndex(spark, sf, idx)
+    val stored = SimilarityOps.ivfTopKStored(spark, idx)
+    // the probed scan must read only nprobe partitions — partition
+    // pruning is the entire economics of a stored IVF index
+    val plan = stored.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan)
+    assert(plan.contains("cent_id"), plan)
+    val a = stored.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val b = SimilarityOps.ivfTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(a === b)
+  }
+
   test("V3c skew guard: a single giant cell stays bounded, recall pinned") {
     // nlist=1 forces EVERY vector into one cell — the worst skew. With
     // maxCellSize=50 the 500-vector cell salts into 10 subcells, so the
