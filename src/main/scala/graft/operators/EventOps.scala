@@ -246,7 +246,46 @@ object EventOps extends QueryModule {
           .cast("long").as("n_errors"))
       .orderBy(col("user_id"))
 
+  /** V11: exact heavy hitters — top event types by count (the full
+    * groupBy form: state per distinct key). */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame =
+    ev(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("event_type"))
+      .limit(10)
+
+  /** V11b: the same top-k via the mergeable Misra-Gries summary
+    * ([[graft.functions.FreqSketch]]) — O(k) state per group regardless
+    * of key cardinality, the streaming/100 TB form. On this column the
+    * distinct count (5) is below k, so the summary never decrements and
+    * the counts are EXACT — hence this entry is oracle-checked; the
+    * lossy path (cardinality > k) is guarantee-pinned in FreqSketchSpec. */
+  def heavyHittersSketch(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.FreqSketch.freq_sketch
+    ev(spark, dir)
+      .agg(freq_sketch(col("event_type")).as("top"))
+      .select(explode(col("top")).as("hh"))
+      .select(col("hh.item").as("event_type"), col("hh.est").as("n"),
+        col("hh.err_bound").as("err_bound"))
+      .orderBy(col("n").desc, col("event_type"))
+  }
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("v11_heavy_hitters",
+      "V11 exact heavy hitters: top event types by count (full groupBy)",
+      heavyHitters,
+      Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n
+             |FROM events GROUP BY 1 ORDER BY n DESC, event_type
+             |LIMIT 10""".stripMargin)),
+    GraftQuery("v11b_heavy_hitters_sketch",
+      "V11 heavy hitters via mergeable Misra-Gries summary (O(k) state; " +
+        "exact here since distinct<=k, so oracle-checked; lossy path " +
+        "pinned in FreqSketchSpec)",
+      heavyHittersSketch,
+      Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             | CAST(0 AS BIGINT) AS err_bound
+             |FROM events GROUP BY 1 ORDER BY n DESC, event_type""".stripMargin)),
     GraftQuery("t01_top_slow_traces",
       "T1/F1 top-N by start desc, duration desc (api/service.go:175-210)",
       topSlowTraces,
