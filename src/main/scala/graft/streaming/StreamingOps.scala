@@ -267,7 +267,29 @@ object StreamingOps extends QueryModule {
       .orderBy(col("trace_id"))
   }
 
+  /** ST5: the Misra-Gries heavy-hitters summary as STREAMING state —
+    * mergeable, so it drops into a complete-mode streaming aggregation
+    * unchanged; on this column cardinality ≤ k keeps it exact, hence
+    * oracle-checkable like st1/st2. */
+  def streamingHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.FreqSketch.freq_sketch
+    val agg = eventsStream(spark, dir)
+      .agg(freq_sketch(col("event_type")).as("top"))
+    runToBatch(spark, agg, s"st5_hh_${System.nanoTime()}")
+      .select(explode(col("top")).as("hh"))
+      .select(col("hh.item").as("event_type"), col("hh.est").as("n"),
+        col("hh.err_bound").as("err_bound"))
+      .orderBy(col("n").desc, col("event_type"))
+  }
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("st5_streaming_heavy_hitters",
+      "ST5 mergeable heavy-hitters summary as streaming state " +
+        "(complete mode) == batch sketch == exact counts",
+      streamingHeavyHitters,
+      Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             | CAST(0 AS BIGINT) AS err_bound
+             |FROM events GROUP BY 1 ORDER BY n DESC, event_type""".stripMargin)),
     GraftQuery("st4_streaming_trace_status",
       "ST4 mapGroupsWithState live trace status (update mode + timeout " +
         "expiry) collapsed to final states == batch rollup",
