@@ -30,6 +30,30 @@ object Bench {
         .select(graft.functions.VectorFunctions
           .dot_product(col("vi"), col("vj"))).count()
     } catch { case _: Throwable => () }
+    // warm the OTLP ingest projection (the from_json + stringification
+    // tree compiles to a large generated class — Janino dominates the
+    // first ingest otherwise)
+    try {
+      import spark.implicits._
+      graft.spans.OtlpIngest.fromJson(
+        spark.createDataset(Seq(graft.spans.OtlpExamples.current))).count()
+    } catch { case _: Throwable => () }
+    // warm the Structured-Streaming machinery (state store managers,
+    // sink/checkpoint classes) with a one-row memory-stream query
+    try {
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[Long](spark)
+      val q = ms.toDS().toDF("v")
+        .withColumn("ts", timestamp_micros(col("v")))
+        .groupBy(window(col("ts"), "1 hour")).count()
+        .writeStream.outputMode("complete").format("memory")
+        .queryName("bench_warm_stream").start()
+      ms.addData(1L)
+      q.processAllAvailable()
+      q.stop()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
