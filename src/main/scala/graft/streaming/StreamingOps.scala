@@ -200,16 +200,24 @@ object StreamingOps extends QueryModule {
       .MemoryStream[TraceAssembler.SpanEvent](spark)
     val out = TraceAssembler.assembleTraces(ms.toDS(), gapMs = 60000)
     val name = s"st3_assembled_${System.nanoTime()}"
-    val q = out.writeStream.outputMode("append").format("memory")
-      .queryName(name).start()
+    // state-store partition count is fixed at query start from
+    // shuffle.partitions: 32 × 3 micro-batches of per-partition state
+    // files is pure overhead for a stream this small — size to the
+    // stream (a real deployment sizes it to keys/throughput)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try {
-      ms.addData(spans)
-      q.processAllAvailable()
-      ms.addData(sentinel("WM1", 100000000000L))
-      q.processAllAvailable()
-      ms.addData(sentinel("WM2", 200000000000L))
-      q.processAllAvailable()
-    } finally q.stop()
+      val q = out.writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+      try {
+        ms.addData(spans)
+        q.processAllAvailable()
+        ms.addData(sentinel("WM1", 100000000000L))
+        q.processAllAvailable()
+        ms.addData(sentinel("WM2", 200000000000L))
+        q.processAllAvailable()
+      } finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     spark.table(name)
       .filter(!col("trace_id").startsWith("WM"))
       .select(col("trace_id"), col("n_spans"), col("root_name"),
@@ -247,16 +255,21 @@ object StreamingOps extends QueryModule {
     val out = TraceAssembler.traceStatus(ms.toDS(),
       watermarkDelay = "1 second")
     val name = s"st4_status_${System.nanoTime()}"
-    val q = out.writeStream.outputMode("update").format("memory")
-      .queryName(name).start()
+    // same small-stream state-store sizing as ST3
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try {
-      ms.addData(spans)
-      q.processAllAvailable()
-      ms.addData(sentinel("WM1", 100000000000L))
-      q.processAllAvailable()
-      ms.addData(sentinel("WM2", 200000000000L)) // fires the timeouts
-      q.processAllAvailable()
-    } finally q.stop()
+      val q = out.writeStream.outputMode("update").format("memory")
+        .queryName(name).start()
+      try {
+        ms.addData(spans)
+        q.processAllAvailable()
+        ms.addData(sentinel("WM1", 100000000000L))
+        q.processAllAvailable()
+        ms.addData(sentinel("WM2", 200000000000L)) // fires the timeouts
+        q.processAllAvailable()
+      } finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     spark.table(name)
       .filter(!col("trace_id").startsWith("WM"))
       .groupBy(col("trace_id"))
