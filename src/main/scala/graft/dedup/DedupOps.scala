@@ -212,15 +212,11 @@ object DedupOps extends QueryModule {
       .orderBy(col("i"), col("j"))
   }
 
-  /** Embeddings with double-cast vectors and norms (sequential-fold dot,
+  /** Embeddings with double-cast vectors and norms — the shared
+    * projection from [[graft.sim.SimilarityOps]] (sequential-fold dot,
     * bit-identical to the oracle's list_dot_product). */
-  private def normedEmbeddings(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.VectorFunctions.dot_product
-    Tables.embeddings(spark, dir)
-      .select(col("vec_id"), transform(col("embedding"),
-        x => x.cast("double")).as("v"))
-      .withColumn("nrm", sqrt(dot_product(col("v"), col("v"))))
-  }
+  private def normedEmbeddings(spark: SparkSession, dir: String): DataFrame =
+    graft.sim.SimilarityOps.withNorm(Tables.embeddings(spark, dir))
 
   /** Number of id-blocks for the exact pair join: bounds every task to a
     * block-pair's worth of comparisons and gives B-way parallelism. */
@@ -254,7 +250,11 @@ object DedupOps extends QueryModule {
     val b = e.select(col("vec_id").as("j"), col("v").as("v_j"),
       col("nrm").as("n_j"),
       explode(sequence(lit(0), lit(PairBlocks - 1))).as("blk"))
-    a.join(b.hint("shuffle_hash"), Seq("blk"))
+    // the hint marks the BUILD side: it must be `a` (N/B rows per block),
+    // NOT the replicated `b` whose every block partition holds the whole
+    // table — hinting b would rebuild the unbounded in-memory side this
+    // join exists to avoid. PlanSpec pins BuildLeft.
+    a.hint("shuffle_hash").join(b, Seq("blk"))
       .filter(col("i") < col("j")) // before the dot: only N²/2 evals
       .withColumn("cos", round(
         dot_product(col("v_i"), col("v_j")) / (col("n_i") * col("n_j")), 6))
@@ -275,18 +275,10 @@ object DedupOps extends QueryModule {
       nlist: Int = 16, nprobe: Int = 4): DataFrame = {
     import graft.functions.VectorFunctions.dot_product
     val e = normedEmbeddings(spark, dir).cache()
-    val cents = e.filter(col("vec_id") < nlist)
-      .select(col("vec_id").as("cent_id"), col("v").as("c_v"),
-        col("nrm").as("c_nrm"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id"))
-      .orderBy(col("c_cos").desc, col("cent_id"))
-    val probed = e.crossJoin(broadcast(cents))
-      .withColumn("c_cos",
-        dot_product(col("v"), col("c_v")) / (col("nrm") * col("c_nrm")))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= nprobe)
-      .select(col("vec_id"), col("cent_id"), col("v"), col("nrm"))
+    // the SAME Lloyd-refined index the v3 queries use (one iteration) —
+    // candidate generation and ANN probing share one notion of "cell"
+    val cents = graft.sim.SimilarityOps.refineCentroids(e, nlist, 1)
+    val probed = graft.sim.SimilarityOps.multiProbeAssign(e, cents, nprobe)
     val x = probed.select(col("cent_id"), col("vec_id").as("i"))
     val y = probed.select(col("cent_id"), col("vec_id").as("j"))
     // hash join beats SMJ on the nlist-key cell join (no sort needed)

@@ -100,7 +100,12 @@ case class FreqSketchAgg(
     val out = new DataOutputStream(bos)
     out.writeInt(buf.k); out.writeLong(buf.n); out.writeLong(buf.maxErr)
     out.writeInt(buf.counts.size)
-    buf.counts.foreach { case (i, c) => out.writeUTF(i); out.writeLong(c) }
+    // length-prefixed bytes, not writeUTF: items are arbitrary column
+    // values and writeUTF throws past 64 KiB of encoded text
+    buf.counts.foreach { case (i, c) =>
+      val bs = i.getBytes("UTF-8")
+      out.writeInt(bs.length); out.write(bs); out.writeLong(c)
+    }
     out.flush(); bos.toByteArray
   }
 
@@ -110,7 +115,13 @@ case class FreqSketchAgg(
     s.n = in.readLong(); s.maxErr = in.readLong()
     val m = in.readInt()
     var i = 0
-    while (i < m) { s.counts.update(in.readUTF(), in.readLong()); i += 1 }
+    while (i < m) {
+      val len = in.readInt()
+      val bs = new Array[Byte](len)
+      in.readFully(bs)
+      s.counts.update(new String(bs, "UTF-8"), in.readLong())
+      i += 1
+    }
     s
   }
 

@@ -22,7 +22,11 @@ import org.apache.spark.sql.functions._
   */
 object IngestOps extends QueryModule {
 
-  /** Fixed path shared by the Spark query and the DuckDB oracle SQL. */
+  /** Fixed path shared by the Spark query and the DuckDB oracle SQL
+    * (the SQL string is static, so the path must be too). Fixed tmp
+    * paths assume ONE runner per machine tmpdir — the driver's
+    * execution model; concurrent runs would clobber each other's
+    * fixture mid-read. */
   val FixturePath: String =
     s"${sys.props("java.io.tmpdir")}/graft_otlp_fixture"
 
@@ -55,10 +59,21 @@ object IngestOps extends QueryModule {
 
   def jdbcSinkRoundTrip(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val db = s"${sys.props("java.io.tmpdir")}/graft_derby_${System.nanoTime()}"
+    // ONE fixed embedded database per JVM (Derby keeps every booted db
+    // open until shutdown — a fresh dir per run would accumulate page
+    // cache and tmp disk without bound across bench/verify invocations);
+    // the table is dropped before each run instead
+    val db = s"${sys.props("java.io.tmpdir")}/graft_derby_sink"
     val url = s"jdbc:derby:$db;create=true"
     val props = new java.util.Properties()
     props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    try {
+      Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
+      val c = java.sql.DriverManager.getConnection(url)
+      try c.createStatement().executeUpdate("DROP TABLE denormalized_span")
+      catch { case _: java.sql.SQLException => () } // first run: absent
+      finally c.close()
+    } catch { case _: Throwable => () }
     val spans = OtlpIngest.fromJson(spark.createDataset(OtlpExamples.all))
     new JdbcSpanSink(url, "denormalized_span", props).writeBatch(spans, 0L)
     JdbcSpanSink.readBack(spark, url, "denormalized_span", props)

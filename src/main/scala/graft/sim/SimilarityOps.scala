@@ -28,7 +28,9 @@ object SimilarityOps extends QueryModule {
   def dot(a: Column, b: Column): Column =
     graft.functions.VectorFunctions.dot_product(a, b)
 
-  private def withNorm(df: DataFrame): DataFrame =
+  /** (vec_id, v: double[], nrm) — the shared normed-vector projection
+    * (also used by the dedup module's embedding operators). */
+  private[graft] def withNorm(df: DataFrame): DataFrame =
     df.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
 
@@ -97,6 +99,22 @@ object SimilarityOps extends QueryModule {
         .localCheckpoint()
     }
     cents
+  }
+
+  /** Multi-probe assignment: each vector mapped to its `nprobe` nearest
+    * centroids — one output row per (vector, probed cell). The candidate
+    * generator for the dedup module's embedding near-dup twin. */
+  private[graft] def multiProbeAssign(e: DataFrame, cents: DataFrame,
+      nprobe: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("c_cos").desc, col("cent_id"))
+    e.crossJoin(broadcast(cents))
+      .withColumn("c_cos",
+        dot(col("v"), col("c_v")) / (col("nrm") * col("c_nrm")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= nprobe)
+      .select(col("vec_id"), col("cent_id"), col("v"), col("nrm"))
   }
 
   /** IVF index: Lloyd-refined centroids + nearest-centroid assignment of
@@ -201,27 +219,30 @@ object SimilarityOps extends QueryModule {
     cents.write.mode("overwrite").parquet(s"$indexPath/centroids")
   }
 
-  /** Top-k against the STORED index: rank centroids from the (tiny)
-    * centroid table, then scan only the probed partitions. Same result
-    * as the in-memory [[ivfTopK]] (pinned in DedupSpec). */
-  def ivfTopKStored(spark: SparkSession, indexPath: String, k: Int = 10,
-      nprobe: Int = 4): DataFrame = {
+  /** Top-k against the STORED index for an externally-supplied query
+    * vector (the realistic API: the query arrives with the request, it
+    * is not fished out of the index — a vec_id lookup would full-scan
+    * all partitions and defeat the nprobe/nlist economics). Ranks
+    * centroids from the tiny centroid table, then scans ONLY the probed
+    * partitions. Same result as the in-memory [[ivfTopK]] when handed
+    * the same vector (pinned in DedupSpec). */
+  def ivfTopKStored(spark: SparkSession, indexPath: String,
+      queryVec: Array[Double], k: Int = 10, nprobe: Int = 4,
+      excludeVecId: Long = -1L): DataFrame = {
+    val qNorm = math.sqrt(queryVec.map(x => x * x).sum)
+    val qCol = typedLit(queryVec.toSeq)
     val cents = spark.read.parquet(s"$indexPath/centroids")
     val vectors = spark.read.parquet(s"$indexPath/vectors")
-    val q = vectors.filter(col("vec_id") === 0)
-      .select(col("v").as("q_v"), col("nrm").as("q_nrm"))
-    val probedIds = cents.crossJoin(broadcast(q))
-      .withColumn("c_cos",
-        dot(col("c_v"), col("q_v")) / (col("c_nrm") * col("q_nrm")))
+    val probedIds = cents
+      .withColumn("c_cos", dot(col("c_v"), qCol) / (col("c_nrm") * qNorm))
       .orderBy(col("c_cos").desc, col("cent_id"))
       .limit(nprobe)
       .select(col("cent_id"))
       .collect().map(_.getLong(0)) // nprobe ids -> partition pruning
     vectors.filter(col("cent_id").isin(probedIds: _*))
-      .filter(col("vec_id") =!= 0)
-      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= excludeVecId)
       .withColumn("cos",
-        round(dot(col("v"), col("q_v")) / (col("nrm") * col("q_nrm")), 6))
+        round(dot(col("v"), qCol) / (col("nrm") * qNorm), 6))
       .select(col("vec_id"), col("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(k)
@@ -254,6 +275,12 @@ object SimilarityOps extends QueryModule {
       (s, d) => {
         val idx = s"${sys.props("java.io.tmpdir")}/graft_ivf_index"
         writeIvfIndex(s, d, idx)
-        ivfTopKStored(s, idx)
+        // the query vector arrives from OUTSIDE the index (here: a
+        // pushed-down point lookup on the source table, like b6)
+        val q = Tables.embeddings(s, d)
+          .filter(col("vec_id") === 0)
+          .select(transform(col("embedding"), x => x.cast("double")))
+          .head.getSeq[Double](0).toArray
+        ivfTopKStored(s, idx, q, excludeVecId = 0L)
       }, None))
 }

@@ -166,60 +166,75 @@ object StreamingOps extends QueryModule {
       .orderBy(col("user_id"), col("start_s"))
   }
 
-  /** ST3: the custom-state trace assembler (flatMapGroupsWithState +
-    * event-time timeouts) as an ORACLE-CHECKED entry. Events map to span
-    * shape (trace = user, start = ts in µs so DuckDB's ns→µs truncation
-    * can't diverge), stream through a MemoryStream, and the watermark is
-    * driven past every trace's gap deadline by two sentinel batches
-    * (timeouts fire one batch after the watermark passes them) — then
-    * sentinels are dropped. On finite input the result equals a
-    * per-trace batch rollup, which DuckDB recomputes independently:
-    * the stateful streaming path itself is driver-verified, like
-    * st1/st2. */
-  def streamingTraceAssembly(spark: SparkSession, dir: String): DataFrame = {
+  /** Events mapped to span shape for the stateful-operator entries:
+    * trace = user, start on a µs basis (so DuckDB's ns→µs truncation
+    * can't diverge), deterministic 1-in-4 sample — the stateful path is
+    * exercised identically (all traces, fewer spans) at a quarter of
+    * the micro-batch volume. BOTH st3/st4 oracles mirror the predicate
+    * and this projection exactly. */
+  private def sampledSpanEvents(spark: SparkSession,
+      dir: String): Seq[TraceAssembler.SpanEvent] = {
     import spark.implicits._
-    implicit val s: SparkSession = spark
-    // deterministic 1-in-4 sample: the stateful path is exercised
-    // identically (all traces, fewer spans) at a quarter of the
-    // micro-batch volume; the oracle applies the same predicate
-    val spans = Tables.events(spark, dir)
+    Tables.events(spark, dir)
       .filter(pmod(col("event_id"), lit(4)) === 0)
       .select(
-      col("user_id").cast("string").as("trace_id"),
-      col("event_id").cast("string").as("span_id"),
-      lit("").as("parent_span_id"),
-      col("event_type").as("name"),
-      col("event_type").as("scope_name"),
-      expr("ts div 1000").as("start_time_unix_nano"), // µs basis
-      floor(col("value")).cast("long").as("duration_ns"))
+        col("user_id").cast("string").as("trace_id"),
+        col("event_id").cast("string").as("span_id"),
+        lit("").as("parent_span_id"),
+        col("event_type").as("name"),
+        col("event_type").as("scope_name"),
+        expr("ts div 1000").as("start_time_unix_nano"), // µs basis
+        floor(col("value")).cast("long").as("duration_ns"))
       .as[TraceAssembler.SpanEvent].collect().toSeq
+  }
+
+  /** Drive a stateful operator over `spans` through a MemoryStream with
+    * two sentinel batches pushing the watermark past every gap deadline
+    * (timeouts fire one batch AFTER the watermark passes them), then
+    * return the memory-sink table with sentinel traces dropped. The
+    * state store is sized to the stream for the run: its partition
+    * count is fixed at query start from shuffle.partitions, and 32
+    * partitions × 3 micro-batches of per-partition state files is pure
+    * overhead at this volume (a real deployment sizes it to
+    * keys/throughput). */
+  private def runWithSentinels(spark: SparkSession, name: String,
+      outputMode: String, spans: Seq[TraceAssembler.SpanEvent])(
+      op: org.apache.spark.sql.Dataset[TraceAssembler.SpanEvent] =>
+        DataFrame): DataFrame = {
+    import spark.implicits._
     val maxUs = spans.map(_.start_time_unix_nano).max
     def sentinel(id: String, offsetUs: Long) = TraceAssembler.SpanEvent(
       id, "sx", "", "wm", "wm", maxUs + offsetUs, 1L)
     val ms = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[TraceAssembler.SpanEvent](spark)
-    val out = TraceAssembler.assembleTraces(ms.toDS(), gapMs = 60000)
-    val name = s"st3_assembled_${System.nanoTime()}"
-    // state-store partition count is fixed at query start from
-    // shuffle.partitions: 32 × 3 micro-batches of per-partition state
-    // files is pure overhead for a stream this small — size to the
-    // stream (a real deployment sizes it to keys/throughput)
+    val out = op(ms.toDS())
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try {
-      val q = out.writeStream.outputMode("append").format("memory")
+      val q = out.writeStream.outputMode(outputMode).format("memory")
         .queryName(name).start()
       try {
         ms.addData(spans)
         q.processAllAvailable()
         ms.addData(sentinel("WM1", 100000000000L))
         q.processAllAvailable()
-        ms.addData(sentinel("WM2", 200000000000L))
+        ms.addData(sentinel("WM2", 200000000000L)) // fires the timeouts
         q.processAllAvailable()
       } finally q.stop()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-    spark.table(name)
-      .filter(!col("trace_id").startsWith("WM"))
+    spark.table(name).filter(!col("trace_id").startsWith("WM"))
+  }
+
+  /** ST3: the custom-state trace assembler (flatMapGroupsWithState +
+    * event-time timeouts) as an ORACLE-CHECKED entry. On finite input
+    * the result equals a per-trace batch rollup, which DuckDB recomputes
+    * independently: the stateful streaming path itself is
+    * driver-verified, like st1/st2. */
+  def streamingTraceAssembly(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    runWithSentinels(spark, s"st3_assembled_${System.nanoTime()}",
+      "append", sampledSpanEvents(spark, dir))(
+      ds => TraceAssembler.assembleTraces(ds, gapMs = 60000).toDF())
       .select(col("trace_id"), col("n_spans"), col("root_name"),
         array_join(col("services"), ",").as("services_csv"),
         col("start_ns").as("start_us"),
@@ -233,45 +248,11 @@ object StreamingOps extends QueryModule {
     * emission on timeout) has the max n_spans, so a max_by collapse
     * yields a deterministic frame DuckDB recomputes as a plain rollup. */
   def streamingTraceStatus(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     implicit val s: SparkSession = spark
-    // same deterministic 1-in-4 sample as ST3 (oracle mirrors it)
-    val spans = Tables.events(spark, dir)
-      .filter(pmod(col("event_id"), lit(4)) === 0)
-      .select(
-      col("user_id").cast("string").as("trace_id"),
-      col("event_id").cast("string").as("span_id"),
-      lit("").as("parent_span_id"),
-      col("event_type").as("name"),
-      col("event_type").as("scope_name"),
-      expr("ts div 1000").as("start_time_unix_nano"), // µs basis
-      floor(col("value")).cast("long").as("duration_ns"))
-      .as[TraceAssembler.SpanEvent].collect().toSeq
-    val maxUs = spans.map(_.start_time_unix_nano).max
-    def sentinel(id: String, offsetUs: Long) = TraceAssembler.SpanEvent(
-      id, "sx", "", "wm", "wm", maxUs + offsetUs, 1L)
-    val ms = org.apache.spark.sql.execution.streaming.runtime
-      .MemoryStream[TraceAssembler.SpanEvent](spark)
-    val out = TraceAssembler.traceStatus(ms.toDS(),
-      watermarkDelay = "1 second")
-    val name = s"st4_status_${System.nanoTime()}"
-    // same small-stream state-store sizing as ST3
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try {
-      val q = out.writeStream.outputMode("update").format("memory")
-        .queryName(name).start()
-      try {
-        ms.addData(spans)
-        q.processAllAvailable()
-        ms.addData(sentinel("WM1", 100000000000L))
-        q.processAllAvailable()
-        ms.addData(sentinel("WM2", 200000000000L)) // fires the timeouts
-        q.processAllAvailable()
-      } finally q.stop()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-    spark.table(name)
-      .filter(!col("trace_id").startsWith("WM"))
+    runWithSentinels(spark, s"st4_status_${System.nanoTime()}",
+      "update", sampledSpanEvents(spark, dir))(
+      ds => TraceAssembler.traceStatus(ds, watermarkDelay = "1 second")
+        .toDF())
       .groupBy(col("trace_id"))
       .agg(max(col("n_spans")).as("n_spans"),
         max_by(array_join(col("services"), ","), col("n_spans"))

@@ -65,6 +65,30 @@ class OtlpIngestSpec extends SparkSpec {
       .apply("service.name") === "legacy-span-svc")
   }
 
+  test("repeated keys within one attribute list: last wins, no crash") {
+    import spark.implicits._
+    // legal on the wire; the Go reference's map assignment last-wins and
+    // the protobuf path's Map building does too — the JSON path must not
+    // die with DUPLICATE_MAP_KEY under the EXCEPTION dedup default
+    val dup =
+      """{"resourceSpans":[{"resource":{"attributes":[
+        |{"key":"env","value":{"stringValue":"old"}},
+        |{"key":"region","value":{"stringValue":"eu"}},
+        |{"key":"env","value":{"stringValue":"new"}}
+        |]},"scopeSpans":[{"scope":{"name":"s"},"spans":[
+        |{"traceId":"aa","spanId":"bb","name":"x",
+        | "startTimeUnixNano":"1","endTimeUnixNano":"2",
+        | "attributes":[{"key":"k","value":{"stringValue":"v1"}},
+        |               {"key":"k","value":{"stringValue":"v2"}}]}
+        |]}]}]}""".stripMargin.replace("\n", "")
+    val row = OtlpIngest.fromJson(spark.createDataset(Seq(dup)))
+      .collect().head
+    val res = row.getAs[Map[String, String]]("resource_attributes")
+    assert(res("env") === "new")
+    assert(res("region") === "eu")
+    assert(row.getAs[Map[String, String]]("span_attributes")("k") === "v2")
+  }
+
   test("scope_id/resource_id: deterministic content-derived UUID format") {
     val uuidRe = "^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$"
     val rows = flat.select("scope_name", "scope_id", "resource_id").collect()

@@ -67,5 +67,8 @@ class PlanSpec extends SparkSpec {
     val p = plan(q("v2d_embedding_neardup"))
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("ShuffledHashJoin"), p)
+    // build side must be the blocked side (N/B rows per task), never the
+    // replicated side whose every block holds the full table
+    assert(p.contains("BuildLeft"), p)
   }
 }
