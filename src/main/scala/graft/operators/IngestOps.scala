@@ -59,21 +59,27 @@ object IngestOps extends QueryModule {
 
   def jdbcSinkRoundTrip(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // ONE fixed embedded database per JVM (Derby keeps every booted db
-    // open until shutdown — a fresh dir per run would accumulate page
-    // cache and tmp disk without bound across bench/verify invocations);
-    // the table is dropped before each run instead
-    val db = s"${sys.props("java.io.tmpdir")}/graft_derby_sink"
+    // ONE embedded database PER PROCESS (Derby keeps every booted db
+    // open until shutdown, so a fresh dir per run would accumulate page
+    // cache and tmp disk without bound within a long-lived JVM — and a
+    // machine-global fixed path would make concurrent JVMs collide on
+    // Derby's single-booter lock). The table is dropped before each run
+    // within the process; only genuinely-absent-table errors are
+    // swallowed — anything else (lock timeout, boot failure) propagates
+    // rather than silently appending onto stale rows.
+    val db = s"${sys.props("java.io.tmpdir")}/graft_derby_sink_" +
+      ProcessHandle.current().pid()
     val url = s"jdbc:derby:$db;create=true"
     val props = new java.util.Properties()
     props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
-    try {
-      Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
-      val c = java.sql.DriverManager.getConnection(url)
-      try c.createStatement().executeUpdate("DROP TABLE denormalized_span")
-      catch { case _: java.sql.SQLException => () } // first run: absent
-      finally c.close()
-    } catch { case _: Throwable => () }
+    Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
+    val c = java.sql.DriverManager.getConnection(url)
+    try c.createStatement().executeUpdate("DROP TABLE denormalized_span")
+    catch {
+      case e: java.sql.SQLException
+          if e.getSQLState == "42Y55" || e.getSQLState == "42X05" =>
+        () // table/view does not exist — first run in this process
+    } finally c.close()
     val spans = OtlpIngest.fromJson(spark.createDataset(OtlpExamples.all))
     new JdbcSpanSink(url, "denormalized_span", props).writeBatch(spans, 0L)
     JdbcSpanSink.readBack(spark, url, "denormalized_span", props)

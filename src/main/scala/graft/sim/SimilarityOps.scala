@@ -219,6 +219,16 @@ object SimilarityOps extends QueryModule {
     cents.write.mode("overwrite").parquet(s"$indexPath/centroids")
   }
 
+  /** Point-lookup of one embedding from the SOURCE table as a driver
+    * array (pushed-down vec_id filter — the b6 shape) — the canonical
+    * way a stored-index query obtains its vector. */
+  def queryVector(spark: SparkSession, dir: String,
+      vecId: Long): Array[Double] =
+    Tables.embeddings(spark, dir)
+      .filter(col("vec_id") === vecId)
+      .select(asDouble(col("embedding")))
+      .head.getSeq[Double](0).toArray
+
   /** Top-k against the STORED index for an externally-supplied query
     * vector (the realistic API: the query arrives with the request, it
     * is not fished out of the index — a vec_id lookup would full-scan
@@ -275,12 +285,8 @@ object SimilarityOps extends QueryModule {
       (s, d) => {
         val idx = s"${sys.props("java.io.tmpdir")}/graft_ivf_index"
         writeIvfIndex(s, d, idx)
-        // the query vector arrives from OUTSIDE the index (here: a
-        // pushed-down point lookup on the source table, like b6)
-        val q = Tables.embeddings(s, d)
-          .filter(col("vec_id") === 0)
-          .select(transform(col("embedding"), x => x.cast("double")))
-          .head.getSeq[Double](0).toArray
-        ivfTopKStored(s, idx, q, excludeVecId = 0L)
+        // the query vector arrives from OUTSIDE the index (a pushed-down
+        // point lookup on the source table, like b6)
+        ivfTopKStored(s, idx, queryVector(s, d, 0L), excludeVecId = 0L)
       }, None))
 }

@@ -138,28 +138,24 @@ object OtlpIngest {
         valueToString(kv.getField("value")).as("value"))))
   }
 
-  /** Keep only the LAST entry per key (Go-map overwrite semantics for
-    * repeated keys WITHIN one attribute list — legal on the wire, and
-    * what the protobuf path's Map building already does silently).
-    * Without this, map_from_entries throws DUPLICATE_MAP_KEY under
-    * Spark's default EXCEPTION dedup policy and kills the whole ingest.
-    * O(n²) per list via exists-over-tail, but attribute lists are tiny. */
-  private def lastWinsPerKey(entries: Column): Column = {
-    val n = size(entries)
-    val indexed = transform(entries, (e, i) => struct(
-      e.getField("key").as("key"), e.getField("value").as("value"),
-      i.as("i")))
-    val kept = filter(indexed, e =>
-      !exists(slice(indexed, e.getField("i") + 2, n), later =>
-        later.getField("key") === e.getField("key")))
-    transform(kept, e => struct(e.getField("key").as("key"),
-      e.getField("value").as("value")))
-  }
+  /** Entry array → map with LAST-entry-wins per key (Go-map overwrite
+    * semantics for repeated keys WITHIN one attribute list — legal on
+    * the wire, and what the protobuf path's Map building already does
+    * silently). map_from_entries would throw DUPLICATE_MAP_KEY under
+    * Spark's default EXCEPTION dedup policy and kill the whole ingest;
+    * the aggregate fold evaluates the (stringified) entries array ONCE
+    * and rebuilds only the small accumulator map per element. */
+  private def lastWinsMap(entries: Column): Column =
+    aggregate(entries,
+      map().cast(MapType(StringType, StringType)),
+      (acc, e) => map_concat(
+        map_filter(acc, (k, _) => k =!= e.getField("key")),
+        map(e.getField("key"), e.getField("value"))))
 
   /** Array<KeyValue> → MAP<STRING,STRING>; null array → empty map;
     * repeated keys last-wins. */
   def attrsToMap(attrs: Column): Column =
-    map_from_entries(lastWinsPerKey(attrEntries(attrs)))
+    lastWinsMap(attrEntries(attrs))
 
   /** Legacy-request merge of span attrs INTO resource attrs with the
     * reference's Go-map overwrite semantics (controller.go:199-207): a
@@ -170,11 +166,11 @@ object OtlpIngest {
     * threw "duplicate map key" for exactly the keys the reference
     * deliberately duplicates, e.g. service.name). */
   def mergeAttrsLastWins(resAttrs: Column, spanAttrs: Column): Column = {
-    val span = lastWinsPerKey(attrEntries(spanAttrs))
-    val spanKeys = transform(span, e => e.getField("key"))
-    val res = filter(lastWinsPerKey(attrEntries(resAttrs)),
-      e => !array_contains(spanKeys, e.getField("key")))
-    map_from_entries(concat(res, span))
+    val span = attrsToMap(spanAttrs)
+    val res = attrsToMap(resAttrs)
+    map_concat(
+      map_filter(res, (k, _) => !array_contains(map_keys(span), k)),
+      span)
   }
 
   /** Hex OTLP/JSON ids → base64-of-bytes, matching the reference's stored

@@ -110,14 +110,10 @@ class DedupSpec extends SparkSpec {
   }
 
   test("V3b stored IVF index: partition-pruned probe equals in-memory") {
-    import org.apache.spark.sql.functions._
     val idx = java.nio.file.Files.createTempDirectory("ivf-index").toString
     SimilarityOps.writeIvfIndex(spark, sf, idx)
-    val q = Tables.embeddings(spark, sf).filter(col("vec_id") === 0)
-      .select(transform(col("embedding"), x => x.cast("double")))
-      .head.getSeq[Double](0).toArray
-    val stored = SimilarityOps.ivfTopKStored(spark, idx, q,
-      excludeVecId = 0L)
+    val stored = SimilarityOps.ivfTopKStored(spark, idx,
+      SimilarityOps.queryVector(spark, sf, 0L), excludeVecId = 0L)
     // the probed scan must read only nprobe partitions — partition
     // pruning is the entire economics of a stored IVF index
     val plan = stored.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
