@@ -82,11 +82,27 @@ object IngestOps extends QueryModule {
     } finally c.close()
     val spans = OtlpIngest.fromJson(spark.createDataset(OtlpExamples.all))
     new JdbcSpanSink(url, "denormalized_span", props).writeBatch(spans, 0L)
-    JdbcSpanSink.readBack(spark, url, "denormalized_span", props)
+    val back = JdbcSpanSink.readBack(spark, url, "denormalized_span", props)
       .select(col("trace_id"), col("span_id"), col("name"),
         col("scope_name"), col("duration_ns"),
         col("resource_attributes"), col("events"))
       .orderBy(col("trace_id"), col("span_id"))
+    // materialize the (tiny) round-trip eagerly so the database can be
+    // shut down and its directory removed — no page cache or tmp disk
+    // outlives the run
+    val rows = back.collect().toSeq
+    try java.sql.DriverManager.getConnection(s"jdbc:derby:$db;shutdown=true")
+    catch {
+      case e: java.sql.SQLException if e.getSQLState == "08006" =>
+        () // 08006 = single-database shutdown succeeded (always thrown)
+    }
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(db))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), back.schema)
   }
 
   val queries: Seq[GraftQuery] = Seq(
