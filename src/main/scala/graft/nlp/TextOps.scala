@@ -21,20 +21,21 @@ object TextOps extends QueryModule {
 
   private def words: Column = split(lower(col("text")), " ")
 
-  private def markerCount(lang: String): Column =
-    size(filter(words, w => w.isInCollection(markers(lang))))
-
   /** V4a: language identification — argmax of per-language marker-word
     * counts, 'und' when nothing matches. Deterministic tie-break order
-    * en > de > es > fr. */
+    * en > de > es > fr. All four dictionaries are counted in ONE fused
+    * pass ([[graft.functions.MarkerCounts]], word→bitmask lookup inside
+    * codegen) instead of four interpreter-evaluated filter lambdas. */
   def langId(spark: SparkSession, dir: String): DataFrame = {
-    // split once; each marker count filters the shared array
-    def score(lang: String) =
-      size(filter(col("w"), w => w.isInCollection(markers(lang))))
+    val langs = Seq("en", "de", "es", "fr")
     Tables.documents(spark, dir)
       .withColumn("w", words)
-      .withColumn("s_en", score("en")).withColumn("s_de", score("de"))
-      .withColumn("s_es", score("es")).withColumn("s_fr", score("fr"))
+      .withColumn("mc", graft.functions.MarkerFunctions.marker_counts(
+        col("w"), langs.map(markers)))
+      .withColumn("s_en", col("mc").getItem(0))
+      .withColumn("s_de", col("mc").getItem(1))
+      .withColumn("s_es", col("mc").getItem(2))
+      .withColumn("s_fr", col("mc").getItem(3))
       .withColumn("detected",
         when(col("s_en") + col("s_de") + col("s_es") + col("s_fr") === 0, "und")
           .when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") &&
@@ -59,8 +60,8 @@ object TextOps extends QueryModule {
       .withColumn("w", words)
       .withColumn("n_words", size(col("w")))
       .withColumn("n_distinct", size(array_distinct(col("w"))))
-      .withColumn("sm",
-        size(filter(col("w"), x => x.isInCollection(markers("en")))))
+      .withColumn("sm", graft.functions.MarkerFunctions.marker_counts(
+        col("w"), Seq(markers("en"))).getItem(0))
       .select(col("doc_id"), col("n_words"), col("n_distinct"),
         Exact.ratio6(col("sm"), col("n_words")).as("stop_ratio"),
         Exact.ratio6(col("n_distinct"), col("n_words")).as("ttr"),

@@ -81,6 +81,27 @@ class FunctionsSpec extends SparkSpec {
     assert(got(2) === -1L)
   }
 
+  test("marker_counts equals the composed size(filter(isInCollection)) form") {
+    import graft.functions.MarkerFunctions.marker_counts
+    val dicts = Seq(Seq("the", "a", "of"), Seq("der", "die"),
+      Seq("the", "der")) // overlapping dicts exercise the bitmask
+    val df = Seq(
+      "the cat of the hat",      // duplicates counted
+      "der die das",
+      "",                        // empty-ish (one empty token)
+      "no markers here at all",
+      "the der the der").toDF("text")
+      .select(split(col("text"), " ").as("w"))
+    val fused = df.select(marker_counts(col("w"), dicts).as("mc")).collect()
+      .map(_.getSeq[Int](0))
+    val hof = df.select(dicts.zipWithIndex.map { case (d, i) =>
+      size(filter(col("w"), x => x.isInCollection(d))).as(s"c$i")
+    }: _*).collect().map(r => dicts.indices.map(r.getInt))
+    (fused zip hof).foreach { case (f, h) => assert(f === h) }
+    assert(fused(0) === Seq(3, 0, 2)) // 'the' twice + 'of'; 'the' in dict3
+    assert(fused(4) === Seq(2, 2, 4))
+  }
+
   test("dot_product rejects non-double arrays at analysis time") {
     val df = Seq((Seq(1, 2), Seq(3, 4))).toDF("a", "b")
     intercept[Exception] {
