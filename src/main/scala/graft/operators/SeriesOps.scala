@@ -115,7 +115,40 @@ object SeriesOps extends QueryModule {
       .orderBy(col("day_s"))
   }
 
+  /** T20: distinct users per bucket, zero-filled — distinct aggregation
+    * inside a time series (unique-visitors shape). Exact countDistinct
+    * is the oracle surface; [[uniqueUsersSeriesApprox]] is the mergeable
+    * HLL++ form you'd run at 100 TB / in streaming. */
+  def uniqueUsersSeries(spark: SparkSession, dir: String): DataFrame = {
+    val agg = bucketed(spark, dir).groupBy(col("bucket_s"))
+      .agg(countDistinct(col("user_id")).as("u"))
+    zeroFill(spark, agg, Seq("u" -> lit(0L)))
+  }
+
+  /** T20b: same series via approx_count_distinct (HLL++, mergeable,
+    * bounded state per bucket). Rows-only: sketch estimates are
+    * engine-specific; tolerance vs exact pinned in ScaleSpec. */
+  def uniqueUsersSeriesApprox(spark: SparkSession, dir: String): DataFrame = {
+    val agg = bucketed(spark, dir).groupBy(col("bucket_s"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("u"))
+    zeroFill(spark, agg, Seq("u" -> lit(0L)))
+  }
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("t20_unique_users_series",
+      "T20 zero-filled distinct-users-per-bucket series (exact oracle " +
+        "surface; HLL++ twin t20b is the scale form)",
+      uniqueUsersSeries,
+      Some(s"""WITH f AS ($frameSql),
+              | c AS (SELECT $bucketSql AS b,
+              |        count(DISTINCT user_id) AS u FROM events
+              |       WHERE $rangeSql GROUP BY 1)
+              |SELECT f.bucket_s, CAST(coalesce(c.u,0) AS BIGINT) AS u
+              |FROM f LEFT JOIN c ON f.bucket_s=c.b ORDER BY 1""".stripMargin)),
+    GraftQuery("t20b_unique_users_series_hll",
+      "T20 distinct-users series via HLL++ (mergeable, bounded state; " +
+        "rows-only — tolerance pinned in ScaleSpec)",
+      uniqueUsersSeriesApprox, None),
     GraftQuery("t19_moving_average",
       "T19 trailing 7-day moving sum/avg via window frames (rowsBetween)",
       movingAverage,

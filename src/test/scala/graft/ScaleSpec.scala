@@ -58,6 +58,20 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("T20b HLL distinct-users series within 5% of exact per bucket") {
+    val exact = graft.operators.SeriesOps.uniqueUsersSeries(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val approx = graft.operators.SeriesOps
+      .uniqueUsersSeriesApprox(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (b, u) =>
+      val a = approx(b)
+      assert(math.abs(a - u) <= math.max(1L, (u * 0.05).toLong),
+        s"bucket $b: exact $u approx $a")
+    }
+  }
+
   test("salted join equals plain join") {
     import spark.implicits._
     val probe = Seq((1, "a"), (1, "b"), (2, "c"), (3, "d"))
