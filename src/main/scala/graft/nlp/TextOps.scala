@@ -22,8 +22,10 @@ object TextOps extends QueryModule {
   private def words: Column = split(lower(col("text")), " ")
 
   /** V4a: language identification — argmax of per-language marker-word
-    * counts, 'und' when nothing matches. Deterministic tie-break order
-    * en > de > es > fr. All four dictionaries are counted in ONE fused
+    * counts, 'und' when nothing matches or the text is NULL (explicit on
+    * both engines — marker scores are NULL for NULL text, which would
+    * otherwise fall through every comparison to the final branch).
+    * Deterministic tie-break order en > de > es > fr. All four dictionaries are counted in ONE fused
     * pass ([[graft.functions.MarkerCounts]], word→bitmask lookup inside
     * codegen) instead of four interpreter-evaluated filter lambdas. */
   def langId(spark: SparkSession, dir: String): DataFrame = {
@@ -37,7 +39,8 @@ object TextOps extends QueryModule {
       .withColumn("s_es", col("mc").getItem(2))
       .withColumn("s_fr", col("mc").getItem(3))
       .withColumn("detected",
-        when(col("s_en") + col("s_de") + col("s_es") + col("s_fr") === 0, "und")
+        when(col("text").isNull, "und")
+          .when(col("s_en") + col("s_de") + col("s_es") + col("s_fr") === 0, "und")
           .when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") &&
             col("s_en") >= col("s_fr"), "en")
           .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr"), "de")
@@ -128,6 +131,7 @@ object TextOps extends QueryModule {
               |  ${markerSql("es")} AS s_es, ${markerSql("fr")} AS s_fr
               | FROM documents)
               |SELECT CASE
+              |  WHEN s_en IS NULL THEN 'und'
               |  WHEN s_en+s_de+s_es+s_fr = 0 THEN 'und'
               |  WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
               |  WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'

@@ -64,7 +64,13 @@ class ScaleSpec extends SparkSpec {
     val approx = graft.operators.SeriesOps
       .uniqueUsersSeriesApprox(spark, sf0001)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(approx.keySet === exact.keySet)
+    // Pin the bucket grid independently of the shared zeroFill frame:
+    // the reference's range/15 stepping over [Start, End].
+    val start = 1704067200L; val end = 1706659200L
+    val step = (end - start) / 15
+    val grid = ((start - start % step) to end by step).toSet
+    assert(approx.keySet === grid)
+    assert(exact.keySet === grid)
     exact.foreach { case (b, u) =>
       val a = approx(b)
       assert(math.abs(a - u) <= math.max(1L, (u * 0.05).toLong),
