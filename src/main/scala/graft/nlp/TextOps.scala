@@ -61,8 +61,9 @@ object TextOps extends QueryModule {
   def qualityScore(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .withColumn("w", words)
-      .withColumn("n_words", size(col("w")))
-      .withColumn("n_distinct", size(array_distinct(col("w"))))
+      .withColumn("n_words", when(col("text").isNotNull, size(col("w"))))
+      .withColumn("n_distinct",
+        when(col("text").isNotNull, size(array_distinct(col("w")))))
       .withColumn("sm", graft.functions.MarkerFunctions.marker_counts(
         col("w"), Seq(markers("en"))).getItem(0))
       .select(col("doc_id"), col("n_words"), col("n_distinct"),
@@ -79,7 +80,7 @@ object TextOps extends QueryModule {
   def tokenCount(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"),
-        size(words).as("ws_tokens"),
+        when(col("text").isNotNull, size(words)).as("ws_tokens"),
         regexp_count(col("text"), lit("[a-z0-9]{1,4}")).as("subword_tokens"),
         length(col("text")).as("n_chars"))
       .orderBy(col("doc_id"))
@@ -90,8 +91,11 @@ object TextOps extends QueryModule {
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"),
-        md5(concat_ws(" ", array_sort(array_distinct(words)))
-          .cast("binary")).as("fingerprint"))
+        // concat_ws treats a NULL array as empty ⇒ md5('') for NULL text,
+        // where the oracle's array_to_string(NULL) yields NULL — guard.
+        when(col("text").isNotNull,
+          md5(concat_ws(" ", array_sort(array_distinct(words)))
+            .cast("binary"))).as("fingerprint"))
       .orderBy(col("doc_id"))
 
   /** V4e: vocabulary build — global token counts, top-50. The classic

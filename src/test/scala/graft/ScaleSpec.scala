@@ -78,6 +78,32 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("V4 text ops: NULL text classifies 'und' with NULL metrics") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-nulldocs")
+      .toString
+    Seq(
+      (1L, Option("the cat and the hat"), "en", "s1", 19L),
+      (2L, Option.empty[String], "xx", "s1", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val lang = graft.nlp.TextOps.langId(spark, tmp).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(lang.get("und").contains(1L), s"null text must be 'und': $lang")
+    assert(!lang.contains("fr")) // NULL no longer falls through the CASE
+    val q = graft.nlp.TextOps.qualityScore(spark, tmp)
+      .filter(col("doc_id") === 2L).collect()(0)
+    Seq("n_words", "n_distinct", "stop_ratio", "ttr", "score")
+      .foreach(c => assert(q.isNullAt(q.fieldIndex(c)), s"$c not NULL"))
+    val t = graft.nlp.TextOps.tokenCount(spark, tmp)
+      .filter(col("doc_id") === 2L).collect()(0)
+    Seq("ws_tokens", "subword_tokens", "n_chars")
+      .foreach(c => assert(t.isNullAt(t.fieldIndex(c)), s"$c not NULL"))
+    val f = graft.nlp.TextOps.fingerprint(spark, tmp)
+      .filter(col("doc_id") === 2L).collect()(0)
+    assert(f.isNullAt(f.fieldIndex("fingerprint")))
+  }
+
   test("salted join equals plain join") {
     import spark.implicits._
     val probe = Seq((1, "a"), (1, "b"), (2, "c"), (3, "d"))
