@@ -43,10 +43,14 @@ object MultimodalOps extends QueryModule {
   }
 
   /** documents.text re-cast as a binary media column (the testdata has no
-    * real media; utf-8 bytes stand in for an encoded image). */
+    * real media; utf-8 bytes stand in for an encoded image). A NULL text
+    * row has no payload and therefore no media rows — filtered here so
+    * every decoder sees a non-null byte array (each oracle mirrors with
+    * `WHERE text IS NOT NULL`). */
   def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
     Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
       .select(col("doc_id"), col("text").cast("binary").as("payload"),
         lit("application/octet-stream").as("mime"), col("source"))
       .as[MediaRow]
@@ -107,7 +111,9 @@ object MultimodalOps extends QueryModule {
       val md = java.security.MessageDigest.getInstance("MD5")
       rows.flatMap { r =>
         val n = r.payload.length
-        val nFrames = n / frameBytes + 1
+        // ceil(n / frameBytes): the last (possibly short) frame counts,
+        // an exact multiple does NOT get a phantom empty frame.
+        val nFrames = (n + frameBytes - 1) / frameBytes
         (0 until nFrames by stride).iterator.map { idx =>
           val start = idx * frameBytes
           val end = math.min(start + frameBytes, n)
@@ -128,13 +134,14 @@ object MultimodalOps extends QueryModule {
              | md5(text) AS content_hash,
              | CAST(octet_length(CAST(text AS BLOB)) % 640 AS INT) AS width,
              | CAST((octet_length(CAST(text AS BLOB)) * 7) % 480 AS INT) AS height
-             |FROM documents ORDER BY doc_id""".stripMargin)),
+             |FROM documents WHERE text IS NOT NULL
+             |ORDER BY doc_id""".stripMargin)),
     GraftQuery("v7b_media_resize",
       "V7 resize step: fit stub-decoded dims into 128x96, integer floor " +
         "aspect math (batch shape + init site real, resample stubbed)",
       resizeMedia,
       Some("""WITH m AS (SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n
-             |  FROM documents),
+             |  FROM documents WHERE text IS NOT NULL),
              | d AS (SELECT doc_id, greatest(n % 640, 1) AS w,
              |   greatest((n*7) % 480, 1) AS h FROM m)
              |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
@@ -149,9 +156,10 @@ object MultimodalOps extends QueryModule {
         "shape; ASCII payloads make byte slices == varchar substrings " +
         "for the oracle)",
       (s, d) => sampleFrames(s, d),
-      Some("""WITH m AS (SELECT doc_id, text, length(text) AS n FROM documents),
+      Some("""WITH m AS (SELECT doc_id, text, length(text) AS n
+             |  FROM documents WHERE text IS NOT NULL),
              | f AS (SELECT doc_id, text,
-             |   unnest(generate_series(0, n//100, 2)) AS idx FROM m)
+             |   unnest(generate_series(0, (n+99)//100 - 1, 2)) AS idx FROM m)
              |SELECT doc_id, CAST(idx AS INT) AS frame_idx,
              | CAST(idx*40 AS INT) AS ts_ms,
              | md5(substring(text, idx*100 + 1, 100)) AS frame_hash

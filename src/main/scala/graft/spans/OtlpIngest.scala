@@ -206,14 +206,25 @@ object OtlpIngest {
 
   /** Populate scope_id/resource_id from scope name and resource identity
     * (schema url + canonical attrs). Works on any frame with those
-    * columns — both the JSON and protobuf ingest paths route through it. */
-  def withDerivedIds(spans: DataFrame): DataFrame =
+    * columns — both the JSON and protobuf ingest paths route through it.
+    * If a `res_identity` column is present (the JSON path's PRE-merge
+    * resource attrs) the resource hash uses it instead of
+    * `resource_attributes`: legacy requests fold each span's own attrs
+    * into `resource_attributes`, and hashing the merged map would give
+    * spans of one resource different resource_ids. The column is dropped
+    * after use. */
+  def withDerivedIds(spans: DataFrame): DataFrame = {
+    val identity =
+      if (spans.columns.contains("res_identity")) col("res_identity")
+      else col("resource_attributes")
     spans
       .withColumn("scope_id",
         contentUuid(lit("scope"), coalesce(col("scope_name"), lit(""))))
       .withColumn("resource_id", contentUuid(lit("resource"),
         coalesce(col("resource_schema_url"), lit("")),
-        canonicalAttrs(col("resource_attributes"))))
+        canonicalAttrs(identity)))
+      .drop("res_identity")
+  }
 
   // ---- A2+A3: parse + flatten ----
 
@@ -259,6 +270,8 @@ object OtlpIngest {
           mergeAttrsLastWins(col("res_attrs"), col("sp.attributes")))
           .otherwise(attrsToMap(col("res_attrs"))).as("resource_attributes"),
         attrsToMap(col("sp.attributes")).as("span_attributes"),
+        // pre-merge resource identity for resource_id derivation
+        attrsToMap(col("res_attrs")).as("res_identity"),
         coalesce(transform(col("sp.events"), e => struct(
           e.getField("timeUnixNano").cast(LongType).as("time_unix_nano"),
           e.getField("name").as("name"),

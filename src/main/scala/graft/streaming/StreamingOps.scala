@@ -202,7 +202,11 @@ object StreamingOps extends QueryModule {
       op: org.apache.spark.sql.Dataset[TraceAssembler.SpanEvent] =>
         DataFrame): DataFrame = {
     import spark.implicits._
-    val maxUs = spans.map(_.start_time_unix_nano).max
+    // Empty input still needs the sentinel batches to run (and then be
+    // filtered) so the caller gets an empty frame with the right schema
+    // instead of an empty.max crash.
+    val maxUs =
+      if (spans.isEmpty) 0L else spans.map(_.start_time_unix_nano).max
     def sentinel(id: String, offsetUs: Long) = TraceAssembler.SpanEvent(
       id, "sx", "", "wm", "wm", maxUs + offsetUs, 1L)
     val ms = org.apache.spark.sql.execution.streaming.runtime

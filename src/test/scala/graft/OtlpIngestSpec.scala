@@ -113,6 +113,35 @@ class OtlpIngestSpec extends SparkSpec {
     }
   }
 
+  test("legacy multi-span resource: one resource_id despite per-span attr merge") {
+    import spark.implicits._
+    // two spans of ONE resource with different span attrs: the legacy
+    // merge folds each span's attrs into resource_attributes, but the
+    // resource identity hash must use the pre-merge attrs
+    val req =
+      """{"resourceSpans":[{"resource":{"attributes":[
+        |{"key":"service.name","value":{"Value":{"StringValue":"legacy-svc"}}}
+        |]},
+        |"instrumentationLibrarySpans":[{"instrumentationLibrary":{"name":"ll"},
+        |"spans":[
+        |{"traceId":"aa","spanId":"01","name":"a",
+        | "startTimeUnixNano":"1","endTimeUnixNano":"2",
+        | "attributes":[{"key":"http.status_code","value":{"Value":{"IntValue":"200"}}}]},
+        |{"traceId":"aa","spanId":"02","name":"b",
+        | "startTimeUnixNano":"1","endTimeUnixNano":"2",
+        | "attributes":[{"key":"http.status_code","value":{"Value":{"IntValue":"500"}}}]}
+        |]}]}]}""".stripMargin.replace("\n", "")
+    val rows = OtlpIngest.fromJson(spark.createDataset(Seq(req)))
+      .select("span_id", "resource_id", "resource_attributes").collect()
+    assert(rows.length === 2)
+    assert(rows.map(_.getString(1)).distinct.length === 1,
+      "spans of one resource must share a resource_id")
+    // while the merged resource_attributes still differ per span (legacy
+    // last-wins semantics are unchanged)
+    val merged = rows.map(_.getAs[Map[String, String]](2))
+    assert(merged(0)("http.status_code") !== merged(1)("http.status_code"))
+  }
+
   test("minimal span: absent optional fields default sanely") {
     import spark.implicits._
     val minimal =

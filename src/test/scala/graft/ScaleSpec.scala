@@ -104,6 +104,27 @@ class ScaleSpec extends SparkSpec {
     assert(f.isNullAt(f.fieldIndex("fingerprint")))
   }
 
+  test("V7 media ops: NULL payloads skipped; frame count is ceil(n/frameBytes)") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mmdocs")
+      .toString
+    Seq(
+      (1L, Option("x" * 200), "en", "s1", 200L), // exact multiple: 2 frames
+      (2L, Option("y" * 250), "en", "s1", 250L), // short tail: 3 frames
+      (3L, Option.empty[String], "xx", "s1", 0L)) // no payload: no rows
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val feats = graft.mm.MultimodalOps.extractFeatures(spark, tmp)
+    assert(feats.select("doc_id").collect().map(_.getLong(0)).toSet
+      === Set(1L, 2L))
+    val frames = graft.mm.MultimodalOps.sampleFrames(spark, tmp)
+      .select("doc_id", "frame_idx").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getInt(1)).toSet).toMap
+    assert(frames(1L) === Set(0)) // frames 0..1, stride 2 -> idx 0 only
+    assert(frames(2L) === Set(0, 2)) // frames 0..2 -> idx 0 and 2
+    assert(!frames.contains(3L))
+  }
+
   test("salted join equals plain join") {
     import spark.implicits._
     val probe = Seq((1, "a"), (1, "b"), (2, "c"), (3, "d"))
