@@ -1,0 +1,69 @@
+package graft
+
+import graft.functions.ZOrder
+import graft.operators.LayoutOps
+import org.apache.spark.sql.functions._
+
+/** Z-order layout: Morton-key correctness and the actual pruning payoff
+  * — per-file min-max envelopes under the clustered layout admit a 2-D
+  * box query into few files, where a random layout's envelopes admit it
+  * into every file. */
+class LayoutSpec extends SparkSpec {
+
+  test("Morton interleave: bit positions, bounds, monotone locality") {
+    assert(ZOrder.interleave(0, 0) === 0L)
+    assert(ZOrder.interleave(1, 0) === 2L) // a-bit i -> position 2i+1
+    assert(ZOrder.interleave(0, 1) === 1L) // b-bit i -> position 2i
+    assert(ZOrder.interleave(2, 3) === 13L) // 0b1101
+    assert(ZOrder.interleave(-1, -1) === -1L) // all 64 bits set
+    assert(ZOrder.spread(0xFFFFFFFF) === 0x5555555555555555L)
+    // quadrant property: top bits of both dims dominate the key, so all
+    // keys in the (low,low) quadrant sort before any in (high,high)
+    val lo = 0x3FFF; val hi = 0xC000
+    assert(ZOrder.interleave(lo, lo) < ZOrder.interleave(hi, hi))
+  }
+
+  test("z-ordered files prune a 2-D box; random layout cannot") {
+    val tsLo = 1705104000L; val tsHi = 1705363200L // 3 of 30 days
+    val uLo = 0L; val uHi = 4L // 5 of 15 users at sf0.001
+    val ev = Tables.events(spark, sf0001)
+      .select(col("event_id"), col("ts_s"), col("user_id"), col("value"))
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-layoutspec").toString
+    LayoutOps.zOrderWrite(ev, col("ts_s"), (1704067200L, 1706659200L),
+      col("user_id"), (0L, 14L), s"$out/z", 8)
+    ev.repartition(8).write.mode("overwrite").parquet(s"$out/r")
+
+    // files whose (min,max) envelope on BOTH dims intersects the box —
+    // what parquet stats-based skipping admits to the scan
+    def admitted(path: String): (Int, Int) = {
+      val stats = spark.read.parquet(path)
+        .withColumn("f", input_file_name())
+        .groupBy(col("f"))
+        .agg(min(col("ts_s")).as("tlo"), max(col("ts_s")).as("thi"),
+          min(col("user_id")).as("ulo"), max(col("user_id")).as("uhi"))
+        .collect()
+      val hit = stats.count(r =>
+        r.getAs[Long]("thi") >= tsLo && r.getAs[Long]("tlo") < tsHi &&
+          r.getAs[Long]("uhi") >= uLo && r.getAs[Long]("ulo") <= uHi)
+      (hit, stats.length)
+    }
+    val (zHit, zTotal) = admitted(s"$out/z")
+    val (rHit, rTotal) = admitted(s"$out/r")
+    assert(zTotal === 8 && rTotal === 8)
+    // random layout: every file's envelope spans the whole space
+    assert(rHit === rTotal, s"random layout admitted $rHit of $rTotal")
+    // z-order: the box lives in a fixed top-bit quadrant -> few files
+    assert(zHit <= zTotal / 2, s"z layout admitted $zHit of $zTotal")
+
+    // and the registered query's result is layout-invariant
+    val got = LayoutOps.zorderPrune(spark, sf0001).collect()(0)
+    val want = ev.filter(col("ts_s") >= tsLo && col("ts_s") < tsHi &&
+        col("user_id").between(uLo, uHi))
+      .agg(count(lit(1)), countDistinct(col("user_id")),
+        Exact.microSum(col("value"))).collect()(0)
+    assert(got.getLong(0) === want.getLong(0))
+    assert(got.getLong(1) === want.getLong(1))
+    assert(got.getLong(2) === want.getLong(2))
+  }
+}
