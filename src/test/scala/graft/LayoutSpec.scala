@@ -56,6 +56,18 @@ class LayoutSpec extends SparkSpec {
     // z-order: the box lives in a fixed top-bit quadrant -> few files
     assert(zHit <= zTotal / 2, s"z layout admitted $zHit of $zTotal")
 
+    // the box predicate must reach the parquet scan of the clustered
+    // copy (stats-based skipping acts on pushed filters)
+    val boxScan = spark.read.parquet(s"$out/z")
+      .filter(col("ts_s") >= tsLo && col("ts_s") < tsHi &&
+        col("user_id").between(uLo, uHi))
+    val p = boxScan.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.executedPlan.toString
+    // (the printed PushedFilters list is truncated, so pin the leading
+    // entries only — DataFilters above shows all four made it down)
+    assert(p.contains("PushedFilters") &&
+      p.contains("GreaterThanOrEqual(ts_s,"), p)
+
     // and the registered query's result is layout-invariant
     val got = LayoutOps.zorderPrune(spark, sf0001).collect()(0)
     val want = ev.filter(col("ts_s") >= tsLo && col("ts_s") < tsHi &&
