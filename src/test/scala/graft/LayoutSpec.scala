@@ -33,28 +33,44 @@ class LayoutSpec extends SparkSpec {
     LayoutOps.zOrderWrite(ev, col("ts_s"), (1704067200L, 1706659200L),
       col("user_id"), (0L, 14L), s"$out/z", 8)
     ev.repartition(8).write.mode("overwrite").parquet(s"$out/r")
+    // single-column contrast: perfectly sorted for ts, blind to user
+    ev.repartitionByRange(8, col("ts_s")).sortWithinPartitions(col("ts_s"))
+      .write.mode("overwrite").parquet(s"$out/t")
 
-    // files whose (min,max) envelope on BOTH dims intersects the box —
-    // what parquet stats-based skipping admits to the scan
-    def admitted(path: String): (Int, Int) = {
+    // files whose (min,max) envelope intersects a box on the given dims
+    // — what parquet stats-based skipping admits to the scan
+    def admitted(path: String, ts: Option[(Long, Long)],
+        u: Option[(Long, Long)]): (Int, Int) = {
       val stats = spark.read.parquet(path)
         .withColumn("f", input_file_name())
         .groupBy(col("f"))
         .agg(min(col("ts_s")).as("tlo"), max(col("ts_s")).as("thi"),
           min(col("user_id")).as("ulo"), max(col("user_id")).as("uhi"))
         .collect()
-      val hit = stats.count(r =>
-        r.getAs[Long]("thi") >= tsLo && r.getAs[Long]("tlo") < tsHi &&
-          r.getAs[Long]("uhi") >= uLo && r.getAs[Long]("ulo") <= uHi)
+      val hit = stats.count { r =>
+        ts.forall { case (lo, hi) =>
+          r.getAs[Long]("thi") >= lo && r.getAs[Long]("tlo") < hi } &&
+        u.forall { case (lo, hi) =>
+          r.getAs[Long]("uhi") >= lo && r.getAs[Long]("ulo") <= hi }
+      }
       (hit, stats.length)
     }
-    val (zHit, zTotal) = admitted(s"$out/z")
-    val (rHit, rTotal) = admitted(s"$out/r")
+    val box = (Some((tsLo, tsHi)), Some((uLo, uHi)))
+    val (zHit, zTotal) = admitted(s"$out/z", box._1, box._2)
+    val (rHit, rTotal) = admitted(s"$out/r", box._1, box._2)
     assert(zTotal === 8 && rTotal === 8)
     // random layout: every file's envelope spans the whole space
     assert(rHit === rTotal, s"random layout admitted $rHit of $rTotal")
     // z-order: the box lives in a fixed top-bit quadrant -> few files
     assert(zHit <= zTotal / 2, s"z layout admitted $zHit of $zTotal")
+
+    // the single-column sort is ideal for its own dimension but admits
+    // EVERY file for a user-only box; the z-layout still prunes — the
+    // whole reason to interleave rather than sort
+    val (tUser, _) = admitted(s"$out/t", None, Some((uLo, uHi)))
+    val (zUser, _) = admitted(s"$out/z", None, Some((uLo, uHi)))
+    assert(tUser === 8, s"ts-sorted layout admitted $tUser for user box")
+    assert(zUser < 8, s"z layout admitted $zUser of 8 for user box")
 
     // the box predicate must reach the parquet scan of the clustered
     // copy (stats-based skipping acts on pushed filters)
