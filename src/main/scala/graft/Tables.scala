@@ -13,6 +13,15 @@ import org.apache.spark.sql.functions._
   * time expression here works on `ts div 1000` (µs, floor division —
   * verified to match DuckDB's truncation).
   */
+/** The driver testdata's event-time window (TESTDATA.md §events): the
+  * epoch-second range every series endpoint buckets over and the layout
+  * operators quantize against. One definition — SeriesOps/LayoutOps
+  * derive from here (specs deliberately re-hardcode to stay independent). */
+object EventWindow {
+  val StartS = 1704067200L // 2024-01-01T00:00:00Z
+  val EndS = 1706659200L // 2024-01-31T00:00:00Z
+}
+
 object Tables {
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")

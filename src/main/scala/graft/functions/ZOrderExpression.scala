@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.graftshim.ColumnBridge
 import org.apache.spark.sql.types.{DataType, IntegerType, LongType}
 
-/** Morton (Z-order) bit interleave of two 32-bit dimensions into one
+/** Morton (Z-order) bit interleave of two dimension codes into one
   * 64-bit sort key — the data-layout primitive behind multi-dimensional
   * clustering (Delta/Iceberg `OPTIMIZE ZORDER` style). Sorting by the
   * interleaved key keeps rows close in BOTH dimensions physically close
@@ -15,6 +15,15 @@ import org.apache.spark.sql.types.{DataType, IntegerType, LongType}
   * into an effective 2-D index: a box predicate on either or both
   * dimensions prunes most files at scan time (see
   * [[graft.operators.LayoutOps]]).
+  *
+  * ORDERING CONTRACT: the key is a signed Long compared with ordinary
+  * Long ordering, so the first dimension's bit 31 would land in the
+  * sign bit and invert the order — dimension codes must be NON-NEGATIVE
+  * ints (bit 31 clear; a negative code, e.g. from an unclamped
+  * subtraction, silently destroys the clustering). The layout path
+  * feeds 16-bit quantized codes ([[graft.operators.LayoutOps.q16]]),
+  * which use only the low 32 bits of the key. The raw bit interleave
+  * itself ([[ZOrder.interleave]]) is total on all 32-bit inputs.
   *
   * Pure bit arithmetic (six shift/mask rounds per dimension), codegen'd;
   * NULL in either dimension → NULL key (sorts together, still written).

@@ -32,11 +32,11 @@ import org.apache.spark.sql.functions._
   */
 object LayoutOps extends QueryModule {
 
-  // The reference's fixed series window (api/service.go:899-959 spelling:
-  // epoch-second range used by every series endpoint) — reused as the
+  // The testdata event window ([[graft.EventWindow]], the same range the
+  // reference's series endpoints bucket over) — reused as the
   // time-dimension bounds and the query box anchor.
-  private val Start = 1704067200L
-  private val End = 1706659200L
+  private val Start = EventWindow.StartS
+  private val End = EventWindow.EndS
   private val Day = 86400L
   // 3-day x 5-user box for the registered pruning query
   private val TsLo = Start + 12 * Day
@@ -44,11 +44,16 @@ object LayoutOps extends QueryModule {
   private val UserLo = 0L
   private val UserHi = 4L
 
-  /** Quantize a long column to a 16-bit code over [lo, hi], clamped. */
+  /** Quantize a long column to a 16-bit code over [lo, hi], clamped;
+    * NULL stays NULL (so the Morton key is NULL and those rows sort
+    * together, matching [[graft.functions.ZValue]]'s NULL contract —
+    * Spark's greatest/least would otherwise silently absorb the NULL
+    * into code 0 and pollute the origin file's min-max envelope). */
   def q16(c: Column, lo: Long, hi: Long): Column = {
     val span = math.max(hi - lo, 1L)
-    least(greatest((c - lo) * 65535L / span, lit(0L)), lit(65535L))
-      .cast("int")
+    when(c.isNotNull,
+      least(greatest((c - lo) * 65535L / span, lit(0L)), lit(65535L))
+        .cast("int"))
   }
 
   /** Z-order `df` by two quantized long dimensions and write `nFiles`
@@ -66,20 +71,35 @@ object LayoutOps extends QueryModule {
     * from the clustered copy. The result is layout-invariant (the oracle
     * computes it from the original table); the pruning effect of the
     * layout is pinned in LayoutSpec via per-file min-max envelopes. */
-  def zorderPrune(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
-      .select(col("event_id"), col("ts_s"), col("user_id"), col("value"))
-    val ub = ev.agg(min(col("user_id")), max(col("user_id"))).head()
-    val out = java.nio.file.Files
-      .createTempDirectory("graft-zorder").toString
-    zOrderWrite(ev, col("ts_s"), (Start, End),
-      col("user_id"), (ub.getLong(0), ub.getLong(1)), s"$out/events_z", 16)
-    spark.read.parquet(s"$out/events_z")
-      .filter(col("ts_s") >= TsLo && col("ts_s") < TsHi &&
+  private def boxAgg(df: DataFrame): DataFrame =
+    df.filter(col("ts_s") >= TsLo && col("ts_s") < TsHi &&
         col("user_id").between(UserLo, UserHi))
       .agg(count(lit(1)).as("n"),
         countDistinct(col("user_id")).as("n_users"),
         Exact.microSum(col("value")).as("sum_value_micro"))
+
+  def zorderPrune(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("ts_s"), col("user_id"), col("value"))
+    val ub = ev.agg(min(col("user_id")), max(col("user_id"))).head()
+    // empty table / all-NULL ids: nothing to cluster — answer the box
+    // query directly (same layout-invariant result, no crash)
+    if (ub.isNullAt(0)) return boxAgg(ev)
+    val out = java.nio.file.Files.createTempDirectory("graft-zorder")
+    val path = s"$out/events_z"
+    // materialize the 1-row aggregate eagerly so the per-run clustered
+    // copy can be deleted before returning (same convention as the
+    // per-run Derby database in graft.sinks)
+    try {
+      zOrderWrite(ev, col("ts_s"), (Start, End),
+        col("user_id"), (ub.getLong(0), ub.getLong(1)), path, 16)
+      val agg = boxAgg(spark.read.parquet(path))
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(agg.collect().toSeq.asJava, agg.schema)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(out.toString)).deleteRecursively()
+    }
   }
 
   val queries: Seq[GraftQuery] = Seq(

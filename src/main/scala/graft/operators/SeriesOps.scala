@@ -20,8 +20,8 @@ import org.apache.spark.sql.functions._
   */
 object SeriesOps extends QueryModule {
   // Query window: the testdata month [2024-01-01, 2024-01-31] in epoch secs.
-  private val Start = 1704067200L
-  private val End = 1706659200L
+  private val Start = EventWindow.StartS
+  private val End = EventWindow.EndS
   private val Step = (End - Start) / 15 // 172800 s — reference's range/15
   private val Aligned = Start - Start % Step
 

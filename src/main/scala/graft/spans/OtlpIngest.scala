@@ -207,23 +207,20 @@ object OtlpIngest {
   /** Populate scope_id/resource_id from scope name and resource identity
     * (schema url + canonical attrs). Works on any frame with those
     * columns — both the JSON and protobuf ingest paths route through it.
-    * If a `res_identity` column is present (the JSON path's PRE-merge
-    * resource attrs) the resource hash uses it instead of
-    * `resource_attributes`: legacy requests fold each span's own attrs
-    * into `resource_attributes`, and hashing the merged map would give
-    * spans of one resource different resource_ids. The column is dropped
-    * after use. */
-  def withDerivedIds(spans: DataFrame): DataFrame = {
-    val identity =
-      if (spans.columns.contains("res_identity")) col("res_identity")
-      else col("resource_attributes")
+    * `resourceIdentity` overrides the attr map the resource hash reads:
+    * the JSON path passes its PRE-merge resource attrs, because legacy
+    * requests fold each span's own attrs into `resource_attributes` and
+    * hashing the merged map would give spans of one resource different
+    * resource_ids. */
+  def withDerivedIds(spans: DataFrame,
+      resourceIdentity: Option[Column] = None): DataFrame = {
+    val identity = resourceIdentity.getOrElse(col("resource_attributes"))
     spans
       .withColumn("scope_id",
         contentUuid(lit("scope"), coalesce(col("scope_name"), lit(""))))
       .withColumn("resource_id", contentUuid(lit("resource"),
         coalesce(col("resource_schema_url"), lit("")),
         canonicalAttrs(identity)))
-      .drop("res_identity")
   }
 
   // ---- A2+A3: parse + flatten ----
@@ -271,14 +268,14 @@ object OtlpIngest {
           .otherwise(attrsToMap(col("res_attrs"))).as("resource_attributes"),
         attrsToMap(col("sp.attributes")).as("span_attributes"),
         // pre-merge resource identity for resource_id derivation
-        attrsToMap(col("res_attrs")).as("res_identity"),
+        attrsToMap(col("res_attrs")).as("__res_identity"),
         coalesce(transform(col("sp.events"), e => struct(
           e.getField("timeUnixNano").cast(LongType).as("time_unix_nano"),
           e.getField("name").as("name"),
           attrsToMap(e.getField("attributes")).as("attributes"))),
           array().cast(ArrayType(SpanSchema.eventType))).as("events"))
       .withColumn("parent_span_id", coalesce(col("parent_span_id"), lit("")))
-      .transform(withDerivedIds)
+      .transform(withDerivedIds(_, Some(col("__res_identity"))))
       .select(SpanSchema.columns.map(col): _*)
   }
 

@@ -284,7 +284,7 @@ object OtlpProto {
     import spark.implicits._
     requests.mapPartitions(_.flatMap(decodeRequest))
       .toDF()
-      .transform(OtlpIngest.withDerivedIds) // same derivation as JSON path
+      .transform(OtlpIngest.withDerivedIds(_)) // same derivation as JSON path
       .select(SpanSchema.columns.map(col): _*)
   }
 }

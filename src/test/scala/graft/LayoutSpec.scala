@@ -15,6 +15,8 @@ class LayoutSpec extends SparkSpec {
     assert(ZOrder.interleave(1, 0) === 2L) // a-bit i -> position 2i+1
     assert(ZOrder.interleave(0, 1) === 1L) // b-bit i -> position 2i
     assert(ZOrder.interleave(2, 3) === 13L) // 0b1101
+    // raw interleave is total on 32-bit inputs; as a SORT KEY the first
+    // dim must be non-negative (bit 31 -> sign bit), which q16 guarantees
     assert(ZOrder.interleave(-1, -1) === -1L) // all 64 bits set
     assert(ZOrder.spread(0xFFFFFFFF) === 0x5555555555555555L)
     // quadrant property: top bits of both dims dominate the key, so all
