@@ -81,7 +81,12 @@ object IngestOps extends QueryModule {
         () // table/view does not exist — first run in this process
     } finally c.close()
     val spans = OtlpIngest.fromJson(spark.createDataset(OtlpExamples.all))
-    new JdbcSpanSink(url, "denormalized_span", props).writeBatch(spans, 0L)
+    // idempotent sink, with batch 0 REPLAYED (the at-least-once failure
+    // mode foreachBatch exposes) — contents must still be exactly-once
+    val sink = new graft.sinks.IdempotentJdbcSpanSink(
+      url, "denormalized_span", props)
+    sink.writeBatch(spans, 0L)
+    sink.writeBatch(spans, 0L) // simulated replay after a mid-write crash
     val back = JdbcSpanSink.readBack(spark, url, "denormalized_span", props)
       .select(col("trace_id"), col("span_id"), col("name"),
         col("scope_name"), col("duration_ns"),
@@ -113,7 +118,8 @@ object IngestOps extends QueryModule {
       otlpIngest, Some(otlpIngestSql)),
     GraftQuery("a4b_jdbc_sink",
       "A4 JDBC sink seam (ClickHouse batch-insert analog, " +
-        "utils/utils.go:160-244): spans through JdbcSpanSink into " +
-        "embedded Derby and back (rows-only; values in SinkSpec)",
+        "utils/utils.go:160-244): spans through the idempotent JDBC " +
+        "sink into embedded Derby — batch 0 deliberately replayed, " +
+        "contents stay exactly-once (rows-only; values in SinkSpec)",
       jdbcSinkRoundTrip, None))
 }

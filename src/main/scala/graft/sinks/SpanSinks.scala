@@ -52,6 +52,57 @@ final class JdbcSpanSink(url: String, table: String,
       .jdbc(url, table, properties)
 }
 
+/** Exactly-once-under-replay JDBC sink: every row is stamped with its
+  * micro-batch id, and a batch write first deletes any rows a previous
+  * attempt of the SAME batch landed. foreachBatch is at-least-once
+  * (offsets checkpoint only after the batch function returns), so a
+  * crash mid-write replays the whole batch — delete-then-insert makes
+  * each replay CONVERGE to exactly-once table contents without needing
+  * a cross-partition transaction. This is the portable-JDBC analog of
+  * ClickHouse-side dedup (ReplacingMergeTree keyed on a batch column);
+  * a warehouse with real multi-statement transactions can instead wrap
+  * [[JdbcSpanSink]] + a ledger insert in one commit. */
+final class IdempotentJdbcSpanSink(url: String, table: String,
+    properties: Properties = new Properties(),
+    batchSize: Int = 10000,
+    createTableColumnTypes: String = JdbcSpanSink.DefaultColumnTypes)
+    extends SpanSink {
+
+  override def writeBatch(batch: DataFrame, batchId: Long): Unit = {
+    deletePriorAttempt(batchId)
+    JdbcSpanSink.relationalProjection(batch)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("append")
+      .option("batchsize", batchSize.toString)
+      .option("createTableColumnTypes", createTableColumnTypes)
+      .jdbc(url, table, properties)
+  }
+
+  /** Remove rows a failed earlier attempt of this micro-batch wrote.
+    * A missing table (first batch against a fresh target) is fine;
+    * anything else propagates. */
+  private def deletePriorAttempt(batchId: Long): Unit = {
+    Option(properties.getProperty("driver")).foreach(Class.forName)
+    val conn = java.sql.DriverManager.getConnection(url, properties)
+    try {
+      val st = conn.createStatement()
+      // Spark's JDBC writer quotes column identifiers on CREATE, so the
+      // column is case-exact "batch_id" — quote it here too (ANSI)
+      try st.executeUpdate(
+        s"""DELETE FROM $table WHERE "batch_id" = $batchId""")
+      catch {
+        case e: java.sql.SQLException
+            if IdempotentJdbcSpanSink.MissingTableStates(e.getSQLState) =>
+          () // Derby 42X05 / Postgres 42P01 / generic 42S02
+      } finally st.close()
+    } finally conn.close()
+  }
+}
+
+object IdempotentJdbcSpanSink {
+  private val MissingTableStates = Set("42X05", "42P01", "42S02")
+}
+
 object JdbcSpanSink {
   /** Explicit SQL types for the string columns: without them Spark's
     * Derby dialect creates CLOBs, which cannot be compared/filtered

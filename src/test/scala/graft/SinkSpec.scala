@@ -70,6 +70,21 @@ class SinkSpec extends SparkSpec {
     assert(back.filter(length(col("scope_id")) === 36).count() === 3)
   }
 
+  test("idempotent JDBC sink: replayed micro-batch converges to exactly-once") {
+    import graft.sinks.IdempotentJdbcSpanSink
+    val (url, props) = derby()
+    val sink = new IdempotentJdbcSpanSink(url, "denormalized_span", props)
+    sink.writeBatch(fixtureSpans, 0L)
+    sink.writeBatch(fixtureSpans, 0L) // replay after a simulated failure
+    val back = JdbcSpanSink.readBack(spark, url, "denormalized_span", props)
+    assert(back.count() === 3, "replayed batch must not duplicate rows")
+    sink.writeBatch(fixtureSpans, 1L) // a NEW batch still appends
+    val after = JdbcSpanSink.readBack(spark, url, "denormalized_span", props)
+    assert(after.count() === 6)
+    assert(after.select("batch_id").distinct().collect()
+      .map(_.getLong(0)).sorted.toSeq === Seq(0L, 1L))
+  }
+
   test("parquet sink behind the same seam") {
     val store = Files.createTempDirectory("seam-store").toString
     new ParquetSpanSink(store).writeBatch(fixtureSpans, 0L)
