@@ -24,6 +24,29 @@ class AdvancedSpec extends SparkSpec {
     assert(r === 11.0)
   }
 
+  test("GraftExtensions exposes the full expression suite to SQL") {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val reg = classic.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("simhash64",
+      e => graft.functions.SimHash64(e(0)), "built-in")
+    reg.createOrReplaceTempFunction("shingle_hashes",
+      e => graft.functions.ShingleHashes(e(0)), "built-in")
+    reg.createOrReplaceTempFunction("z_value",
+      e => graft.functions.ZValue(e(0), e(1)), "built-in")
+    // each SQL spelling equals its Column-API twin
+    import org.apache.spark.sql.functions.lit
+    val sqlZ = spark.sql("SELECT z_value(2, 3) AS z").collect().head.getLong(0)
+    assert(sqlZ === graft.functions.ZOrder.interleave(2, 3))
+    val txt = "the quick brown fox jumps over the lazy dog again and again"
+    val viaSql = spark.sql(s"SELECT simhash64(shingle_hashes('$txt')) AS h")
+      .collect().head.getLong(0)
+    val viaCol = spark.range(1).select(
+      graft.functions.SimHashFunctions.simhash64(
+        graft.functions.ShingleFunctions.shingle_hashes(lit(txt))).as("h"))
+      .collect().head.getLong(0)
+    assert(viaSql === viaCol)
+  }
+
   test("bucketed span store: self-join rollup plans with zero shuffle") {
     val spans = SpanFixtures.spans(spark)
     SpanStore.writeBucketed(spans, "spans_bucketed", buckets = 4)
