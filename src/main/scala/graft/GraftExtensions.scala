@@ -15,24 +15,34 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * dictionary set is constructor config, not an expression child.)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-
-  private def fn(name: String, clazz: Class[_],
-      build: Seq[Expression] => Expression) =
-    (new FunctionIdentifier(name), new ExpressionInfo(clazz.getName, name),
-      build)
-
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(fn("dot_product", classOf[DotProduct],
-      c => DotProduct(c(0), c(1))))
-    ext.injectFunction(fn("simhash64", classOf[SimHash64],
-      c => SimHash64(c(0))))
-    ext.injectFunction(fn("shingle_hashes", classOf[ShingleHashes],
-      c => ShingleHashes(c(0))))
-    ext.injectFunction(fn("shingle_strings", classOf[ShingleStrings],
-      c => ShingleStrings(c(0))))
-    ext.injectFunction(fn("z_value", classOf[ZValue],
-      c => ZValue(c(0), c(1))))
+    GraftExtensions.functions.foreach(ext.injectFunction)
     // rewrite composed aggregate(zip_with(a,b,*),0,+) into the fused kernel
     ext.injectOptimizerRule(_ => graft.plans.FuseDotProduct)
   }
+}
+
+object GraftExtensions {
+  type FunctionDescription = (FunctionIdentifier, ExpressionInfo,
+    Seq[Expression] => Expression)
+
+  private def fn(name: String, clazz: Class[_], arity: Int,
+      build: Seq[Expression] => Expression): FunctionDescription =
+    (new FunctionIdentifier(name), new ExpressionInfo(clazz.getName, name),
+      (c: Seq[Expression]) => {
+        if (c.length != arity) throw new IllegalArgumentException(
+          s"$name expects $arity argument(s), got ${c.length}")
+        build(c)
+      })
+
+  /** The injected SQL function suite — public so tests (and alternative
+    * registration paths) drive the SAME builders `apply` injects. */
+  val functions: Seq[FunctionDescription] = Seq(
+    fn("dot_product", classOf[DotProduct], 2, c => DotProduct(c(0), c(1))),
+    fn("simhash64", classOf[SimHash64], 1, c => SimHash64(c(0))),
+    fn("shingle_hashes", classOf[ShingleHashes], 1,
+      c => ShingleHashes(c(0))),
+    fn("shingle_strings", classOf[ShingleStrings], 1,
+      c => ShingleStrings(c(0))),
+    fn("z_value", classOf[ZValue], 2, c => ZValue(c(0), c(1))))
 }

@@ -86,10 +86,13 @@ final class IdempotentJdbcSpanSink(url: String, table: String,
     val conn = java.sql.DriverManager.getConnection(url, properties)
     try {
       val st = conn.createStatement()
-      // Spark's JDBC writer quotes column identifiers on CREATE, so the
-      // column is case-exact "batch_id" — quote it here too (ANSI)
-      try st.executeUpdate(
-        s"""DELETE FROM $table WHERE "batch_id" = $batchId""")
+      // Spark's JDBC writer quotes column identifiers on CREATE through
+      // the target's dialect — quote the same way here (ANSI quotes are
+      // a string LITERAL on default-mode MySQL, which would make this
+      // delete match everything for batchId 0 and nothing otherwise)
+      val bid = org.apache.spark.sql.jdbc.JdbcDialects.get(url)
+        .quoteIdentifier("batch_id")
+      try st.executeUpdate(s"DELETE FROM $table WHERE $bid = $batchId")
       catch {
         case e: java.sql.SQLException
             if IdempotentJdbcSpanSink.MissingTableStates(e.getSQLState) =>

@@ -27,12 +27,11 @@ class AdvancedSpec extends SparkSpec {
   test("GraftExtensions exposes the full expression suite to SQL") {
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val reg = classic.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("simhash64",
-      e => graft.functions.SimHash64(e(0)), "built-in")
-    reg.createOrReplaceTempFunction("shingle_hashes",
-      e => graft.functions.ShingleHashes(e(0)), "built-in")
-    reg.createOrReplaceTempFunction("z_value",
-      e => graft.functions.ZValue(e(0), e(1)), "built-in")
+    // register THE builders GraftExtensions injects (not copies), so an
+    // argument swap or wrong class in the shipped wiring fails here
+    GraftExtensions.functions.foreach { case (ident, _, builder) =>
+      reg.createOrReplaceTempFunction(ident.funcName, builder, "built-in")
+    }
     // each SQL spelling equals its Column-API twin
     import org.apache.spark.sql.functions.lit
     val sqlZ = spark.sql("SELECT z_value(2, 3) AS z").collect().head.getLong(0)
@@ -45,6 +44,13 @@ class AdvancedSpec extends SparkSpec {
         graft.functions.ShingleFunctions.shingle_hashes(lit(txt))).as("h"))
       .collect().head.getLong(0)
     assert(viaSql === viaCol)
+    val strs = spark.sql(s"SELECT shingle_strings('$txt') AS s")
+      .collect().head.getSeq[String](0)
+    assert(strs.contains("the quick brown"))
+    // wrong arity is a clear error, not an IndexOutOfBounds
+    val err = intercept[Exception](spark.sql("SELECT z_value(1) AS z"))
+    assert(err.getMessage.contains("z_value expects 2 argument"),
+      err.getMessage)
   }
 
   test("bucketed span store: self-join rollup plans with zero shuffle") {
