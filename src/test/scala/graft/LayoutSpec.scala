@@ -25,6 +25,36 @@ class LayoutSpec extends SparkSpec {
     assert(ZOrder.interleave(lo, lo) < ZOrder.interleave(hi, hi))
   }
 
+  test("property: Morton key is dominance-monotone and bit-exact") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    def checkProp(p: Prop): Unit = {
+      val res = SCTest.check(
+        SCTest.Parameters.default.withMinSuccessfulTests(500), p)
+      assert(res.passed, res.status.toString)
+    }
+    val code = Gen.chooseNum(0, 0xFFFF) // what q16 produces
+    // dominance monotonicity — the property min-max pruning relies on:
+    // a box's corner keys bound every key inside the box
+    checkProp(Prop.forAll(code, code, code, code) { (x1, x2, y1, y2) =>
+      val (aLo, aHi) = (x1 min x2, x1 max x2)
+      val (bLo, bHi) = (y1 min y2, y1 max y2)
+      ZOrder.interleave(aLo, bLo) <= ZOrder.interleave(aHi, bHi)
+    })
+    // bit-exact round trip: de-interleaving recovers both dimensions
+    def unspread(z: Long): Int = {
+      var v = z & 0x5555555555555555L
+      v = (v | (v >> 1)) & 0x3333333333333333L
+      v = (v | (v >> 2)) & 0x0F0F0F0F0F0F0F0FL
+      v = (v | (v >> 4)) & 0x00FF00FF00FF00FFL
+      v = (v | (v >> 8)) & 0x0000FFFF0000FFFFL
+      ((v | (v >> 16)) & 0xFFFFFFFFL).toInt
+    }
+    checkProp(Prop.forAll(code, code) { (a, b) =>
+      val z = ZOrder.interleave(a, b)
+      unspread(z >>> 1) == a && unspread(z) == b
+    })
+  }
+
   test("z-ordered files prune a 2-D box; random layout cannot") {
     val tsLo = 1705104000L; val tsHi = 1705363200L // 3 of 30 days
     val uLo = 0L; val uHi = 4L // 5 of 15 users at sf0.001
