@@ -146,6 +146,26 @@ object StreamingOps extends QueryModule {
     spark.table(name)
   }
 
+  /** ST6: streaming quantile series — the streaming twin of T14/D8.
+    * Exact percentiles are HOLISTIC (Spark rejects them in streaming
+    * aggregations), which is precisely what the mergeable
+    * [[graft.functions.QuantileSketchAgg]] exists for: O(compression)
+    * state per window, associative merges across micro-batches, same
+    * operator in batch and streaming. Buckets are the reference's
+    * range/15 step (172800 s), epoch-aligned like T14's. Rows-only
+    * entry — sketch output is approximate by design; tolerance vs the
+    * exact batch series is pinned in StreamingSpec. */
+  def streamingQuantileSeries(spark: SparkSession, dir: String): DataFrame = {
+    val agg = eventsStream(spark, dir)
+      .groupBy(window(col("event_ts"), "172800 seconds"))
+      .agg(graft.functions.QuantileSketch
+        .percentile_sketch(col("value"), 0.9).as("p90"))
+      .select(unix_timestamp(col("window.start")).as("bucket_s"),
+        round(col("p90"), 6).as("p90"))
+    runToBatch(spark, agg, s"st6_pseries_${System.nanoTime()}")
+      .orderBy(col("bucket_s"))
+  }
+
   /** ST1: the registry entry — streaming hourly event counts, run to
     * completion over the events file stream. The result equals the batch
     * group-by, so it IS oracle-checkable: streaming and batch semantics
@@ -348,5 +368,10 @@ object StreamingOps extends QueryModule {
       streamingCounts,
       Some("""SELECT (epoch_us(ts)//1000000)//3600*3600 AS bucket_s,
              | CAST(count(*) AS BIGINT) AS n
-             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)))
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+    GraftQuery("st6_streaming_pseries",
+      "D8-streaming p90 series via the mergeable quantile sketch " +
+        "(exact percentiles are holistic and cannot stream; rows-only " +
+        "- tolerance vs the exact batch series pinned in StreamingSpec)",
+      streamingQuantileSeries, None))
 }

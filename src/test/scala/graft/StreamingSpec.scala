@@ -59,6 +59,22 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("streaming p90 sketch series tracks the exact batch series") {
+    val streamed = StreamingOps.streamingQuantileSeries(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // exact per-bucket p90 over the same 172800 s epoch-aligned grid
+    val exact = Tables.events(spark, sf0001)
+      .groupBy(expr("ts_s div 172800 * 172800").as("b"))
+      .agg(percentile(col("value"), lit(0.9)).as("p90"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(streamed.keySet === exact.keySet) // no empty buckets at sf0.001
+    streamed.foreach { case (b, v) =>
+      val e = exact(b)
+      assert(math.abs(v - e) / math.max(math.abs(e), 1e-9) < 0.02,
+        s"bucket $b: sketch $v vs exact $e")
+    }
+  }
+
   test("session_window matches batch gap sessionization") {
     val stream = StreamingOps.eventsStream(spark, sf0001)
     val sessions = StreamingOps.runToBatch(spark,
