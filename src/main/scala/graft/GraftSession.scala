@@ -19,6 +19,7 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.warehouse.dir",
         s"${sys.props("java.io.tmpdir")}/graft-warehouse")
       .config("spark.ui.enabled", "false")
@@ -27,11 +28,15 @@ object GraftSession {
     spark
   }
 
-  /** Configs to apply when someone else builds the session (Verify/Bench). */
+  /** Configs to apply when someone else builds the session (Verify/Bench).
+    * `spark.sql.extensions` is a static conf, so the custom SQL functions
+    * and the FuseDotProduct optimizer rule install on EVERY graft
+    * session, not just test sessions that register them by hand. */
   val requiredConfs: Map[String, String] = Map(
     "spark.sql.session.timeZone" -> "UTC",
     "spark.sql.adaptive.enabled" -> "true",
-    "spark.sql.legacy.parquet.nanosAsLong" -> "true")
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    "spark.sql.extensions" -> "graft.GraftExtensions")
 
   /** Query timeout — the analog of the reference's ClickHouse
     * `max_execution_time: 60` ceiling (db/clickhouse.go:20-22): run the

@@ -10,6 +10,12 @@ import org.apache.spark.sql.functions._
 class AdvancedSpec extends SparkSpec {
 
   test("GraftExtensions registers dot_product for SQL") {
+    // the session factory sets spark.sql.extensions, so the suite is
+    // available WITHOUT manual registration (this assert runs before any
+    // test in this JVM registers functions by hand)
+    assert(spark.conf.get("spark.sql.extensions") === "graft.GraftExtensions")
+    assert(spark.sql("SELECT z_value(2, 3) AS z").collect().head.getLong(0)
+      === graft.functions.ZOrder.interleave(2, 3))
     // the extension function applies cleanly to a fresh extensions object
     new GraftExtensions()(new org.apache.spark.sql.SparkSessionExtensions)
     // inject into the live session through the same registry mechanism
