@@ -21,6 +21,19 @@ object TextOps extends QueryModule {
 
   private def words: Column = split(lower(col("text")), " ")
 
+  private val langs = Seq("en", "de", "es", "fr")
+
+  /** Argmax language over s_en..s_fr marker-count columns with the
+    * deterministic en > de > es > fr tie-break (shared by [[langId]] and
+    * [[curate]]; assumes non-null scores — callers gate NULL text). */
+  private def argmaxLang: Column =
+    when(col("s_en") + col("s_de") + col("s_es") + col("s_fr") === 0, "und")
+      .when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") &&
+        col("s_en") >= col("s_fr"), "en")
+      .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr"), "de")
+      .when(col("s_es") >= col("s_fr"), "es")
+      .otherwise("fr")
+
   /** V4a: language identification — argmax of per-language marker-word
     * counts, 'und' when nothing matches or the text is NULL (explicit on
     * both engines — marker scores are NULL for NULL text, which would
@@ -28,8 +41,7 @@ object TextOps extends QueryModule {
     * Deterministic tie-break order en > de > es > fr. All four dictionaries are counted in ONE fused
     * pass ([[graft.functions.MarkerCounts]], word→bitmask lookup inside
     * codegen) instead of four interpreter-evaluated filter lambdas. */
-  def langId(spark: SparkSession, dir: String): DataFrame = {
-    val langs = Seq("en", "de", "es", "fr")
+  def langId(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .withColumn("w", words)
       .withColumn("mc", graft.functions.MarkerFunctions.marker_counts(
@@ -39,17 +51,10 @@ object TextOps extends QueryModule {
       .withColumn("s_es", col("mc").getItem(2))
       .withColumn("s_fr", col("mc").getItem(3))
       .withColumn("detected",
-        when(col("text").isNull, "und")
-          .when(col("s_en") + col("s_de") + col("s_es") + col("s_fr") === 0, "und")
-          .when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") &&
-            col("s_en") >= col("s_fr"), "en")
-          .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr"), "de")
-          .when(col("s_es") >= col("s_fr"), "es")
-          .otherwise("fr"))
+        when(col("text").isNull, "und").otherwise(argmaxLang))
       .groupBy(col("detected"))
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("detected"))
-  }
 
   /** V4b: quality scoring — length, lexical diversity, stopword ratio
     * blended into one score (the classic pre-training heuristics).
@@ -119,6 +124,49 @@ object TextOps extends QueryModule {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= n)
       .select(col("source"), col("doc_id"), col("rk"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
+  /** V13: the curation pipeline — the composed form a training-data run
+    * actually executes, in ONE query: normalize → exact-dedup on the
+    * canonical hash (keep lowest doc_id) → language gate (en) → quality
+    * threshold → per-source cap. Two window shuffles (dedup key, source
+    * key) + the fused marker pass; every stage is the same logic as its
+    * standalone operator (v4f/v1/v4a/v4b/v8), so the whole pipeline
+    * stays oracle-checkable end-to-end. */
+  def curate(spark: SparkSession, dir: String, minScore: Double = 0.38,
+      perSource: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .withColumn("norm_hash",
+        md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))
+          .cast("binary")))
+    val deduped = base
+      .withColumn("dk", row_number().over(
+        Window.partitionBy(col("norm_hash")).orderBy(col("doc_id"))))
+      .filter(col("dk") === 1)
+    val scored = deduped
+      .withColumn("w", words)
+      .withColumn("mc", graft.functions.MarkerFunctions.marker_counts(
+        col("w"), langs.map(markers)))
+      .withColumn("s_en", col("mc").getItem(0))
+      .withColumn("s_de", col("mc").getItem(1))
+      .withColumn("s_es", col("mc").getItem(2))
+      .withColumn("s_fr", col("mc").getItem(3))
+      .withColumn("detected", argmaxLang)
+      .withColumn("n_words", size(col("w")))
+      .withColumn("n_distinct", size(array_distinct(col("w"))))
+      .withColumn("score", Exact.ratio6(
+        least(col("n_words"), lit(100)) * col("n_words") * 40 +
+          (col("s_en") + col("n_distinct")) * 3000,
+        col("n_words") * 10000))
+      .filter(col("detected") === "en" && col("score") >= minScore)
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("doc_id"))))
+      .filter(col("rk") <= perSource)
+      .select(col("doc_id"), col("source"), col("n_words"), col("score"))
       .orderBy(col("source"), col("doc_id"))
   }
 
@@ -195,6 +243,32 @@ object TextOps extends QueryModule {
              |FROM documents
              |QUALIFY rk <= 20
              |ORDER BY source, doc_id""".stripMargin)),
+    GraftQuery("v13_curation_pipeline",
+      "V13 composed curation: normalize -> exact-dedup -> language " +
+        "gate -> quality threshold -> per-source cap, one query",
+      (s, d) => curate(s, d),
+      Some(s"""WITH base AS (
+              |  SELECT doc_id, source, text,
+              |   md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS norm_hash
+              |  FROM documents WHERE text IS NOT NULL),
+              | d AS (SELECT *, row_number() OVER (
+              |    PARTITION BY norm_hash ORDER BY doc_id) AS dk FROM base),
+              | s AS (SELECT doc_id, source, text,
+              |   ${markerSql("en")} AS s_en, ${markerSql("de")} AS s_de,
+              |   ${markerSql("es")} AS s_es, ${markerSql("fr")} AS s_fr,
+              |   len($wordsSql) AS nw, len(list_distinct($wordsSql)) AS nd
+              |  FROM d WHERE dk = 1),
+              | g AS (SELECT doc_id, source, nw,
+              |   ${OracleSql.ratio6("(least(nw,100)*nw*40 + (s_en+nd)*3000)",
+                    "nw*10000")} AS score
+              |  FROM s
+              |  WHERE s_en+s_de+s_es+s_fr > 0
+              |   AND s_en >= s_de AND s_en >= s_es AND s_en >= s_fr)
+              |SELECT doc_id, source, CAST(nw AS INT) AS n_words, score
+              |FROM g
+              |WHERE score >= 0.38
+              |QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 10
+              |ORDER BY source, doc_id""".stripMargin)),
     GraftQuery("v4d_fingerprint",
       "V4 document fingerprint: md5 of sorted distinct words",
       fingerprint,

@@ -104,6 +104,31 @@ class ScaleSpec extends SparkSpec {
     assert(f.isNullAt(f.fieldIndex("fingerprint")))
   }
 
+  test("V13 curation pipeline: every gate fires (dedup, lang, quality, cap)") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-curate")
+      .toString
+    val good = "the cat and the dog is a good friend of the family and it is nice"
+    val rows =
+      Seq((1L, good, "en", "s1", 0L), // kept
+        (2L, good, "en", "s1", 0L), // exact dup of 1 -> dropped
+        (3L, "der hund und die katze ist das haus", "de", "s1", 0L), // lang gate
+        // detected en but low quality: nw=10, sm=10, nd=1 -> score 0.37
+        (4L, Seq.fill(10)("the").mkString(" "), "en", "s1", 0L)) ++
+        // 15 distinct good docs in one source -> capped to 10
+        (10L to 24L).map(i => (i, s"$good token$i", "en", "big", 0L))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = graft.nlp.TextOps.curate(spark, tmp)
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val ids = out.map(_._1).toSet
+    assert(ids.contains(1L) && !ids.contains(2L), "dedup keeps lowest id")
+    assert(!ids.contains(3L), "language gate drops non-en")
+    assert(!ids.contains(4L), "quality gate drops low score")
+    assert(out.count(_._2 == "big") === 10, "per-source cap")
+    assert(ids === Set(1L) ++ (10L to 19L), out.mkString(","))
+  }
+
   test("V7 media ops: NULL payloads skipped; frame count is ceil(n/frameBytes)") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-mmdocs")
