@@ -23,6 +23,25 @@ object TextOps extends QueryModule {
 
   private val langs = Seq("en", "de", "es", "fr")
 
+  /** Adds the shared scoring columns: `w` (words), `mc` (fused marker
+    * counts) and `s_en..s_fr` (shared by [[langId]] and [[curate]]). */
+  private def withMarkerScores(df: DataFrame): DataFrame = {
+    val d = df.withColumn("w", words)
+      .withColumn("mc", graft.functions.MarkerFunctions.marker_counts(
+        col("w"), langs.map(markers)))
+    langs.zipWithIndex.foldLeft(d) { case (acc, (l, i)) =>
+      acc.withColumn(s"s_$l", col("mc").getItem(i))
+    }
+  }
+
+  /** Quality-score blend over n_words/s_en/n_distinct columns, computed
+    * in LONG space (the Int expressions would overflow at nw > ~214k
+    * words where the DuckDB oracle's BIGINT len() does not). */
+  private def scoreCol: Column = Exact.ratio6(
+    least(col("n_words"), lit(100)).cast("long") * col("n_words") * 40 +
+      (col("s_en") + col("n_distinct")).cast("long") * 3000,
+    col("n_words").cast("long") * 10000)
+
   /** Argmax language over s_en..s_fr marker-count columns with the
     * deterministic en > de > es > fr tie-break (shared by [[langId]] and
     * [[curate]]; assumes non-null scores — callers gate NULL text). */
@@ -42,14 +61,7 @@ object TextOps extends QueryModule {
     * pass ([[graft.functions.MarkerCounts]], word→bitmask lookup inside
     * codegen) instead of four interpreter-evaluated filter lambdas. */
   def langId(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .withColumn("w", words)
-      .withColumn("mc", graft.functions.MarkerFunctions.marker_counts(
-        col("w"), langs.map(markers)))
-      .withColumn("s_en", col("mc").getItem(0))
-      .withColumn("s_de", col("mc").getItem(1))
-      .withColumn("s_es", col("mc").getItem(2))
-      .withColumn("s_fr", col("mc").getItem(3))
+    withMarkerScores(Tables.documents(spark, dir))
       .withColumn("detected",
         when(col("text").isNull, "und").otherwise(argmaxLang))
       .groupBy(col("detected"))
@@ -69,15 +81,12 @@ object TextOps extends QueryModule {
       .withColumn("n_words", when(col("text").isNotNull, size(col("w"))))
       .withColumn("n_distinct",
         when(col("text").isNotNull, size(array_distinct(col("w")))))
-      .withColumn("sm", graft.functions.MarkerFunctions.marker_counts(
+      .withColumn("s_en", graft.functions.MarkerFunctions.marker_counts(
         col("w"), Seq(markers("en"))).getItem(0))
       .select(col("doc_id"), col("n_words"), col("n_distinct"),
-        Exact.ratio6(col("sm"), col("n_words")).as("stop_ratio"),
+        Exact.ratio6(col("s_en"), col("n_words")).as("stop_ratio"),
         Exact.ratio6(col("n_distinct"), col("n_words")).as("ttr"),
-        Exact.ratio6(
-          least(col("n_words"), lit(100)) * col("n_words") * 40 +
-            (col("sm") + col("n_distinct")) * 3000,
-          col("n_words") * 10000).as("score"))
+        scoreCol.as("score"))
       .orderBy(col("doc_id"))
 
   /** V4c: token counting — whitespace tokens and BPE-ish greedy ≤4-char
@@ -146,21 +155,11 @@ object TextOps extends QueryModule {
       .withColumn("dk", row_number().over(
         Window.partitionBy(col("norm_hash")).orderBy(col("doc_id"))))
       .filter(col("dk") === 1)
-    val scored = deduped
-      .withColumn("w", words)
-      .withColumn("mc", graft.functions.MarkerFunctions.marker_counts(
-        col("w"), langs.map(markers)))
-      .withColumn("s_en", col("mc").getItem(0))
-      .withColumn("s_de", col("mc").getItem(1))
-      .withColumn("s_es", col("mc").getItem(2))
-      .withColumn("s_fr", col("mc").getItem(3))
+    val scored = withMarkerScores(deduped)
       .withColumn("detected", argmaxLang)
       .withColumn("n_words", size(col("w")))
       .withColumn("n_distinct", size(array_distinct(col("w"))))
-      .withColumn("score", Exact.ratio6(
-        least(col("n_words"), lit(100)) * col("n_words") * 40 +
-          (col("s_en") + col("n_distinct")) * 3000,
-        col("n_words") * 10000))
+      .withColumn("score", scoreCol)
       .filter(col("detected") === "en" && col("score") >= minScore)
     scored
       .withColumn("rk", row_number().over(
