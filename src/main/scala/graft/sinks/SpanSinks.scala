@@ -61,7 +61,9 @@ final class JdbcSpanSink(url: String, table: String,
   * a cross-partition transaction. This is the portable-JDBC analog of
   * ClickHouse-side dedup (ReplacingMergeTree keyed on a batch column);
   * a warehouse with real multi-statement transactions can instead wrap
-  * [[JdbcSpanSink]] + a ledger insert in one commit. */
+  * [[JdbcSpanSink]] + a ledger insert in one commit. At warehouse
+  * scale the target should be indexed/partitioned on batch_id so the
+  * replay delete is a partition drop, not a full scan. */
 final class IdempotentJdbcSpanSink(url: String, table: String,
     properties: Properties = new Properties(),
     batchSize: Int = 10000,
