@@ -358,27 +358,35 @@ object DedupOps extends QueryModule {
     var labels = vertices.withColumn("label", col("i")).localCheckpoint()
     var changed = 1L
     var iter = 0
-    while (changed > 0) {
-      if (iter >= MaxLabelIters)
-        throw new IllegalStateException(
-          s"connected components did not converge in $MaxLabelIters " +
-            "iterations — pair-graph diameter is pathological for dedup")
-      val viaNeighbor = edges
-        .join(labels.withColumnRenamed("i", "j")
-          .withColumnRenamed("label", "nl"), Seq("j"))
-        .groupBy(col("i")).agg(min(col("nl")).as("nmin"))
-      val next = labels.join(viaNeighbor, Seq("i"), "left")
-        .select(col("i"),
-          least(col("label"), coalesce(col("nmin"), col("label")))
-            .as("label"))
-        .localCheckpoint() // eager: materializes before the old frame goes
-      changed = next.join(labels.withColumnRenamed("label", "old"), Seq("i"))
-        .filter(col("label") =!= col("old")).count()
-      labels.unpersist()
-      labels = next
-      iter += 1
+    // finally (not just the happy path) releases `edges` — and, on the
+    // non-convergence raise, the last checkpointed labels frame — so a
+    // long-lived session doesn't leak executor storage when the ceiling
+    // trips.
+    try {
+      while (changed > 0) {
+        if (iter >= MaxLabelIters)
+          throw new IllegalStateException(
+            s"connected components did not converge in $MaxLabelIters " +
+              "iterations — pair-graph diameter is pathological for dedup")
+        val viaNeighbor = edges
+          .join(labels.withColumnRenamed("i", "j")
+            .withColumnRenamed("label", "nl"), Seq("j"))
+          .groupBy(col("i")).agg(min(col("nl")).as("nmin"))
+        val next = labels.join(viaNeighbor, Seq("i"), "left")
+          .select(col("i"),
+            least(col("label"), coalesce(col("nmin"), col("label")))
+              .as("label"))
+          .localCheckpoint() // eager: materializes before the old frame goes
+        changed = next.join(labels.withColumnRenamed("label", "old"), Seq("i"))
+          .filter(col("label") =!= col("old")).count()
+        labels.unpersist()
+        labels = next
+        iter += 1
+      }
+    } finally {
+      edges.unpersist()
+      if (changed > 0) labels.unpersist() // failure exit: result frame unused
     }
-    edges.unpersist()
     labels.select(col("i").as("doc_id"), col("label").as("cluster_id"))
       .orderBy(col("doc_id"))
   }

@@ -17,7 +17,10 @@ import scala.collection.mutable
   * the classic guarantees over a stream of n items:
   *   - every item with true frequency > n/(k+1) is present;
   *   - each reported estimate underestimates the true count by at most
-  *     n/(k+1) (tracked exactly per summary as `maxErr`).
+  *     the tracked `maxErr`: for a single un-merged summary that is
+  *     ≤ n/(k+1), but merge() is additive (both inputs' maxErr plus any
+  *     post-merge shrink), so a merged summary's bound can exceed
+  *     n/(k+1) — FreqSketchSpec pins the looser additive limit.
   * When the number of distinct items is ≤ k the summary never decrements
   * and the counts are EXACT — which makes the registry entry over a
   * low-cardinality column oracle-checkable while the spec exercises the

@@ -22,13 +22,14 @@ import org.apache.spark.sql.functions._
   */
 object IngestOps extends QueryModule {
 
-  /** Fixed path shared by the Spark query and the DuckDB oracle SQL
-    * (the SQL string is static, so the path must be too). Fixed tmp
-    * paths assume ONE runner per machine tmpdir — the driver's
-    * execution model; concurrent runs would clobber each other's
-    * fixture mid-read. */
+  /** Path shared by the Spark query and the DuckDB oracle SQL. The SQL
+    * string is built from this val, so it only needs to be stable WITHIN
+    * a process — the pid suffix keeps two concurrent runners on one host
+    * from clobbering each other's fixture mid-read (same convention as
+    * the per-process Derby db below). */
   val FixturePath: String =
-    s"${sys.props("java.io.tmpdir")}/graft_otlp_fixture"
+    s"${sys.props("java.io.tmpdir")}/graft_otlp_fixture_" +
+      ProcessHandle.current().pid()
 
   private def projection(flat: DataFrame): DataFrame =
     flat.select(col("trace_id"), col("span_id"), col("parent_span_id"),

@@ -48,12 +48,19 @@ object LayoutOps extends QueryModule {
     * NULL stays NULL (so the Morton key is NULL and those rows sort
     * together, matching [[graft.functions.ZValue]]'s NULL contract —
     * Spark's greatest/least would otherwise silently absorb the NULL
-    * into code 0 and pollute the origin file's min-max envelope). */
+    * into code 0 and pollute the origin file's min-max envelope).
+    *
+    * The clamp happens BEFORE the scale so the product stays within
+    * 65535*(hi-lo): scaling first would let an out-of-range value
+    * overflow Long and wrap to code 0 instead of 65535. Requires
+    * hi-lo < Long.MaxValue/65535 (~1.4e14 — e.g. 4.4M years in
+    * seconds), which every physical dimension satisfies. */
   def q16(c: Column, lo: Long, hi: Long): Column = {
+    require(hi - lo < Long.MaxValue / 65535L,
+      s"q16 span $lo..$hi too wide for 16-bit Long-space quantization")
     val span = math.max(hi - lo, 1L)
-    when(c.isNotNull,
-      least(greatest((c - lo) * 65535L / span, lit(0L)), lit(65535L))
-        .cast("int"))
+    val clamped = least(greatest(c, lit(lo)), lit(hi))
+    when(c.isNotNull, (clamped - lo) * 65535L / span).cast("int")
   }
 
   /** Z-order `df` by two quantized long dimensions and write `nFiles`
