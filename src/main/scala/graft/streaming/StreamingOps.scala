@@ -136,13 +136,28 @@ object StreamingOps extends QueryModule {
       .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** Size the state store to the stream for the duration of `body`: a
+    * streaming query fixes its state-store partition count at start from
+    * shuffle.partitions, and 32 partitions of per-batch state files are
+    * pure machinery overhead at registry volume (a real deployment sizes
+    * this to keys/throughput). Must wrap `start()` — the conf is read at
+    * query planning, not per batch. */
+  private def withStreamSizedShuffle[A](spark: SparkSession, n: Int)(
+      body: => A): A = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Run a finite streaming aggregation to completion and return the
     * final result as a batch DataFrame (memory sink, complete mode). */
   def runToBatch(spark: SparkSession, agg: DataFrame,
       name: String): DataFrame = {
-    val q = agg.writeStream.outputMode("complete")
-      .format("memory").queryName(name).start()
-    try q.processAllAvailable() finally q.stop()
+    withStreamSizedShuffle(spark, 4) {
+      val q = agg.writeStream.outputMode("complete")
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
     spark.table(name)
   }
 
@@ -232,9 +247,7 @@ object StreamingOps extends QueryModule {
     val ms = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[TraceAssembler.SpanEvent](spark)
     val out = op(ms.toDS())
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try {
+    withStreamSizedShuffle(spark, 4) {
       val q = out.writeStream.outputMode(outputMode).format("memory")
         .queryName(name).start()
       try {
@@ -245,7 +258,7 @@ object StreamingOps extends QueryModule {
         ms.addData(sentinel("WM2", 200000000000L)) // fires the timeouts
         q.processAllAvailable()
       } finally q.stop()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
     spark.table(name).filter(!col("trace_id").startsWith("WM"))
   }
 
