@@ -54,6 +54,17 @@ object Bench {
       q.processAllAvailable()
       q.stop()
     } catch { case _: Throwable => () }
+    // warm the embedded-JDBC engine the sink seam query uses (Derby
+    // boots ~1s of engine classes on first connection — one-time
+    // machinery, same footing as the streaming/codegen warms above)
+    try {
+      Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
+      java.sql.DriverManager
+        .getConnection("jdbc:derby:memory:bench_warm;create=true").close()
+      try java.sql.DriverManager
+        .getConnection("jdbc:derby:memory:bench_warm;drop=true")
+      catch { case _: java.sql.SQLException => () }
+    } catch { case _: Throwable => () }
     // optional comma-separated substring filter for local iteration
     // (the driver never sets it: full suite)
     val only = sys.env.get("SPARK_GRAFT_ONLY")

@@ -60,16 +60,19 @@ object IngestOps extends QueryModule {
 
   def jdbcSinkRoundTrip(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // ONE embedded database PER PROCESS (Derby keeps every booted db
-    // open until shutdown, so a fresh dir per run would accumulate page
-    // cache and tmp disk without bound within a long-lived JVM — and a
-    // machine-global fixed path would make concurrent JVMs collide on
-    // Derby's single-booter lock). The table is dropped before each run
-    // within the process; only genuinely-absent-table errors are
-    // swallowed — anything else (lock timeout, boot failure) propagates
-    // rather than silently appending onto stale rows.
-    val db = s"${sys.props("java.io.tmpdir")}/graft_derby_sink_" +
-      ProcessHandle.current().pid()
+    // ONE embedded IN-MEMORY database PER PROCESS (Derby keeps every
+    // booted db open until shutdown, so a fresh name per run would
+    // accumulate heap without bound within a long-lived JVM; the pid
+    // suffix keeps concurrent JVMs on one host from colliding on
+    // Derby's single-booter lock). The memory: subprotocol is the right
+    // test double here — the sink under test is the JDBC write path,
+    // and an on-disk Derby spent most of the query's wall-clock
+    // creating segment/log files for a 3-row table. The table is
+    // dropped before each run within the process; only
+    // genuinely-absent-table errors are swallowed — anything else
+    // (lock timeout, boot failure) propagates rather than silently
+    // appending onto stale rows.
+    val db = s"memory:graft_derby_sink_${ProcessHandle.current().pid()}"
     val url = s"jdbc:derby:$db;create=true"
     val props = new java.util.Properties()
     props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
@@ -94,19 +97,13 @@ object IngestOps extends QueryModule {
         col("resource_attributes"), col("events"))
       .orderBy(col("trace_id"), col("span_id"))
     // materialize the (tiny) round-trip eagerly so the database can be
-    // shut down and its directory removed — no page cache or tmp disk
-    // outlives the run
+    // dropped — no heap outlives the run
     val rows = back.collect().toSeq
-    try java.sql.DriverManager.getConnection(s"jdbc:derby:$db;shutdown=true")
+    try java.sql.DriverManager.getConnection(s"jdbc:derby:$db;drop=true")
     catch {
       case e: java.sql.SQLException if e.getSQLState == "08006" =>
-        () // 08006 = single-database shutdown succeeded (always thrown)
+        () // 08006 = single-database drop succeeded (always thrown)
     }
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete(); ()
-    }
-    rm(new java.io.File(db))
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1), back.schema)
   }

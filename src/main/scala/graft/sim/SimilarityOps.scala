@@ -123,7 +123,12 @@ object SimilarityOps extends QueryModule {
     * centroid_id. Returns (centroids, assigned). */
   def ivfIndex(spark: SparkSession, dir: String, nlist: Int,
       iters: Int = 1): (DataFrame, DataFrame) = {
-    val e = withNorm(Tables.embeddings(spark, dir))
+    // one materialization of the normed projection: every Lloyd round
+    // and the final assignment re-scan e, and re-reading parquet +
+    // re-computing norms per pass is pure repeated work (at 100 TB the
+    // sample used for centroids is small enough to pin in memory; the
+    // full corpus is assigned in ONE streamed pass at ingest)
+    val e = withNorm(Tables.embeddings(spark, dir)).localCheckpoint()
     val cents = refineCentroids(e, nlist, iters)
     (cents, assignTo(e, cents))
   }
