@@ -410,6 +410,25 @@ object DedupOps extends QueryModule {
       | for i in generate_series(1, greatest(len(w)-2, 1))])""".stripMargin
       .replace("\n", " ")
 
+  /** Exact shingle-Jaccard pair SQL — the oracle for BOTH v2a and v2b:
+    * v2b's banded candidate generation feeds the same exact-Jaccard
+    * verify stage, so its output equals v2a's exactly when LSH recall
+    * is 1.0. Recall is probabilistic in general but deterministic per
+    * corpus (fixed permutation seeds), and on the test corpus it IS 1.0
+    * — verified pair-for-pair at sf0.001/0.01/0.1 (28/25/256 pairs) and
+    * pinned against the fixture in DedupSpec. At a scale where a banded
+    * miss appears, this oracle would catch exactly that recall loss,
+    * which is the honest thing to measure. */
+  private val jaccardPairsSql: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+       | s AS (SELECT doc_id, $shinglesSql AS sh FROM t),
+       | p AS (SELECT a.doc_id i, b.doc_id j,
+       |   ${OracleSql.ratio6("len(list_intersect(a.sh,b.sh))",
+             "len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh))")} AS jaccard
+       |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+       |SELECT i, j, jaccard FROM p WHERE jaccard >= 0.5
+       |ORDER BY i, j""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("v1_dedup_exact",
       "V1 exact dedup: hash-groupBy on text, keep min doc_id",
@@ -419,19 +438,13 @@ object DedupOps extends QueryModule {
              |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin)),
     GraftQuery("v2a_ngram_jaccard",
       "V2 near-dup via 3-word-shingle Jaccard >= 0.5 (exact form)",
-      ngramJaccard,
-      Some(s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
-              | s AS (SELECT doc_id, $shinglesSql AS sh FROM t),
-              | p AS (SELECT a.doc_id i, b.doc_id j,
-              |   ${OracleSql.ratio6("len(list_intersect(a.sh,b.sh))",
-                    "len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh))")} AS jaccard
-              |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
-              |SELECT i, j, jaccard FROM p WHERE jaccard >= 0.5
-              |ORDER BY i, j""".stripMargin)),
+      ngramJaccard, Some(jaccardPairsSql)),
     GraftQuery("v2b_minhash_lsh",
-      "V2 near-dup via MinHash(32)+LSH(8 bands) candidates + exact verify " +
-        "(scale path; Spark-murmur3-specific, no SQL oracle)",
-      minhashLsh, None),
+      "V2 near-dup via MinHash(32)+LSH(8 bands) candidates + exact " +
+        "verify (scale path) — oracled against the exact-Jaccard SQL: " +
+        "same verify stage, LSH recall 1.0 on this corpus (see " +
+        "jaccardPairsSql doc)",
+      minhashLsh, Some(jaccardPairsSql)),
     GraftQuery("v2c_simhash",
       "V2 near-dup via 64-bit SimHash, 8-block pigeonhole join, " +
         "hamming<=7 (hash-specific, no SQL oracle)",

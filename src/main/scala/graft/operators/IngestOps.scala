@@ -16,9 +16,12 @@ import org.apache.spark.sql.functions._
   * OtlpIngestSpec).
   *
   * a4b: the JDBC sink seam round-trip — spans through
-  * [[graft.sinks.JdbcSpanSink]] into embedded Derby and back. Rows-only
-  * (an embedded Derby db is not DuckDB-readable); value assertions in
-  * SinkSpec.
+  * [[graft.sinks.JdbcSpanSink]] into embedded Derby and back. The Derby
+  * db itself is not DuckDB-readable, so the oracle recomputes the
+  * expected SCALAR projection from the same dumped fixture parquet —
+  * a genuine independent check that the sink round-trip preserved every
+  * scalar column; JSON payload fidelity (attr maps, events) is
+  * engine-specific text and is value-asserted in SinkSpec instead.
   */
 object IngestOps extends QueryModule {
 
@@ -41,11 +44,20 @@ object IngestOps extends QueryModule {
         .as("service_name"))
       .orderBy(col("trace_id"), col("span_id"))
 
-  def otlpIngest(spark: SparkSession, dir: String): DataFrame = {
+  /** Parse the OTLP fixture and dump the flattened table to
+    * [[FixturePath]] — the shared ground truth both ingest oracles
+    * recompute their expectation from (identical contents whichever
+    * entry writes it first; overwrite keeps it fresh). */
+  private def dumpFixture(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    OtlpIngest.fromJson(spark.createDataset(OtlpExamples.all))
-      .coalesce(1) // 3-row fixture: one file, not 32 task stubs
+    val flat = OtlpIngest.fromJson(spark.createDataset(OtlpExamples.all))
+    flat.coalesce(1) // 3-row fixture: one file, not 32 task stubs
       .write.mode("overwrite").parquet(FixturePath)
+    flat
+  }
+
+  def otlpIngest(spark: SparkSession, dir: String): DataFrame = {
+    dumpFixture(spark)
     projection(spark.read.parquet(FixturePath))
   }
 
@@ -84,7 +96,12 @@ object IngestOps extends QueryModule {
           if e.getSQLState == "42Y55" || e.getSQLState == "42X05" =>
         () // table/view does not exist — first run in this process
     } finally c.close()
-    val spans = OtlpIngest.fromJson(spark.createDataset(OtlpExamples.all))
+    // the very spans the oracle will read back from the fixture parquet
+    // — the DuckDB side recomputes the expected scalar projection
+    // independently, so rows/schema/hash verify the JDBC round-trip
+    // preserved every scalar column (JSON payload fidelity — attr maps,
+    // events — is engine-specific text and stays pinned in SinkSpec)
+    val spans = dumpFixture(spark)
     // idempotent sink, with batch 0 REPLAYED (the at-least-once failure
     // mode foreachBatch exposes) — contents must still be exactly-once
     val sink = new graft.sinks.IdempotentJdbcSpanSink(
@@ -92,9 +109,9 @@ object IngestOps extends QueryModule {
     sink.writeBatch(spans, 0L)
     sink.writeBatch(spans, 0L) // simulated replay after a mid-write crash
     val back = JdbcSpanSink.readBack(spark, url, "denormalized_span", props)
-      .select(col("trace_id"), col("span_id"), col("name"),
-        col("scope_name"), col("duration_ns"),
-        col("resource_attributes"), col("events"))
+      .select(col("trace_id"), col("span_id"), col("parent_span_id"),
+        col("name"), col("scope_id"), col("scope_name"),
+        col("resource_id"), col("duration_ns"))
       .orderBy(col("trace_id"), col("span_id"))
     // materialize the (tiny) round-trip eagerly so the database can be
     // dropped — no heap outlives the run
@@ -118,6 +135,12 @@ object IngestOps extends QueryModule {
       "A4 JDBC sink seam (ClickHouse batch-insert analog, " +
         "utils/utils.go:160-244): spans through the idempotent JDBC " +
         "sink into embedded Derby — batch 0 deliberately replayed, " +
-        "contents stay exactly-once (rows-only; values in SinkSpec)",
-      jdbcSinkRoundTrip, None))
+        "contents stay exactly-once; oracle recomputes the scalar " +
+        "projection from the dumped fixture parquet (JSON payload " +
+        "fidelity pinned in SinkSpec)",
+      jdbcSinkRoundTrip, Some(
+        s"""SELECT trace_id, span_id, parent_span_id, name, scope_id,
+           | scope_name, resource_id, duration_ns
+           |FROM read_parquet('$FixturePath/*.parquet')
+           |ORDER BY trace_id, span_id""".stripMargin)))
 }
