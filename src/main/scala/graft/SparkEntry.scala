@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators._
 import graft.dedup.DedupOps
 import graft.mm.MultimodalOps
-import graft.nlp.TextOps
+import graft.nlp.{MixOps, TextOps}
 import graft.sim.SimilarityOps
 import graft.streaming.StreamingOps
 
@@ -16,7 +16,7 @@ object SparkEntry {
   private def modules: Seq[QueryModule] = Seq(
     Relational, EventOps, SeriesOps, SearchOps, IngestOps, SessionOps,
     SpanNativeOps, LayoutOps,
-    TextOps, DedupOps, SimilarityOps, MultimodalOps, StreamingOps)
+    TextOps, MixOps, DedupOps, SimilarityOps, MultimodalOps, StreamingOps)
 
   /** All registered operators, in module order. */
   def all: Seq[GraftQuery] = modules.flatMap(_.queries)
