@@ -10,15 +10,35 @@ import org.apache.spark.sql.functions._
   * choosing HOW MUCH of each source to take (V14, the mix) and laying
   * the chosen documents out into context-window-sized units (V15,
   * packing). Neither exists in the reference (its pipeline ends at
-  * queries); both are standard large-corpus pipeline stages and both
-  * are expressed as single-window plans so the oracle can recompute
-  * them exactly.
+  * queries); both are standard large-corpus pipeline stages.
   *
-  * Scale design: every operator here is one shuffle on `source` (the
-  * natural pipeline partitioning — at 100 TB a source is itself
-  * partitioned, and the same plan runs per source-shard with the window
-  * key extended by the shard id). No driver-side state, no collect, no
-  * UDFs — plain window + aggregate plans that AQE can size.
+  * Scale design: a corpus has FEW sources (here 5), so any plan whose
+  * window partitions by `source` alone funnels an entire source —
+  * terabytes at the stated target — through ONE task for its sort.
+  * Neither operator here does that anymore:
+  *
+  *  - V14 selects the k smallest hash keys per source WITHOUT a
+  *    per-source sort: a histogram over a fixed 4096-bucket key-prefix
+  *    grid locates the boundary bucket containing the k-th key, buckets
+  *    strictly below it pass wholesale, and only the boundary bucket
+  *    (≈ n_g/4096 rows) is ranked — in a window partitioned by
+  *    (source, bucket), so every window partition is a 1/4096 slice
+  *    regardless of corpus size. The histogram itself is bounded by
+  *    construction (≤4096 rows per source however large the data), so
+  *    its own cumulative window is over a fixed-size frame.
+  *
+  *  - V15's running sum is a distributed prefix-sum: documents shard by
+  *    doc_id range (order-preserving), each shard cumsums locally in a
+  *    (source, shard) window of ≤[[ShardWidth]] rows, per-shard totals
+  *    (n/width rows) get exclusive offsets in a tiny window, and
+  *    offset + local cumsum is joined back ON THE SAME (source, shard)
+  *    key the local window already partitioned by — AQE broadcasts the
+  *    small offsets side. At 100 TB, width scales to ~1M docs/shard so
+  *    the offsets frame stays a single small task.
+  *
+  * No driver-side state, no collect, no UDFs — and both operators keep
+  * the EXACT semantics of their single-window formulations, so the
+  * DuckDB oracle recomputes them with plain window SQL.
   */
 object MixOps extends QueryModule {
 
@@ -32,22 +52,52 @@ object MixOps extends QueryModule {
 
   /** V14: deterministic stratified mix — take ceil(frac_g · n_g) docs
     * from each source, chosen in a pseudorandom-but-engine-agnostic
-    * order (md5 of a salted doc id, unique-keyed by doc_id). The usual
+    * order (md5 of a salted doc id, tie-broken by doc_id). The usual
     * `sample()`/`sampleBy()` draw is seeded RNG — irreproducible across
     * engines and unstable under repartitioning; hash-order selection
     * gives the same sample on ANY engine at ANY parallelism, which is
-    * what makes a training mix auditable. One shuffle on source; the
-    * row_number window and the count are the same partitioning. */
+    * what makes a training mix auditable.
+    *
+    * Selection is the exact k-th order statistic per source, found
+    * distributively (see the object scaladoc): md5 is lowercase hex of
+    * fixed length, so ordering by the integer value of its first 3 hex
+    * chars (12 bits → 4096 buckets) is consistent with ordering by the
+    * full key string — buckets below the boundary pass wholesale, only
+    * the boundary bucket is ranked, in (source, bucket) partitions. */
   def sampleMix(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("source"))
-      .orderBy(md5(concat(lit("mix"), col("doc_id").cast("string"))),
-        col("doc_id"))
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"), mixExp.as("m"))
-      .withColumn("rk", row_number().over(w))
-      .withColumn("n_g", count(lit(1)).over(Window.partitionBy(col("source"))))
-      .filter(col("rk") <=
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), mixExp.as("m"),
+        md5(concat(lit("mix"), col("doc_id").cast("string"))).as("k"))
+      .withColumn("bucket",
+        conv(substring(col("k"), 1, 3), 16, 10).cast("int"))
+    // histogram: ≤4096 rows per source BY CONSTRUCTION (bucket grid is
+    // fixed), so the cumulative window below runs over a bounded frame
+    // at any data size
+    val hist = docs.groupBy(col("source"), col("m"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val perSrc = Window.partitionBy(col("source"))
+    val cum = hist
+      .withColumn("cum_before", coalesce(sum(col("c")).over(
+        perSrc.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n_g", sum(col("c")).over(perSrc))
+      .withColumn("k_g",
         ceil(col("n_g") * pow(lit(2.0), -col("m"))).cast("long"))
+    // exactly one row per source: the bucket holding the k_g-th key,
+    // and the rank still needed inside it
+    val boundary = cum
+      .filter(col("cum_before") < col("k_g") &&
+        col("cum_before") + col("c") >= col("k_g"))
+      .select(col("source"), col("bucket").as("b_g"),
+        (col("k_g") - col("cum_before")).as("r_g"))
+    // rank ONLY within (source, bucket) — every partition is a ~1/4096
+    // slice of its source; sub-boundary buckets pass without using it
+    val wBucket = Window.partitionBy(col("source"), col("bucket"))
+      .orderBy(col("k"), col("doc_id"))
+    docs.join(broadcast(boundary), Seq("source"))
+      .filter(col("bucket") <= col("b_g"))
+      .withColumn("rk", row_number().over(wBucket))
+      .filter(col("bucket") < col("b_g") || col("rk") <= col("r_g"))
       .select(col("doc_id"), col("source"))
       .orderBy(col("doc_id"))
   }
@@ -69,6 +119,14 @@ object MixOps extends QueryModule {
   /** Tokens per pack — the "context window" the packer fills. */
   val PackTokens = 256
 
+  /** Documents per prefix-sum shard (doc_id range width). Each local
+    * cumsum window partition holds at most this many rows; the offsets
+    * frame is n/width rows. 128 exercises multiple shards at test SF;
+    * a 100 TB run sizes it ~1M so the offsets frame is a single small
+    * task (or recurses one more level — offsets are themselves a
+    * prefix-sum). */
+  val ShardWidth = 128
+
   /** V15: sequence packing — lay each source's documents end-to-end in
     * doc_id order and cut packs every [[PackTokens]] whitespace tokens:
     * a document belongs to the pack its FIRST token falls in (streaming
@@ -76,17 +134,39 @@ object MixOps extends QueryModule {
     * by less than one document; the bin-packing variant that reorders
     * documents for tighter fill is not reproducible incrementally,
     * which is why production packers stream-fill too). Null text packs
-    * as 0 tokens. One window (running sum per source, framed to
-    * PRECEDING rows so the current document's own length cannot move
-    * it) + one aggregation on the same key. */
+    * as 0 tokens.
+    *
+    * The running sum is a distributed prefix-sum (see object scaladoc):
+    * order-preserving doc_id-range shards cumsum locally, exclusive
+    * shard offsets come from the tiny per-shard-totals frame, and the
+    * global cumulative count is offset + local — identical, row for
+    * row, to the single-window form the oracle SQL states. */
   def tokenPacking(spark: SparkSession, dir: String): DataFrame = {
     val toks = when(col("text").isNotNull,
       size(split(lower(col("text")), " "))).otherwise(0)
-    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    Tables.documents(spark, dir)
+    val d = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), toks.cast("long").as("toks"))
-      .withColumn("cum", coalesce(sum(col("toks")).over(w), lit(0L)))
+      .withColumn("shard",
+        floor(col("doc_id") / lit(ShardWidth)).cast("long"))
+    // local exclusive cumsum: partitions bounded by ShardWidth rows
+    val wLocal = Window.partitionBy(col("source"), col("shard"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = d.withColumn("local_cum",
+      coalesce(sum(col("toks")).over(wLocal), lit(0L)))
+    // per-shard totals (n/ShardWidth rows) → exclusive offsets; shard
+    // ids are doc_id ranges, so ordering by shard preserves doc order
+    val offsets = d.groupBy(col("source"), col("shard"))
+      .agg(sum(col("toks")).as("shard_toks"))
+      .withColumn("offset", coalesce(sum(col("shard_toks")).over(
+        Window.partitionBy(col("source")).orderBy(col("shard"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("source"), col("shard"), col("offset"))
+    // same key the local window partitioned by — the big side is
+    // already exchanged on (source, shard); AQE broadcasts the small
+    // offsets side
+    local.join(offsets, Seq("source", "shard"))
+      .withColumn("cum", col("offset") + col("local_cum"))
       .withColumn("pack_id",
         floor(col("cum") / lit(PackTokens.toDouble)).cast("long"))
       .groupBy(col("source"), col("pack_id"))
@@ -119,11 +199,12 @@ object MixOps extends QueryModule {
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("v14_sample_mix",
       "V14 deterministic stratified mix: per-source fraction 2^-(N%4), " +
-        "hash-order selection (engine- and parallelism-independent " +
-        "sample, unlike seeded RNG)",
+        "hash-order selection via bucketed exact order statistic (no " +
+        "per-source sort; boundary bucket ranked in 1/4096 slices)",
       sampleMix, Some(sampleMixSql)),
     GraftQuery("v15_token_packing",
       s"V15 sequence packing: stream-fill docs into $PackTokens-token " +
-        "packs per source (running-sum window; straddlers stay whole)",
+        "packs per source (distributed prefix-sum over doc_id-range " +
+        "shards; straddlers stay whole)",
       tokenPacking, Some(tokenPackingSql)))
 }

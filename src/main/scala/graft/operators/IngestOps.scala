@@ -46,13 +46,24 @@ object IngestOps extends QueryModule {
 
   /** Parse the OTLP fixture and dump the flattened table to
     * [[FixturePath]] — the shared ground truth both ingest oracles
-    * recompute their expectation from (identical contents whichever
-    * entry writes it first; overwrite keeps it fresh). */
+    * recompute their expectation from. Written ONCE per process: the
+    * contents are identical by construction whichever entry asks first,
+    * and a second `mode("overwrite")` write would replace the part file
+    * with a new UUID name, breaking any reader that already planned
+    * against the old listing (a2a3's plan is built before a4b runs when
+    * a caller constructs all registry DataFrames up front, as
+    * ContractSpec does). */
+  @volatile private var fixtureWritten = false
   private def dumpFixture(spark: SparkSession): DataFrame = {
     import spark.implicits._
     val flat = OtlpIngest.fromJson(spark.createDataset(OtlpExamples.all))
-    flat.coalesce(1) // 3-row fixture: one file, not 32 task stubs
-      .write.mode("overwrite").parquet(FixturePath)
+    if (!fixtureWritten) synchronized {
+      if (!fixtureWritten) {
+        flat.coalesce(1) // 3-row fixture: one file, not 32 task stubs
+          .write.mode("overwrite").parquet(FixturePath)
+        fixtureWritten = true
+      }
+    }
     flat
   }
 

@@ -141,6 +141,30 @@ object Relational extends QueryModule {
       .orderBy(col("col_name"))
   }
 
+  /** V9 at 100 TB: the four exact `countDistinct` in one aggregate
+    * compile to an Expand ×5 of the scan (every input row quintupled to
+    * give each distinct aggregate its own group) — correct but the row
+    * volume is 5× the table. This twin rides `approx_count_distinct`
+    * (HLL++, no Expand, mergeable); rows-only for the driver, sketch
+    * error vs the exact profile pinned in ScaleSpec. */
+  def profileApprox(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val aggs = cols.flatMap { c =>
+      Seq(count(lit(1)).as(s"n_$c"),
+        sum(when(col(c).isNull, 1).otherwise(0)).cast("long")
+          .as(s"nn_$c"),
+        round(min(col(c)), 6).as(s"mn_$c"),
+        round(max(col(c)), 6).as(s"mx_$c"),
+        approx_count_distinct(col(c), 0.02).as(s"nd_$c"))
+    }
+    val one = Tables.lineitem(spark, dir).agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map(c =>
+      s"'$c', n_$c, nn_$c, mn_$c, mx_$c, nd_$c").mkString(", ")
+    one.selectExpr(s"stack(${cols.length}, $stackArgs) AS " +
+        "(col_name, n, n_null, min_v, max_v, n_distinct)")
+      .orderBy(col("col_name"))
+  }
+
   private val profileSql: String =
     Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").map { c =>
       s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n,
@@ -206,7 +230,9 @@ object Relational extends QueryModule {
       cardinalityApprox, None),
     GraftQuery("q3_shipping_priority",
       "Composite join+agg+topk showcase (TPC-H Q3 shape): filter pushdown " +
-        "both sides, broadcast join, partial agg, TakeOrderedAndProject",
+        "both sides, AQE-chosen shuffle join (no forced broadcast — the " +
+        "barely-filtered orders side is fact-sized), partial agg, " +
+        "TakeOrderedAndProject",
       shippingPriority,
       Some(s"""SELECT o_orderkey, o_orderpriority,
               | round(${OracleSql.sumExact("l_extendedprice*(1.0-l_discount)")},6) AS revenue,
@@ -218,6 +244,10 @@ object Relational extends QueryModule {
     GraftQuery("v9_profile",
       "V9 column profiling: count/nulls/min/max/distinct per column",
       profile, Some(profileSql)),
+    GraftQuery("v9b_profile_approx",
+      "V9 at 100 TB: HLL++ distinct counts (no Expand of the scan; " +
+        "rows-only, error pinned in ScaleSpec)",
+      profileApprox, None),
     GraftQuery("t04c_endpoint_latencies_sketch",
       "D1/T4 with the mergeable centroid-digest sketch aggregate " +
         "(TypedImperativeAggregate; rows-only, accuracy in spec)",

@@ -1,0 +1,90 @@
+package graft
+
+import graft.nlp.MixOps
+
+/** V14/V15 on a deliberately skewed fixture (two big sources + one
+  * 5-doc source): the distributed forms (bucketed order-statistic
+  * select, sharded prefix-sum) must equal the naive single-window
+  * formulations row for row — same semantics, scale-safe plan. */
+class MixSpec extends SparkSpec {
+
+  /** 2005 docs over 3 sources: src0 (m=0, frac 1) and src1 (m=1,
+    * frac 1/2) split ~1000 each, src3 (m=3, frac 1/8) gets 5 docs —
+    * 200:1 skew. Sized to span many doc_id-range shards (2005/128 ≈ 16)
+    * and to hit the boundary-bucket ranking path in every source. */
+  private lazy val dir: String = {
+    import spark.implicits._
+    val d = java.nio.file.Files
+      .createTempDirectory("graft_mix_fixture").toString
+    val rows = (1 to 2005).map { i =>
+      val src =
+        if (i <= 5) "src3" else if (i % 2 == 0) "src0" else "src1"
+      val words = (1 to (i % 37 + 1))
+        .map(j => s"w${(i * 31 + j) % 97}").mkString(" ")
+      (i.toLong, src, if (i % 503 == 0) null else words)
+    }
+    rows.toDF("doc_id", "source", "text")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("v14 bucketed order-statistic select equals the single-window " +
+    "form on a skewed fixture") {
+    Tables.documents(spark, dir).createOrReplaceTempView("mix_docs")
+    val want = spark.sql(
+      """WITH s AS (
+        | SELECT doc_id, source,
+        |  CAST(substring(source, 4) AS INT) % 4 AS m,
+        |  row_number() OVER (PARTITION BY source
+        |    ORDER BY md5(concat('mix', CAST(doc_id AS STRING))), doc_id)
+        |    AS rk,
+        |  count(*) OVER (PARTITION BY source) AS n_g
+        | FROM mix_docs)
+        |SELECT doc_id, source FROM s
+        |WHERE rk <= ceil(n_g * power(2.0, -m))
+        |ORDER BY doc_id""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val got = MixOps.sampleMix(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got === want)
+    // per-source take: ceil(n_g * 2^-m) — all of src0, half of src1,
+    // 1 of src3's 5
+    val bySrc = got.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(bySrc("src0") === 1000)
+    assert(bySrc("src1") === 500)
+    assert(bySrc("src3") === 1)
+  }
+
+  test("v15 sharded prefix-sum equals the single-window form on a " +
+    "skewed fixture") {
+    Tables.documents(spark, dir).createOrReplaceTempView("mix_docs")
+    val want = spark.sql(
+      s"""WITH d AS (
+         | SELECT source, doc_id,
+         |  CAST(CASE WHEN text IS NOT NULL
+         |    THEN size(split(lower(text), ' ')) ELSE 0 END AS BIGINT)
+         |    AS toks
+         | FROM mix_docs),
+         |c AS (
+         | SELECT source, doc_id, toks,
+         |  coalesce(sum(toks) OVER (PARTITION BY source ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+         | FROM d)
+         |SELECT source,
+         | CAST(floor(cum / ${MixOps.PackTokens}.0) AS BIGINT) AS pack_id,
+         | count(*) AS n_docs, sum(toks) AS pack_tokens,
+         | min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM c GROUP BY source, pack_id
+         |ORDER BY source, pack_id""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    val got = MixOps.tokenPacking(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got === want)
+    // the fixture genuinely spans shards: ids 1..2005 over width-128
+    // ranges; a single-shard run would not test the offset join
+    assert(2005 / MixOps.ShardWidth >= 10)
+  }
+}

@@ -63,6 +63,37 @@ class PlanSpec extends SparkSpec {
     assert(exchanges == 1, s"expected 1 exchange, got $exchanges\n$p")
   }
 
+  test("v14/v15 windows over raw documents never partition by source alone") {
+    // a source-only window funnels an entire source (terabytes at 100x)
+    // through ONE task; the only admissible source-only windows are the
+    // ones over frames that are small BY CONSTRUCTION — i.e. sitting on
+    // top of an Aggregate (the 4096-bucket histogram, the per-shard
+    // totals). Check the logical plan: every Window whose subtree has no
+    // Aggregate below it is over raw documents rows and must carry a
+    // second partition key (bucket / shard).
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Window => LWindow}
+    // raw-scale = some path from the window down to a leaf never crosses
+    // an Aggregate (so full input rows flow into it); a window whose
+    // every input path passes an Aggregate is over a reduced frame
+    def rawBelow(p: LogicalPlan): Boolean = p match {
+      case _: Aggregate => false
+      case n if n.children.isEmpty => true
+      case n => n.children.exists(rawBelow)
+    }
+    Seq("v14_sample_mix", "v15_token_packing").foreach { id =>
+      val lp = q(id).asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+        .queryExecution.optimizedPlan
+      val rawWindows = lp.collect {
+        case w: LWindow if rawBelow(w.child) => w
+      }
+      assert(rawWindows.nonEmpty, s"$id: expected a raw-data window")
+      rawWindows.foreach { w =>
+        assert(w.partitionSpec.size >= 2,
+          s"$id: raw-data window partitions by ${w.partitionSpec} only")
+      }
+    }
+  }
+
   test("v2d exact pair join is block-partitioned, not a nested-loop broadcast") {
     val p = plan(q("v2d_embedding_neardup"))
     assert(!p.contains("BroadcastNestedLoopJoin"), p)

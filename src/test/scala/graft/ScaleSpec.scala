@@ -58,6 +58,33 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("v9b approx profile: HLL distincts within 5%, other stats exact, " +
+    "no Expand in the plan") {
+    val exact = Relational.profile(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val approx = Relational.profileApprox(spark, sf0001).collect()
+    assert(approx.length === exact.size)
+    approx.foreach { r =>
+      val e = exact(r.getString(0))
+      // count / nulls / min / max are exact in both forms
+      assert(r.getLong(1) === e.getLong(1), s"${r.getString(0)} n")
+      assert(r.getLong(2) === e.getLong(2), s"${r.getString(0)} n_null")
+      assert(r.getDouble(3) === e.getDouble(3), s"${r.getString(0)} min")
+      assert(r.getDouble(4) === e.getDouble(4), s"${r.getString(0)} max")
+      val (ed, ad) = (e.getLong(5).toDouble, r.getLong(5).toDouble)
+      assert(math.abs(ad - ed) / ed < 0.05,
+        s"${r.getString(0)}: hll $ad vs exact $ed")
+    }
+    // the whole point of the twin: exact countDistinct compiles to an
+    // Expand x5 of the scan; the HLL form must not
+    val plan = Relational.profileApprox(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), "v9b plan still contains Expand")
+    assert(Relational.profile(spark, sf0001)
+      .queryExecution.executedPlan.toString.contains("Expand"),
+      "expected the exact profile to carry the Expand this twin removes")
+  }
+
   test("T20b HLL distinct-users series within 5% of exact per bucket") {
     val exact = graft.operators.SeriesOps.uniqueUsersSeries(spark, sf0001)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
