@@ -298,6 +298,65 @@ object DedupOps extends QueryModule {
       .orderBy(col("i"), col("j"))
   }
 
+  /** Path for the dumped IVF pair set — referenced by the v2d2b oracle
+    * SQL, so it must be stable within a process (pid-suffixed against
+    * concurrent runners, same convention as the ingest fixture). */
+  val IvfPairsPath: String =
+    s"${sys.props("java.io.tmpdir")}/graft_ivf_pairs_" +
+      ProcessHandle.current().pid()
+
+  /** One write per process, and the IVF pairs DEPEND on the data dir
+    * (unlike the dir-independent OTLP fixture), so a second dir in the
+    * same process would silently compare recall against the wrong dump
+    * — guard it loudly instead. Every runner (Verify, Bench, the test
+    * JVM) uses a single SF per process. */
+  @volatile private var ivfPairsDir: String = null
+
+  /** V2d2b: the recall of the IVF candidate path, ORACLE-WITNESSED —
+    * not just spec-pinned. The engine dumps its verified IVF pairs to
+    * parquet; Spark computes |ivf ∩ exact| / |exact| from its own two
+    * plans, and the DuckDB oracle recomputes the SAME number from the
+    * dump plus its own independent exact-pair SQL (the v2d oracle). A
+    * hash match means an independent engine agrees on exactly which
+    * pairs the candidate path found and missed — the driver sees the
+    * candidate quality as a value row every round. */
+  def ivfRecall(spark: SparkSession, dir: String): DataFrame = {
+    val cand = embeddingNearDupIvf(spark, dir).select(col("i"), col("j"))
+    if (ivfPairsDir == null) synchronized {
+      if (ivfPairsDir == null) {
+        cand.coalesce(1).write.mode("overwrite").parquet(IvfPairsPath)
+        ivfPairsDir = dir
+      }
+    }
+    require(ivfPairsDir == dir,
+      s"IVF pair dump is per-process: written from $ivfPairsDir, " +
+        s"now asked for $dir")
+    val exact = embeddingNearDup(spark, dir).select(col("i"), col("j"))
+    val hits = exact
+      .join(spark.read.parquet(IvfPairsPath), Seq("i", "j"), "left_semi")
+      .agg(count(lit(1)).as("n_hit"))
+    val tot = exact.agg(count(lit(1)).as("n_exact"))
+    hits.crossJoin(tot)
+      .select(col("n_hit"), col("n_exact"),
+        Exact.ratio6(col("n_hit"), col("n_exact")).as("recall"))
+  }
+
+  private val ivfRecallSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+       |       CAST(embedding AS DOUBLE[]))) AS nrm FROM embeddings),
+       |x AS (SELECT a.vec_id AS i, b.vec_id AS j
+       |      FROM e a JOIN e b ON a.vec_id < b.vec_id
+       |      WHERE round(list_dot_product(a.v, b.v)/(a.nrm*b.nrm),6) >= 0.4),
+       |c AS (SELECT i, j FROM read_parquet('$IvfPairsPath/*.parquet')),
+       |h AS (SELECT count(*) AS n_hit FROM x
+       |      WHERE EXISTS (SELECT 1 FROM c WHERE c.i=x.i AND c.j=x.j)),
+       |t AS (SELECT count(*) AS n_exact FROM x)
+       |SELECT CAST(n_hit AS BIGINT) AS n_hit,
+       | CAST(n_exact AS BIGINT) AS n_exact,
+       | ${OracleSql.ratio6("n_hit", "n_exact")} AS recall
+       |FROM h, t""".stripMargin
+
   /** V2e: duplicate-cluster assignment — connected components over the
     * near-dup pair graph (the step that turns pairs into "keep one per
     * cluster" decisions). The pair graph after near-dup filtering is tiny
@@ -490,8 +549,15 @@ object DedupOps extends QueryModule {
               |ORDER BY doc_id""".stripMargin)),
     GraftQuery("v2d2_embedding_neardup_ivf",
       "V2 embedding near-dup via multi-probe IVF candidates + exact " +
-        "verify (100 TB shape; recall vs exact pinned in DedupSpec)",
+        "verify (100 TB shape; recall vs exact pinned in DedupSpec " +
+        "and oracle-witnessed as v2d2b)",
       (s, d) => embeddingNearDupIvf(s, d), None),
+    GraftQuery("v2d2b_ivf_recall",
+      "V2d2 candidate-path recall, oracle-witnessed: engine dumps its " +
+        "IVF pairs; DuckDB recomputes |ivf ∩ exact|/|exact| against its " +
+        "own exact-pair SQL — hash match = independent agreement on " +
+        "what the candidates found and missed",
+      ivfRecall, Some(ivfRecallSql)),
     GraftQuery("v2d_embedding_neardup",
       "V2 embedding-cosine near-dup pairs (cos >= 0.4), exact " +
         "block-partitioned pair join (no unbounded broadcast)",

@@ -123,26 +123,46 @@ object TextOps extends QueryModule {
       .orderBy(col("freq").desc, col("token"))
       .limit(50)
 
-  /** V8: per-source cap — keep the first `n` docs of every source
-    * (the per-domain cap step of corpus curation); window row_number,
-    * one shuffle on the source key. */
-  def perSourceCap(spark: SparkSession, dir: String, n: Int = 20): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("source")).orderBy(col("doc_id"))
-    Tables.documents(spark, dir)
+  /** Keep the `n` smallest `doc_id`s per source with their exact rank,
+    * WITHOUT ranking a whole source in one task: stage 1 keeps each
+    * input partition's n smallest doc_ids per source — a superset of
+    * the answer under ANY partitioning, in windows bounded by the input
+    * partition size — and stage 2 ranks only the ≤ n·P survivors. With
+    * a small cap the survivor set is tiny (n=20 across a million input
+    * partitions is 2·10⁷ narrow rows) where the single-window form
+    * funnels the full terabytes of a source through one sort; if P ever
+    * makes the survivor window itself a bottleneck, the same prune
+    * recurses. */
+  private def capBySource(df: DataFrame, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wLocal = Window.partitionBy(col("source"), col("cap_pid"))
+      .orderBy(col("doc_id"))
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    df.withColumn("cap_pid", spark_partition_id())
+      .withColumn("cap_lrk", row_number().over(wLocal))
+      .filter(col("cap_lrk") <= n)
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= n)
+      .drop("cap_pid", "cap_lrk")
+  }
+
+  /** V8: per-source cap — keep the first `n` docs of every source
+    * (the per-domain cap step of corpus curation); two-stage
+    * prune-then-rank, see [[capBySource]]. */
+  def perSourceCap(spark: SparkSession, dir: String, n: Int = 20): DataFrame =
+    capBySource(
+      Tables.documents(spark, dir).select(col("source"), col("doc_id")), n)
       .select(col("source"), col("doc_id"), col("rk"))
       .orderBy(col("source"), col("doc_id"))
-  }
 
   /** V13: the curation pipeline — the composed form a training-data run
     * actually executes, in ONE query: normalize → exact-dedup on the
     * canonical hash (keep lowest doc_id) → language gate (en) → quality
-    * threshold → per-source cap. Two window shuffles (dedup key, source
-    * key) + the fused marker pass; every stage is the same logic as its
-    * standalone operator (v4f/v1/v4a/v4b/v8), so the whole pipeline
-    * stays oracle-checkable end-to-end. */
+    * threshold → per-source cap. One high-cardinality window shuffle
+    * (dedup key) + the two-stage cap ([[capBySource]]) + the fused
+    * marker pass; every stage is the same logic as its standalone
+    * operator (v4f/v1/v4a/v4b/v8), so the whole pipeline stays
+    * oracle-checkable end-to-end. */
   def curate(spark: SparkSession, dir: String, minScore: Double = 0.38,
       perSource: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -161,10 +181,7 @@ object TextOps extends QueryModule {
       .withColumn("n_distinct", size(array_distinct(col("w"))))
       .withColumn("score", scoreCol)
       .filter(col("detected") === "en" && col("score") >= minScore)
-    scored
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("source")).orderBy(col("doc_id"))))
-      .filter(col("rk") <= perSource)
+    capBySource(scored, perSource)
       .select(col("doc_id"), col("source"), col("n_words"), col("score"))
       .orderBy(col("source"), col("doc_id"))
   }
@@ -235,7 +252,8 @@ object TextOps extends QueryModule {
              |      FROM documents)
              |GROUP BY 1 ORDER BY freq DESC, token LIMIT 50""".stripMargin)),
     GraftQuery("v8_per_source_cap",
-      "V8 per-source document cap via window row_number (corpus curation)",
+      "V8 per-source document cap, two-stage prune-then-rank (no " +
+        "whole-source window; corpus curation)",
       (s, d) => perSourceCap(s, d),
       Some("""SELECT source, doc_id,
              | CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) AS INT) AS rk

@@ -78,10 +78,13 @@ object StreamingOps extends QueryModule {
     * SAME decode path as the binary-file stream — the only difference
     * between the two sources is where the `value: binary` column comes
     * from. The connector jar (spark-sql-kafka-0-10) is not shipped in
-    * this build's classpath, so this is compile-checked wiring; the
-    * decode half ([[fromKafkaValues]]) is specced against the exact
-    * (key, value, topic, partition, offset, timestamp) row shape the
-    * connector emits, proving plug-compatibility. */
+    * this build's classpath — verified unobtainable in-sandbox: absent
+    * from /opt/spark/jars and every local ivy/coursier/maven cache, and
+    * the build resolves offline (COURSIER_MODE=offline, zero egress) so
+    * no vendoring path exists. This is therefore compile-checked
+    * wiring; the decode half ([[fromKafkaValues]]) is specced against
+    * the exact (key, value, topic, partition, offset, timestamp) row
+    * shape the connector emits, proving plug-compatibility. */
   def streamOtlpKafka(spark: SparkSession, bootstrapServers: String,
       topic: String, watermarkDelay: String = "10 minutes"): DataFrame =
     fromKafkaValues(
@@ -178,6 +181,24 @@ object StreamingOps extends QueryModule {
       .select(unix_timestamp(col("window.start")).as("bucket_s"),
         round(col("p90"), 6).as("p90"))
     runToBatch(spark, agg, s"st6_pseries_${System.nanoTime()}")
+      .orderBy(col("bucket_s"))
+  }
+
+  /** ST6b: the EXACT half of the streaming percentile series. Per-bucket
+    * count and the decimal-exact mean are ALGEBRAIC — mergeable across
+    * micro-batches with O(1) state per window — so unlike the holistic
+    * p90 (which must ride the sketch, st6) they equal the batch
+    * aggregate on finite input and carry a full DuckDB oracle: the
+    * streaming series surface gets a hash-checked row like st1-st5,
+    * and only the genuinely-approximate column stays rows-only. */
+  def streamingSeriesExact(spark: SparkSession, dir: String): DataFrame = {
+    val agg = eventsStream(spark, dir)
+      .groupBy(window(col("event_ts"), "172800 seconds"))
+      .agg(count(lit(1)).as("n"),
+        Exact.avgExact(col("value")).as("avg_v"))
+      .select(unix_timestamp(col("window.start")).as("bucket_s"),
+        col("n"), col("avg_v"))
+    runToBatch(spark, agg, s"st6b_series_${System.nanoTime()}")
       .orderBy(col("bucket_s"))
   }
 
@@ -385,6 +406,16 @@ object StreamingOps extends QueryModule {
     GraftQuery("st6_streaming_pseries",
       "D8-streaming p90 series via the mergeable quantile sketch " +
         "(exact percentiles are holistic and cannot stream; rows-only " +
-        "- tolerance vs the exact batch series pinned in StreamingSpec)",
-      streamingQuantileSeries, None))
+        "- tolerance vs the exact batch series pinned in StreamingSpec; " +
+        "the exact count/avg half is oracle-checked as st6b)",
+      streamingQuantileSeries, None),
+    GraftQuery("st6b_streaming_series_exact",
+      "D8/D9-streaming exact half of the bucket series: algebraic " +
+        "count + decimal-exact avg stream-merge exactly, so the " +
+        "streaming series carries a full oracle row",
+      streamingSeriesExact,
+      Some(s"""SELECT (epoch_us(ts)//1000000)//172800*172800 AS bucket_s,
+              | CAST(count(*) AS BIGINT) AS n,
+              | ${OracleSql.avgExact("value")} AS avg_v
+              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)))
 }
