@@ -298,6 +298,52 @@ object DedupOps extends QueryModule {
       .orderBy(col("i"), col("j"))
   }
 
+  /** V16: benchmark decontamination — the training-data op that keeps
+    * eval answers out of the corpus: flag every corpus document whose
+    * 3-word-shingle set is contained in the POOLED benchmark shingle
+    * set above `tau`. The benchmark here is the deterministic
+    * `doc_id % 97 == 0` slice standing in for an external eval table
+    * (tiny relative to the corpus, as real benchmarks are).
+    *
+    * Scale shape: the benchmark's distinct shingles broadcast (a few
+    * million strings at worst — benchmarks are small by definition);
+    * the corpus side is one linear explode → broadcast LEFT SEMI probe
+    * → one shuffle on doc_id for the hit count. No corpus-vs-corpus
+    * join anywhere, so it stays linear in corpus size. */
+  def decontaminate(spark: SparkSession, dir: String,
+      tau: Double = 0.05): DataFrame = {
+    val sets = shingleSets(spark, dir)
+    val bench = sets.filter(pmod(col("doc_id"), lit(97)) === 0)
+      .select(explode(col("sh")).as("shingle")).distinct()
+    val corpus = sets.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+    corpus
+      .select(col("doc_id"), col("sz"), explode(col("sh")).as("shingle"))
+      .join(broadcast(bench), Seq("shingle"), "left_semi")
+      .groupBy(col("doc_id"), col("sz"))
+      .agg(count(lit(1)).as("n_hit"))
+      .withColumn("contamination", Exact.ratio6(col("n_hit"), col("sz")))
+      .filter(col("contamination") >= tau)
+      .select(col("doc_id"), col("sz").as("n_shingles"), col("n_hit"),
+        col("contamination"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val decontaminateSql: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+       | s AS (SELECT doc_id, $shinglesSql AS sh FROM t),
+       | bench AS (SELECT DISTINCT unnest(sh) AS shingle FROM s
+       |           WHERE doc_id % 97 = 0),
+       | c AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS shingle FROM s
+       |       WHERE doc_id % 97 <> 0),
+       | h AS (SELECT doc_id, sz, count(*) AS n_hit FROM c
+       |       WHERE shingle IN (SELECT shingle FROM bench) GROUP BY 1,2)
+       |SELECT doc_id, CAST(sz AS INT) AS n_shingles,
+       | CAST(n_hit AS BIGINT) AS n_hit,
+       | ${OracleSql.ratio6("n_hit", "sz")} AS contamination
+       |FROM h
+       |WHERE ${OracleSql.ratio6("n_hit", "sz")} >= 0.05
+       |ORDER BY doc_id""".stripMargin
+
   /** Path for the dumped IVF pair set — referenced by the v2d2b oracle
     * SQL, so it must be stable within a process (pid-suffixed against
     * concurrent runners, same convention as the ingest fixture). */
@@ -552,6 +598,11 @@ object DedupOps extends QueryModule {
         "verify (100 TB shape; recall vs exact pinned in DedupSpec " +
         "and oracle-witnessed as v2d2b)",
       (s, d) => embeddingNearDupIvf(s, d), None),
+    GraftQuery("v16_decontamination",
+      "V16 benchmark decontamination: corpus docs whose shingle set " +
+        "overlaps the pooled benchmark (doc_id%97) shingles >= 0.05 " +
+        "containment — broadcast semi-join, linear in corpus size",
+      (s, d) => decontaminate(s, d), Some(decontaminateSql)),
     GraftQuery("v2d2b_ivf_recall",
       "V2d2 candidate-path recall, oracle-witnessed: engine dumps its " +
         "IVF pairs; DuckDB recomputes |ivf ∩ exact|/|exact| against its " +

@@ -109,7 +109,86 @@ object LayoutOps extends QueryModule {
     }
   }
 
+  // ---- V17: bucketed co-located fact-fact join ----
+
+  /** Bucket count for the co-located join. 8 exercises multi-bucket
+    * reads at test SF; a 100 TB deployment sizes this to ~2-4x the
+    * cluster's total cores (buckets are the unit of join parallelism
+    * AND the per-file size knob: corpus_size / buckets ≈ target file
+    * size x files per bucket). */
+  val NumBuckets = 8
+
+  @volatile private var bucketedFromDir: String = null
+
+  /** Write orders and lineitem as BUCKETED, bucket-SORTED tables
+    * co-partitioned on the join key — the storage layout that deletes
+    * the shuffle (and the sort) from every subsequent fact-fact join
+    * on that key. Z-order (v12) is the layout for SCANS; bucketing is
+    * the layout for JOINS: at 100 TB a lineitem⋈orders shuffle moves
+    * the whole corpus across the network every query, while bucketed
+    * tables pay one layout write and then every join is a per-bucket
+    * zipper merge with ZERO exchanges on either fact side (PlanSpec
+    * pins exactly that). One write per process (same memo convention
+    * as the ingest fixture — re-writing would break planned readers);
+    * `repartition` on the bucket key before the write yields exactly
+    * one file per bucket, which is what lets Spark skip the SMJ sort. */
+  private def ensureBucketTables(spark: SparkSession, dir: String): Unit = {
+    if (bucketedFromDir == null) synchronized {
+      if (bucketedFromDir == null) {
+        val root = s"${sys.props("java.io.tmpdir")}/graft_buckets_" +
+          ProcessHandle.current().pid()
+        spark.sql("DROP TABLE IF EXISTS graft_lineitem_b")
+        spark.sql("DROP TABLE IF EXISTS graft_orders_b")
+        Tables.lineitem(spark, dir)
+          .select(col("l_orderkey"), col("l_extendedprice"),
+            col("l_discount"))
+          .repartition(NumBuckets, col("l_orderkey"))
+          .write.format("parquet")
+          .bucketBy(NumBuckets, "l_orderkey").sortBy("l_orderkey")
+          .option("path", s"$root/lineitem_b")
+          .mode("overwrite").saveAsTable("graft_lineitem_b")
+        Tables.orders(spark, dir)
+          .select(col("o_orderkey"), col("o_orderpriority"))
+          .repartition(NumBuckets, col("o_orderkey"))
+          .write.format("parquet")
+          .bucketBy(NumBuckets, "o_orderkey").sortBy("o_orderkey")
+          .option("path", s"$root/orders_b")
+          .mode("overwrite").saveAsTable("graft_orders_b")
+        bucketedFromDir = dir
+      }
+    }
+    require(bucketedFromDir == dir,
+      s"bucketed tables are per-process: written from $bucketedFromDir, " +
+        s"now asked for $dir")
+  }
+
+  /** V17: revenue by order priority over the bucketed tables — the
+    * join itself carries no exchange on either side (both scans are
+    * bucket-reads on the join key); the only shuffle in the plan is
+    * the final 5-group aggregate. Results are layout-invariant, so the
+    * oracle computes the same numbers from the plain parquet. */
+  def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    ensureBucketTables(spark, dir)
+    spark.table("graft_lineitem_b")
+      .join(spark.table("graft_orders_b"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        round(Exact.sumExact(col("l_extendedprice") *
+          (lit(1.0) - col("l_discount"))), 6).as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("v17_bucketed_join",
+      "V17 bucketed co-located fact-fact join: orders+lineitem stored " +
+        "bucket-sorted on the join key; the join runs with zero " +
+        "exchanges on either side (PlanSpec-pinned)",
+      bucketedJoin,
+      Some(s"""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+              | round(${OracleSql.sumExact("l_extendedprice*(1.0-l_discount)")},6) AS revenue
+              |FROM lineitem JOIN orders ON l_orderkey=o_orderkey
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
     GraftQuery("v12_zorder_prune",
       "V12 Z-order layout: re-cluster events on (ts, user), box query " +
         "answered from the clustered copy (pruning pinned in LayoutSpec)",

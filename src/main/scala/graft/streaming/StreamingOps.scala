@@ -202,6 +202,27 @@ object StreamingOps extends QueryModule {
       .orderBy(col("bucket_s"))
   }
 
+  /** ST7: streaming exact dedup — V1's hash-groupBy arriving as a
+    * stream: one state row per distinct (source, text hash), with the
+    * representative (min doc_id) and the duplicate count maintained
+    * incrementally. min/count are algebraic, so the finite-stream
+    * result equals the batch group-by exactly — full oracle. At 100 TB
+    * the state is one row per DISTINCT document (not per document):
+    * the streaming form of the dedup ledger a continuously-ingesting
+    * corpus maintains. Keyed by (source, hash) rather than hash alone
+    * so the output is arrival-order-independent. */
+  def streamingDedup(spark: SparkSession, dir: String): DataFrame = {
+    val schema = Tables.table(spark, dir, "documents").schema
+    val docs = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val agg = docs
+      .groupBy(col("source"), md5(col("text").cast("binary")).as("text_hash"))
+      .agg(min(col("doc_id")).as("keep_id"),
+        count(lit(1)).as("n_copies"))
+    runToBatch(spark, agg, s"st7_dedup_${System.nanoTime()}")
+      .orderBy(col("source"), col("keep_id"))
+  }
+
   /** ST1: the registry entry — streaming hourly event counts, run to
     * completion over the events file stream. The result equals the batch
     * group-by, so it IS oracle-checkable: streaming and batch semantics
@@ -409,6 +430,15 @@ object StreamingOps extends QueryModule {
         "- tolerance vs the exact batch series pinned in StreamingSpec; " +
         "the exact count/avg half is oracle-checked as st6b)",
       streamingQuantileSeries, None),
+    GraftQuery("st7_streaming_dedup",
+      "V1-streaming exact dedup ledger: one state row per distinct " +
+        "(source, text hash) with representative + dup count, " +
+        "incrementally maintained — equals the batch group-by",
+      streamingDedup,
+      Some("""SELECT source, md5(text) AS text_hash,
+             | min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies
+             |FROM documents GROUP BY 1,2
+             |ORDER BY source, keep_id""".stripMargin)),
     GraftQuery("st6b_streaming_series_exact",
       "D8/D9-streaming exact half of the bucket series: algebraic " +
         "count + decimal-exact avg stream-merge exactly, so the " +

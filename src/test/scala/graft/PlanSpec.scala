@@ -94,6 +94,21 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("v17 bucketed join carries no exchange on either fact side") {
+    // at 100 TB neither side broadcasts, so pin the non-broadcast
+    // regime: with broadcast off, the bucketed layout alone must make
+    // the join exchange-free (the only shuffle is the 5-group agg)
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = plan(graft.operators.LayoutOps.bucketedJoin(spark, sf0001))
+      assert(p.contains("SortMergeJoin"), p)
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(exchanges == 1,
+        s"expected only the aggregate exchange, got $exchanges\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+  }
+
   test("v2d exact pair join is block-partitioned, not a nested-loop broadcast") {
     val p = plan(q("v2d_embedding_neardup"))
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
