@@ -15,7 +15,7 @@ import graft.streaming.StreamingOps
 object SparkEntry {
   private def modules: Seq[QueryModule] = Seq(
     Relational, EventOps, SeriesOps, SearchOps, IngestOps, SessionOps,
-    SpanNativeOps, LayoutOps,
+    SpanNativeOps, LayoutOps, JoinOps,
     TextOps, MixOps, DedupOps, SimilarityOps, MultimodalOps, StreamingOps)
 
   /** All registered operators, in module order. */

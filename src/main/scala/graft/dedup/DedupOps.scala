@@ -328,7 +328,11 @@ object DedupOps extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
-  private val decontaminateSql: String =
+  // lazy: interpolates shinglesSql, which is declared LATER in this
+  // object — a plain val here would capture null at construction time
+  // (object vals initialize in declaration order) and silently emit
+  // `null AS sh` into the oracle SQL.
+  private lazy val decontaminateSql: String =
     s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
        | s AS (SELECT doc_id, $shinglesSql AS sh FROM t),
        | bench AS (SELECT DISTINCT unnest(sh) AS shingle FROM s

@@ -1,0 +1,159 @@
+package graft.operators
+
+import graft._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators Spark has no native form of: the as-of join
+  * (each row picks the latest earlier row of another stream) and the
+  * bounded range join (each row matches a time interval). Neither exists
+  * in the reference — ClickHouse offers ASOF JOIN but nabatshy never
+  * issues one — but both are staple enrichment steps of an event/trace
+  * pipeline (attach "the view that led to this purchase", "everything
+  * that fired around this error"), so they are first-class here.
+  *
+  * Scale design — the whole point of these implementations:
+  *
+  *  - A naive as-of join (`a JOIN b ON a.user=b.user AND b.ts <= a.ts`
+  *    then keep the max) materializes every prior-row pair before
+  *    pruning: quadratic per user. [[asofJoin]] instead UNIONS the two
+  *    sides, tags them, and takes a running `last(ignoreNulls)` over
+  *    one (user_id)-partitioned time-ordered window — ONE shuffle of
+  *    n_left + n_right narrow rows, zero join pairs, linear everywhere.
+  *    The window key is the high-cardinality user id (millions at
+  *    target scale), so partitions stay small without sharding tricks.
+  *
+  *  - A naive range join (`ON abs(a.ts - b.ts) <= δ`) has no equi-key,
+  *    so Spark plans a BroadcastNestedLoopJoin — the O(N·M) plan that
+  *    dies first at scale. [[rangeJoin]] quantizes time into buckets of
+  *    width ≥ the interval length: each interval overlaps ≤ 2 buckets
+  *    (exploded), each probe row has exactly 1, and the join becomes a
+  *    plain shuffled HASH join on the bucket key with the exact range
+  *    predicate as a residual filter. Each (interval, probe) pair can
+  *    meet in at most one bucket, so no dedup pass is needed. PlanSpec
+  *    pins the absence of BroadcastNestedLoopJoin/CartesianProduct.
+  */
+object JoinOps extends QueryModule {
+
+  /** W1: as-of join — for every `purchase`, the latest `view` by the
+    * same user at-or-before the purchase's timestamp (ties on ts:
+    * views sort before the purchase, so "at-or-before" is inclusive;
+    * among equal-ts views the highest event_id wins — deterministic).
+    * Purchases with no prior view keep NULL enrichment columns (the
+    * LEFT as-of form). */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts_us"), lit(0).as("tag"),
+        col("event_id"), round(col("value"), 6).as("v_value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us"), lit(1).as("tag"),
+        col("event_id"), lit(null).cast("double").as("v_value"))
+    // running "most recent view so far" per user: rows ordered by
+    // (ts, tag, event_id) so a same-ts view lands before the purchase
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("tag"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    views.unionByName(purchases)
+      .withColumn("pv", last(
+        when(col("tag") === 0, struct(
+          col("event_id").as("ve"), col("ts_us").as("vt"),
+          col("v_value").as("vv"))),
+        ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("pv.ve").as("view_event_id"),
+        col("pv.vt").as("view_ts_us"),
+        col("pv.vv").as("view_value"))
+      .orderBy(col("event_id"))
+  }
+
+  /** The oracle states the DEFINITION (all prior pairs, rank 1 by
+    * (ts, event_id) desc) rather than mirroring the union-window plan —
+    * an independent quadratic-per-user spelling DuckDB can afford at
+    * oracle SF. */
+  private val asofSql: String =
+    """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+      |           FROM events WHERE event_type = 'purchase'),
+      | v AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+      |              round(value, 6) AS v_value
+      |       FROM events WHERE event_type = 'view'),
+      | best AS (SELECT * FROM (
+      |   SELECT p.event_id AS pe, v.event_id AS view_event_id,
+      |          v.ts_us AS view_ts_us, v.v_value AS view_value,
+      |          row_number() OVER (PARTITION BY p.event_id
+      |            ORDER BY v.ts_us DESC, v.event_id DESC) AS rn
+      |   FROM p JOIN v ON v.user_id = p.user_id AND v.ts_us <= p.ts_us)
+      |  WHERE rn = 1)
+      |SELECT p.event_id, p.user_id, p.ts_us, b.view_event_id,
+      |       b.view_ts_us, b.view_value
+      |FROM p LEFT JOIN best b ON b.pe = p.event_id
+      |ORDER BY p.event_id""".stripMargin
+
+  /** Half-width of the W2 blast-radius interval (±1 h — sized so the
+    * neighborhood is non-empty at every test SF; a denser deployment
+    * narrows it and the plan is unchanged). */
+  val RangeHalfUs = 3600000000L
+
+  /** Bucket width for the range join — must be ≥ the interval LENGTH
+    * (2·half) so an interval spans at most 2 buckets. */
+  val RangeBucketUs = 7200000000L
+
+  /** W2: bounded range join — for every `error` event, aggregate the
+    * events inside ±[[RangeHalfUs]] around it (itself excluded): count,
+    * distinct users, co-fired errors. Errors with an empty neighborhood
+    * drop out (inner form); the oracle states the same. At 100 TB the
+    * bucket key is ~seconds-granular time — hot seconds are real, so a
+    * skewed deployment salts the bucket exactly like t05b salts its
+    * join key; at this data shape the residual filter keeps per-bucket
+    * fanout ≤ 2× and the hash join stays balanced. */
+  def rangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts_us"))
+    val probes = ev.withColumn("bucket",
+      expr(s"ts_us div $RangeBucketUs"))
+    val intervals = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("ts_us").as("err_ts"))
+      .withColumn("bucket", explode(sequence(
+        expr(s"(err_ts - $RangeHalfUs) div $RangeBucketUs"),
+        expr(s"(err_ts + $RangeHalfUs) div $RangeBucketUs"))))
+    intervals.join(probes, Seq("bucket"))
+      .filter(abs(col("ts_us") - col("err_ts")) <= RangeHalfUs &&
+        col("event_id") =!= col("err_id"))
+      .groupBy(col("err_id"), col("err_ts"))
+      .agg(count(lit(1)).as("n_nearby"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L))
+          .as("n_errors"))
+      .orderBy(col("err_id"))
+  }
+
+  private val rangeSql: String =
+    s"""WITH e AS (SELECT event_id, user_id, event_type,
+       |                  epoch_us(ts) AS ts_us FROM events),
+       | err AS (SELECT event_id AS err_id, ts_us AS err_ts
+       |         FROM e WHERE event_type = 'error')
+       |SELECT err_id, err_ts, CAST(count(*) AS BIGINT) AS n_nearby,
+       | CAST(count(DISTINCT x.user_id) AS BIGINT) AS n_users,
+       | CAST(sum(CASE WHEN x.event_type = 'error' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_errors
+       |FROM err JOIN e x
+       |  ON abs(x.ts_us - err_ts) <= $RangeHalfUs
+       | AND x.event_id <> err_id
+       |GROUP BY 1, 2
+       |ORDER BY err_id""".stripMargin
+
+  val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("w1_asof_join",
+      "W1 as-of join: latest prior-or-equal view per purchase+user via " +
+        "union + one (user_id)-window — one shuffle, zero join pairs " +
+        "(no native Spark form; ClickHouse calls this ASOF JOIN)",
+      asofJoin, Some(asofSql)),
+    GraftQuery("w2_range_join",
+      "W2 bounded range join: events within ±1h of each error via " +
+        "bucket-quantized hash join (≤2 buckets per interval) — no " +
+        "BroadcastNestedLoopJoin (PlanSpec-pinned)",
+      rangeJoin, Some(rangeSql)))
+}

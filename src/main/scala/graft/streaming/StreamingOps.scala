@@ -164,6 +164,19 @@ object StreamingOps extends QueryModule {
     spark.table(name)
   }
 
+  /** [[runToBatch]] for non-aggregating plans (stream-stream joins):
+    * append mode — complete mode requires an aggregation, and a join's
+    * matched rows are final once emitted. */
+  def runToBatchAppend(spark: SparkSession, df: DataFrame,
+      name: String): DataFrame = {
+    withStreamSizedShuffle(spark, 4) {
+      val q = df.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.table(name)
+  }
+
   /** ST6: streaming quantile series — the streaming twin of T14/D8.
     * Exact percentiles are HOLISTIC (Spark rejects them in streaming
     * aggregations), which is precisely what the mergeable
@@ -221,6 +234,36 @@ object StreamingOps extends QueryModule {
         count(lit(1)).as("n_copies"))
     runToBatch(spark, agg, s"st7_dedup_${System.nanoTime()}")
       .orderBy(col("source"), col("keep_id"))
+  }
+
+  /** ST8: stream-stream as-of-style join — purchases joined to the
+    * same user's views from the preceding hour, both sides arriving as
+    * streams. THE canonical Structured Streaming join: the time-bound
+    * condition plus the watermarks is what lets the engine DROP view
+    * state older than (purchase watermark − 1 h) instead of buffering
+    * both streams forever — state is bounded by one hour of views per
+    * user however long the job runs. Inner join in append mode; on
+    * finite input the result equals the batch join exactly, so it
+    * carries a full DuckDB oracle like st1-st5/st7. */
+  def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val base = eventsStream(spark, dir)
+    val purchases = base.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts_us").as("p_ts_us"), col("event_ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val views = base.filter(col("event_type") === "view")
+      .select(col("event_id").as("v_id"), col("user_id").as("v_user"),
+        col("ts_us").as("v_ts_us"), col("event_ts").as("v_ts"))
+      .withWatermark("v_ts", "2 hours")
+    val joined = purchases.join(views,
+      col("v_user") === col("p_user") &&
+        col("v_ts") <= col("p_ts") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("p_id").as("purchase_id"), col("p_user").as("user_id"),
+        col("p_ts_us").as("purchase_ts_us"), col("v_id").as("view_id"),
+        col("v_ts_us").as("view_ts_us"))
+    runToBatchAppend(spark, joined, s"st8_ssjoin_${System.nanoTime()}")
+      .orderBy(col("purchase_id"), col("view_id"))
   }
 
   /** ST1: the registry entry — streaming hourly event counts, run to
@@ -439,6 +482,22 @@ object StreamingOps extends QueryModule {
              | min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies
              |FROM documents GROUP BY 1,2
              |ORDER BY source, keep_id""".stripMargin)),
+    GraftQuery("st8_stream_stream_join",
+      "W1-streaming stream-stream join: purchases x same-user views " +
+        "from the preceding hour, watermark-bounded state on both " +
+        "sides — equals the batch time-bound join",
+      streamStreamJoin,
+      Some("""WITH e AS (SELECT event_id, user_id, event_type,
+             |                  epoch_us(ts) AS ts_us FROM events)
+             |SELECT p.event_id AS purchase_id, p.user_id,
+             |       p.ts_us AS purchase_ts_us, v.event_id AS view_id,
+             |       v.ts_us AS view_ts_us
+             |FROM e p JOIN e v
+             |  ON p.event_type = 'purchase' AND v.event_type = 'view'
+             | AND v.user_id = p.user_id
+             | AND v.ts_us <= p.ts_us
+             | AND v.ts_us >= p.ts_us - 3600000000
+             |ORDER BY purchase_id, view_id""".stripMargin)),
     GraftQuery("st6b_streaming_series_exact",
       "D8/D9-streaming exact half of the bucket series: algebraic " +
         "count + decimal-exact avg stream-merge exactly, so the " +

@@ -109,6 +109,19 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
   }
 
+  test("w1 as-of join is one window shuffle, zero join operators") {
+    val p = plan(q("w1_asof_join"))
+    assert(!p.contains("Join"), p) // union+window form: no join at all
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected one user_id exchange, got $exchanges\n$p")
+  }
+
+  test("w2 range join is a hash/merge join on the bucket key, not BNLJ") {
+    val p = plan(q("w2_range_join"))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("v2d exact pair join is block-partitioned, not a nested-loop broadcast") {
     val p = plan(q("v2d_embedding_neardup"))
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
