@@ -123,6 +123,36 @@ object TextOps extends QueryModule {
       .orderBy(col("freq").desc, col("token"))
       .limit(50)
 
+  /** V4g: per-document characteristic terms — TF × rarity scoring, the
+    * tf-idf step of corpus analysis with the idf log replaced by the
+    * integer-exact tf/df ratio: `ln` differs by ulps across engines'
+    * libms, which would make a hash oracle flaky, and within a document
+    * the (tf desc, df asc, term) rank used here orders ties identically
+    * to any monotone rarity weight. Top-3 terms per doc.
+    *
+    * Scale: one explode, a (doc,term) aggregate, a term-keyed df join
+    * (the tf exchange is identical in both subtrees — ReuseExchange
+    * computes it once), and a (doc_id)-partitioned window — doc_id is
+    * high-cardinality, so no single-task funnel anywhere. */
+  def termScores(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(words).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tf").desc, col("df").asc, col("term"))
+    tf.join(dfreq, Seq("term"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .withColumn("score", Exact.ratio6(col("tf"), col("df")))
+      .select(col("doc_id"), col("rk"), col("term"), col("tf"),
+        col("df"), col("score"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
   /** Keep the `n` smallest `doc_id`s per source with their exact rank,
     * WITHOUT ranking a whole source in one task: stage 1 keeps each
     * input partition's n smallest doc_ids per source — a superset of
@@ -251,6 +281,26 @@ object TextOps extends QueryModule {
              |FROM (SELECT unnest(string_split(lower(text), ' ')) AS token
              |      FROM documents)
              |GROUP BY 1 ORDER BY freq DESC, token LIMIT 50""".stripMargin)),
+    GraftQuery("v4g_term_scores",
+      "V4g characteristic terms: top-3 per doc by TF x rarity " +
+        "(integer-exact tf/df ratio in place of the libm-unstable " +
+        "idf log; explode + df join + doc-window)",
+      termScores,
+      Some(s"""WITH w AS (SELECT doc_id,
+              |            unnest(string_split(lower(text), ' ')) AS term
+              |           FROM documents WHERE text IS NOT NULL),
+              | tf AS (SELECT doc_id, term, count(*) AS tf
+              |        FROM w GROUP BY 1, 2),
+              | df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+              | r AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+              |        row_number() OVER (PARTITION BY tf.doc_id
+              |          ORDER BY tf.tf DESC, df.df ASC, tf.term) AS rk
+              |       FROM tf JOIN df USING (term))
+              |SELECT doc_id, CAST(rk AS INT) AS rk, term,
+              | CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+              | ${OracleSql.ratio6("tf", "df")} AS score
+              |FROM r WHERE rk <= 3
+              |ORDER BY doc_id, rk""".stripMargin)),
     GraftQuery("v8_per_source_cap",
       "V8 per-source document cap, two-stage prune-then-rank (no " +
         "whole-source window; corpus curation)",

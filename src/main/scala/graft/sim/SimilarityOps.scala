@@ -263,7 +263,81 @@ object SimilarityOps extends QueryModule {
       .limit(k)
   }
 
+  /** (vec_id, ma, codes): int8 scalar quantization of every non-zero
+    * vector — scale = max|x|, code_i = floor(x_i·127/ma + 0.5) ∈
+    * [-127, 127]. The +0.5-floor spelling is engine-exact where a
+    * `round()` call's half-mode is not. Zero-shuffle linear projection. */
+  private[graft] def quantized(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("ma", array_max(transform(col("v"), x => abs(x))))
+      .filter(col("ma") > 0)
+      .withColumn("codes", transform(col("v"),
+        x => floor(x * lit(127.0) / col("ma") + lit(0.5)).cast("long")))
+
+  /** V18: int8 scalar quantization — the storage format large-corpus
+    * ANN rides (4x smaller than float32; IVF cells of codes instead of
+    * floats). The oracle witnesses the EXACT code arrays through two
+    * integer checksums (sum + L1): an independent engine agreeing on
+    * both for every vector means the quantization arithmetic is
+    * bit-identical without hash-comparing a nested array column. */
+  def quantize(spark: SparkSession, dir: String): DataFrame =
+    quantized(spark, dir)
+      .select(col("vec_id"),
+        size(col("codes")).as("n_dims"),
+        round(col("ma"), 6).as("max_abs"),
+        aggregate(col("codes"), lit(0L), (a, x) => a + x).as("code_sum"),
+        aggregate(col("codes"), lit(0L), (a, x) => a + abs(x))
+          .as("code_l1"))
+      .orderBy(col("vec_id"))
+
+  /** V18b: v3a's cosine top-k answered FROM the int8 codes — the
+    * per-vector scales cancel in the cosine, so the integer code
+    * vectors stand in directly (dot products exact: |codes| ≤ 127,
+    * 64 dims ≪ 2^53). Approximate only through the quantization
+    * error; recall vs the exact v3a pinned in DedupSpec. */
+  def cosineTopKQuantized(spark: SparkSession, dir: String,
+      k: Int = 10): DataFrame = {
+    val e = quantized(spark, dir)
+      .select(col("vec_id"), asDouble(col("codes")).as("cv"))
+      .withColumn("nrm", sqrt(dot(col("cv"), col("cv"))))
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("cv").as("q_cv"), col("nrm").as("q_nrm"))
+    e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .withColumn("cos",
+        round(dot(col("cv"), col("q_cv")) / (col("nrm") * col("q_nrm")), 6))
+      .select(col("vec_id"), col("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("v18_embedding_quantize",
+      "V18 int8 scalar quantization of the embedding column (scale = " +
+        "max|x|; exact code arrays witnessed via integer sum/L1 " +
+        "checksums) — linear, zero-shuffle",
+      (s, d) => quantize(s, d),
+      Some("""WITH e AS (SELECT vec_id,
+             |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |  FROM embeddings),
+             | m AS (SELECT vec_id, v,
+             |  list_max(list_transform(v, x -> abs(x))) AS ma FROM e),
+             | c AS (SELECT vec_id, ma,
+             |  list_transform(v, x ->
+             |    CAST(floor(x * 127.0 / ma + 0.5) AS BIGINT)) AS codes
+             |  FROM m WHERE ma > 0)
+             |SELECT vec_id, CAST(len(codes) AS INT) AS n_dims,
+             | round(ma, 6) AS max_abs,
+             | CAST(list_sum(codes) AS BIGINT) AS code_sum,
+             | CAST(list_sum(list_transform(codes, x -> abs(x)))
+             |      AS BIGINT) AS code_l1
+             |FROM c ORDER BY vec_id""".stripMargin)),
+    GraftQuery("v18b_quantized_topk",
+      "V18b cosine top-10 answered from the int8 codes (scales cancel " +
+        "in the cosine; rows-only — approximate via quantization error, " +
+        "recall vs exact v3a pinned in DedupSpec)",
+      (s, d) => cosineTopKQuantized(s, d), None),
     GraftQuery("v3c_knn_join",
       "V3 approximate kNN join: per-vector top-5 within IVF cells " +
         "(linear-shuffle similarity join; recall pinned in DedupSpec)",

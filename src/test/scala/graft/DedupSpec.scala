@@ -2,6 +2,7 @@ package graft
 
 import graft.dedup.DedupOps
 import graft.sim.SimilarityOps
+import org.apache.spark.sql.functions._
 
 /** Approximate-vs-exact equivalence for the dedup/similarity suite. */
 class DedupSpec extends SparkSpec {
@@ -53,6 +54,32 @@ class DedupSpec extends SparkSpec {
     val recall = exact.count(ivf.contains).toDouble / exact.size
     assert(recall >= 0.85, s"ivf near-dup recall $recall")
     assert(exact.nonEmpty)
+  }
+
+  test("V18 int8 quantization: codes bounded, reconstruction tight, " +
+      "quantized top-k recalls the exact top-k") {
+    val q = SimilarityOps.quantize(spark, sf)
+    // every vector survives (no zero vectors in the fixture) and the
+    // L1 checksum bounds each |code| <= 127*n_dims
+    val bad = q.filter(col("code_l1") > col("n_dims") * 127L).count()
+    assert(bad === 0)
+    assert(q.count() === Tables.embeddings(spark, sf).count())
+    // quantization error per element is <= ma/254 + fp noise by
+    // construction (half a code step); witness via a reconstruction
+    val recon = SimilarityOps.quantized(spark, sf)
+      .withColumn("err", aggregate(
+        zip_with(col("v"), col("codes"),
+          (x, c) => abs(x - c * col("ma") / lit(127.0))),
+        lit(0.0), (a, e) => greatest(a, e)))
+      .filter(col("err") > col("ma") / lit(254.0) * lit(1.0001))
+    assert(recon.count() === 0)
+    // recall@10 of the code-space cosine vs the exact v3a top-10
+    val exact = SimilarityOps.cosineTopK(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val quant = SimilarityOps.cosineTopKQuantized(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val recall = exact.count(quant.contains).toDouble / exact.size
+    assert(recall >= 0.8, s"quantized top-k recall $recall")
   }
 
   test("V3b IVF: k-means refinement improves the index, deterministic") {
