@@ -358,9 +358,8 @@ object DedupOps extends QueryModule {
   /** One write per process, and the IVF pairs DEPEND on the data dir
     * (unlike the dir-independent OTLP fixture), so a second dir in the
     * same process would silently compare recall against the wrong dump
-    * — guard it loudly instead. Every runner (Verify, Bench, the test
-    * JVM) uses a single SF per process. */
-  @volatile private var ivfPairsDir: String = null
+    * — [[graft.util.OncePerProcess]] guards it loudly instead. */
+  private val ivfPairsOnce = new graft.util.OncePerProcess("IVF pair dump")
 
   /** V2d2b: the recall of the IVF candidate path, ORACLE-WITNESSED —
     * not just spec-pinned. The engine dumps its verified IVF pairs to
@@ -372,15 +371,9 @@ object DedupOps extends QueryModule {
     * candidate quality as a value row every round. */
   def ivfRecall(spark: SparkSession, dir: String): DataFrame = {
     val cand = embeddingNearDupIvf(spark, dir).select(col("i"), col("j"))
-    if (ivfPairsDir == null) synchronized {
-      if (ivfPairsDir == null) {
-        cand.coalesce(1).write.mode("overwrite").parquet(IvfPairsPath)
-        ivfPairsDir = dir
-      }
+    ivfPairsOnce.ensure(dir) {
+      cand.coalesce(1).write.mode("overwrite").parquet(IvfPairsPath)
     }
-    require(ivfPairsDir == dir,
-      s"IVF pair dump is per-process: written from $ivfPairsDir, " +
-        s"now asked for $dir")
     val exact = embeddingNearDup(spark, dir).select(col("i"), col("j"))
     val hits = exact
       .join(spark.read.parquet(IvfPairsPath), Seq("i", "j"), "left_semi")

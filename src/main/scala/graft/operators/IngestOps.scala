@@ -53,16 +53,16 @@ object IngestOps extends QueryModule {
     * against the old listing (a2a3's plan is built before a4b runs when
     * a caller constructs all registry DataFrames up front, as
     * ContractSpec does). */
-  @volatile private var fixtureWritten = false
+  private val fixtureOnce = new graft.util.OncePerProcess("OTLP fixture")
   private def dumpFixture(spark: SparkSession): DataFrame = {
     import spark.implicits._
     val flat = OtlpIngest.fromJson(spark.createDataset(OtlpExamples.all))
-    if (!fixtureWritten) synchronized {
-      if (!fixtureWritten) {
-        flat.coalesce(1) // 3-row fixture: one file, not 32 task stubs
-          .write.mode("overwrite").parquet(FixturePath)
-        fixtureWritten = true
-      }
+    // dir-independent fixture (built from OtlpExamples, not testdata) —
+    // a constant key makes the per-process dir guard vacuous, as it
+    // should be here
+    fixtureOnce.ensure("") {
+      flat.coalesce(1) // 3-row fixture: one file, not 32 task stubs
+        .write.mode("overwrite").parquet(FixturePath)
     }
     flat
   }

@@ -118,7 +118,8 @@ object LayoutOps extends QueryModule {
     * size x files per bucket). */
   val NumBuckets = 8
 
-  @volatile private var bucketedFromDir: String = null
+  private val bucketsOnce =
+    new graft.util.OncePerProcess("bucketed tables")
 
   /** Write orders and lineitem as BUCKETED, bucket-SORTED tables
     * co-partitioned on the join key — the storage layout that deletes
@@ -132,35 +133,28 @@ object LayoutOps extends QueryModule {
     * as the ingest fixture — re-writing would break planned readers);
     * `repartition` on the bucket key before the write yields exactly
     * one file per bucket, which is what lets Spark skip the SMJ sort. */
-  private def ensureBucketTables(spark: SparkSession, dir: String): Unit = {
-    if (bucketedFromDir == null) synchronized {
-      if (bucketedFromDir == null) {
-        val root = s"${sys.props("java.io.tmpdir")}/graft_buckets_" +
-          ProcessHandle.current().pid()
-        spark.sql("DROP TABLE IF EXISTS graft_lineitem_b")
-        spark.sql("DROP TABLE IF EXISTS graft_orders_b")
-        Tables.lineitem(spark, dir)
-          .select(col("l_orderkey"), col("l_extendedprice"),
-            col("l_discount"))
-          .repartition(NumBuckets, col("l_orderkey"))
-          .write.format("parquet")
-          .bucketBy(NumBuckets, "l_orderkey").sortBy("l_orderkey")
-          .option("path", s"$root/lineitem_b")
-          .mode("overwrite").saveAsTable("graft_lineitem_b")
-        Tables.orders(spark, dir)
-          .select(col("o_orderkey"), col("o_orderpriority"))
-          .repartition(NumBuckets, col("o_orderkey"))
-          .write.format("parquet")
-          .bucketBy(NumBuckets, "o_orderkey").sortBy("o_orderkey")
-          .option("path", s"$root/orders_b")
-          .mode("overwrite").saveAsTable("graft_orders_b")
-        bucketedFromDir = dir
-      }
+  private def ensureBucketTables(spark: SparkSession, dir: String): Unit =
+    bucketsOnce.ensure(dir) {
+      val root = s"${sys.props("java.io.tmpdir")}/graft_buckets_" +
+        ProcessHandle.current().pid()
+      spark.sql("DROP TABLE IF EXISTS graft_lineitem_b")
+      spark.sql("DROP TABLE IF EXISTS graft_orders_b")
+      Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_extendedprice"),
+          col("l_discount"))
+        .repartition(NumBuckets, col("l_orderkey"))
+        .write.format("parquet")
+        .bucketBy(NumBuckets, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$root/lineitem_b")
+        .mode("overwrite").saveAsTable("graft_lineitem_b")
+      Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .repartition(NumBuckets, col("o_orderkey"))
+        .write.format("parquet")
+        .bucketBy(NumBuckets, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$root/orders_b")
+        .mode("overwrite").saveAsTable("graft_orders_b")
     }
-    require(bucketedFromDir == dir,
-      s"bucketed tables are per-process: written from $bucketedFromDir, " +
-        s"now asked for $dir")
-  }
 
   /** V17: revenue by order priority over the bucketed tables — the
     * join itself carries no exchange on either side (both scans are

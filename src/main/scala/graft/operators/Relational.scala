@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Relational operator coverage on the TPC-H-shaped testdata tables:
@@ -120,26 +120,33 @@ object Relational extends QueryModule {
     * column, one row per column (the data-quality "describe" step of a
     * pipeline). Each column is one scan-side aggregate; Catalyst fuses
     * the union into parallel stages. */
-  def profile(spark: SparkSession, dir: String): DataFrame = {
-    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-    // ONE scan: every column's stats in a single aggregate row, then
-    // stack() back to one row per column (a 4-scan union of aggregates
-    // reads the table four times for nothing)
-    val aggs = cols.flatMap { c =>
+  private val ProfileCols =
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  /** Shared v9/v9b body — ONE scan: every column's stats in a single
+    * aggregate row, then stack() back to one row per column (a 4-scan
+    * union of aggregates reads the table four times for nothing). The
+    * two entries differ ONLY in the distinct aggregate. */
+  private def profileWith(spark: SparkSession, dir: String,
+      distinctAgg: Column => Column): DataFrame = {
+    val aggs = ProfileCols.flatMap { c =>
       Seq(count(lit(1)).as(s"n_$c"),
         sum(when(col(c).isNull, 1).otherwise(0)).cast("long")
           .as(s"nn_$c"),
         round(min(col(c)), 6).as(s"mn_$c"),
         round(max(col(c)), 6).as(s"mx_$c"),
-        countDistinct(col(c)).as(s"nd_$c"))
+        distinctAgg(col(c)).as(s"nd_$c"))
     }
     val one = Tables.lineitem(spark, dir).agg(aggs.head, aggs.tail: _*)
-    val stackArgs = cols.map(c =>
+    val stackArgs = ProfileCols.map(c =>
       s"'$c', n_$c, nn_$c, mn_$c, mx_$c, nd_$c").mkString(", ")
-    one.selectExpr(s"stack(${cols.length}, $stackArgs) AS " +
+    one.selectExpr(s"stack(${ProfileCols.length}, $stackArgs) AS " +
         "(col_name, n, n_null, min_v, max_v, n_distinct)")
       .orderBy(col("col_name"))
   }
+
+  def profile(spark: SparkSession, dir: String): DataFrame =
+    profileWith(spark, dir, countDistinct(_))
 
   /** V9 at 100 TB: the four exact `countDistinct` in one aggregate
     * compile to an Expand ×5 of the scan (every input row quintupled to
@@ -147,26 +154,11 @@ object Relational extends QueryModule {
     * volume is 5× the table. This twin rides `approx_count_distinct`
     * (HLL++, no Expand, mergeable); rows-only for the driver, sketch
     * error vs the exact profile pinned in ScaleSpec. */
-  def profileApprox(spark: SparkSession, dir: String): DataFrame = {
-    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-    val aggs = cols.flatMap { c =>
-      Seq(count(lit(1)).as(s"n_$c"),
-        sum(when(col(c).isNull, 1).otherwise(0)).cast("long")
-          .as(s"nn_$c"),
-        round(min(col(c)), 6).as(s"mn_$c"),
-        round(max(col(c)), 6).as(s"mx_$c"),
-        approx_count_distinct(col(c), 0.02).as(s"nd_$c"))
-    }
-    val one = Tables.lineitem(spark, dir).agg(aggs.head, aggs.tail: _*)
-    val stackArgs = cols.map(c =>
-      s"'$c', n_$c, nn_$c, mn_$c, mx_$c, nd_$c").mkString(", ")
-    one.selectExpr(s"stack(${cols.length}, $stackArgs) AS " +
-        "(col_name, n, n_null, min_v, max_v, n_distinct)")
-      .orderBy(col("col_name"))
-  }
+  def profileApprox(spark: SparkSession, dir: String): DataFrame =
+    profileWith(spark, dir, approx_count_distinct(_, 0.02))
 
-  private val profileSql: String =
-    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").map { c =>
+  private lazy val profileSql: String =
+    ProfileCols.map { c =>
       s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n,
          | CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
          | round(min($c),6) AS min_v, round(max($c),6) AS max_v,

@@ -152,30 +152,24 @@ object StreamingOps extends QueryModule {
     try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
-  /** Run a finite streaming aggregation to completion and return the
-    * final result as a batch DataFrame (memory sink, complete mode). */
-  def runToBatch(spark: SparkSession, agg: DataFrame,
-      name: String): DataFrame = {
+  /** Run a finite streaming plan to completion and return the final
+    * result as a batch DataFrame (memory sink). Aggregations use
+    * complete mode; non-aggregating plans (stream-stream joins) must
+    * use append — complete requires an aggregation, and a join's
+    * matched rows are final once emitted. */
+  def runToBatch(spark: SparkSession, agg: DataFrame, name: String,
+      mode: String = "complete"): DataFrame = {
     withStreamSizedShuffle(spark, 4) {
-      val q = agg.writeStream.outputMode("complete")
+      val q = agg.writeStream.outputMode(mode)
         .format("memory").queryName(name).start()
       try q.processAllAvailable() finally q.stop()
     }
     spark.table(name)
   }
 
-  /** [[runToBatch]] for non-aggregating plans (stream-stream joins):
-    * append mode — complete mode requires an aggregation, and a join's
-    * matched rows are final once emitted. */
+  /** [[runToBatch]] in append mode, for non-aggregating plans. */
   def runToBatchAppend(spark: SparkSession, df: DataFrame,
-      name: String): DataFrame = {
-    withStreamSizedShuffle(spark, 4) {
-      val q = df.writeStream.outputMode("append")
-        .format("memory").queryName(name).start()
-      try q.processAllAvailable() finally q.stop()
-    }
-    spark.table(name)
-  }
+      name: String): DataFrame = runToBatch(spark, df, name, "append")
 
   /** ST6: streaming quantile series — the streaming twin of T14/D8.
     * Exact percentiles are HOLISTIC (Spark rejects them in streaming

@@ -122,6 +122,11 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("v18 quantization is a zero-exchange linear projection") {
+    val p = plan(q("v18_embedding_quantize"))
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
   test("v2d exact pair join is block-partitioned, not a nested-loop broadcast") {
     val p = plan(q("v2d_embedding_neardup"))
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
