@@ -374,12 +374,15 @@ object DedupOps extends QueryModule {
     ivfPairsOnce.ensure(dir) {
       cand.coalesce(1).write.mode("overwrite").parquet(IvfPairsPath)
     }
-    val exact = embeddingNearDup(spark, dir).select(col("i"), col("j"))
-    val hits = exact
-      .join(spark.read.parquet(IvfPairsPath), Seq("i", "j"), "left_semi")
-      .agg(count(lit(1)).as("n_hit"))
-    val tot = exact.agg(count(lit(1)).as("n_exact"))
-    hits.crossJoin(tot)
+    // ONE pass over the exact pairs: a left join against the (tiny)
+    // dumped candidate set marks hits, and a single aggregate counts
+    // both totals — the previous two-action form (semi-join count +
+    // separate total count) executed the O(N²) exact pair plan twice
+    val stored = spark.read.parquet(IvfPairsPath).withColumn("h", lit(1))
+    embeddingNearDup(spark, dir).select(col("i"), col("j"))
+      .join(broadcast(stored), Seq("i", "j"), "left")
+      .agg(sum(coalesce(col("h"), lit(0))).cast("long").as("n_hit"),
+        count(lit(1)).as("n_exact"))
       .select(col("n_hit"), col("n_exact"),
         Exact.ratio6(col("n_hit"), col("n_exact")).as("recall"))
   }
