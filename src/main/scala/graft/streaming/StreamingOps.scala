@@ -260,6 +260,28 @@ object StreamingOps extends QueryModule {
       .orderBy(col("purchase_id"), col("view_id"))
   }
 
+  /** ST9: BOUNDED-STATE streaming dedup — `dropDuplicatesWithinWatermark`
+    * keyed on event_id over a deliberately duplicated stream (the events
+    * stream unioned with itself: every row arrives twice). st7's exact
+    * ledger holds one state row per distinct key FOREVER — right for a
+    * dedup ledger, wrong for an infinite keyspace; this is the other
+    * regime: state is dropped once the watermark passes a key's event
+    * time, so an unbounded stream holds only a watermark-window of keys
+    * — the at-least-once-source dedup step of a production ingest. On
+    * this finite input every duplicate arrives inside the window, so the
+    * result equals batch DISTINCT exactly and carries a full oracle. */
+  def streamingDedupBounded(spark: SparkSession, dir: String): DataFrame = {
+    val once = eventsStream(spark, dir)
+      .select(col("event_id"), col("event_type"), col("ts_us"),
+        col("event_ts"))
+    val deduped = once.unionByName(once)
+      .withWatermark("event_ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .select(col("event_id"), col("event_type"), col("ts_us"))
+    runToBatch(spark, deduped, s"st9_dedup_${System.nanoTime()}", "append")
+      .orderBy(col("event_id"))
+  }
+
   /** ST1: the registry entry — streaming hourly event counts, run to
     * completion over the events file stream. The result equals the batch
     * group-by, so it IS oracle-checkable: streaming and batch semantics
@@ -492,6 +514,15 @@ object StreamingOps extends QueryModule {
              | AND v.ts_us <= p.ts_us
              | AND v.ts_us >= p.ts_us - 3600000000
              |ORDER BY purchase_id, view_id""".stripMargin)),
+    GraftQuery("st9_streaming_dedup_bounded",
+      "V1-streaming BOUNDED-state dedup: dropDuplicatesWithinWatermark " +
+        "on a stream that delivers every event twice — state lives one " +
+        "watermark window, not forever (st7's ledger is the other " +
+        "regime); equals batch DISTINCT on finite input",
+      streamingDedupBounded,
+      Some("""SELECT DISTINCT event_id, event_type, epoch_us(ts) AS ts_us
+             |FROM events
+             |ORDER BY event_id""".stripMargin)),
     GraftQuery("st6b_streaming_series_exact",
       "D8/D9-streaming exact half of the bucket series: algebraic " +
         "count + decimal-exact avg stream-merge exactly, so the " +
