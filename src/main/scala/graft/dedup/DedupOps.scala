@@ -370,9 +370,13 @@ object DedupOps extends QueryModule {
     * pairs the candidate path found and missed — the driver sees the
     * candidate quality as a value row every round. */
   def ivfRecall(spark: SparkSession, dir: String): DataFrame = {
-    val cand = embeddingNearDupIvf(spark, dir).select(col("i"), col("j"))
+    // build the candidate plan only when the dump actually happens —
+    // embeddingNearDupIvf is EAGER (the Lloyd refinement
+    // localCheckpoints), so hoisting it out of the once-block would
+    // re-run the full IVF build on every call just to discard it
     ivfPairsOnce.ensure(dir) {
-      cand.coalesce(1).write.mode("overwrite").parquet(IvfPairsPath)
+      embeddingNearDupIvf(spark, dir).select(col("i"), col("j"))
+        .coalesce(1).write.mode("overwrite").parquet(IvfPairsPath)
     }
     // ONE pass over the exact pairs: a left join against the (tiny)
     // dumped candidate set marks hits, and a single aggregate counts
@@ -381,7 +385,10 @@ object DedupOps extends QueryModule {
     val stored = spark.read.parquet(IvfPairsPath).withColumn("h", lit(1))
     embeddingNearDup(spark, dir).select(col("i"), col("j"))
       .join(broadcast(stored), Seq("i", "j"), "left")
-      .agg(sum(coalesce(col("h"), lit(0))).cast("long").as("n_hit"),
+      // outer coalesce: sum over ZERO rows (no exact pairs at all) is
+      // NULL where the oracle's count(*) yields 0
+      .agg(coalesce(sum(coalesce(col("h"), lit(0))), lit(0))
+        .cast("long").as("n_hit"),
         count(lit(1)).as("n_exact"))
       .select(col("n_hit"), col("n_exact"),
         Exact.ratio6(col("n_hit"), col("n_exact")).as("recall"))
