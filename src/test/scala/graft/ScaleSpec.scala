@@ -177,6 +177,30 @@ class ScaleSpec extends SparkSpec {
     assert(!frames.contains(3L))
   }
 
+  test("registry results are shuffle-partition-count independent") {
+    // the determinism CONTRACT (Registry scaladoc): unique-key ORDER BY
+    // + Exact decimal aggregation means re-planning with a different
+    // parallelism cannot change any result. Pin it on a cross-module
+    // sample (join, window, series, dedup, mix, temporal joins, text)
+    // instead of trusting the one-off manual cpus=4/32 check.
+    val sample = Seq("q3_shipping_priority", "t04_endpoint_latencies",
+      "t10_trace_counts", "v1_dedup_exact", "v8_per_source_cap",
+      "v14_sample_mix", "v15_token_packing", "w1_asof_join",
+      "w2_range_join", "v4g_term_scores")
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      val at32 = sample.map { id =>
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        id -> SparkEntry.queries(id)(spark, sf0001).collect().toSeq
+      }
+      spark.conf.set("spark.sql.shuffle.partitions", "5")
+      at32.foreach { case (id, want) =>
+        val got = SparkEntry.queries(id)(spark, sf0001).collect().toSeq
+        withClue(id) { assert(got === want) }
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("salted join equals plain join") {
     import spark.implicits._
     val probe = Seq((1, "a"), (1, "b"), (2, "c"), (3, "d"))
