@@ -274,10 +274,11 @@ object DedupOps extends QueryModule {
   def embeddingNearDupIvf(spark: SparkSession, dir: String,
       nlist: Int = 16, nprobe: Int = 4): DataFrame = {
     import graft.functions.VectorFunctions.dot_product
-    val e = normedEmbeddings(spark, dir).cache()
-    // the SAME Lloyd-refined index the v3 queries use (one iteration) —
-    // candidate generation and ANN probing share one notion of "cell"
-    val cents = graft.sim.SimilarityOps.refineCentroids(e, nlist, 1)
+    // the SAME Lloyd-refined index the v3 queries use (one iteration),
+    // from the shared per-process build — candidate generation and ANN
+    // probing share one notion of "cell" AND one build
+    val (e, cents, _) =
+      graft.sim.SimilarityOps.ivfBuild(spark, dir, nlist, 1)
     val probed = graft.sim.SimilarityOps.multiProbeAssign(e, cents, nprobe)
     val x = probed.select(col("cent_id"), col("vec_id").as("i"))
     val y = probed.select(col("cent_id"), col("vec_id").as("j"))

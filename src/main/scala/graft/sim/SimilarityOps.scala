@@ -117,20 +117,38 @@ object SimilarityOps extends QueryModule {
       .select(col("vec_id"), col("cent_id"), col("v"), col("nrm"))
   }
 
+  /** Per-process IVF build cache — the registry analog of "the index
+    * is built ONCE at ingest": every ANN / embedding-near-dup entry
+    * over the same (dir, nlist, iters) shares one normed projection
+    * and one Lloyd refinement instead of re-running the build per
+    * query (the build is deterministic, so sharing cannot change any
+    * result). Values: (e localCheckpoint'd, centroids, assignment). */
+  private val ivfCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int, Int), (DataFrame, DataFrame, DataFrame)]()
+
+  private[graft] def ivfBuild(spark: SparkSession, dir: String,
+      nlist: Int, iters: Int): (DataFrame, DataFrame, DataFrame) =
+    ivfCache.computeIfAbsent((dir, nlist, iters), _ => {
+      // one materialization of the normed projection: every Lloyd
+      // round and the final assignment re-scan e, and re-reading
+      // parquet + re-computing norms per pass is pure repeated work
+      // (at 100 TB the sample used for centroids is small enough to
+      // pin in memory; the full corpus is assigned in ONE streamed
+      // pass at ingest)
+      val e = withNorm(Tables.embeddings(spark, dir)).localCheckpoint()
+      val cents = refineCentroids(e, nlist, iters)
+      (e, cents, assignTo(e, cents))
+    })
+
   /** IVF index: Lloyd-refined centroids + nearest-centroid assignment of
     * every vector. At 100 TB both steps happen once at ingest (centroids
     * from a sample, assignment streamed), stored partitioned by
-    * centroid_id. Returns (centroids, assigned). */
+    * centroid_id. Returns (centroids, assigned) from the per-process
+    * build ([[ivfBuild]]). */
   def ivfIndex(spark: SparkSession, dir: String, nlist: Int,
       iters: Int = 1): (DataFrame, DataFrame) = {
-    // one materialization of the normed projection: every Lloyd round
-    // and the final assignment re-scan e, and re-reading parquet +
-    // re-computing norms per pass is pure repeated work (at 100 TB the
-    // sample used for centroids is small enough to pin in memory; the
-    // full corpus is assigned in ONE streamed pass at ingest)
-    val e = withNorm(Tables.embeddings(spark, dir)).localCheckpoint()
-    val cents = refineCentroids(e, nlist, iters)
-    (cents, assignTo(e, cents))
+    val (_, cents, assigned) = ivfBuild(spark, dir, nlist, iters)
+    (cents, assigned)
   }
 
   /** Assignment frame only — (vec_id, v, nrm, centroid_id). */
