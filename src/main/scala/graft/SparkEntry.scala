@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators._
 import graft.dedup.DedupOps
 import graft.mm.MultimodalOps
-import graft.nlp.{MixOps, TextOps}
+import graft.nlp.{MixOps, RankOps, TextOps}
 import graft.sim.SimilarityOps
 import graft.streaming.StreamingOps
 
@@ -15,8 +15,9 @@ import graft.streaming.StreamingOps
 object SparkEntry {
   private def modules: Seq[QueryModule] = Seq(
     Relational, EventOps, SeriesOps, SearchOps, IngestOps, SessionOps,
-    SpanNativeOps, LayoutOps, JoinOps,
-    TextOps, MixOps, DedupOps, SimilarityOps, MultimodalOps, StreamingOps)
+    SpanNativeOps, LayoutOps, JoinOps, CdcOps, OlapOps,
+    TextOps, RankOps, MixOps, DedupOps, SimilarityOps, MultimodalOps,
+    StreamingOps)
 
   /** All registered operators, in module order. */
   def all: Seq[GraftQuery] = modules.flatMap(_.queries)

@@ -518,6 +518,92 @@ object DedupOps extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
+  /** Normalized content hash shared by the V20 incremental-dedup pair
+    * (the same canonical form as v4f/v13). */
+  private def normHash: Column =
+    md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")).cast("binary"))
+
+  /** The V20 corpus split: `incoming` (doc_id%3==0) arriving against the
+    * `existing` accumulated ledger (the rest) — derived deterministically
+    * from the one documents table so the oracle states the identical
+    * construction. */
+  private def splitCorpus(spark: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
+    val docs = Tables.documents(spark, dir).filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"), normHash.as("norm_hash"))
+    (docs.filter(col("doc_id") % 3 === 0),
+      docs.filter(col("doc_id") % 3 =!= 0))
+  }
+
+  /** V20: incremental dedup — the docs of an incoming batch whose
+    * normalized content is NOT already in the existing ledger: one
+    * left_anti hash join on the content hash, the canonical exact form
+    * (linear shuffle both sides). */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val (inc, ex) = splitCorpus(spark, dir)
+    newDocsExact(inc, ex)
+  }
+
+  /** Core of V20 on explicit (incoming, existing) frames, both carrying
+    * (doc_id, source, norm_hash) — spec-reachable with crafted overlap. */
+  private[graft] def newDocsExact(inc: DataFrame, ex: DataFrame): DataFrame =
+    inc.join(ex.select(col("norm_hash")), Seq("norm_hash"), "left_anti")
+      .select(col("doc_id"), col("source"), col("norm_hash"))
+      .orderBy(col("doc_id"))
+
+  /** V20b: IDENTICAL semantics through the runtime-filter shape Spark's
+    * own InjectRuntimeFilter uses: a Bloom filter of the ledger's hashes
+    * (built with Catalyst's `BloomFilterAggregate`, probed with codegen'd
+    * `might_contain` — no UDF) splits incoming into definitely-new rows,
+    * which SKIP the join entirely, and the small might-contain candidate
+    * fraction, which alone pays the exact anti-join — false positives
+    * are removed there, so the output is exact and shares v20's oracle.
+    * At 100 TB the ledger dwarfs each incoming batch; the filter costs
+    * one linear pass + a driver-held sketch (~1.2 GB per 10⁹ ledger keys
+    * at these parameters — broadcastable), and the anti-join's probe
+    * side shrinks from the full batch to dup-rate + fpp of it. Pair
+    * with a hash-bucketed ledger layout (v17) and the ledger side of
+    * the residual join needs no shuffle either. */
+  def incrementalDedupBloom(spark: SparkSession, dir: String,
+      expectedItems: Long = 1000000L): DataFrame = {
+    val (inc, ex) = splitCorpus(spark, dir)
+    newDocsBloom(inc, ex, expectedItems)
+  }
+
+  /** Core of V20b on explicit frames; `expectedItems` sizes the sketch
+    * (8 bits/item here ≈ 2% fpp at capacity). */
+  private[graft] def newDocsBloom(inc: DataFrame, ex: DataFrame,
+      expectedItems: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    import org.apache.spark.sql.types.BinaryType
+    def hashOf(c: Column) = new XxHash64(Seq(ColumnBridge.expression(c)))
+    val bfBytes = ex.select(ColumnBridge.column(
+        new BloomFilterAggregate(hashOf(col("norm_hash")),
+          Literal(expectedItems), Literal(expectedItems * 8L))
+          .toAggregateExpression()).as("bf"))
+      .head.getAs[Array[Byte]](0)
+    val might = ColumnBridge.column(BloomFilterMightContain(
+      Literal(bfBytes, BinaryType), hashOf(col("norm_hash"))))
+    val sel = Seq(col("doc_id"), col("source"), col("norm_hash"))
+    val definiteNew = inc.filter(not(might)).select(sel: _*)
+    val candidates = inc.filter(might)
+      .join(ex.select(col("norm_hash")), Seq("norm_hash"), "left_anti")
+      .select(sel: _*)
+    definiteNew.unionByName(candidates).orderBy(col("doc_id"))
+  }
+
+  private val incrementalSql: String =
+    """WITH d AS (SELECT doc_id, source,
+      |        md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS norm_hash
+      |       FROM documents WHERE text IS NOT NULL),
+      | inc AS (SELECT * FROM d WHERE doc_id % 3 = 0),
+      | ex AS (SELECT norm_hash FROM d WHERE doc_id % 3 <> 0)
+      |SELECT doc_id, source, norm_hash FROM inc
+      |WHERE norm_hash NOT IN (SELECT norm_hash FROM ex)
+      |ORDER BY doc_id""".stripMargin
+
   private val shinglesSql =
     """list_distinct([w[i]||' '||w[i+1]||' '||w[i+2]
       | for i in generate_series(1, greatest(len(w)-2, 1))])""".stripMargin
@@ -601,6 +687,16 @@ object DedupOps extends QueryModule {
               |SELECT doc_id, lang, source FROM documents
               |WHERE doc_id NOT IN (SELECT doc_id FROM drops)
               |ORDER BY doc_id""".stripMargin)),
+    GraftQuery("v20_incremental_dedup",
+      "V20 incremental dedup: incoming batch anti-joined against the " +
+        "existing ledger on the normalized content hash (exact form)",
+      incrementalDedup, Some(incrementalSql)),
+    GraftQuery("v20b_incremental_dedup_bloom",
+      "V20 via the Bloom runtime-filter shape: BloomFilterAggregate " +
+        "ledger sketch + codegen might_contain prunes incoming to the " +
+        "candidate fraction before the exact anti-join — same oracle " +
+        "as v20 (false positives removed by the residual join)",
+      (s, d) => incrementalDedupBloom(s, d), Some(incrementalSql)),
     GraftQuery("v2d2_embedding_neardup_ivf",
       "V2 embedding near-dup via multi-probe IVF candidates + exact " +
         "verify (100 TB shape; recall vs exact pinned in DedupSpec " +

@@ -1,0 +1,82 @@
+package graft.operators
+
+import graft._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** W3: CDC merge / upsert — apply a keyed change feed (inserts, updates,
+  * deletes, each carrying a sequence number) onto a base snapshot: the
+  * MERGE INTO / upsert-compaction step every incrementally maintained
+  * table needs, and the batch twin of the reference's "latest state per
+  * span" reads. The change feed here is DERIVED deterministically from
+  * the orders table itself (updates for key%10, deletes for key%17,
+  * inserts at key+1e8 for key%23) so the oracle can state the identical
+  * construction.
+  *
+  * Scale design: union the snapshot with the feed, tag each row with its
+  * sequence, and keep the highest-sequence row per key via ONE
+  * (key)-partitioned window — one shuffle of narrow rows on the
+  * high-cardinality key, no join, no driver state. Keys hit by both an
+  * update and a delete resolve by sequence (delete wins here),
+  * demonstrating the ordering semantics a real CDC apply must honor.
+  * At 100 TB this is exactly the Delta/Iceberg merge dataflow minus the
+  * file-rewrite bookkeeping.
+  */
+object CdcOps extends QueryModule {
+
+  def mergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val base = o.select(col("o_orderkey").as("k"), lit("base").as("op"),
+      lit(0L).as("seq"), col("o_orderstatus").as("status"),
+      col("o_totalprice").as("price"))
+    val ins = o.filter(col("o_orderkey") % 23 === 0)
+      .select((col("o_orderkey") + 100000000L).as("k"),
+        lit("insert").as("op"), lit(1L).as("seq"), lit("N").as("status"),
+        col("o_totalprice").as("price"))
+    val upd = o.filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey").as("k"), lit("update").as("op"),
+        lit(2L).as("seq"), lit("U").as("status"),
+        (col("o_totalprice") + lit(1000.0)).as("price"))
+    val del = o.filter(col("o_orderkey") % 17 === 0)
+      .select(col("o_orderkey").as("k"), lit("delete").as("op"),
+        lit(3L).as("seq"), lit(null).cast("string").as("status"),
+        lit(null).cast("double").as("price"))
+    // ≤1 row per (key, op-family) and seq is distinct across families,
+    // so the row_number tie-break never fires — deterministic.
+    val w = Window.partitionBy(col("k")).orderBy(col("seq").desc)
+    base.unionByName(ins).unionByName(upd).unionByName(del)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") =!= "delete")
+      .select(col("k").as("o_orderkey"), col("op"), col("status"),
+        round(col("price"), 6).as("price"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val mergeSql: String =
+    """WITH ch AS (
+      |  SELECT o_orderkey AS k, 'base' AS op, 0 AS seq,
+      |         o_orderstatus AS status, o_totalprice AS price FROM orders
+      |  UNION ALL
+      |  SELECT o_orderkey + 100000000, 'insert', 1, 'N', o_totalprice
+      |  FROM orders WHERE o_orderkey % 23 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, 'update', 2, 'U', o_totalprice + 1000.0
+      |  FROM orders WHERE o_orderkey % 10 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, 'delete', 3, NULL, NULL
+      |  FROM orders WHERE o_orderkey % 17 = 0),
+      | r AS (SELECT *, row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+      |       FROM ch)
+      |SELECT k AS o_orderkey, op, status, round(price, 6) AS price
+      |FROM r WHERE rn = 1 AND op <> 'delete'
+      |ORDER BY o_orderkey""".stripMargin
+
+  val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("w3_merge_upsert",
+      "W3 CDC merge/upsert: apply an insert/update/delete feed onto a " +
+        "snapshot via union + ONE key-window (last-sequence-wins, " +
+        "delete-beats-update) — the MERGE INTO dataflow, no join",
+      mergeUpsert, Some(mergeSql)))
+}

@@ -1,0 +1,84 @@
+package graft.operators
+
+import graft._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** OLAP grouping shapes the reference never issues (its dashboards are
+  * all flat GROUP BYs — SURVEY §2.D) but any analytics engine serving
+  * the same dashboards is asked for immediately: grouping-sets rollups
+  * (subtotals + grand total in one pass) and pivoted crosstabs.
+  *
+  * Scale notes: ROLLUP compiles to ONE scan + one Expand(levels) +
+  * one shuffle on the padded group key — the subtotal levels ride the
+  * same partial-aggregation pass as the leaf level, not one job per
+  * level. Pivot with an explicit value list is a plain groupBy whose
+  * aggregate list is the pivoted values (no extra pass to discover
+  * values, no second shuffle) — at 100 TB both are exactly as
+  * expensive as the flat aggregate plus the constant-factor Expand.
+  */
+object OlapOps extends QueryModule {
+
+  /** W4: ROLLUP aggregate — per (returnflag, linestatus) leaf counts
+    * plus per-flag subtotals and the grand total in one pass. `gid`
+    * (grouping(flag)*2 + grouping(status)) disambiguates a genuine NULL
+    * group value from a rolled-up level, and the ORDER BY coalesces the
+    * nullable keys so both engines use the same total order (Spark
+    * sorts NULLS FIRST, DuckDB NULLS LAST). */
+  def rollupAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        round(Exact.sumExact(col("l_quantity")), 6).as("sum_qty"),
+        (grouping(col("l_returnflag")) * 2 +
+          grouping(col("l_linestatus"))).cast("int").as("gid"))
+      .orderBy(col("gid"), coalesce(col("l_returnflag"), lit("")),
+        coalesce(col("l_linestatus"), lit("")))
+
+  private val rollupSql: String =
+    s"""SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+       | round(${OracleSql.sumExact("l_quantity")},6) AS sum_qty,
+       | CAST(GROUPING(l_returnflag)*2 + GROUPING(l_linestatus) AS INT) AS gid
+       |FROM lineitem
+       |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+       |ORDER BY gid, coalesce(l_returnflag,''), coalesce(l_linestatus,'')""".stripMargin
+
+  /** The event types present in the testdata (TESTDATA.md §events);
+    * pivoting over an EXPLICIT value list keeps the plan a single
+    * groupBy — Spark otherwise runs a distinct-values job first. */
+  val EventTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
+
+  /** W5: pivoted crosstab — events per (day × event_type), one column
+    * per type. Missing (day, type) combos are 0 (Spark's pivot yields
+    * NULL there; the oracle's filtered counts yield 0 — coalesced). */
+  def pivotCounts(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.events(spark, dir)
+      .withColumn("day", expr("ts_us div 86400000000"))
+      .groupBy(col("day"))
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+    EventTypes.foldLeft(p)((acc, t) =>
+      acc.withColumn(t, coalesce(col(t), lit(0L))))
+      .orderBy(col("day"))
+  }
+
+  private val pivotSql: String = {
+    val cols = EventTypes.map(t =>
+      s"CAST(count(*) FILTER (WHERE event_type = '$t') AS BIGINT) AS \"$t\"")
+      .mkString(",\n ")
+    s"""SELECT epoch_us(ts) // 86400000000 AS day,
+       | $cols
+       |FROM events GROUP BY 1 ORDER BY day""".stripMargin
+  }
+
+  val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("w4_rollup_agg",
+      "W4 ROLLUP grouping sets: leaf + subtotal + grand-total levels in " +
+        "ONE scan/shuffle (Expand rides the partial agg); gid " +
+        "disambiguates rolled-up NULLs",
+      rollupAgg, Some(rollupSql)),
+    GraftQuery("w5_pivot",
+      "W5 pivoted crosstab: day x event_type counts via pivot with an " +
+        "explicit value list (single groupBy, no distinct-values job)",
+      pivotCounts, Some(pivotSql)))
+}

@@ -414,7 +414,44 @@ object StreamingOps extends QueryModule {
       .orderBy(col("n").desc, col("event_type"))
   }
 
+  /** ST10: stream-static join — the purchase stream enriched with a
+    * STATIC per-user profile (historical view counts read from the
+    * batch table). The third of Structured Streaming's join regimes
+    * next to st8's stream-stream and the stream-side lookups: the
+    * static side is a bounded batch plan re-evaluated per micro-batch
+    * and BROADCAST (it is dimension-sized), so the unbounded stream
+    * side never shuffles and no join state accumulates at all —
+    * enrichment against reference data is exactly this shape at any
+    * scale. Left join keeps never-viewed purchasers with n_views=0. */
+  def streamStaticJoin(spark: SparkSession, dir: String): DataFrame = {
+    val userViews = Tables.events(spark, dir)
+      .filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_views"))
+    val purchases = eventsStream(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    val joined = purchases
+      .join(org.apache.spark.sql.functions.broadcast(userViews),
+        Seq("user_id"), "left")
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        coalesce(col("n_views"), lit(0L)).as("n_views"))
+    runToBatchAppend(spark, joined, s"st10_ssj_${System.nanoTime()}")
+      .orderBy(col("event_id"))
+  }
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("st10_stream_static_join",
+      "ST10 stream-static enrichment join: purchase stream x broadcast " +
+        "per-user batch profile — zero join state, stream side never " +
+        "shuffles; equals the batch join on finite input",
+      streamStaticJoin,
+      Some("""WITH v AS (SELECT user_id, count(*) AS n_views
+             |          FROM events WHERE event_type = 'view' GROUP BY 1)
+             |SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+             | CAST(coalesce(v.n_views, 0) AS BIGINT) AS n_views
+             |FROM events e LEFT JOIN v ON e.user_id = v.user_id
+             |WHERE e.event_type = 'purchase'
+             |ORDER BY e.event_id""".stripMargin)),
     GraftQuery("st5_streaming_heavy_hitters",
       "ST5 mergeable heavy-hitters summary as streaming state " +
         "(complete mode) == batch sketch == exact counts",

@@ -1,0 +1,131 @@
+package graft
+
+import graft.dedup.DedupOps
+import graft.nlp.RankOps
+import graft.operators.{CdcOps, OlapOps}
+import org.apache.spark.sql.functions._
+
+/** The round-4 extension block: V20 incremental dedup (exact + Bloom
+  * runtime-filter twin), V19 BM25 retrieval, V21 repetition gate, W3
+  * CDC merge, W4/W5 grouping-sets + pivot. The driver oracle pins each
+  * entry's end-to-end result; these tests pin the semantics the oracle
+  * can't see — the Bloom candidate path under forced false positives,
+  * plan shape, and internal consistency invariants.
+  */
+class ExtendedOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpusFrames = {
+    // 40 incoming / 60 existing with 15 genuine hash collisions across
+    // the split — unlike the testdata (no cross-split dups at test SF),
+    // this actually exercises the anti-join removal and, with a starved
+    // sketch, the false-positive verify path.
+    val ex = (1 to 60).map(i => (i.toLong, "ex", s"h${i % 45}"))
+      .toDF("doc_id", "source", "norm_hash")
+    val inc = (101 to 140).map { i =>
+      val h = if (i <= 115) s"h${i - 101}" else s"new$i" // 15 dups
+      (i.toLong, "inc", h)
+    }.toDF("doc_id", "source", "norm_hash")
+    (inc, ex)
+  }
+
+  test("v20b bloom path equals the exact anti-join, including under a " +
+    "deliberately starved sketch (high fpp)") {
+    val (inc, ex) = corpusFrames
+    val exact = DedupOps.newDocsExact(inc, ex).collect().toSeq
+    assert(exact.length === 25) // 40 incoming - 15 dups
+    val bloom = DedupOps.newDocsBloom(inc, ex).collect().toSeq
+    assert(bloom === exact)
+    // 8 bits total for 60 keys: nearly every probe is a false positive,
+    // so nearly all rows ride the verify join — result must not change.
+    val starved = DedupOps.newDocsBloom(inc, ex, expectedItems = 1L)
+      .collect().toSeq
+    assert(starved === exact)
+  }
+
+  test("v20b plan probes the bloom filter (might_contain, no UDF)") {
+    // the parquet-backed registry entry: a local-relation fixture would
+    // be folded away by ConvertToLocalRelation before the plan is cut
+    val plan = DedupOps.incrementalDedupBloom(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), plan.take(2000))
+    assert(!plan.toLowerCase.contains("batchevalpython"))
+  }
+
+  test("v19 bm25 ranks by descending score with matched-term counts " +
+    "bounded by the query size") {
+    val rows = RankOps.bm25(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val scores = rows.map(_.getAs[Double]("score"))
+    assert(scores.sameElements(scores.sorted.reverse))
+    assert(rows.forall { r =>
+      val n = r.getAs[Long]("n_terms")
+      n >= 1 && n <= RankOps.QueryTerms.length
+    })
+    // every returned doc really contains at least one query term
+    val ids = rows.map(_.getAs[Long]("doc_id")).toSeq
+    val texts = Tables.documents(spark, sf0001)
+      .filter(col("doc_id").isin(ids: _*))
+      .select(col("doc_id"), lower(col("text")).as("t")).collect()
+    assert(texts.forall(r => RankOps.QueryTerms.exists(t =>
+      r.getAs[String]("t").split(" ").contains(t))))
+  }
+
+  test("v21 repetition metrics are ratios in [0,1] and both classes " +
+    "are populated on the testdata") {
+    val rows = RankOps.repetitionFilter(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { r =>
+      val d = r.getAs[Double]("dup_word_ratio")
+      val b = r.getAs[Double]("top_bigram_ratio")
+      d >= 0.0 && d <= 1.0 && b >= 0.0 && b <= 1.0
+    })
+    val flags = rows.map(_.getAs[Boolean]("repetitive")).toSet
+    assert(flags === Set(true, false))
+  }
+
+  test("w3 merge applies update/delete/insert with sequence precedence") {
+    val out = CdcOps.mergeUpsert(spark, sf0001)
+    val o = Tables.orders(spark, sf0001)
+    val keys = o.select(col("o_orderkey").cast("long")).as[Long].collect().toSet
+    val got = out.collect().map(r => r.getAs[Long]("o_orderkey") -> r).toMap
+    // deletes: no surviving row for key%17==0 originals
+    assert(keys.filter(_ % 17 == 0).forall(k => !got.contains(k)))
+    // updates survive (unless deleted) with the update payload
+    keys.filter(k => k % 10 == 0 && k % 17 != 0).foreach { k =>
+      assert(got(k).getAs[String]("op") === "update")
+      assert(got(k).getAs[String]("status") === "U")
+    }
+    // inserts appear at key+1e8 regardless of the original key's fate
+    keys.filter(_ % 23 == 0).foreach { k =>
+      assert(got(k + 100000000L).getAs[String]("op") === "insert")
+    }
+    // untouched keys pass through as base rows
+    keys.filter(k => k % 10 != 0 && k % 17 != 0).take(50).foreach { k =>
+      assert(got(k).getAs[String]("op") === "base")
+    }
+  }
+
+  test("w4 rollup levels are internally consistent") {
+    val rows = OlapOps.rollupAgg(spark, sf0001).collect()
+    val byGid = rows.groupBy(_.getAs[Int]("gid"))
+    assert(byGid.keySet === Set(0, 1, 3))
+    val total = byGid(3).map(_.getAs[Long]("n")).sum
+    assert(byGid(1).map(_.getAs[Long]("n")).sum === total)
+    assert(byGid(0).map(_.getAs[Long]("n")).sum === total)
+    assert(total === Tables.lineitem(spark, sf0001).count())
+  }
+
+  test("w5 pivot row sums equal the per-day event counts") {
+    val rows = OlapOps.pivotCounts(spark, sf0001).collect()
+    val want = Tables.events(spark, sf0001)
+      .groupBy(expr("ts_us div 86400000000").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getAs[Long]("day") -> r.getAs[Long]("n")).toMap
+    assert(rows.nonEmpty && rows.length === want.size)
+    rows.foreach { r =>
+      val sumTypes = OlapOps.EventTypes.map(t => r.getAs[Long](t)).sum
+      assert(sumTypes === want(r.getAs[Long]("day")))
+    }
+  }
+}
