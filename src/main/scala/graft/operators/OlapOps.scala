@@ -12,10 +12,11 @@ import org.apache.spark.sql.functions._
   * Scale notes: ROLLUP compiles to ONE scan + one Expand(levels) +
   * one shuffle on the padded group key — the subtotal levels ride the
   * same partial-aggregation pass as the leaf level, not one job per
-  * level. Pivot with an explicit value list is a plain groupBy whose
-  * aggregate list is the pivoted values (no extra pass to discover
-  * values, no second shuffle) — at 100 TB both are exactly as
-  * expensive as the flat aggregate plus the constant-factor Expand.
+  * level. Pivot with an explicit value list skips the distinct-values
+  * discovery job and plans as (key,type) count → pivotfirst(key):
+  * two keyed map-side-combined exchanges, the second over only
+  * key×type rows — at 100 TB both operators cost what the flat
+  * aggregate costs plus a constant factor.
   */
 object OlapOps extends QueryModule {
 
@@ -79,6 +80,7 @@ object OlapOps extends QueryModule {
       rollupAgg, Some(rollupSql)),
     GraftQuery("w5_pivot",
       "W5 pivoted crosstab: day x event_type counts via pivot with an " +
-        "explicit value list (single groupBy, no distinct-values job)",
+        "explicit value list (no distinct-values discovery job; " +
+        "two-stage keyed agg, second stage over day x type rows only)",
       pivotCounts, Some(pivotSql)))
 }

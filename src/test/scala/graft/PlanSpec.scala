@@ -122,6 +122,42 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("w3 merge is union + one key-window: no join, one hash exchange") {
+    val p = plan(q("w3_merge_upsert"))
+    assert(!p.contains("Join"), p)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected one key exchange, got $exchanges\n$p")
+  }
+
+  test("w4 rollup rides ONE scan/shuffle with Expand + partial agg") {
+    val p = plan(q("w4_rollup_agg"))
+    assert(p.contains("Expand"), p)
+    assert(p.contains("partial_"), p)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected one group exchange, got $exchanges\n$p")
+  }
+
+  test("w5 explicit-values pivot is the two-stage keyed aggregate " +
+    "(no join, no distinct-values discovery job)") {
+    // Spark plans pivot as (day,type) count -> pivotfirst on (day):
+    // both exchanges are keyed and map-side combined, and the second
+    // moves only days x types rows. The explicit value list is what
+    // keeps a separate distinct-values collect job out entirely.
+    val p = plan(q("w5_pivot"))
+    assert(!p.contains("Join"), p)
+    assert(p.contains("pivotfirst"), p)
+    assert(p.contains("partial_"), p)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 2, s"expected the two pivot exchanges, got $exchanges\n$p")
+  }
+
+  test("v19 bm25 is top-k (TakeOrderedAndProject) with broadcast " +
+    "df/totals — no sort-merge join of the corpus") {
+    val p = plan(q("v19_bm25_search"))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("v18 quantization is a zero-exchange linear projection") {
     val p = plan(q("v18_embedding_quantize"))
     assert(!p.contains("Exchange hashpartitioning"), p)
