@@ -414,6 +414,21 @@ object StreamingOps extends QueryModule {
       .orderBy(col("n").desc, col("event_type"))
   }
 
+  /** ST11: SLIDING-window streaming counts — 2 h windows advancing
+    * every hour, completing the window-regime coverage (st1 tumbling,
+    * st2 session, st6 tumbling-sketch): each event feeds exactly
+    * window/slide = 2 state rows, so state is bounded at 2× the
+    * tumbling equivalent and merges are algebraic — the finite-stream
+    * result equals the batch double-bucketing, hence a full oracle. */
+  def streamingSlidingCounts(spark: SparkSession, dir: String): DataFrame = {
+    val agg = eventsStream(spark, dir)
+      .groupBy(window(col("event_ts"), "7200 seconds", "3600 seconds"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("window.start")).as("bucket_s"), col("n"))
+    runToBatch(spark, agg, s"st11_slide_${System.nanoTime()}")
+      .orderBy(col("bucket_s"))
+  }
+
   /** ST10: stream-static join — the purchase stream enriched with a
     * STATIC per-user profile (historical view counts read from the
     * batch table). The third of Structured Streaming's join regimes
@@ -440,6 +455,16 @@ object StreamingOps extends QueryModule {
   }
 
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("st11_streaming_sliding_counts",
+      "ST11 sliding-window streaming counts (2h window, 1h slide): " +
+        "each event in exactly 2 windows, algebraic merges — equals " +
+        "the batch double-bucketing on finite input",
+      streamingSlidingCounts,
+      Some("""WITH e AS (SELECT epoch_us(ts)//1000000 AS s FROM events),
+             | b AS (SELECT unnest([(s//3600)*3600 - 3600,
+             |                      (s//3600)*3600]) AS bucket_s FROM e)
+             |SELECT bucket_s, CAST(count(*) AS BIGINT) AS n
+             |FROM b GROUP BY 1 ORDER BY 1""".stripMargin)),
     GraftQuery("st10_stream_static_join",
       "ST10 stream-static enrichment join: purchase stream x broadcast " +
         "per-user batch profile — zero join state, stream side never " +

@@ -71,6 +71,19 @@ class ExtendedOpsSpec extends SparkSpec {
       r.getAs[String]("t").split(" ").contains(t))))
   }
 
+  test("v19b stored-index bm25 equals the in-memory form and its probe " +
+    "prunes to the query-term hash buckets") {
+    val a = RankOps.bm25(spark, sf0001).collect().toSeq
+    val b = RankOps.bm25Stored(spark, sf0001).collect().toSeq
+    assert(b === a)
+    // pruning is the economics of the stored index: the posting scan
+    // must carry a bucket partition filter, not read all 64 buckets
+    val plan = RankOps.bm25Stored(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan.take(3000))
+    assert(plan.contains("bucket"), plan.take(3000))
+  }
+
   test("v21 repetition metrics are ratios in [0,1] and both classes " +
     "are populated on the testdata") {
     val rows = RankOps.repetitionFilter(spark, sf0001).collect()
