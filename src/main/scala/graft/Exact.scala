@@ -65,10 +65,27 @@ object Exact {
       count(lit(1)).over(w)
 }
 
+/** THE canonical text normalization (lowercase, collapse whitespace,
+  * trim) and its md5 content hash — the dedup key shared by v4f
+  * normalize, the v13 curation pipeline, and the v20 incremental-dedup
+  * pair. One definition: a normalization tweak applied anywhere else
+  * would silently diverge the entries' shared-key/shared-oracle claims.
+  * DuckDB spellings: [[OracleSql.normalizedText]]/[[OracleSql.normHashText]]. */
+object TextCanon {
+  def normalized: Column =
+    trim(regexp_replace(lower(col("text")), "\\s+", " "))
+  def normHash: Column = md5(normalized.cast("binary"))
+}
+
 /** The DuckDB-side spellings of the [[Exact]] helpers, for oracle SQL.
   * `//` is DuckDB's integer division (floor for non-negative operands,
   * matching Spark's `div`). */
 object OracleSql {
+  /** DuckDB spelling of [[TextCanon.normalized]]/[[TextCanon.normHash]]. */
+  val normalizedText: String =
+    "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+  val normHashText: String = s"md5($normalizedText)"
+
   def microSum(col: String): String =
     s"sum(CAST(CAST($col AS DECIMAL(18,6)) * 1000000 AS BIGINT))"
   def sumExact(col: String): String =

@@ -518,11 +518,6 @@ object DedupOps extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
-  /** Normalized content hash shared by the V20 incremental-dedup pair
-    * (the same canonical form as v4f/v13). */
-  private def normHash: Column =
-    md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")).cast("binary"))
-
   /** The V20 corpus split: `incoming` (doc_id%3==0) arriving against the
     * `existing` accumulated ledger (the rest) — derived deterministically
     * from the one documents table so the oracle states the identical
@@ -530,7 +525,8 @@ object DedupOps extends QueryModule {
   private def splitCorpus(spark: SparkSession,
       dir: String): (DataFrame, DataFrame) = {
     val docs = Tables.documents(spark, dir).filter(col("text").isNotNull)
-      .select(col("doc_id"), col("source"), normHash.as("norm_hash"))
+      .select(col("doc_id"), col("source"),
+        TextCanon.normHash.as("norm_hash"))
     (docs.filter(col("doc_id") % 3 === 0),
       docs.filter(col("doc_id") % 3 =!= 0))
   }
@@ -584,9 +580,13 @@ object DedupOps extends QueryModule {
           Literal(expectedItems), Literal(expectedItems * 8L))
           .toAggregateExpression()).as("bf"))
       .head.getAs[Array[Byte]](0)
+    val sel = Seq(col("doc_id"), col("source"), col("norm_hash"))
+    // empty ledger: the aggregate evals to null, and a null filter
+    // bloom would drop EVERY row on both branches — the exact answer
+    // is "everything is new", no probe needed
+    if (bfBytes == null) return inc.select(sel: _*).orderBy(col("doc_id"))
     val might = ColumnBridge.column(BloomFilterMightContain(
       Literal(bfBytes, BinaryType), hashOf(col("norm_hash"))))
-    val sel = Seq(col("doc_id"), col("source"), col("norm_hash"))
     val definiteNew = inc.filter(not(might)).select(sel: _*)
     val candidates = inc.filter(might)
       .join(ex.select(col("norm_hash")), Seq("norm_hash"), "left_anti")
@@ -595,8 +595,8 @@ object DedupOps extends QueryModule {
   }
 
   private val incrementalSql: String =
-    """WITH d AS (SELECT doc_id, source,
-      |        md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS norm_hash
+    s"""WITH d AS (SELECT doc_id, source,
+      |        ${OracleSql.normHashText} AS norm_hash
       |       FROM documents WHERE text IS NOT NULL),
       | inc AS (SELECT * FROM d WHERE doc_id % 3 = 0),
       | ex AS (SELECT norm_hash FROM d WHERE doc_id % 3 <> 0)

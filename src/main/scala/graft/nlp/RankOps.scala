@@ -32,13 +32,27 @@ object RankOps extends QueryModule {
       .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
 
   /** The per-(doc,term) BM25 score as one integer-space ratio over
-    * columns (tf, dl, df, n_docs, total_dl) — see the object doc. */
-  private def bm25ScoreT: Column = Exact.ratio6(
-    lit(22L) * col("tf") * col("total_dl") *
-      (lit(2L) * col("n_docs") - lit(2L) * col("df") + lit(1L)),
-    (lit(10L) * col("tf") * col("total_dl") + lit(3L) * col("total_dl") +
-      lit(9L) * col("dl") * col("n_docs")) *
-      (lit(2L) * col("df") + lit(1L)))
+    * columns (tf, dl, df, n_docs, total_dl) — see the object doc.
+    * The products are formed in DECIMAL(38,0), not Long: the numerator
+    * carries tf·total_dl·n_docs·10⁶, which passes Long.MaxValue one
+    * corpus-scale step above the test fixtures (~6.5e19 at a 5e4-doc /
+    * 2.7e6-token corpus) — ANSI mode would abort the query right where
+    * the "100 TB layout" claim matters. The DuckDB oracle needs no
+    * change: sum(dl) is already HUGEINT there, promoting every product.
+    * The quotient (score·10⁶ ≤ ~2.2e7) still fits the Long the
+    * IntegralDivide returns. */
+  private def bm25ScoreT: Column = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    def d(c: Column): Column = c.cast(DecimalType(38, 0))
+    val num = d(lit(22L)) * d(col("tf")) * d(col("total_dl")) *
+      (d(lit(2L)) * d(col("n_docs")) - d(lit(2L)) * d(col("df")) + d(lit(1L)))
+    val den = (d(lit(10L)) * d(col("tf")) * d(col("total_dl")) +
+      d(lit(3L)) * d(col("total_dl")) +
+      d(lit(9L)) * d(col("dl")) * d(col("n_docs"))) *
+      (d(lit(2L)) * d(col("df")) + d(lit(1L)))
+    Exact.intDiv(num * d(lit(1000000L)) + Exact.intDiv(den, d(lit(2L))),
+      den).cast(DoubleType) / 1000000.0
+  }
 
   /** Shared scoring tail: per-term df (tiny, broadcast) + 1-row totals
     * (broadcast) over a (doc_id, dl, term, tf) posting frame, summed
@@ -87,6 +101,7 @@ object RankOps extends QueryModule {
     * references the path, so per-process uniqueness is free. */
   private val indexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val indexSeq = new java.util.concurrent.atomic.AtomicInteger()
 
   /** Build the stored inverted index: one posting row per (term,
     * doc_id) carrying tf and the doc length, parquet-partitioned by
@@ -97,8 +112,11 @@ object RankOps extends QueryModule {
     * aggregate v19 runs per query, paid once. Returns the index path. */
   def writeInvertedIndex(spark: SparkSession, dir: String): String =
     indexCache.computeIfAbsent(dir, _ => {
+      // collision-free within the process (an AtomicInteger, not a dir
+      // hash — two dirs with colliding hashCodes would silently share
+      // and overwrite one index: the fixture-clobber bug class)
       val path = s"${sys.props("java.io.tmpdir")}/graft_inv_index_" +
-        s"${ProcessHandle.current().pid()}_${indexCache.size()}"
+        s"${ProcessHandle.current().pid()}_${indexSeq.getAndIncrement()}"
       val docs = withWords(spark, dir).withColumn("dl", size(col("w")))
       docs.select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
         .groupBy(col("term"), col("doc_id"), col("dl"))
@@ -190,9 +208,12 @@ object RankOps extends QueryModule {
   val DupWordMax = 0.82
   val TopBigramMax = 0.08
 
-  /** V21: repetition metrics — duplicate-word fraction (1 - nd/nw) and
-    * most-frequent-bigram mass (2·top/nw), flagging docs past either
-    * gate. Scale shape: the bigram list is built INSIDE the row
+  /** V21: repetition metrics — duplicate-word fraction (1 - nd/nw, in
+    * [0,1]) and most-frequent-bigram mass (2·top/nw — counts every
+    * word the top bigram TOUCHES, so overlapping runs like "a a a"
+    * exceed 1, approaching 2·(nw-1)/nw for a pure single-word run:
+    * deliberately, the most repetitive docs score highest), flagging
+    * docs past either gate. Scale shape: the bigram list is built INSIDE the row
     * (zip_with of two slices — no self-join, no positional explode
     * pairing), then one explode + (doc,bigram) partial-agg shuffle and
     * a (doc) max — both keyed by high-cardinality doc_id. Linear. */

@@ -198,9 +198,7 @@ object TextOps extends QueryModule {
     import org.apache.spark.sql.expressions.Window
     val base = Tables.documents(spark, dir)
       .filter(col("text").isNotNull)
-      .withColumn("norm_hash",
-        md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))
-          .cast("binary")))
+      .withColumn("norm_hash", TextCanon.normHash)
     val deduped = base
       .withColumn("dk", row_number().over(
         Window.partitionBy(col("norm_hash")).orderBy(col("doc_id"))))
@@ -263,16 +261,14 @@ object TextOps extends QueryModule {
       "V4 text normalization: lowercase, collapse whitespace, trim, " +
         "content hash (the pre-tokenization canonical form)",
       (s, d) => Tables.documents(s, d)
-        .select(col("doc_id"),
-          trim(regexp_replace(lower(col("text")), "\\s+", " "))
-            .as("normalized"))
+        .select(col("doc_id"), TextCanon.normalized.as("normalized"))
         .withColumn("norm_hash", md5(col("normalized").cast("binary")))
         .withColumn("n_chars_norm", length(col("normalized")))
         .orderBy(col("doc_id")),
-      Some("""SELECT doc_id,
-             | trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS normalized,
-             | md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS norm_hash,
-             | CAST(length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS INT) AS n_chars_norm
+      Some(s"""SELECT doc_id,
+             | ${OracleSql.normalizedText} AS normalized,
+             | ${OracleSql.normHashText} AS norm_hash,
+             | CAST(length(${OracleSql.normalizedText}) AS INT) AS n_chars_norm
              |FROM documents ORDER BY doc_id""".stripMargin)),
     GraftQuery("v4e_vocab",
       "V4 vocabulary build: global token counts, top-50",
@@ -316,7 +312,7 @@ object TextOps extends QueryModule {
       (s, d) => curate(s, d),
       Some(s"""WITH base AS (
               |  SELECT doc_id, source, text,
-              |   md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS norm_hash
+              |   ${OracleSql.normHashText} AS norm_hash
               |  FROM documents WHERE text IS NOT NULL),
               | d AS (SELECT *, row_number() OVER (
               |    PARTITION BY norm_hash ORDER BY doc_id) AS dk FROM base),

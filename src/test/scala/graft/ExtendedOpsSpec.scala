@@ -41,6 +41,10 @@ class ExtendedOpsSpec extends SparkSpec {
     val starved = DedupOps.newDocsBloom(inc, ex, expectedItems = 1L)
       .collect().toSeq
     assert(starved === exact)
+    // empty ledger (the first-batch case): the aggregate evals to null;
+    // everything incoming is new — must not vanish behind a null filter
+    val emptyLedger = DedupOps.newDocsBloom(inc, ex.limit(0)).collect()
+    assert(emptyLedger.length === 40)
   }
 
   test("v20b plan probes the bloom filter (might_contain, no UDF)") {
@@ -76,22 +80,27 @@ class ExtendedOpsSpec extends SparkSpec {
     val a = RankOps.bm25(spark, sf0001).collect().toSeq
     val b = RankOps.bm25Stored(spark, sf0001).collect().toSeq
     assert(b === a)
-    // pruning is the economics of the stored index: the posting scan
-    // must carry a bucket partition filter, not read all 64 buckets
+    // pruning is the economics of the stored index: the bucket filter
+    // must sit INSIDE the scan's PartitionFilters list — a partitioned
+    // scan always prints "PartitionFilters: [...]" (even empty), and a
+    // non-pushed filter would still mention "bucket" in a Filter node,
+    // so assert the list itself is non-empty on bucket
     val plan = RankOps.bm25Stored(spark, sf0001)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters"), plan.take(3000))
-    assert(plan.contains("bucket"), plan.take(3000))
+    assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(plan).isDefined,
+      plan.take(3000))
   }
 
-  test("v21 repetition metrics are ratios in [0,1] and both classes " +
-    "are populated on the testdata") {
+  test("v21 repetition metrics stay in their documented ranges and both " +
+    "classes are populated on the testdata") {
     val rows = RankOps.repetitionFilter(spark, sf0001).collect()
     assert(rows.nonEmpty)
     assert(rows.forall { r =>
       val d = r.getAs[Double]("dup_word_ratio")
       val b = r.getAs[Double]("top_bigram_ratio")
-      d >= 0.0 && d <= 1.0 && b >= 0.0 && b <= 1.0
+      // bigram mass counts words the top bigram TOUCHES: overlapping
+      // runs legitimately exceed 1, bounded by 2(nw-1)/nw < 2
+      d >= 0.0 && d <= 1.0 && b >= 0.0 && b < 2.0
     })
     val flags = rows.map(_.getAs[Boolean]("repetitive")).toSet
     assert(flags === Set(true, false))
