@@ -594,6 +594,109 @@ object DedupOps extends QueryModule {
     definiteNew.unionByName(candidates).orderBy(col("doc_id"))
   }
 
+  /** V22 window length (chars) and the boilerplate ceiling: windows
+    * shared by more than [[MaxDocsPerWindow]] docs are boilerplate
+    * (license headers, templates) — at corpus scale one such window
+    * would explode the pair join quadratically, and dedup-by-pair is
+    * the wrong tool for it anyway (a frequency report is). */
+  val WindowChars = 40
+  val MaxDocsPerWindow = 100
+  val MinSharedWindows = 5
+
+  /** Distinct 40-char sliding windows per doc (stride 1 — every
+    * position; exact detection). */
+  private def charWindows(spark: SparkSession, dir: String,
+      k: Int): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("text").isNotNull && length(col("text")) >= k)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        s"transform(sequence(0, length(text)-$k), " +
+          s"i -> substring(text, i+1, $k))"))).as("win"))
+
+  /** Shared pair tail for V22/V22b: admit windows in 2..maxDocs docs,
+    * self-join on the window, count shared windows per (i<j) pair. */
+  private def windowPairs(wins: DataFrame, maxDocs: Int,
+      minShared: Int): DataFrame = {
+    val w = wins.cache()
+    val admissible = w.groupBy(col("win"))
+      .agg(count(lit(1)).as("nd"))
+      .filter(col("nd").between(2, maxDocs))
+      .select(col("win"))
+    val adm = w.join(admissible, Seq("win"))
+    val a = adm.select(col("doc_id").as("i"), col("win"))
+    val b = adm.select(col("doc_id").as("j"), col("win"))
+    a.join(b, Seq("win")).filter(col("i") < col("j"))
+      .groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy(col("i"), col("j"))
+  }
+
+  /** V22: substring-level duplicate detection — the third dedup
+    * granularity next to whole-doc exact (V1) and near-dup (V2): doc
+    * pairs sharing ≥ [[MinSharedWindows]] distinct 40-char character
+    * windows, i.e. verbatim copied spans that whole-doc hashing misses
+    * and shingle-Jaccard underweights. Stride-1 windows make detection
+    * EXACT (any shared ≥40-char span is found); the frequency ceiling
+    * bounds the pair join against boilerplate windows. This is the
+    * VERIFY-grade baseline; [[substringDupsWinnowed]] is the
+    * fingerprint-sampled scale path. */
+  def substringDups(spark: SparkSession, dir: String,
+      minShared: Int = MinSharedWindows): DataFrame =
+    windowPairs(charWindows(spark, dir, WindowChars),
+      MaxDocsPerWindow, minShared)
+
+  /** V22b: the scale path — winnowing (the MOSS fingerprint scheme):
+    * per doc, hash every window and keep one ARGMIN per sliding run of
+    * `b` consecutive windows (min over struct(hash,pos,win), start-of-
+    * run windows included so short docs still fingerprint). Guarantee:
+    * two docs sharing a span of ≥ k+b-1 chars share at least one
+    * selected fingerprint — the b-run of identical hashes inside the
+    * shared span selects the same argmin in both docs (hash ties break
+    * by RELATIVE position inside the aligned span, identically on both
+    * sides). Density is ~2/(b+1) of stride-1, so the shuffle shrinks
+    * ~4× at b=8 while pairs sharing a 47+-char span are still found;
+    * engine-hash-dependent selection ⇒ rows-only, guarantees pinned in
+    * ExtendedOpsSpec (planted shared span + subset-of-exact). */
+  def substringDupsWinnowed(spark: SparkSession, dir: String, b: Int = 8,
+      minShared: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = WindowChars
+    val pos = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull && length(col("text")) >= k)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, length(text)-$k), " +
+          s"i -> substring(text, i+1, $k))")))
+      .toDF("doc_id", "pos", "win")
+    val runWindow = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, b - 1)
+    val fingerprints = pos
+      .withColumn("hs", struct(xxhash64(col("win")).as("h"),
+        col("pos").as("p"), col("win").as("w")))
+      .withColumn("sel", min(col("hs")).over(runWindow))
+      .select(col("doc_id"), col("sel.w").as("win"))
+      .distinct()
+    windowPairs(fingerprints, MaxDocsPerWindow, minShared)
+  }
+
+  private val substringSql: String =
+    s"""WITH d AS (SELECT doc_id, text FROM documents
+       |      WHERE text IS NOT NULL AND length(text) >= $WindowChars),
+       | w0 AS (SELECT doc_id, unnest([substr(text, i, $WindowChars)
+       |          for i in generate_series(1, length(text)-${WindowChars - 1})]) AS win
+       |        FROM d),
+       | w AS (SELECT DISTINCT doc_id, win FROM w0),
+       | nd AS (SELECT win FROM (SELECT win, count(*) AS c FROM w GROUP BY 1) t
+       |        WHERE c BETWEEN 2 AND $MaxDocsPerWindow),
+       | p AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS n_shared
+       |       FROM (SELECT w.doc_id, w.win FROM w JOIN nd USING (win)) a
+       |       JOIN (SELECT w.doc_id, w.win FROM w JOIN nd USING (win)) b
+       |         ON a.win = b.win AND a.doc_id < b.doc_id
+       |       GROUP BY 1, 2)
+       |SELECT i, j, CAST(n_shared AS BIGINT) AS n_shared
+       |FROM p WHERE n_shared >= $MinSharedWindows
+       |ORDER BY i, j""".stripMargin
+
   private val incrementalSql: String =
     s"""WITH d AS (SELECT doc_id, source,
       |        ${OracleSql.normHashText} AS norm_hash
@@ -687,6 +790,17 @@ object DedupOps extends QueryModule {
               |SELECT doc_id, lang, source FROM documents
               |WHERE doc_id NOT IN (SELECT doc_id FROM drops)
               |ORDER BY doc_id""".stripMargin)),
+    GraftQuery("v22_substring_dup",
+      "V22 substring-level dup pairs: docs sharing >=5 distinct 40-char " +
+        "windows (stride-1 exact; boilerplate frequency ceiling bounds " +
+        "the pair join) — the span-copy granularity V1/V2 miss",
+      (s, d) => substringDups(s, d), Some(substringSql)),
+    GraftQuery("v22b_substring_dup_winnowed",
+      "V22b winnowed fingerprints (MOSS scheme, b=8): ~2/(b+1) of the " +
+        "stride-1 windows, spans >=47 chars still guaranteed found; " +
+        "rows-only (engine-hash selection), guarantees pinned in " +
+        "ExtendedOpsSpec",
+      (s, d) => substringDupsWinnowed(s, d), None),
     GraftQuery("v20_incremental_dedup",
       "V20 incremental dedup: incoming batch anti-joined against the " +
         "existing ledger on the normalized content hash (exact form)",

@@ -91,6 +91,46 @@ class ExtendedOpsSpec extends SparkSpec {
       plan.take(3000))
   }
 
+  test("v22b winnowed pairs are a subset of the exact stride-1 pairs " +
+    "on the testdata") {
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("i"), r.getAs[Long]("j"))).toSet
+    val exact = pairSet(DedupOps.substringDups(spark, sf0001, minShared = 1))
+    val winnowed = pairSet(
+      DedupOps.substringDupsWinnowed(spark, sf0001, minShared = 1))
+    assert(winnowed.nonEmpty)
+    assert(winnowed.subsetOf(exact),
+      s"winnowed-only pairs: ${winnowed.diff(exact).take(5)}")
+  }
+
+  test("v22b finds a planted shared span of k+b-1 chars (the winnowing " +
+    "guarantee) and selects deterministically") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_winnow_fixture").toString
+    // two docs sharing one 200-char span embedded in distinct noise;
+    // a third unrelated doc must not pair with them
+    val span = (1 to 40).map(i => s"tok${i % 13}x$i").mkString(" ").take(200)
+    def noise(seed: Int) = (1 to 60)
+      .map(i => s"n${seed}w${(i * 31 + seed) % 97}").mkString(" ")
+    Seq((1L, "s0", s"${noise(1)} $span ${noise(2)}"),
+        (2L, "s1", s"${noise(3)} $span ${noise(4)}"),
+        (3L, "s2", noise(5)))
+      .toDF("doc_id", "source", "text")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .withColumn("n_chars",
+        org.apache.spark.sql.functions.length($"text").cast("long"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val got = DedupOps.substringDupsWinnowed(spark, dir, minShared = 1)
+      .collect().map(r => (r.getAs[Long]("i"), r.getAs[Long]("j"))).toSet
+    assert(got === Set((1L, 2L)))
+    // deterministic: a second run selects the identical fingerprints
+    val again = DedupOps.substringDupsWinnowed(spark, dir, minShared = 1)
+      .collect().map(r => (r.getAs[Long]("i"), r.getAs[Long]("j"))).toSet
+    assert(again === got)
+  }
+
   test("v21 repetition metrics stay in their documented ranges and both " +
     "classes are populated on the testdata") {
     val rows = RankOps.repetitionFilter(spark, sf0001).collect()
