@@ -186,7 +186,10 @@ class ScaleSpec extends SparkSpec {
     val sample = Seq("q3_shipping_priority", "t04_endpoint_latencies",
       "t10_trace_counts", "v1_dedup_exact", "v8_per_source_cap",
       "v14_sample_mix", "v15_token_packing", "w1_asof_join",
-      "w2_range_join", "v4g_term_scores")
+      "w2_range_join", "v4g_term_scores",
+      // late round-4: CDC window over a union, BM25's decimal-sum
+      // ranking, the substring pair join over a cached explode
+      "w3_merge_upsert", "v19_bm25_search", "v22_substring_dup")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       val at32 = sample.map { id =>
