@@ -604,14 +604,20 @@ object DedupOps extends QueryModule {
   val MinSharedWindows = 5
 
   /** Distinct 40-char sliding windows per doc (stride 1 — every
-    * position; exact detection). */
+    * position; exact detection). Dedup happens in the hash aggregate
+    * AFTER the explode, not via per-row array_distinct: the aggregate's
+    * map-side partial pass dedupes before the shuffle just the same
+    * (equal wall time measured at sf0.1), without array_distinct's
+    * O(windows²) string compares per document — the form that stays
+    * linear when documents grow long. */
   private def charWindows(spark: SparkSession, dir: String,
       k: Int): DataFrame =
     Tables.documents(spark, dir)
       .filter(col("text").isNotNull && length(col("text")) >= k)
-      .select(col("doc_id"), explode(array_distinct(expr(
+      .select(col("doc_id"), explode(expr(
         s"transform(sequence(0, length(text)-$k), " +
-          s"i -> substring(text, i+1, $k))"))).as("win"))
+          s"i -> substring(text, i+1, $k))")).as("win"))
+      .distinct()
 
   /** Shared pair tail for V22/V22b: admit windows in 2..maxDocs docs,
     * self-join on the window, count shared windows per (i<j) pair. */
