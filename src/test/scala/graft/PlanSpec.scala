@@ -158,6 +158,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("v22 substring pair join is a keyed join, never nested-loop") {
+    Seq("v22_substring_dup", "v22b_substring_dup_winnowed").foreach { id =>
+      val p = plan(q(id))
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$id\n$p")
+      assert(!p.contains("CartesianProduct"), s"$id\n$p")
+    }
+  }
+
   test("v18 quantization is a zero-exchange linear projection") {
     val p = plan(q("v18_embedding_quantize"))
     assert(!p.contains("Exchange hashpartitioning"), p)
