@@ -620,7 +620,11 @@ object DedupOps extends QueryModule {
       .distinct()
 
   /** Shared pair tail for V22/V22b: admit windows in 2..maxDocs docs,
-    * self-join on the window, count shared windows per (i<j) pair. */
+    * self-join on the window, count shared windows per (i<j) pair.
+    * The cache is a registry-SF convenience (three consumers of one
+    * explode); at corpus scale the window/fingerprint table is
+    * materialized once to storage instead — the v19b/v3b2
+    * build-at-ingest pattern — and the three consumers read it. */
   private def windowPairs(wins: DataFrame, maxDocs: Int,
       minShared: Int): DataFrame = {
     val w = wins.cache()

@@ -12,7 +12,12 @@ import org.apache.spark.sql.functions._
   * Scale notes: ROLLUP compiles to ONE scan + one Expand(levels) +
   * one shuffle on the padded group key — the subtotal levels ride the
   * same partial-aggregation pass as the leaf level, not one job per
-  * level. Pivot with an explicit value list skips the distinct-values
+  * level. Honest cost: Expand multiplies the scanned rows by
+  * levels+1 (×3 here) BEFORE the partial agg absorbs them; when that
+  * multiplier bites at extreme scale, the subtotals should instead be
+  * re-aggregated FROM the (tiny) leaf aggregate in a second step —
+  * the leaf output here is ≤ flags×statuses rows, so the two-pass
+  * form costs one scan plus noise. Pivot with an explicit value list skips the distinct-values
   * discovery job and plans as (key,type) count → pivotfirst(key):
   * two keyed map-side-combined exchanges, the second over only
   * key×type rows — at 100 TB both operators cost what the flat
