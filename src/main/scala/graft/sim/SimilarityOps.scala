@@ -330,7 +330,39 @@ object SimilarityOps extends QueryModule {
       .limit(k)
   }
 
+  /** V23: per-label embedding mean pooling — the class-centroid step
+    * (semantic-cluster summaries, SemDeDup-style prototypes, label
+    * drift monitoring) completing the embedding toolkit next to ANN
+    * (v3), near-dup (v2d), and quantization (v18). One posexplode to
+    * (label, dim) rows + one partial-agg shuffle on the (label, dim)
+    * key — linear, and the output is labels×dims rows however large
+    * the corpus. Per-dim means ride [[Exact.avgExact]] (decimal
+    * micro-units) so partition order cannot move the hash; floats
+    * widen to double exactly on both engines first. */
+  def embeddingPool(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("label"), posexplode(col("embedding")))
+      .toDF("label", "dim", "x")
+      .groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n"),
+        Exact.avgExact(col("x").cast("double")).as("mean_x"))
+      .orderBy(col("label"), col("dim"))
+
+  private val embeddingPoolSql: String =
+    s"""WITH e AS (SELECT label, unnest(embedding) AS x,
+       |                  unnest(range(len(embedding))) AS dim
+       |           FROM embeddings)
+       |SELECT label, CAST(dim AS INT) AS dim,
+       | CAST(count(*) AS BIGINT) AS n,
+       | ${OracleSql.avgExact("CAST(x AS DOUBLE)")} AS mean_x
+       |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("v23_embedding_pool",
+      "V23 per-label embedding mean pooling (class centroids): one " +
+        "posexplode + one (label,dim)-keyed partial agg, decimal-exact " +
+        "per-dim means",
+      embeddingPool, Some(embeddingPoolSql)),
     GraftQuery("v18_embedding_quantize",
       "V18 int8 scalar quantization of the embedding column (scale = " +
         "max|x|; exact code arrays witnessed via integer sum/L1 " +
