@@ -357,12 +357,74 @@ object SimilarityOps extends QueryModule {
        | ${OracleSql.avgExact("CAST(x AS DOUBLE)")} AS mean_x
        |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** V24: per-label outliers — each label's k vectors FARTHEST from
+    * the label centroid (lowest cosine): the mislabeled-example /
+    * contamination pruning step of dataset curation, composed from
+    * v23's decimal-exact centroids + the fused dot product. Exactness:
+    * the centroid components are 6dp-rounded doubles identical on both
+    * engines, and both engines fold the dot product sequentially, so
+    * the cosine is bit-identical and round(·,6) oracles cleanly (the
+    * v2d/v3a precedent). Scale: centroids are labels×dims — broadcast;
+    * the per-label top-k uses the same two-stage prune as V8 (each
+    * input partition keeps its local k, only the ≤k·P survivors get
+    * the exact rank) so no label ever funnels through one task. */
+  def labelOutliers(spark: SparkSession, dir: String,
+      k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        asDouble(col("embedding")).as("v"))
+    val cent = embeddingPool(spark, dir)
+      .groupBy(col("label"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"), col("mean_x")))),
+        s => s.getField("mean_x")).as("cv"))
+    val scored = e.join(broadcast(cent), Seq("label"))
+      .withColumn("cos", round(dot(col("v"), col("cv")) /
+        (sqrt(dot(col("v"), col("v"))) * sqrt(dot(col("cv"), col("cv")))),
+        6))
+      .select(col("label"), col("vec_id"), col("cos"))
+    val wLocal = Window.partitionBy(col("label"), col("pid"))
+      .orderBy(col("cos"), col("vec_id"))
+    val w = Window.partitionBy(col("label")).orderBy(col("cos"), col("vec_id"))
+    scored.withColumn("pid", spark_partition_id())
+      .withColumn("lrk", row_number().over(wLocal))
+      .filter(col("lrk") <= k)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("label"), col("rk"), col("vec_id"), col("cos"))
+      .orderBy(col("label"), col("rk"))
+  }
+
+  private val labelOutliersSql: String =
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+       |           FROM embeddings),
+       | x AS (SELECT label, unnest(v) AS x, unnest(range(len(v))) AS dim
+       |       FROM e),
+       | m AS (SELECT label, dim, ${OracleSql.avgExact("x")} AS m
+       |       FROM x GROUP BY 1, 2),
+       | c AS (SELECT label, list(m ORDER BY dim) AS cv FROM m GROUP BY 1),
+       | s AS (SELECT e.vec_id, e.label,
+       |        round(list_dot_product(e.v, c.cv) /
+       |          (sqrt(list_dot_product(e.v, e.v)) *
+       |           sqrt(list_dot_product(c.cv, c.cv))), 6) AS cos
+       |       FROM e JOIN c USING (label)),
+       | r AS (SELECT *, row_number() OVER (PARTITION BY label
+       |         ORDER BY cos, vec_id) AS rk FROM s)
+       |SELECT label, CAST(rk AS INT) AS rk, vec_id, cos
+       |FROM r WHERE rk <= 3 ORDER BY label, rk""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("v23_embedding_pool",
       "V23 per-label embedding mean pooling (class centroids): one " +
         "posexplode + one (label,dim)-keyed partial agg, decimal-exact " +
         "per-dim means",
       embeddingPool, Some(embeddingPoolSql)),
+    GraftQuery("v24_label_outliers",
+      "V24 per-label outliers: k vectors farthest from the label " +
+        "centroid (curation pruning; broadcast centroids, two-stage " +
+        "top-k — no whole-label window)",
+      (s, d) => labelOutliers(s, d), Some(labelOutliersSql)),
     GraftQuery("v18_embedding_quantize",
       "V18 int8 scalar quantization of the embedding column (scale = " +
         "max|x|; exact code arrays witnessed via integer sum/L1 " +
