@@ -25,7 +25,10 @@ import org.apache.spark.sql.functions._
   */
 object CdcOps extends QueryModule {
 
-  def mergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+  /** The derived change feed shared by W3 and W6: snapshot rows at
+    * seq 0, inserts (key+1e8) at 1, updates at 2, deletes at 3 —
+    * ≤1 row per (key, op-family), so seq is unique per key. */
+  private def changeFeed(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
     val base = o.select(col("o_orderkey").as("k"), lit("base").as("op"),
@@ -43,16 +46,59 @@ object CdcOps extends QueryModule {
       .select(col("o_orderkey").as("k"), lit("delete").as("op"),
         lit(3L).as("seq"), lit(null).cast("string").as("status"),
         lit(null).cast("double").as("price"))
-    // ≤1 row per (key, op-family) and seq is distinct across families,
-    // so the row_number tie-break never fires — deterministic.
-    val w = Window.partitionBy(col("k")).orderBy(col("seq").desc)
     base.unionByName(ins).unionByName(upd).unionByName(del)
+  }
+
+  def mergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    // seq is unique per key, so the row_number tie-break never fires
+    val w = Window.partitionBy(col("k")).orderBy(col("seq").desc)
+    changeFeed(spark, dir)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1 && col("op") =!= "delete")
       .select(col("k").as("o_orderkey"), col("op"), col("status"),
         round(col("price"), 6).as("price"))
       .orderBy(col("o_orderkey"))
   }
+
+  /** W6: SCD Type-2 history — the other half of the lakehouse CDC
+    * pattern: instead of keeping only the latest state (W3), keep
+    * EVERY version with its validity interval [seq, next seq) via one
+    * `lead` over the same (key)-window shuffle W3 uses; the open
+    * interval (valid_to NULL) marks the current version unless it is
+    * a delete tombstone. Same single high-cardinality-key shuffle —
+    * no join, no driver state. */
+  def scd2History(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("k")).orderBy(col("seq"))
+    changeFeed(spark, dir)
+      .withColumn("valid_to", lead(col("seq"), 1).over(w))
+      .select(col("k").as("o_orderkey"), col("op"),
+        col("seq").as("valid_from"), col("valid_to"), col("status"),
+        round(col("price"), 6).as("price"),
+        (col("valid_to").isNull && col("op") =!= "delete")
+          .as("is_current"))
+      .orderBy(col("o_orderkey"), col("valid_from"))
+  }
+
+  private val scd2Sql: String =
+    """WITH ch AS (
+      |  SELECT o_orderkey AS k, 'base' AS op, 0 AS seq,
+      |         o_orderstatus AS status, o_totalprice AS price FROM orders
+      |  UNION ALL
+      |  SELECT o_orderkey + 100000000, 'insert', 1, 'N', o_totalprice
+      |  FROM orders WHERE o_orderkey % 23 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, 'update', 2, 'U', o_totalprice + 1000.0
+      |  FROM orders WHERE o_orderkey % 10 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, 'delete', 3, NULL, NULL
+      |  FROM orders WHERE o_orderkey % 17 = 0),
+      | h AS (SELECT *, lead(seq) OVER (PARTITION BY k ORDER BY seq)
+      |         AS valid_to FROM ch)
+      |SELECT k AS o_orderkey, op, CAST(seq AS BIGINT) AS valid_from,
+      | CAST(valid_to AS BIGINT) AS valid_to, status,
+      | round(price, 6) AS price,
+      | (valid_to IS NULL AND op <> 'delete') AS is_current
+      |FROM h ORDER BY o_orderkey, valid_from""".stripMargin
 
   private val mergeSql: String =
     """WITH ch AS (
@@ -78,5 +124,10 @@ object CdcOps extends QueryModule {
       "W3 CDC merge/upsert: apply an insert/update/delete feed onto a " +
         "snapshot via union + ONE key-window (last-sequence-wins, " +
         "delete-beats-update) — the MERGE INTO dataflow, no join",
-      mergeUpsert, Some(mergeSql)))
+      mergeUpsert, Some(mergeSql)),
+    GraftQuery("w6_scd2_history",
+      "W6 SCD Type-2 history: every version with its validity interval " +
+        "[seq, next seq) via lead over the same key-window shuffle; " +
+        "open interval = current unless delete tombstone",
+      scd2History, Some(scd2Sql)))
 }

@@ -168,6 +168,25 @@ class ExtendedOpsSpec extends SparkSpec {
     }
   }
 
+  test("w6 SCD2 current versions agree with the w3 merge result") {
+    def keyed(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("o_orderkey"), col("op"), col("status"))
+      .collect()
+      .map(r => (r.getAs[Long]("o_orderkey"), r.getAs[String]("op"),
+        r.getAs[String]("status"))).toSet
+    val current = keyed(CdcOps.scd2History(spark, sf0001)
+      .filter(col("is_current")))
+    val merged = keyed(CdcOps.mergeUpsert(spark, sf0001))
+    assert(current === merged)
+    // deleted keys: history retained, but nothing current
+    val hist = CdcOps.scd2History(spark, sf0001).collect()
+    val deletedKeys = hist.filter(_.getAs[String]("op") == "delete")
+      .map(_.getAs[Long]("o_orderkey")).toSet
+    assert(deletedKeys.nonEmpty)
+    assert(!hist.exists(r => deletedKeys(r.getAs[Long]("o_orderkey")) &&
+      r.getAs[Boolean]("is_current")))
+  }
+
   test("w4 rollup levels are internally consistent") {
     val rows = OlapOps.rollupAgg(spark, sf0001).collect()
     val byGid = rows.groupBy(_.getAs[Int]("gid"))
