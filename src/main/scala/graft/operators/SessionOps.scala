@@ -35,7 +35,51 @@ object SessionOps extends QueryModule {
       .orderBy(col("user_id"), col("session_idx"))
   }
 
+  /** U3: funnel / cohort conversion — per user, the first `view` and
+    * the first LATER `purchase`; cohorted by first-view day with the
+    * integer-exact conversion ratio. The named product-analytics
+    * workload (view→purchase funnel) on the same events table. Scale:
+    * two keyed shuffles (user_id agg — conditional mins, no window —
+    * then the tiny cohort agg); both partial-aggregated, linear. */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "view", col("ts_us")))
+        .as("first_view"),
+        min(when(col("event_type") === "purchase", col("ts_us")))
+          .as("first_purchase"))
+      .filter(col("first_view").isNotNull)
+      .withColumn("converted", col("first_purchase").isNotNull &&
+        col("first_purchase") > col("first_view"))
+      .withColumn("cohort_day", expr("first_view div 86400000000"))
+    perUser.groupBy(col("cohort_day"))
+      .agg(count(lit(1)).as("n_viewers"),
+        sum(when(col("converted"), 1L).otherwise(0L)).as("n_converted"))
+      .withColumn("conversion",
+        Exact.ratio6(col("n_converted"), col("n_viewers")))
+      .orderBy(col("cohort_day"))
+  }
+
+  private val funnelSql: String =
+    s"""WITH u AS (SELECT user_id,
+       |   min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS fv,
+       |   min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS fp
+       |  FROM events GROUP BY 1),
+       | c AS (SELECT fv // 86400000000 AS cohort_day,
+       |        (fp IS NOT NULL AND fp > fv) AS conv
+       |       FROM u WHERE fv IS NOT NULL)
+       |SELECT cohort_day, CAST(count(*) AS BIGINT) AS n_viewers,
+       | CAST(sum(CASE WHEN conv THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+       | ${OracleSql.ratio6("sum(CASE WHEN conv THEN 1 ELSE 0 END)",
+            "count(*)")} AS conversion
+       |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("u3_funnel",
+      "U3 funnel/cohort conversion: first view -> first later purchase " +
+        "per user, cohorted by first-view day (two keyed aggs, no " +
+        "window; integer-exact conversion ratio)",
+      funnel, Some(funnelSql)),
     GraftQuery("v6_sessionization",
       "V6 gap-based sessionization (30 min) via lag + running sum",
       sessionize,
