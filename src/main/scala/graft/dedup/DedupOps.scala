@@ -667,7 +667,15 @@ object DedupOps extends QueryModule {
     * sides). Density is ~2/(b+1) of stride-1, so the shuffle shrinks
     * ~4× at b=8 while pairs sharing a 47+-char span are still found;
     * engine-hash-dependent selection ⇒ rows-only, guarantees pinned in
-    * ExtendedOpsSpec (planted shared span + subset-of-exact). */
+    * ExtendedOpsSpec (planted shared span + subset-of-exact). The
+    * boilerplate ceiling here counts FINGERPRINT occurrences, which
+    * are ≤ the stride-1 doc-counts — so for a window whose full
+    * doc-count straddles the ceiling (> maxDocs docs, ≤ maxDocs of
+    * them selecting it as a fingerprint) the winnowed path can admit
+    * what the exact path excluded; subset-of-exact therefore holds
+    * exactly for windows clear of the ceiling (the spec fixtures are),
+    * and at the boundary the disagreement is confined to boilerplate
+    * the exact path deliberately suppressed. */
   def substringDupsWinnowed(spark: SparkSession, dir: String, b: Int = 8,
       minShared: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -103,6 +103,17 @@ object RankOps extends QueryModule {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val indexSeq = new java.util.concurrent.atomic.AtomicInteger()
 
+  // per-process paths nothing else can reference: remove them on JVM
+  // exit so repeated runs don't accumulate full-vocab indexes in /tmp
+  Runtime.getRuntime.addShutdownHook(new Thread(() =>
+    indexCache.values().forEach { p =>
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(new java.io.File(p))
+    }))
+
   /** Build the stored inverted index: one posting row per (term,
     * doc_id) carrying tf and the doc length, parquet-partitioned by
     * the term's hash bucket (every posting of a term lands in exactly

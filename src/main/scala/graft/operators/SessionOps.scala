@@ -36,38 +36,48 @@ object SessionOps extends QueryModule {
   }
 
   /** U3: funnel / cohort conversion — per user, the first `view` and
-    * the first LATER `purchase`; cohorted by first-view day with the
-    * integer-exact conversion ratio. The named product-analytics
-    * workload (view→purchase funnel) on the same events table. Scale:
-    * two keyed shuffles (user_id agg — conditional mins, no window —
-    * then the tiny cohort agg); both partial-aggregated, linear. */
+    * the first purchase STRICTLY AFTER it (a purchase that predates
+    * the first view does not convert that view, but a later one
+    * does); cohorted by first-view day with the integer-exact
+    * conversion ratio. The named product-analytics workload
+    * (view→purchase funnel) on the same events table. Scale: the
+    * first-view aggregate, one user-keyed join of the purchases
+    * against it (filter before the re-aggregate, so only
+    * post-first-view purchases shuffle twice), and the tiny cohort
+    * agg — all keyed, all partial-aggregated, linear. */
   def funnel(spark: SparkSession, dir: String): DataFrame = {
-    val perUser = Tables.events(spark, dir)
+    val ev = Tables.events(spark, dir)
+    val firstView = ev.filter(col("event_type") === "view")
       .groupBy(col("user_id"))
-      .agg(min(when(col("event_type") === "view", col("ts_us")))
-        .as("first_view"),
-        min(when(col("event_type") === "purchase", col("ts_us")))
-          .as("first_purchase"))
-      .filter(col("first_view").isNotNull)
-      .withColumn("converted", col("first_purchase").isNotNull &&
-        col("first_purchase") > col("first_view"))
+      .agg(min(col("ts_us")).as("first_view"))
+    val firstConv = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us"))
+      .join(firstView, Seq("user_id"))
+      .filter(col("ts_us") > col("first_view"))
+      .groupBy(col("user_id"))
+      .agg(min(col("ts_us")).as("first_conv"))
+    firstView.join(firstConv, Seq("user_id"), "left")
       .withColumn("cohort_day", expr("first_view div 86400000000"))
-    perUser.groupBy(col("cohort_day"))
+      .groupBy(col("cohort_day"))
       .agg(count(lit(1)).as("n_viewers"),
-        sum(when(col("converted"), 1L).otherwise(0L)).as("n_converted"))
+        sum(when(col("first_conv").isNotNull, 1L).otherwise(0L))
+          .as("n_converted"))
       .withColumn("conversion",
         Exact.ratio6(col("n_converted"), col("n_viewers")))
       .orderBy(col("cohort_day"))
   }
 
   private val funnelSql: String =
-    s"""WITH u AS (SELECT user_id,
-       |   min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS fv,
-       |   min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS fp
-       |  FROM events GROUP BY 1),
-       | c AS (SELECT fv // 86400000000 AS cohort_day,
-       |        (fp IS NOT NULL AND fp > fv) AS conv
-       |       FROM u WHERE fv IS NOT NULL)
+    s"""WITH fv AS (SELECT user_id, min(epoch_us(ts)) AS first_view
+       |            FROM events WHERE event_type = 'view' GROUP BY 1),
+       | fc AS (SELECT e.user_id, min(epoch_us(e.ts)) AS first_conv
+       |        FROM events e JOIN fv ON e.user_id = fv.user_id
+       |        WHERE e.event_type = 'purchase'
+       |          AND epoch_us(e.ts) > fv.first_view
+       |        GROUP BY 1),
+       | c AS (SELECT fv.first_view // 86400000000 AS cohort_day,
+       |        (fc.first_conv IS NOT NULL) AS conv
+       |       FROM fv LEFT JOIN fc ON fv.user_id = fc.user_id)
        |SELECT cohort_day, CAST(count(*) AS BIGINT) AS n_viewers,
        | CAST(sum(CASE WHEN conv THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
        | ${OracleSql.ratio6("sum(CASE WHEN conv THEN 1 ELSE 0 END)",

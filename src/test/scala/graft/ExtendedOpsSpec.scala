@@ -93,6 +93,10 @@ class ExtendedOpsSpec extends SparkSpec {
 
   test("v22b winnowed pairs are a subset of the exact stride-1 pairs " +
     "on the testdata") {
+    // holds because no window's doc-count straddles the boilerplate
+    // ceiling here (max 4 docs/window, ceiling 100); at the ceiling
+    // boundary the paths may legitimately disagree — see the
+    // substringDupsWinnowed scaladoc
     def pairSet(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getAs[Long]("i"), r.getAs[Long]("j"))).toSet
     val exact = pairSet(DedupOps.substringDups(spark, sf0001, minShared = 1))
