@@ -156,6 +156,76 @@ object LayoutOps extends QueryModule {
         .mode("overwrite").saveAsTable("graft_orders_b")
     }
 
+  /** V25 compaction targets: the fragmented copy's file count and the
+    * range-partition count of the compacted rewrite. */
+  val FragFiles = 64
+  val CompactFiles = 4
+
+  /** V25: small-file compaction — the OPTIMIZE maintenance op every
+    * streaming-ingested table needs: micro-batch appends leave
+    * thousands of KB-sized files whose per-file open/footer cost comes
+    * to dominate scans. Deterministically fragment events into
+    * [[FragFiles]] pieces, then compact: repartitionByRange on
+    * event_id + sortWithinPartitions — size-targeted, RANGE-clustered
+    * files (so the rewrite also buys min-max pruning on the sort key,
+    * v12's point). Registry surface is the content summary computed
+    * FROM the compacted copy — the oracle computes the same numbers
+    * from the original parquet, proving the rewrite preserved content
+    * exactly; file counts before/after are pinned in ExtendedOpsSpec.
+    * At 100 TB this is a per-partition background rewrite where only
+    * the fragmented partitions are touched. */
+  def compaction(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_compact").toString
+    try {
+      val ev = Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), col("ts_us"))
+      ev.repartition(FragFiles).write.mode("overwrite")
+        .parquet(s"$root/frag")
+      spark.read.parquet(s"$root/frag")
+        .repartitionByRange(CompactFiles, col("event_id"))
+        .sortWithinPartitions(col("event_id"))
+        .write.mode("overwrite").parquet(s"$root/compact")
+      val summary = spark.read.parquet(s"$root/compact").agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("event_id")).as("n_ids"),
+        sum(col("event_id")).as("id_sum"),
+        round(Exact.sumExact(col("value")), 6).as("value_sum"),
+        min(col("ts_us")).as("min_ts"), max(col("ts_us")).as("max_ts"))
+      // materialize before the finally-cleanup deletes the files
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(summary.collect().toSeq.asJava, summary.schema)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(root)).deleteRecursively(): Unit
+    }
+  }
+
+  /** Parquet file counts of the fragmented and compacted copies —
+    * spec-reachable form of the v25 rewrite (ExtendedOpsSpec pins
+    * frag=[[FragFiles]], compact=[[CompactFiles]], content equal). */
+  private[graft] def compactionFileCounts(spark: SparkSession,
+      dir: String): (Long, Long) = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_compact_spec").toString
+    try {
+      val ev = Tables.events(spark, dir).select(col("event_id"))
+      ev.repartition(FragFiles).write.mode("overwrite")
+        .parquet(s"$root/frag")
+      spark.read.parquet(s"$root/frag")
+        .repartitionByRange(CompactFiles, col("event_id"))
+        .sortWithinPartitions(col("event_id"))
+        .write.mode("overwrite").parquet(s"$root/compact")
+      def nFiles(p: String): Long = new java.io.File(p).listFiles()
+        .count(f => f.getName.endsWith(".parquet"))
+      (nFiles(s"$root/frag"), nFiles(s"$root/compact"))
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(root)).deleteRecursively(): Unit
+    }
+  }
+
   /** V17: revenue by order priority over the bucketed tables — the
     * join itself carries no exchange on either side (both scans are
     * bucket-reads on the join key); the only shuffle in the plan is
@@ -183,6 +253,17 @@ object LayoutOps extends QueryModule {
               | round(${OracleSql.sumExact("l_extendedprice*(1.0-l_discount)")},6) AS revenue
               |FROM lineitem JOIN orders ON l_orderkey=o_orderkey
               |GROUP BY 1 ORDER BY 1""".stripMargin)),
+    GraftQuery("v25_compaction",
+      "V25 small-file compaction (OPTIMIZE): 64 fragments rewritten " +
+        "into 4 range-clustered files; oracle proves content " +
+        "preserved exactly, file counts pinned in ExtendedOpsSpec",
+      compaction,
+      Some(s"""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+              | CAST(count(DISTINCT event_id) AS BIGINT) AS n_ids,
+              | CAST(sum(event_id) AS BIGINT) AS id_sum,
+              | round(${OracleSql.sumExact("value")},6) AS value_sum,
+              | min(epoch_us(ts)) AS min_ts, max(epoch_us(ts)) AS max_ts
+              |FROM events""".stripMargin)),
     GraftQuery("v12_zorder_prune",
       "V12 Z-order layout: re-cluster events on (ts, user), box query " +
         "answered from the clustered copy (pruning pinned in LayoutSpec)",

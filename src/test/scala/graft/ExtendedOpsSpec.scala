@@ -191,6 +191,13 @@ class ExtendedOpsSpec extends SparkSpec {
       r.getAs[Boolean]("is_current")))
   }
 
+  test("v25 compaction actually reduces the file count to the target") {
+    val (frag, compact) =
+      graft.operators.LayoutOps.compactionFileCounts(spark, sf0001)
+    assert(frag === graft.operators.LayoutOps.FragFiles.toLong)
+    assert(compact === graft.operators.LayoutOps.CompactFiles.toLong)
+  }
+
   test("w4 rollup levels are internally consistent") {
     val rows = OlapOps.rollupAgg(spark, sf0001).collect()
     val byGid = rows.groupBy(_.getAs[Int]("gid"))
