@@ -352,6 +352,9 @@ object DedupOps extends QueryModule {
   /** Path for the dumped IVF pair set — referenced by the v2d2b oracle
     * SQL, so it must be stable within a process (pid-suffixed against
     * concurrent runners, same convention as the ingest fixture). */
+  // NOT TempArtifacts-registered: the v2d2b oracle SQL reads this path
+  // from DuckDB after the Verify JVM exits (same contract as the OTLP
+  // fixture) — exit-time deletion would break the gate.
   val IvfPairsPath: String =
     s"${sys.props("java.io.tmpdir")}/graft_ivf_pairs_" +
       ProcessHandle.current().pid()

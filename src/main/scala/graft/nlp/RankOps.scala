@@ -103,17 +103,6 @@ object RankOps extends QueryModule {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val indexSeq = new java.util.concurrent.atomic.AtomicInteger()
 
-  // per-process paths nothing else can reference: remove them on JVM
-  // exit so repeated runs don't accumulate full-vocab indexes in /tmp
-  Runtime.getRuntime.addShutdownHook(new Thread(() =>
-    indexCache.values().forEach { p =>
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(): Unit
-      }
-      rm(new java.io.File(p))
-    }))
-
   /** Build the stored inverted index: one posting row per (term,
     * doc_id) carrying tf and the doc length, parquet-partitioned by
     * the term's hash bucket (every posting of a term lands in exactly
@@ -125,9 +114,12 @@ object RankOps extends QueryModule {
     indexCache.computeIfAbsent(dir, _ => {
       // collision-free within the process (an AtomicInteger, not a dir
       // hash — two dirs with colliding hashCodes would silently share
-      // and overwrite one index: the fixture-clobber bug class)
-      val path = s"${sys.props("java.io.tmpdir")}/graft_inv_index_" +
-        s"${ProcessHandle.current().pid()}_${indexSeq.getAndIncrement()}"
+      // and overwrite one index: the fixture-clobber bug class);
+      // registered for exit-time cleanup BEFORE the write, so a JVM
+      // kill mid-build doesn't leak the partial directory
+      val path = graft.util.TempArtifacts.register(
+        s"${sys.props("java.io.tmpdir")}/graft_inv_index_" +
+          s"${ProcessHandle.current().pid()}_${indexSeq.getAndIncrement()}")
       val docs = withWords(spark, dir).withColumn("dl", size(col("w")))
       docs.select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
         .groupBy(col("term"), col("doc_id"), col("dl"))

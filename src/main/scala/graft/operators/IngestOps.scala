@@ -30,6 +30,9 @@ object IngestOps extends QueryModule {
     * a process — the pid suffix keeps two concurrent runners on one host
     * from clobbering each other's fixture mid-read (same convention as
     * the per-process Derby db below). */
+  // NOT TempArtifacts-registered: this path is interpolated into the
+  // a2a3/a4b oracle SQL, which the driver's DuckDB executes AFTER the
+  // Verify JVM exits — exit-time deletion would break the gate.
   val FixturePath: String =
     s"${sys.props("java.io.tmpdir")}/graft_otlp_fixture_" +
       ProcessHandle.current().pid()

@@ -135,8 +135,9 @@ object LayoutOps extends QueryModule {
     * one file per bucket, which is what lets Spark skip the SMJ sort. */
   private def ensureBucketTables(spark: SparkSession, dir: String): Unit =
     bucketsOnce.ensure(dir) {
-      val root = s"${sys.props("java.io.tmpdir")}/graft_buckets_" +
-        ProcessHandle.current().pid()
+      val root = graft.util.TempArtifacts.register(
+        s"${sys.props("java.io.tmpdir")}/graft_buckets_" +
+          ProcessHandle.current().pid())
       spark.sql("DROP TABLE IF EXISTS graft_lineitem_b")
       spark.sql("DROP TABLE IF EXISTS graft_orders_b")
       Tables.lineitem(spark, dir)
@@ -174,6 +175,21 @@ object LayoutOps extends QueryModule {
     * exactly; file counts before/after are pinned in ExtendedOpsSpec.
     * At 100 TB this is a per-partition background rewrite where only
     * the fragmented partitions are touched. */
+  /** The frag→compact pipeline shared by the registry op and the
+    * spec's file-count probe — ONE definition, so the 64→4 pin in
+    * ExtendedOpsSpec always tests the shipped rewrite. Returns the
+    * compacted path. */
+  private def writeFragAndCompact(spark: SparkSession, df: DataFrame,
+      root: String): String = {
+    df.repartition(FragFiles).write.mode("overwrite")
+      .parquet(s"$root/frag")
+    spark.read.parquet(s"$root/frag")
+      .repartitionByRange(CompactFiles, col("event_id"))
+      .sortWithinPartitions(col("event_id"))
+      .write.mode("overwrite").parquet(s"$root/compact")
+    s"$root/compact"
+  }
+
   def compaction(spark: SparkSession, dir: String): DataFrame = {
     val root = java.nio.file.Files
       .createTempDirectory("graft_compact").toString
@@ -181,13 +197,8 @@ object LayoutOps extends QueryModule {
       val ev = Tables.events(spark, dir)
         .select(col("event_id"), col("user_id"), col("event_type"),
           col("value"), col("ts_us"))
-      ev.repartition(FragFiles).write.mode("overwrite")
-        .parquet(s"$root/frag")
-      spark.read.parquet(s"$root/frag")
-        .repartitionByRange(CompactFiles, col("event_id"))
-        .sortWithinPartitions(col("event_id"))
-        .write.mode("overwrite").parquet(s"$root/compact")
-      val summary = spark.read.parquet(s"$root/compact").agg(
+      val compacted = writeFragAndCompact(spark, ev, root)
+      val summary = spark.read.parquet(compacted).agg(
         count(lit(1)).as("n_rows"),
         countDistinct(col("event_id")).as("n_ids"),
         sum(col("event_id")).as("id_sum"),
@@ -211,12 +222,7 @@ object LayoutOps extends QueryModule {
       .createTempDirectory("graft_compact_spec").toString
     try {
       val ev = Tables.events(spark, dir).select(col("event_id"))
-      ev.repartition(FragFiles).write.mode("overwrite")
-        .parquet(s"$root/frag")
-      spark.read.parquet(s"$root/frag")
-        .repartitionByRange(CompactFiles, col("event_id"))
-        .sortWithinPartitions(col("event_id"))
-        .write.mode("overwrite").parquet(s"$root/compact")
+      writeFragAndCompact(spark, ev, root)
       def nFiles(p: String): Long = new java.io.File(p).listFiles()
         .count(f => f.getName.endsWith(".parquet"))
       (nFiles(s"$root/frag"), nFiles(s"$root/compact"))

@@ -47,9 +47,13 @@ object SessionOps extends QueryModule {
     * agg — all keyed, all partial-aggregated, linear. */
   def funnel(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
+    // guard all-NULL-ts viewers: a NULL first_view would cohort to a
+    // NULL day, which the two engines ORDER differently (Spark NULLS
+    // FIRST, DuckDB NULLS LAST) — drop them on both sides instead
     val firstView = ev.filter(col("event_type") === "view")
       .groupBy(col("user_id"))
       .agg(min(col("ts_us")).as("first_view"))
+      .filter(col("first_view").isNotNull)
     val firstConv = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts_us"))
       .join(firstView, Seq("user_id"))
@@ -69,7 +73,8 @@ object SessionOps extends QueryModule {
 
   private val funnelSql: String =
     s"""WITH fv AS (SELECT user_id, min(epoch_us(ts)) AS first_view
-       |            FROM events WHERE event_type = 'view' GROUP BY 1),
+       |            FROM events WHERE event_type = 'view' GROUP BY 1
+       |            HAVING min(epoch_us(ts)) IS NOT NULL),
        | fc AS (SELECT e.user_id, min(epoch_us(e.ts)) AS first_conv
        |        FROM events e JOIN fv ON e.user_id = fv.user_id
        |        WHERE e.event_type = 'purchase'

@@ -477,8 +477,9 @@ object SimilarityOps extends QueryModule {
         // pid-suffixed so concurrent runners on one host don't clobber
         // each other's index mid-read (rows-only entry: no oracle SQL
         // needs the path, so per-process uniqueness is free)
-        val idx = s"${sys.props("java.io.tmpdir")}/graft_ivf_index_" +
-          ProcessHandle.current().pid()
+        val idx = graft.util.TempArtifacts.register(
+          s"${sys.props("java.io.tmpdir")}/graft_ivf_index_" +
+            ProcessHandle.current().pid())
         writeIvfIndex(s, d, idx)
         // the query vector arrives from OUTSIDE the index (a pushed-down
         // point lookup on the source table, like b6)

@@ -1,0 +1,28 @@
+package graft.util
+
+/** One process-wide ledger of per-process /tmp artifacts (ingest
+  * fixtures, bucket tables, IVF indexes/pair dumps, inverted indexes)
+  * with a single JVM shutdown hook deleting them all — instead of one
+  * ad-hoc hook per module, or none. Callers [[register]] the path
+  * BEFORE starting the write, so a JVM exit mid-build still cleans the
+  * partial directory. Registration is idempotent and never deletes
+  * during the run (oracle SQL and already-planned readers reference
+  * these paths until exit). */
+object TempArtifacts {
+  private val paths = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
+  Runtime.getRuntime.addShutdownHook(new Thread(() =>
+    paths.forEach { p =>
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(new java.io.File(p))
+    }))
+
+  /** Record `path` for deletion at JVM exit; returns it for chaining. */
+  def register(path: String): String = {
+    paths.add(path)
+    path
+  }
+}
