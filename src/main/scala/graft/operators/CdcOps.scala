@@ -79,6 +79,53 @@ object CdcOps extends QueryModule {
       .orderBy(col("o_orderkey"), col("valid_from"))
   }
 
+  /** W7: point-in-time (time-travel) lookup — the query the SCD2
+    * history exists to answer: the table's state AS OF a sequence
+    * point, via the interval-containment predicate
+    * valid_from ≤ s < valid_to. Two probe points (s=1: after inserts,
+    * before updates/deletes; s=3: final state) summarized per
+    * (as_of, op, status). Scale: the 2-row probe frame broadcasts, so
+    * the history scans once with no shuffle beyond the tiny aggregate;
+    * a probe STREAM joins the same way — key-partitioned with the
+    * containment filter as residual, linear while versions-per-key
+    * stays bounded (it is: one per feed op). */
+  def pitLookup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val probes = Seq(1L, 3L).toDF("as_of")
+    scd2History(spark, dir)
+      .crossJoin(broadcast(probes))
+      .filter(col("valid_from") <= col("as_of") &&
+        (col("valid_to").isNull || col("valid_to") > col("as_of")))
+      .groupBy(col("as_of"), col("op"), col("status"))
+      .agg(count(lit(1)).as("n"),
+        round(Exact.sumExact(col("price")), 6).as("price_sum"))
+      .orderBy(col("as_of"), col("op"), coalesce(col("status"), lit("")))
+  }
+
+  private val pitSql: String =
+    s"""WITH ch AS (
+       |  SELECT o_orderkey AS k, 'base' AS op, 0 AS seq,
+       |         o_orderstatus AS status, o_totalprice AS price FROM orders
+       |  UNION ALL
+       |  SELECT o_orderkey + 100000000, 'insert', 1, 'N', o_totalprice
+       |  FROM orders WHERE o_orderkey % 23 = 0
+       |  UNION ALL
+       |  SELECT o_orderkey, 'update', 2, 'U', o_totalprice + 1000.0
+       |  FROM orders WHERE o_orderkey % 10 = 0
+       |  UNION ALL
+       |  SELECT o_orderkey, 'delete', 3, NULL, NULL
+       |  FROM orders WHERE o_orderkey % 17 = 0),
+       | h AS (SELECT *, round(price, 6) AS price6,
+       |        lead(seq) OVER (PARTITION BY k ORDER BY seq) AS valid_to
+       |       FROM ch),
+       | p AS (SELECT CAST(unnest([1, 3]) AS BIGINT) AS as_of)
+       |SELECT as_of, op, status, CAST(count(*) AS BIGINT) AS n,
+       | round(${OracleSql.sumExact("price6")}, 6) AS price_sum
+       |FROM h CROSS JOIN p
+       |WHERE seq <= as_of AND (valid_to IS NULL OR valid_to > as_of)
+       |GROUP BY 1, 2, 3
+       |ORDER BY as_of, op, coalesce(status, '')""".stripMargin
+
   private val scd2Sql: String =
     """WITH ch AS (
       |  SELECT o_orderkey AS k, 'base' AS op, 0 AS seq,
@@ -129,5 +176,10 @@ object CdcOps extends QueryModule {
       "W6 SCD Type-2 history: every version with its validity interval " +
         "[seq, next seq) via lead over the same key-window shuffle; " +
         "open interval = current unless delete tombstone",
-      scd2History, Some(scd2Sql)))
+      scd2History, Some(scd2Sql)),
+    GraftQuery("w7_pit_lookup",
+      "W7 point-in-time lookup over the SCD2 history: state AS OF " +
+        "seq 1 and 3 via the interval-containment predicate, " +
+        "broadcast probes — time travel, no extra shuffle",
+      pitLookup, Some(pitSql)))
 }
