@@ -206,6 +206,49 @@ object RankOps extends QueryModule {
       |SELECT pair, CAST(count(*) AS BIGINT) AS freq
       |FROM bg GROUP BY 1 ORDER BY freq DESC, pair LIMIT 20""".stripMargin
 
+  /** V4i: vocabulary ENCODING — the sequel to v4e's vocabulary build:
+    * map each doc's words to token ids under the learned top-50 vocab
+    * (id = 1-based rank by freq desc, token asc; out-of-vocab words
+    * drop, the minimal tokenizer-application semantics). Scale: the
+    * 50-row vocab BROADCASTS; positions survive the explode so one
+    * (doc)-keyed re-assembly restores order. Output is the id sequence
+    * as CSV — the driver's hash compare sorts COLUMNS, and list
+    * columns don't sort; same convention as v18's checksums. */
+  def encode(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vocab = withWords(spark, dir)
+      .select(explode(col("w")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token")).limit(50)
+      .withColumn("id",
+        row_number().over(Window.orderBy(col("freq").desc, col("token"))))
+      .select(col("token"), col("id"))
+    withWords(spark, dir)
+      .select(col("doc_id"), posexplode(col("w"))).toDF("doc_id", "pos", "token")
+      .join(broadcast(vocab), Seq("token"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_ids"),
+        concat_ws(",", transform(
+          array_sort(collect_list(struct(col("pos"), col("id")))),
+          s => s.getField("id").cast("string"))).as("ids_csv"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val encodeSql: String =
+    """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+      |           FROM documents WHERE text IS NOT NULL),
+      | vf AS (SELECT token, count(*) AS freq FROM (
+      |          SELECT unnest(w) AS token FROM d) GROUP BY 1
+      |        ORDER BY freq DESC, token LIMIT 50),
+      | v AS (SELECT token, CAST(row_number() OVER (
+      |         ORDER BY freq DESC, token) AS INT) AS id FROM vf),
+      | wp AS (SELECT doc_id, unnest(w) AS token,
+      |         unnest(range(len(w))) AS pos FROM d),
+      | j AS (SELECT wp.doc_id, wp.pos, v.id FROM wp JOIN v USING (token))
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ids,
+      | array_to_string(list(id ORDER BY pos), ',') AS ids_csv
+      |FROM j GROUP BY 1 ORDER BY doc_id""".stripMargin
+
   /** Repetition-flag thresholds (Gopher-style gates, tuned so both
     * classes are populated on the testdata). */
   val DupWordMax = 0.82
@@ -279,6 +322,11 @@ object RankOps extends QueryModule {
         "half of a BPE merge iteration; in-row bigrams, one pair-keyed " +
         "shuffle)",
       (s, d) => bpePairs(s, d), Some(bpePairsSql)),
+    GraftQuery("v4i_encode",
+      "V4i vocabulary encoding: docs mapped to token-id sequences " +
+        "under the v4e-learned top-50 vocab (broadcast lookup, " +
+        "position-preserving re-assembly; OOV drops)",
+      encode, Some(encodeSql)),
     GraftQuery("v21_repetition_filter",
       "V21 Gopher-style repetition gate: duplicate-word + top-bigram " +
         "mass per doc (in-row bigram build, doc-keyed shuffles only)",

@@ -89,7 +89,50 @@ object SessionOps extends QueryModule {
             "count(*)")} AS conversion
        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** U4: day-N retention — per first-activity-day cohort, the share of
+    * users active again exactly N days later (N = 1, 7): the standard
+    * retention matrix slice next to U3's funnel. Scale shape: distinct
+    * (user, day) pairs (partial-agg'd), the per-user cohort min, then
+    * per-user retention FLAGS via conditional max — no countDistinct,
+    * so no Expand of the activity rows — and the tiny cohort agg. */
+  def retention(spark: SparkSession, dir: String): DataFrame = {
+    val days = Tables.events(spark, dir)
+      .select(col("user_id"), expr("ts_us div 86400000000").as("day"))
+      .distinct()
+    val cohort = days.groupBy(col("user_id")).agg(min(col("day")).as("c"))
+    val perUser = days.join(cohort, Seq("user_id"))
+      .groupBy(col("user_id"), col("c"))
+      .agg(max(when(col("day") === col("c") + 1, 1L).otherwise(0L)).as("r1"),
+        max(when(col("day") === col("c") + 7, 1L).otherwise(0L)).as("r7"))
+    perUser.groupBy(col("c").as("cohort_day"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("r1")).as("n_d1"), sum(col("r7")).as("n_d7"))
+      .withColumn("d1_retention", Exact.ratio6(col("n_d1"), col("n_users")))
+      .withColumn("d7_retention", Exact.ratio6(col("n_d7"), col("n_users")))
+      .orderBy(col("cohort_day"))
+  }
+
+  private val retentionSql: String =
+    s"""WITH days AS (SELECT DISTINCT user_id,
+       |        epoch_us(ts) // 86400000000 AS day FROM events),
+       | c AS (SELECT user_id, min(day) AS c FROM days GROUP BY 1),
+       | pu AS (SELECT days.user_id, c.c,
+       |         max(CASE WHEN day = c + 1 THEN 1 ELSE 0 END) AS r1,
+       |         max(CASE WHEN day = c + 7 THEN 1 ELSE 0 END) AS r7
+       |        FROM days JOIN c ON days.user_id = c.user_id
+       |        GROUP BY 1, 2)
+       |SELECT c AS cohort_day, CAST(count(*) AS BIGINT) AS n_users,
+       | CAST(sum(r1) AS BIGINT) AS n_d1, CAST(sum(r7) AS BIGINT) AS n_d7,
+       | ${OracleSql.ratio6("sum(r1)", "count(*)")} AS d1_retention,
+       | ${OracleSql.ratio6("sum(r7)", "count(*)")} AS d7_retention
+       |FROM pu GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("u4_retention",
+      "U4 day-N retention matrix slice: per first-day cohort, share of " +
+        "users active exactly 1 and 7 days later (per-user flags, no " +
+        "countDistinct Expand)",
+      retention, Some(retentionSql)),
     GraftQuery("u3_funnel",
       "U3 funnel/cohort conversion: first view -> first later purchase " +
         "per user, cohorted by first-view day (two keyed aggs, no " +
