@@ -196,7 +196,48 @@ object MixOps extends QueryModule {
        |FROM c GROUP BY source, pack_id
        |ORDER BY source, pack_id""".stripMargin
 
+  // ---- V28: deterministic train/val/test hash split ----
+
+  /** V28: assignment of every document to train/val/test by content-free
+    * hash — the split that must stay stable as the corpus grows (a doc
+    * never migrates between splits when neighbors are added or removed,
+    * unlike fraction-of-sorted-order splits). Bucket = first two hex
+    * chars of md5('split' ∥ doc_id) read as an integer (256 buckets):
+    * < 205 train (~80.1%), < 230 val (~9.8%), else test (~10.2%).
+    * Pure per-row map + one (source, split) aggregate with map-side
+    * partial combine — no window, no join, embarrassingly parallel at
+    * any scale. */
+  def hashSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("b", conv(substring(
+        md5(concat(lit("split"), col("doc_id").cast("string"))), 1, 2),
+        16, 10).cast("int"))
+      .withColumn("split",
+        when(col("b") < 205, "train").when(col("b") < 230, "val")
+          .otherwise("test"))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .orderBy(col("source"), col("split"))
+
+  private val hashSplitSql: String =
+    """WITH s AS (
+      | SELECT source, doc_id,
+      |  ('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 2))::INT AS b
+      | FROM documents)
+      |SELECT source,
+      | CASE WHEN b < 205 THEN 'train' WHEN b < 230 THEN 'val'
+      |      ELSE 'test' END AS split,
+      | CAST(count(*) AS BIGINT) AS n_docs,
+      | CAST(min(doc_id) AS BIGINT) AS min_doc,
+      | CAST(max(doc_id) AS BIGINT) AS max_doc
+      |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("v28_hash_split",
+      "V28 deterministic train/val/test split by md5 bucket (stable " +
+        "under corpus growth; pure map + one aggregate)",
+      hashSplit, Some(hashSplitSql)),
     GraftQuery("v14_sample_mix",
       "V14 deterministic stratified mix: per-source fraction 2^-(N%4), " +
         "hash-order selection via bucketed exact order statistic (no " +

@@ -271,7 +271,49 @@ object EventOps extends QueryModule {
       .orderBy(col("n").desc, col("event_type"))
   }
 
+  /** V26: winsorization (outlier clipping) — per-type exact p05/p95
+    * fences, values clipped into the fences, clip counts and the
+    * clipped mean: the robust-stats cleaning step between raw metrics
+    * and model features. Two passes over events (a grouped-percentile
+    * fence pass — the same shape as t04 — then a pure-map clip pass)
+    * with the 5-row fence table BROADCAST back, so nothing but the
+    * fences crosses the network twice; at 100 TB swap the fence pass to
+    * approx_percentile when a second scan is too dear. Fences are
+    * rounded to 6 dp BEFORE the comparison so both engines clip on
+    * identical bits, and the clipped mean goes through [[Exact]]
+    * micro-unit summation. */
+  def winsorize(spark: SparkSession, dir: String): DataFrame = {
+    val e = ev(spark, dir)
+    val fences = e.groupBy(col("event_type"))
+      .agg(round(percentile(col("value"), lit(0.05)), 6).as("lo"),
+        round(percentile(col("value"), lit(0.95)), 6).as("hi"))
+    e.join(broadcast(fences), Seq("event_type"))
+      .withColumn("cv", least(greatest(col("value"), col("lo")), col("hi")))
+      .groupBy(col("event_type"), col("lo"), col("hi"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value") < col("lo"), 1).otherwise(0))
+          .cast("long").as("n_low"),
+        sum(when(col("value") > col("hi"), 1).otherwise(0))
+          .cast("long").as("n_high"),
+        Exact.avgExact(col("cv")).as("avg_wins"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("v26_winsorize",
+      "V26 winsorization: exact p05/p95 fences per type, clip + " +
+        "clip-counts + clipped mean (fence pass + broadcast-back map)",
+      winsorize,
+      Some(s"""WITH f AS (
+              |  SELECT event_type, round(quantile_cont(value, 0.05), 6) AS lo,
+              |   round(quantile_cont(value, 0.95), 6) AS hi
+              |  FROM events GROUP BY 1)
+              |SELECT e.event_type, f.lo, f.hi, CAST(count(*) AS BIGINT) AS n,
+              | CAST(sum(CASE WHEN e.value < f.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+              | CAST(sum(CASE WHEN e.value > f.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+              | ${OracleSql.avgExact("least(greatest(e.value, f.lo), f.hi)")} AS avg_wins
+              |FROM events e JOIN f USING (event_type)
+              |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin)),
     GraftQuery("v11_heavy_hitters",
       "V11 exact heavy hitters: top event types by count (full groupBy)",
       heavyHitters,

@@ -115,6 +115,31 @@ object SeriesOps extends QueryModule {
       .orderBy(col("day_s"))
   }
 
+  /** T21 (beyond the reference): spike detection over the daily count
+    * series — flag days whose count exceeds 2× the trailing 6-day mean,
+    * the alerting rule a monitoring UI derives from the t10/t19 series.
+    * The threshold compare runs in INTEGER space
+    * (n·trail_n > 2·trail_sum — exactly n > 2·mean without the
+    * division), so both engines flag identical rows. The trailing frame
+    * EXCLUDES the current row (−6 … −1); days with no history
+    * (trail_n = 0) never flag. Like t19 the unpartitioned window is over
+    * the day series, whose length is bounded by the queried wall-clock
+    * range — not the data volume — at any scale. */
+  def anomalySeries(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(spark, dir)
+      .groupBy(expr("ts_s div 86400 * 86400").as("day_s"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.orderBy(col("day_s")).rowsBetween(-6, -1)
+    daily
+      .withColumn("trail_n", count(lit(1)).over(w))
+      .withColumn("trail_sum", coalesce(sum(col("n")).over(w), lit(0L)))
+      .withColumn("is_spike",
+        (col("trail_n") > 0 &&
+          col("n") * col("trail_n") > col("trail_sum") * 2).cast("int"))
+      .orderBy(col("day_s"))
+  }
+
   /** T20: distinct users per bucket, zero-filled — distinct aggregation
     * inside a time series (unique-visitors shape). Exact countDistinct
     * is the oracle surface; [[uniqueUsersSeriesApprox]] is the mergeable
@@ -161,6 +186,23 @@ object SeriesOps extends QueryModule {
              | round(avg(n) OVER w, 6) AS avg_7d
              |FROM d
              |WINDOW w AS (ORDER BY day_s ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+             |ORDER BY day_s""".stripMargin)),
+    GraftQuery("t21_anomaly_series",
+      "T21 spike detection: integer-exact n > 2x trailing-6-day mean " +
+        "over the daily count series (frame excludes the current day)",
+      anomalySeries,
+      Some("""WITH d AS (
+             |  SELECT (epoch_us(ts)//1000000)//86400*86400 AS day_s,
+             |   count(*) AS n
+             |  FROM events GROUP BY 1)
+             |SELECT day_s, CAST(n AS BIGINT) AS n,
+             | CAST(count(*) OVER w AS BIGINT) AS trail_n,
+             | CAST(coalesce(sum(n) OVER w, 0) AS BIGINT) AS trail_sum,
+             | CAST((count(*) OVER w > 0 AND
+             |       n * (count(*) OVER w) > 2 * coalesce(sum(n) OVER w, 0))
+             |   AS INT) AS is_spike
+             |FROM d
+             |WINDOW w AS (ORDER BY day_s ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)
              |ORDER BY day_s""".stripMargin)),
     GraftQuery("t10_trace_counts",
       "T10/D7+H14 zero-filled count series (api/service.go:899-959)",
