@@ -153,6 +153,38 @@ object TextOps extends QueryModule {
       .orderBy(col("doc_id"), col("rk"))
   }
 
+  /** V27: rare-bigram ratio — the perplexity-proxy quality gate: a
+    * document whose word bigrams are mostly unseen in the rest of the
+    * corpus (global frequency ≤ 2) is likely noise/garble, the same
+    * signal an n-gram LM's perplexity gives without the libm-unstable
+    * log-probs (integer counts + [[Exact.ratio6]] keep the oracle
+    * hash-exact, as v4g does for tf-idf).
+    *
+    * Scale: one explode into (doc, bigram) occurrence rows, a
+    * bigram-keyed count aggregate, and a join of occurrences to that
+    * 1-row-per-key count side — hot bigrams ("the the") skew the join
+    * key but the build side stays one row per key, and the occurrence
+    * exchange is shared between the count subtree and the probe side
+    * (ReuseExchange), so the whole thing costs ~one shuffle of the
+    * exploded corpus. */
+  def rareBigrams(spark: SparkSession, dir: String): DataFrame = {
+    val bg = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .withColumn("w", words)
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w) - 1), " +
+          "i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"))
+        .as("bigram"))
+    val freq = bg.groupBy(col("bigram")).agg(count(lit(1)).as("bf"))
+    bg.join(freq, Seq("bigram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("bf") <= 2, 1).otherwise(0)).cast("long").as("n_rare"))
+      .withColumn("rare_ratio", Exact.ratio6(col("n_rare"), col("n_bigrams")))
+      .orderBy(col("doc_id"))
+  }
+
   /** Keep the `n` smallest `doc_id`s per source with their exact rank,
     * WITHOUT ranking a whole source in one task: stage 1 keeps each
     * input partition's n smallest doc_ids per source — a superset of
@@ -332,6 +364,26 @@ object TextOps extends QueryModule {
               |WHERE score >= 0.38
               |QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 10
               |ORDER BY source, doc_id""".stripMargin)),
+    GraftQuery("v27_rare_bigrams",
+      "V27 rare-bigram ratio: perplexity-proxy quality gate over " +
+        "corpus bigram counts (integer-exact, no log-probs)",
+      rareBigrams,
+      Some(s"""WITH d AS (
+              |  SELECT doc_id, $wordsSql AS w
+              |  FROM documents
+              |  WHERE text IS NOT NULL AND len($wordsSql) >= 2),
+              | bg AS (SELECT doc_id,
+              |         unnest(list_transform(range(1, len(w)),
+              |           i -> w[i] || ' ' || w[i + 1])) AS bigram
+              |        FROM d),
+              | f AS (SELECT bigram, count(*) AS bf FROM bg GROUP BY 1)
+              |SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+              | CAST(sum(CASE WHEN f.bf <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+              | ${OracleSql.ratio6(
+                  "sum(CASE WHEN f.bf <= 2 THEN 1 ELSE 0 END)",
+                  "count(*)")} AS rare_ratio
+              |FROM bg JOIN f USING (bigram)
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
     GraftQuery("v4d_fingerprint",
       "V4 document fingerprint: md5 of sorted distinct words",
       fingerprint,
