@@ -163,10 +163,11 @@ object TextOps extends QueryModule {
     * Scale: one explode into (doc, bigram) occurrence rows, a
     * bigram-keyed count aggregate, and a join of occurrences to that
     * 1-row-per-key count side — hot bigrams ("the the") skew the join
-    * key but the build side stays one row per key, and the occurrence
-    * exchange is shared between the count subtree and the probe side
-    * (ReuseExchange), so the whole thing costs ~one shuffle of the
-    * exploded corpus. */
+    * key but the build side stays one row per key. At test SF the
+    * count side fits the broadcast threshold (pure broadcast probe);
+    * past it both subtrees shuffle on the bigram key and ReuseExchange
+    * shares the exploded-occurrence exchange, so the op costs ~one
+    * shuffle of the exploded corpus either way. */
   def rareBigrams(spark: SparkSession, dir: String): DataFrame = {
     val bg = Tables.documents(spark, dir)
       .filter(col("text").isNotNull)

@@ -50,6 +50,33 @@ object SpanNativeOps extends QueryModule {
   private def svc(spark: SparkSession, dir: String) =
     new TraceService(eventsAsSpans(spark, dir))
 
+  /** events → spans with a SYNTHESIZED parent tree (heap-shaped): rank
+    * events within each user by (ts_us, event_id); span rank r parents
+    * onto rank r div 2, rank 1 is the root. Every trace gets a
+    * deterministic SQL-expressible tree of depth ⌈log₂ n⌉, which puts
+    * [[TraceService.spanDepths]]'s BFS behind a recursive-CTE oracle
+    * over the same construction (ranking on ts_us, not raw ns, because
+    * the oracle's epoch_us() truncates — ns-order would break µs ties
+    * differently). Only the four columns spanDepths reads are mapped. */
+  def eventsAsTreeSpans(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("r", row_number().over(w))
+      .select(
+        concat(lit("trace-"), col("user_id")).as("trace_id"),
+        concat(lit("s"), col("r")).as("span_id"),
+        when(col("r") === 1, "")
+          .otherwise(concat(lit("s"), expr("r div 2"))).as("parent_span_id"),
+        floor(col("value") * 1000000).cast("long").as("duration_ns"))
+  }
+
+  /** TraceService.spanDepths (BFS depth + critical path) through the
+    * oracle, over the synthesized heap tree. */
+  def spanCriticalPath(spark: SparkSession, dir: String): DataFrame =
+    new TraceService(eventsAsTreeSpans(spark, dir)).spanDepths()
+
   /** TraceService.endpointLatencies through the oracle. */
   def spanLatencies(spark: SparkSession, dir: String): DataFrame = {
     val df = svc(spark, dir).endpointLatencies()
@@ -90,6 +117,28 @@ object SpanNativeOps extends QueryModule {
       spanServices,
       Some("""SELECT DISTINCT 'svc-' || (user_id % 5) AS service_name
              |FROM events ORDER BY 1""".stripMargin)),
+    GraftQuery("u5_critical_path",
+      "U5 span-tree depth + critical path via level-synchronous BFS " +
+        "(TraceService.spanDepths over the synthesized heap tree; " +
+        "oracle = recursive CTE over the same construction)",
+      spanCriticalPath,
+      Some(s"""WITH RECURSIVE rk AS (
+              |  SELECT user_id, $durNs AS dur,
+              |   row_number() OVER (PARTITION BY user_id
+              |     ORDER BY epoch_us(ts), event_id) AS r
+              |  FROM events),
+              | d AS (
+              |  SELECT user_id, r, 1 AS depth, dur AS path_ns
+              |  FROM rk WHERE r = 1
+              |  UNION ALL
+              |  SELECT c.user_id, c.r, d.depth + 1, d.path_ns + c.dur
+              |  FROM rk c JOIN d ON c.user_id = d.user_id
+              |   AND c.r // 2 = d.r AND c.r > 1)
+              |SELECT 'trace-' || user_id AS trace_id,
+              | CAST(max(depth) AS INT) AS max_depth,
+              | CAST(count(*) AS BIGINT) AS n_spans,
+              | CAST(max(path_ns) AS BIGINT) AS critical_path_ns
+              |FROM d GROUP BY 1 ORDER BY 1""".stripMargin)),
     GraftQuery("tn_span_error_series",
       "span-native TraceService.errorCounts: exists(events,'exception') " +
         "bucketed + zero-filled (api/service.go:1240-1297)",

@@ -310,6 +310,54 @@ class TraceService(spans: DataFrame) {
       .orderBy(col("span_id"))
   }
 
+  /** U5 (beyond the reference's UI — the next thing a trace view asks):
+    * span-tree depth and critical path per trace. Level-synchronous BFS
+    * from the roots down the parent links, accumulating depth and the
+    * root-to-node duration sum; per trace: deepest level, reachable
+    * span count, and the max root-to-node duration sum — that sum is
+    * monotone along any path, so its max over ALL reached nodes is the
+    * critical (longest-duration root-to-leaf) path.
+    *
+    * Scale: one (trace_id, parent_span_id)⋈(trace_id, span_id) hash
+    * join per LEVEL — iterations are bounded by tree depth (shallow for
+    * real traces), not span count, and every frontier localCheckpoints
+    * so lineage stays flat and the empty-frontier stop reads the
+    * already-materialized checkpoint. Orphan spans (parent missing) are
+    * unreachable and uncounted — the same semantics as the recursive
+    * CTE the oracle states. A cycle (corrupt parent links) cannot
+    * terminate BFS; the `maxLevels` ceiling raises instead of looping. */
+  def spanDepths(maxLevels: Int = 64): DataFrame = {
+    val base = spans.select(col("trace_id"), col("span_id"),
+      col("parent_span_id"), col("duration_ns"))
+    var frontier = base.filter(isRoot)
+      .select(col("trace_id"), col("span_id"), lit(1).as("depth"),
+        col("duration_ns").as("path_ns"))
+      .localCheckpoint()
+    val levels = scala.collection.mutable.ArrayBuffer(frontier)
+    var level = 1
+    while (!frontier.isEmpty) {
+      level += 1
+      if (level > maxLevels)
+        throw new IllegalStateException(
+          s"span tree deeper than $maxLevels levels — parent-link cycle?")
+      frontier = base
+        .join(frontier.select(col("trace_id"),
+          col("span_id").as("parent_span_id"), col("depth"), col("path_ns")),
+          Seq("trace_id", "parent_span_id"))
+        .select(col("trace_id"), col("span_id"),
+          (col("depth") + 1).as("depth"),
+          (col("path_ns") + col("duration_ns")).as("path_ns"))
+        .localCheckpoint()
+      if (!frontier.isEmpty) levels += frontier
+    }
+    levels.reduce(_ union _)
+      .groupBy(col("trace_id"))
+      .agg(max(col("depth")).cast("int").as("max_depth"),
+        count(lit(1)).as("n_spans"),
+        max(col("path_ns")).as("critical_path_ns"))
+      .orderBy(col("trace_id"))
+  }
+
   /** U2: error flag + exception details per span
     * (TraceDetails.tsx:111-124). */
   def errorSpans(): DataFrame = {

@@ -1,0 +1,161 @@
+package graft
+
+import graft.operators.{EventOps, GraphOps, SeriesOps, SpanNativeOps}
+import graft.nlp.{MixOps, TextOps}
+import graft.spans.TraceService
+import org.apache.spark.sql.functions._
+
+/** The second round-4 extension block: t21 spike detection, v26
+  * winsorization, v27 rare-bigram gate, v28 hash split, v29 PageRank,
+  * u5 critical path. The driver oracle pins each entry's end-to-end
+  * result; these tests pin the semantics the oracle can't see —
+  * invariants, handcrafted-tree geometry, and the cycle guard.
+  */
+class AnalyticsOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("t21 trailing stats recompute row-for-row from the series itself") {
+    val rows = SeriesOps.anomalySeries(spark, sf0001)
+      .select("day_s", "n", "trail_n", "trail_sum", "is_spike").collect()
+    val ns = rows.map(_.getLong(1))
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val win = ns.slice(math.max(0, i - 6), i)
+      assert(r.getLong(2) === win.length, s"trail_n at $i")
+      assert(r.getLong(3) === win.sum, s"trail_sum at $i")
+      val expect = win.nonEmpty && ns(i) * win.length > 2 * win.sum
+      assert(r.getInt(4) === (if (expect) 1 else 0), s"is_spike at $i")
+    }
+    assert(rows.head.getInt(4) === 0) // no history -> never a spike
+  }
+
+  test("v26 winsorized mean sits inside the fences and clip counts " +
+    "stay near the 5% tails") {
+    val rows = EventOps.winsorize(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (lo, hi) = (r.getAs[Double]("lo"), r.getAs[Double]("hi"))
+      val n = r.getAs[Long]("n")
+      assert(lo <= hi)
+      val avg = r.getAs[Double]("avg_wins")
+      assert(avg >= lo && avg <= hi, s"mean outside fences: $r")
+      // exact p05/p95 fences clip at most ~5% (+1 for interpolation)
+      assert(r.getAs[Long]("n_low") <= n / 20 + 1, s"n_low: $r")
+      assert(r.getAs[Long]("n_high") <= n / 20 + 1, s"n_high: $r")
+    }
+  }
+
+  test("v28 split covers every document once with ~80/10/10 shares") {
+    val rows = MixOps.hashSplit(spark, sf0001).collect()
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    val nDocs = Tables.documents(spark, sf0001).count()
+    assert(total === nDocs) // disjoint + exhaustive
+    val byName = rows.groupBy(_.getAs[String]("split"))
+      .view.mapValues(_.map(_.getAs[Long]("n_docs")).sum).toMap
+    val train = byName("train").toDouble / nDocs
+    assert(train > 0.7 && train < 0.9, s"train share $train")
+    assert(byName.keySet === Set("train", "val", "test"))
+  }
+
+  test("v28 assignment is per-document stable under corpus subsetting") {
+    // the split of doc_id d depends only on d: recompute on a halved
+    // corpus and the common groups' min/max doc ids cannot move in a
+    // way that crosses splits — verify via the raw bucket expression
+    val b = (id: Long) => Integer.parseInt(
+      org.apache.commons.codec.digest.DigestUtils.md5Hex("split" + id)
+        .substring(0, 2), 16)
+    val full = MixOps.hashSplit(spark, sf0001)
+      .select("split", "min_doc").collect()
+    full.foreach { r =>
+      val expect = b(r.getAs[Long]("min_doc")) match {
+        case x if x < 205 => "train"
+        case x if x < 230 => "val"
+        case _            => "test"
+      }
+      assert(r.getAs[String]("split") === expect)
+    }
+  }
+
+  test("v27 rare counts are bounded by bigram counts and match a " +
+    "locally recomputed document") {
+    val df = TextOps.rareBigrams(spark, sf0001)
+    val rows = df.collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_rare") <= r.getAs[Long]("n_bigrams"), r)
+    }
+    // recompute one doc by hand: its bigram count = words - 1
+    val one = Tables.documents(spark, sf0001)
+      .filter(col("text").isNotNull).orderBy("doc_id").limit(1)
+      .select("doc_id", "text").collect().head
+    val words = one.getAs[String]("text").toLowerCase.split(" ", -1)
+    val got = rows.find(_.getAs[Long]("doc_id") == one.getAs[Long]("doc_id"))
+    assert(got.exists(_.getAs[Long]("n_bigrams") == words.length - 1))
+  }
+
+  test("v29 pagerank conserves bounded mass and rewards inflow") {
+    val rows = GraphOps.pageRank(spark, sf0001).collect()
+    val types = Tables.events(spark, sf0001)
+      .select("event_type").distinct().count()
+    assert(rows.length === types)
+    val scale = 1000000000000L
+    val total = rows.map(_.getAs[Long]("rank")).sum
+    assert(total <= scale) // floor division + dangling leakage only shrink
+    // teleport replenishes 0.15 each round, so at least that survives
+    // (dangling sinks legitimately leak the rest of their mass)
+    assert(total >= scale * 15 / 100)
+    val base = scale * 15 / (rows.length * 100)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("rank") >= base, s"below teleport floor: $r")
+    }
+    // every child_type of the t05 edges receives inflow -> above floor
+    val dsts = EventOps.serviceDependencies(spark, sf0001)
+      .select("child_type").distinct().as[String].collect().toSet
+    rows.filter(r => dsts(r.getAs[String]("node"))).foreach { r =>
+      assert(r.getAs[Long]("rank") > base, s"no inflow credited: $r")
+    }
+  }
+
+  test("u5 BFS depth/critical-path on a handcrafted tree, orphans " +
+    "excluded") {
+    //      root(10)
+    //      /      \
+    //   a(5)      b(20)
+    //    |
+    //   c(100)        orphan(999, parent missing)
+    val spans = Seq(
+      ("t1", "root", "", 10L), ("t1", "a", "root", 5L),
+      ("t1", "b", "root", 20L), ("t1", "c", "a", 100L),
+      ("t1", "orphan", "ghost", 999L),
+      ("t2", "solo", "", 7L))
+      .toDF("trace_id", "span_id", "parent_span_id", "duration_ns")
+    val got = new TraceService(spans).spanDepths().collect()
+      .map(r => r.getAs[String]("trace_id") ->
+        ((r.getAs[Int]("max_depth"), r.getAs[Long]("n_spans"),
+          r.getAs[Long]("critical_path_ns")))).toMap
+    assert(got("t1") === ((3, 4L, 115L))) // root+a+c, orphan unreached
+    assert(got("t2") === ((1, 1L, 7L)))
+  }
+
+  test("u5 raises on a parent-link cycle instead of spinning") {
+    // a 2-cycle DISCONNECTED from any root is simply unreachable:
+    // BFS terminates without counting it, no spin
+    val disc = new TraceService(Seq(
+      ("t1", "root", "", 1L), ("t1", "a", "root", 2L),
+      ("t1", "x", "y", 1L), ("t1", "y", "x", 1L))
+      .toDF("trace_id", "span_id", "parent_span_id", "duration_ns"))
+      .spanDepths().collect()
+    assert(disc.head.getAs[Long]("n_spans") === 2L)
+    // no root at all -> empty result, no spin
+    val noRoot = Seq(("t1", "loop", "root", 1L), ("t1", "root", "loop", 1L))
+      .toDF("trace_id", "span_id", "parent_span_id", "duration_ns")
+    assert(new TraceService(noRoot).spanDepths().collect().isEmpty)
+    // a DUPLICATED span id whose second row parents below itself makes
+    // the walk re-reach the root forever — the ceiling must raise
+    intercept[IllegalStateException] {
+      new TraceService(
+        Seq(("t1", "root", "", 1L), ("t1", "a", "root", 1L),
+          ("t1", "root", "a", 1L)) // root appears again, under a
+          .toDF("trace_id", "span_id", "parent_span_id", "duration_ns"))
+        .spanDepths(maxLevels = 4).collect()
+    }
+  }
+}

@@ -52,11 +52,11 @@ class ContractSpec extends SparkSpec {
   test("oracle SQL references only known tables") {
     val known = Tables.names.toSet
     SparkEntry.oracleSql.foreach { case (id, sql) =>
-      "(?i)FROM\\s+([a-z_]+)".r.findAllMatchIn(sql).foreach { m =>
+      "(?i)FROM\\s+([a-z_][a-z0-9_]*)".r.findAllMatchIn(sql).foreach { m =>
         val t = m.group(1).toLowerCase
         // CTE names and derived aliases are fine; flag unknown BASE tables
         // that look like table names but are not testdata tables or CTEs
-        val cteNames = "(?i)([a-z_]+)\\s*(?:\\([a-z_,\\s]*\\))?\\s+AS\\s*\\(".r
+        val cteNames = "(?i)([a-z_][a-z0-9_]*)\\s*(?:\\([a-z_,\\s]*\\))?\\s+AS\\s*\\(".r
           .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
         withClue(s"$id: FROM $t") {
           assert(known.contains(t) || cteNames.contains(t) ||

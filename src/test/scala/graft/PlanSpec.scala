@@ -179,4 +179,26 @@ class PlanSpec extends SparkSpec {
     // replicated side whose every block holds the full table
     assert(p.contains("BuildLeft"), p)
   }
+
+  test("v26 winsorize broadcasts the fence table back, never a shuffle " +
+    "join of events against 5 rows") {
+    val p = plan(q("v26_winsorize"))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("v28 hash split is a pure map + one partial/final aggregate " +
+    "(no join, no window)") {
+    val p = plan(q("v28_hash_split"))
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+    assert(p.contains("partial_"), p)
+  }
+
+  test("v27 rare-bigrams joins occurrences to counts on the bigram " +
+    "KEY (hash join; broadcast at test SF, keyed shuffle beyond it)") {
+    val p = plan(q("v27_rare_bigrams"))
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+  }
 }
