@@ -166,7 +166,69 @@ object CdcOps extends QueryModule {
       |FROM r WHERE rn = 1 AND op <> 'delete'
       |ORDER BY o_orderkey""".stripMargin
 
+  /** V31: snapshot diff — the audit/regression twin of the W3 merge:
+    * given two table versions, report added / removed / changed /
+    * unchanged. The "new" snapshot is DERIVED deterministically from
+    * documents (drop key%13, uppercase text for key%7, add fresh
+    * negative keys for key%17 — w3's convention) so the oracle states
+    * the identical construction. Presence is tracked with marker
+    * columns, NOT value-nullness (a genuinely NULL text must not read
+    * as "row absent"), and change detection is null-safe (`<=>`).
+    *
+    * Scale: ONE full-outer shuffle join on the high-cardinality key +
+    * a keyed count aggregate — the canonical two-snapshot diff; at
+    * 100 TB both sides shuffle once and nothing else moves. */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val old = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val neu = old.filter(pmod(col("doc_id"), lit(13)) =!= 0)
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(7)) === 0, upper(col("text")))
+          .otherwise(col("text")).as("text"))
+      .unionAll(old.filter(pmod(col("doc_id"), lit(17)) === 0)
+        .select((-col("doc_id") - 1).as("doc_id"), col("text")))
+    old.select(col("doc_id"), col("text").as("old_text"),
+        lit(1).as("in_old"))
+      .join(neu.select(col("doc_id"), col("text").as("new_text"),
+        lit(1).as("in_new")), Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("in_old").isNull, "added")
+          .when(col("in_new").isNull, "removed")
+          .when(!(col("old_text") <=> col("new_text")), "changed")
+          .otherwise("unchanged"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .orderBy(col("status"))
+  }
+
+  private val diffSql: String =
+    """WITH o AS (SELECT doc_id, text FROM documents),
+      | n AS (
+      |  SELECT doc_id,
+      |   CASE WHEN doc_id % 7 = 0 THEN upper(text) ELSE text END AS text
+      |  FROM o WHERE doc_id % 13 <> 0
+      |  UNION ALL
+      |  SELECT -doc_id - 1 AS doc_id, text FROM o WHERE doc_id % 17 = 0),
+      | j AS (
+      |  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+      |   o.doc_id IS NOT NULL AS in_old, n.doc_id IS NOT NULL AS in_new,
+      |   o.text AS old_text, n.text AS new_text
+      |  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+      |SELECT CASE WHEN NOT in_old THEN 'added'
+      |            WHEN NOT in_new THEN 'removed'
+      |            WHEN old_text IS DISTINCT FROM new_text THEN 'changed'
+      |            ELSE 'unchanged' END AS status,
+      | CAST(count(*) AS BIGINT) AS n,
+      | CAST(min(doc_id) AS BIGINT) AS min_doc,
+      | CAST(max(doc_id) AS BIGINT) AS max_doc
+      |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("v31_snapshot_diff",
+      "V31 snapshot diff: added/removed/changed/unchanged between two " +
+        "table versions via ONE full-outer keyed join (presence " +
+        "markers, null-safe change compare)",
+      snapshotDiff, Some(diffSql)),
     GraftQuery("w3_merge_upsert",
       "W3 CDC merge/upsert: apply an insert/update/delete feed onto a " +
         "snapshot via union + ONE key-window (last-sequence-wins, " +

@@ -299,7 +299,54 @@ object EventOps extends QueryModule {
       .orderBy(col("event_type"))
   }
 
+  /** V30: quantile (CDF) normalization table — the feature-preprocessing
+    * transform that maps a raw metric onto its empirical CDF, computed
+    * WITHOUT a per-type global sort (percent_rank over a 5-value type
+    * key would funnel each type's full volume through one window task).
+    * Instead: histogram over unit-width value buckets — bounded by the
+    * value DOMAIN, not the row count — then a cumulative window over
+    * the ≤domain-width bucket frame per type (v14's bucketed
+    * order-statistic trick generalized to the whole distribution).
+    * Applying the transform to rows afterwards is a broadcast join of
+    * this bounded table + a pure map. cdf is integer-exact
+    * ([[Exact.ratio6]]). */
+  def quantileNorm(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = ev(spark, dir)
+      .groupBy(col("event_type"),
+        floor(col("value")).cast("int").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val byType = Window.partitionBy(col("event_type"))
+    val cum = byType.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("cum", sum(col("n")).over(cum))
+      .withColumn("n_type", sum(col("n")).over(byType))
+      .withColumn("cdf", Exact.ratio6(col("cum"), col("n_type")))
+      .select(col("event_type"), col("bucket"), col("n"), col("cum"),
+        col("cdf"))
+      .orderBy(col("event_type"), col("bucket"))
+  }
+
+  private val cdfCumSql =
+    "sum(n) OVER (PARTITION BY event_type ORDER BY bucket " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+  private val cdfTotSql = "sum(n) OVER (PARTITION BY event_type)"
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("v30_quantile_norm",
+      "V30 quantile-normalization table: bucketed histogram CDF per " +
+        "type (no per-type global sort; windows over the bounded " +
+        "histogram only)",
+      quantileNorm,
+      Some(s"""WITH h AS (
+              |  SELECT event_type, CAST(floor(value) AS INT) AS bucket,
+              |   count(*) AS n
+              |  FROM events GROUP BY 1, 2)
+              |SELECT event_type, bucket, CAST(n AS BIGINT) AS n,
+              | CAST($cdfCumSql AS BIGINT) AS cum,
+              | ${OracleSql.ratio6(cdfCumSql, cdfTotSql)} AS cdf
+              |FROM h ORDER BY 1, 2""".stripMargin)),
     GraftQuery("v26_winsorize",
       "V26 winsorization: exact p05/p95 fences per type, clip + " +
         "clip-counts + clipped mean (fence pass + broadcast-back map)",

@@ -114,6 +114,45 @@ class AnalyticsOpsSpec extends SparkSpec {
     }
   }
 
+  test("v30 CDF is monotone per type and ends at exactly 1.0") {
+    val rows = EventOps.quantileNorm(spark, sf0001).collect()
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("bucket"))
+      assert(sorted.last.getAs[Double]("cdf") === 1.0)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Double]("cdf") <= b.getAs[Double]("cdf"))
+          assert(a.getAs[Long]("cum") + b.getAs[Long]("n") ===
+            b.getAs[Long]("cum"))
+        case _ =>
+      }
+    }
+  }
+
+  test("v31 diff classes recompute from the derivation rules") {
+    import graft.operators.CdcOps
+    val got = CdcOps.snapshotDiff(spark, sf0001).collect()
+      .map(r => r.getAs[String]("status") -> r.getAs[Long]("n")).toMap
+    val ids = Tables.documents(spark, sf0001)
+      .select("doc_id").as[Long].collect()
+    assert(got("added") === ids.count(_ % 17 == 0).toLong)
+    assert(got("removed") === ids.count(_ % 13 == 0).toLong)
+    // changed = uppercase rule fired AND the row survived the delete AND
+    // upper() actually changed the text (all-lowercase corpus => it does,
+    // unless the text is NULL)
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+    val changed = docs.count { r =>
+      val id = r.getAs[Long]("doc_id")
+      id % 13 != 0 && id % 7 == 0 && r.getAs[String]("text") != null &&
+        r.getAs[String]("text").exists(_.isLetter)
+    }
+    assert(got("changed") === changed.toLong)
+    // |old ∪ new|: every old id survives as a row (removed or not), the
+    // added ids are fresh negatives
+    assert(got.values.sum === ids.length + ids.count(_ % 17 == 0).toLong)
+  }
+
   test("u5 BFS depth/critical-path on a handcrafted tree, orphans " +
     "excluded") {
     //      root(10)
