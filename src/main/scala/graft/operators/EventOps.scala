@@ -333,7 +333,85 @@ object EventOps extends QueryModule {
       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
   private val cdfTotSql = "sum(n) OVER (PARTITION BY event_type)"
 
+  /** G1 (SURVEY §2.G — the reference issues no set operations; an
+    * engine replacing it is asked for audience overlap immediately):
+    * viewers ∩ buyers, viewers ∖ buyers, viewers ∪ buyers as user-set
+    * counts. Spark plans INTERSECT/EXCEPT as keyed aggregates +
+    * left-semi/anti joins on the high-cardinality user key — each leg
+    * one shuffle, no driver state. */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val e = ev(spark, dir)
+    def users(t: String) =
+      e.filter(col("event_type") === t).select(col("user_id")).distinct()
+    val (v, b) = (users("view"), users("purchase"))
+    def tag(df: DataFrame, op: String) =
+      df.agg(count(lit(1)).as("n_users")).select(lit(op).as("set_op"),
+        col("n_users"))
+    tag(v.intersect(b), "intersect")
+      .unionByName(tag(v.except(b), "except"))
+      .unionByName(tag(v.union(b).distinct(), "union"))
+      .orderBy(col("set_op"))
+  }
+
+  /** V32: key-skew profile — the partition-planning report an engine
+    * needs BEFORE choosing a shuffle strategy at 100 TB: per-key row
+    * counts reduced to cardinality, max-key share, top-10 share and
+    * median key size. The key histogram is itself a keyed aggregate
+    * (one shuffle); the top-10 rides TakeOrdered (no global sort) and
+    * the scalars cross-join back as 1-row frames. Shares are
+    * integer-exact ratios; the median interpolates integers (exact
+    * halves — bit-identical across engines). */
+  def skewProfile(spark: SparkSession, dir: String): DataFrame = {
+    val keys = ev(spark, dir).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("c"))
+    val tot = keys.agg(count(lit(1)).as("n_keys"),
+      sum(col("c")).as("n_rows"), max(col("c")).as("max_c"),
+      round(percentile(col("c"), lit(0.5)), 6).as("p50_c"))
+    val top10 = keys.orderBy(col("c").desc, col("user_id")).limit(10)
+      .agg(sum(col("c")).as("top10_rows"))
+    tot.crossJoin(top10)
+      .select(col("n_keys"), col("n_rows"), col("max_c"), col("p50_c"),
+        Exact.ratio6(col("max_c"), col("n_rows")).as("max_share"),
+        Exact.ratio6(col("top10_rows"), col("n_rows")).as("top10_share"))
+  }
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("g1_set_ops",
+      "G1 set operations: viewer/buyer user-set intersect, except, " +
+        "union counts (keyed aggregates + semi/anti joins)",
+      setOps,
+      Some("""SELECT 'except' AS set_op, CAST(count(*) AS BIGINT) AS n_users
+             |FROM (SELECT DISTINCT user_id FROM events WHERE event_type='view'
+             |      EXCEPT
+             |      SELECT DISTINCT user_id FROM events WHERE event_type='purchase')
+             |UNION ALL
+             |SELECT 'intersect', CAST(count(*) AS BIGINT)
+             |FROM (SELECT DISTINCT user_id FROM events WHERE event_type='view'
+             |      INTERSECT
+             |      SELECT DISTINCT user_id FROM events WHERE event_type='purchase')
+             |UNION ALL
+             |SELECT 'union', CAST(count(*) AS BIGINT)
+             |FROM (SELECT user_id FROM events WHERE event_type='view'
+             |      UNION
+             |      SELECT user_id FROM events WHERE event_type='purchase')
+             |ORDER BY 1""".stripMargin)),
+    GraftQuery("v32_skew_profile",
+      "V32 key-skew profile: cardinality, max/top-10 key shares, " +
+        "median key size over the per-key histogram (the partition " +
+        "planning report)",
+      skewProfile,
+      Some(s"""WITH k AS (SELECT user_id, count(*) AS c FROM events GROUP BY 1),
+              | t AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+              |        CAST(sum(c) AS BIGINT) AS n_rows,
+              |        CAST(max(c) AS BIGINT) AS max_c,
+              |        round(quantile_cont(c, 0.5), 6) AS p50_c
+              |       FROM k),
+              | tt AS (SELECT CAST(sum(c) AS BIGINT) AS top10_rows FROM (
+              |         SELECT c FROM k ORDER BY c DESC, user_id LIMIT 10))
+              |SELECT n_keys, n_rows, max_c, p50_c,
+              | ${OracleSql.ratio6("max_c", "n_rows")} AS max_share,
+              | ${OracleSql.ratio6("top10_rows", "n_rows")} AS top10_share
+              |FROM t CROSS JOIN tt""".stripMargin)),
     GraftQuery("v30_quantile_norm",
       "V30 quantile-normalization table: bucketed histogram CDF per " +
         "type (no per-type global sort; windows over the bounded " +

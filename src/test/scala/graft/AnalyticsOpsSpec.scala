@@ -153,6 +153,26 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(got.values.sum === ids.length + ids.count(_ % 17 == 0).toLong)
   }
 
+  test("g1 set algebra holds: |A∩B| + |A∖B| = |A| and inclusion-" +
+    "exclusion for the union") {
+    val e = Tables.events(spark, sf0001)
+    def n(t: String) = e.filter(col("event_type") === t)
+      .select("user_id").distinct().count()
+    val got = EventOps.setOps(spark, sf0001).collect()
+      .map(r => r.getAs[String]("set_op") -> r.getAs[Long]("n_users")).toMap
+    assert(got("intersect") + got("except") === n("view"))
+    assert(got("union") ===
+      n("view") + n("purchase") - got("intersect"))
+  }
+
+  test("v32 skew profile is internally consistent") {
+    val r = EventOps.skewProfile(spark, sf0001).collect().head
+    assert(r.getAs[Long]("n_rows") === Tables.events(spark, sf0001).count())
+    assert(r.getAs[Long]("max_c") >= r.getAs[Double]("p50_c"))
+    val (ms, ts) = (r.getAs[Double]("max_share"), r.getAs[Double]("top10_share"))
+    assert(ms > 0 && ms <= ts && ts <= 1.0)
+  }
+
   test("u5 BFS depth/critical-path on a handcrafted tree, orphans " +
     "excluded") {
     //      root(10)
