@@ -127,7 +127,75 @@ object SessionOps extends QueryModule {
        | ${OracleSql.ratio6("sum(r7)", "count(*)")} AS d7_retention
        |FROM pu GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Time-range shard width for the w8 sweep (1 day in µs): local
+    * windows hold one day of one type's boundary points; the per-shard
+    * offsets frame is ≤ #days rows per type. A 100 TB run narrows this
+    * (hour/minute shards) to keep local windows in memory — offsets
+    * stay a tiny frame either way. */
+  private val SweepShardUs: Long = 86400L * 1000000
+
+  /** W8: max concurrency — how many intervals (event start → start +
+    * duration) are in flight at once, per type: the "spans in flight" /
+    * connection-pool-sizing question. Sweep-line: every interval emits
+    * (+1 at start, −1 at end), the running sum over (t, d, event_id)
+    * order is the live count, its max is the answer. Ends sort before
+    * starts at the same instant (d asc) — half-open intervals.
+    *
+    * The running sum is NOT one global window (a whole type through one
+    * task): v15's distributed prefix-sum — order-preserving time-range
+    * shards cumsum locally, per-shard totals get exclusive offsets in a
+    * bounded per-type frame, and offset + local = the exact global
+    * running sum, row for row; the oracle states the single-window
+    * form. */
+  def maxConcurrency(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val pts = e.select(col("event_type"), col("ts_us").as("t"),
+        lit(1).as("d"), col("event_id"))
+      .unionAll(e.select(col("event_type"),
+        (col("ts_us") + floor(col("value") * 1000000).cast("long")).as("t"),
+        lit(-1).as("d"), col("event_id")))
+      .withColumn("shard", expr(s"t div $SweepShardUs"))
+    val local = pts.withColumn("lrun",
+      sum(col("d")).over(Window.partitionBy(col("event_type"), col("shard"))
+        .orderBy(col("t"), col("d"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val offsets = pts.groupBy(col("event_type"), col("shard"))
+      .agg(sum(col("d")).as("stot"))
+      .withColumn("off", coalesce(
+        sum(col("stot")).over(Window.partitionBy(col("event_type"))
+          .orderBy(col("shard")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("event_type"), col("shard"), col("off"))
+    local.join(offsets, Seq("event_type", "shard"))
+      .withColumn("run", col("off") + col("lrun"))
+      .groupBy(col("event_type"))
+      .agg(max(col("run")).as("max_concurrency"),
+        Exact.intDiv(count(lit(1)), lit(2L)).as("n_intervals"))
+      .orderBy(col("event_type"))
+  }
+
+  private val sweepSql: String =
+    """WITH pts AS (
+      |  SELECT event_type, epoch_us(ts) AS t, 1 AS d, event_id FROM events
+      |  UNION ALL
+      |  SELECT event_type,
+      |   epoch_us(ts) + CAST(floor(value * 1000000) AS BIGINT), -1, event_id
+      |  FROM events),
+      | r AS (SELECT event_type,
+      |        sum(d) OVER (PARTITION BY event_type
+      |          ORDER BY t, d, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+      |       FROM pts)
+      |SELECT event_type, CAST(max(run) AS BIGINT) AS max_concurrency,
+      | CAST(count(*) // 2 AS BIGINT) AS n_intervals
+      |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("w8_max_concurrency",
+      "W8 interval max-concurrency per type: sweep-line running sum " +
+        "via the sharded distributed prefix-sum (no whole-type global " +
+        "window); oracle states the single-window form",
+      maxConcurrency, Some(sweepSql)),
     GraftQuery("u4_retention",
       "U4 day-N retention matrix slice: per first-day cohort, share of " +
         "users active exactly 1 and 7 days later (per-user flags, no " +

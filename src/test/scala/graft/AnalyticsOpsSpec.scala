@@ -173,6 +173,30 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(ms > 0 && ms <= ts && ts <= 1.0)
   }
 
+  test("w8 sharded sweep equals the naive single-window running sum") {
+    import graft.operators.SessionOps
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(spark, sf0001)
+    val pts = e.select(col("event_type"), col("ts_us").as("t"),
+        lit(1).as("d"), col("event_id"))
+      .unionAll(e.select(col("event_type"),
+        (col("ts_us") + floor(col("value") * 1000000).cast("long")).as("t"),
+        lit(-1).as("d"), col("event_id")))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("t"), col("d"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = pts.withColumn("run", sum(col("d")).over(w))
+      .groupBy(col("event_type")).agg(max(col("run")).as("m"))
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("m")).toMap
+    val counts = e.groupBy(col("event_type")).count()
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("count")).toMap
+    SessionOps.maxConcurrency(spark, sf0001).collect().foreach { r =>
+      val t = r.getAs[String]("event_type")
+      assert(r.getAs[Long]("max_concurrency") === naive(t), t)
+      assert(r.getAs[Long]("n_intervals") === counts(t), t)
+    }
+  }
+
   test("u5 BFS depth/critical-path on a handcrafted tree, orphans " +
     "excluded") {
     //      root(10)
