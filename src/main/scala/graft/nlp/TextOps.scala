@@ -186,6 +186,33 @@ object TextOps extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
+  /** Chunk geometry: 64-word windows every 56 words → 8-word overlap. */
+  val ChunkWords = 64
+  val ChunkStride = 56
+
+  /** V33: document chunking — fixed-size overlapping word windows, the
+    * step between a curated corpus and a RAG index / pretraining
+    * shards: every document becomes ⌈len/stride⌉ chunks of ≤ 64 words
+    * with an 8-word overlap so no boundary sentence is lost. Pure
+    * per-row compute (one codegen'd transform + explode, no shuffle
+    * until the output sort); chunk text is witnessed as an md5 so the
+    * oracle hash-compares content without list columns (v18's checksum
+    * convention). */
+  def chunk(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .withColumn("w", words)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(1, size(w), $ChunkStride), s -> struct(
+           |  CAST((s - 1) div $ChunkStride AS INT) AS chunk_idx,
+           |  least($ChunkWords, size(w) - s + 1) AS n_words,
+           |  concat_ws(' ', slice(w, s, $ChunkWords)) AS chunk))"""
+          .stripMargin)).as("c"))
+      .select(col("doc_id"), col("c.chunk_idx").as("chunk_idx"),
+        col("c.n_words").as("n_words"),
+        md5(col("c.chunk").cast("binary")).as("chunk_hash"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
   /** Keep the `n` smallest `doc_id`s per source with their exact rank,
     * WITHOUT ranking a whole source in one task: stage 1 keeps each
     * input partition's n smallest doc_ids per source — a superset of
@@ -385,6 +412,21 @@ object TextOps extends QueryModule {
                   "count(*)")} AS rare_ratio
               |FROM bg JOIN f USING (bigram)
               |GROUP BY 1 ORDER BY 1""".stripMargin)),
+    GraftQuery("v33_chunking",
+      "V33 document chunking: 64-word windows, 8-word overlap " +
+        "(per-row transform+explode, md5-witnessed chunk content)",
+      chunk,
+      Some(s"""WITH d AS (
+              |  SELECT doc_id, $wordsSql AS w
+              |  FROM documents WHERE text IS NOT NULL),
+              | c AS (SELECT doc_id, w,
+              |        unnest(range(1, len(w) + 1, $ChunkStride)) AS s
+              |       FROM d)
+              |SELECT doc_id,
+              | CAST((s - 1) // $ChunkStride AS INT) AS chunk_idx,
+              | CAST(least($ChunkWords, len(w) - s + 1) AS INT) AS n_words,
+              | md5(array_to_string(list_slice(w, s, s + ${ChunkWords - 1}), ' ')) AS chunk_hash
+              |FROM c ORDER BY doc_id, chunk_idx""".stripMargin)),
     GraftQuery("v4d_fingerprint",
       "V4 document fingerprint: md5 of sorted distinct words",
       fingerprint,

@@ -197,6 +197,31 @@ class AnalyticsOpsSpec extends SparkSpec {
     }
   }
 
+  test("v33 chunk geometry: count = ceil(len/stride), full coverage " +
+    "with 8-word overlaps, word counts add up") {
+    val byDoc = TextOps.chunk(spark, sf0001)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"), sum("n_words").as("tot"),
+        max("n_words").as("max_w"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    Tables.documents(spark, sf0001).filter(col("text").isNotNull)
+      .select(col("doc_id"), size(split(lower(col("text")), " ")).as("len"))
+      .collect().foreach { d =>
+        val (id, len) = (d.getAs[Long]("doc_id"), d.getAs[Int]("len"))
+        val r = byDoc(id)
+        val expChunks = (len + TextOps.ChunkStride - 1) / TextOps.ChunkStride
+        assert(r.getAs[Long]("n_chunks") === expChunks.toLong, s"doc $id")
+        assert(r.getAs[Int]("max_w") <= TextOps.ChunkWords)
+        // each non-final chunk re-reads the 8-word overlap of its
+        // successor's start: total chunk words = len + 8*(full overlaps)
+        val overlaps = (0 until expChunks).map { i =>
+          val s = i * TextOps.ChunkStride + 1
+          math.min(TextOps.ChunkWords, len - s + 1)
+        }.sum
+        assert(r.getAs[Long]("tot") === overlaps.toLong, s"doc $id")
+      }
+  }
+
   test("u5 BFS depth/critical-path on a handcrafted tree, orphans " +
     "excluded") {
     //      root(10)

@@ -52,7 +52,8 @@ class ContractSpec extends SparkSpec {
   test("oracle SQL references only known tables") {
     val known = Tables.names.toSet
     SparkEntry.oracleSql.foreach { case (id, sql) =>
-      "(?i)FROM\\s+([a-z_][a-z0-9_]*)".r.findAllMatchIn(sql).foreach { m =>
+      // (?<!DISTINCT ) skips the IS [NOT] DISTINCT FROM operator
+      "(?i)(?<!DISTINCT )FROM\\s+([a-z_][a-z0-9_]*)".r.findAllMatchIn(sql).foreach { m =>
         val t = m.group(1).toLowerCase
         // CTE names and derived aliases are fine; flag unknown BASE tables
         // that look like table names but are not testdata tables or CTEs
