@@ -233,7 +233,53 @@ object MixOps extends QueryModule {
       | CAST(max(doc_id) AS BIGINT) AS max_doc
       |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---- V34: deterministic importance sampling ----
+
+  /** V34: importance sampling — keep each event with probability
+    * proportional to its weight (value/512 here, standing in for a
+    * quality/importance score), decided by the same content-free
+    * md5-uniform that v28 splits on: u·51200 < ⌊value·100⌋·2²⁴ in
+    * exact integer space (u = first 24 hash bits), so acceptance is
+    * reproducible row-for-row across engines and stable as the corpus
+    * grows — the weighted counterpart of v14's uniform per-source
+    * fractions. Pure map + one aggregate; the kept-mass sum goes
+    * through decimal-exact summation. */
+  def importanceSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("u", conv(substring(
+        md5(concat(lit("w"), col("event_id").cast("string"))), 1, 6),
+        16, 10).cast("long"))
+      .withColumn("keep",
+        col("u") * 51200L <
+          floor(col("value") * 100).cast("long") * 16777216L)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("keep"), 1).otherwise(0)).cast("long").as("n_kept"),
+        round(Exact.sumExact(when(col("keep"), col("value"))
+          .otherwise(lit(0.0))), 6).as("kept_mass"))
+      .withColumn("kept_share", Exact.ratio6(col("n_kept"), col("n_total")))
+      .orderBy(col("event_type"))
+
+  private val importanceSql: String =
+    s"""WITH s AS (
+      | SELECT event_type, value,
+      |  ('0x' || substr(md5('w' || CAST(event_id AS VARCHAR)), 1, 6))::BIGINT
+      |    * 51200 < CAST(floor(value * 100) AS BIGINT) * 16777216 AS keep
+      | FROM events)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n_total,
+      | CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      | round(${OracleSql.sumExact("CASE WHEN keep THEN value ELSE 0.0 END")}, 6)
+      |   AS kept_mass,
+      | ${OracleSql.ratio6("sum(CASE WHEN keep THEN 1 ELSE 0 END)",
+         "count(*)")} AS kept_share
+      |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("v34_importance_sample",
+      "V34 deterministic importance sampling: keep probability " +
+        "proportional to row weight, decided by md5-uniform in exact " +
+        "integer space (pure map + one aggregate)",
+      importanceSample, Some(importanceSql)),
     GraftQuery("v28_hash_split",
       "V28 deterministic train/val/test split by md5 bucket (stable " +
         "under corpus growth; pure map + one aggregate)",

@@ -190,7 +190,53 @@ object SessionOps extends QueryModule {
       | CAST(count(*) // 2 AS BIGINT) AS n_intervals
       |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** W9: session path mining — the top event-type trigrams walked
+    * INSIDE a session ("what do users do next", the journey report a
+    * product dashboard derives from v6's sessions): lead×2 over the
+    * per-user time order, a trigram qualifies only when BOTH hops stay
+    * within the session gap. One user-keyed window shuffle
+    * (high-cardinality key) + a path-keyed count + TakeOrdered top-10 —
+    * no self-joins (the naive 3-way join form is quadratic per user). */
+  def pathNgrams(spark: SparkSession, dir: String, n: Int = 10): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts_us"),
+        col("event_id"))
+      .withColumn("t2", lead(col("event_type"), 1).over(w))
+      .withColumn("ts2", lead(col("ts_us"), 1).over(w))
+      .withColumn("t3", lead(col("event_type"), 2).over(w))
+      .withColumn("ts3", lead(col("ts_us"), 2).over(w))
+      .filter(col("t3").isNotNull &&
+        col("ts2") - col("ts_us") <= GapUs && col("ts3") - col("ts2") <= GapUs)
+      .select(concat_ws(">", col("event_type"), col("t2"), col("t3"))
+        .as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(n)
+  }
+
+  private val pathSql: String =
+    s"""WITH l AS (
+      | SELECT event_type AS t1,
+      |  lead(event_type, 1) OVER w AS t2,
+      |  lead(epoch_us(ts), 1) OVER w - epoch_us(ts) AS g2,
+      |  lead(event_type, 2) OVER w AS t3,
+      |  lead(epoch_us(ts), 2) OVER w - lead(epoch_us(ts), 1) OVER w AS g3
+      | FROM events
+      | WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+      |SELECT t1 || '>' || t2 || '>' || t3 AS path,
+      | CAST(count(*) AS BIGINT) AS n
+      |FROM l
+      |WHERE t3 IS NOT NULL AND g2 <= $GapUs AND g3 <= $GapUs
+      |GROUP BY 1 ORDER BY n DESC, path LIMIT 10""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("w9_path_ngrams",
+      "W9 session path mining: top event-type trigrams within the " +
+        "session gap via lead-squared window (no per-user self-join)",
+      (s, d) => pathNgrams(s, d), Some(pathSql)),
     GraftQuery("w8_max_concurrency",
       "W8 interval max-concurrency per type: sweep-line running sum " +
         "via the sharded distributed prefix-sum (no whole-type global " +

@@ -327,35 +327,41 @@ class TraceService(spans: DataFrame) {
     * CTE the oracle states. A cycle (corrupt parent links) cannot
     * terminate BFS; the `maxLevels` ceiling raises instead of looping. */
   def spanDepths(maxLevels: Int = 64): DataFrame = {
+    // cached across levels — every iteration probes it; the final
+    // aggregate reads only the (materialized) level checkpoints, so
+    // the cache is safely released before returning
     val base = spans.select(col("trace_id"), col("span_id"),
-      col("parent_span_id"), col("duration_ns"))
-    var frontier = base.filter(isRoot)
-      .select(col("trace_id"), col("span_id"), lit(1).as("depth"),
-        col("duration_ns").as("path_ns"))
-      .localCheckpoint()
-    val levels = scala.collection.mutable.ArrayBuffer(frontier)
-    var level = 1
-    while (!frontier.isEmpty) {
-      level += 1
-      if (level > maxLevels)
-        throw new IllegalStateException(
-          s"span tree deeper than $maxLevels levels — parent-link cycle?")
-      frontier = base
-        .join(frontier.select(col("trace_id"),
-          col("span_id").as("parent_span_id"), col("depth"), col("path_ns")),
-          Seq("trace_id", "parent_span_id"))
-        .select(col("trace_id"), col("span_id"),
-          (col("depth") + 1).as("depth"),
-          (col("path_ns") + col("duration_ns")).as("path_ns"))
+      col("parent_span_id"), col("duration_ns")).persist()
+    try {
+      var frontier = base.filter(isRoot)
+        .select(col("trace_id"), col("span_id"), lit(1).as("depth"),
+          col("duration_ns").as("path_ns"))
         .localCheckpoint()
-      if (!frontier.isEmpty) levels += frontier
-    }
-    levels.reduce(_ union _)
-      .groupBy(col("trace_id"))
-      .agg(max(col("depth")).cast("int").as("max_depth"),
-        count(lit(1)).as("n_spans"),
-        max(col("path_ns")).as("critical_path_ns"))
-      .orderBy(col("trace_id"))
+      val levels = scala.collection.mutable.ArrayBuffer(frontier)
+      var level = 1
+      while (!frontier.isEmpty) {
+        level += 1
+        if (level > maxLevels)
+          throw new IllegalStateException(
+            s"span tree deeper than $maxLevels levels — parent-link cycle?")
+        frontier = base
+          .join(frontier.select(col("trace_id"),
+            col("span_id").as("parent_span_id"), col("depth"),
+            col("path_ns")),
+            Seq("trace_id", "parent_span_id"))
+          .select(col("trace_id"), col("span_id"),
+            (col("depth") + 1).as("depth"),
+            (col("path_ns") + col("duration_ns")).as("path_ns"))
+          .localCheckpoint()
+        if (!frontier.isEmpty) levels += frontier
+      }
+      levels.reduce(_ union _)
+        .groupBy(col("trace_id"))
+        .agg(max(col("depth")).cast("int").as("max_depth"),
+          count(lit(1)).as("n_spans"),
+          max(col("path_ns")).as("critical_path_ns"))
+        .orderBy(col("trace_id"))
+    } finally base.unpersist()
   }
 
   /** U2: error flag + exception details per span

@@ -222,6 +222,47 @@ class AnalyticsOpsSpec extends SparkSpec {
       }
   }
 
+  test("v34 acceptance tracks the weight: share ≈ mean(value)/512 " +
+    "and kept mass is a strict subset") {
+    import graft.nlp.MixOps
+    val rows = MixOps.importanceSample(spark, sf0001).collect()
+    val means = Tables.events(spark, sf0001).groupBy("event_type")
+      .agg(avg("value").as("m"), sum("value").as("s"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Double]("m"), r.getAs[Double]("s")))).toMap
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val share = r.getAs[Double]("kept_share")
+      val expect = means(t)._1 / 512.0
+      // ~400 trials per type at sf0.001: allow generous sampling noise
+      assert(math.abs(share - expect) < 0.08, s"$t share=$share exp=$expect")
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_total"))
+      assert(r.getAs[Double]("kept_mass") <= means(t)._2 + 1e-6)
+    }
+  }
+
+  test("w9 trigram counts recompute from a local per-user walk") {
+    import graft.operators.SessionOps
+    val gap = 30L * 60 * 1000 * 1000
+    val local = Tables.events(spark, sf0001)
+      .select("user_id", "event_type", "ts_us", "event_id").collect()
+      .groupBy(_.getAs[Long]("user_id"))
+      .flatMap { case (_, rs) =>
+        val seq = rs.sortBy(r =>
+          (r.getAs[Long]("ts_us"), r.getAs[Long]("event_id")))
+        seq.sliding(3).collect {
+          case Array(a, b, c)
+            if b.getAs[Long]("ts_us") - a.getAs[Long]("ts_us") <= gap &&
+              c.getAs[Long]("ts_us") - b.getAs[Long]("ts_us") <= gap =>
+            Seq(a, b, c).map(_.getAs[String]("event_type")).mkString(">")
+        }
+      }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    SessionOps.pathNgrams(spark, sf0001).collect().foreach { r =>
+      assert(local(r.getAs[String]("path")) === r.getAs[Long]("n"),
+        r.getAs[String]("path"))
+    }
+  }
+
   test("u5 BFS depth/critical-path on a handcrafted tree, orphans " +
     "excluded") {
     //      root(10)
