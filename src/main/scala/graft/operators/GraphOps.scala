@@ -32,16 +32,24 @@ object GraphOps extends QueryModule {
   private val Iters = 10
 
   /** V29: weighted PageRank, damping 0.85, 10 fixed iterations.
-    * rank' = (0.15/N)·S + 0.85·Σ_in (rank·w ÷ out_w), all in scaled
-    * integer arithmetic (floor division). */
+    * rank' = (0.15/N)·S + 0.85·Σ_in (rank·wf ÷ 1e6) where wf is the
+    * edge's out-weight fraction pre-quantized to 1e6 units — all in
+    * scaled integer arithmetic (floor division). The quantization
+    * bounds every product: rank·wf ≤ 1e12·1e6 < 2⁶³, whatever the raw
+    * edge weights are (raw rank·w would silently wrap in Spark and
+    * raise in DuckDB once a hub's count passes ~9.2e6 — the BM25
+    * Long-overflow class); w·1e6 itself holds to ~9.2e12 calls per
+    * source node. */
   def pageRank(spark: SparkSession, dir: String): DataFrame = {
     val edges = EventOps.serviceDependencies(spark, dir)
       .select(col("parent_type").as("src"), col("child_type").as("dst"),
         col("n_calls").as("w"))
     val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("ow"))
     // one materialization of the event-volume join; the loop below
-    // never re-reads events
-    val ew = edges.join(outw, Seq("src")).localCheckpoint()
+    // never re-reads events. wf = per-edge out-fraction in 1e6 units.
+    val ew = edges.join(outw, Seq("src"))
+      .withColumn("wf", Exact.intDiv(col("w") * 1000000L, col("ow")))
+      .localCheckpoint()
     val nodes = Tables.events(spark, dir)
       .select(col("event_type").as("node")).distinct()
     val nodesN = nodes.crossJoin(broadcast(
@@ -51,7 +59,7 @@ object GraphOps extends QueryModule {
     for (_ <- 1 to Iters) {
       val inflow = ew.join(ranks.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("dst").as("node"),
-          Exact.intDiv(col("rank") * col("w"), col("ow")).as("contrib"))
+          Exact.intDiv(col("rank") * col("wf"), lit(1000000L)).as("contrib"))
         .groupBy(col("node")).agg(sum(col("contrib")).as("inflow"))
       ranks = nodesN.join(inflow, Seq("node"), "left")
         .select(col("node"),
@@ -74,7 +82,7 @@ object GraphOps extends QueryModule {
          |  ($Scale * 15) // (nn.n_nodes * 100)
          |   + coalesce(f.inflow, 0) * 85 // 100 AS rank
          | FROM nodes n CROSS JOIN nn LEFT JOIN (
-         |   SELECT e.dst AS node, sum(r.rank * e.w // o.ow) AS inflow
+         |   SELECT e.dst AS node, sum(r.rank * (e.w * 1000000 // o.ow) // 1000000) AS inflow
          |   FROM edges e JOIN outw o ON e.src = o.src
          |   JOIN r${i - 1} r ON r.node = e.src
          |   GROUP BY 1) f ON n.node = f.node)"""

@@ -121,16 +121,22 @@ object SeriesOps extends QueryModule {
     * The threshold compare runs in INTEGER space
     * (n·trail_n > 2·trail_sum — exactly n > 2·mean without the
     * division), so both engines flag identical rows. The trailing frame
-    * EXCLUDES the current row (−6 … −1); days with no history
-    * (trail_n = 0) never flag. Like t19 the unpartitioned window is over
-    * the day series, whose length is bounded by the queried wall-clock
-    * range — not the data volume — at any scale. */
+    * is a RANGE frame over day_s — the six CALENDAR days before the
+    * current one, not the six preceding observed rows (a ROWS frame
+    * would silently reach past a traffic outage and average week-old
+    * days); days absent from the data contribute nothing and are not
+    * counted in trail_n, and the frame excludes the current day. Days
+    * with no history (trail_n = 0) never flag. Like t19 the
+    * unpartitioned window is over the day series, whose length is
+    * bounded by the queried wall-clock range — not the data volume —
+    * at any scale. */
   def anomalySeries(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val daily = Tables.events(spark, dir)
       .groupBy(expr("ts_s div 86400 * 86400").as("day_s"))
       .agg(count(lit(1)).as("n"))
-    val w = Window.orderBy(col("day_s")).rowsBetween(-6, -1)
+    val w = Window.orderBy(col("day_s"))
+      .rangeBetween(-6L * 86400, -86400L)
     daily
       .withColumn("trail_n", count(lit(1)).over(w))
       .withColumn("trail_sum", coalesce(sum(col("n")).over(w), lit(0L)))
@@ -188,8 +194,9 @@ object SeriesOps extends QueryModule {
              |WINDOW w AS (ORDER BY day_s ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
              |ORDER BY day_s""".stripMargin)),
     GraftQuery("t21_anomaly_series",
-      "T21 spike detection: integer-exact n > 2x trailing-6-day mean " +
-        "over the daily count series (frame excludes the current day)",
+      "T21 spike detection: integer-exact n > 2x the trailing-6-" +
+        "CALENDAR-day mean (RANGE frame — an outage gap is not " +
+        "bridged; frame excludes the current day)",
       anomalySeries,
       Some("""WITH d AS (
              |  SELECT (epoch_us(ts)//1000000)//86400*86400 AS day_s,
@@ -202,7 +209,8 @@ object SeriesOps extends QueryModule {
              |       n * (count(*) OVER w) > 2 * coalesce(sum(n) OVER w, 0))
              |   AS INT) AS is_spike
              |FROM d
-             |WINDOW w AS (ORDER BY day_s ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)
+             |WINDOW w AS (ORDER BY day_s
+             |   RANGE BETWEEN 518400 PRECEDING AND 86400 PRECEDING)
              |ORDER BY day_s""".stripMargin)),
     GraftQuery("t10_trace_counts",
       "T10/D7+H14 zero-filled count series (api/service.go:899-959)",

@@ -339,11 +339,12 @@ class TraceService(spans: DataFrame) {
         .localCheckpoint()
       val levels = scala.collection.mutable.ArrayBuffer(frontier)
       var level = 1
-      while (!frontier.isEmpty) {
+      // one isEmpty action (job) per level; the ceiling only fires when
+      // a level BEYOND maxLevels actually has content — a legitimate
+      // acyclic tree of depth exactly maxLevels completes normally
+      var done = frontier.isEmpty
+      while (!done) {
         level += 1
-        if (level > maxLevels)
-          throw new IllegalStateException(
-            s"span tree deeper than $maxLevels levels — parent-link cycle?")
         frontier = base
           .join(frontier.select(col("trace_id"),
             col("span_id").as("parent_span_id"), col("depth"),
@@ -353,7 +354,13 @@ class TraceService(spans: DataFrame) {
             (col("depth") + 1).as("depth"),
             (col("path_ns") + col("duration_ns")).as("path_ns"))
           .localCheckpoint()
-        if (!frontier.isEmpty) levels += frontier
+        done = frontier.isEmpty
+        if (!done) {
+          if (level > maxLevels)
+            throw new IllegalStateException(
+              s"span tree deeper than $maxLevels levels — parent-link cycle?")
+          levels += frontier
+        }
       }
       levels.reduce(_ union _)
         .groupBy(col("trace_id"))

@@ -14,16 +14,21 @@ import org.apache.spark.sql.functions._
 class AnalyticsOpsSpec extends SparkSpec {
   import spark.implicits._
 
-  test("t21 trailing stats recompute row-for-row from the series itself") {
+  test("t21 trailing stats recompute row-for-row from the series " +
+    "itself, on CALENDAR windows") {
     val rows = SeriesOps.anomalySeries(spark, sf0001)
       .select("day_s", "n", "trail_n", "trail_sum", "is_spike").collect()
-    val ns = rows.map(_.getLong(1))
-    rows.zipWithIndex.foreach { case (r, i) =>
-      val win = ns.slice(math.max(0, i - 6), i)
-      assert(r.getLong(2) === win.length, s"trail_n at $i")
-      assert(r.getLong(3) === win.sum, s"trail_sum at $i")
-      val expect = win.nonEmpty && ns(i) * win.length > 2 * win.sum
-      assert(r.getInt(4) === (if (expect) 1 else 0), s"is_spike at $i")
+    val series = rows.map(r => r.getLong(0) -> r.getLong(1))
+    rows.foreach { r =>
+      val d = r.getLong(0)
+      // the six calendar days before d — NOT the six preceding rows
+      val win = series.filter { case (dd, _) =>
+        dd >= d - 6 * 86400 && dd <= d - 86400
+      }.map(_._2)
+      assert(r.getLong(2) === win.length, s"trail_n at $d")
+      assert(r.getLong(3) === win.sum, s"trail_sum at $d")
+      val expect = win.nonEmpty && r.getLong(1) * win.length > 2 * win.sum
+      assert(r.getInt(4) === (if (expect) 1 else 0), s"is_spike at $d")
     }
     assert(rows.head.getInt(4) === 0) // no history -> never a spike
   }
@@ -306,5 +311,12 @@ class AnalyticsOpsSpec extends SparkSpec {
           .toDF("trace_id", "span_id", "parent_span_id", "duration_ns"))
         .spanDepths(maxLevels = 4).collect()
     }
+    // …but a legitimate acyclic chain of depth EXACTLY maxLevels
+    // completes (the ceiling only fires on content beyond it)
+    val chain = Seq(("t1", "a", "", 1L), ("t1", "b", "a", 1L),
+      ("t1", "c", "b", 1L))
+      .toDF("trace_id", "span_id", "parent_span_id", "duration_ns")
+    val r = new TraceService(chain).spanDepths(maxLevels = 3).collect()
+    assert(r.head.getAs[Int]("max_depth") === 3)
   }
 }
