@@ -146,6 +146,34 @@ object SeriesOps extends QueryModule {
       .orderBy(col("day_s"))
   }
 
+  /** W10 (beyond the reference — the alert rule its Monitoring page is
+    * one step short of): SLO burn-rate over the error series, the SRE
+    * multiwindow form: per hour bucket, the 1 h and trailing-6 h error
+    * rates; a fast-burn alert fires when the short window burns
+    * > 14.4× a 1% error budget AND the long window > 6× (the classic
+    * page-worthy pair — the long window de-flaps the short one). Both
+    * threshold compares are integer cross-multiplications
+    * (err·1000 > n·144, err6·100 > n6·6), so both engines flag
+    * identical hours. The 6 h lookback is a CALENDAR RANGE frame (an
+    * ingest gap narrows the window rather than reaching further back),
+    * over the bounded hour series. */
+  def sloBurn(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = Tables.events(spark, dir)
+      .groupBy(expr("ts_s div 3600 * 3600").as("hour_s"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_type") === "error", 1).otherwise(0))
+          .cast("long").as("err"))
+    val w = Window.orderBy(col("hour_s")).rangeBetween(-5L * 3600, 0)
+    hourly
+      .withColumn("n6", sum(col("n")).over(w))
+      .withColumn("err6", sum(col("err")).over(w))
+      .withColumn("fast_burn",
+        (col("err") * 1000 > col("n") * 144 &&
+          col("err6") * 100 > col("n6") * 6).cast("int"))
+      .orderBy(col("hour_s"))
+  }
+
   /** T20: distinct users per bucket, zero-filled — distinct aggregation
     * inside a time series (unique-visitors shape). Exact countDistinct
     * is the oracle surface; [[uniqueUsersSeriesApprox]] is the mergeable
@@ -212,6 +240,26 @@ object SeriesOps extends QueryModule {
              |WINDOW w AS (ORDER BY day_s
              |   RANGE BETWEEN 518400 PRECEDING AND 86400 PRECEDING)
              |ORDER BY day_s""".stripMargin)),
+    GraftQuery("w10_slo_burn",
+      "W10 SLO burn-rate alerts: 1h/6h multiwindow error-budget burn " +
+        "(integer cross-multiplied thresholds, calendar RANGE lookback)",
+      sloBurn,
+      Some("""WITH h AS (
+             |  SELECT (epoch_us(ts)//1000000)//3600*3600 AS hour_s,
+             |   count(*) AS n,
+             |   sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS err
+             |  FROM events GROUP BY 1)
+             |SELECT hour_s, CAST(n AS BIGINT) AS n,
+             | CAST(err AS BIGINT) AS err,
+             | CAST(sum(n) OVER w AS BIGINT) AS n6,
+             | CAST(sum(err) OVER w AS BIGINT) AS err6,
+             | CAST((err * 1000 > n * 144 AND
+             |       (sum(err) OVER w) * 100 > (sum(n) OVER w) * 6)
+             |   AS INT) AS fast_burn
+             |FROM h
+             |WINDOW w AS (ORDER BY hour_s
+             |   RANGE BETWEEN 18000 PRECEDING AND CURRENT ROW)
+             |ORDER BY hour_s""".stripMargin)),
     GraftQuery("t10_trace_counts",
       "T10/D7+H14 zero-filled count series (api/service.go:899-959)",
       traceCounts,

@@ -119,6 +119,22 @@ class AnalyticsOpsSpec extends SparkSpec {
     }
   }
 
+  test("w10 burn windows recompute on calendar hours and the alert " +
+    "implies both thresholds") {
+    val rows = SeriesOps.sloBurn(spark, sf0001).collect()
+    val series = rows.map(r => r.getLong(0) ->
+      ((r.getAs[Long]("n"), r.getAs[Long]("err")))).toMap
+    rows.foreach { r =>
+      val h = r.getLong(0)
+      val win = (0 to 5).flatMap(i => series.get(h - i * 3600))
+      assert(r.getAs[Long]("n6") === win.map(_._1).sum, s"n6 at $h")
+      assert(r.getAs[Long]("err6") === win.map(_._2).sum, s"err6 at $h")
+      val fast = r.getAs[Long]("err") * 1000 > r.getAs[Long]("n") * 144 &&
+        r.getAs[Long]("err6") * 100 > r.getAs[Long]("n6") * 6
+      assert(r.getAs[Int]("fast_burn") === (if (fast) 1 else 0))
+    }
+  }
+
   test("v30 CDF is monotone per type and ends at exactly 1.0") {
     val rows = EventOps.quantileNorm(spark, sf0001).collect()
     rows.groupBy(_.getAs[String]("event_type")).foreach { case (_, rs) =>

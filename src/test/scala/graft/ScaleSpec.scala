@@ -189,7 +189,12 @@ class ScaleSpec extends SparkSpec {
       "w2_range_join", "v4g_term_scores",
       // late round-4: CDC window over a union, BM25's decimal-sum
       // ranking, the substring pair join over a cached explode
-      "w3_merge_upsert", "v19_bm25_search", "v22_substring_dup")
+      "w3_merge_upsert", "v19_bm25_search", "v22_substring_dup",
+      // final round-4: iterative BFS + checkpoint loop, scaled-integer
+      // PageRank, the sharded sweep-line prefix-sum, full-outer diff,
+      // bigram count join, hash sampling
+      "u5_critical_path", "v29_pagerank", "w8_max_concurrency",
+      "v31_snapshot_diff", "v27_rare_bigrams", "v34_importance_sample")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       val at32 = sample.map { id =>
