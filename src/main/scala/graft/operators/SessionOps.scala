@@ -89,6 +89,64 @@ object SessionOps extends QueryModule {
             "count(*)")} AS conversion
        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** U6: conversion-lag distribution — the companion metric to U3's
+    * funnel: among converting users (first view → first LATER purchase,
+    * u3's exact convention), how long did conversion take. Exact
+    * p50/p90 of the lag in seconds plus min/max and a floored integer
+    * mean, per first-view-day cohort. Same two keyed aggregates as u3 (the
+    * per-user firsts), then the tiny cohort percentile agg — the lag
+    * COLUMN derives in-plan, no extra pass. Lags are floored to whole
+    * seconds first: exact integer inputs keep the interpolated
+    * percentile bit-identical across engines. */
+  def conversionLag(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val firstView = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id"))
+      .agg(min(col("ts_us")).as("first_view"))
+      .filter(col("first_view").isNotNull)
+    val firstConv = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us"))
+      .join(firstView, Seq("user_id"))
+      .filter(col("ts_us") > col("first_view"))
+      .groupBy(col("user_id"))
+      .agg(min(col("ts_us")).as("first_conv"))
+    firstView.join(firstConv, Seq("user_id"))
+      .withColumn("cohort_day", expr("first_view div 86400000000"))
+      .withColumn("lag_s",
+        expr("(first_conv - first_view) div 1000000"))
+      .groupBy(col("cohort_day"))
+      .agg(count(lit(1)).as("n_converted"),
+        min(col("lag_s")).as("min_lag_s"),
+        max(col("lag_s")).as("max_lag_s"),
+        round(percentile(col("lag_s"), lit(0.5)), 6).as("p50_lag_s"),
+        round(percentile(col("lag_s"), lit(0.9)), 6).as("p90_lag_s"),
+        // integer mean, floored to whole seconds: lag_s is exact, so no
+        // decimal machinery (whose 1e6 micro-scaling overflows DuckDB's
+        // DECIMAL(18) once a cohort's lag-sum passes ~1e12)
+        Exact.intDiv(sum(col("lag_s")), count(lit(1))).as("avg_lag_s"))
+      .orderBy(col("cohort_day"))
+  }
+
+  private val convLagSql: String =
+    s"""WITH fv AS (SELECT user_id, min(epoch_us(ts)) AS first_view
+       |            FROM events WHERE event_type = 'view' GROUP BY 1
+       |            HAVING min(epoch_us(ts)) IS NOT NULL),
+       | fc AS (SELECT e.user_id, min(epoch_us(e.ts)) AS first_conv
+       |        FROM events e JOIN fv ON e.user_id = fv.user_id
+       |        WHERE e.event_type = 'purchase'
+       |          AND epoch_us(e.ts) > fv.first_view
+       |        GROUP BY 1),
+       | l AS (SELECT fv.first_view // 86400000000 AS cohort_day,
+       |        (fc.first_conv - fv.first_view) // 1000000 AS lag_s
+       |       FROM fv JOIN fc ON fv.user_id = fc.user_id)
+       |SELECT cohort_day, CAST(count(*) AS BIGINT) AS n_converted,
+       | CAST(min(lag_s) AS BIGINT) AS min_lag_s,
+       | CAST(max(lag_s) AS BIGINT) AS max_lag_s,
+       | round(quantile_cont(lag_s, 0.5), 6) AS p50_lag_s,
+       | round(quantile_cont(lag_s, 0.9), 6) AS p90_lag_s,
+       | CAST(sum(lag_s) // count(*) AS BIGINT) AS avg_lag_s
+       |FROM l GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** U4: day-N retention — per first-activity-day cohort, the share of
     * users active again exactly N days later (N = 1, 7): the standard
     * retention matrix slice next to U3's funnel. Scale shape: distinct
@@ -242,6 +300,12 @@ object SessionOps extends QueryModule {
         "via the sharded distributed prefix-sum (no whole-type global " +
         "window); oracle states the single-window form",
       maxConcurrency, Some(sweepSql)),
+    GraftQuery("u6_conversion_lag",
+      "U6 conversion-lag distribution per cohort: exact p50/p90 + " +
+        "min/max/exact-mean of first-view to first-later-purchase " +
+        "time (u3's convention; integer-second lags keep percentiles " +
+        "bit-identical)",
+      conversionLag, Some(convLagSql)),
     GraftQuery("u4_retention",
       "U4 day-N retention matrix slice: per first-day cohort, share of " +
         "users active exactly 1 and 7 days later (per-user flags, no " +

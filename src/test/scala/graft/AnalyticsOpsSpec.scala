@@ -135,6 +135,27 @@ class AnalyticsOpsSpec extends SparkSpec {
     }
   }
 
+  test("u6 lag stats are ordered and cohorts reconcile with the u3 " +
+    "funnel's converted counts") {
+    import graft.operators.SessionOps
+    val lag = SessionOps.conversionLag(spark, sf0001).collect()
+    lag.foreach { r =>
+      val (mn, mx) = (r.getAs[Long]("min_lag_s"), r.getAs[Long]("max_lag_s"))
+      assert(mn >= 0 && mn <= mx)
+      assert(r.getAs[Double]("p50_lag_s") >= mn &&
+        r.getAs[Double]("p50_lag_s") <= r.getAs[Double]("p90_lag_s") &&
+        r.getAs[Double]("p90_lag_s") <= mx)
+      val avg = r.getAs[Long]("avg_lag_s")
+      assert(avg >= mn && avg <= mx)
+    }
+    val funnelConv = SessionOps.funnel(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("cohort_day") -> r.getAs[Long]("n_converted"))
+      .filter(_._2 > 0).toMap
+    val lagConv = lag.map(r =>
+      r.getAs[Long]("cohort_day") -> r.getAs[Long]("n_converted")).toMap
+    assert(lagConv === funnelConv) // same users, same cohorts
+  }
+
   test("v30 CDF is monotone per type and ends at exactly 1.0") {
     val rows = EventOps.quantileNorm(spark, sf0001).collect()
     rows.groupBy(_.getAs[String]("event_type")).foreach { case (_, rs) =>
