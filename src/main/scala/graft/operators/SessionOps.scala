@@ -45,11 +45,15 @@ object SessionOps extends QueryModule {
     * against it (filter before the re-aggregate, so only
     * post-first-view purchases shuffle twice), and the tiny cohort
     * agg — all keyed, all partial-aggregated, linear. */
-  def funnel(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
-    // guard all-NULL-ts viewers: a NULL first_view would cohort to a
-    // NULL day, which the two engines ORDER differently (Spark NULLS
-    // FIRST, DuckDB NULLS LAST) — drop them on both sides instead
+  /** THE u3/u6 conversion convention, in one place: per-user first view
+    * and first LATER purchase. All-NULL-ts viewers are dropped (a NULL
+    * first_view would cohort to a NULL day, which the two engines ORDER
+    * differently — Spark NULLS FIRST, DuckDB NULLS LAST); the purchase
+    * aggregate groups by (user_id, first_view) so first_view survives
+    * WITHOUT a re-join (the two frames are co-partitioned on user_id
+    * anyway, but u6 then needs no join at all). The oracle twin is
+    * [[firstsCte]] — a convention tweak must touch BOTH. */
+  private def userFirsts(ev: DataFrame): (DataFrame, DataFrame) = {
     val firstView = ev.filter(col("event_type") === "view")
       .groupBy(col("user_id"))
       .agg(min(col("ts_us")).as("first_view"))
@@ -58,9 +62,27 @@ object SessionOps extends QueryModule {
       .select(col("user_id"), col("ts_us"))
       .join(firstView, Seq("user_id"))
       .filter(col("ts_us") > col("first_view"))
-      .groupBy(col("user_id"))
+      .groupBy(col("user_id"), col("first_view"))
       .agg(min(col("ts_us")).as("first_conv"))
-    firstView.join(firstConv, Seq("user_id"), "left")
+    (firstView, firstConv)
+  }
+
+  /** DuckDB spelling of [[userFirsts]] (shared by u3 and u6). */
+  private val firstsCte: String =
+    """fv AS (SELECT user_id, min(epoch_us(ts)) AS first_view
+      |       FROM events WHERE event_type = 'view' GROUP BY 1
+      |       HAVING min(epoch_us(ts)) IS NOT NULL),
+      | fc AS (SELECT e.user_id, fv.first_view,
+      |         min(epoch_us(e.ts)) AS first_conv
+      |        FROM events e JOIN fv ON e.user_id = fv.user_id
+      |        WHERE e.event_type = 'purchase'
+      |          AND epoch_us(e.ts) > fv.first_view
+      |        GROUP BY 1, 2)""".stripMargin
+
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val (firstView, firstConv) = userFirsts(Tables.events(spark, dir))
+    firstView.join(firstConv.select(col("user_id"), col("first_conv")),
+        Seq("user_id"), "left")
       .withColumn("cohort_day", expr("first_view div 86400000000"))
       .groupBy(col("cohort_day"))
       .agg(count(lit(1)).as("n_viewers"),
@@ -72,14 +94,7 @@ object SessionOps extends QueryModule {
   }
 
   private val funnelSql: String =
-    s"""WITH fv AS (SELECT user_id, min(epoch_us(ts)) AS first_view
-       |            FROM events WHERE event_type = 'view' GROUP BY 1
-       |            HAVING min(epoch_us(ts)) IS NOT NULL),
-       | fc AS (SELECT e.user_id, min(epoch_us(e.ts)) AS first_conv
-       |        FROM events e JOIN fv ON e.user_id = fv.user_id
-       |        WHERE e.event_type = 'purchase'
-       |          AND epoch_us(e.ts) > fv.first_view
-       |        GROUP BY 1),
+    s"""WITH $firstsCte,
        | c AS (SELECT fv.first_view // 86400000000 AS cohort_day,
        |        (fc.first_conv IS NOT NULL) AS conv
        |       FROM fv LEFT JOIN fc ON fv.user_id = fc.user_id)
@@ -93,24 +108,15 @@ object SessionOps extends QueryModule {
     * funnel: among converting users (first view → first LATER purchase,
     * u3's exact convention), how long did conversion take. Exact
     * p50/p90 of the lag in seconds plus min/max and a floored integer
-    * mean, per first-view-day cohort. Same two keyed aggregates as u3 (the
-    * per-user firsts), then the tiny cohort percentile agg — the lag
-    * COLUMN derives in-plan, no extra pass. Lags are floored to whole
+    * mean, per first-view-day cohort. The SAME [[userFirsts]] frames u3
+    * uses (the purchase aggregate carries first_view through, so no
+    * re-join), then the tiny cohort percentile agg — the lag COLUMN
+    * derives in-plan, no extra pass. Lags are floored to whole
     * seconds first: exact integer inputs keep the interpolated
     * percentile bit-identical across engines. */
   def conversionLag(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
-    val firstView = ev.filter(col("event_type") === "view")
-      .groupBy(col("user_id"))
-      .agg(min(col("ts_us")).as("first_view"))
-      .filter(col("first_view").isNotNull)
-    val firstConv = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("ts_us"))
-      .join(firstView, Seq("user_id"))
-      .filter(col("ts_us") > col("first_view"))
-      .groupBy(col("user_id"))
-      .agg(min(col("ts_us")).as("first_conv"))
-    firstView.join(firstConv, Seq("user_id"))
+    val (_, firstConv) = userFirsts(Tables.events(spark, dir))
+    firstConv
       .withColumn("cohort_day", expr("first_view div 86400000000"))
       .withColumn("lag_s",
         expr("(first_conv - first_view) div 1000000"))
@@ -128,17 +134,10 @@ object SessionOps extends QueryModule {
   }
 
   private val convLagSql: String =
-    s"""WITH fv AS (SELECT user_id, min(epoch_us(ts)) AS first_view
-       |            FROM events WHERE event_type = 'view' GROUP BY 1
-       |            HAVING min(epoch_us(ts)) IS NOT NULL),
-       | fc AS (SELECT e.user_id, min(epoch_us(e.ts)) AS first_conv
-       |        FROM events e JOIN fv ON e.user_id = fv.user_id
-       |        WHERE e.event_type = 'purchase'
-       |          AND epoch_us(e.ts) > fv.first_view
-       |        GROUP BY 1),
-       | l AS (SELECT fv.first_view // 86400000000 AS cohort_day,
-       |        (fc.first_conv - fv.first_view) // 1000000 AS lag_s
-       |       FROM fv JOIN fc ON fv.user_id = fc.user_id)
+    s"""WITH $firstsCte,
+       | l AS (SELECT first_view // 86400000000 AS cohort_day,
+       |        (first_conv - first_view) // 1000000 AS lag_s
+       |       FROM fc)
        |SELECT cohort_day, CAST(count(*) AS BIGINT) AS n_converted,
        | CAST(min(lag_s) AS BIGINT) AS min_lag_s,
        | CAST(max(lag_s) AS BIGINT) AS max_lag_s,
