@@ -194,6 +194,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_"), p)
   }
 
+  test("u6 conversion lag pays exactly ONE join (the purchase-vs-" +
+    "first-view probe) — first_view rides the aggregate, no re-join") {
+    val p = plan(q("u6_conversion_lag"))
+    assert("Join".r.findAllIn(p).length === 1, p)
+  }
+
+  test("w9 path mining is a lead-window, never a per-user self-join") {
+    val p = plan(q("w9_path_ngrams"))
+    assert(!p.contains("Join"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("v27 rare-bigrams joins occurrences to counts on the bigram " +
     "KEY (hash join; broadcast at test SF, keyed shuffle beyond it)") {
     val p = plan(q("v27_rare_bigrams"))
