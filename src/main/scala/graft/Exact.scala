@@ -63,6 +63,18 @@ object Exact {
       w: org.apache.spark.sql.expressions.WindowSpec): Column =
     microSum(c).over(w).cast(DoubleType) / 1000000.0 /
       count(lit(1)).over(w)
+
+  /** Half-away-from-zero rounded num/den as a long, for ANY-sign num and
+    * POSITIVE den — the signed counterpart of [[ratio6]]'s integer-space
+    * rounding (needed by regression slopes, whose numerators go negative;
+    * `ratio6`'s unsigned form would floor-vs-truncate differently across
+    * engines there). DuckDB spelling: [[OracleSql.signedDivRound]]. */
+  def signedDivRound(num: Column, den: Column): Column = {
+    val n = num.cast(LongType)
+    val d = den.cast(LongType)
+    val half = shiftright(d, 1)
+    when(n < 0, -intDiv(-n + half, d)).otherwise(intDiv(n + half, d))
+  }
 }
 
 /** THE canonical text normalization (lowercase, collapse whitespace,
@@ -92,8 +104,16 @@ object OracleSql {
     s"CAST(sum(CAST($col AS DECIMAL(18,6))) AS DOUBLE)"
   def ratio6(num: String, den: String): String =
     s"CAST(($num * 1000000 + ($den) // 2) // ($den) AS DOUBLE) / 1000000.0"
+  /** [[ratio6]]'s integer micro-unit value, before the /1e6 — for
+    * arithmetic that stays in integer space (v35's |p−q|). */
+  def ratio6Micro(num: String, den: String): String =
+    s"(($num) * 1000000 + ($den) // 2) // ($den)"
   def avgExact(col: String): String =
     s"CAST((${microSum(col)} + count(*) // 2) // count(*) AS DOUBLE) / 1000000.0"
   def avgExactRaw(col: String): String =
     s"CAST(${microSum(col)} AS DOUBLE) / 1000000.0 / count(*)"
+  /** DuckDB spelling of [[Exact.signedDivRound]] (den > 0). */
+  def signedDivRound(num: String, den: String): String =
+    s"CASE WHEN ($num) < 0 THEN -((-($num) + ($den) // 2) // ($den)) " +
+      s"ELSE (($num) + ($den) // 2) // ($den) END"
 }

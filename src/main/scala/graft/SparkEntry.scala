@@ -15,7 +15,7 @@ import graft.streaming.StreamingOps
 object SparkEntry {
   private def modules: Seq[QueryModule] = Seq(
     Relational, EventOps, SeriesOps, SearchOps, IngestOps, SessionOps,
-    SpanNativeOps, LayoutOps, JoinOps, CdcOps, OlapOps, GraphOps,
+    SpanNativeOps, LayoutOps, JoinOps, CdcOps, OlapOps, GraphOps, StatsOps,
     TextOps, RankOps, MixOps, DedupOps, SimilarityOps, MultimodalOps,
     StreamingOps)
 

@@ -1,0 +1,358 @@
+package graft.operators
+
+import graft._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dataset-monitoring statistics over `events`: distribution drift
+  * between time windows (v35), robust MAD outlier gating (v36),
+  * least-squares trend slopes (w11) and series gap-fill by linear
+  * interpolation (w12). None exist in the reference (its analytics stop
+  * at grouped aggregates/percentiles — api/service.go:1040-1341); all
+  * four are table-stakes for a pipeline that has to notice when an
+  * upstream feed changes shape before a 100 TB training run consumes it.
+  *
+  * Determinism: every comparison and every emitted number is computed in
+  * exact integer (micro-unit) space or on 6-dp-rounded fences — the
+  * [[Exact]]/[[OracleSql]] conventions — so DuckDB reproduces each row
+  * bit-for-bit. Logs/sqrt are deliberately avoided (PSI → total-variation
+  * distance; robust z → a rational multiple of MAD): transcendental
+  * libm calls are the one thing two engines won't agree on.
+  *
+  * Scale notes: v35/w11/w12 aggregate onto DOMAIN-bounded frames (≤21
+  * value bins, 30 days, 720 hour-buckets per type) before any window
+  * runs, so their windows never see data-sized partitions — same
+  * argument as v30's bucketed CDF. v36 is winsorize's (v26) two-level
+  * extension: two grouped-percentile passes + a broadcast-back map; at
+  * 100 TB both fences swap to approx_percentile, same as v26.
+  */
+object StatsOps extends QueryModule {
+  private val Start = EventWindow.StartS
+  private val End = EventWindow.EndS
+  private val Day = 86400L
+  private val Hour = 3600L
+  /** v35's split point: first 15 days vs the rest of the month. */
+  private val Mid = Start + 15 * Day
+  /** v35's value-bin width; value ∈ [0, ~500) → ≤21 bins. */
+  private val BinW = 25.0
+
+  private def ev(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+
+  // ---- V35: distribution drift (early vs late window) ----
+
+  /** V35: distribution-shift monitor — per event_type, compare the value
+    * distribution of the first 15 days against the rest of the month on
+    * a fixed 25-wide bin grid: total-variation distance (½·Σ|p−q|), the
+    * largest single-bin jump and which bin jumped. The dataset-shift
+    * check a feed-level SLO runs before training data is extended; TVD
+    * is PSI's bounded, log-free cousin — exact in integer space, where
+    * PSI's per-bin log ratio would hash-diverge across engines.
+    *
+    * One scan → (type, bin) counts (≤21 bins/type BY DOMAIN, however
+    * many rows); shares and |p−q| in integer micro-units over the
+    * bounded bin frame; max-jump tie-broken deterministically by packing
+    * (Δmicro, bin) into one integer key. Linear, one shuffle. */
+  def drift(spark: SparkSession, dir: String): DataFrame = {
+    val binned = ev(spark, dir)
+      .groupBy(col("event_type"),
+        floor(col("value") / BinW).cast("int").as("bin"))
+      .agg(sum(when(col("ts_s") < Mid, 1).otherwise(0)).cast("long").as("na"),
+        sum(when(col("ts_s") >= Mid, 1).otherwise(0)).cast("long").as("nb"))
+    val wt = Window.partitionBy(col("event_type"))
+    val shares = binned
+      .withColumn("na_tot", sum(col("na")).over(wt))
+      .withColumn("nb_tot", sum(col("nb")).over(wt))
+      .withColumn("pm", Exact.intDiv(
+        col("na") * 1000000L + shiftright(col("na_tot"), 1), col("na_tot")))
+      .withColumn("qm", Exact.intDiv(
+        col("nb") * 1000000L + shiftright(col("nb_tot"), 1), col("nb_tot")))
+      .withColumn("d", abs(col("pm") - col("qm")))
+    shares.groupBy(col("event_type"))
+      .agg(max(col("na_tot")).as("n_early"),
+        max(col("nb_tot")).as("n_late"),
+        count(lit(1)).as("n_bins"),
+        (sum(col("d")).cast("double") / 2000000.0).as("tvd"),
+        max(col("d") * 100L + col("bin")).as("key"))
+      .select(col("event_type"), col("n_early"), col("n_late"),
+        col("n_bins"),
+        col("tvd"),
+        (Exact.intDiv(col("key"), lit(100L)).cast("double") / 1000000.0)
+          .as("max_jump"),
+        pmod(col("key"), lit(100L)).cast("int").as("jump_bin"))
+      .orderBy(col("event_type"))
+  }
+
+  private val driftSql: String = {
+    val pm = OracleSql.ratio6Micro("na", "na_tot")
+    val qm = OracleSql.ratio6Micro("nb", "nb_tot")
+    s"""WITH b AS (
+       |  SELECT event_type, CAST(floor(value / $BinW) AS INT) AS bin,
+       |   sum(CASE WHEN epoch_us(ts)//1000000 < $Mid THEN 1 ELSE 0 END) AS na,
+       |   sum(CASE WHEN epoch_us(ts)//1000000 >= $Mid THEN 1 ELSE 0 END) AS nb
+       |  FROM events GROUP BY 1, 2),
+       | s AS (
+       |  SELECT event_type, bin, na, nb,
+       |   sum(na) OVER (PARTITION BY event_type) AS na_tot,
+       |   sum(nb) OVER (PARTITION BY event_type) AS nb_tot
+       |  FROM b),
+       | d AS (
+       |  SELECT event_type, bin, na_tot, nb_tot, abs(($pm) - ($qm)) AS d
+       |  FROM s)
+       |SELECT event_type, CAST(max(na_tot) AS BIGINT) AS n_early,
+       | CAST(max(nb_tot) AS BIGINT) AS n_late,
+       | CAST(count(*) AS BIGINT) AS n_bins,
+       | CAST(sum(d) AS DOUBLE) / 2000000.0 AS tvd,
+       | CAST(max(d * 100 + bin) // 100 AS DOUBLE) / 1000000.0 AS max_jump,
+       | CAST(max(d * 100 + bin) % 100 AS INT) AS jump_bin
+       |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  // ---- V36: robust outliers via median/MAD ----
+
+  /** V36: robust outlier gate — per event_type median m and MAD
+    * (median of |value − m|), rows flagged when |value − m| > 5·MAD
+    * (≈ robust z 3.37; the multiple is kept rational so both engines
+    * compare identical bits — the usual 0.6745 normalizer is a double
+    * constant that buys nothing here). Winsorize's (v26) two-level
+    * extension: median-based fences survive the >25% contamination that
+    * moves v26's p05/p95. Two grouped-percentile passes with 5-row fence
+    * tables broadcast back; at 100 TB both swap to approx_percentile. */
+  def madOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val e = ev(spark, dir)
+    val med = e.groupBy(col("event_type"))
+      .agg(round(percentile(col("value"), lit(0.5)), 6).as("med"))
+    val withD = e.join(broadcast(med), Seq("event_type"))
+      .withColumn("d", abs(col("value") - col("med")))
+    val mad = withD.groupBy(col("event_type"))
+      .agg(round(percentile(col("d"), lit(0.5)), 6).as("mad"))
+    withD.join(broadcast(mad), Seq("event_type"))
+      .groupBy(col("event_type"), col("med"), col("mad"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("d") > col("mad") * 5, 1).otherwise(0))
+          .cast("long").as("n_out"),
+        round(max(col("d")), 6).as("max_dev"))
+      .withColumn("out_share", Exact.ratio6(col("n_out"), col("n")))
+      .select(col("event_type"), col("med"), col("mad"), col("n"),
+        col("n_out"), col("out_share"), col("max_dev"))
+      .orderBy(col("event_type"))
+  }
+
+  private val madSql: String =
+    s"""WITH m AS (
+       |  SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
+       |  FROM events GROUP BY 1),
+       | dd AS (
+       |  SELECT e.event_type, med, abs(e.value - med) AS d
+       |  FROM events e JOIN m USING (event_type)),
+       | md AS (
+       |  SELECT event_type, round(quantile_cont(d, 0.5), 6) AS mad
+       |  FROM dd GROUP BY 1)
+       |SELECT dd.event_type, med, mad, CAST(count(*) AS BIGINT) AS n,
+       | CAST(sum(CASE WHEN d > mad * 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_out,
+       | ${OracleSql.ratio6("sum(CASE WHEN d > mad * 5 THEN 1 ELSE 0 END)",
+          "count(*)")} AS out_share,
+       | round(max(d), 6) AS max_dev
+       |FROM dd JOIN md USING (event_type)
+       |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin
+
+  // ---- W11: least-squares trend ----
+
+  /** W11: per-type least-squares trend — daily event counts and daily
+    * value mass regressed on the day index over the month, slopes and
+    * the count intercept solved in closed form from integer power sums:
+    * slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²), every term an exact integer
+    * (value mass in micro-units), the one division half-away-rounded in
+    * integer space ([[Exact.signedDivRound]] — numerators go NEGATIVE on
+    * downtrends, where ratio6's unsigned floor would diverge between
+    * engines). The "is this feed growing/shrinking" monitor; empty days
+    * count as zero via the domain-bounded 30-row day frame per type.
+    *
+    * One scan → (type, day) partial aggregate; the regression runs on
+    * ≤30 rows/type. Long headroom at sf0.1 is ~1e17 of 9.2e18; at real
+    * 100 TB volume the micro-unit mass sums pre-aggregate to coarser
+    * units (or DECIMAL(38)) before the power sums — noted, not needed
+    * here. */
+  def trend(spark: SparkSession, dir: String): DataFrame = {
+    val daily = ev(spark, dir)
+      .groupBy(col("event_type"),
+        Exact.intDiv(col("ts_s") - Start, lit(Day)).as("x"))
+      .agg(count(lit(1)).as("yn"), Exact.microSum(col("value")).as("yv"))
+    val frame = spark.range(0, (End - Start) / Day).toDF("x")
+    val types = ev(spark, dir).select(col("event_type")).distinct()
+    val filled = types.crossJoin(frame)
+      .join(daily, Seq("event_type", "x"), "left")
+      .select(col("event_type"), col("x"),
+        coalesce(col("yn"), lit(0L)).as("yn"),
+        coalesce(col("yv"), lit(0L)).as("yv"))
+    val sums = filled.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("yn")).as("syn"), sum(col("x") * col("yn")).as("sxyn"),
+        sum(col("yv")).as("syv"), sum(col("x") * col("yv")).as("sxyv"))
+      .withColumn("den", col("n") * col("sxx") - col("sx") * col("sx"))
+    sums.select(col("event_type"), col("n").as("n_days"),
+      col("syn").as("total_n"),
+      (Exact.signedDivRound(
+        (col("n") * col("sxyn") - col("sx") * col("syn")) * 1000000L,
+        col("den")).cast("double") / 1000000.0).as("slope_n"),
+      (Exact.signedDivRound(
+        (col("syn") * col("sxx") - col("sx") * col("sxyn")) * 1000000L,
+        col("den")).cast("double") / 1000000.0).as("intercept_n"),
+      (Exact.signedDivRound(
+        col("n") * col("sxyv") - col("sx") * col("syv"),
+        col("den")).cast("double") / 1000000.0).as("slope_value"))
+      .orderBy(col("event_type"))
+  }
+
+  private val trendSql: String = {
+    val nDays = (End - Start) / Day
+    s"""WITH d AS (
+       |  SELECT event_type, (epoch_us(ts)//1000000 - $Start) // $Day AS x,
+       |   count(*) AS yn, ${OracleSql.microSum("value")} AS yv
+       |  FROM events GROUP BY 1, 2),
+       | g AS (
+       |  SELECT t.event_type, x.x
+       |  FROM (SELECT DISTINCT event_type FROM events) t
+       |  CROSS JOIN (SELECT unnest(range(0, $nDays)) AS x) x),
+       | f AS (
+       |  SELECT g.event_type, g.x, coalesce(d.yn, 0) AS yn,
+       |   coalesce(d.yv, 0) AS yv
+       |  FROM g LEFT JOIN d ON g.event_type = d.event_type AND g.x = d.x),
+       | a AS (
+       |  SELECT event_type, count(*) AS n, sum(x) AS sx, sum(x*x) AS sxx,
+       |   sum(yn) AS syn, sum(x*yn) AS sxyn,
+       |   sum(yv) AS syv, sum(x*yv) AS sxyv
+       |  FROM f GROUP BY 1)
+       |SELECT event_type, CAST(n AS BIGINT) AS n_days,
+       | CAST(syn AS BIGINT) AS total_n,
+       | CAST(${OracleSql.signedDivRound("(n*sxyn - sx*syn) * 1000000",
+          "n*sxx - sx*sx")} AS DOUBLE) / 1000000.0 AS slope_n,
+       | CAST(${OracleSql.signedDivRound("(syn*sxx - sx*sxyn) * 1000000",
+          "n*sxx - sx*sx")} AS DOUBLE) / 1000000.0 AS intercept_n,
+       | CAST(${OracleSql.signedDivRound("n*sxyv - sx*syv",
+          "n*sxx - sx*sx")} AS DOUBLE) / 1000000.0 AS slope_value
+       |FROM a ORDER BY 1""".stripMargin
+  }
+
+  // ---- W12: gap-fill by linear interpolation ----
+
+  /** W12: series imputation — hourly mean value per type on the dense
+    * 720-bucket grid, empty buckets LINEARLY INTERPOLATED between their
+    * nearest observed neighbors (edges carry the nearest value), each
+    * row labeled obs/interp/ffill/bfill. The step after zero-fill (H14)
+    * when a downstream consumer needs a gapless signal, not zeros —
+    * rate-normalization, anomaly baselines, model features.
+    *
+    * The hourly mean is half-up-rounded into integer micro-units FIRST,
+    * so the interpolation arithmetic — py·(nt−t) + ny·(t−pt), one
+    * half-up division by (nt−pt) — is pure integer and bit-identical in
+    * both engines. Neighbor lookup is last/first IGNORE NULLS over the
+    * grid, which is DOMAIN-bounded (720 rows/type regardless of data
+    * volume), so the per-type window is safe at any scale — the raw
+    * stream is reduced by the grouped aggregate before any window. */
+  def gapFill(spark: SparkSession, dir: String): DataFrame = {
+    val obs = ev(spark, dir)
+      .groupBy(col("event_type"),
+        (col("ts_s") - pmod(col("ts_s") - Start, lit(Hour)) - Start)
+          .as("off"))
+      .agg(count(lit(1)).as("n"),
+        Exact.intDiv(Exact.microSum(col("value")) +
+          shiftright(count(lit(1)), 1), count(lit(1))).as("vmu"))
+    val frame = spark.range(0, End - Start, Hour).toDF("off")
+    val types = ev(spark, dir).select(col("event_type")).distinct()
+    val grid = types.crossJoin(frame)
+      .join(obs, Seq("event_type", "off"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("off"))
+    val before = w.rowsBetween(Window.unboundedPreceding, -1)
+    val after = w.rowsBetween(1, Window.unboundedFollowing)
+    val t = col("off")
+    val filled = grid
+      .withColumn("py", last(col("vmu"), ignoreNulls = true).over(before))
+      .withColumn("pt", last(when(col("vmu").isNotNull, t),
+        ignoreNulls = true).over(before))
+      .withColumn("ny", first(col("vmu"), ignoreNulls = true).over(after))
+      .withColumn("nt", first(when(col("vmu").isNotNull, t),
+        ignoreNulls = true).over(after))
+      .withColumn("fmu", when(col("vmu").isNotNull, col("vmu"))
+        .when(col("py").isNotNull && col("ny").isNotNull, Exact.intDiv(
+          col("py") * (col("nt") - t) + col("ny") * (t - col("pt")) +
+            shiftright(col("nt") - col("pt"), 1),
+          col("nt") - col("pt")))
+        .when(col("py").isNotNull, col("py"))
+        .otherwise(col("ny")))
+      .withColumn("src", when(col("vmu").isNotNull, lit("obs"))
+        .when(col("py").isNotNull && col("ny").isNotNull, lit("interp"))
+        .when(col("py").isNotNull, lit("ffill")).otherwise(lit("bfill")))
+    filled.select(col("event_type"), (t + Start).as("bucket_s"), col("n"),
+      (col("fmu").cast("double") / 1000000.0).as("value6"), col("src"))
+      .orderBy(col("event_type"), col("bucket_s"))
+  }
+
+  private val gapFillSql: String =
+    s"""WITH o AS (
+       |  SELECT event_type,
+       |   (epoch_us(ts)//1000000 - $Start)
+       |     - (epoch_us(ts)//1000000 - $Start) % $Hour AS off,
+       |   count(*) AS n,
+       |   (${OracleSql.microSum("value")} + count(*) // 2) // count(*) AS vmu
+       |  FROM events GROUP BY 1, 2),
+       | g AS (
+       |  SELECT t.event_type, x.off, coalesce(o.n, 0) AS n, o.vmu
+       |  FROM (SELECT DISTINCT event_type FROM events) t
+       |  CROSS JOIN (SELECT unnest(range(0, ${End - Start}, $Hour)) AS off) x
+       |  LEFT JOIN o ON t.event_type = o.event_type AND x.off = o.off),
+       | wn AS (
+       |  SELECT *,
+       |   last_value(vmu IGNORE NULLS) OVER (PARTITION BY event_type
+       |     ORDER BY off ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |     AS py,
+       |   last_value(CASE WHEN vmu IS NOT NULL THEN off END IGNORE NULLS)
+       |     OVER (PARTITION BY event_type ORDER BY off
+       |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pt,
+       |   first_value(vmu IGNORE NULLS) OVER (PARTITION BY event_type
+       |     ORDER BY off ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+       |     AS ny,
+       |   first_value(CASE WHEN vmu IS NOT NULL THEN off END IGNORE NULLS)
+       |     OVER (PARTITION BY event_type ORDER BY off
+       |       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nt
+       |  FROM g)
+       |SELECT event_type, CAST(off + $Start AS BIGINT) AS bucket_s,
+       | CAST(n AS BIGINT) AS n,
+       | CAST(CASE
+       |   WHEN vmu IS NOT NULL THEN vmu
+       |   WHEN py IS NOT NULL AND ny IS NOT NULL THEN
+       |     (py*(nt - off) + ny*(off - pt) + (nt - pt) // 2) // (nt - pt)
+       |   WHEN py IS NOT NULL THEN py ELSE ny END AS DOUBLE) / 1000000.0
+       |   AS value6,
+       | CASE WHEN vmu IS NOT NULL THEN 'obs'
+       |      WHEN py IS NOT NULL AND ny IS NOT NULL THEN 'interp'
+       |      WHEN py IS NOT NULL THEN 'ffill' ELSE 'bfill' END AS src
+       |FROM wn ORDER BY 1, 2""".stripMargin
+
+  val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("v35_drift",
+      "V35 distribution-drift monitor: per-type total-variation distance " +
+        "+ max bin jump between the first 15 days and the rest, on a " +
+        "domain-bounded 25-wide bin grid (integer-exact; log-free PSI " +
+        "stand-in)",
+      drift, Some(driftSql)),
+    GraftQuery("v36_mad_outliers",
+      "V36 robust outlier gate: per-type median/MAD fences, rows beyond " +
+        "5*MAD flagged (two grouped-percentile passes + broadcast-back " +
+        "map; approx_percentile swap at 100 TB)",
+      madOutliers, Some(madSql)),
+    GraftQuery("w11_trend",
+      "W11 least-squares trend: daily count and value-mass slopes per " +
+        "type from integer power sums (signed half-away rounding; empty " +
+        "days zero-filled on the 30-row day frame)",
+      trend, Some(trendSql)),
+    GraftQuery("w12_gap_fill",
+      "W12 series gap-fill: hourly mean on the dense 720-bucket grid, " +
+        "gaps linearly interpolated between nearest observations in " +
+        "integer micro-units (edges carry nearest; obs/interp/ffill/" +
+        "bfill labeled)",
+      gapFill, Some(gapFillSql)))
+}

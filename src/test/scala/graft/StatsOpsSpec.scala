@@ -1,0 +1,167 @@
+package graft
+
+import graft.operators.StatsOps
+import org.apache.spark.sql.functions._
+
+/** Monitoring-stats block: v35 drift, v36 MAD outliers, w11 trend,
+  * w12 gap-fill. The driver oracle pins each entry's end-to-end result;
+  * these tests pin the semantics the oracle can't see — brute-force
+  * recomputation of the integer-space math from the raw rows, and the
+  * structural invariants (dense grids, label partitions, neighbor
+  * bounds) that a hash match alone wouldn't localize.
+  */
+class StatsOpsSpec extends SparkSpec {
+
+  private val Start = EventWindow.StartS
+  private val Mid = Start + 15 * 86400L
+
+  /** Raw (ts_s, event_type, value) rows at sf0.001. */
+  private lazy val raw: Array[(Long, String, Double)] =
+    Tables.events(spark, sf0001)
+      .select(col("ts_s"), col("event_type"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+
+  test("v35 drift: TVD and max jump recompute from raw rows in " +
+    "integer micro space") {
+    val rows = StatsOps.drift(spark, sf0001).collect()
+    assert(rows.map(_.getAs[String]("event_type")).distinct.length ===
+      rows.length)
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val mine = raw.filter(_._2 == t)
+      val early = mine.filter(_._1 < Mid)
+      val late = mine.filter(_._1 >= Mid)
+      assert(r.getAs[Long]("n_early") === early.length.toLong)
+      assert(r.getAs[Long]("n_late") === late.length.toLong)
+      val bins = mine.map(x => math.floor(x._3 / 25.0).toInt).distinct
+      assert(r.getAs[Long]("n_bins") === bins.length.toLong)
+      def shareMicro(xs: Array[(Long, String, Double)], bin: Int,
+          tot: Long): Long =
+        (xs.count(x => math.floor(x._3 / 25.0).toInt == bin) * 1000000L +
+          tot / 2) / tot
+      val ds = bins.map { b =>
+        b -> math.abs(shareMicro(early, b, early.length) -
+          shareMicro(late, b, late.length))
+      }
+      assert(r.getAs[Double]("tvd") ===
+        ds.map(_._2).sum.toDouble / 2000000.0)
+      val key = ds.map { case (b, d) => d * 100 + b }.max
+      assert(r.getAs[Double]("max_jump") === (key / 100).toDouble / 1e6)
+      assert(r.getAs[Int]("jump_bin") === (key % 100).toInt)
+      assert(r.getAs[Double]("tvd") <= 1.0)
+      assert(r.getAs[Double]("max_jump") <= 2 * r.getAs[Double]("tvd") + 1e-9)
+    }
+  }
+
+  test("v36 MAD outliers: median/MAD fences recompute from sorted raw " +
+    "values (interpolated percentile, half-up 6dp)") {
+    def pct50(xs: Array[Double]): Double = {
+      val s = xs.sorted
+      val pos = 0.5 * (s.length - 1)
+      val (lo, g) = (pos.toInt, pos - pos.toInt)
+      val v = s(lo) * (1 - g) + (if (g > 0) s(lo + 1) * g else 0.0)
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val rows = StatsOps.madOutliers(spark, sf0001).collect()
+    assert(rows.length === raw.map(_._2).distinct.length)
+    rows.foreach { r =>
+      val vals = raw.filter(_._2 == r.getAs[String]("event_type")).map(_._3)
+      val med = pct50(vals)
+      assert(r.getAs[Double]("med") === med)
+      val d = vals.map(v => math.abs(v - med))
+      val mad = pct50(d)
+      assert(r.getAs[Double]("mad") === mad)
+      assert(r.getAs[Long]("n") === vals.length.toLong)
+      assert(r.getAs[Long]("n_out") === d.count(_ > 5 * mad).toLong)
+      assert(r.getAs[Long]("n_out") <= vals.length / 10,
+        "a robust fence should flag a small minority")
+    }
+  }
+
+  test("w11 trend: slopes recompute from exact rational least squares " +
+    "over the zero-filled day frame") {
+    val rows = StatsOps.trend(spark, sf0001).collect()
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val days = (0L until 30L).map { x =>
+        val mine = raw.filter(e => e._2 == t && (e._1 - Start) / 86400 == x)
+        val yv = mine.map(e => BigDecimal(e._3).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP) * 1000000).map(_.toLongExact).sum
+        (x, mine.length.toLong, yv)
+      }
+      val n = days.length.toLong
+      val sx = days.map(_._1).sum
+      val sxx = days.map(x => x._1 * x._1).sum
+      val syn = days.map(_._2).sum
+      val sxyn = days.map(x => x._1 * x._2).sum
+      val syv = days.map(_._3).sum
+      val sxyv = days.map(x => x._1 * x._3).sum
+      val den = n * sxx - sx * sx
+      def sdiv(num: Long, d: Long): Long =
+        if (num < 0) -((-num + d / 2) / d) else (num + d / 2) / d
+      assert(r.getAs[Long]("n_days") === n)
+      assert(r.getAs[Long]("total_n") === syn)
+      assert(r.getAs[Double]("slope_n") ===
+        sdiv((n * sxyn - sx * syn) * 1000000L, den).toDouble / 1e6)
+      assert(r.getAs[Double]("intercept_n") ===
+        sdiv((syn * sxx - sx * sxyn) * 1000000L, den).toDouble / 1e6)
+      assert(r.getAs[Double]("slope_value") ===
+        sdiv(n * sxyv - sx * syv, den).toDouble / 1e6)
+    }
+  }
+
+  test("w12 gap-fill: dense grid, labels partition the series, and " +
+    "every interpolated value sits between its neighbors") {
+    val rows = StatsOps.gapFill(spark, sf0001).collect()
+    val types = raw.map(_._2).distinct
+    assert(rows.length === types.length * 720)
+    types.foreach { t =>
+      val series = rows.filter(_.getAs[String]("event_type") == t)
+        .sortBy(_.getAs[Long]("bucket_s"))
+      // dense hourly grid over the month
+      assert(series.length === 720)
+      assert(series.head.getAs[Long]("bucket_s") === Start)
+      assert(series.map(_.getAs[Long]("bucket_s")).toSeq ===
+        (0 until 720).map(Start + _ * 3600L))
+      series.foreach { r =>
+        val src = r.getAs[String]("src")
+        if (r.getAs[Long]("n") > 0) assert(src === "obs")
+        else assert(src != "obs")
+      }
+      // bfill rows are exactly the prefix before the first observation,
+      // ffill rows the suffix after the last
+      val firstObs = series.indexWhere(_.getAs[String]("src") == "obs")
+      val lastObs = series.lastIndexWhere(_.getAs[String]("src") == "obs")
+      assert(firstObs >= 0)
+      series.zipWithIndex.foreach { case (r, i) =>
+        val src = r.getAs[String]("src")
+        if (i < firstObs) assert(src === "bfill")
+        else if (i > lastObs) assert(src === "ffill")
+        else if (r.getAs[Long]("n") == 0) assert(src === "interp" ||
+          src === "ffill", s"mid-series gap at $i labeled $src")
+      }
+      // every gap value lies within [min, max] of its two neighbors
+      val obsIdx = series.zipWithIndex
+        .filter(_._1.getAs[String]("src") == "obs").map(_._2)
+      series.zipWithIndex.foreach { case (r, i) =>
+        if (r.getAs[String]("src") == "interp") {
+          val prev = obsIdx.filter(_ < i).max
+          val next = obsIdx.filter(_ > i).min
+          val (pv, nv) = (series(prev).getAs[Double]("value6"),
+            series(next).getAs[Double]("value6"))
+          val v = r.getAs[Double]("value6")
+          assert(v >= math.min(pv, nv) - 1e-6 &&
+            v <= math.max(pv, nv) + 1e-6, s"interp out of bounds at $i")
+        }
+      }
+      // edge carries: bfill equals first observed value, ffill the last
+      if (firstObs > 0)
+        assert(series(0).getAs[Double]("value6") ===
+          series(firstObs).getAs[Double]("value6"))
+      if (lastObs < 719)
+        assert(series(719).getAs[Double]("value6") ===
+          series(lastObs).getAs[Double]("value6"))
+    }
+  }
+}
