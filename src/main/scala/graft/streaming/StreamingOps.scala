@@ -3,6 +3,7 @@ package graft.streaming
 import graft._
 import graft.spans.OtlpIngest
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -454,7 +455,91 @@ object StreamingOps extends QueryModule {
       .orderBy(col("event_id"))
   }
 
+  /** ST12: streaming drift monitor — v35's distribution-shift check
+    * arriving as a stream: the per-(day, type, bin) value histogram is
+    * maintained INCREMENTALLY (counts are algebraic — O(windows × bins)
+    * state rows, bounded by the DOMAIN since the bin grid is fixed),
+    * and the read side turns the materialized histogram into each day's
+    * total-variation distance against the static full-corpus reference
+    * shares. Stateful accumulation in the stream, stateless alert
+    * arithmetic over the (days × bins)-bounded sink table — the split a
+    * production feed monitor uses, and why no second streaming
+    * aggregation is needed. Integer micro-unit math identical to v35's;
+    * (day, type) groups are emitted only when the day observed that
+    * type (a 0-count group has no shares to compare). Counts are
+    * algebraic, so the finite-stream histogram equals the batch one —
+    * full oracle. */
+  def streamingDrift(spark: SparkSession, dir: String): DataFrame = {
+    val bin = floor(col("value") / 25.0).cast("int").as("bin")
+    val hist = eventsStream(spark, dir)
+      .groupBy(window(col("event_ts"), "86400 seconds"),
+        col("event_type"), bin)
+      .agg(count(lit(1)).as("nd"))
+      .select(unix_timestamp(col("window.start")).as("day_s"),
+        col("event_type"), col("bin"), col("nd"))
+    val daily = runToBatch(spark, hist, s"st12_drift_${System.nanoTime()}")
+    val ref = Tables.events(spark, dir)
+      .groupBy(col("event_type"), bin)
+      .agg(count(lit(1)).as("nr"))
+    // day frame from the DOMAIN (the sink table's fixed attribute ids
+    // would make a days-from-daily self-join unresolvable); (day, type)
+    // groups the stream never observed are dropped by the ndt>0 guard —
+    // a 0-count group has no shares to compare
+    val days = spark.range(EventWindow.StartS, EventWindow.EndS, 86400L)
+      .toDF("day_s")
+    val grid = days.crossJoin(ref)
+      .join(daily, Seq("day_s", "event_type", "bin"), "left")
+      .withColumn("nd", coalesce(col("nd"), lit(0L)))
+    val wd = Window.partitionBy(col("day_s"), col("event_type"))
+    grid
+      .withColumn("ndt", sum(col("nd")).over(wd))
+      .withColumn("nrt", sum(col("nr")).over(wd))
+      .filter(col("ndt") > 0)
+      .withColumn("d", abs(
+        Exact.intDiv(col("nd") * 1000000L + shiftright(col("ndt"), 1),
+          col("ndt")) -
+        Exact.intDiv(col("nr") * 1000000L + shiftright(col("nrt"), 1),
+          col("nrt"))))
+      .groupBy(col("day_s"), col("event_type"))
+      .agg(max(col("ndt")).as("n_day"),
+        (sum(col("d")).cast("double") / 2000000.0).as("tvd"))
+      .orderBy(col("day_s"), col("event_type"))
+  }
+
+  private lazy val streamingDriftSql: String = {
+    val pm = OracleSql.ratio6Micro("nd", "ndt")
+    val qm = OracleSql.ratio6Micro("nr", "nrt")
+    s"""WITH h AS (
+       |  SELECT (epoch_us(ts)//1000000)//86400*86400 AS day_s, event_type,
+       |   CAST(floor(value / 25.0) AS INT) AS bin, count(*) AS nd
+       |  FROM events GROUP BY 1, 2, 3),
+       | r AS (
+       |  SELECT event_type, CAST(floor(value / 25.0) AS INT) AS bin,
+       |   count(*) AS nr
+       |  FROM events GROUP BY 1, 2),
+       | g AS (
+       |  SELECT d.day_s, r.event_type, r.bin, r.nr, coalesce(h.nd, 0) AS nd
+       |  FROM (SELECT unnest(range(${EventWindow.StartS},
+       |                            ${EventWindow.EndS}, 86400)) AS day_s) d
+       |  CROSS JOIN r
+       |  LEFT JOIN h ON h.day_s = d.day_s AND h.event_type = r.event_type
+       |   AND h.bin = r.bin),
+       | s AS (
+       |  SELECT day_s, event_type, nd, nr,
+       |   sum(nd) OVER (PARTITION BY day_s, event_type) AS ndt,
+       |   sum(nr) OVER (PARTITION BY day_s, event_type) AS nrt
+       |  FROM g)
+       |SELECT day_s, event_type, CAST(max(ndt) AS BIGINT) AS n_day,
+       | CAST(sum(abs(($pm) - ($qm))) AS DOUBLE) / 2000000.0 AS tvd
+       |FROM s WHERE ndt > 0 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("st12_streaming_drift",
+      "ST12 streaming drift monitor: incrementally-maintained daily " +
+        "value histogram (algebraic, domain-bounded state) + read-side " +
+        "TVD vs the static reference shares — v35's streaming twin",
+      streamingDrift, Some(streamingDriftSql)),
     GraftQuery("st11_streaming_sliding_counts",
       "ST11 sliding-window streaming counts (2h window, 1h slide): " +
         "each event in exactly 2 windows, algebraic merges — equals " +

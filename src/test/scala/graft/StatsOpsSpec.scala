@@ -54,6 +54,35 @@ class StatsOpsSpec extends SparkSpec {
     }
   }
 
+  test("st12 streaming drift: per-day TVD vs the reference recomputes " +
+    "from raw rows (streaming histogram = batch histogram on finite " +
+    "input)") {
+    val rows = graft.streaming.StreamingOps.streamingDrift(spark, sf0001)
+      .collect()
+    def binOf(v: Double) = math.floor(v / 25.0).toInt
+    def shareMicro(n: Long, tot: Long): Long = (n * 1000000L + tot / 2) / tot
+    // observed (day, type) pairs only, each with the exact integer TVD
+    val expect = raw.groupBy(e => ((e._1 - Start) / 86400, e._2)).map {
+      case ((day, t), mine) =>
+        val refAll = raw.filter(_._2 == t)
+        val bins = refAll.map(e => binOf(e._3)).distinct
+        val d = bins.map { b =>
+          math.abs(
+            shareMicro(mine.count(e => binOf(e._3) == b), mine.length) -
+              shareMicro(refAll.count(e => binOf(e._3) == b), refAll.length))
+        }.sum
+        (Start + day * 86400, t) -> (mine.length.toLong,
+          d.toDouble / 2000000.0)
+    }
+    assert(rows.length === expect.size)
+    rows.foreach { r =>
+      val k = (r.getAs[Long]("day_s"), r.getAs[String]("event_type"))
+      val (n, tvd) = expect(k)
+      assert(r.getAs[Long]("n_day") === n, s"n_day at $k")
+      assert(r.getAs[Double]("tvd") === tvd, s"tvd at $k")
+    }
+  }
+
   test("v36 MAD outliers: median/MAD fences recompute from sorted raw " +
     "values (interpolated percentile, half-up 6dp)") {
     def pct50(xs: Array[Double]): Double = {
