@@ -213,4 +213,43 @@ class PlanSpec extends SparkSpec {
       !p.contains("CartesianProduct"), p)
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
   }
+
+  test("v35/w12 windows run over domain-bounded aggregates, never raw " +
+    "event rows") {
+    // same guard as v14/v15: a Window whose subtree reaches a leaf
+    // without crossing an Aggregate sees data-sized partitions — these
+    // two must aggregate onto the bin/hour grid FIRST. A Range leaf is
+    // the domain-bounded calendar frame, not raw data.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Range => LRange, Window => LWindow}
+    def rawBelow(p: LogicalPlan): Boolean = p match {
+      case _: Aggregate => false
+      case _: LRange => false
+      case n if n.children.isEmpty => true
+      case n => n.children.exists(rawBelow)
+    }
+    Seq("v35_drift", "w12_gap_fill").foreach { id =>
+      val lp = q(id).asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+        .queryExecution.optimizedPlan
+      val windows = lp.collect { case w: LWindow => w }
+      assert(windows.nonEmpty, s"$id: expected a window")
+      windows.foreach(w => assert(!rawBelow(w.child),
+        s"$id: window over raw event rows\n$w"))
+    }
+  }
+
+  test("w11 trend is join-light power sums: no window, partial->final " +
+    "aggregation, and the day-frame joins never go nested-loop on the " +
+    "fact side") {
+    val p = plan(q("w11_trend"))
+    assert(!p.contains("Window"), p)
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("v36 MAD broadcasts both fence tables back, never a shuffle " +
+    "join of events against 5 rows") {
+    val p = plan(q("v36_mad_outliers"))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+  }
 }
