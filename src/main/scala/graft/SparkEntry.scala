@@ -16,6 +16,7 @@ object SparkEntry {
   private def modules: Seq[QueryModule] = Seq(
     Relational, EventOps, SeriesOps, SearchOps, IngestOps, SessionOps,
     SpanNativeOps, LayoutOps, JoinOps, CdcOps, OlapOps, GraphOps, StatsOps,
+    QualityOps,
     TextOps, RankOps, MixOps, DedupOps, SimilarityOps, MultimodalOps,
     StreamingOps)
 

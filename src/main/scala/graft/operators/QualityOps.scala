@@ -1,0 +1,189 @@
+package graft.operators
+
+import graft._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-quality gates over the raw tables: a declarative expectations
+  * suite (v37 — the Great-Expectations-style validation report a
+  * pipeline runs before a training job consumes a feed) and a
+  * cross-table referential-integrity audit (v38 — orphan / childless
+  * key counts across the star schema). Neither exists in the reference
+  * (it trusts its collector); both are the first thing a 100 TB
+  * ingest needs, because a malformed feed is cheapest to reject BEFORE
+  * it fans out into derived tables.
+  *
+  * Scale: every check is a linear scan reduced to one aggregate row —
+  * per-table row checks are FUSED into a single pass (one conditional
+  * sum per check), key-uniqueness rides one extra keyed aggregate (the
+  * exact form; swap to approx_count_distinct drift-checking at 100 TB),
+  * and the report explodes from 1-row frames, so nothing but O(checks)
+  * rows ever leaves the aggregates. v38's orphan probes are anti-joins
+  * on the key — broadcast at test SF, keyed shuffle beyond, never a
+  * nested loop.
+  */
+object QualityOps extends QueryModule {
+  private val Start = EventWindow.StartS
+  private val End = EventWindow.EndS
+
+  // ---- V37: expectations suite ----
+
+  private def chk(table: String, name: String, n: Column, bad: Column) =
+    struct(lit(table).as("table_name"), lit(name).as("chk"),
+      n.cast("long").as("n_checked"), bad.cast("long").as("n_bad"))
+
+  /** V37: declarative expectations report — one row per check with the
+    * violation count, share, and a strict pass flag (a gate either
+    * holds or it doesn't; value_in_range is deliberately tight at 400
+    * so the report demonstrably fires). Row-level checks fuse into ONE
+    * conditional-sum pass per table; uniqueness adds one keyed
+    * aggregate per table. */
+  def expectations(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val eAgg = e.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("value").isNull, 1).otherwise(0)).as("b_null"),
+      sum(when(col("value") < 0 || col("value") > 400, 1).otherwise(0))
+        .as("b_range"),
+      sum(when(!col("event_type")
+        .isin("click", "view", "purchase", "signup", "error"), 1)
+        .otherwise(0)).as("b_type"),
+      sum(when(col("ts_s") < Start || col("ts_s") >= End, 1).otherwise(0))
+        .as("b_ts"),
+      countDistinct(col("event_id")).as("n_keys"))
+    val eRows = eAgg.select(explode(array(
+      chk("events", "event_id_unique", col("n"), col("n") - col("n_keys")),
+      chk("events", "ts_in_window", col("n"), col("b_ts")),
+      chk("events", "type_in_set", col("n"), col("b_type")),
+      chk("events", "value_in_range_0_400", col("n"), col("b_range")),
+      chk("events", "value_not_null", col("n"), col("b_null")))).as("r"))
+    val d = Tables.documents(spark, dir)
+    val dAgg = d.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("text").isNull || length(col("text")) === 0, 1)
+        .otherwise(0)).as("b_empty"),
+      sum(when(col("text").isNotNull &&
+        !(length(col("text")) === col("n_chars")), 1).otherwise(0))
+        .as("b_len"),
+      sum(when(col("lang").isNull, 1).otherwise(0)).as("b_lang"),
+      countDistinct(col("doc_id")).as("n_keys"))
+    val dRows = dAgg.select(explode(array(
+      chk("documents", "doc_id_unique", col("n"), col("n") - col("n_keys")),
+      chk("documents", "lang_not_null", col("n"), col("b_lang")),
+      chk("documents", "n_chars_consistent", col("n"), col("b_len")),
+      chk("documents", "text_not_empty", col("n"), col("b_empty")))).as("r"))
+    eRows.unionByName(dRows)
+      .select(col("r.table_name").as("table_name"), col("r.chk").as("chk"),
+        col("r.n_checked").as("n_checked"), col("r.n_bad").as("n_bad"))
+      .withColumn("bad_share", Exact.ratio6(col("n_bad"), col("n_checked")))
+      .withColumn("pass", when(col("n_bad") === 0, 1).otherwise(0))
+      .orderBy(col("table_name"), col("chk"))
+  }
+
+  private lazy val expectationsSql: String = {
+    def row(table: String, name: String, n: String, bad: String,
+        from: String) =
+      s"""SELECT '$table' AS table_name, '$name' AS chk,
+         | CAST($n AS BIGINT) AS n_checked, CAST($bad AS BIGINT) AS n_bad
+         |FROM $from""".stripMargin
+    val rows = Seq(
+      row("events", "event_id_unique", "count(*)",
+        "count(*) - count(DISTINCT event_id)", "events"),
+      row("events", "ts_in_window", "count(*)",
+        s"sum(CASE WHEN epoch_us(ts)//1000000 < $Start OR " +
+          s"epoch_us(ts)//1000000 >= $End THEN 1 ELSE 0 END)", "events"),
+      row("events", "type_in_set", "count(*)",
+        "sum(CASE WHEN event_type NOT IN " +
+          "('click','view','purchase','signup','error') " +
+          "THEN 1 ELSE 0 END)", "events"),
+      row("events", "value_in_range_0_400", "count(*)",
+        "sum(CASE WHEN value < 0 OR value > 400 THEN 1 ELSE 0 END)",
+        "events"),
+      row("events", "value_not_null", "count(*)",
+        "sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)", "events"),
+      row("documents", "doc_id_unique", "count(*)",
+        "count(*) - count(DISTINCT doc_id)", "documents"),
+      row("documents", "lang_not_null", "count(*)",
+        "sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)", "documents"),
+      row("documents", "n_chars_consistent", "count(*)",
+        "sum(CASE WHEN text IS NOT NULL AND len(text) != n_chars " +
+          "THEN 1 ELSE 0 END)", "documents"),
+      row("documents", "text_not_empty", "count(*)",
+        "sum(CASE WHEN text IS NULL OR len(text) = 0 THEN 1 ELSE 0 END)",
+        "documents"))
+    s"""WITH c AS (${rows.mkString("\nUNION ALL\n")})
+       |SELECT table_name, chk, n_checked, n_bad,
+       | ${OracleSql.ratio6("n_bad", "n_checked")} AS bad_share,
+       | CAST(CASE WHEN n_bad = 0 THEN 1 ELSE 0 END AS INT) AS pass
+       |FROM c ORDER BY table_name, chk""".stripMargin
+  }
+
+  // ---- V38: referential-integrity audit ----
+
+  /** V38: cross-table key audit — for each FK relation, child rows with
+    * no parent (orphans: broken ingest) and parents with no children
+    * (childless: expected, but a sudden jump is a feed outage signal).
+    * Anti-joins on the key, counts reduced per relation. */
+  /** One FK relation's audit row (public so specs can prove orphan /
+    * childless detection on handcrafted frames — the shipped tables
+    * are clean, which a detection test must not rely on). */
+  def audit(rel: String, child: DataFrame, childKey: String,
+      parent: DataFrame, parentKey: String): DataFrame = {
+    val orphans = child.join(parent,
+      child(childKey) === parent(parentKey), "left_anti")
+    val childless = parent.join(child,
+      parent(parentKey) === child(childKey), "left_anti")
+    child.agg(count(lit(1)).as("n_child"))
+      .crossJoin(orphans.agg(count(lit(1)).as("n_orphan")))
+      .crossJoin(parent.agg(count(lit(1)).as("n_parent")))
+      .crossJoin(childless.agg(count(lit(1)).as("n_childless")))
+      .select(lit(rel).as("relation"), col("n_child"), col("n_orphan"),
+        Exact.ratio6(col("n_orphan"), col("n_child")).as("orphan_share"),
+        col("n_parent"), col("n_childless"))
+  }
+
+  def refIntegrity(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+    audit("lineitem->orders", l, "l_orderkey", o, "o_orderkey")
+      .unionByName(audit("orders->customer", o, "o_custkey", c, "c_custkey"))
+      .orderBy(col("relation"))
+  }
+
+  private lazy val refIntegritySql: String = {
+    def audit(rel: String, child: String, ck: String, parent: String,
+        pk: String) =
+      s"""SELECT '$rel' AS relation,
+         | (SELECT CAST(count(*) AS BIGINT) FROM $child) AS n_child,
+         | (SELECT CAST(count(*) AS BIGINT) FROM $child ch
+         |   WHERE NOT EXISTS (SELECT 1 FROM $parent p
+         |     WHERE p.$pk = ch.$ck)) AS n_orphan,
+         | (SELECT CAST(count(*) AS BIGINT) FROM $parent) AS n_parent,
+         | (SELECT CAST(count(*) AS BIGINT) FROM $parent p
+         |   WHERE NOT EXISTS (SELECT 1 FROM $child ch
+         |     WHERE ch.$ck = p.$pk)) AS n_childless""".stripMargin
+    s"""WITH a AS (
+       |${audit("lineitem->orders", "lineitem", "l_orderkey",
+          "orders", "o_orderkey")}
+       |UNION ALL
+       |${audit("orders->customer", "orders", "o_custkey",
+          "customer", "c_custkey")})
+       |SELECT relation, n_child, n_orphan,
+       | ${OracleSql.ratio6("n_orphan", "n_child")} AS orphan_share,
+       | n_parent, n_childless
+       |FROM a ORDER BY relation""".stripMargin
+  }
+
+  val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("v37_expectations",
+      "V37 declarative data-quality expectations: per-check violation " +
+        "counts/shares + strict pass flags, row checks fused into one " +
+        "conditional-sum pass per table (+1 keyed agg for uniqueness)",
+      expectations, Some(expectationsSql)),
+    GraftQuery("v38_ref_integrity",
+      "V38 referential-integrity audit: orphan and childless key " +
+        "counts per FK relation via anti-joins (broadcast at test SF, " +
+        "keyed shuffle beyond)",
+      refIntegrity, Some(refIntegritySql)))
+}

