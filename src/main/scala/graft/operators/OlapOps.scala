@@ -77,7 +77,41 @@ object OlapOps extends QueryModule {
        |FROM events GROUP BY 1 ORDER BY day""".stripMargin
   }
 
+  /** W13: CUBE aggregate — all four grouping sets over
+    * (event_type, day): leaf, per-type, per-day, grand total in ONE
+    * scan (Expand ×4 riding the partial agg — same plan family as W4,
+    * plus the cross-dimension set a ROLLUP hierarchy cannot express;
+    * the same extreme-scale note applies: re-aggregate subtotal sets
+    * from the leaf aggregate when the Expand multiplier bites). gid
+    * = grouping(type)*2 + grouping(day); value mass decimal-exact. */
+  def cubeAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("day",
+        Exact.intDiv(col("ts_s") - EventWindow.StartS, lit(86400L)))
+      .cube(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"),
+        round(Exact.sumExact(col("value")), 6).as("sum_v"),
+        (grouping(col("event_type")) * 2 + grouping(col("day")))
+          .cast("int").as("gid"))
+      .orderBy(col("gid"), coalesce(col("event_type"), lit("")),
+        coalesce(col("day"), lit(-1L)))
+
+  private val cubeSql: String =
+    s"""SELECT event_type,
+       | (epoch_us(ts)//1000000 - ${EventWindow.StartS}) // 86400 AS day,
+       | CAST(count(*) AS BIGINT) AS n,
+       | round(${OracleSql.sumExact("value")}, 6) AS sum_v,
+       | CAST(GROUPING(event_type)*2 + GROUPING(day) AS INT) AS gid
+       |FROM events
+       |GROUP BY CUBE (event_type, day)
+       |ORDER BY gid, coalesce(event_type,''), coalesce(day,-1)""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("w13_cube",
+      "W13 CUBE grouping sets: leaf + per-type + per-day + grand total " +
+        "in one scan (Expand x4 on the partial agg; gid disambiguates " +
+        "grouped-out NULLs)",
+      cubeAgg, Some(cubeSql)),
     GraftQuery("w4_rollup_agg",
       "W4 ROLLUP grouping sets: leaf + subtotal + grand-total levels in " +
         "ONE scan/shuffle (Expand rides the partial agg); gid " +

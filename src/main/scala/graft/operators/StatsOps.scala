@@ -74,6 +74,9 @@ object StatsOps extends QueryModule {
         max(col("nb_tot")).as("n_late"),
         count(lit(1)).as("n_bins"),
         (sum(col("d")).cast("double") / 2000000.0).as("tvd"),
+        // (Δmicro, bin) packed into one integer so max() is
+        // deterministic under ties (largest bin wins); bin < 100 by
+        // the value domain (≤ ~500 / 25), mirrored in the oracle
         max(col("d") * 100L + col("bin")).as("key"))
       .select(col("event_type"), col("n_early"), col("n_late"),
         col("n_bins"),

@@ -414,7 +414,82 @@ object SimilarityOps extends QueryModule {
        |SELECT label, CAST(rk AS INT) AS rk, vec_id, cos
        |FROM r WHERE rk <= 3 ORDER BY label, rk""".stripMargin
 
+  /** V39: embedding drift — the v35/st12 distribution monitors'
+    * EMBEDDING-space sibling: per label, the centroid of snapshot A
+    * (even vec_ids — the parity split stands in for the time axis the
+    * embeddings table doesn't carry) against snapshot B (odd), reported
+    * as centroid cosine and per-dim L1 shift. A representation-drift
+    * alarm for a feature store: the value histograms can hold perfectly
+    * still while the embedding space rotates under a re-trained encoder.
+    *
+    * Exactness without a single libm call except sqrt (which IEEE 754
+    * requires correctly rounded, so both engines agree bit-for-bit on
+    * identical integer inputs): per-dim means are half-up INTEGER
+    * micro-units, the dot products and L1 are exact integer sums over
+    * ≤dims terms (|μ|≤1e6 → Σ|μaμb| ≤ 64·1e12 ≪ 2^63), and the one
+    * division runs on identical doubles. One posexplode + one
+    * (label, half, dim)-keyed shuffle; everything after is over the
+    * labels×dims frame — linear at any corpus size. */
+  def embeddingDrift(spark: SparkSession, dir: String): DataFrame = {
+    val m = Tables.embeddings(spark, dir)
+      .select(col("label"), pmod(col("vec_id"), lit(2L)).as("half"),
+        posexplode(asDouble(col("embedding"))))
+      .toDF("label", "half", "dim", "x")
+      .groupBy(col("label"), col("half"), col("dim"))
+      .agg(count(lit(1)).as("n"),
+        Exact.intDiv(Exact.microSum(col("x")) +
+          shiftright(count(lit(1)), 1), count(lit(1))).as("mu"))
+    m.groupBy(col("label"), col("dim"))
+      .agg(max(when(col("half") === 0, col("n"))).as("na"),
+        max(when(col("half") === 1, col("n"))).as("nb"),
+        max(when(col("half") === 0, col("mu"))).as("am"),
+        max(when(col("half") === 1, col("mu"))).as("bm"))
+      .groupBy(col("label"))
+      .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+        sum(abs(col("am") - col("bm"))).as("l1"),
+        sum(col("am") * col("bm")).as("dab"),
+        sum(col("am") * col("am")).as("daa"),
+        sum(col("bm") * col("bm")).as("dbb"))
+      .select(col("label"), col("n_a"), col("n_b"),
+        (col("l1").cast("double") / 1000000.0).as("l1_shift"),
+        round(col("dab").cast("double") /
+          (sqrt(col("daa").cast("double")) *
+            sqrt(col("dbb").cast("double"))), 6).as("centroid_cos"))
+      .orderBy(col("label"))
+  }
+
+  private lazy val embeddingDriftSql: String =
+    s"""WITH x AS (
+       |  SELECT label, vec_id % 2 AS half,
+       |   unnest(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS x,
+       |   unnest(range(len(embedding))) AS dim
+       |  FROM embeddings),
+       | m AS (
+       |  SELECT label, half, dim, count(*) AS n,
+       |   (${OracleSql.microSum("x")} + count(*) // 2) // count(*) AS mu
+       |  FROM x GROUP BY 1, 2, 3),
+       | j AS (
+       |  SELECT label, dim,
+       |   max(CASE WHEN half = 0 THEN n END) AS na,
+       |   max(CASE WHEN half = 1 THEN n END) AS nb,
+       |   max(CASE WHEN half = 0 THEN mu END) AS am,
+       |   max(CASE WHEN half = 1 THEN mu END) AS bm
+       |  FROM m GROUP BY 1, 2)
+       |SELECT label, CAST(max(na) AS BIGINT) AS n_a,
+       | CAST(max(nb) AS BIGINT) AS n_b,
+       | CAST(sum(abs(am - bm)) AS DOUBLE) / 1000000.0 AS l1_shift,
+       | round(CAST(sum(am * bm) AS DOUBLE) /
+       |   (sqrt(CAST(sum(am * am) AS DOUBLE)) *
+       |    sqrt(CAST(sum(bm * bm) AS DOUBLE))), 6) AS centroid_cos
+       |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("v39_embedding_drift",
+      "V39 embedding drift: per-label centroid cosine + per-dim L1 " +
+        "shift between snapshot halves (integer-micro centroids, exact " +
+        "integer dots, IEEE-exact sqrt) — the representation-drift " +
+        "monitor beside v35/st12's value-distribution checks",
+      embeddingDrift, Some(embeddingDriftSql)),
     GraftQuery("v23_embedding_pool",
       "V23 per-label embedding mean pooling (class centroids): one " +
         "posexplode + one (label,dim)-keyed partial agg, decimal-exact " +

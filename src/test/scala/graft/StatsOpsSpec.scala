@@ -140,6 +140,69 @@ class StatsOpsSpec extends SparkSpec {
     }
   }
 
+  test("w13 cube: every grouping set reconciles with the leaf level") {
+    val rows = graft.operators.OlapOps.cubeAgg(spark, sf0001).collect()
+    val byGid = rows.groupBy(_.getAs[Int]("gid"))
+    assert(byGid.keySet === Set(0, 1, 2, 3))
+    val leaf = byGid(0)
+    val total = byGid(3)
+    assert(total.length === 1)
+    assert(total.head.getAs[Long]("n") === leaf.map(_.getAs[Long]("n")).sum)
+    assert(total.head.getAs[Long]("n") === raw.length.toLong)
+    // per-type subtotals (gid=1: day grouped out) re-aggregate the leaf
+    byGid(1).foreach { r =>
+      val t = r.getAs[String]("event_type")
+      assert(r.get(rows.head.fieldIndex("day")) == null)
+      assert(r.getAs[Long]("n") ===
+        leaf.filter(_.getAs[String]("event_type") == t)
+          .map(_.getAs[Long]("n")).sum)
+    }
+    // per-day subtotals (gid=2: type grouped out) likewise
+    byGid(2).foreach { r =>
+      val d = r.getAs[Long]("day")
+      assert(r.getAs[String]("event_type") == null)
+      assert(r.getAs[Long]("n") ===
+        leaf.filter(_.getAs[Long]("day") == d).map(_.getAs[Long]("n")).sum)
+    }
+  }
+
+  test("v39 embedding drift: centroid cosine and L1 shift recompute " +
+    "from raw vectors in integer micro space") {
+    val vecs = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("label"), col("embedding")).collect()
+      .map(r => (r.getAs[Number]("vec_id").longValue,
+        r.getAs[Number]("label").longValue,
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+    def microMean(xs: Array[Double]): Long = {
+      val s = xs.map(x => (BigDecimal(x).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP) * 1000000).toLongExact).sum
+      (s + xs.length / 2) / xs.length
+    }
+    val rows = graft.sim.SimilarityOps.embeddingDrift(spark, sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val l = r.getAs[Number]("label").longValue
+      val a = vecs.filter(v => v._2 == l && v._1 % 2 == 0)
+      val b = vecs.filter(v => v._2 == l && v._1 % 2 == 1)
+      assert(r.getAs[Long]("n_a") === a.length.toLong)
+      assert(r.getAs[Long]("n_b") === b.length.toLong)
+      val dims = a.head._3.indices
+      val am = dims.map(d => microMean(a.map(_._3(d)))).toArray
+      val bm = dims.map(d => microMean(b.map(_._3(d)))).toArray
+      val l1 = dims.map(d => math.abs(am(d) - bm(d))).sum
+      assert(r.getAs[Double]("l1_shift") === l1.toDouble / 1e6)
+      val dab = dims.map(d => am(d) * bm(d)).sum
+      val daa = dims.map(d => am(d) * am(d)).sum
+      val dbb = dims.map(d => bm(d) * bm(d)).sum
+      val cos = BigDecimal(dab.toDouble /
+        (math.sqrt(daa.toDouble) * math.sqrt(dbb.toDouble)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getAs[Double]("centroid_cos") === cos)
+      assert(math.abs(r.getAs[Double]("centroid_cos")) <= 1.000001)
+    }
+  }
+
   test("w12 gap-fill: dense grid, labels partition the series, and " +
     "every interpolated value sits between its neighbors") {
     val rows = StatsOps.gapFill(spark, sf0001).collect()
