@@ -274,7 +274,101 @@ object MixOps extends QueryModule {
          "count(*)")} AS kept_share
       |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- V40: token-budget allocation (water-filling) ----
+
+  /** V40: budget allocation across weighted sources — the planning step
+    * BEFORE v14's mix draw: given per-source token capacities c_g, mix
+    * weights w_g, and a token budget B (70% of the corpus here), find
+    * the water-filling allocation a_g = min(c_g, ⌊λ·w_g⌋) with λ set so
+    * the budget is spent: sources whose capacity sits below their fair
+    * share saturate, the rest split what remains in weight proportion.
+    * EXACT in integer space: sources sort by the integer ratio c·8/w
+    * (w ∈ {1,2,4,8} divides 8), saturation is the cross-multiplied
+    * compare c·Σw_rest ≤ (B−prefC)·w over prefix sums — the saturated
+    * set is provably a PREFIX of that order, which is what makes the
+    * closed form correct — and the final division floors, so Σa ≤ B
+    * with both engines agreeing bit-for-bit.
+    *
+    * Scale: one scan reduces the corpus to a SOURCES-sized frame (per-
+    * source token sums, map-side combined); every window after runs on
+    * that domain-bounded frame. Two logical uses of the frame (flags +
+    * totals) recompute it — two scans, v26's two-pass precedent. */
+  def tokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    val toks = when(col("text").isNotNull,
+      size(split(lower(col("text")), " "))).otherwise(0)
+    val caps = Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(sum(toks.cast("long")).as("c"))
+      .withColumn("w",
+        expr("8L div shiftleft(1L, CAST(substring(source, 4) AS INT) % 4)"))
+    val tots = caps.agg(sum(col("c")).as("totc"), sum(col("w")).as("totw"))
+    val ord = Window.orderBy(Exact.intDiv(col("c") * 8L, col("w")),
+      col("source"))
+    val before = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val upto = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val flagged = caps.crossJoin(tots)
+      .withColumn("b", Exact.intDiv(col("totc") * 7L, lit(10L)))
+      .withColumn("cumw", coalesce(sum(col("w")).over(before), lit(0L)))
+      .withColumn("prefc", coalesce(sum(col("c")).over(before), lit(0L)))
+      .withColumn("sat", when(col("c") * (col("totw") - col("cumw")) <=
+        (col("b") - col("prefc")) * col("w"), 1).otherwise(0))
+      .withColumn("satall", min(col("sat")).over(upto))
+    val parts = flagged.agg(
+      sum(when(col("satall") === 1, col("c")).otherwise(0L)).as("satc"),
+      sum(when(col("satall") === 0, col("w")).otherwise(0L)).as("unsatw"))
+    flagged.crossJoin(parts)
+      .withColumn("allocated", when(col("satall") === 1, col("c"))
+        .otherwise(Exact.intDiv(
+          (col("b") - col("satc")) * col("w"), col("unsatw"))))
+      .select(col("source"), col("w"), col("c").as("capacity"),
+        col("allocated"), col("satall").cast("int").as("saturated"),
+        Exact.ratio6(col("allocated"), col("b")).as("budget_share"))
+      .orderBy(col("source"))
+  }
+
+  private lazy val tokenBudgetSql: String =
+    s"""WITH caps AS (
+       | SELECT source,
+       |  sum(CAST(coalesce(len(string_split(lower(text), ' ')), 0)
+       |      AS BIGINT)) AS c,
+       |  8 // (1 << (CAST(substr(source, 4) AS INT) % 4)) AS w
+       | FROM documents GROUP BY source),
+       |t AS (SELECT sum(c) AS totc, sum(w) AS totw FROM caps),
+       |o AS (
+       | SELECT caps.source, caps.c, caps.w, t.totw,
+       |  (t.totc * 7) // 10 AS b,
+       |  coalesce(sum(w) OVER (ORDER BY c*8//w, source
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumw,
+       |  coalesce(sum(c) OVER (ORDER BY c*8//w, source
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefc
+       | FROM caps CROSS JOIN t),
+       |s AS (
+       | SELECT *, CASE WHEN c * (totw - cumw) <= (b - prefc) * w
+       |   THEN 1 ELSE 0 END AS sat FROM o),
+       |s2 AS (
+       | SELECT *, min(sat) OVER (ORDER BY c*8//w, source
+       |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS satall
+       | FROM s),
+       |g AS (
+       | SELECT sum(CASE WHEN satall = 1 THEN c ELSE 0 END) AS satc,
+       |  sum(CASE WHEN satall = 0 THEN w ELSE 0 END) AS unsatw FROM s2),
+       |a AS (
+       | SELECT s2.source, s2.w, s2.c, s2.b, s2.satall,
+       |  CASE WHEN s2.satall = 1 THEN s2.c
+       |       ELSE ((s2.b - g.satc) * s2.w) // g.unsatw END AS allocated
+       | FROM s2 CROSS JOIN g)
+       |SELECT source, CAST(w AS BIGINT) AS w, CAST(c AS BIGINT) AS capacity,
+       | CAST(allocated AS BIGINT) AS allocated,
+       | CAST(satall AS INT) AS saturated,
+       | ${OracleSql.ratio6("allocated", "b")} AS budget_share
+       |FROM a ORDER BY source""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("v40_token_budget",
+      "V40 water-filling token-budget allocation across weighted " +
+        "sources (saturate-below-fair-share, split the rest by weight; " +
+        "exact prefix-sum closed form in integer space)",
+      tokenBudget, Some(tokenBudgetSql)),
     GraftQuery("v34_importance_sample",
       "V34 deterministic importance sampling: keep probability " +
         "proportional to row weight, decided by md5-uniform in exact " +

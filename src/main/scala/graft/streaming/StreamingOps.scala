@@ -534,7 +534,69 @@ object StreamingOps extends QueryModule {
        |FROM s WHERE ndt > 0 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
+  /** ST13: streaming expectations — v37's quality gate arriving as a
+    * stream: per-day violation counts for the row-level checks
+    * (null / range / set-membership), maintained as ONE windowed
+    * conditional-sum aggregate (algebraic — O(days) state rows), then
+    * reshaped read-side into the per-(day, check) report with strict
+    * pass flags. The continuous version of the batch gate: a feed
+    * outage shows up as the first red day instead of a failed nightly
+    * job. Counts are algebraic → finite-stream = batch → full oracle. */
+  def streamingExpectations(spark: SparkSession, dir: String): DataFrame = {
+    val agg = eventsStream(spark, dir)
+      .groupBy(window(col("event_ts"), "86400 seconds"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value").isNull, 1).otherwise(0)).as("b_null"),
+        sum(when(col("value") < 0 || col("value") > 400, 1).otherwise(0))
+          .as("b_range"),
+        sum(when(!col("event_type")
+          .isin("click", "view", "purchase", "signup", "error"), 1)
+          .otherwise(0)).as("b_type"))
+      .select(unix_timestamp(col("window.start")).as("day_s"),
+        col("n"), col("b_null"), col("b_range"), col("b_type"))
+    val daily = runToBatch(spark, agg, s"st13_exp_${System.nanoTime()}")
+    def chk(name: String, bad: org.apache.spark.sql.Column) =
+      struct(lit(name).as("chk"), bad.cast("long").as("n_bad"))
+    daily.select(col("day_s"), col("n").cast("long").as("n_checked"),
+      explode(array(
+        chk("type_in_set", col("b_type")),
+        chk("value_in_range_0_400", col("b_range")),
+        chk("value_not_null", col("b_null")))).as("r"))
+      .select(col("day_s"), col("r.chk").as("chk"), col("n_checked"),
+        col("r.n_bad").as("n_bad"))
+      .withColumn("pass", when(col("n_bad") === 0, 1).otherwise(0))
+      .orderBy(col("day_s"), col("chk"))
+  }
+
+  private lazy val streamingExpectationsSql: String =
+    s"""WITH d AS (
+       |  SELECT (epoch_us(ts)//1000000)//86400*86400 AS day_s,
+       |   count(*) AS n,
+       |   sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS b_null,
+       |   sum(CASE WHEN value < 0 OR value > 400 THEN 1 ELSE 0 END)
+       |     AS b_range,
+       |   sum(CASE WHEN event_type NOT IN
+       |     ('click','view','purchase','signup','error')
+       |     THEN 1 ELSE 0 END) AS b_type
+       |  FROM events GROUP BY 1),
+       | c AS (
+       |  SELECT day_s, 'type_in_set' AS chk, n, b_type AS n_bad FROM d
+       |  UNION ALL
+       |  SELECT day_s, 'value_in_range_0_400', n, b_range FROM d
+       |  UNION ALL
+       |  SELECT day_s, 'value_not_null', n, b_null FROM d)
+       |SELECT day_s, chk, CAST(n AS BIGINT) AS n_checked,
+       | CAST(n_bad AS BIGINT) AS n_bad,
+       | CAST(CASE WHEN n_bad = 0 THEN 1 ELSE 0 END AS INT) AS pass
+       |FROM c ORDER BY day_s, chk""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("st13_streaming_expectations",
+      "ST13 streaming data-quality gate: per-day violation counts for " +
+        "the v37 row checks as ONE windowed conditional-sum aggregate " +
+        "(algebraic, O(days) state), reshaped read-side into per-check " +
+        "pass/fail rows",
+      streamingExpectations, Some(streamingExpectationsSql)),
     GraftQuery("st12_streaming_drift",
       "ST12 streaming drift monitor: incrementally-maintained daily " +
         "value histogram (algebraic, domain-bounded state) + read-side " +

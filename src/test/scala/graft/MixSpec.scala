@@ -87,4 +87,56 @@ class MixSpec extends SparkSpec {
     // ranges; a single-shard run would not test the offset join
     assert(2005 / MixOps.ShardWidth >= 10)
   }
+
+  test("v40 closed-form water-filling equals the iterative fixed-point " +
+    "on the skewed fixture, budget spent up to floor loss") {
+    // independent reference: repeatedly saturate every source whose
+    // capacity is at or below its weight-fair share of the remaining
+    // budget, then split what's left by weight (exact rationals)
+    def reference(caps: Seq[(String, Long, Long)],
+        budget: Long): Map[String, Long] = {
+      var sat = Map.empty[String, Long]
+      var active = caps
+      var changed = true
+      while (changed && active.nonEmpty) {
+        val rem = budget - sat.values.sum
+        val wsum = active.map(_._3).sum
+        val hit = active.filter { case (_, c, w) =>
+          BigInt(c) * wsum <= BigInt(rem) * w
+        }
+        changed = hit.nonEmpty
+        sat ++= hit.map(t => t._1 -> t._2)
+        active = active.filterNot(hit.contains)
+      }
+      val rem = budget - sat.values.sum
+      val wsum = active.map(_._3).sum
+      sat ++ active.map { case (s, _, w) =>
+        s -> (BigInt(rem) * w / wsum).toLong
+      }
+    }
+    Seq(dir, sf0001).foreach { d =>
+      val rows = MixOps.tokenBudget(spark, d).collect()
+      val caps = rows.map(r => (r.getAs[String]("source"),
+        r.getAs[Long]("capacity"), r.getAs[Long]("w"))).toSeq
+      val budget = caps.map(_._2).sum * 7 / 10
+      val want = reference(caps, budget)
+      rows.foreach { r =>
+        val s = r.getAs[String]("source")
+        assert(r.getAs[Long]("allocated") === want(s), s"alloc at $s ($d)")
+        if (r.getAs[Int]("saturated") == 1)
+          assert(r.getAs[Long]("allocated") === r.getAs[Long]("capacity"))
+        assert(r.getAs[Long]("allocated") <= r.getAs[Long]("capacity"))
+      }
+      val spent = rows.map(_.getAs[Long]("allocated")).sum
+      val unsat = rows.count(_.getAs[Int]("saturated") == 0)
+      assert(spent <= budget)
+      assert(budget - spent <= math.max(unsat, 1).toLong,
+        s"floor loss too large: $budget vs $spent ($d)")
+      // the skewed fixture exercises BOTH branches
+      if (d == dir) {
+        assert(rows.exists(_.getAs[Int]("saturated") == 1))
+        assert(unsat > 0)
+      }
+    }
+  }
 }

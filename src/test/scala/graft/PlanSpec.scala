@@ -137,6 +137,14 @@ class PlanSpec extends SparkSpec {
     assert(exchanges == 1, s"expected one group exchange, got $exchanges\n$p")
   }
 
+  test("w13 cube rides ONE scan/shuffle with Expand + partial agg") {
+    val p = plan(q("w13_cube"))
+    assert(p.contains("Expand"), p)
+    assert(p.contains("partial_"), p)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected one group exchange, got $exchanges\n$p")
+  }
+
   test("w5 explicit-values pivot is the two-stage keyed aggregate " +
     "(no join, no distinct-values discovery job)") {
     // Spark plans pivot as (day,type) count -> pivotfirst on (day):
@@ -227,7 +235,7 @@ class PlanSpec extends SparkSpec {
       case n if n.children.isEmpty => true
       case n => n.children.exists(rawBelow)
     }
-    Seq("v35_drift", "w12_gap_fill").foreach { id =>
+    Seq("v35_drift", "w12_gap_fill", "v40_token_budget").foreach { id =>
       val lp = q(id).asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
         .queryExecution.optimizedPlan
       val windows = lp.collect { case w: LWindow => w }

@@ -40,6 +40,31 @@ class QualityOpsSpec extends SparkSpec {
       .foreach(r => assert(r.getAs[Int]("pass") === 1, r.toString))
   }
 
+  test("st13 streaming expectations: per-day violation counts " +
+    "recompute from raw rows (streaming conditional sums = batch)") {
+    val raw = Tables.events(spark, sf0001)
+      .select(col("ts_s"), col("event_type"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val rows = graft.streaming.StreamingOps
+      .streamingExpectations(spark, sf0001).collect()
+    val days = raw.map(e => e._1 / 86400 * 86400).distinct
+    assert(rows.length === days.length * 3)
+    rows.foreach { r =>
+      val mine = raw.filter(e =>
+        e._1 / 86400 * 86400 == r.getAs[Long]("day_s"))
+      assert(r.getAs[Long]("n_checked") === mine.length.toLong)
+      val bad = r.getAs[String]("chk") match {
+        case "value_not_null" => 0L // fixture has no null values
+        case "value_in_range_0_400" =>
+          mine.count(e => e._3 < 0 || e._3 > 400).toLong
+        case "type_in_set" => mine.count(e => !Set("click", "view",
+          "purchase", "signup", "error").contains(e._2)).toLong
+      }
+      assert(r.getAs[Long]("n_bad") === bad, r.toString)
+      assert(r.getAs[Int]("pass") === (if (bad == 0) 1 else 0))
+    }
+  }
+
   test("v38 referential integrity: shipped relations are clean, and " +
     "planted orphans / childless parents are counted exactly") {
     val rows = QualityOps.refIntegrity(spark, sf0001).collect()
