@@ -363,7 +363,63 @@ object MixOps extends QueryModule {
        | ${OracleSql.ratio6("allocated", "b")} AS budget_share
        |FROM a ORDER BY source""".stripMargin
 
+  // ---- V41: duplicate-discounted sampling ----
+
+  /** V41: dedup-aware sampling — each document kept with probability
+    * 1/n_copies of its normalized content ([[TextCanon]] hash), so
+    * every DISTINCT content contributes the same expected mass to the
+    * sample no matter how many times it was crawled: the sampling-side
+    * answer to duplicate skew (the alternative to hard dedup when copy
+    * count itself is signal). The keep decision is v34's md5-uniform in
+    * EXACT integer space — u₂₄·n_copies < 2²⁴ — so uniques are always
+    * kept and the draw is reproducible at any parallelism on any
+    * engine. One hash-keyed aggregate + one keyed join + one per-source
+    * aggregate: linear, no windows. Null-text docs are excluded
+    * explicitly (a null hash would silently drop from the join). */
+  def dedupWeightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"), TextCanon.normHash.as("h"))
+    val copies = docs.groupBy(col("h")).agg(count(lit(1)).as("n_copies"))
+    docs.join(copies, Seq("h"))
+      .withColumn("u", conv(substring(
+        md5(concat(lit("dw"), col("doc_id").cast("string"))), 1, 6),
+        16, 10).cast("long"))
+      .withColumn("keep", col("u") * col("n_copies") < lit(16777216L))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_copies") > 1, 1).otherwise(0)).cast("long")
+          .as("n_dup_docs"),
+        sum(when(col("keep"), 1).otherwise(0)).cast("long").as("n_kept"))
+      .withColumn("kept_share", Exact.ratio6(col("n_kept"), col("n_docs")))
+      .orderBy(col("source"))
+  }
+
+  private lazy val dedupWeightedSql: String =
+    s"""WITH d AS (
+       | SELECT doc_id, source, ${OracleSql.normHashText} AS h
+       | FROM documents WHERE text IS NOT NULL),
+       |c AS (SELECT h, count(*) AS n_copies FROM d GROUP BY 1),
+       |k AS (
+       | SELECT d.source, c.n_copies,
+       |  ('0x' || substr(md5('dw' || CAST(d.doc_id AS VARCHAR)), 1, 6))
+       |    ::BIGINT * c.n_copies < 16777216 AS keep
+       | FROM d JOIN c USING (h))
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       | CAST(sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |   AS n_dup_docs,
+       | CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       | ${OracleSql.ratio6("sum(CASE WHEN keep THEN 1 ELSE 0 END)",
+          "count(*)")} AS kept_share
+       |FROM k GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("v41_dedup_weighted_sample",
+      "V41 duplicate-discounted sampling: keep probability 1/n_copies " +
+        "of the normalized content (md5-uniform vs copy count in exact " +
+        "integer space — uniques always kept, distinct contents get " +
+        "equal expected mass)",
+      dedupWeightedSample, Some(dedupWeightedSql)),
     GraftQuery("v40_token_budget",
       "V40 water-filling token-budget allocation across weighted " +
         "sources (saturate-below-fair-share, split the rest by weight; " +

@@ -278,7 +278,66 @@ object TextOps extends QueryModule {
   private def markerSql(lang: String): String =
     s"len(list_filter($wordsSql, w -> w IN (${markers(lang).map(s => s"'$s'").mkString(",")})))"
 
+  /** V42: vocabulary growth — per ingest batch (doc_id-range buckets of
+    * 50 standing in for arrival order), the token volume, distinct
+    * words, FIRST-SEEN words (min-batch per word), the running
+    * vocabulary size, and the novelty ratio. The corpus-health curve a
+    * crawler watches: a collapsing novelty rate means the crawl is
+    * re-reading the same content; a spike means a new domain (or junk)
+    * entered the feed. Word flow is linear (explode + two word-keyed
+    * aggregates); the cumulative window runs over the BATCH frame —
+    * corpus/50 rows; at extreme scale that prefix-sum shards exactly
+    * like v15's. The per-batch exact countDistinct swaps to HLL at
+    * 100 TB (the v9b/t20b convention). */
+  def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        explode(split(TextCanon.normalized, " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .withColumn("batch", Exact.intDiv(col("doc_id"), lit(50L)))
+    val perBatch = words.groupBy(col("batch"))
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("word")).as("n_distinct"))
+    val news = words.groupBy(col("word")).agg(min(col("batch")).as("fb"))
+      .groupBy(col("fb").as("batch")).agg(count(lit(1)).as("n_new"))
+    perBatch.join(news, Seq("batch"), "left")
+      .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+      .withColumn("vocab_cum", sum(col("n_new")).over(
+        Window.orderBy(col("batch"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("novelty", Exact.ratio6(col("n_new"), col("n_distinct")))
+      .orderBy(col("batch"))
+  }
+
+  private lazy val vocabGrowthSql: String =
+    s"""WITH w AS (
+       | SELECT doc_id // 50 AS batch,
+       |  unnest(string_split(${OracleSql.normalizedText}, ' ')) AS word
+       | FROM documents WHERE text IS NOT NULL),
+       |w2 AS (SELECT batch, word FROM w WHERE len(word) > 0),
+       |pb AS (
+       | SELECT batch, count(*) AS n_tokens,
+       |  count(DISTINCT word) AS n_distinct
+       | FROM w2 GROUP BY 1),
+       |fs AS (SELECT word, min(batch) AS fb FROM w2 GROUP BY 1),
+       |nw AS (SELECT fb AS batch, count(*) AS n_new FROM fs GROUP BY 1)
+       |SELECT pb.batch, CAST(n_tokens AS BIGINT) AS n_tokens,
+       | CAST(n_distinct AS BIGINT) AS n_distinct,
+       | CAST(coalesce(n_new, 0) AS BIGINT) AS n_new,
+       | CAST(sum(coalesce(n_new, 0)) OVER (ORDER BY pb.batch
+       |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |   AS vocab_cum,
+       | ${OracleSql.ratio6("coalesce(n_new, 0)", "n_distinct")} AS novelty
+       |FROM pb LEFT JOIN nw USING (batch) ORDER BY 1""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("v42_vocab_growth",
+      "V42 vocabulary growth per ingest batch: tokens, distinct words, " +
+        "first-seen words, running vocab, novelty ratio (linear word " +
+        "flow; cumulative window over the corpus/50 batch frame)",
+      vocabGrowth, Some(vocabGrowthSql)),
     GraftQuery("v4a_lang_id",
       "V4 language-ID via stopword-marker argmax heuristic",
       langId,

@@ -356,4 +356,34 @@ class AnalyticsOpsSpec extends SparkSpec {
     val r = new TraceService(chain).spanDepths(maxLevels = 3).collect()
     assert(r.head.getAs[Int]("max_depth") === 3)
   }
+
+  test("v42 vocabulary growth recomputes from raw docs and the " +
+    "running vocab reconciles") {
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .filter(_.get(1) != null)
+      .map(r => (r.getLong(0), r.getString(1)))
+    val words = docs.flatMap { case (id, t) =>
+      t.toLowerCase.replaceAll("\\s+", " ").trim
+        .split(" ").filter(_.nonEmpty).map(w => (id / 50, w))
+    }
+    val firstSeen = words.groupBy(_._2).view.mapValues(_.map(_._1).min)
+    val rows = graft.nlp.TextOps.vocabGrowth(spark, sf0001).collect()
+    assert(rows.map(_.getAs[Long]("batch")).toSeq ===
+      words.map(_._1).distinct.sorted.toSeq)
+    var cum = 0L
+    rows.foreach { r =>
+      val b = r.getAs[Long]("batch")
+      val mine = words.filter(_._1 == b)
+      assert(r.getAs[Long]("n_tokens") === mine.length.toLong)
+      assert(r.getAs[Long]("n_distinct") ===
+        mine.map(_._2).distinct.length.toLong)
+      val nNew = firstSeen.count(_._2 == b).toLong
+      assert(r.getAs[Long]("n_new") === nNew)
+      cum += nNew
+      assert(r.getAs[Long]("vocab_cum") === cum)
+    }
+    // the full vocabulary is exactly the last running total
+    assert(cum === words.map(_._2).distinct.length.toLong)
+  }
 }

@@ -139,4 +139,38 @@ class MixSpec extends SparkSpec {
       }
     }
   }
+
+  test("v41 duplicate-discounted sample recomputes from raw docs: " +
+    "uniques always kept, keeps decided by u*n_copies in integer space") {
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "source", "text").collect()
+      .filter(_.get(2) != null)
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def norm(t: String): String =
+      t.toLowerCase.replaceAll("\\s+", " ").trim
+    val copies = docs.groupBy(d => md5hex(norm(d._3)))
+      .view.mapValues(_.length).toMap
+    val expect = docs.groupBy(_._2).map { case (src, mine) =>
+      val kept = mine.count { d =>
+        val u = java.lang.Long.parseLong(
+          md5hex("dw" + d._1.toString).take(6), 16)
+        u * copies(md5hex(norm(d._3))) < 16777216L
+      }
+      src -> (mine.length.toLong,
+        mine.count(d => copies(md5hex(norm(d._3))) > 1).toLong, kept.toLong)
+    }
+    val rows = MixOps.dedupWeightedSample(spark, sf0001).collect()
+    assert(rows.length === expect.size)
+    rows.foreach { r =>
+      val (n, dup, kept) = expect(r.getAs[String]("source"))
+      assert(r.getAs[Long]("n_docs") === n, r.toString)
+      assert(r.getAs[Long]("n_dup_docs") === dup, r.toString)
+      assert(r.getAs[Long]("n_kept") === kept, r.toString)
+      // every unique doc is kept (u*1 < 2^24 always)
+      assert(kept >= n - dup)
+    }
+  }
 }

@@ -194,7 +194,12 @@ class ScaleSpec extends SparkSpec {
       // PageRank, the sharded sweep-line prefix-sum, full-outer diff,
       // bigram count join, hash sampling
       "u5_critical_path", "v29_pagerank", "w8_max_concurrency",
-      "v31_snapshot_diff", "v27_rare_bigrams", "v34_importance_sample")
+      "v31_snapshot_diff", "v27_rare_bigrams", "v34_importance_sample",
+      // session-4: bounded-frame windows (drift shares, gap-fill
+      // neighbors, water-filling prefix sums, vocab-growth cumsum),
+      // signed-division trend, CUBE's Expand, dedup-weighted draw
+      "v35_drift", "w11_trend", "w12_gap_fill", "w13_cube",
+      "v40_token_budget", "v41_dedup_weighted_sample", "v42_vocab_growth")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       val at32 = sample.map { id =>
