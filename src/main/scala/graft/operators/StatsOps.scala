@@ -120,8 +120,11 @@ object StatsOps extends QueryModule {
     * compare identical bits — the usual 0.6745 normalizer is a double
     * constant that buys nothing here). Winsorize's (v26) two-level
     * extension: median-based fences survive the >25% contamination that
-    * moves v26's p05/p95. Two grouped-percentile passes with 5-row fence
-    * tables broadcast back; at 100 TB both swap to approx_percentile. */
+    * moves v26's p05/p95. Three scans as written (median fence, MAD
+    * fence, flag pass — each percentile is holistic over the previous
+    * pass's output) with 5-row fence tables broadcast back; at 100 TB
+    * approx_percentile turns the fence passes into one mergeable scan
+    * each, or the d-distribution rides v30's bounded histogram. */
   def madOutliers(spark: SparkSession, dir: String): DataFrame = {
     val e = ev(spark, dir)
     val med = e.groupBy(col("event_type"))
