@@ -163,6 +163,82 @@ object StatsOps extends QueryModule {
        |FROM dd JOIN md USING (event_type)
        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin
 
+  /** V36b: the 100 TB MAD — v36's fences computed from v30's
+    * DOMAIN-bounded unit-bucket histogram instead of three holistic
+    * percentile scans: ONE scan reduces events to (type, bucket) counts
+    * (localCheckpoint'd — the v3b one-pass precedent — so the three
+    * fence derivations reuse it instead of rescanning), the median
+    * bucket is the smallest with 2·cum ≥ n, deviations re-aggregate the
+    * HISTOGRAM (not the rows) into a dev histogram for the MAD bucket,
+    * and the outlier count reads dev > 5·mad off the same frame. Bucket
+    * resolution (unit-width) replaces interpolated percentiles — the
+    * deterministic coarsening that makes the whole computation integer
+    * math over a bounded frame, so unlike the approx_percentile swap it
+    * still carries a FULL oracle. StatsOpsSpec pins agreement with the
+    * exact v36 within one bucket. */
+  def madOutliersHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val hist = ev(spark, dir)
+      .groupBy(col("event_type"), floor(col("value")).cast("long").as("b"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val wt = Window.partitionBy(col("event_type"))
+    val cumW = wt.orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def medianKey(h: DataFrame, key: String): DataFrame =
+      h.withColumn("cum", sum(col("n")).over(cumW))
+        .withColumn("tot", sum(col("n")).over(wt))
+        .filter(col("cum") * 2 >= col("tot"))
+        .groupBy(col("event_type")).agg(min(col("b")).as(key))
+    val med = medianKey(hist, "med_b")
+    val dev = hist.join(broadcast(med), Seq("event_type"))
+      .groupBy(col("event_type"), abs(col("b") - col("med_b")).as("b"))
+      .agg(sum(col("n")).as("n"))
+    val mad = medianKey(dev, "mad_b")
+    hist.join(broadcast(med), Seq("event_type"))
+      .join(broadcast(mad), Seq("event_type"))
+      .groupBy(col("event_type"), col("med_b"), col("mad_b"))
+      .agg(sum(col("n")).as("n"),
+        sum(when(abs(col("b") - col("med_b")) > col("mad_b") * 5, col("n"))
+          .otherwise(0L)).as("n_out"))
+      .withColumn("out_share", Exact.ratio6(col("n_out"), col("n")))
+      .select(col("event_type"), col("med_b"), col("mad_b"), col("n"),
+        col("n_out"), col("out_share"))
+      .orderBy(col("event_type"))
+  }
+
+  private lazy val madHistSql: String =
+    s"""WITH h AS (
+       |  SELECT event_type, CAST(floor(value) AS BIGINT) AS b,
+       |   count(*) AS n
+       |  FROM events GROUP BY 1, 2),
+       | m AS (
+       |  SELECT event_type, min(b) AS med_b FROM (
+       |   SELECT event_type, b, n,
+       |    sum(n) OVER (PARTITION BY event_type ORDER BY b
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |    sum(n) OVER (PARTITION BY event_type) AS tot
+       |   FROM h) WHERE cum * 2 >= tot GROUP BY 1),
+       | dv AS (
+       |  SELECT h.event_type, abs(h.b - m.med_b) AS b, sum(h.n) AS n
+       |  FROM h JOIN m USING (event_type) GROUP BY 1, 2),
+       | md AS (
+       |  SELECT event_type, min(b) AS mad_b FROM (
+       |   SELECT event_type, b, n,
+       |    sum(n) OVER (PARTITION BY event_type ORDER BY b
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |    sum(n) OVER (PARTITION BY event_type) AS tot
+       |   FROM dv) WHERE cum * 2 >= tot GROUP BY 1)
+       |SELECT h.event_type, CAST(m.med_b AS BIGINT) AS med_b,
+       | CAST(md.mad_b AS BIGINT) AS mad_b,
+       | CAST(sum(h.n) AS BIGINT) AS n,
+       | CAST(sum(CASE WHEN abs(h.b - m.med_b) > md.mad_b * 5
+       |          THEN h.n ELSE 0 END) AS BIGINT) AS n_out,
+       | ${OracleSql.ratio6(
+          "sum(CASE WHEN abs(h.b - m.med_b) > md.mad_b * 5 THEN h.n ELSE 0 END)",
+          "sum(h.n)")} AS out_share
+       |FROM h JOIN m USING (event_type) JOIN md USING (event_type)
+       |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin
+
   // ---- W11: least-squares trend ----
 
   /** W11: per-type least-squares trend — daily event counts and daily
@@ -350,6 +426,12 @@ object StatsOps extends QueryModule {
         "5*MAD flagged (two grouped-percentile passes + broadcast-back " +
         "map; approx_percentile swap at 100 TB)",
       madOutliers, Some(madSql)),
+    GraftQuery("v36b_mad_histogram",
+      "V36b MAD fences from the domain-bounded unit-bucket histogram " +
+        "(ONE scan, localCheckpoint'd; dev histogram re-aggregates the " +
+        "histogram, not the rows) — the 100 TB form of v36, still " +
+        "fully oracle-checked",
+      madOutliersHistogram, Some(madHistSql)),
     GraftQuery("w11_trend",
       "W11 least-squares trend: daily count and value-mass slopes per " +
         "type from integer power sums (signed half-away rounding; empty " +

@@ -108,6 +108,22 @@ class StatsOpsSpec extends SparkSpec {
     }
   }
 
+  test("v36b histogram MAD agrees with the exact v36 within one " +
+    "bucket of resolution") {
+    val exact = StatsOps.madOutliers(spark, sf0001).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Double]("med"), r.getAs[Double]("mad"))).toMap
+    val rows = StatsOps.madOutliersHistogram(spark, sf0001).collect()
+    assert(rows.length === exact.size)
+    rows.foreach { r =>
+      val (med, mad) = exact(r.getAs[String]("event_type"))
+      // the bucket median brackets the interpolated one
+      assert(math.abs(r.getAs[Long]("med_b") - med) <= 1.0, r.toString)
+      assert(math.abs(r.getAs[Long]("mad_b") - mad) <= 1.0, r.toString)
+      assert(r.getAs[Long]("n_out") <= r.getAs[Long]("n") / 10)
+    }
+  }
+
   test("w11 trend: slopes recompute from exact rational least squares " +
     "over the zero-filled day frame") {
     val rows = StatsOps.trend(spark, sf0001).collect()
