@@ -590,7 +590,63 @@ object StreamingOps extends QueryModule {
        | CAST(CASE WHEN n_bad = 0 THEN 1 ELSE 0 END AS INT) AS pass
        |FROM c ORDER BY day_s, chk""".stripMargin
 
+  /** ST14: streaming vocabulary ledger — v42's growth curve as a
+    * stream, over word BIGRAMS (the unigram vocabulary of this corpus
+    * saturates in the first batch; the bigram space keeps growing, so
+    * the curve is informative): documents EXPLODE to bigrams inside
+    * the stream and the state is one row per DISTINCT bigram
+    * (first-seen batch + occurrence count, both algebraic — st7's
+    * dedup-ledger regime over an exploded key), so the ledger grows
+    * with the vocabulary, not the corpus. Read side turns the
+    * materialized ledger into the per-batch novelty curve. Bigram
+    * spelling shared with v27. Finite-stream = batch → full oracle. */
+  def streamingVocabLedger(spark: SparkSession, dir: String): DataFrame = {
+    val schema = Tables.table(spark, dir, "documents").schema
+    val docs = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val ledger = docs.filter(col("text").isNotNull)
+      .withColumn("w", split(lower(col("text")), " "))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w) - 1), " +
+          "i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"))
+        .as("bigram"))
+      .withColumn("batch", expr("doc_id div 50"))
+      .groupBy(col("bigram"))
+      .agg(min(col("batch")).as("fb"), count(lit(1)).as("occ"))
+    val mat = runToBatch(spark, ledger, s"st14_vocab_${System.nanoTime()}")
+    mat.groupBy(col("fb").as("batch"))
+      .agg(count(lit(1)).as("n_new"), sum(col("occ")).as("occ_new"))
+      .withColumn("vocab_cum", sum(col("n_new")).over(
+        Window.orderBy(col("batch"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy(col("batch"))
+  }
+
+  private lazy val streamingVocabSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id // 50 AS batch, string_split(lower(text), ' ') AS w
+       |  FROM documents
+       |  WHERE text IS NOT NULL AND len(string_split(lower(text), ' ')) >= 2),
+       | bg AS (
+       |  SELECT batch, unnest(list_transform(range(1, len(w)),
+       |    i -> w[i] || ' ' || w[i + 1])) AS bigram
+       |  FROM d),
+       | fs AS (SELECT bigram, min(batch) AS fb, count(*) AS occ
+       |        FROM bg GROUP BY 1)
+       |SELECT fb AS batch, CAST(count(*) AS BIGINT) AS n_new,
+       | CAST(sum(occ) AS BIGINT) AS occ_new,
+       | CAST(sum(count(*)) OVER (ORDER BY fb
+       |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |   AS vocab_cum
+       |FROM fs GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("st14_streaming_vocab",
+      "ST14 streaming vocabulary ledger: one algebraic state row per " +
+        "distinct word bigram (first-seen batch + occurrences) from an " +
+        "exploded document stream; read side derives the novelty curve",
+      streamingVocabLedger, Some(streamingVocabSql)),
     GraftQuery("st13_streaming_expectations",
       "ST13 streaming data-quality gate: per-day violation counts for " +
         "the v37 row checks as ONE windowed conditional-sum aggregate " +

@@ -386,4 +386,35 @@ class AnalyticsOpsSpec extends SparkSpec {
     // the full vocabulary is exactly the last running total
     assert(cum === words.map(_._2).distinct.length.toLong)
   }
+
+  test("st14 streaming bigram ledger recomputes from raw docs: " +
+    "first-seen batches, occurrence mass, running vocab") {
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .filter(_.get(1) != null)
+      .map(r => (r.getLong(0), r.getString(1)))
+    val bigrams = docs.flatMap { case (id, t) =>
+      val w = t.toLowerCase.split(" ", -1)
+      if (w.length < 2) Nil
+      else w.sliding(2).map(p => (id / 50, p(0) + " " + p(1))).toSeq
+    }
+    val fs = bigrams.groupBy(_._2).view
+      .mapValues(os => (os.map(_._1).min, os.length)).toMap
+    val rows = graft.streaming.StreamingOps
+      .streamingVocabLedger(spark, sf0001).collect()
+    assert(rows.map(_.getAs[Long]("batch")).toSeq ===
+      fs.values.map(_._1).toSeq.distinct.sorted)
+    var cum = 0L
+    rows.foreach { r =>
+      val b = r.getAs[Long]("batch")
+      val mine = fs.values.filter(_._1 == b)
+      assert(r.getAs[Long]("n_new") === mine.size.toLong)
+      assert(r.getAs[Long]("occ_new") === mine.map(_._2.toLong).sum)
+      cum += mine.size
+      assert(r.getAs[Long]("vocab_cum") === cum)
+    }
+    assert(cum === fs.size.toLong)
+    // the curve is genuinely multi-batch on this corpus
+    assert(rows.length > 1)
+  }
 }
