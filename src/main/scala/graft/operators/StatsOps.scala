@@ -256,18 +256,24 @@ object StatsOps extends QueryModule {
     * 100 TB volume the micro-unit mass sums pre-aggregate to coarser
     * units (or DECIMAL(38)) before the power sums — noted, not needed
     * here. */
-  def trend(spark: SparkSession, dir: String): DataFrame = {
+  /** Zero-filled per-(type, day) counts and value micro-mass over the
+    * 30-row day frame (shared by W11 trend and W14 EMA). */
+  private def dailyFilled(spark: SparkSession, dir: String): DataFrame = {
     val daily = ev(spark, dir)
       .groupBy(col("event_type"),
         Exact.intDiv(col("ts_s") - Start, lit(Day)).as("x"))
       .agg(count(lit(1)).as("yn"), Exact.microSum(col("value")).as("yv"))
     val frame = spark.range(0, (End - Start) / Day).toDF("x")
     val types = ev(spark, dir).select(col("event_type")).distinct()
-    val filled = types.crossJoin(frame)
+    types.crossJoin(frame)
       .join(daily, Seq("event_type", "x"), "left")
       .select(col("event_type"), col("x"),
         coalesce(col("yn"), lit(0L)).as("yn"),
         coalesce(col("yv"), lit(0L)).as("yv"))
+  }
+
+  def trend(spark: SparkSession, dir: String): DataFrame = {
+    val filled = dailyFilled(spark, dir)
     val sums = filled.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
         sum(col("x") * col("x")).as("sxx"),
@@ -316,6 +322,57 @@ object StatsOps extends QueryModule {
        | CAST(${OracleSql.signedDivRound("n*sxyv - sx*syv",
           "n*sxx - sx*sx")} AS DOUBLE) / 1000000.0 AS slope_value
        |FROM a ORDER BY 1""".stripMargin
+  }
+
+  // ---- W14: exponential smoothing ----
+
+  /** W14: exponentially-weighted daily count (EMA, α=1/4) per type —
+    * trend's (w11) recency-weighted sibling, the smoothing a monitoring
+    * baseline uses when old days should fade geometrically. The
+    * recurrence EMA_t = (3·EMA_{t-1} + 10⁶·y_t) div 4 floors each step,
+    * so it is NOT associative — no window/aggregate reorders it safely.
+    * Instead the zero-filled day series collects into ONE array per
+    * type (30 elements, domain-bounded) and a sequential in-row fold
+    * (`aggregate` here, `list_reduce` with a prepended 0-seed in
+    * DuckDB) runs the recurrence in exact integer micro-units — both
+    * engines fold the identical list in identical order, v29's
+    * scaled-integer-iteration idea without the per-round jobs (the
+    * horizon is the day DOMAIN, so the whole loop fits in one
+    * expression). EMA is bounded by max daily count ⇒ no overflow. */
+  def emaSeries(spark: SparkSession, dir: String): DataFrame =
+    dailyFilled(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(sum(col("yn")).as("total_n"),
+        transform(array_sort(collect_list(struct(col("x"), col("yn")))),
+          s => s.getField("yn")).as("ys"))
+      .select(col("event_type"), col("total_n"),
+        element_at(col("ys"), -1).as("last_n"),
+        (aggregate(col("ys"), lit(0L), (acc, y) =>
+          Exact.intDiv(acc * 3L + y * 1000000L, lit(4L)))
+          .cast("double") / 1000000.0).as("ema"))
+      .orderBy(col("event_type"))
+
+  private lazy val emaSql: String = {
+    val nDays = (End - Start) / Day
+    s"""WITH d AS (
+       |  SELECT event_type, (epoch_us(ts)//1000000 - $Start) // $Day AS x,
+       |   count(*) AS yn
+       |  FROM events GROUP BY 1, 2),
+       | f AS (
+       |  SELECT t.event_type, x.x, coalesce(d.yn, 0) AS yn
+       |  FROM (SELECT DISTINCT event_type FROM events) t
+       |  CROSS JOIN (SELECT unnest(range(0, $nDays)) AS x) x
+       |  LEFT JOIN d ON t.event_type = d.event_type AND d.x = x.x),
+       | l AS (
+       |  SELECT event_type, CAST(sum(yn) AS BIGINT) AS total_n,
+       |   list(yn ORDER BY x) AS ys
+       |  FROM f GROUP BY 1)
+       |SELECT event_type, total_n,
+       | CAST(ys[-1] AS BIGINT) AS last_n,
+       | CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), ys),
+       |   (acc, y) -> (acc * 3 + y * 1000000) // 4) AS DOUBLE)
+       |   / 1000000.0 AS ema
+       |FROM l ORDER BY 1""".stripMargin
   }
 
   // ---- W12: gap-fill by linear interpolation ----
@@ -437,6 +494,12 @@ object StatsOps extends QueryModule {
         "type from integer power sums (signed half-away rounding; empty " +
         "days zero-filled on the 30-row day frame)",
       trend, Some(trendSql)),
+    GraftQuery("w14_ema",
+      "W14 exponential smoothing (alpha=1/4) of the daily count per " +
+        "type: the floor recurrence is non-associative, so it runs as " +
+        "a sequential in-row fold over the domain-bounded day array — " +
+        "exact integer micro-units, identical order on both engines",
+      emaSeries, Some(emaSql)),
     GraftQuery("w12_gap_fill",
       "W12 series gap-fill: hourly mean on the dense 720-bucket grid, " +
         "gaps linearly interpolated between nearest observations in " +

@@ -219,6 +219,22 @@ class StatsOpsSpec extends SparkSpec {
     }
   }
 
+  test("w14 EMA recomputes from the raw daily series with the exact " +
+    "floor recurrence") {
+    val rows = StatsOps.emaSeries(spark, sf0001).collect()
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val days = (0L until 30L).map(x =>
+        raw.count(e => e._2 == t && (e._1 - Start) / 86400 == x).toLong)
+      val ema = days.foldLeft(0L)((acc, y) => (acc * 3 + y * 1000000L) / 4)
+      assert(r.getAs[Long]("total_n") === days.sum)
+      assert(r.getAs[Long]("last_n") === days.last)
+      assert(r.getAs[Double]("ema") === ema.toDouble / 1e6)
+      // EMA is a convex-ish combination of history: bounded by the max
+      assert(r.getAs[Double]("ema") <= days.max.toDouble)
+    }
+  }
+
   test("w12 gap-fill: dense grid, labels partition the series, and " +
     "every interpolated value sits between its neighbors") {
     val rows = StatsOps.gapFill(spark, sf0001).collect()
