@@ -413,7 +413,76 @@ object MixOps extends QueryModule {
           "count(*)")} AS kept_share
        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- V43: cross-source duplication matrix ----
+
+  /** V43: which crawls duplicate each other — the full source×source
+    * duplication matrix over DISTINCT normalized contents: off-diagonal
+    * (a<b) counts contents present in both feeds, the diagonal counts
+    * contents duplicated WITHIN a feed — the dedup ANALYTICS view (v1
+    * counts copies, v2e clusters them; this attributes duplication to
+    * its feed pairs, which is what decides who gets re-crawled less).
+    * Zero-filled over the bounded source-pair frame so a clean corpus
+    * reports explicit zeros (and the entry stays non-empty at every
+    * SF). One (hash, source, n) aggregate; the cross-pair self-join
+    * keys on the hash with per-hash fan-out bounded by the SOURCE
+    * domain; the output is the ≤ C(sources,2)+sources frame. Null
+    * texts excluded as in v41. */
+  def crossSourceDup(spark: SparkSession, dir: String): DataFrame = {
+    val hs = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(TextCanon.normHash.as("h"), col("source"))
+    val hsrc = hs.groupBy(col("h"), col("source"))
+      .agg(count(lit(1)).as("n"))
+    val cross = hsrc.as("a").join(hsrc.as("b"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"),
+        col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    val within = hsrc.filter(col("n") >= 2)
+      .groupBy(col("source").as("source_a"))
+      .agg(count(lit(1)).as("n_shared"))
+      .withColumn("source_b", col("source_a"))
+    val srcs = Tables.documents(spark, dir).select(col("source")).distinct()
+    val frame = srcs.as("x").join(srcs.as("y"),
+        col("x.source") <= col("y.source"))
+      .select(col("x.source").as("source_a"), col("y.source").as("source_b"))
+    frame.join(cross.unionByName(within.select(col("source_a"),
+        col("source_b"), col("n_shared"))),
+        Seq("source_a", "source_b"), "left")
+      .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  private lazy val crossSourceDupSql: String =
+    s"""WITH hs AS (
+       | SELECT ${OracleSql.normHashText} AS h, source, count(*) AS n
+       | FROM documents WHERE text IS NOT NULL GROUP BY 1, 2),
+       |cr AS (
+       | SELECT a.source AS source_a, b.source AS source_b,
+       |  count(*) AS n_shared
+       | FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
+       | GROUP BY 1, 2),
+       |wi AS (
+       | SELECT source AS source_a, source AS source_b,
+       |  count(*) AS n_shared
+       | FROM hs WHERE n >= 2 GROUP BY 1, 2),
+       |u AS (SELECT * FROM cr UNION ALL SELECT * FROM wi),
+       |f AS (
+       | SELECT x.source AS source_a, y.source AS source_b
+       | FROM (SELECT DISTINCT source FROM documents) x
+       | JOIN (SELECT DISTINCT source FROM documents) y
+       |   ON x.source <= y.source)
+       |SELECT f.source_a, f.source_b,
+       | CAST(coalesce(u.n_shared, 0) AS BIGINT) AS n_shared
+       |FROM f LEFT JOIN u USING (source_a, source_b)
+       |ORDER BY 1, 2""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("v43_cross_source_dup",
+      "V43 cross-source duplication matrix: distinct shared contents " +
+        "per source pair (hash-keyed self-join of the distinct " +
+        "(hash, source) set; fan-out bounded by the source domain)",
+      crossSourceDup, Some(crossSourceDupSql)),
     GraftQuery("v41_dedup_weighted_sample",
       "V41 duplicate-discounted sampling: keep probability 1/n_copies " +
         "of the normalized content (md5-uniform vs copy count in exact " +

@@ -140,6 +140,34 @@ class MixSpec extends SparkSpec {
     }
   }
 
+  test("v43 cross-source matrix detects planted cross and within " +
+    "duplicates and zero-fills the clean pairs") {
+    import spark.implicits._
+    val d = java.nio.file.Files
+      .createTempDirectory("graft_xsrc_fixture").toString
+    // src0∩src1 share 2 contents; src0 has 1 within-dup (docs 5,6);
+    // src2 is clean; doc 9's null text is excluded
+    Seq(
+      (1L, "src0", "alpha beta"), (2L, "src1", "Alpha  beta"),
+      (3L, "src0", "gamma"), (4L, "src1", "gamma"),
+      (5L, "src0", "delta"), (6L, "src0", "delta"),
+      (7L, "src1", "epsilon"), (8L, "src2", "zeta"),
+      (9L, "src2", null))
+      .toDF("doc_id", "source", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rows = MixOps.crossSourceDup(spark, d).collect()
+      .map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b")) ->
+        r.getAs[Long]("n_shared")).toMap
+    // full upper-triangle frame incl. diagonal over 3 sources
+    assert(rows.size === 6)
+    assert(rows(("src0", "src1")) === 2L) // normalization folds case/ws
+    assert(rows(("src0", "src0")) === 1L) // within-source dup
+    assert(rows(("src0", "src2")) === 0L)
+    assert(rows(("src1", "src1")) === 0L)
+    assert(rows(("src1", "src2")) === 0L)
+    assert(rows(("src2", "src2")) === 0L)
+  }
+
   test("v41 duplicate-discounted sample recomputes from raw docs: " +
     "uniques always kept, keeps decided by u*n_copies in integer space") {
     val docs = Tables.documents(spark, sf0001)

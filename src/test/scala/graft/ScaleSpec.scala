@@ -199,7 +199,11 @@ class ScaleSpec extends SparkSpec {
       // neighbors, water-filling prefix sums, vocab-growth cumsum),
       // signed-division trend, CUBE's Expand, dedup-weighted draw
       "v35_drift", "w11_trend", "w12_gap_fill", "w13_cube",
-      "v40_token_budget", "v41_dedup_weighted_sample", "v42_vocab_growth")
+      "v40_token_budget", "v41_dedup_weighted_sample", "v42_vocab_growth",
+      // session-4 late: histogram fences, in-row EMA fold, embedding
+      // micro-centroids, the zero-filled pair matrix
+      "v36b_mad_histogram", "w14_ema", "v39_embedding_drift",
+      "v43_cross_source_dup")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       val at32 = sample.map { id =>
