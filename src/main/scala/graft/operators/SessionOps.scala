@@ -289,7 +289,74 @@ object SessionOps extends QueryModule {
       |WHERE t3 IS NOT NULL AND g2 <= $GapUs AND g3 <= $GapUs
       |GROUP BY 1 ORDER BY n DESC, path LIMIT 10""".stripMargin
 
+  /** U7: purchase attribution — each purchase credited to its session's
+    * ENTRY event type (first-touch) crossed with the immediately
+    * preceding in-session touch (coalesced to 'direct' for
+    * session-opening purchases): the marketing-attribution matrix that
+    * decides channel spend, built on v6's session assignment (same gap,
+    * same (user, session) keys). Two layered windows on the SAME
+    * (user_id)-ordered exchange — session marking, then first/lag
+    * within (user, session) — so the whole derivation costs v6's one
+    * shuffle; the output aggregate is ≤ types² rows. Purchase mass is
+    * decimal-exact. */
+  def attribution(spark: SparkSession, dir: String): DataFrame = {
+    val wU = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val sessed = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts_us"), col("value"))
+      .withColumn("prev_ts", lag(col("ts_us"), 1).over(wU))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          col("ts_us") - col("prev_ts") > GapUs, 1).otherwise(0))
+      .withColumn("sess",
+        sum(col("new_sess")).over(wU.rowsBetween(Window.unboundedPreceding, 0)))
+    val wS = Window.partitionBy(col("user_id"), col("sess"))
+      .orderBy(col("ts_us"), col("event_id"))
+    sessed
+      .withColumn("entry_type", first(col("event_type")).over(wS))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(wS))
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("entry_type"),
+        coalesce(col("prev_type"), lit("direct")).as("prev_type"))
+      .agg(count(lit(1)).as("n_purchases"),
+        round(Exact.sumExact(col("value")), 6).as("purchase_mass"))
+      .orderBy(col("entry_type"), col("prev_type"))
+  }
+
+  private lazy val attributionSql: String =
+    s"""WITH m AS (
+       |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+       |   value,
+       |   CASE WHEN lag(epoch_us(ts), 1) OVER w IS NULL OR
+       |     epoch_us(ts) - lag(epoch_us(ts), 1) OVER w > $GapUs
+       |     THEN 1 ELSE 0 END AS new_sess
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+       | s AS (
+       |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+       |    ORDER BY ts_us, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+       |  FROM m),
+       | a AS (
+       |  SELECT event_type, value,
+       |   first_value(event_type) OVER ws AS entry_type,
+       |   lag(event_type, 1) OVER ws AS prev_type
+       |  FROM s
+       |  WINDOW ws AS (PARTITION BY user_id, sess
+       |                ORDER BY ts_us, event_id))
+       |SELECT entry_type, coalesce(prev_type, 'direct') AS prev_type,
+       | CAST(count(*) AS BIGINT) AS n_purchases,
+       | round(${OracleSql.sumExact("value")}, 6) AS purchase_mass
+       |FROM a WHERE event_type = 'purchase'
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("u7_attribution",
+      "U7 purchase attribution: session entry type x previous in-" +
+        "session touch (first-touch/last-touch matrix on v6's session " +
+        "assignment; one user-keyed shuffle, output <= types^2 rows)",
+      attribution, Some(attributionSql)),
     GraftQuery("w9_path_ngrams",
       "W9 session path mining: top event-type trigrams within the " +
         "session gap via lead-squared window (no per-user self-join)",

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{EventOps, GraphOps, SeriesOps, SpanNativeOps}
+import graft.operators.{EventOps, GraphOps, SeriesOps, SessionOps, SpanNativeOps}
 import graft.nlp.{MixOps, TextOps}
 import graft.spans.TraceService
 import org.apache.spark.sql.functions._
@@ -385,6 +385,47 @@ class AnalyticsOpsSpec extends SparkSpec {
     }
     // the full vocabulary is exactly the last running total
     assert(cum === words.map(_._2).distinct.length.toLong)
+  }
+
+  test("u7 attribution recomputes from a per-user session walk") {
+    val events = Tables.events(spark, sf0001)
+      .select("user_id", "event_id", "event_type", "ts_us", "value")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getDouble(4)))
+    val gap = 30L * 60 * 1000 * 1000
+    val expect = scala.collection.mutable.Map
+      .empty[(String, String), (Long, BigDecimal)]
+    events.groupBy(_._1).foreach { case (_, es) =>
+      val sorted = es.sortBy(e => (e._4, e._2))
+      var entry = ""
+      var prev: Option[String] = None
+      var lastTs = Long.MinValue
+      sorted.foreach { e =>
+        if (lastTs == Long.MinValue || e._4 - lastTs > gap) {
+          entry = e._3; prev = None
+        }
+        if (e._3 == "purchase") {
+          val k = (entry, prev.getOrElse("direct"))
+          val (n, m) = expect.getOrElse(k, (0L, BigDecimal(0)))
+          expect(k) = (n + 1, m + BigDecimal(e._5).setScale(6,
+            BigDecimal.RoundingMode.HALF_UP))
+        }
+        prev = Some(e._3)
+        lastTs = e._4
+      }
+    }
+    val rows = SessionOps.attribution(spark, sf0001).collect()
+    assert(rows.length === expect.size)
+    rows.foreach { r =>
+      val k = (r.getAs[String]("entry_type"), r.getAs[String]("prev_type"))
+      val (n, m) = expect(k)
+      assert(r.getAs[Long]("n_purchases") === n, k.toString)
+      assert(r.getAs[Double]("purchase_mass") ===
+        m.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, k.toString)
+    }
+    // session-opening purchases exist and are credited to themselves
+    assert(expect.keys.exists(_._2 == "direct"))
   }
 
   test("st14 streaming bigram ledger recomputes from raw docs: " +
