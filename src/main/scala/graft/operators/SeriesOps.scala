@@ -193,7 +193,73 @@ object SeriesOps extends QueryModule {
     zeroFill(spark, agg, Seq("u" -> lit(0L)))
   }
 
+  /** W15: DAU/WAU stickiness — daily active users over trailing-7-day
+    * active users per day. The one engagement series that CANNOT be
+    * derived from the daily series (distinct users don't sum across
+    * days — t19's moving average of counts is the wrong answer for
+    * actives): the corpus reduces to DISTINCT (user, day) pairs first
+    * (one shuffle, ≤ users×days rows), the trailing window is a
+    * 7-fan-out join of those pairs onto the 30-row calendar frame, and
+    * the per-day distinct count aggregates that bounded expansion. At
+    * 100 TB the pair table is the (small) reduction of the event
+    * volume; the WAU distinct swaps to HLL sketches merged over the 7
+    * days (the t20b convention) when even pairs×7 is too dear. Partial
+    * leading windows (< 7 days of history) count what exists. */
+  def stickiness(spark: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(spark, dir)
+      .select(col("user_id"),
+        Exact.intDiv(col("ts_s") - EventWindow.StartS, lit(86400L))
+          .as("day"))
+      .distinct()
+    val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("n_dau"))
+    val days = spark.range(0,
+      (EventWindow.EndS - EventWindow.StartS) / 86400L).toDF("d")
+    val wau = days.join(ud,
+        col("day").between(col("d") - 6, col("d")))
+      .groupBy(col("d"))
+      .agg(countDistinct(col("user_id")).as("n_wau"))
+    days.join(dau, col("d") === col("day"), "left")
+      .join(wau, Seq("d"), "left")
+      .select((col("d") * 86400L + EventWindow.StartS).as("day_s"),
+        coalesce(col("n_dau"), lit(0L)).as("n_dau"),
+        coalesce(col("n_wau"), lit(0L)).as("n_wau"))
+      .withColumn("stickiness",
+        when(col("n_wau") > 0, Exact.ratio6(col("n_dau"), col("n_wau")))
+          .otherwise(lit(0.0)))
+      .orderBy(col("day_s"))
+  }
+
+  private lazy val stickinessSql: String = {
+    val start = EventWindow.StartS
+    val nDays = (EventWindow.EndS - EventWindow.StartS) / 86400L
+    s"""WITH ud AS (
+       |  SELECT DISTINCT user_id,
+       |   (epoch_us(ts)//1000000 - $start) // 86400 AS day
+       |  FROM events),
+       | days AS (SELECT unnest(range(0, $nDays)) AS d),
+       | dau AS (SELECT day, count(*) AS n_dau FROM ud GROUP BY 1),
+       | wau AS (
+       |  SELECT days.d, count(DISTINCT ud.user_id) AS n_wau
+       |  FROM days JOIN ud ON ud.day BETWEEN days.d - 6 AND days.d
+       |  GROUP BY 1)
+       |SELECT CAST(days.d * 86400 + $start AS BIGINT) AS day_s,
+       | CAST(coalesce(dau.n_dau, 0) AS BIGINT) AS n_dau,
+       | CAST(coalesce(wau.n_wau, 0) AS BIGINT) AS n_wau,
+       | CASE WHEN coalesce(wau.n_wau, 0) > 0
+       |   THEN ${OracleSql.ratio6("coalesce(dau.n_dau, 0)",
+          "coalesce(wau.n_wau, 0)")}
+       |   ELSE 0.0 END AS stickiness
+       |FROM days LEFT JOIN dau ON days.d = dau.day
+       |LEFT JOIN wau ON days.d = wau.d
+       |ORDER BY 1""".stripMargin
+  }
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("w15_stickiness",
+      "W15 DAU/WAU stickiness: trailing-7-day distinct actives per day " +
+        "(distinct (user, day) pairs + a 7-fan-out calendar join — " +
+        "distincts don't sum, so no moving average can derive this)",
+      stickiness, Some(stickinessSql)),
     GraftQuery("t20_unique_users_series",
       "T20 zero-filled distinct-users-per-bucket series (exact oracle " +
         "surface; HLL++ twin t20b is the scale form)",

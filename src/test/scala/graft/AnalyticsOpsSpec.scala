@@ -387,6 +387,38 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(cum === words.map(_._2).distinct.length.toLong)
   }
 
+  test("w15 stickiness: DAU/WAU recompute from raw (user, day) pairs " +
+    "and WAU is never a sum of DAUs") {
+    val pairs = Tables.events(spark, sf0001)
+      .select(col("user_id"),
+        ((expr("ts div 1000000000") - EventWindow.StartS) / 86400)
+          .cast("long").as("day"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val rows = SeriesOps.stickiness(spark, sf0001).collect()
+    assert(rows.length === 30)
+    rows.foreach { r =>
+      val d = (r.getAs[Long]("day_s") - EventWindow.StartS) / 86400
+      val dau = pairs.count(_._2 == d).toLong
+      val wau = pairs.filter(p => p._2 >= d - 6 && p._2 <= d)
+        .map(_._1).distinct.length.toLong
+      assert(r.getAs[Long]("n_dau") === dau, s"dau at $d")
+      assert(r.getAs[Long]("n_wau") === wau, s"wau at $d")
+      if (wau > 0)
+        assert(r.getAs[Double]("stickiness") ===
+          ((dau * 1000000L + wau / 2) / wau).toDouble / 1e6)
+      // distincts don't sum: the trailing week has repeat actives
+      val dauSum = (d - 6 to d).map(x => pairs.count(_._2 == x)).sum
+      if (d >= 6) assert(wau <= dauSum)
+    }
+    // the corpus genuinely has repeat users (wau < sum of daus somewhere)
+    assert(rows.exists { r =>
+      val d = (r.getAs[Long]("day_s") - EventWindow.StartS) / 86400
+      d >= 6 && r.getAs[Long]("n_wau") <
+        (d - 6 to d).map(x => pairs.count(_._2 == x).toLong).sum
+    })
+  }
+
   test("u7 attribution recomputes from a per-user session walk") {
     val events = Tables.events(spark, sf0001)
       .select("user_id", "event_id", "event_type", "ts_us", "value")
