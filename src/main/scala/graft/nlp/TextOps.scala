@@ -332,7 +332,51 @@ object TextOps extends QueryModule {
        | ${OracleSql.ratio6("coalesce(n_new, 0)", "n_distinct")} AS novelty
        |FROM pb LEFT JOIN nw USING (batch) ORDER BY 1""".stripMargin
 
+  /** V44: OOV rate — per source, the share of tokens OUTSIDE the
+    * learned top-20 vocabulary (v4e's build at a tighter cutoff — this
+    * corpus has only 31 distinct words, so a top-50 vocab would cover
+    * everything and the metric would be vacuous): the tokenizer-coverage metric that
+    * decides whether a vocab transfers to a new feed (a source whose
+    * OOV share spikes needs its own merges). Same token convention as
+    * v4e; the vocabulary side is LIMIT-bounded, so the membership probe
+    * is a broadcast left join — one exploded scan + one token-keyed
+    * vocab aggregate, linear. */
+  def oovRate(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("source"), explode(words).as("token"))
+    val voc = toks.groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token")).limit(20)
+      .select(col("token"), lit(1).as("in_vocab"))
+    toks.join(broadcast(voc), Seq("token"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1).otherwise(0)).cast("long")
+          .as("n_oov"))
+      .withColumn("oov_share", Exact.ratio6(col("n_oov"), col("n_tokens")))
+      .orderBy(col("source"))
+  }
+
+  private lazy val oovSql: String =
+    s"""WITH t AS (
+       |  SELECT source, unnest($wordsSql) AS token FROM documents),
+       | v AS (
+       |  SELECT token FROM (
+       |   SELECT token, count(*) AS freq FROM t GROUP BY 1
+       |   ORDER BY freq DESC, token LIMIT 20))
+       |SELECT t.source, CAST(count(*) AS BIGINT) AS n_tokens,
+       | CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |   AS n_oov,
+       | ${OracleSql.ratio6("sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)",
+          "count(*)")} AS oov_share
+       |FROM t LEFT JOIN v ON t.token = v.token
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("v44_oov_rate",
+      "V44 OOV rate per source under the learned top-20 vocab " +
+        "(tokenizer-coverage metric; broadcast vocab membership probe, " +
+        "linear)",
+      oovRate, Some(oovSql)),
     GraftQuery("v42_vocab_growth",
       "V42 vocabulary growth per ingest batch: tokens, distinct words, " +
         "first-seen words, running vocab, novelty ratio (linear word " +

@@ -375,6 +375,42 @@ object StatsOps extends QueryModule {
        |FROM l ORDER BY 1""".stripMargin
   }
 
+  // ---- W16: weekday seasonality profile ----
+
+  /** W16: day-of-week seasonality — per (type, weekday): event count,
+    * decimal-exact mean value, and the share of the type's weekly
+    * traffic. The baseline that turns t21's "is today anomalous" into
+    * "is today anomalous FOR A SATURDAY". Weekday is pure integer
+    * calendar arithmetic — (ts_s − Start) div 86400 mod 7, day 0 =
+    * 2024-01-01 = Monday — so both engines bucket identically without
+    * touching timezone-dependent date functions. One scan → the 35-row
+    * (type × weekday) frame; the share window runs on that frame. */
+  def weekdayProfile(spark: SparkSession, dir: String): DataFrame = {
+    val byDow = ev(spark, dir)
+      .groupBy(col("event_type"),
+        pmod(Exact.intDiv(col("ts_s") - Start, lit(Day)), lit(7L))
+          .as("dow"))
+      .agg(count(lit(1)).as("n"), Exact.avgExact(col("value")).as("avg_v"))
+    byDow
+      .withColumn("n_type",
+        sum(col("n")).over(Window.partitionBy(col("event_type"))))
+      .select(col("event_type"), col("dow"), col("n"), col("avg_v"),
+        Exact.ratio6(col("n"), col("n_type")).as("week_share"))
+      .orderBy(col("event_type"), col("dow"))
+  }
+
+  private lazy val weekdaySql: String =
+    s"""WITH d AS (
+       |  SELECT event_type,
+       |   ((epoch_us(ts)//1000000 - $Start) // $Day) % 7 AS dow,
+       |   count(*) AS n, ${OracleSql.avgExact("value")} AS avg_v
+       |  FROM events GROUP BY 1, 2)
+       |SELECT event_type, CAST(dow AS BIGINT) AS dow,
+       | CAST(n AS BIGINT) AS n, avg_v,
+       | ${OracleSql.ratio6("n",
+          "sum(n) OVER (PARTITION BY event_type)")} AS week_share
+       |FROM d ORDER BY 1, 2""".stripMargin
+
   // ---- W12: gap-fill by linear interpolation ----
 
   /** W12: series imputation — hourly mean value per type on the dense
@@ -494,6 +530,11 @@ object StatsOps extends QueryModule {
         "type from integer power sums (signed half-away rounding; empty " +
         "days zero-filled on the 30-row day frame)",
       trend, Some(trendSql)),
+    GraftQuery("w16_weekday_profile",
+      "W16 weekday seasonality: per (type, dow) count, exact mean, " +
+        "weekly share — integer calendar arithmetic (day 0 = Monday), " +
+        "share window over the 35-row frame",
+      weekdayProfile, Some(weekdaySql)),
     GraftQuery("w14_ema",
       "W14 exponential smoothing (alpha=1/4) of the daily count per " +
         "type: the floor recurrence is non-associative, so it runs as " +

@@ -387,6 +387,29 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(cum === words.map(_._2).distinct.length.toLong)
   }
 
+  test("v44 OOV rate recomputes from the raw corpus under the " +
+    "independently rebuilt top-20 vocab") {
+    val docs = Tables.documents(spark, sf0001)
+      .select("source", "text").collect()
+      .filter(_.get(1) != null)
+      .map(r => (r.getString(0), r.getString(1)))
+    val toks = docs.flatMap { case (s, t) =>
+      t.toLowerCase.split(" ", -1).map(s -> _)
+    }
+    val vocab = toks.groupBy(_._2).view.mapValues(_.size).toSeq
+      .sortBy { case (tok, f) => (-f, tok) }.take(20).map(_._1).toSet
+    val rows = graft.nlp.TextOps.oovRate(spark, sf0001).collect()
+    assert(rows.length === docs.map(_._1).distinct.length)
+    rows.foreach { r =>
+      val mine = toks.filter(_._1 == r.getAs[String]("source"))
+      val oov = mine.count(t => !vocab.contains(t._2)).toLong
+      assert(r.getAs[Long]("n_tokens") === mine.length.toLong)
+      assert(r.getAs[Long]("n_oov") === oov)
+    }
+    // the 50-word vocab genuinely leaves some mass uncovered
+    assert(rows.exists(_.getAs[Long]("n_oov") > 0))
+  }
+
   test("w15 stickiness: DAU/WAU recompute from raw (user, day) pairs " +
     "and WAU is never a sum of DAUs") {
     val pairs = Tables.events(spark, sf0001)

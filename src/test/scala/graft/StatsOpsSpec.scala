@@ -219,6 +219,32 @@ class StatsOpsSpec extends SparkSpec {
     }
   }
 
+  test("w16 weekday profile recomputes from raw rows with integer " +
+    "calendar arithmetic (day 0 = Monday) and shares sum to ~1") {
+    val rows = StatsOps.weekdayProfile(spark, sf0001).collect()
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val dow = r.getAs[Long]("dow")
+      val mine = raw.filter(e =>
+        e._2 == t && ((e._1 - Start) / 86400) % 7 == dow)
+      val all = raw.count(_._2 == t).toLong
+      assert(r.getAs[Long]("n") === mine.length.toLong, s"$t dow $dow")
+      val microSum = mine.map(e => (BigDecimal(e._3).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP) * 1000000).toLongExact).sum
+      val n = mine.length.toLong
+      assert(r.getAs[Double]("avg_v") ===
+        ((microSum + n / 2) / n).toDouble / 1e6)
+      assert(r.getAs[Double]("week_share") ===
+        ((n * 1000000L + all / 2) / all).toDouble / 1e6)
+    }
+    // per type, seven weekday rows whose shares sum to 1 +- rounding
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (t, rs) =>
+      assert(rs.length === 7, t)
+      val s = rs.map(_.getAs[Double]("week_share")).sum
+      assert(math.abs(s - 1.0) < 1e-5, s"$t shares sum to $s")
+    }
+  }
+
   test("w14 EMA recomputes from the raw daily series with the exact " +
     "floor recurrence") {
     val rows = StatsOps.emaSeries(spark, sf0001).collect()
