@@ -203,7 +203,11 @@ class ScaleSpec extends SparkSpec {
       // session-4 late: histogram fences, in-row EMA fold, embedding
       // micro-centroids, the zero-filled pair matrix
       "v36b_mad_histogram", "w14_ema", "v39_embedding_drift",
-      "v43_cross_source_dup")
+      "v43_cross_source_dup",
+      // session-4 final: layered session windows, trailing-distinct
+      // join, weekday shares, vocab membership probe
+      "u7_attribution", "w15_stickiness", "w16_weekday_profile",
+      "v44_oov_rate")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       val at32 = sample.map { id =>
