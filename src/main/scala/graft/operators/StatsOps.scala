@@ -375,6 +375,72 @@ object StatsOps extends QueryModule {
        |FROM l ORDER BY 1""".stripMargin
   }
 
+  // ---- U8: activity concentration profile ----
+
+  /** U8: power-user concentration — users bucketed into activity
+    * deciles, each decile's share of total event volume (the "top 10%
+    * of users drive X% of traffic" curve that sizes per-user state,
+    * rate limits, and skew handling). NO ntile: a rank-based decile is
+    * a global sort of the user histogram — one task at 1e9 users.
+    * Instead the nine decile FENCES come from one percentile aggregate
+    * over per-user counts (6-dp-rounded, broadcast back), and bucket
+    * assignment is a pure-map fence comparison — v26's
+    * fence-pass-then-map shape applied to ranking. Equal-frequency up
+    * to ties on the fence values (tied counts land in the same bucket
+    * — deterministic on both engines because the compares run on
+    * identical rounded fences). Cumulative share runs over the ≤10-row
+    * decile frame. */
+  def concentration(spark: SparkSession, dir: String): DataFrame = {
+    val uc = ev(spark, dir).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("c"))
+    val fences = uc.agg(percentile(col("c"),
+      array((1 to 9).map(i => lit(i / 10.0)): _*)).as("f"))
+      .select((1 to 9).map(i =>
+        round(element_at(col("f"), i), 6).as(s"f$i")): _*)
+    val decile = (1 to 9).map(i =>
+      when(col("c") > col(s"f$i"), 1).otherwise(0)).reduce(_ + _)
+    val byDecile = uc.crossJoin(broadcast(fences))
+      .withColumn("decile", decile)
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_users"), sum(col("c")).as("n_events"))
+    val wAll = Window.partitionBy(lit(1))
+    val wCum = wAll.orderBy(col("decile").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byDecile
+      .withColumn("tot", sum(col("n_events")).over(wAll))
+      .withColumn("event_share", Exact.ratio6(col("n_events"), col("tot")))
+      .withColumn("top_cum_share",
+        Exact.ratio6(sum(col("n_events")).over(wCum), col("tot")))
+      .select(col("decile"), col("n_users"), col("n_events"),
+        col("event_share"), col("top_cum_share"))
+      .orderBy(col("decile"))
+  }
+
+  private lazy val concentrationSql: String = {
+    val fcols = (1 to 9).map(i =>
+      s"round(quantile_cont(c, ${i / 10.0}), 6) AS f$i").mkString(", ")
+    val dec = (1 to 9).map(i =>
+      s"CASE WHEN c > f$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH uc AS (SELECT user_id, count(*) AS c FROM events GROUP BY 1),
+       | f AS (SELECT $fcols FROM uc),
+       | d AS (
+       |  SELECT $dec AS decile, c FROM uc CROSS JOIN f),
+       | g AS (
+       |  SELECT decile, count(*) AS n_users, sum(c) AS n_events
+       |  FROM d GROUP BY 1),
+       | t AS (
+       |  SELECT *, sum(n_events) OVER () AS tot,
+       |   sum(n_events) OVER (ORDER BY decile DESC
+       |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM g)
+       |SELECT CAST(decile AS INT) AS decile,
+       | CAST(n_users AS BIGINT) AS n_users,
+       | CAST(n_events AS BIGINT) AS n_events,
+       | ${OracleSql.ratio6("n_events", "tot")} AS event_share,
+       | ${OracleSql.ratio6("cum", "tot")} AS top_cum_share
+       |FROM t ORDER BY decile""".stripMargin
+  }
+
   // ---- W16: weekday seasonality profile ----
 
   /** W16: day-of-week seasonality — per (type, weekday): event count,
@@ -530,6 +596,12 @@ object StatsOps extends QueryModule {
         "type from integer power sums (signed half-away rounding; empty " +
         "days zero-filled on the 30-row day frame)",
       trend, Some(trendSql)),
+    GraftQuery("u8_concentration",
+      "U8 power-user concentration: activity deciles by percentile " +
+        "fences (no ntile global sort — fence pass + pure-map " +
+        "assignment), per-decile event share and top-down cumulative " +
+        "share over the 10-row frame",
+      concentration, Some(concentrationSql)),
     GraftQuery("w16_weekday_profile",
       "W16 weekday seasonality: per (type, dow) count, exact mean, " +
         "weekly share — integer calendar arithmetic (day 0 = Monday), " +

@@ -219,6 +219,33 @@ class StatsOpsSpec extends SparkSpec {
     }
   }
 
+  test("u8 concentration: deciles partition all users, shares sum to " +
+    "1, and the cumulative share is monotone from the top") {
+    val rows = StatsOps.concentration(spark, sf0001).collect()
+      .sortBy(_.getAs[Int]("decile"))
+    val byUser = Tables.events(spark, sf0001)
+      .groupBy(col("user_id")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(rows.map(_.getAs[Long]("n_users")).sum === byUser.length.toLong)
+    assert(rows.map(_.getAs[Long]("n_events")).sum ===
+      byUser.map(_._2).sum)
+    val shares = rows.map(_.getAs[Double]("event_share"))
+    assert(math.abs(shares.sum - 1.0) < 1e-5)
+    // per-user event counts are non-decreasing across deciles
+    // (fence assignment orders buckets by activity)
+    val avg = rows.map(r => r.getAs[Long]("n_events").toDouble /
+      r.getAs[Long]("n_users"))
+    avg.sliding(2).foreach { case Array(a, b) => assert(a <= b + 1e-9)
+      case _ => }
+    // top-down cumulative share: decreasing decile -> increasing cum,
+    // ending at 1 for decile 0's row
+    assert(rows.head.getAs[Double]("top_cum_share") === 1.0)
+    rows.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo.getAs[Double]("top_cum_share") >=
+        hi.getAs[Double]("top_cum_share"))
+      case _ => }
+  }
+
   test("w16 weekday profile recomputes from raw rows with integer " +
     "calendar arithmetic (day 0 = Monday) and shares sum to ~1") {
     val rows = StatsOps.weekdayProfile(spark, sf0001).collect()
