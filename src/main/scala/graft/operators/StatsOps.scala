@@ -375,6 +375,87 @@ object StatsOps extends QueryModule {
        |FROM l ORDER BY 1""".stripMargin
   }
 
+  // ---- W17: outage windows (gaps and islands) ----
+
+  /** W17: outage report — per type, the EMPTY-hour runs of the month
+    * (count of empty hours, number of contiguous gaps, the longest
+    * gap's length and start), via the classic gaps-and-islands
+    * rewrite: empty hours get an island id `hour − row_number()` that
+    * is constant exactly across consecutive empties. Monitoring's "did
+    * the feed stop, and for how long" — w12 interpolates THROUGH these
+    * gaps; this one reports them. All windows run over the
+    * domain-bounded 720-hour grid; the longest-gap tie (two gaps of
+    * equal length) breaks to the EARLIEST via an integer
+    * (len, 719−start_hour) pack, mirrored in the oracle. Types with no
+    * gaps report zeros with start −1 (at sf0.1 every hour has events —
+    * the empty report is itself the assertion). */
+  def outageWindows(spark: SparkSession, dir: String): DataFrame = {
+    val obs = ev(spark, dir)
+      .groupBy(col("event_type"),
+        Exact.intDiv(col("ts_s") - Start, lit(Hour)).as("h"))
+      .agg(count(lit(1)).as("n"))
+    val frame = spark.range(0, (End - Start) / Hour).toDF("h")
+    val types = ev(spark, dir).select(col("event_type")).distinct()
+    val empties = types.crossJoin(frame)
+      .join(obs, Seq("event_type", "h"), "left")
+      .filter(col("n").isNull)
+    val wT = Window.partitionBy(col("event_type")).orderBy(col("h"))
+    val islands = empties
+      .withColumn("island", col("h") - row_number().over(wT))
+      .groupBy(col("event_type"), col("island"))
+      .agg(count(lit(1)).as("len"), min(col("h")).as("start_h"))
+    val gaps = islands.groupBy(col("event_type"))
+      .agg(sum(col("len")).as("n_empty_hours"),
+        count(lit(1)).as("n_gaps"),
+        max(col("len") * 1024L + (lit(719L) - col("start_h"))).as("key"))
+      .select(col("event_type"), col("n_empty_hours"), col("n_gaps"),
+        Exact.intDiv(col("key"), lit(1024L)).as("max_gap_hours"),
+        ((lit(719L) - pmod(col("key"), lit(1024L))) * Hour + Start)
+          .as("max_gap_start_s"))
+    types.join(gaps, Seq("event_type"), "left")
+      .select(col("event_type"),
+        coalesce(col("n_empty_hours"), lit(0L)).as("n_empty_hours"),
+        coalesce(col("n_gaps"), lit(0L)).as("n_gaps"),
+        coalesce(col("max_gap_hours"), lit(0L)).as("max_gap_hours"),
+        coalesce(col("max_gap_start_s"), lit(-1L)).as("max_gap_start_s"))
+      .orderBy(col("event_type"))
+  }
+
+  private lazy val outageSql: String = {
+    val nHours = (End - Start) / Hour
+    s"""WITH o AS (
+       |  SELECT event_type, (epoch_us(ts)//1000000 - $Start) // $Hour AS h,
+       |   count(*) AS n
+       |  FROM events GROUP BY 1, 2),
+       | t AS (SELECT DISTINCT event_type FROM events),
+       | e AS (
+       |  SELECT t.event_type, x.h
+       |  FROM t CROSS JOIN (SELECT unnest(range(0, $nHours)) AS h) x
+       |  LEFT JOIN o ON o.event_type = t.event_type AND o.h = x.h
+       |  WHERE o.n IS NULL),
+       | i AS (
+       |  SELECT event_type, h,
+       |   h - row_number() OVER (PARTITION BY event_type ORDER BY h)
+       |     AS island
+       |  FROM e),
+       | g AS (
+       |  SELECT event_type, island, count(*) AS len, min(h) AS start_h
+       |  FROM i GROUP BY 1, 2),
+       | a AS (
+       |  SELECT event_type, sum(len) AS n_empty_hours,
+       |   count(*) AS n_gaps,
+       |   max(len * 1024 + (719 - start_h)) AS key
+       |  FROM g GROUP BY 1)
+       |SELECT t.event_type,
+       | CAST(coalesce(a.n_empty_hours, 0) AS BIGINT) AS n_empty_hours,
+       | CAST(coalesce(a.n_gaps, 0) AS BIGINT) AS n_gaps,
+       | CAST(coalesce(a.key // 1024, 0) AS BIGINT) AS max_gap_hours,
+       | CAST(coalesce((719 - a.key % 1024) * $Hour + $Start, -1) AS BIGINT)
+       |   AS max_gap_start_s
+       |FROM t LEFT JOIN a USING (event_type)
+       |ORDER BY 1""".stripMargin
+  }
+
   // ---- U8: activity concentration profile ----
 
   /** U8: power-user concentration — users bucketed into activity
@@ -596,6 +677,12 @@ object StatsOps extends QueryModule {
         "type from integer power sums (signed half-away rounding; empty " +
         "days zero-filled on the 30-row day frame)",
       trend, Some(trendSql)),
+    GraftQuery("w17_outage_windows",
+      "W17 outage report: per-type empty-hour runs via gaps-and-" +
+        "islands over the bounded 720-hour grid (longest gap length + " +
+        "start, earliest-wins tie-break; zeros when the feed never " +
+        "stopped)",
+      outageWindows, Some(outageSql)),
     GraftQuery("u8_concentration",
       "U8 power-user concentration: activity deciles by percentile " +
         "fences (no ntile global sort — fence pass + pure-map " +

@@ -219,6 +219,38 @@ class StatsOpsSpec extends SparkSpec {
     }
   }
 
+  test("w17 outage windows recompute from a raw empty-hour walk with " +
+    "earliest-wins tie-break") {
+    val rows = StatsOps.outageWindows(spark, sf0001).collect()
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val occupied = raw.filter(_._2 == t)
+        .map(e => (e._1 - Start) / 3600).toSet
+      val empties = (0L until 720L).filterNot(occupied)
+      assert(r.getAs[Long]("n_empty_hours") === empties.length.toLong)
+      // walk the runs
+      var runs = List.empty[(Long, Long)] // (start, len)
+      empties.foreach { h =>
+        runs = runs match {
+          case (s, l) :: rest if s + l == h => (s, l + 1) :: rest
+          case _ => (h, 1L) :: runs
+        }
+      }
+      assert(r.getAs[Long]("n_gaps") === runs.length.toLong)
+      if (runs.nonEmpty) {
+        val maxLen = runs.map(_._2).max
+        val start = runs.filter(_._2 == maxLen).map(_._1).min
+        assert(r.getAs[Long]("max_gap_hours") === maxLen)
+        assert(r.getAs[Long]("max_gap_start_s") === Start + start * 3600)
+      } else {
+        assert(r.getAs[Long]("max_gap_hours") === 0L)
+        assert(r.getAs[Long]("max_gap_start_s") === -1L)
+      }
+    }
+    // sf0.001 is sparse enough that real gaps exist
+    assert(rows.exists(_.getAs[Long]("max_gap_hours") >= 2))
+  }
+
   test("u8 concentration: deciles partition all users, shares sum to " +
     "1, and the cumulative share is monotone from the top") {
     val rows = StatsOps.concentration(spark, sf0001).collect()
