@@ -198,24 +198,27 @@ object SeriesOps extends QueryModule {
     * derived from the daily series (distinct users don't sum across
     * days — t19's moving average of counts is the wrong answer for
     * actives): the corpus reduces to DISTINCT (user, day) pairs first
-    * (one shuffle, ≤ users×days rows), the trailing window is a
-    * 7-fan-out join of those pairs onto the 30-row calendar frame, and
-    * the per-day distinct count aggregates that bounded expansion. At
-    * 100 TB the pair table is the (small) reduction of the event
-    * volume; the WAU distinct swaps to HLL sketches merged over the 7
-    * days (the t20b convention) when even pairs×7 is too dear. Partial
-    * leading windows (< 7 days of history) count what exists. */
+    * (one shuffle, ≤ users×days rows), each pair EXPLODES to the ≤7
+    * trailing windows it belongs to (a pure map — the BETWEEN-join
+    * formulation compiles to a nested loop against the calendar frame;
+    * this doesn't), and the per-day distinct count aggregates that
+    * bounded ×7 expansion. At 100 TB the pair table is the (small)
+    * reduction of the event volume; the WAU distinct swaps to HLL
+    * sketches merged over the 7 days (the t20b convention) when even
+    * pairs×7 is too dear. Partial leading windows (< 7 days of
+    * history) count what exists. */
   def stickiness(spark: SparkSession, dir: String): DataFrame = {
+    val nDays = (EventWindow.EndS - EventWindow.StartS) / 86400L
     val ud = Tables.events(spark, dir)
       .select(col("user_id"),
         Exact.intDiv(col("ts_s") - EventWindow.StartS, lit(86400L))
           .as("day"))
       .distinct()
     val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("n_dau"))
-    val days = spark.range(0,
-      (EventWindow.EndS - EventWindow.StartS) / 86400L).toDF("d")
-    val wau = days.join(ud,
-        col("day").between(col("d") - 6, col("d")))
+    val days = spark.range(0, nDays).toDF("d")
+    val wau = ud
+      .select(col("user_id"), explode(sequence(col("day"),
+        least(col("day") + 6, lit(nDays - 1)))).as("d"))
       .groupBy(col("d"))
       .agg(countDistinct(col("user_id")).as("n_wau"))
     days.join(dau, col("d") === col("day"), "left")
@@ -239,8 +242,11 @@ object SeriesOps extends QueryModule {
        | days AS (SELECT unnest(range(0, $nDays)) AS d),
        | dau AS (SELECT day, count(*) AS n_dau FROM ud GROUP BY 1),
        | wau AS (
-       |  SELECT days.d, count(DISTINCT ud.user_id) AS n_wau
-       |  FROM days JOIN ud ON ud.day BETWEEN days.d - 6 AND days.d
+       |  SELECT d, count(DISTINCT user_id) AS n_wau
+       |  FROM (SELECT user_id,
+       |         unnest(generate_series(day, least(day + 6, ${nDays - 1})))
+       |           AS d
+       |        FROM ud)
        |  GROUP BY 1)
        |SELECT CAST(days.d * 86400 + $start AS BIGINT) AS day_s,
        | CAST(coalesce(dau.n_dau, 0) AS BIGINT) AS n_dau,

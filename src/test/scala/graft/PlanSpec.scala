@@ -254,6 +254,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("w15 trailing-distinct expansion is an explode, never a " +
+    "nested-loop range join against the calendar frame") {
+    val p = plan(q("w15_stickiness"))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Generate"), p) // the sequence-explode fan-out
+  }
+
   test("v36 MAD broadcasts both fence tables back, never a shuffle " +
     "join of events against 5 rows") {
     val p = plan(q("v36_mad_outliers"))
