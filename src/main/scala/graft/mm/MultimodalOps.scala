@@ -4,21 +4,32 @@ import graft._
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
 /** Multimodal-column plumbing (SURVEY §2.V north-star): media payloads as
   * opaque `binary` columns with a typed metadata struct, and per-batch
   * decode/feature-extraction over `mapPartitions` — the Scala analog of
   * the mapInPandas batch shape.
   *
-  * The actual media decode is STUBBED (no image/audio libs in this
-  * container): [[StubDecoder.decode]] is a deterministic fake that derives
-  * "features" from the raw bytes. Everything around it — the schema, the
-  * typed batch iterator, partition sizing, the feature output contract —
-  * is the real plumbing a decoder would drop into.
+  * The payloads are REAL PNG images, synthesized deterministically from the
+  * fixture corpus (the testdata ships no media files): each non-null
+  * document becomes an 8-bit grayscale `BufferedImage` whose dimensions and
+  * two-band pixel pattern are closed-form functions of `doc_id` and the
+  * text length, encoded with the JDK's `ImageIO` PNG writer. The decode
+  * side ([[ImageCodec.decode]]) is a genuine `ImageIO.read` of the PNG
+  * container — width/height/pixel sums come from the decoded raster, not
+  * from the synthesis formulas — and the oracle recomputes the same
+  * features from the closed forms (PNG is lossless, so decoded pixels
+  * equal synthesized pixels; the raster md5 is rebuilt in SQL via
+  * `repeat(chr(g), …)` over the same row-major layout).
   *
-  * Scale notes: one `mapPartitions` pass, no shuffle; partition size is
-  * bounded by `spark.sql.files.maxPartitionBytes` so decoded batches fit
-  * executor memory; the decoder is constructed once per partition (the
-  * expensive-init-per-batch pattern).
+  * Scale notes: synth + decode are one `mapPartitions` pass each, no
+  * shuffle; partition size is bounded by
+  * `spark.sql.files.maxPartitionBytes` so decoded batches fit executor
+  * memory; codec state (`MessageDigest`, stream buffers) is constructed
+  * once per partition (the expensive-init-per-batch pattern).
   */
 object MultimodalOps extends QueryModule {
 
@@ -26,45 +37,101 @@ object MultimodalOps extends QueryModule {
   final case class MediaRow(doc_id: Long, payload: Array[Byte], mime: String,
       source: String)
 
-  /** Extracted features — what a real image decoder would emit. */
-  final case class MediaFeatures(doc_id: Long, n_bytes: Int,
-      content_hash: String, width: Int, height: Int)
+  /** Extracted features from the decoded raster. */
+  final case class MediaFeatures(doc_id: Long, width: Int, height: Int,
+      sum_luma: Long, raster_md5: String)
 
-  /** STUB: deterministic fake decode. A real build replaces this body
-    * with an image/audio library call; the signature and batch usage stay. */
-  object StubDecoder {
-    def decode(payload: Array[Byte]): (Int, String, Int, Int) = {
-      // ??? <- real decoder goes here; deterministic fake below
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val hash = md.digest(payload).map("%02x".format(_)).mkString
-      val n = payload.length
-      (n, hash, n % 640, (n * 7) % 480)
+  /** Deterministic PNG synthesis: the fixture-derived stand-in for real
+    * stored media. Dimensions come from the text length, gray levels from
+    * `doc_id`; both stay in closed forms the DuckDB oracle can mirror.
+    * Gray levels are clamped to 1..127 so the oracle's `chr(g)` is a
+    * single ASCII byte (md5 over VARCHAR == md5 over the raster bytes). */
+  object MediaSynth {
+    /** width 8..71, height 8..55 — small enough that per-row PNG encode
+      * stays cheap at bench SFs, big enough for multi-frame sampling. */
+    def dims(nChars: Int): (Int, Int) = (nChars % 64 + 8, (nChars * 7) % 48 + 8)
+
+    /** two horizontal bands: rows [0, h/2) at g1, rows [h/2, h) at g2. */
+    def grays(docId: Long): (Int, Int) =
+      ((docId % 127 + 1).toInt, ((docId * 7) % 127 + 1).toInt)
+
+    def pngBytes(docId: Long, nChars: Int): Array[Byte] = {
+      val (w, h) = dims(nChars)
+      val (g1, g2) = grays(docId)
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      val h1 = h / 2
+      var y = 0
+      while (y < h) {
+        val g = if (y < h1) g1 else g2
+        var x = 0
+        while (x < w) { raster.setSample(x, y, 0, g); x += 1 }
+        y += 1
+      }
+      val bos = new ByteArrayOutputStream(1024)
+      ImageIO.write(img, "png", bos)
+      bos.toByteArray
     }
   }
 
-  /** documents.text re-cast as a binary media column (the testdata has no
-    * real media; utf-8 bytes stand in for an encoded image). A NULL text
-    * row has no payload and therefore no media rows — filtered here so
-    * every decoder sees a non-null byte array (each oracle mirrors with
-    * `WHERE text IS NOT NULL`). */
+  /** Real PNG decode via the JDK's ImageIO. Every emitted feature is read
+    * from the DECODED raster — the synthesis formulas never appear here. */
+  object ImageCodec {
+    /** @return (width, height, rasterBytes row-major) */
+    def decode(payload: Array[Byte]): (Int, Int, Array[Byte]) = {
+      val img = ImageIO.read(new ByteArrayInputStream(payload))
+      require(img != null, "payload is not a decodable image")
+      val w = img.getWidth
+      val h = img.getHeight
+      val raster = img.getRaster
+      val bytes = new Array[Byte](w * h)
+      var i = 0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          bytes(i) = raster.getSample(x, y, 0).toByte
+          i += 1; x += 1
+        }
+        y += 1
+      }
+      (w, h, bytes)
+    }
+  }
+
+  /** documents re-cast as a real-media table: each non-null text row
+    * becomes a genuine PNG payload (a NULL text row has no payload and
+    * therefore no media rows — each oracle mirrors with
+    * `WHERE text IS NOT NULL`). Synthesis runs distributed, one
+    * mapPartitions pass, no shuffle. */
   def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
     Tables.documents(spark, dir)
       .filter(col("text").isNotNull)
-      .select(col("doc_id"), col("text").cast("binary").as("payload"),
-        lit("application/octet-stream").as("mime"), col("source"))
-      .as[MediaRow]
+      .select(col("doc_id"), length(col("text")).cast("int").as("n_chars"),
+        col("source"))
+      .as[(Long, Int, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, n, src) =>
+          MediaRow(id, MediaSynth.pngBytes(id, n), "image/png", src)
+        }
+      }
   }
 
-  /** V7: batch feature extraction — decoder constructed once per
-    * partition, rows streamed through it. */
+  /** V7: batch feature extraction — a REAL `ImageIO.read` per row, codec
+    * state constructed once per partition, rows streamed through it. */
   def extractFeatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     mediaTable(spark, dir).mapPartitions { rows =>
-      // per-partition init site (codec tables, model weights, ...)
+      // per-partition init site (digest instance reused across the batch)
+      val md = java.security.MessageDigest.getInstance("MD5")
       rows.map { r =>
-        val (n, hashHex, w, h) = StubDecoder.decode(r.payload)
-        MediaFeatures(r.doc_id, n, hashHex, w, h)
+        val (w, h, raster) = ImageCodec.decode(r.payload)
+        var sum = 0L
+        var i = 0
+        while (i < raster.length) { sum += raster(i) & 0xff; i += 1 }
+        val hash = md.digest(raster).map("%02x".format(_)).mkString
+        MediaFeatures(r.doc_id, w, h, sum, hash)
       }
     }.toDF().orderBy(col("doc_id"))
   }
@@ -73,17 +140,15 @@ object MultimodalOps extends QueryModule {
   final case class ResizedMedia(doc_id: Long, width: Int, height: Int,
       new_width: Int, new_height: Int)
 
-  /** V7b: resize — fit the (stub-decoded) dimensions into a 128x96 box
-    * preserving aspect ratio, integer floor math (the real pixel resample
-    * replaces the stub; the geometry, batch shape and per-partition init
-    * site are the Spark-side deliverable). */
+  /** V7b: resize — fit the DECODED dimensions into a 128x96 box
+    * preserving aspect ratio, integer floor math (scale =
+    * min(128/w, 96/h), applied exactly as a cross-multiplication so no
+    * floating point enters the geometry). */
   def resizeMedia(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     mediaTable(spark, dir).mapPartitions { rows =>
       rows.map { r =>
-        val (n, _, w0, h0) = StubDecoder.decode(r.payload)
-        val w = math.max(w0, 1)
-        val h = math.max(h0, 1)
+        val (w, h, _) = ImageCodec.decode(r.payload)
         // fit into (128, 96): scale = min(128/w, 96/h), floor math
         val (nw, nh) =
           if (128L * h <= 96L * w) (128, (h.toLong * 128 / w).toInt)
@@ -93,16 +158,17 @@ object MultimodalOps extends QueryModule {
     }.toDF().orderBy(col("doc_id"))
   }
 
-  /** One sampled frame of a (stub) video payload. */
+  /** One sampled frame of the decoded pixel stream. */
   final case class FrameSample(doc_id: Long, frame_idx: Int, ts_ms: Int,
       frame_hash: String)
 
-  /** V7c: frame sampling — treat the payload as fixed-size frames,
-    * keep every `stride`-th, one OUTPUT ROW PER FRAME (the flatMap/
-    * explode shape a video pipeline needs), each frame content-hashed.
-    * A real build swaps the byte-slice "frame" for a container/codec
-    * frame read; the row multiplication, ordering and per-partition
-    * digest reuse carry over unchanged. */
+  /** V7c: frame sampling — decode the payload, then treat the decoded
+    * raster as a stream of fixed-size frames, keep every `stride`-th, one
+    * OUTPUT ROW PER FRAME (the flatMap/explode shape a video pipeline
+    * needs), each frame content-hashed. A real video build swaps the
+    * raster-slice "frame" for a demuxer/codec frame read; the
+    * decode-then-multiply row shape, ordering and per-partition digest
+    * reuse carry over unchanged. */
   def sampleFrames(spark: SparkSession, dir: String,
       frameBytes: Int = 100, stride: Int = 2): DataFrame = {
     import spark.implicits._
@@ -110,14 +176,15 @@ object MultimodalOps extends QueryModule {
       // per-partition init (real: demuxer/codec context)
       val md = java.security.MessageDigest.getInstance("MD5")
       rows.flatMap { r =>
-        val n = r.payload.length
+        val (_, _, raster) = ImageCodec.decode(r.payload)
+        val n = raster.length
         // ceil(n / frameBytes): the last (possibly short) frame counts,
         // an exact multiple does NOT get a phantom empty frame.
         val nFrames = (n + frameBytes - 1) / frameBytes
         (0 until nFrames by stride).iterator.map { idx =>
           val start = idx * frameBytes
           val end = math.min(start + frameBytes, n)
-          val hash = md.digest(java.util.Arrays.copyOfRange(r.payload,
+          val hash = md.digest(java.util.Arrays.copyOfRange(raster,
             start, end)).map("%02x".format(_)).mkString
           FrameSample(r.doc_id, idx, idx * 40, hash)
         }
@@ -125,43 +192,55 @@ object MultimodalOps extends QueryModule {
     }.toDF().orderBy(col("doc_id"), col("frame_idx"))
   }
 
+  /** Shared oracle prelude: the synthesis closed forms (dims, gray bands,
+    * row-major raster rebuilt as an ASCII string — every gray level is
+    * 1..127 so one char == one raster byte). */
+  private val oracleRaster =
+    """WITH m AS (SELECT doc_id, length(text) AS n
+      |  FROM documents WHERE text IS NOT NULL),
+      | d AS (SELECT doc_id, n % 64 + 8 AS w, (n * 7) % 48 + 8 AS h,
+      |   CAST(doc_id % 127 + 1 AS INT) AS g1,
+      |   CAST((doc_id * 7) % 127 + 1 AS INT) AS g2 FROM m),
+      | r AS (SELECT doc_id, w, h, g1, g2, h // 2 AS h1,
+      |   repeat(chr(g1), w * (h // 2)) || repeat(chr(g2), w * (h - h // 2))
+      |     AS raster FROM d)""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("v7_multimodal_features",
-      "V7 multimodal binary-column plumbing: mapPartitions batch decode " +
-        "(stubbed) -> typed features",
+      "V7 multimodal binary-column plumbing: real PNG payloads decoded " +
+        "with ImageIO in a mapPartitions batch -> width/height/luma-sum/" +
+        "raster-md5, oracle rebuilds the lossless raster in SQL",
       extractFeatures,
-      Some("""SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,
-             | md5(text) AS content_hash,
-             | CAST(octet_length(CAST(text AS BLOB)) % 640 AS INT) AS width,
-             | CAST((octet_length(CAST(text AS BLOB)) * 7) % 480 AS INT) AS height
-             |FROM documents WHERE text IS NOT NULL
-             |ORDER BY doc_id""".stripMargin)),
+      Some(oracleRaster +
+        """
+          |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+          | CAST(w * (h1 * g1 + (h - h1) * g2) AS BIGINT) AS sum_luma,
+          | md5(raster) AS raster_md5
+          |FROM r ORDER BY doc_id""".stripMargin)),
     GraftQuery("v7b_media_resize",
-      "V7 resize step: fit stub-decoded dims into 128x96, integer floor " +
-        "aspect math (batch shape + init site real, resample stubbed)",
+      "V7 resize step: fit ImageIO-decoded dims into 128x96, integer " +
+        "floor aspect math (cross-multiplied, float-free)",
       resizeMedia,
-      Some("""WITH m AS (SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n
-             |  FROM documents WHERE text IS NOT NULL),
-             | d AS (SELECT doc_id, greatest(n % 640, 1) AS w,
-             |   greatest((n*7) % 480, 1) AS h FROM m)
-             |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
-             | CAST(CASE WHEN 128*h <= 96*w THEN 128 ELSE (w*96)//h END AS INT)
-             |   AS new_width,
-             | CAST(CASE WHEN 128*h <= 96*w THEN (h*128)//w ELSE 96 END AS INT)
-             |   AS new_height
-             |FROM d ORDER BY doc_id""".stripMargin)),
+      Some(oracleRaster +
+        """
+          |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+          | CAST(CASE WHEN 128*h <= 96*w THEN 128 ELSE (w*96)//h END AS INT)
+          |   AS new_width,
+          | CAST(CASE WHEN 128*h <= 96*w THEN (h*128)//w ELSE 96 END AS INT)
+          |   AS new_height
+          |FROM r ORDER BY doc_id""".stripMargin)),
     GraftQuery("v7c_frame_sample",
-      "V7 frame sampling: payload as fixed-size frames, every 2nd kept, " +
-        "one row per frame with content hash (flatMap row-multiplication " +
-        "shape; ASCII payloads make byte slices == varchar substrings " +
-        "for the oracle)",
+      "V7 frame sampling: decode, then slice the raster into 100-byte " +
+        "frames, every 2nd kept, one row per frame with content hash " +
+        "(decode-then-flatMap row-multiplication shape)",
       (s, d) => sampleFrames(s, d),
-      Some("""WITH m AS (SELECT doc_id, text, length(text) AS n
-             |  FROM documents WHERE text IS NOT NULL),
-             | f AS (SELECT doc_id, text,
-             |   unnest(generate_series(0, (n+99)//100 - 1, 2)) AS idx FROM m)
-             |SELECT doc_id, CAST(idx AS INT) AS frame_idx,
-             | CAST(idx*40 AS INT) AS ts_ms,
-             | md5(substring(text, idx*100 + 1, 100)) AS frame_hash
-             |FROM f ORDER BY doc_id, frame_idx""".stripMargin)))
+      Some(oracleRaster +
+        """,
+          | f AS (SELECT doc_id, raster, w * h AS n,
+          |   unnest(generate_series(0, (w * h + 99) // 100 - 1, 2)) AS idx
+          |   FROM r)
+          |SELECT doc_id, CAST(idx AS INT) AS frame_idx,
+          | CAST(idx * 40 AS INT) AS ts_ms,
+          | md5(substring(raster, idx * 100 + 1, 100)) AS frame_hash
+          |FROM f ORDER BY doc_id, frame_idx""".stripMargin)))
 }

@@ -156,24 +156,41 @@ class ScaleSpec extends SparkSpec {
     assert(ids === Set(1L) ++ (10L to 19L), out.mkString(","))
   }
 
-  test("V7 media ops: NULL payloads skipped; frame count is ceil(n/frameBytes)") {
+  test("V7 media ops: real PNG round-trip; NULL payloads skipped; frame " +
+      "count is ceil(rasterBytes/frameBytes)") {
     import spark.implicits._
+    import graft.mm.MultimodalOps.{MediaSynth, ImageCodec}
+    // codec round-trip is REAL: ImageIO.read of the ImageIO.write output
+    // reproduces the synthesized dimensions and two-band pixel pattern
+    val png = MediaSynth.pngBytes(5L, 200)
+    assert(png.take(4).map(_ & 0xff).toSeq === Seq(0x89, 'P'.toInt,
+      'N'.toInt, 'G'.toInt), "payload is a genuine PNG container")
+    val (w, h, raster) = ImageCodec.decode(png)
+    assert((w, h) === MediaSynth.dims(200))
+    val (g1, g2) = MediaSynth.grays(5L)
+    assert(raster.take(w * (h / 2)).forall(b => (b & 0xff) == g1))
+    assert(raster.drop(w * (h / 2)).forall(b => (b & 0xff) == g2))
+
     val tmp = java.nio.file.Files.createTempDirectory("graft-mmdocs")
       .toString
     Seq(
-      (1L, Option("x" * 200), "en", "s1", 200L), // exact multiple: 2 frames
-      (2L, Option("y" * 250), "en", "s1", 250L), // short tail: 3 frames
+      (1L, Option("x" * 200), "en", "s1", 200L), // 16x16 -> 256B raster
+      (2L, Option("y" * 250), "en", "s1", 250L), // 66x30 -> 1980B raster
       (3L, Option.empty[String], "xx", "s1", 0L)) // no payload: no rows
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
     val feats = graft.mm.MultimodalOps.extractFeatures(spark, tmp)
-    assert(feats.select("doc_id").collect().map(_.getLong(0)).toSet
-      === Set(1L, 2L))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(feats.keySet === Set(1L, 2L))
+    assert(feats(1L) === MediaSynth.dims(200))
+    assert(feats(2L) === MediaSynth.dims(250))
     val frames = graft.mm.MultimodalOps.sampleFrames(spark, tmp)
       .select("doc_id", "frame_idx").collect()
       .groupBy(_.getLong(0)).view.mapValues(_.map(_.getInt(1)).toSet).toMap
-    assert(frames(1L) === Set(0)) // frames 0..1, stride 2 -> idx 0 only
-    assert(frames(2L) === Set(0, 2)) // frames 0..2 -> idx 0 and 2
+    // doc1 raster 16*16=256 -> ceil(256/100)=3 frames, stride 2 -> {0,2}
+    assert(frames(1L) === Set(0, 2))
+    // doc2 raster 66*30=1980 -> 20 frames -> {0,2,...,18}
+    assert(frames(2L) === (0 until 20 by 2).toSet)
     assert(!frames.contains(3L))
   }
 
