@@ -19,6 +19,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftExtensions.functions.foreach(ext.injectFunction)
     // rewrite composed aggregate(zip_with(a,b,*),0,+) into the fused kernel
     ext.injectOptimizerRule(_ => graft.plans.FuseDotProduct)
+    // plan the native per-key top-k node (partial/final heap passes)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
   }
 }
 

@@ -99,8 +99,8 @@ object RankOps extends QueryModule {
     * round-3 fixture-clobber bug class). pid-suffixed so concurrent
     * runners on one host cannot clobber each other; no oracle SQL
     * references the path, so per-process uniqueness is free. */
-  private val indexCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val indexCache = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.FutureTask[String]]()
   private val indexSeq = new java.util.concurrent.atomic.AtomicInteger()
 
   /** Build the stored inverted index: one posting row per (term,
@@ -110,28 +110,37 @@ object RankOps extends QueryModule {
     * partitions alone), plus the 1-row corpus totals. This is
     * ingest-time work at 100 TB — the same explode + (term,doc)
     * aggregate v19 runs per query, paid once. Returns the index path. */
-  def writeInvertedIndex(spark: SparkSession, dir: String): String =
-    indexCache.computeIfAbsent(dir, _ => {
-      // collision-free within the process (an AtomicInteger, not a dir
-      // hash — two dirs with colliding hashCodes would silently share
-      // and overwrite one index: the fixture-clobber bug class);
-      // registered for exit-time cleanup BEFORE the write, so a JVM
-      // kill mid-build doesn't leak the partial directory
-      val path = graft.util.TempArtifacts.register(
-        s"${sys.props("java.io.tmpdir")}/graft_inv_index_" +
-          s"${ProcessHandle.current().pid()}_${indexSeq.getAndIncrement()}")
-      val docs = withWords(spark, dir).withColumn("dl", size(col("w")))
-      docs.select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
-        .groupBy(col("term"), col("doc_id"), col("dl"))
-        .agg(count(lit(1)).as("tf"))
-        .withColumn("bucket", pmod(xxhash64(col("term")), lit(IndexBuckets)))
-        .write.mode("overwrite").partitionBy("bucket")
-        .parquet(s"$path/postings")
-      docs.agg(count(lit(1)).as("n_docs"),
-          sum(col("dl").cast("long")).as("total_dl"))
-        .write.mode("overwrite").parquet(s"$path/totals")
-      path
-    })
+  def writeInvertedIndex(spark: SparkSession, dir: String): String = {
+    // computeIfAbsent only ALLOCATES the (inert) task — the multi-stage
+    // Spark write runs outside the map's bin lock via FutureTask.run()
+    // (a no-op for every caller but the first), so a concurrent build
+    // for a different dir in the same bin never blocks behind this one
+    // and the map contract can't be violated by reentrant cache access
+    val task = indexCache.computeIfAbsent(dir,
+      _ => new java.util.concurrent.FutureTask(() => {
+        // collision-free within the process (an AtomicInteger, not a dir
+        // hash — two dirs with colliding hashCodes would silently share
+        // and overwrite one index: the fixture-clobber bug class);
+        // registered for exit-time cleanup BEFORE the write, so a JVM
+        // kill mid-build doesn't leak the partial directory
+        val path = graft.util.TempArtifacts.register(
+          s"${sys.props("java.io.tmpdir")}/graft_inv_index_" +
+            s"${ProcessHandle.current().pid()}_${indexSeq.getAndIncrement()}")
+        val docs = withWords(spark, dir).withColumn("dl", size(col("w")))
+        docs.select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
+          .groupBy(col("term"), col("doc_id"), col("dl"))
+          .agg(count(lit(1)).as("tf"))
+          .withColumn("bucket", pmod(xxhash64(col("term")), lit(IndexBuckets)))
+          .write.mode("overwrite").partitionBy("bucket")
+          .parquet(s"$path/postings")
+        docs.agg(count(lit(1)).as("n_docs"),
+            sum(col("dl").cast("long")).as("total_dl"))
+          .write.mode("overwrite").parquet(s"$path/totals")
+        path
+      }))
+    task.run()
+    task.get()
+  }
 
   /** V19b: BM25 answered FROM the stored index — the literal 100 TB
     * retrieval layout (v3b2's analog for text): the probe reads ONLY

@@ -245,6 +245,25 @@ object TextOps extends QueryModule {
       .select(col("source"), col("doc_id"), col("rk"))
       .orderBy(col("source"), col("doc_id"))
 
+  /** V8b: the per-source cap answered by the NATIVE [[graft.plans.TopKPerKey]]
+    * operator — same result, same oracle as v8, but the prune stage is a
+    * whole-operator physical plan (per-key bounded heaps, partial before
+    * the exchange / final after) instead of the spark_partition_id window
+    * trick: no local sort anywhere below the exchange, no rank column in
+    * flight, and the one shuffle carries ≤ n·sources·partitions rows.
+    * The rank v8's contract exposes is recovered by a window over the
+    * ≤ n·sources survivors — a bounded frame, noise at any scale. */
+  def perSourceCapNative(spark: SparkSession, dir: String,
+      n: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val kept = graft.plans.TopKPerKey.topK(
+      Tables.documents(spark, dir).select(col("source"), col("doc_id")),
+      Seq("source"), Seq("doc_id"), n)
+    kept.withColumn("rk", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("doc_id"))))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
   /** V13: the curation pipeline — the composed form a training-data run
     * actually executes, in ONE query: normalize → exact-dedup on the
     * canonical hash (keep lowest doc_id) → language gate (en) → quality
@@ -332,10 +351,17 @@ object TextOps extends QueryModule {
        | ${OracleSql.ratio6("coalesce(n_new, 0)", "n_distinct")} AS novelty
        |FROM pb LEFT JOIN nw USING (batch) ORDER BY 1""".stripMargin
 
+  /** V44's vocab cutoff — a CONFIG knob, not a semantic constant: it
+    * must sit BELOW the corpus's distinct-word count for the metric to
+    * be informative (FIXTURES.md corpus: 31 distinct words, so 20 leaves
+    * real OOV mass; v4e's usual 50 would cover everything and make the
+    * gate vacuous). A production run sizes this from the tokenizer's
+    * vocab budget, not from code. */
+  val OovVocabTopK = 20
+
   /** V44: OOV rate — per source, the share of tokens OUTSIDE the
-    * learned top-20 vocabulary (v4e's build at a tighter cutoff — this
-    * corpus has only 31 distinct words, so a top-50 vocab would cover
-    * everything and the metric would be vacuous): the tokenizer-coverage metric that
+    * learned top-[[OovVocabTopK]] vocabulary (v4e's build at a tighter
+    * cutoff): the tokenizer-coverage metric that
     * decides whether a vocab transfers to a new feed (a source whose
     * OOV share spikes needs its own merges). Same token convention as
     * v4e; the vocabulary side is LIMIT-bounded, so the membership probe
@@ -345,7 +371,7 @@ object TextOps extends QueryModule {
     val toks = Tables.documents(spark, dir)
       .select(col("source"), explode(words).as("token"))
     val voc = toks.groupBy(col("token")).agg(count(lit(1)).as("freq"))
-      .orderBy(col("freq").desc, col("token")).limit(20)
+      .orderBy(col("freq").desc, col("token")).limit(OovVocabTopK)
       .select(col("token"), lit(1).as("in_vocab"))
     toks.join(broadcast(voc), Seq("token"), "left")
       .groupBy(col("source"))
@@ -362,7 +388,7 @@ object TextOps extends QueryModule {
        | v AS (
        |  SELECT token FROM (
        |   SELECT token, count(*) AS freq FROM t GROUP BY 1
-       |   ORDER BY freq DESC, token LIMIT 20))
+       |   ORDER BY freq DESC, token LIMIT $OovVocabTopK))
        |SELECT t.source, CAST(count(*) AS BIGINT) AS n_tokens,
        | CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
        |   AS n_oov,
@@ -464,6 +490,16 @@ object TextOps extends QueryModule {
       "V8 per-source document cap, two-stage prune-then-rank (no " +
         "whole-source window; corpus curation)",
       (s, d) => perSourceCap(s, d),
+      Some("""SELECT source, doc_id,
+             | CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) AS INT) AS rk
+             |FROM documents
+             |QUALIFY rk <= 20
+             |ORDER BY source, doc_id""".stripMargin)),
+    GraftQuery("v8b_per_source_cap_native",
+      "V8b per-source cap via the native TopKPerKey operator (custom " +
+        "LogicalPlan+Strategy+Exec, partial/final heap passes, no local " +
+        "sort, no rank column) -> same oracle as v8",
+      (s, d) => perSourceCapNative(s, d),
       Some("""SELECT source, doc_id,
              | CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) AS INT) AS rk
              |FROM documents

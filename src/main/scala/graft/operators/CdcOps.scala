@@ -26,8 +26,9 @@ import org.apache.spark.sql.functions._
 object CdcOps extends QueryModule {
 
   /** The derived change feed shared by W3 and W6: snapshot rows at
-    * seq 0, inserts (key+1e8) at 1, updates at 2, deletes at 3 —
-    * ≤1 row per (key, op-family), so seq is unique per key. */
+    * seq 0, inserts (−key−1: negative, so collision-free against ANY
+    * base keyspace — the v31 convention) at 1, updates at 2, deletes
+    * at 3 — ≤1 row per (key, op-family), so seq is unique per key. */
   private def changeFeed(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
@@ -35,7 +36,7 @@ object CdcOps extends QueryModule {
       lit(0L).as("seq"), col("o_orderstatus").as("status"),
       col("o_totalprice").as("price"))
     val ins = o.filter(col("o_orderkey") % 23 === 0)
-      .select((col("o_orderkey") + 100000000L).as("k"),
+      .select((-col("o_orderkey") - 1L).as("k"),
         lit("insert").as("op"), lit(1L).as("seq"), lit("N").as("status"),
         col("o_totalprice").as("price"))
     val upd = o.filter(col("o_orderkey") % 10 === 0)
@@ -107,7 +108,7 @@ object CdcOps extends QueryModule {
        |  SELECT o_orderkey AS k, 'base' AS op, 0 AS seq,
        |         o_orderstatus AS status, o_totalprice AS price FROM orders
        |  UNION ALL
-       |  SELECT o_orderkey + 100000000, 'insert', 1, 'N', o_totalprice
+       |  SELECT -o_orderkey - 1, 'insert', 1, 'N', o_totalprice
        |  FROM orders WHERE o_orderkey % 23 = 0
        |  UNION ALL
        |  SELECT o_orderkey, 'update', 2, 'U', o_totalprice + 1000.0
@@ -131,7 +132,7 @@ object CdcOps extends QueryModule {
       |  SELECT o_orderkey AS k, 'base' AS op, 0 AS seq,
       |         o_orderstatus AS status, o_totalprice AS price FROM orders
       |  UNION ALL
-      |  SELECT o_orderkey + 100000000, 'insert', 1, 'N', o_totalprice
+      |  SELECT -o_orderkey - 1, 'insert', 1, 'N', o_totalprice
       |  FROM orders WHERE o_orderkey % 23 = 0
       |  UNION ALL
       |  SELECT o_orderkey, 'update', 2, 'U', o_totalprice + 1000.0
@@ -152,7 +153,7 @@ object CdcOps extends QueryModule {
       |  SELECT o_orderkey AS k, 'base' AS op, 0 AS seq,
       |         o_orderstatus AS status, o_totalprice AS price FROM orders
       |  UNION ALL
-      |  SELECT o_orderkey + 100000000, 'insert', 1, 'N', o_totalprice
+      |  SELECT -o_orderkey - 1, 'insert', 1, 'N', o_totalprice
       |  FROM orders WHERE o_orderkey % 23 = 0
       |  UNION ALL
       |  SELECT o_orderkey, 'update', 2, 'U', o_totalprice + 1000.0

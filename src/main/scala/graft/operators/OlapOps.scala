@@ -106,12 +106,61 @@ object OlapOps extends QueryModule {
        |GROUP BY CUBE (event_type, day)
        |ORDER BY gid, coalesce(event_type,''), coalesce(day,-1)""".stripMargin
 
+  /** W13b: the extreme-scale CUBE form the w13 scaladoc prescribes —
+    * ONE scan computes the leaf (type, day) aggregate (no Expand), and
+    * every subtotal set (per-type, per-day, grand) is re-aggregated
+    * from that tiny leaf frame (≤ types×days rows), materialized once
+    * via localCheckpoint so the union's four branches cannot re-scan
+    * events. Value mass is carried as DECIMAL(18,6) sums — decimal
+    * re-aggregation is exact, so every level reproduces w13's
+    * Exact.sumExact doubles bit-for-bit and the entry shares w13's
+    * oracle unchanged (the v36b convention: the scale twin stays on
+    * the oracle). Expand ×4 → 1 scan + 3 re-aggs of a bounded frame. */
+  def cubeLeafReagg(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val leaf = Tables.events(spark, dir)
+      .withColumn("day",
+        Exact.intDiv(col("ts_s") - EventWindow.StartS, lit(86400L)))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 6))).as("sv"))
+      .localCheckpoint()
+    val l0 = leaf.select(col("event_type"), col("day"), col("n"),
+      col("sv"), lit(0).as("gid"))
+    val byType = leaf.groupBy(col("event_type"))
+      .agg(sum(col("n")).as("n"), sum(col("sv")).as("sv"))
+      .select(col("event_type"), lit(null).cast("long").as("day"),
+        col("n"), col("sv"), lit(1).as("gid"))
+    val byDay = leaf.groupBy(col("day"))
+      .agg(sum(col("n")).as("n"), sum(col("sv")).as("sv"))
+      .select(lit(null).cast("string").as("event_type"), col("day"),
+        col("n"), col("sv"), lit(2).as("gid"))
+    val grand = leaf
+      .agg(sum(col("n")).as("n"), sum(col("sv")).as("sv"))
+      .select(lit(null).cast("string").as("event_type"),
+        lit(null).cast("long").as("day"), col("n"), col("sv"),
+        lit(3).as("gid"))
+    l0.unionByName(byType).unionByName(byDay).unionByName(grand)
+      .select(col("event_type"), col("day"),
+        col("n").cast("long").as("n"),
+        round(col("sv").cast("double"), 6).as("sum_v"),
+        col("gid").cast("int").as("gid"))
+      .orderBy(col("gid"), coalesce(col("event_type"), lit("")),
+        coalesce(col("day"), lit(-1L)))
+  }
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("w13_cube",
       "W13 CUBE grouping sets: leaf + per-type + per-day + grand total " +
         "in one scan (Expand x4 on the partial agg; gid disambiguates " +
         "grouped-out NULLs)",
       cubeAgg, Some(cubeSql)),
+    GraftQuery("w13b_cube_leaf_reagg",
+      "W13b extreme-scale CUBE twin: leaf aggregate once (NO Expand), " +
+        "subtotal sets + grand total re-aggregated from the bounded " +
+        "leaf frame; decimal sums keep every level bit-identical to " +
+        "w13 -> same oracle",
+      cubeLeafReagg, Some(cubeSql)),
     GraftQuery("w4_rollup_agg",
       "W4 ROLLUP grouping sets: leaf + subtotal + grand-total levels in " +
         "ONE scan/shuffle (Expand rides the partial agg); gid " +

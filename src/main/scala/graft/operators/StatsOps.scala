@@ -64,10 +64,16 @@ object StatsOps extends QueryModule {
     val shares = binned
       .withColumn("na_tot", sum(col("na")).over(wt))
       .withColumn("nb_tot", sum(col("nb")).over(wt))
-      .withColumn("pm", Exact.intDiv(
+      // empty-half guard: a type with every row in one half has
+      // na_tot/nb_tot = 0; define that half's shares as 0 (TVD then
+      // reads 0.5 = full drift) instead of letting the integer division
+      // go NULL and silently drop the bins from the sum
+      .withColumn("pm", when(col("na_tot") > 0, Exact.intDiv(
         col("na") * 1000000L + shiftright(col("na_tot"), 1), col("na_tot")))
-      .withColumn("qm", Exact.intDiv(
+        .otherwise(0L))
+      .withColumn("qm", when(col("nb_tot") > 0, Exact.intDiv(
         col("nb") * 1000000L + shiftright(col("nb_tot"), 1), col("nb_tot")))
+        .otherwise(0L))
       .withColumn("d", abs(col("pm") - col("qm")))
     shares.groupBy(col("event_type"))
       .agg(max(col("na_tot")).as("n_early"),
@@ -101,7 +107,9 @@ object StatsOps extends QueryModule {
        |   sum(nb) OVER (PARTITION BY event_type) AS nb_tot
        |  FROM b),
        | d AS (
-       |  SELECT event_type, bin, na_tot, nb_tot, abs(($pm) - ($qm)) AS d
+       |  SELECT event_type, bin, na_tot, nb_tot,
+       |   abs((CASE WHEN na_tot > 0 THEN $pm ELSE 0 END)
+       |     - (CASE WHEN nb_tot > 0 THEN $qm ELSE 0 END)) AS d
        |  FROM s)
        |SELECT event_type, CAST(max(na_tot) AS BIGINT) AS n_early,
        | CAST(max(nb_tot) AS BIGINT) AS n_late,

@@ -122,13 +122,17 @@ object SimilarityOps extends QueryModule {
     * over the same (dir, nlist, iters) shares one normed projection
     * and one Lloyd refinement instead of re-running the build per
     * query (the build is deterministic, so sharing cannot change any
-    * result). Values: (e localCheckpoint'd, centroids, assignment). */
+    * result). Values: (e localCheckpoint'd, centroids, assignment).
+    * Keyed by the OWNING SESSION too: the cached frames hold
+    * localCheckpoint blocks bound to the SparkContext that built them,
+    * so a process that stops and recreates its session must rebuild
+    * rather than replay plans against dead executors. */
   private val ivfCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, Int, Int), (DataFrame, DataFrame, DataFrame)]()
+    (SparkSession, String, Int, Int), (DataFrame, DataFrame, DataFrame)]()
 
   private[graft] def ivfBuild(spark: SparkSession, dir: String,
       nlist: Int, iters: Int): (DataFrame, DataFrame, DataFrame) =
-    ivfCache.computeIfAbsent((dir, nlist, iters), _ => {
+    ivfCache.computeIfAbsent((spark, dir, nlist, iters), _ => {
       // one materialization of the normed projection: every Lloyd
       // round and the final assignment re-scan e, and re-reading
       // parquet + re-computing norms per pass is pure repeated work

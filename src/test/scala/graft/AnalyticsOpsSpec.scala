@@ -326,6 +326,43 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(got("t2") === ((1, 1L, 7L)))
   }
 
+  test("u5 BFS frontier memory discipline: levels are materialized " +
+    "checkpoints, the probe cache is released (v2e discipline)") {
+    // deep traces must not accumulate lineage or cache: (1) the result
+    // plan reads ONLY materialized level checkpoints — no Join survives,
+    // so a replan can never re-execute the BFS; (2) the only storage
+    // still pinned after the call is those (depth-bounded) local
+    // checkpoints — the per-level probe cache (base.persist) must be
+    // unpersisted on exit, success or failure
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, LeafNode, LogicalPlan}
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val chain = (1 until 24).map(i => ("t1", s"s$i", s"s${i - 1}", 1L))
+    val df = new TraceService(
+      (("t1", "s0", "", 1L) +: chain)
+        .toDF("trace_id", "span_id", "parent_span_id", "duration_ns"))
+      .spanDepths()
+    val lp: LogicalPlan = df
+      .asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.optimizedPlan
+    assert(lp.collect { case j: Join => j }.isEmpty,
+      s"BFS joins leaked into the final plan:\n$lp")
+    val leaves = lp.collect { case l: LeafNode => l }
+    assert(leaves.nonEmpty &&
+      leaves.forall(_.getClass.getSimpleName == "LogicalRDD"),
+      s"expected only checkpointed leaves, got ${leaves.map(_.nodeName)}")
+    assert(df.collect().head.getAs[Int]("max_depth") === 24)
+    // every rdd newly pinned by the call must BE a local checkpoint —
+    // the base cache (plain MEMORY_AND_DISK, not checkpointed) is gone
+    def locallyCheckpointed(rdd: org.apache.spark.rdd.RDD[_]): Boolean =
+      rdd.getClass.getMethod("isLocallyCheckpointed").invoke(rdd)
+        .asInstanceOf[Boolean] // private[spark] in Scala, public in bytecode
+    val leaked = spark.sparkContext.getPersistentRDDs
+      .filter { case (id, rdd) =>
+        !before.contains(id) && !locallyCheckpointed(rdd) }
+    assert(leaked.isEmpty,
+      s"non-checkpoint storage retained: ${leaked.values.map(_.name)}")
+  }
+
   test("u5 raises on a parent-link cycle instead of spinning") {
     // a 2-cycle DISCONNECTED from any root is simply unreachable:
     // BFS terminates without counting it, no spin

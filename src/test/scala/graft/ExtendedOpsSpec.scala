@@ -162,9 +162,10 @@ class ExtendedOpsSpec extends SparkSpec {
       assert(got(k).getAs[String]("op") === "update")
       assert(got(k).getAs[String]("status") === "U")
     }
-    // inserts appear at key+1e8 regardless of the original key's fate
+    // inserts appear at -key-1 (negative: collision-free against any
+    // base keyspace) regardless of the original key's fate
     keys.filter(_ % 23 == 0).foreach { k =>
-      assert(got(k + 100000000L).getAs[String]("op") === "insert")
+      assert(got(-k - 1L).getAs[String]("op") === "insert")
     }
     // untouched keys pass through as base rows
     keys.filter(k => k % 10 != 0 && k % 17 != 0).take(50).foreach { k =>
