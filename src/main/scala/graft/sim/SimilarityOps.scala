@@ -418,6 +418,69 @@ object SimilarityOps extends QueryModule {
        |SELECT label, CAST(rk AS INT) AS rk, vec_id, cos
        |FROM r WHERE rk <= 3 ORDER BY label, rk""".stripMargin
 
+  /** V45: hard-negative mining — for every label, the k vectors from
+    * OTHER labels most similar to that label's centroid: the
+    * contrastive-training counterpart of v24 (which prunes a label's
+    * own farthest members; this finds the outside vectors that crowd
+    * its boundary — the negatives worth training against). Same
+    * exactness ground as v24: 6dp-rounded centroid components, fused
+    * sequential-fold dot product, round(·,6) cosine — bit-identical
+    * across engines.
+    *
+    * Scale: centroids are labels×dims — broadcast; the candidate
+    * fan-out is ×(labels−1) per vector (bounded by the label DOMAIN,
+    * not data volume), and the per-centroid top-k runs on the NATIVE
+    * [[graft.plans.TopKPerKey]] operator — its second registered user
+    * after v8b — so no centroid's candidate set funnels through a
+    * single-task sort and the one shuffle carries ≤ k·labels·partitions
+    * rows. Rank recovered by a window over the k·labels survivors. */
+  def hardNegatives(spark: SparkSession, dir: String,
+      k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        asDouble(col("embedding")).as("v"))
+    val cent = embeddingPool(spark, dir)
+      .groupBy(col("label"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"), col("mean_x")))),
+        s => s.getField("mean_x")).as("cv"))
+      .select(col("label").as("neg_for"), col("cv"))
+    val scored = e.join(broadcast(cent), col("label") =!= col("neg_for"))
+      .withColumn("cos", round(dot(col("v"), col("cv")) /
+        (sqrt(dot(col("v"), col("v"))) * sqrt(dot(col("cv"), col("cv")))),
+        6))
+      // TopKPerKey orders ascending; negate for a best-first total order
+      .select(col("neg_for"), col("vec_id"), col("label"), col("cos"),
+        negate(col("cos")).as("neg_cos"))
+    graft.plans.TopKPerKey.topK(scored,
+        Seq("neg_for"), Seq("neg_cos", "vec_id"), k)
+      .withColumn("rk", row_number().over(Window.partitionBy(col("neg_for"))
+        .orderBy(col("neg_cos"), col("vec_id"))))
+      .select(col("neg_for"), col("rk"), col("vec_id"), col("label"),
+        col("cos"))
+      .orderBy(col("neg_for"), col("rk"))
+  }
+
+  private lazy val hardNegativesSql: String =
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+       |           FROM embeddings),
+       | x AS (SELECT label, unnest(v) AS x, unnest(range(len(v))) AS dim
+       |       FROM e),
+       | m AS (SELECT label, dim, ${OracleSql.avgExact("x")} AS m
+       |       FROM x GROUP BY 1, 2),
+       | c AS (SELECT label AS neg_for, list(m ORDER BY dim) AS cv
+       |       FROM m GROUP BY 1),
+       | s AS (SELECT c.neg_for, e.vec_id, e.label,
+       |        round(list_dot_product(e.v, c.cv) /
+       |          (sqrt(list_dot_product(e.v, e.v)) *
+       |           sqrt(list_dot_product(c.cv, c.cv))), 6) AS cos
+       |       FROM e JOIN c ON e.label <> c.neg_for),
+       | r AS (SELECT *, row_number() OVER (PARTITION BY neg_for
+       |         ORDER BY cos DESC, vec_id) AS rk FROM s)
+       |SELECT neg_for, CAST(rk AS INT) AS rk, vec_id, label, cos
+       |FROM r WHERE rk <= 5 ORDER BY neg_for, rk""".stripMargin
+
   /** V39: embedding drift — the v35/st12 distribution monitors'
     * EMBEDDING-space sibling: per label, the centroid of snapshot A
     * (even vec_ids — the parity split stands in for the time axis the
@@ -494,6 +557,12 @@ object SimilarityOps extends QueryModule {
         "integer dots, IEEE-exact sqrt) — the representation-drift " +
         "monitor beside v35/st12's value-distribution checks",
       embeddingDrift, Some(embeddingDriftSql)),
+    GraftQuery("v45_hard_negatives",
+      "V45 hard-negative mining: per label, the k other-label vectors " +
+        "closest to its centroid (contrastive-training negatives); " +
+        "broadcast centroids, bounded x(labels-1) fan-out, native " +
+        "TopKPerKey per-centroid top-k",
+      (s, d) => hardNegatives(s, d), Some(hardNegativesSql)),
     GraftQuery("v23_embedding_pool",
       "V23 per-label embedding mean pooling (class centroids): one " +
         "posexplode + one (label,dim)-keyed partial agg, decimal-exact " +

@@ -41,6 +41,18 @@ class TopKSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(p).length == 1, p)
   }
 
+  test("v45 hard negatives ride the native operator: TopKPerKey in the " +
+    "plan, and the window only ranks the k*labels survivors") {
+    val df = sim.SimilarityOps.hardNegatives(spark, sf0001)
+    df.collect()
+    val p = execPlan(df).split("== Initial Plan ==").head
+    assert(p.contains("TopKPerKeyPartial"), p)
+    assert(p.contains("TopKPerKeyFinal"), p)
+    // the rank window exists but sits ABOVE the final heap — the full
+    // candidate fan-out never reaches a sort
+    assert(p.indexOf("Window") < p.indexOf("TopKPerKeyFinal"), p)
+  }
+
   test("k larger than every group keeps all rows") {
     val df = Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("k", "v")
     val got = TopKPerKey.topK(df, Seq("k"), Seq("v"), 100)
