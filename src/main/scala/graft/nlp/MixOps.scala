@@ -233,6 +233,55 @@ object MixOps extends QueryModule {
       | CAST(max(doc_id) AS BIGINT) AS max_doc
       |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---- V48: stratified fixed-size sampling ----
+
+  /** Per-stratum sample size for V48 (10 docs × 20 sources = 200 rows
+    * at every SF — the strata are the source DOMAIN, so output is
+    * corpus-size-independent). */
+  val StratumSampleN = 10
+
+  /** V48: stratified fixed-size sampling — exactly [[StratumSampleN]]
+    * documents per source, chosen by a content-free md5 order (the
+    * deterministic "random" every engine reproduces): the eval-set /
+    * human-review draw where each stratum must contribute a fixed
+    * count, not a fixed fraction (v14 is the fraction form).
+    *
+    * Scale: the per-source "n smallest hash" selection runs on the
+    * native [[graft.plans.TopKPerKey]] heap operator (third registered
+    * user) — one unsorted O(n log k) pass per partition, one hash
+    * exchange carrying ≤ k·sources·partitions rows, no whole-source
+    * sort anywhere; the rank window afterwards only ever sees the
+    * k·sources survivors. Growth-stable like v28: adding documents
+    * can only displace, never reshuffle, a stratum's sample order. */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = Tables.documents(spark, dir)
+      .withColumn("skey", conv(substring(
+        md5(concat(lit("strat"), col("doc_id").cast("string"))), 1, 14),
+        16, 10).cast("long"))
+      .select(col("source"), col("doc_id"), col("skey"), col("n_chars"))
+    graft.plans.TopKPerKey.topK(keyed,
+        Seq("source"), Seq("skey", "doc_id"), StratumSampleN)
+      .withColumn("rk", row_number().over(Window.partitionBy(col("source"))
+        .orderBy(col("skey"), col("doc_id"))))
+      .select(col("source"), col("rk"), col("doc_id"), col("n_chars"))
+      .orderBy(col("source"), col("rk"))
+  }
+
+  private val stratifiedSampleSql: String =
+    s"""WITH k AS (
+       | SELECT source, doc_id, n_chars,
+       |  ('0x' || substr(md5('strat' || CAST(doc_id AS VARCHAR)), 1, 14))
+       |    ::BIGINT AS skey
+       | FROM documents),
+       | r AS (SELECT source, doc_id, n_chars,
+       |        row_number() OVER (PARTITION BY source
+       |          ORDER BY skey, doc_id) AS rk
+       |       FROM k)
+       |SELECT source, CAST(rk AS INT) AS rk, doc_id, n_chars
+       |FROM r WHERE rk <= $StratumSampleN
+       |ORDER BY source, rk""".stripMargin
+
   // ---- V34: deterministic importance sampling ----
 
   /** V34: importance sampling — keep each event with probability
@@ -499,6 +548,12 @@ object MixOps extends QueryModule {
         "proportional to row weight, decided by md5-uniform in exact " +
         "integer space (pure map + one aggregate)",
       importanceSample, Some(importanceSql)),
+    GraftQuery("v48_stratified_sample",
+      "V48 stratified fixed-size sampling: exactly n docs per source " +
+        "by content-free md5 order on the native TopKPerKey heap " +
+        "operator — no whole-source sort, rank window sees only the " +
+        "k*sources survivors; growth-stable like v28",
+      stratifiedSample, Some(stratifiedSampleSql)),
     GraftQuery("v28_hash_split",
       "V28 deterministic train/val/test split by md5 bucket (stable " +
         "under corpus growth; pure map + one aggregate)",

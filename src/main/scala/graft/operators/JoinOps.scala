@@ -145,7 +145,59 @@ object JoinOps extends QueryModule {
        |GROUP BY 1, 2
        |ORDER BY err_id""".stripMargin
 
+  /** Edit-distance ceiling for the W18 fuzzy match (levenshtein ≤ 3:
+    * catches adjective swaps like cold/old widget while rejecting
+    * unrelated names; 78 pairs at sf0.001 — non-vacuous at every SF). */
+  val FuzzyMaxDist = 3
+
+  /** W18: blocked fuzzy join — record linkage over the part-name
+    * vocabulary: pairs of DISTINCT names within edit distance
+    * [[FuzzyMaxDist]], the match step of entity resolution / catalog
+    * dedup (the string-space sibling of v2d's embedding near-dup).
+    *
+    * Scale: an unblocked fuzzy join is the O(N²) all-pairs comparison
+    * that never survives — so candidates are generated by a BLOCKING
+    * key (here the name's last token, the noun: typos and variants
+    * overwhelmingly share it) and the plan becomes a plain hash
+    * self-join on the block followed by the exact distance as a
+    * residual filter. Block sizes are bounded by the name vocabulary
+    * per noun, not data volume — the same candidate-then-verify shape
+    * as v2b's LSH bands; a production run adds a second blocking pass
+    * (e.g. first-char) and unions candidates, exactly like multi-band
+    * LSH. Names are distinct'd BEFORE pairing (62 names stand for 200+
+    * rows here; corpus-scale dedup keys are ≪ row count), so the join
+    * runs on the name dictionary, never the fact table. */
+  def fuzzyJoin(spark: SparkSession, dir: String): DataFrame = {
+    val names = Tables.part(spark, dir)
+      .select(col("p_name")).distinct()
+      .withColumn("block", element_at(split(col("p_name"), " "), -1))
+    val a = names.select(col("block"), col("p_name").as("name_a"))
+    val b = names.select(col("block"), col("p_name").as("name_b"))
+    a.join(b, Seq("block"))
+      .filter(col("name_a") < col("name_b") &&
+        levenshtein(col("name_a"), col("name_b")) <= FuzzyMaxDist)
+      .select(col("name_a"), col("name_b"),
+        levenshtein(col("name_a"), col("name_b")).as("dist"))
+      .orderBy(col("name_a"), col("name_b"))
+  }
+
+  private val fuzzySql: String =
+    s"""WITH n AS (SELECT DISTINCT p_name FROM part),
+       | k AS (SELECT p_name, split_part(p_name, ' ', -1) AS block FROM n)
+       |SELECT a.p_name AS name_a, b.p_name AS name_b,
+       | CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+       |FROM k a JOIN k b
+       |  ON a.block = b.block AND a.p_name < b.p_name
+       |WHERE levenshtein(a.p_name, b.p_name) <= $FuzzyMaxDist
+       |ORDER BY name_a, name_b""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("w18_fuzzy_join",
+      "W18 blocked fuzzy join (record linkage): distinct-name pairs " +
+        "within levenshtein<=3, candidates from a last-token blocking " +
+        "key so the plan is a hash self-join on the name DICTIONARY " +
+        "with the distance as residual — never an all-pairs loop",
+      fuzzyJoin, Some(fuzzySql)),
     GraftQuery("w1_asof_join",
       "W1 as-of join: latest prior-or-equal view per purchase+user via " +
         "union + one (user_id)-window — one shuffle, zero join pairs " +

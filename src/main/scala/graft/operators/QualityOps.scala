@@ -118,6 +118,103 @@ object QualityOps extends QueryModule {
        |FROM c ORDER BY table_name, chk""".stripMargin
   }
 
+  // ---- V46: PII scrubbing ----
+
+  // Patterns kept to the RE2 ∩ java.util.regex common dialect (character
+  // classes, bounded repeats — no lookaround, no \d shorthands) so the
+  // same regex string drives both engines identically.
+  private val EmailPat = "[a-z0-9.]+@[a-z0-9.]+"
+  private val PhonePat = "\\+1-[0-9]{3}-[0-9]{4}"
+  private val IpPat = "10\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** V46: PII scrubbing — the redaction pass a training-data pipeline
+    * runs before text leaves the ingest boundary: find email / phone /
+    * IP literals, count them per segment (the audit trail), and replace
+    * them with type tags (the scrubbed corpus). The contact blobs are
+    * synthesized deterministically from `customer` (the fixture corpus
+    * has no natural PII — same convention as the v7 media payloads), so
+    * both engines construct and scrub identical bytes; the per-segment
+    * md5 over the order-fixed redacted text witnesses the scrub output
+    * itself, not just the counts.
+    *
+    * Match counts ride `size(split(s, pat)) - 1` — the one count
+    * spelling this DuckDB build and Spark share (no regexp_count there).
+    *
+    * Scale: pure per-row regex map (codegen'd `RegExpReplace`; the
+    * pattern is a fold of three sequential replaces, still one pass
+    * over the row) + one segment-keyed aggregate with map-side combine.
+    * No window, no join — embarrassingly parallel. The md5-of-ordered-
+    * concat is the only per-group sort and runs on ≤n_customers/segment
+    * strings; at 100 TB swap it for a per-row md5 XOR (order-free) —
+    * here the ordered form is kept because it witnesses byte order too. */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val k = col("c_custkey")
+    val blob = concat(
+      col("c_name"), lit(" email user."), k.cast("string"),
+      lit("@example.com"),
+      when(k % 3 === 0,
+        concat(lit(" alt user"), k.cast("string"), lit("@alt.org")))
+        .otherwise(lit("")),
+      lit(" phone +1-"), lpad((k % 1000).cast("string"), 3, "0"),
+      lit("-"), lpad((k % 10000).cast("string"), 4, "0"),
+      lit(" ip 10."), (k % 256).cast("string"),
+      lit("."), (expr("c_custkey div 256") % 256).cast("string"),
+      lit("."), (k % 250).cast("string"))
+    def matches(s: Column, pat: String) = (size(split(s, pat)) - 1)
+      .cast("long")
+    val red = regexp_replace(regexp_replace(regexp_replace(
+      blob, EmailPat, "<EMAIL>"), PhonePat, "<PHONE>"), IpPat, "<IP>")
+    Tables.customer(spark, dir)
+      .select(col("c_mktsegment").as("segment"), k.as("ck"),
+        matches(blob, EmailPat).as("emails"),
+        matches(blob, PhonePat).as("phones"),
+        matches(blob, IpPat).as("ips"), red.as("red"))
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("emails")).as("emails_found"),
+        sum(col("phones")).as("phones_found"),
+        sum(col("ips")).as("ips_found"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("ck"), col("red")))),
+          s => s.getField("red")), "|")).as("redacted_md5"))
+      .orderBy(col("segment"))
+  }
+
+  private lazy val piiScrubSql: String = {
+    val email = "[a-z0-9.]+@[a-z0-9.]+"
+    val phone = "\\+1-[0-9]{3}-[0-9]{4}"
+    val ip = "10\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+    s"""WITH b AS (
+       | SELECT c_mktsegment AS segment, c_custkey AS ck,
+       |  c_name || ' email user.' || CAST(c_custkey AS VARCHAR) ||
+       |  '@example.com' ||
+       |  CASE WHEN c_custkey % 3 = 0
+       |       THEN ' alt user' || CAST(c_custkey AS VARCHAR) || '@alt.org'
+       |       ELSE '' END ||
+       |  ' phone +1-' || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') ||
+       |  '-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') ||
+       |  ' ip 10.' || CAST(c_custkey % 256 AS VARCHAR) ||
+       |  '.' || CAST((c_custkey // 256) % 256 AS VARCHAR) ||
+       |  '.' || CAST(c_custkey % 250 AS VARCHAR) AS blob
+       | FROM customer),
+       | s AS (
+       | SELECT segment, ck,
+       |  len(string_split_regex(blob, '$email')) - 1 AS emails,
+       |  len(string_split_regex(blob, '$phone')) - 1 AS phones,
+       |  len(string_split_regex(blob, '$ip')) - 1 AS ips,
+       |  regexp_replace(regexp_replace(regexp_replace(blob,
+       |    '$email', '<EMAIL>', 'g'),
+       |    '$phone', '<PHONE>', 'g'),
+       |    '$ip', '<IP>', 'g') AS red
+       | FROM b)
+       |SELECT segment, CAST(count(*) AS BIGINT) AS n_rows,
+       | CAST(sum(emails) AS BIGINT) AS emails_found,
+       | CAST(sum(phones) AS BIGINT) AS phones_found,
+       | CAST(sum(ips) AS BIGINT) AS ips_found,
+       | md5(string_agg(red, '|' ORDER BY ck)) AS redacted_md5
+       |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   // ---- V38: referential-integrity audit ----
 
   /** V38: cross-table key audit — for each FK relation, child rows with
@@ -181,6 +278,11 @@ object QualityOps extends QueryModule {
         "counts/shares + strict pass flags, row checks fused into one " +
         "conditional-sum pass per table (+1 keyed agg for uniqueness)",
       expectations, Some(expectationsSql)),
+    GraftQuery("v46_pii_scrub",
+      "V46 PII scrubbing: email/phone/IP detection counts per segment " +
+        "+ tag-redacted output witnessed by ordered md5; pure per-row " +
+        "codegen regex map + one keyed aggregate, no window, no join",
+      piiScrub, Some(piiScrubSql)),
     GraftQuery("v38_ref_integrity",
       "V38 referential-integrity audit: orphan and childless key " +
         "counts per FK relation via anti-joins (broadcast at test SF, " +

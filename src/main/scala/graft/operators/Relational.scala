@@ -192,6 +192,63 @@ object Relational extends QueryModule {
       .limit(20)
   }
 
+  /** Q5-shape (TPC-H local-supplier volume): the step past c3's
+    * star join — a fact-FACT join (lineitem ⋈ orders on the order key)
+    * feeding dimension lookups with a CROSS-dimension equality
+    * (customer's nation must equal the supplier's: the predicate that
+    * only exists after both lookup paths meet). Revenue per
+    * (region, nation) over a 3-year order window.
+    *
+    * Scale: the one expensive exchange is the l⋈o shuffle on the
+    * high-cardinality order key; customer joins by another fact-side
+    * shuffle on custkey (customer scales with SF — forcing a broadcast
+    * there OOMs first, AQE may still downgrade when the filter bites),
+    * while supplier/nation/region are genuinely bounded and broadcast.
+    * The date filter prunes orders at the SCAN (PushedFilters), so the
+    * first shuffle carries only the surviving window. */
+  def localSupplierVolume(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        col("l_extendedprice"), col("l_discount"))
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= "1996-01-01" &&
+        col("o_orderdate") < "1999-01-01")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"))
+    val s = Tables.supplier(spark, dir)
+      .select(col("s_suppkey"), col("s_nationkey"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(round(Exact.sumExact(col("l_extendedprice") *
+        (lit(1.0) - col("l_discount"))), 6).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  private lazy val localSupplierSql: String =
+    s"""SELECT r_name, n_name,
+       | round(${OracleSql.sumExact("l_extendedprice*(1.0-l_discount)")},6)
+       |   AS revenue,
+       | CAST(count(*) AS BIGINT) AS n_items
+       |FROM lineitem
+       | JOIN orders   ON l_orderkey = o_orderkey
+       | JOIN customer ON o_custkey = c_custkey
+       | JOIN supplier ON l_suppkey = s_suppkey
+       |              AND c_nationkey = s_nationkey
+       | JOIN nation   ON s_nationkey = n_nationkey
+       | JOIN region   ON n_regionkey = r_regionkey
+       |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+       |  AND o_orderdate <  TIMESTAMP '1999-01-01'
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** V10: cardinality estimation — exact distinct (oracle surface) next
     * to HyperLogLog++ (`approx_count_distinct`, the mergeable 100 TB /
     * streaming form). The approx column is engine-specific, so the oracle
@@ -233,6 +290,12 @@ object Relational extends QueryModule {
               |WHERE o_orderdate < TIMESTAMP '1998-01-01'
               |  AND l_shipdate >= TIMESTAMP '1998-01-01'
               |GROUP BY 1,2 ORDER BY revenue DESC, o_orderkey LIMIT 20""".stripMargin)),
+    GraftQuery("q5_local_supplier_volume",
+      "Q5-shape multiway join: fact-fact shuffle (lineitem x orders) + " +
+        "cross-dimension local-supplier equality + bounded-dim " +
+        "broadcasts, revenue per (region, nation) over a pushed-down " +
+        "order-date window",
+      localSupplierVolume, Some(localSupplierSql)),
     GraftQuery("v9_profile",
       "V9 column profiling: count/nulls/min/max/distinct per column",
       profile, Some(profileSql)),

@@ -40,6 +40,95 @@ object StatsOps extends QueryModule {
   private def ev(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
 
+  // ---- U9: seasonal-baseline anomaly report ----
+
+  /** U9: seasonal anomaly detection — the alerting layer on top of
+    * w16's seasonality profile: the first 21 days build a per
+    * (event_type, weekday, hour-of-day) baseline (3 same-slot
+    * occurrences summed), and every hour of the final 9 days is graded
+    * against its slot: HIGH when the hour's count exceeds 2× the slot's
+    * weekly average (3·n > 2·base), LOW when it falls under a sixth of
+    * it (6·n < base) — both pure integer cross-multiplications, no
+    * division, so zero-baseline slots are safe by construction (the
+    * v35 ADVICE lesson) and both engines agree bit-for-bit. Grading
+    * runs over the DENSE (type × day × hour) domain grid, so an hour
+    * with ZERO events and a live baseline is flagged low — the outage
+    * shape a sparse join would silently skip. Output: one summary row
+    * per (type, day) with flagged-hour counts — bounded at
+    * types×9 rows at any data volume.
+    *
+    * Scale: two linear scans aggregate onto domain-bounded frames
+    * (types×168 baseline, types×216 eval) BEFORE any join; the grid is
+    * a calendar Range crossed with the tiny type dictionary, the
+    * baseline joins back broadcast. No window at all. */
+  def seasonalAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val e = ev(spark, dir)
+      .withColumn("off", col("ts_s") - Start)
+      .withColumn("day", Exact.intDiv(col("off"), lit(Day)))
+      .withColumn("hod", Exact.intDiv(col("off") % Day, lit(3600L)))
+    val base = e.filter(col("day") < 21)
+      .groupBy(col("event_type"), pmod(col("day"), lit(7L)).as("dow"),
+        col("hod"))
+      .agg(count(lit(1)).as("base"))
+    val obs = e.filter(col("day") >= 21)
+      .groupBy(col("event_type"), col("day"), col("hod"))
+      .agg(count(lit(1)).as("n_obs"))
+    val grid = e.select(col("event_type")).distinct()
+      .crossJoin(spark.range(21, 30).select(col("id").as("day")))
+      .crossJoin(spark.range(0, 24).select(col("id").as("hod")))
+    val graded = grid
+      .join(obs, Seq("event_type", "day", "hod"), "left")
+      .withColumn("n_obs", coalesce(col("n_obs"), lit(0L)))
+      // fresh aliases on the baseline side: grid/obs/base all descend
+      // from the same scan, and same-id attributes across a self-join
+      // are unresolvable (the st-suite lesson)
+      .join(broadcast(base.select(col("event_type").as("b_type"),
+          col("dow").as("b_dow"), col("hod").as("b_hod"), col("base"))),
+        col("event_type") === col("b_type") &&
+          pmod(col("day"), lit(7L)) === col("b_dow") &&
+          col("hod") === col("b_hod"), "left")
+      .drop("b_type", "b_dow", "b_hod")
+      .withColumn("base", coalesce(col("base"), lit(0L)))
+    graded.groupBy(col("event_type"), col("day"))
+      .agg(
+        sum(when(col("n_obs") * 3 > col("base") * 2, 1L).otherwise(0L))
+          .as("n_hours_high"),
+        sum(when(col("n_obs") * 6 < col("base"), 1L).otherwise(0L))
+          .as("n_hours_low"),
+        sum(col("n_obs")).as("obs_total"),
+        sum(col("base")).as("base_total"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  private lazy val seasonalAnomalySql: String =
+    s"""WITH e AS (
+       |  SELECT event_type,
+       |   (epoch_us(ts)//1000000 - $Start) AS off FROM events),
+       | ed AS (SELECT event_type, off // $Day AS day,
+       |         (off % $Day) // 3600 AS hod FROM e),
+       | b AS (SELECT event_type, day % 7 AS dow, hod, count(*) AS base
+       |       FROM ed WHERE day < 21 GROUP BY 1, 2, 3),
+       | o AS (SELECT event_type, day, hod, count(*) AS n_obs
+       |       FROM ed WHERE day >= 21 GROUP BY 1, 2, 3),
+       | g AS (SELECT ty.event_type, d.day, h.hod
+       |       FROM (SELECT DISTINCT event_type FROM events) ty,
+       |            range(21, 30) d(day), range(0, 24) h(hod)),
+       | j AS (SELECT g.event_type, g.day, g.hod,
+       |        coalesce(o.n_obs, 0) AS n_obs, coalesce(b.base, 0) AS base
+       |       FROM g
+       |        LEFT JOIN o ON o.event_type = g.event_type
+       |                   AND o.day = g.day AND o.hod = g.hod
+       |        LEFT JOIN b ON b.event_type = g.event_type
+       |                   AND b.dow = g.day % 7 AND b.hod = g.hod)
+       |SELECT event_type, CAST(day AS BIGINT) AS day,
+       | CAST(sum(CASE WHEN n_obs*3 > base*2 THEN 1 ELSE 0 END) AS BIGINT)
+       |   AS n_hours_high,
+       | CAST(sum(CASE WHEN n_obs*6 < base THEN 1 ELSE 0 END) AS BIGINT)
+       |   AS n_hours_low,
+       | CAST(sum(n_obs) AS BIGINT) AS obs_total,
+       | CAST(sum(base) AS BIGINT) AS base_total
+       |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ---- V35: distribution drift (early vs late window) ----
 
   /** V35: distribution-shift monitor — per event_type, compare the value
@@ -697,6 +786,12 @@ object StatsOps extends QueryModule {
         "assignment), per-decile event share and top-down cumulative " +
         "share over the 10-row frame",
       concentration, Some(concentrationSql)),
+    GraftQuery("u9_seasonal_anomaly",
+      "U9 seasonal anomaly report: 21-day (type,dow,hour) baseline " +
+        "grades the final 9 days' hours over the DENSE domain grid " +
+        "(zero-event hours flag low); integer cross-multiplied " +
+        "thresholds, no division, aggregates before any join",
+      seasonalAnomaly, Some(seasonalAnomalySql)),
     GraftQuery("w16_weekday_profile",
       "W16 weekday seasonality: per (type, dow) count, exact mean, " +
         "weekly share — integer calendar arithmetic (day 0 = Monday), " +

@@ -53,6 +53,16 @@ class TopKSpec extends SparkSpec {
     assert(p.indexOf("Window") < p.indexOf("TopKPerKeyFinal"), p)
   }
 
+  test("v48 stratified sample rides the native operator and keeps " +
+    "exactly n per stratum") {
+    val df = nlp.MixOps.stratifiedSample(spark, sf0001)
+    val rows = df.collect()
+    val p = execPlan(df).split("== Initial Plan ==").head
+    assert(p.contains("TopKPerKeyFinal"), p)
+    val perSource = rows.groupBy(_.getString(0)).values.map(_.length)
+    assert(perSource.forall(_ == nlp.MixOps.StratumSampleN))
+  }
+
   test("k larger than every group keeps all rows") {
     val df = Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("k", "v")
     val got = TopKPerKey.topK(df, Seq("k"), Seq("v"), 100)
