@@ -6,6 +6,7 @@ import graft.dedup.DedupOps
 import graft.mm.MultimodalOps
 import graft.nlp.{MixOps, RankOps, TextOps}
 import graft.sim.SimilarityOps
+import graft.sources.SourceOps
 import graft.streaming.StreamingOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -16,7 +17,7 @@ object SparkEntry {
   private def modules: Seq[QueryModule] = Seq(
     Relational, EventOps, SeriesOps, SearchOps, IngestOps, SessionOps,
     SpanNativeOps, LayoutOps, JoinOps, CdcOps, OlapOps, GraphOps, StatsOps,
-    QualityOps,
+    QualityOps, SourceOps,
     TextOps, RankOps, MixOps, DedupOps, SimilarityOps, MultimodalOps,
     StreamingOps)
 

@@ -1,0 +1,82 @@
+package graft.sources
+
+import graft._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Registry entries for the DataSourceV2 span source (SURVEY §2.A A1 as
+  * a first-class pluggable source — see [[SpanFileSource]]).
+  *
+  * Both oracles read `expected.parquet`, which [[SpanFixture]] computes
+  * CLOSED-FORM in plain Scala — never through the source — so the
+  * DuckDB pass independently checks the Jackson parse path, the
+  * hex→base64 id re-encode, the duration arithmetic and the pushdown
+  * semantics.
+  */
+object SourceOps extends QueryModule {
+
+  /** A7: full scan through the DSv2 source — per-service span rollup.
+    * Exercises schema projection (only 4 of 8 columns reach the
+    * reader) and the aggregate above the custom Batch. */
+  def dsv2Scan(spark: SparkSession, dir: String): DataFrame = {
+    val d = SpanFixture.ensure(spark)
+    SpanFileSource.read(spark, d)
+      .groupBy(col("service_name"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("duration_ns")).as("total_dur_ns"),
+        min(col("start_ns")).as("first_start_ns"),
+        sum(when(col("status_code") === "ERROR", 1L).otherwise(0L))
+          .as("n_errors"))
+      .orderBy(col("service_name"))
+  }
+
+  private lazy val dsv2ScanSql: String =
+    s"""SELECT service_name, CAST(count(*) AS BIGINT) AS n_spans,
+       | CAST(sum(duration_ns) AS BIGINT) AS total_dur_ns,
+       | CAST(min(start_ns) AS BIGINT) AS first_start_ns,
+       | CAST(sum(CASE WHEN status_code = 'ERROR' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_errors
+       |FROM read_parquet('${SpanFixture.Dir}/expected.parquet/*.parquet')
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** The a7b predicate: one service, first 12 hours — stats-skips all
+    * but ~2 of the 24 files before any byte of JSON is read. */
+  val PushService = "svc2"
+  val PushMaxNs: Long = SpanFixture.BaseNs + 12 * SpanFixture.HourNs
+
+  /** A7b: the same source under a selective predicate — service
+    * equality + start-time upper bound, both pushed: the planner opens
+    * only the files whose sidecar stats survive (2/24 here), Spark
+    * re-evaluates the predicate row-by-row above (stats prune, never
+    * decide). SourceSpec pins the files= fraction in the plan text and
+    * pruned == unpruned results. */
+  def dsv2Pushdown(spark: SparkSession, dir: String): DataFrame = {
+    val d = SpanFixture.ensure(spark)
+    SpanFileSource.read(spark, d)
+      .filter(col("service_name") === PushService &&
+        col("start_ns") < PushMaxNs)
+      .select(col("span_id"), col("name"), col("start_ns"),
+        col("duration_ns"), col("status_code"))
+      .orderBy(col("start_ns"))
+  }
+
+  private lazy val dsv2PushdownSql: String =
+    s"""SELECT span_id, name, start_ns, duration_ns, status_code
+       |FROM read_parquet('${SpanFixture.Dir}/expected.parquet/*.parquet')
+       |WHERE service_name = '$PushService' AND start_ns < $PushMaxNs
+       |ORDER BY start_ns""".stripMargin
+
+  val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("a7_dsv2_scan",
+      "A7 DataSourceV2 span source: OTLP/JSON files through a custom " +
+        "TableProvider (Jackson parse, independent of the from_json " +
+        "batch path); per-service rollup with column pruning at the " +
+        "reader",
+      dsv2Scan, Some(dsv2ScanSql)),
+    GraftQuery("a7b_dsv2_pushdown",
+      "A7b DSv2 filter pushdown: service + time-bound predicates " +
+        "evaluated against _stats.json sidecar file stats — 2/24 files " +
+        "opened (catalog-stats skipping, the MergeTree-index analog); " +
+        "filters re-applied row-by-row above the scan",
+      dsv2Pushdown, Some(dsv2PushdownSql)))
+}

@@ -1,0 +1,249 @@
+package graft.sources
+
+import java.util
+
+import scala.collection.mutable.ArrayBuffer
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** A1 as a first-class Spark DataSourceV2: OTLP/JSON span files read
+  * through a custom `TableProvider` with
+  *
+  *  - **column pruning** (`SupportsPushDownRequiredColumns`): the
+  *    reader materializes ONLY the requested fields — `ReadSchema` in
+  *    `.explain("formatted")` shows the pruned set, and unrequested
+  *    attribute parsing never happens;
+  *  - **filter pushdown with file skipping**
+  *    (`SupportsPushDownFilters`): service equality/IN and start-time
+  *    bounds are evaluated against the per-file min/max + service-set
+  *    stats in the `_stats.json` sidecar (the catalog-stats model of
+  *    Delta/Iceberg, and the same skipping the reference gets from
+  *    ClickHouse's MergeTree primary index, db/clickhouse.go:107-109),
+  *    so non-matching FILES are never opened. At 100 TB this is the
+  *    difference between a scan bounded by the predicate's time window
+  *    and a scan of every request file ever collected.
+  *
+  * Correctness does not depend on the stats: every pushed filter is
+  * also returned as a post-scan filter (the `pushFilters` return
+  * value), so Spark re-evaluates it row-by-row above the scan — stats
+  * can only prune, never decide. A file the stats wrongly EXCLUDE
+  * would silently drop rows, so SourceSpec pins pruned == unpruned on
+  * every skipping predicate it exercises.
+  *
+  * The per-file parse is Jackson over the protojson wire shape
+  * (`resourceSpans → scopeSpans → spans`, hex ids re-encoded to the
+  * store's base64 convention, collector/service.go:273-275) — an
+  * INDEPENDENT implementation of the `from_json` batch path in
+  * [[graft.spans.OtlpIngest]], which is exactly what makes the a7
+  * oracle a real cross-check. One file = one input partition (request
+  * files are small and many; at scale the unit of parallelism is the
+  * file, as with any log-structured collector output).
+  */
+class SpanFileSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    SpanFileSource.Schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new SpanTable(properties.get("path"))
+
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+object SpanFileSource {
+  /** The span projection this source serves (the scalar columns of the
+    * reference's span store; nested attrs/events stay with the batch
+    * ingest path). */
+  val Schema: StructType = StructType(Seq(
+    StructField("trace_id", StringType),
+    StructField("span_id", StringType),
+    StructField("parent_span_id", StringType),
+    StructField("name", StringType),
+    StructField("service_name", StringType),
+    StructField("start_ns", LongType),
+    StructField("duration_ns", LongType),
+    StructField("status_code", StringType)))
+
+  /** Reader entry point: `SpanFileSource.read(spark, dir)`. */
+  def read(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format(classOf[SpanFileSource].getName).load(dir)
+
+  final case class FileStat(file: String, minStartNs: Long,
+      maxStartNs: Long, services: Set[String])
+
+  def readStats(dir: String): Seq[FileStat] = {
+    val mapper = new ObjectMapper()
+    val root = mapper.readTree(new java.io.File(dir, "_stats.json"))
+    root.elements().asScala.map { n =>
+      FileStat(n.get("file").asText(),
+        n.get("min_start_ns").asLong(), n.get("max_start_ns").asLong(),
+        n.get("services").elements().asScala.map(_.asText()).toSet)
+    }.toSeq
+  }
+
+  /** Can `f` be evaluated against file-level stats? */
+  def skippable(f: Filter): Boolean = f match {
+    case EqualTo("service_name", _: String) => true
+    case In("service_name", _) => true
+    case GreaterThan("start_ns", _: Long) => true
+    case GreaterThanOrEqual("start_ns", _: Long) => true
+    case LessThan("start_ns", _: Long) => true
+    case LessThanOrEqual("start_ns", _: Long) => true
+    case _ => false
+  }
+
+  /** Might a file with these stats contain a row matching `f`?
+    * Conservative: unknown shapes keep the file. */
+  def mightMatch(s: FileStat, f: Filter): Boolean =
+    f match {
+      case EqualTo("service_name", v: String) => s.services.contains(v)
+      case In("service_name", vs) =>
+        vs.exists(v => s.services.contains(String.valueOf(v)))
+      case GreaterThan("start_ns", v: Long) => s.maxStartNs > v
+      case GreaterThanOrEqual("start_ns", v: Long) => s.maxStartNs >= v
+      case LessThan("start_ns", v: Long) => s.minStartNs < v
+      case LessThanOrEqual("start_ns", v: Long) => s.minStartNs <= v
+      case _ => true
+    }
+}
+
+private[sources] class SpanTable(dir: String) extends Table
+    with SupportsRead {
+  override def name(): String = s"graft_spans($dir)"
+  override def schema(): StructType = SpanFileSource.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new SpanScanBuilder(dir)
+}
+
+private[sources] class SpanScanBuilder(dir: String) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  private var required: StructType = SpanFileSource.Schema
+  private var skipping: Array[Filter] = Array.empty
+
+  /** Keep the stats-evaluable subset for skipping; return EVERY filter
+    * as post-scan so Spark re-applies them row-by-row (stats prune,
+    * they never decide). */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    skipping = filters.filter(SpanFileSource.skippable)
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = skipping
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // empty pruned schema (count(*) over the source) still needs row
+    // COUNTS — keep a 1-field schema so the reader emits one row per span
+    required =
+      if (requiredSchema.isEmpty)
+        StructType(SpanFileSource.Schema.take(1))
+      else requiredSchema
+
+  override def build(): Scan = new SpanScan(dir, required, skipping)
+}
+
+private[sources] class SpanScan(dir: String, required: StructType,
+    skipping: Array[Filter]) extends Scan with Batch {
+  private val stats = SpanFileSource.readStats(dir)
+  private val survivors = stats.filter(s =>
+    skipping.forall(f => SpanFileSource.mightMatch(s, f)))
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  /** Shown in `.explain()` — SourceSpec greps the `files=` fraction to
+    * pin that skipping actually happened. */
+  override def description(): String =
+    s"GraftSpanScan files=${survivors.size}/${stats.size} " +
+      s"skipping=[${skipping.mkString(", ")}] " +
+      s"columns=[${required.fieldNames.mkString(", ")}]"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    survivors.map(s => SpanInputPartition(s"$dir/${s.file}")
+      .asInstanceOf[InputPartition]).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SpanReaderFactory(required)
+}
+
+private[sources] final case class SpanInputPartition(path: String)
+    extends InputPartition
+
+private[sources] class SpanReaderFactory(required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(
+      partition: InputPartition): PartitionReader[InternalRow] =
+    new SpanPartitionReader(
+      partition.asInstanceOf[SpanInputPartition].path, required)
+}
+
+/** Jackson parse of one OTLP/JSON request file → pruned InternalRows. */
+private[sources] class SpanPartitionReader(path: String,
+    required: StructType) extends PartitionReader[InternalRow] {
+
+  private def b64OfHex(s: String): String =
+    if (s == null || s.isEmpty) ""
+    else java.util.Base64.getEncoder.encodeToString(
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray)
+
+  private val rows: Iterator[InternalRow] = {
+    val mapper = new ObjectMapper()
+    val root = mapper.readTree(new java.io.File(path))
+    val out = ArrayBuffer.empty[InternalRow]
+    root.path("resourceSpans").elements().asScala.foreach { rs =>
+      val service = rs.path("resource").path("attributes").elements()
+        .asScala
+        .find(_.path("key").asText() == "service.name")
+        .map(_.path("value").path("stringValue").asText())
+        .getOrElse("")
+      rs.path("scopeSpans").elements().asScala.foreach { ss =>
+        ss.path("spans").elements().asScala.foreach { sp =>
+          val startNs = sp.path("startTimeUnixNano").asText("0").toLong
+          val endNs = sp.path("endTimeUnixNano").asText("0").toLong
+          def field(name: String): Any = name match {
+            case "trace_id" =>
+              UTF8String.fromString(b64OfHex(sp.path("traceId").asText()))
+            case "span_id" =>
+              UTF8String.fromString(b64OfHex(sp.path("spanId").asText()))
+            case "parent_span_id" =>
+              UTF8String.fromString(
+                b64OfHex(sp.path("parentSpanId").asText()))
+            case "name" =>
+              UTF8String.fromString(sp.path("name").asText())
+            case "service_name" => UTF8String.fromString(service)
+            case "start_ns" => startNs
+            case "duration_ns" => endNs - startNs
+            case "status_code" =>
+              UTF8String.fromString(
+                sp.path("status").path("code").asText() match {
+                  case "STATUS_CODE_ERROR" => "ERROR"
+                  case "STATUS_CODE_OK" => "OK"
+                  case other => other
+                })
+          }
+          out += new GenericInternalRow(
+            required.fieldNames.map(field): Array[Any])
+        }
+      }
+    }
+    out.iterator
+  }
+
+  private var current: InternalRow = _
+  override def next(): Boolean =
+    if (rows.hasNext) { current = rows.next(); true } else false
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}

@@ -1,0 +1,89 @@
+package graft
+
+import graft.sources.{SourceOps, SpanFileSource, SpanFixture}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.{EqualTo, GreaterThan, In, IsNotNull, LessThan}
+
+/** The DataSourceV2 span source (sources/SpanFileSource.scala): parse
+  * correctness against the closed-form fixture, file skipping from
+  * sidecar stats, column pruning reaching the reader, and the
+  * stats-prune-never-decide safety property. */
+class SourceSpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.executedPlan.toString
+
+  private def source() =
+    SpanFileSource.read(spark, SpanFixture.ensure(spark))
+
+  test("full scan == the closed-form expected rows, all 8 columns") {
+    val got = source().orderBy("span_id").collect()
+    val want = SpanFixture.expected(spark).orderBy("span_id").collect()
+    assert(got.length == SpanFixture.NFiles * SpanFixture.SpansPerFile)
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("pushdown opens only the stats-surviving files (2/24 in plan)") {
+    val df = SourceOps.dsv2Pushdown(spark, sf0001)
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("files=2/24"), p)
+    assert(p.contains("EqualTo(service_name,svc2)"), p)
+  }
+
+  test("stats prune, never decide: pruned == unpruned under every " +
+    "pushed predicate") {
+    val full = SpanFixture.expected(spark)
+      .filter(col("service_name") === SourceOps.PushService &&
+        col("start_ns") < SourceOps.PushMaxNs)
+      .select("span_id", "name", "start_ns", "duration_ns", "status_code")
+      .orderBy("start_ns").collect()
+    val pushed = SourceOps.dsv2Pushdown(spark, sf0001).collect()
+    assert(pushed.toSeq == full.toSeq)
+    // a time-only bound (crosses many files) also stays exact
+    val cut = SpanFixture.BaseNs + 5 * SpanFixture.HourNs
+    val a = source().filter(col("start_ns") < cut)
+      .select("span_id").orderBy("span_id").collect()
+    val b = SpanFixture.expected(spark).filter(col("start_ns") < cut)
+      .select("span_id").orderBy("span_id").collect()
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("column pruning reaches the reader: ReadSchema carries only the " +
+    "requested columns") {
+    val df = source().select(col("name"), col("duration_ns"))
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("columns=[name, duration_ns]"), p)
+    assert(!p.contains("trace_id"), p)
+  }
+
+  test("skippability classifier: stats-evaluable shapes only") {
+    assert(SpanFileSource.skippable(EqualTo("service_name", "svc0")))
+    assert(SpanFileSource.skippable(LessThan("start_ns", 5L)))
+    assert(SpanFileSource.skippable(
+      In("service_name", Array[Any]("a", "b"))))
+    assert(!SpanFileSource.skippable(EqualTo("name", "op_0")))
+    assert(!SpanFileSource.skippable(IsNotNull("service_name")))
+    assert(!SpanFileSource.skippable(GreaterThan("duration_ns", 5L)))
+  }
+
+  test("mightMatch is conservative on unknown shapes and exact on " +
+    "bounds") {
+    val s = SpanFileSource.FileStat("f", 100L, 200L, Set("svc1"))
+    assert(SpanFileSource.mightMatch(s, EqualTo("service_name", "svc1")))
+    assert(!SpanFileSource.mightMatch(s, EqualTo("service_name", "svc2")))
+    assert(SpanFileSource.mightMatch(s, GreaterThan("start_ns", 199L)))
+    assert(!SpanFileSource.mightMatch(s, GreaterThan("start_ns", 200L)))
+    assert(SpanFileSource.mightMatch(s, LessThan("start_ns", 101L)))
+    assert(!SpanFileSource.mightMatch(s, LessThan("start_ns", 100L)))
+    assert(SpanFileSource.mightMatch(s, IsNotNull("whatever")))
+  }
+
+  test("an empty required schema still yields one row per span " +
+    "(count(*) pushdown shape)") {
+    assert(source().count() ==
+      SpanFixture.NFiles.toLong * SpanFixture.SpansPerFile)
+  }
+}
