@@ -66,7 +66,34 @@ object SourceOps extends QueryModule {
        |WHERE service_name = '$PushService' AND start_ns < $PushMaxNs
        |ORDER BY start_ns""".stripMargin
 
+  /** A7c: global count/min/max through `SupportsPushDownAggregates` —
+    * the whole query is answered from the `_stats.json` sidecar: the
+    * plan is a single synthetic partition, ZERO span files opened
+    * (SourceSpec pins `files=0/24` in the plan text). Sound because the
+    * source hands every filter back as post-scan, so Spark only pushes
+    * aggregation into filterless scans, where sidecar totals are exact. */
+  def dsv2AggStats(spark: SparkSession, dir: String): DataFrame = {
+    val d = SpanFixture.ensure(spark)
+    SpanFileSource.read(spark, d)
+      .agg(count(lit(1)).as("n_spans"),
+        min(col("start_ns")).as("first_ns"),
+        max(col("start_ns")).as("last_ns"))
+  }
+
+  private lazy val dsv2AggStatsSql: String =
+    s"""SELECT CAST(count(*) AS BIGINT) AS n_spans,
+       | CAST(min(start_ns) AS BIGINT) AS first_ns,
+       | CAST(max(start_ns) AS BIGINT) AS last_ns
+       |FROM read_parquet('${SpanFixture.Dir}/expected.parquet/*.parquet')
+       |""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("a7c_dsv2_agg_pushdown",
+      "A7c DSv2 aggregate pushdown: global count/min/max answered " +
+        "entirely from sidecar stats (files=0/24 - no span file " +
+        "opened); falls back to the row scan for grouped or filtered " +
+        "aggregates",
+      dsv2AggStats, Some(dsv2AggStatsSql)),
     GraftQuery("a7_dsv2_scan",
       "A7 DataSourceV2 span source: OTLP/JSON files through a custom " +
         "TableProvider (Jackson parse, independent of the from_json " +

@@ -10,7 +10,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max => AggMax, Min => AggMin}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
@@ -79,17 +80,34 @@ object SpanFileSource {
   def read(spark: SparkSession, dir: String): DataFrame =
     spark.read.format(classOf[SpanFileSource].getName).load(dir)
 
-  final case class FileStat(file: String, minStartNs: Long,
+  final case class FileStat(file: String, nSpans: Long, minStartNs: Long,
       maxStartNs: Long, services: Set[String])
 
   def readStats(dir: String): Seq[FileStat] = {
     val mapper = new ObjectMapper()
     val root = mapper.readTree(new java.io.File(dir, "_stats.json"))
     root.elements().asScala.map { n =>
-      FileStat(n.get("file").asText(),
+      FileStat(n.get("file").asText(), n.get("n_spans").asLong(),
         n.get("min_start_ns").asLong(), n.get("max_start_ns").asLong(),
         n.get("services").elements().asScala.map(_.asText()).toSet)
     }.toSeq
+  }
+
+  /** Which sidecar statistic answers `f` exactly — `count` / `min` /
+    * `max` — or None if the function can't be served from stats. */
+  def statKind(f: AggregateFunc): Option[String] = f match {
+    case _: CountStar => Some("count")
+    case m: AggMin => m.column() match {
+      case nr: NamedReference
+          if nr.fieldNames().sameElements(Array("start_ns")) => Some("min")
+      case _ => None
+    }
+    case m: AggMax => m.column() match {
+      case nr: NamedReference
+          if nr.fieldNames().sameElements(Array("start_ns")) => Some("max")
+      case _ => None
+    }
+    case _ => None
   }
 
   /** Can `f` be evaluated against file-level stats? */
@@ -130,9 +148,11 @@ private[sources] class SpanTable(dir: String) extends Table
 }
 
 private[sources] class SpanScanBuilder(dir: String) extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
   private var required: StructType = SpanFileSource.Schema
   private var skipping: Array[Filter] = Array.empty
+  private var pushedAgg: Option[Seq[String]] = None
 
   /** Keep the stats-evaluable subset for skipping; return EVERY filter
     * as post-scan so Spark re-applies them row-by-row (stats prune,
@@ -143,6 +163,28 @@ private[sources] class SpanScanBuilder(dir: String) extends ScanBuilder
   }
   override def pushedFilters(): Array[Filter] = skipping
 
+  /** Global count(*) / min(start_ns) / max(start_ns) are answered
+    * ENTIRELY from the sidecar — zero span files opened. Sound because
+    * Spark only attempts aggregate pushdown when every filter was fully
+    * handled by the source, and this source hands every filter back as
+    * post-scan — so aggregation is only ever pushed into a filterLESS
+    * scan, where the sidecar totals are exact by construction. */
+  private def servable(agg: Aggregation): Option[Seq[String]] =
+    if (agg.groupByExpressions().nonEmpty) None
+    else {
+      val kinds = agg.aggregateExpressions().toSeq
+        .map(SpanFileSource.statKind)
+      if (kinds.forall(_.isDefined)) Some(kinds.flatten) else None
+    }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    servable(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    pushedAgg = servable(agg)
+    pushedAgg.isDefined
+  }
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     // empty pruned schema (count(*) over the source) still needs row
     // COUNTS — keep a 1-field schema so the reader emits one row per span
@@ -151,8 +193,55 @@ private[sources] class SpanScanBuilder(dir: String) extends ScanBuilder
         StructType(SpanFileSource.Schema.take(1))
       else requiredSchema
 
-  override def build(): Scan = new SpanScan(dir, required, skipping)
+  override def build(): Scan = pushedAgg match {
+    case Some(kinds) => new SpanStatsAggScan(dir, kinds)
+    case None => new SpanScan(dir, required, skipping)
+  }
 }
+
+/** The fully-pushed-aggregate scan: ONE synthetic partition whose
+  * single row is computed from the `_stats.json` sidecar — no span
+  * file is ever opened (description carries `files=0/N`). */
+private[sources] class SpanStatsAggScan(dir: String, kinds: Seq[String])
+    extends Scan with Batch {
+  private val stats = SpanFileSource.readStats(dir)
+
+  override def readSchema(): StructType =
+    StructType(kinds.zipWithIndex.map { case (k, i) =>
+      StructField(s"agg_${i}_$k", LongType, nullable = false)
+    })
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftSpanStatsAgg files=0/${stats.size} " +
+      s"agg=[${kinds.mkString(", ")}]"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(SpanStatsAggPartition(kinds.map {
+      case "count" => stats.map(_.nSpans).sum
+      case "min" => stats.map(_.minStartNs).min
+      case "max" => stats.map(_.maxStartNs).max
+    }))
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(
+          p: InputPartition): PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private var done = false
+          private val values =
+            p.asInstanceOf[SpanStatsAggPartition].values
+          override def next(): Boolean =
+            if (done) false else { done = true; true }
+          override def get(): InternalRow =
+            new GenericInternalRow(
+              values.map(_.asInstanceOf[Any]).toArray)
+          override def close(): Unit = ()
+        }
+    }
+}
+
+private[sources] final case class SpanStatsAggPartition(values: Seq[Long])
+    extends InputPartition
 
 private[sources] class SpanScan(dir: String, required: StructType,
     skipping: Array[Filter]) extends Scan with Batch {

@@ -94,8 +94,9 @@ object SpanFixture {
   private def statsJson: String =
     (0 until NFiles).map { h =>
       val starts = (0 until SpansPerFile).map(rowOf(h, _).start_ns)
-      s"""{"file":"spans_h$h.json","min_start_ns":${starts.min},""" +
-        s""""max_start_ns":${starts.max},"services":["${serviceOf(h)}"]}"""
+      s"""{"file":"spans_h$h.json","n_spans":$SpansPerFile,""" +
+        s""""min_start_ns":${starts.min},"max_start_ns":${starts.max},""" +
+        s""""services":["${serviceOf(h)}"]}"""
     }.mkString("[", ",", "]")
 
   /** Root of the per-process fixture (pid-suffixed: two concurrent

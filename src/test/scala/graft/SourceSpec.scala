@@ -71,7 +71,7 @@ class SourceSpec extends SparkSpec {
 
   test("mightMatch is conservative on unknown shapes and exact on " +
     "bounds") {
-    val s = SpanFileSource.FileStat("f", 100L, 200L, Set("svc1"))
+    val s = SpanFileSource.FileStat("f", 5L, 100L, 200L, Set("svc1"))
     assert(SpanFileSource.mightMatch(s, EqualTo("service_name", "svc1")))
     assert(!SpanFileSource.mightMatch(s, EqualTo("service_name", "svc2")))
     assert(SpanFileSource.mightMatch(s, GreaterThan("start_ns", 199L)))
@@ -85,5 +85,35 @@ class SourceSpec extends SparkSpec {
     "(count(*) pushdown shape)") {
     assert(source().count() ==
       SpanFixture.NFiles.toLong * SpanFixture.SpansPerFile)
+  }
+
+  test("aggregate pushdown answers count/min/max from the sidecar " +
+    "with zero files opened") {
+    val df = SourceOps.dsv2AggStats(spark, sf0001)
+    val row = df.collect().head
+    val p = plan(df)
+    assert(p.contains("GraftSpanStatsAgg files=0/24"), p)
+    val want = SpanFixture.expected(spark)
+      .agg(count(lit(1)), min(col("start_ns")), max(col("start_ns")))
+      .collect().head
+    assert(row.getLong(0) == want.getLong(0))
+    assert(row.getLong(1) == want.getLong(1))
+    assert(row.getLong(2) == want.getLong(2))
+  }
+
+  test("grouped or filtered aggregates fall back to the row scan") {
+    val grouped = source().groupBy(col("service_name")).count()
+    grouped.collect()
+    assert(plan(grouped).contains("GraftSpanScan"), plan(grouped))
+    val filtered = source()
+      .filter(col("service_name") === "svc0").agg(count(lit(1)))
+    val n = filtered.collect().head.getLong(0)
+    assert(plan(filtered).contains("GraftSpanScan"), plan(filtered))
+    // svc0 serves hours 0,5,10,15,20 -> 5 files x 5 spans
+    assert(n == 25L)
+    // an unservable aggregate (min of a non-stats column) also falls back
+    val other = source().agg(min(col("duration_ns")))
+    other.collect()
+    assert(plan(other).contains("GraftSpanScan"), plan(other))
   }
 }
