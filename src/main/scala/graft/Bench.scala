@@ -71,10 +71,19 @@ object Bench {
       .map(_.split(',').toSeq).getOrElse(Seq.empty)
     val selected = SparkEntry.queries.filter { case (name, _) =>
       only.isEmpty || only.exists(name.contains) }
+    // Per-query hygiene: operators may cache() for intra-query reuse (e.g.
+    // the v22 window table feeds three branches of one DAG); dropping the
+    // cache between entries keeps query N's number from paying query N-1's
+    // leftover blocks + GC pressure. Round 5 measured the contamination at
+    // up to 18x (v22b: 190s in-suite vs 10.4s isolated). Failures are
+    // recorded as -1 so an erroring entry reads as broken, not as fast.
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true }
+        catch { case _: Throwable => false }
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      name -> (if (ok) dt else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

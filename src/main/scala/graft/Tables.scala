@@ -6,12 +6,15 @@ import org.apache.spark.sql.functions._
 /** Loaders for the driver-generated testdata tables (TESTDATA.md /
   * FIXTURES.md). All paths are `$dir/$name.parquet`.
   *
-  * `events.ts` is written as parquet TIMESTAMP(NANOS) which Spark reads as
-  * a LongType of nanoseconds-since-epoch (requires
-  * `spark.sql.legacy.parquet.nanosAsLong=true`, set by [[GraftSession]]).
-  * The DuckDB oracle truncates the same value to microseconds, so every
-  * time expression here works on `ts div 1000` (µs, floor division —
-  * verified to match DuckDB's truncation).
+  * `events.ts` has shipped in two physical forms across testdata
+  * generations: parquet TIMESTAMP(NANOS), which Spark reads as a LongType
+  * of nanoseconds-since-epoch (under `spark.sql.legacy.parquet.nanosAsLong`,
+  * set by [[GraftSession]]), and parquet timestamp[us], which Spark reads
+  * as TIMESTAMP_NTZ. All downstream operators are written against the
+  * ns-long form, so [[Tables.normalizeTsNs]] canonicalizes `ts` to
+  * nanoseconds-since-epoch LongType at load. The DuckDB oracle reads the
+  * same parquet as a TIMESTAMP either way (NANOS truncates to µs), so the
+  * oracle SQL's `epoch_us(ts)` equals our `ts div 1000` exactly.
   */
 /** The driver testdata's event-time window (TESTDATA.md §events): the
   * epoch-second range every series endpoint buckets over and the layout
@@ -39,9 +42,26 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 
+  /** Canonicalize an events-shaped frame's `ts` to nanoseconds-since-epoch
+    * LongType (see the header note: the driver has generated both ns-long
+    * and timestamp[us] physical forms). The session timezone is pinned to
+    * UTC by [[GraftSession]], so the NTZ→TIMESTAMP cast is epoch-exact.
+    * Works on streaming frames too (type dispatch is on the static schema). */
+  def normalizeTsNs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case org.apache.spark.sql.types.LongType => df
+    case org.apache.spark.sql.types.TimestampNTZType =>
+      df.withColumn("ts",
+        unix_micros(col("ts").cast(org.apache.spark.sql.types.TimestampType)) *
+          lit(1000L))
+    case _: org.apache.spark.sql.types.TimestampType =>
+      df.withColumn("ts", unix_micros(col("ts")) * lit(1000L))
+    case other => throw new IllegalArgumentException(
+      s"events.ts: expected ns-long or timestamp, got $other")
+  }
+
   /** events with derived µs/s epoch columns (oracle-compatible, see above). */
   def events(spark: SparkSession, dir: String): DataFrame =
-    table(spark, dir, "events")
+    normalizeTsNs(table(spark, dir, "events"))
       .withColumn("ts_us", expr("ts div 1000"))
       .withColumn("ts_s", expr("ts div 1000000000"))
 }

@@ -21,12 +21,20 @@ object Verify {
       .map(_.split(',').toSeq).getOrElse(Seq.empty)
     val selected = SparkEntry.queries.filter { case (name, _) =>
       only.isEmpty || only.exists(name.contains) }
+    // Failures must be VISIBLE, not just absent: round 5's testdata schema
+    // change broke every events-based entry, and because a failed entry
+    // simply produced no dump, the driver's correctness report silently
+    // shrank from 154 rows to 82 all-green ones. verify_errors.json makes
+    // a skipped entry a first-class artifact the driver/judge can see.
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
@@ -43,6 +51,13 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = errors
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_errors.json"), errJson)
+    // mirror into the repo so the artifact survives even if the driver only
+    // collects stdout + the named correctness file
+    try Files.writeString(Paths.get("/root/repo/VERIFY_ERRORS.json"), errJson)
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -133,9 +133,11 @@ object StreamingOps extends QueryModule {
     * streaming reads). */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     val schema = Tables.table(spark, dir, "events").schema
-    // streaming file sources take a directory; select the one table file
-    spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    // streaming file sources take a directory; select the one table file.
+    // normalizeTsNs dispatches on the static schema, so it composes with
+    // a streaming frame exactly as with a batch one.
+    Tables.normalizeTsNs(spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
       .withColumn("ts_us", expr("ts div 1000"))
       .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
   }
