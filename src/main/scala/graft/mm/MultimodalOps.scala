@@ -192,6 +192,139 @@ object MultimodalOps extends QueryModule {
     }.toDF().orderBy(col("doc_id"), col("frame_idx"))
   }
 
+  /** Per-copy brightness-shifted pattern synthesis for the perceptual-hash
+    * operator (v7d). Unlike [[MediaSynth]] (keyed by doc_id), everything
+    * except the brightness offset derives from the NORMALIZED CONTENT
+    * hash — so two crawls of the same document yield the same pattern at
+    * different brightness: byte-identical nowhere (different PNG bytes,
+    * different raster md5), visually identical everywhere. That is the
+    * exact failure mode of byte-level dedup (v1/v20) on media, and what a
+    * gradient perceptual hash is invariant to.
+    *
+    * Closed forms (all mirrored in the oracle SQL):
+    *   hex = md5(canonical text);  a = doc_id % 27  (the brightness shift)
+    *   dx = hex[0:2] % 13 + 1, dy = hex[2:4] % 11 + 1
+    *   w  = hex[4:6] % 48 + 16, h  = hex[6:8] % 32 + 16
+    *   pixel(x,y) = (dx*x + dy*y) % 100 + 1 + a   — in [1,127]
+    */
+  object PhashSynth {
+    final case class Params(dx: Int, dy: Int, w: Int, h: Int, a: Int)
+    def params(hex: String, docId: Long): Params = {
+      def hx(off: Int) = Integer.parseInt(hex.substring(off, off + 2), 16)
+      Params(hx(0) % 13 + 1, hx(2) % 11 + 1, hx(4) % 48 + 16,
+        hx(6) % 32 + 16, (docId % 27).toInt)
+    }
+    def pngBytes(hex: String, docId: Long): Array[Byte] = {
+      val p = params(hex, docId)
+      val img = new BufferedImage(p.w, p.h, BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var y = 0
+      while (y < p.h) {
+        var x = 0
+        while (x < p.w) {
+          raster.setSample(x, y, 0, (p.dx * x + p.dy * y) % 100 + 1 + p.a)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new ByteArrayOutputStream(1024)
+      ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+  }
+
+  /** Per-image perceptual signature, computed from the DECODED raster. */
+  final case class DHashRow(doc_id: Long, dhash: Long, raster_md5: String)
+
+  /** The 64-bit horizontal-gradient dHash of a decoded grayscale raster:
+    * sample a 9x8 nearest-neighbor grid (sx(i) = (2i+1)w/16-ths of the
+    * width at 18ths, sy(j) = (2j+1)h/16), bit (j,i) set iff the right
+    * neighbor is brighter. A uniform brightness shift adds the same
+    * constant to both operands of every comparison, so the hash is
+    * brightness-invariant by construction. */
+  def dhash64(w: Int, h: Int, raster: Array[Byte]): Long = {
+    var hash = 0L
+    var j = 0
+    while (j < 8) {
+      val sy = (2 * j + 1) * h / 16
+      var i = 0
+      while (i < 8) {
+        val x0 = (2 * i + 1) * w / 18
+        val x1 = (2 * i + 3) * w / 18
+        val p0 = raster(sy * w + x0) & 0xff
+        val p1 = raster(sy * w + x1) & 0xff
+        if (p1 > p0) hash |= 1L << (j * 8 + i)
+        i += 1
+      }
+      j += 1
+    }
+    hash
+  }
+
+  /** The v7d media table: one real PNG per non-null document, pattern
+    * keyed by normalized content, brightness by doc_id (see PhashSynth).
+    * Distributed synthesis, one mapPartitions pass, no shuffle. */
+  def phashMediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), graft.TextCanon.normHash.as("hh"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, hh) =>
+          MediaRow(id, PhashSynth.pngBytes(hh, id), "image/png", "phash")
+        }
+      }
+  }
+
+  /** Decode each payload and compute its perceptual signature + raster
+    * md5 (the byte-level witness). Codec + digest init once per
+    * partition; everything reads the decoded raster, never the formulas. */
+  def dhashes(spark: SparkSession, dir: String): Dataset[DHashRow] = {
+    import spark.implicits._
+    phashMediaTable(spark, dir).mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.map { r =>
+        val (w, h, raster) = ImageCodec.decode(r.payload)
+        DHashRow(r.doc_id, dhash64(w, h, raster),
+          md.digest(raster).map("%02x".format(_)).mkString)
+      }
+    }
+  }
+
+  /** V7d: perceptual image near-dup — doc pairs within hamming ≤ 6 of
+    * each other's dHash, found by the v2c pigeonhole (8 x 8-bit blocks:
+    * hamming ≤ 7 forces agreement on ≥1 block), exact hamming as the
+    * residual filter. `raster_equal` witnesses WHY this operator exists:
+    * the planted same-content pairs match at hamming 0 with
+    * raster_equal = false — byte-identical nowhere (brightness shift),
+    * perceptually identical everywhere; v1/v20's byte hashing cannot see
+    * them. Candidate generation is one linear explode + keyed self-join.
+    * At extreme scale the pre-collapse path applies: group identical
+    * dhash values first (distinct 64-bit hashes ≪ docs when duplication
+    * is heavy), pair-join hash representatives, then re-expand — same
+    * residual filter, pair work quadratic only in DISTINCT signatures. */
+  def imagePhashDedup(spark: SparkSession, dir: String,
+      maxHamming: Int = 6): DataFrame = {
+    val sigs = dhashes(spark, dir).toDF()
+    val blocks = (0 until 8).map(k =>
+      shiftright(col("dhash"), 8 * k).bitwiseAND(lit(0xFFL)))
+    val keyed = sigs.select(col("doc_id"), col("dhash"), col("raster_md5"),
+      posexplode(array(blocks: _*)).as(Seq("blk_idx", "blk")))
+    val x = keyed.select(col("doc_id").as("doc_a"), col("dhash").as("h_a"),
+      col("raster_md5").as("m_a"), col("blk_idx"), col("blk"))
+    val y = keyed.select(col("doc_id").as("doc_b"), col("dhash").as("h_b"),
+      col("raster_md5").as("m_b"), col("blk_idx"), col("blk"))
+    x.join(y, Seq("blk_idx", "blk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("h_a").bitwiseXOR(col("h_b"))).as("hamming"),
+        (col("m_a") === col("m_b")).as("raster_equal"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Shared oracle prelude: the synthesis closed forms (dims, gray bands,
     * row-major raster rebuilt as an ASCII string — every gray level is
     * 1..127 so one char == one raster byte). */
@@ -242,5 +375,43 @@ object MultimodalOps extends QueryModule {
           |SELECT doc_id, CAST(idx AS INT) AS frame_idx,
           | CAST(idx * 40 AS INT) AS ts_ms,
           | md5(substring(raster, idx * 100 + 1, 100)) AS frame_hash
-          |FROM f ORDER BY doc_id, frame_idx""".stripMargin)))
+          |FROM f ORDER BY doc_id, frame_idx""".stripMargin)),
+    GraftQuery("v7d_image_phash_dedup",
+      "V7d perceptual image near-dup: real PNGs decoded, 64-bit " +
+        "horizontal-gradient dHash over a 9x8 sample grid, pairs within " +
+        "hamming<=6 via the 8-block pigeonhole join; brightness-shifted " +
+        "same-content copies match at hamming 0 while their raster md5s " +
+        "differ (what byte-level dedup cannot see)",
+      (s, d) => imagePhashDedup(s, d),
+      Some(
+        """WITH m AS (SELECT doc_id, CAST(doc_id % 27 AS INT) AS a,
+          |   md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS hh
+          |  FROM documents WHERE text IS NOT NULL),
+          | p AS (SELECT doc_id, a,
+          |   ('0x' || substr(hh, 1, 2))::INT % 13 + 1 AS dx,
+          |   ('0x' || substr(hh, 3, 2))::INT % 11 + 1 AS dy,
+          |   ('0x' || substr(hh, 5, 2))::INT % 48 + 16 AS w,
+          |   ('0x' || substr(hh, 7, 2))::INT % 32 + 16 AS h
+          |  FROM m),
+          | b AS (SELECT doc_id, j, i,
+          |   CASE WHEN ((dx * ((2*i+3)*w // 18) + dy * ((2*j+1)*h // 16)) % 100)
+          |           > ((dx * ((2*i+1)*w // 18) + dy * ((2*j+1)*h // 16)) % 100)
+          |        THEN 1 ELSE 0 END AS f
+          |  FROM p, generate_series(0, 7) gj(j), generate_series(0, 7) gi(i)),
+          | hs AS (SELECT doc_id,
+          |   bit_or(CASE WHEN j*8 + i < 63 THEN f::BIGINT << (j*8 + i)
+          |               ELSE 0 END)
+          |   + CAST(sum(CASE WHEN j*8 + i = 63 AND f = 1
+          |              THEN -9223372036854775807 - 1 ELSE 0 END)
+          |          AS BIGINT) AS dhash
+          |  FROM b GROUP BY doc_id)
+          |SELECT hx.doc_id AS doc_a, hy.doc_id AS doc_b,
+          | CAST(bit_count(xor(hx.dhash, hy.dhash)) AS INT) AS hamming,
+          | (px.dx = py.dx AND px.dy = py.dy AND px.w = py.w
+          |  AND px.h = py.h AND px.a = py.a) AS raster_equal
+          |FROM hs hx JOIN hs hy ON hx.doc_id < hy.doc_id
+          |JOIN p px ON px.doc_id = hx.doc_id
+          |JOIN p py ON py.doc_id = hy.doc_id
+          |WHERE bit_count(xor(hx.dhash, hy.dhash)) <= 6
+          |ORDER BY doc_a, doc_b""".stripMargin)))
 }

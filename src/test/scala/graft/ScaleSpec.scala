@@ -194,6 +194,43 @@ class ScaleSpec extends SparkSpec {
     assert(!frames.contains(3L))
   }
 
+  test("V7d perceptual hash: dHash is brightness-invariant (same content" +
+      ", different doc_id -> hamming 0, different PNG bytes and raster " +
+      "md5); the pigeonhole join surfaces exactly those planted pairs") {
+    import spark.implicits._
+    import graft.mm.MultimodalOps
+    // brightness invariance at the codec level: same content hash hex,
+    // doc_ids 27 apart in brightness (1 % 27 = 1, 55 % 27 = 1 -> SAME a;
+    // use 1 vs 2 for different a)
+    val hex = "0123456789abcdef0123456789abcdef"
+    val png1 = MultimodalOps.PhashSynth.pngBytes(hex, 1L)
+    val png2 = MultimodalOps.PhashSynth.pngBytes(hex, 2L)
+    assert(!java.util.Arrays.equals(png1, png2),
+      "different brightness -> different PNG bytes")
+    val (w1, h1, r1) = MultimodalOps.ImageCodec.decode(png1)
+    val (w2, h2, r2) = MultimodalOps.ImageCodec.decode(png2)
+    assert((w1, h1) === (w2, h2))
+    assert(!java.util.Arrays.equals(r1, r2), "rasters differ (brightness)")
+    assert(MultimodalOps.dhash64(w1, h1, r1) ===
+      MultimodalOps.dhash64(w2, h2, r2),
+      "gradient hash cancels the uniform brightness shift")
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft-phash")
+      .toString
+    val textA = "the quick brown fox jumps over the lazy dog again and again"
+    val textB = "completely different content with its own gradient pattern"
+    Seq((1L, textA, "en", "s1", 0L),
+      (2L, textA.toUpperCase, "en", "s2", 0L), // same canon, new brightness
+      (9L, textB, "en", "s1", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val pairs = MultimodalOps.imagePhashDedup(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getBoolean(3)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0 && !p._4),
+      s"planted same-content pair found at hamming 0 with unequal " +
+        s"rasters; got ${pairs.mkString(",")}")
+  }
+
   test("registry results are shuffle-partition-count independent") {
     // the determinism CONTRACT (Registry scaladoc): unique-key ORDER BY
     // + Exact decimal aggregation means re-planning with a different
