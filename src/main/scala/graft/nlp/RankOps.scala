@@ -215,6 +215,110 @@ object RankOps extends QueryModule {
       |SELECT pair, CAST(count(*) AS BIGINT) AS freq
       |FROM bg GROUP BY 1 ORDER BY freq DESC, pair LIMIT 20""".stripMargin
 
+  /** Symbol delimiter for the BPE working representation — U+001F (unit
+    * separator), a control char that cannot appear in whitespace-split
+    * words. Each symbol is wrapped INDIVIDUALLY (`␟c␟␟a␟␟t␟`): a merge
+    * is then one string `replace` of `␟l␟␟r␟` → `␟lr␟`, and because a
+    * match never consumes the NEXT symbol's own leading delimiter, the
+    * scan-resume point preserves exact greedy left-to-right
+    * non-overlapping semantics (`aaaa` + (a,a) → `[aa][aa]`; a SHARED
+    * single delimiter would hand the consumed boundary to the first
+    * match and mis-produce `[aa][a][a]` — pinned in ExtendedOpsSpec). */
+  private val BpeSep = "\u001f"
+
+  /** V49: BPE merge TRAINING — the iteration v4h only counts. The
+    * corpus collapses to the (word, count) frequency table in ONE
+    * linear pass (the classic BPE trick: training never rescans the
+    * corpus, it re-weights the vocabulary), materialized once
+    * (localCheckpoint, v29's discipline). Each of the `nMerges` rounds
+    * then (a) explodes adjacent symbol pairs of the VOCAB-bounded
+    * frame, weighted by word count, (b) takes the top pair
+    * (deterministic tie-break: count desc, then both symbols asc — the
+    * one-row collect is the u5/v29 bounded-driver-action class), and
+    * (c) applies the merge as a literal delimited-string replace. At
+    * 100 TB the per-round cost is O(vocabulary), not O(corpus); the
+    * rounds are inherently sequential (each merge changes the next
+    * round's pair statistics) in ANY implementation of BPE. */
+  def bpeTrain(spark: SparkSession, dir: String, nMerges: Int = 6): DataFrame = {
+    import spark.implicits._
+    val wordFreq = withWords(spark, dir)
+      .select(explode(col("w")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("c"))
+      .select(regexp_replace(col("word"), "(.)", BpeSep + "$1" + BpeSep)
+        .as("repr"), col("c"))
+      .localCheckpoint()
+    var words = wordFreq
+    val merges = scala.collection.mutable.Buffer[(Int, String, String, Long)]()
+    for (k <- 1 to nMerges) {
+      // strip the outer wrappers, then split on the DOUBLE delimiter
+      // between adjacent wrapped symbols -> the clean symbol array
+      val syms = split(trim(col("repr"), BpeSep), BpeSep + BpeSep)
+      val n = size(syms)
+      // pairs are (s[i], s[i+1]) for i in 1..n-1 (1-based). Guard
+      // n >= 2: Spark's sequence() DESCENDS for start > stop instead
+      // of returning empty.
+      val pairCol = when(n >= 2, transform(sequence(lit(1), n - 1),
+        i => struct(element_at(syms, i).as("l"),
+          element_at(syms, i + 1).as("r"))))
+        .otherwise(array().cast("array<struct<l:string,r:string>>"))
+      val best = words.select(col("c"), explode(pairCol).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("c")).as("pc"))
+        .orderBy(col("pc").desc, col("l"), col("r"))
+        .limit(1).collect()
+      require(best.nonEmpty, s"corpus exhausted before merge $k")
+      val (l, r, pc) =
+        (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+      merges += ((k, l, r, pc))
+      words = words.select(
+        call_function("replace", col("repr"),
+          lit(BpeSep + l + BpeSep + BpeSep + r + BpeSep),
+          lit(BpeSep + l + r + BpeSep)).as("repr"),
+        col("c"))
+    }
+    merges.toSeq
+      .toDF("merge_rank", "left_sym", "right_sym", "pair_count")
+      .select(col("merge_rank"), col("left_sym"), col("right_sym"),
+        concat(col("left_sym"), col("right_sym")).as("merged"),
+        col("pair_count"))
+      .orderBy(col("merge_rank"))
+  }
+
+  /** The unrolled-iteration oracle (v29's convention): 6 rounds of
+    * pair-count → top-1 → replace as chained CTEs, with the same
+    * delimited representation (chr(31)) and tie-break. */
+  private val bpeTrainSql: String = {
+    val prelude =
+      """WITH d AS (SELECT string_split(lower(text), ' ') AS w
+        |           FROM documents WHERE text IS NOT NULL),
+        | wf AS (SELECT word, CAST(count(*) AS BIGINT) AS c
+        |        FROM (SELECT unnest(w) AS word FROM d)
+        |        WHERE word <> '' GROUP BY 1),
+        | r0 AS (SELECT
+        |     regexp_replace(word, '(.)', chr(31) || '\1' || chr(31), 'g')
+        |       AS repr, c FROM wf)""".stripMargin
+    val rounds = (1 to 6).map { k =>
+      s""" s$k AS (SELECT string_split(trim(repr, chr(31)),
+         |                 chr(31) || chr(31)) AS s, c FROM r${k - 1}),
+         | p$k AS (SELECT
+         |   unnest([s[i] for i in generate_series(1, len(s)-1)]) AS l,
+         |   unnest([s[i+1] for i in generate_series(1, len(s)-1)]) AS r,
+         |   c FROM s$k),
+         | b$k AS (SELECT l, r, sum(c) AS pc FROM p$k GROUP BY 1, 2
+         |         ORDER BY pc DESC, l, r LIMIT 1),
+         | r$k AS (SELECT replace(repr,
+         |     chr(31) || b$k.l || chr(31) || chr(31) || b$k.r || chr(31),
+         |     chr(31) || b$k.l || b$k.r || chr(31)) AS repr, c
+         |   FROM r${k - 1}, b$k)""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    val finalSel = (1 to 6).map { k =>
+      s"SELECT $k AS merge_rank, l AS left_sym, r AS right_sym, " +
+        s"l || r AS merged, CAST(pc AS BIGINT) AS pair_count FROM b$k"
+    }.mkString("\n", "\nUNION ALL\n", "\nORDER BY merge_rank")
+    prelude + rounds + finalSel
+  }
+
   /** V4i: vocabulary ENCODING — the sequel to v4e's vocabulary build:
     * map each doc's words to token ids under the learned top-50 vocab
     * (id = 1-based rank by freq desc, token asc; out-of-vocab words
@@ -331,6 +435,13 @@ object RankOps extends QueryModule {
         "half of a BPE merge iteration; in-row bigrams, one pair-keyed " +
         "shuffle)",
       (s, d) => bpePairs(s, d), Some(bpePairsSql)),
+    GraftQuery("v49_bpe_train",
+      "V49 BPE merge training: 6 merge rounds learned from the corpus " +
+        "via the (word,count) reduction — one linear corpus pass, then " +
+        "vocab-bounded pair-count/top-1/replace iterations (greedy L2R " +
+        "merge as a delimited-string replace); oracle unrolls the same " +
+        "6 rounds as chained CTEs",
+      (s, d) => bpeTrain(s, d), Some(bpeTrainSql)),
     GraftQuery("v4i_encode",
       "V4i vocabulary encoding: docs mapped to token-id sequences " +
         "under the v4e-learned top-50 vocab (broadcast lookup, " +

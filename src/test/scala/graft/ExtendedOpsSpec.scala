@@ -221,4 +221,27 @@ class ExtendedOpsSpec extends SparkSpec {
       assert(sumTypes === want(r.getAs[Long]("day")))
     }
   }
+
+  test("v49 BPE training: greedy L2R merge application (aaaa + (a,a) " +
+      "-> two aa, no triple-count) and merges feed later rounds") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bpe").toString
+    // 'aaaa' x3: round-1 pair counts see (a,a) 3x3=9; after merging,
+    // each word is [aa, aa] -> round 2 must see (aa,aa), NOT (a,a).
+    // 'bcbc' x2 gives (b,c) 4, (c,b) 2 -> (a,a) wins round 1.
+    val rows = Seq.fill(3)((1L, "aaaa")) ++ Seq.fill(2)((2L, "bcbc"))
+    rows.zipWithIndex.map { case ((_, t), i) => (i.toLong, t, "en", "s", 0L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val m = graft.nlp.RankOps.bpeTrain(spark, tmp, nMerges = 3).collect()
+      .map(r => (r.getInt(0), r.getString(3), r.getLong(4)))
+    // round 1: (a,a) appears 3 times per 'aaaa' (9 total) > (b,c) 4
+    assert(m(0) === ((1, "aa", 9L)), m.mkString(","))
+    // round 2: words are now {aa aa}x3 and bcbc intact; (aa,aa)=3,
+    // (b,c)=4 -> (b,c) wins with 4 (greedy L2R left only ONE (aa,aa)
+    // pair per word, not two overlapping ones)
+    assert(m(1) === ((2, "bc", 4L)), m.mkString(","))
+    // round 3: {aa aa} pairs (aa,aa)=3 beat (bc,bc)=2
+    assert(m(2) === ((3, "aaaa", 3L)), m.mkString(","))
+  }
 }
