@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Loaders for the driver-generated testdata tables (TESTDATA.md /
@@ -64,4 +64,35 @@ object Tables {
     normalizeTsNs(table(spark, dir, "events"))
       .withColumn("ts_us", expr("ts div 1000"))
       .withColumn("ts_s", expr("ts div 1000000000"))
+
+  /** events restricted to ts ≥/< an epoch-second cutoff, with the
+    * comparison phrased against the PHYSICAL `ts` column (typed literal
+    * per generation form) BEFORE normalization — a predicate on the
+    * derived ns-long would never reach the parquet reader, while this
+    * one lands in PushedFilters and prunes row groups. The incremental
+    * family (w19) depends on exactly this: reading the delta must not
+    * cost a history scan. */
+  def eventsFrom(spark: SparkSession, dir: String, fromS: Long): DataFrame =
+    eventsSplit(spark, dir, fromS, after = true)
+
+  def eventsUntil(spark: SparkSession, dir: String, untilS: Long): DataFrame =
+    eventsSplit(spark, dir, untilS, after = false)
+
+  private def eventsSplit(spark: SparkSession, dir: String, s: Long,
+      after: Boolean): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val raw = table(spark, dir, "events")
+    val bound: Column = raw.schema("ts").dataType match {
+      case LongType => lit(s * 1000000000L)
+      case TimestampNTZType => lit(java.time.LocalDateTime
+        .ofEpochSecond(s, 0, java.time.ZoneOffset.UTC))
+      case _: TimestampType => lit(java.time.Instant.ofEpochSecond(s))
+      case other => throw new IllegalArgumentException(
+        s"events.ts: expected ns-long or timestamp, got $other")
+    }
+    val cut = if (after) col("ts") >= bound else col("ts") < bound
+    normalizeTsNs(raw.filter(cut))
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("ts_s", expr("ts div 1000000000"))
+  }
 }

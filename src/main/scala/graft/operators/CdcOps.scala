@@ -224,6 +224,70 @@ object CdcOps extends QueryModule {
       | CAST(max(doc_id) AS BIGINT) AS max_doc
       |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Cutoff splitting the "already materialized" base period from the
+    * delta: MID-DAY 2024-01-24T12:00Z, deliberately not a day boundary,
+    * so the boundary day's aggregate must MERGE contributions from the
+    * stored view and the delta scan (the interesting case of view
+    * maintenance; a day-aligned cutoff would reduce the merge to a
+    * disjoint union). */
+  val IncAggCutoffS: Long = EventWindow.StartS + 23L * 86400L + 43200L
+
+  private val incAggCache = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.FutureTask[String]]()
+  private val incAggSeq = new java.util.concurrent.atomic.AtomicInteger()
+
+  /** Materialize the BASE aggregate (events before the cutoff, rolled up
+    * to (day, event_type) with count + exact value micro-sum) once per
+    * (process, dir) — the stored materialized view a production pipeline
+    * maintains instead of re-scanning history. Same FutureTask-outside-
+    * bin-lock + pid-suffixed-path discipline as the v19b index build. */
+  def writeBaseAgg(spark: SparkSession, dir: String): String = {
+    val task = incAggCache.computeIfAbsent(dir,
+      _ => new java.util.concurrent.FutureTask(() => {
+        val path = graft.util.TempArtifacts.register(
+          s"${sys.props("java.io.tmpdir")}/graft_incagg_" +
+            s"${ProcessHandle.current().pid()}_${incAggSeq.getAndIncrement()}")
+        Tables.eventsUntil(spark, dir, IncAggCutoffS)
+          .groupBy(Exact.intDiv(col("ts_s") - EventWindow.StartS, lit(86400L))
+            .as("day"), col("event_type"))
+          .agg(count(lit(1)).as("n"), Exact.microSum(col("value"))
+            .as("value_micro"))
+          .write.mode("overwrite").parquet(path)
+        path
+      }))
+    task.run()
+    task.get()
+  }
+
+  /** W19: incremental aggregation maintenance — the materialized-view
+    * refresh dataflow: the result equals a full recompute (the oracle
+    * IS the full recompute), but the engine reads the STORED base
+    * aggregate plus ONLY the delta rows (the cutoff filter pushes into
+    * the events scan — PlanSpec-pinned), then merges algebraically
+    * (counts and micro-sums re-sum; both are decomposable aggregates).
+    * At 100 TB: refresh cost is O(delta) + O(aggregate frame), never
+    * O(history). Non-decomposable stats would ride a mergeable sketch
+    * (the v10b/st5 machinery) under the same dataflow. */
+  def incrementalAgg(spark: SparkSession, dir: String): DataFrame = {
+    val base = spark.read.parquet(writeBaseAgg(spark, dir))
+    val delta = Tables.eventsFrom(spark, dir, IncAggCutoffS)
+      .groupBy(Exact.intDiv(col("ts_s") - EventWindow.StartS, lit(86400L))
+        .as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Exact.microSum(col("value"))
+        .as("value_micro"))
+    base.unionByName(delta)
+      .groupBy(col("day"), col("event_type"))
+      .agg(sum(col("n")).as("n"), sum(col("value_micro")).as("value_micro"))
+      .orderBy(col("day"), col("event_type"))
+  }
+
+  private val incAggSql: String =
+    s"""SELECT (epoch_us(ts)//1000000 - ${EventWindow.StartS}) // 86400 AS day,
+       | event_type, CAST(count(*) AS BIGINT) AS n,
+       | CAST(sum(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT))
+       |      AS BIGINT) AS value_micro
+       |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("v31_snapshot_diff",
       "V31 snapshot diff: added/removed/changed/unchanged between two " +
@@ -244,5 +308,11 @@ object CdcOps extends QueryModule {
       "W7 point-in-time lookup over the SCD2 history: state AS OF " +
         "seq 1 and 3 via the interval-containment predicate, " +
         "broadcast probes — time travel, no extra shuffle",
-      pitLookup, Some(pitSql)))
+      pitLookup, Some(pitSql)),
+    GraftQuery("w19_incremental_agg",
+      "W19 incremental aggregation maintenance: stored base aggregate " +
+        "+ delta-only scan (cutoff filter pushed to the events read) " +
+        "merged algebraically — the materialized-view refresh; oracle " +
+        "is the full recompute the merge must equal",
+      incrementalAgg, Some(incAggSql)))
 }

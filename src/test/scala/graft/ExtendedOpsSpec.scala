@@ -222,6 +222,35 @@ class ExtendedOpsSpec extends SparkSpec {
     }
   }
 
+  test("w19 incremental agg: equals the full recompute, the boundary " +
+      "day merges base+delta contributions, and the delta read carries " +
+      "a pushed ts filter (no history rescan)") {
+    val dir = "/root/testdata/sf0.001"
+    val inc = graft.operators.CdcOps.incrementalAgg(spark, dir)
+    val full = graft.Tables.events(spark, dir)
+      .groupBy(graft.Exact.intDiv(col("ts_s") - graft.EventWindow.StartS,
+        lit(86400L)).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        graft.Exact.microSum(col("value")).as("value_micro"))
+      .orderBy(col("day"), col("event_type"))
+    assert(inc.collect().toSeq === full.collect().toSeq,
+      "incremental merge == full recompute")
+    // the mid-day cutoff (day 23 relative) must draw from BOTH sides
+    val boundaryBase = spark.read.parquet(
+      graft.operators.CdcOps.writeBaseAgg(spark, dir))
+      .filter(col("day") === 23).agg(sum("n")).collect()(0).getLong(0)
+    val boundaryFull = full.filter(col("day") === 23)
+      .agg(sum("n")).collect()(0).getLong(0)
+    assert(boundaryBase > 0 && boundaryFull > boundaryBase,
+      s"day 23 must merge: base=$boundaryBase full=$boundaryFull")
+    // the delta scan prunes at the reader: physical-column ts predicate
+    val deltaPlan = graft.Tables.eventsFrom(spark, dir,
+      graft.operators.CdcOps.IncAggCutoffS)
+      .queryExecution.executedPlan.toString
+    assert(deltaPlan.contains("PushedFilters: [IsNotNull(ts), " +
+      "GreaterThanOrEqual(ts,"), deltaPlan)
+  }
+
   test("v49 BPE training: greedy L2R merge application (aaaa + (a,a) " +
       "-> two aa, no triple-count) and merges feed later rounds") {
     import spark.implicits._
