@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -751,7 +751,101 @@ object StatsOps extends QueryModule {
        |      WHEN py IS NOT NULL THEN 'ffill' ELSE 'bfill' END AS src
        |FROM wn ORDER BY 1, 2""".stripMargin
 
+  /** Half-up rounded num/den for NON-NEGATIVE decimal operands, spelled
+    * without shiftright (which rejects decimals): ⌊(2·num + den) / 2·den⌋
+    * = ⌊num/den + 1/2⌋. Returns Long (IntegralDivide's type). */
+  private def decDivRound(num: Column, den: Column): Column =
+    Exact.intDiv(num * 2 + den, den * 2)
+
+  /** W20: A/B experiment readout — deterministic arm assignment by
+    * md5('ab' ∥ user_id) parity (v28's growth-stable split: a user
+    * never migrates arms as data accrues), per-user value mass as the
+    * metric, and per-arm n/mean/variance + the Welch t statistic.
+    * Exactness: per-user mass in micro-units (Long); arm power sums in
+    * DECIMAL(38,0) — n·Σx² at real user counts passes Long where the
+    * fixture does not (the v19 lesson); mean and variance half-up
+    * rounded IN integer/decimal space to 6 dp, and only then does the
+    * t statistic run in doubles (identical operands → identical IEEE
+    * bits; sqrt is correctly rounded by spec — the v39 argument).
+    * Scale: one user-keyed shuffle + a 2-row arm frame; nothing else. */
+  def abTest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    def d(c: Column): Column = c.cast(DecimalType(38, 0))
+    val perUser = ev(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(Exact.microSum(col("value")).as("xm"))
+      .withColumn("arm",
+        when(conv(substring(md5(concat(lit("ab"),
+          col("user_id").cast("string"))), 1, 2), 16, 10)
+          .cast("int") % 2 === 0, "A").otherwise("B"))
+    val arms = perUser.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("xm")).as("sx"),
+        sum(d(col("xm")) * d(col("xm"))).as("sxx"))
+      .select(col("arm"), col("n"),
+        decDivRound(d(col("sx")), d(col("n"))).as("mean6"),
+        decDivRound(d(col("n")) * col("sxx") - d(col("sx")) * d(col("sx")),
+          d(col("n")) * (d(col("n")) - 1) * lit(1000000L)).as("var6"))
+    def pick(a: String, c: String): Column =
+      min(when(col("arm") === a, col(c)))
+    val one = arms.agg(
+      pick("A", "n").as("n_a"), pick("B", "n").as("n_b"),
+      pick("A", "mean6").as("ma6"), pick("B", "mean6").as("mb6"),
+      pick("A", "var6").as("va6"), pick("B", "var6").as("vb6"))
+    val ma = col("ma6").cast(DoubleType) / 1000000.0
+    val mb = col("mb6").cast(DoubleType) / 1000000.0
+    val va = col("va6").cast(DoubleType) / 1000000.0
+    val vb = col("vb6").cast(DoubleType) / 1000000.0
+    val t = abs(ma - mb) /
+      sqrt(va / col("n_a").cast(DoubleType) + vb / col("n_b").cast(DoubleType))
+    one.select(col("n_a"), col("n_b"),
+      ma.as("mean_a"), mb.as("mean_b"), va.as("var_a"), vb.as("var_b"),
+      round(t, 6).as("welch_t"), (t > 1.96).as("significant"))
+  }
+
+  private val abTestSql: String =
+    s"""WITH pu AS (SELECT user_id, ${OracleSql.microSum("value")} AS xm
+       |            FROM events GROUP BY 1),
+       | ar AS (SELECT CASE WHEN ('0x' || substr(md5('ab' ||
+       |          CAST(user_id AS VARCHAR)), 1, 2))::INT % 2 = 0
+       |          THEN 'A' ELSE 'B' END AS arm, xm FROM pu),
+       | g AS (SELECT arm, count(*) AS n, sum(xm) AS sx,
+       |        sum(xm::HUGEINT * xm::HUGEINT) AS sxx FROM ar GROUP BY 1),
+       | s AS (SELECT arm, n,
+       |        (sx * 2 + n) // (n * 2) AS mean6,
+       |        ((n * sxx - sx::HUGEINT * sx::HUGEINT) * 2
+       |         + n::HUGEINT * (n - 1) * 1000000)
+       |        // (n::HUGEINT * (n - 1) * 1000000 * 2) AS var6 FROM g),
+       | w AS (SELECT
+       |   max(CASE WHEN arm = 'A' THEN n END) AS n_a,
+       |   max(CASE WHEN arm = 'B' THEN n END) AS n_b,
+       |   max(CASE WHEN arm = 'A' THEN mean6 END) AS ma6,
+       |   max(CASE WHEN arm = 'B' THEN mean6 END) AS mb6,
+       |   max(CASE WHEN arm = 'A' THEN var6 END) AS va6,
+       |   max(CASE WHEN arm = 'B' THEN var6 END) AS vb6 FROM s)
+       |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       | CAST(ma6 AS DOUBLE) / 1000000.0 AS mean_a,
+       | CAST(mb6 AS DOUBLE) / 1000000.0 AS mean_b,
+       | CAST(va6 AS DOUBLE) / 1000000.0 AS var_a,
+       | CAST(vb6 AS DOUBLE) / 1000000.0 AS var_b,
+       | round(abs(CAST(ma6 AS DOUBLE) / 1000000.0
+       |         - CAST(mb6 AS DOUBLE) / 1000000.0)
+       |   / sqrt(CAST(va6 AS DOUBLE) / 1000000.0 / CAST(n_a AS BIGINT)
+       |        + CAST(vb6 AS DOUBLE) / 1000000.0 / CAST(n_b AS BIGINT)), 6)
+       |   AS welch_t,
+       | (abs(CAST(ma6 AS DOUBLE) / 1000000.0
+       |    - CAST(mb6 AS DOUBLE) / 1000000.0)
+       |  / sqrt(CAST(va6 AS DOUBLE) / 1000000.0 / CAST(n_a AS BIGINT)
+       |       + CAST(vb6 AS DOUBLE) / 1000000.0 / CAST(n_b AS BIGINT))
+       |  > 1.96) AS significant
+       |FROM w""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("w20_ab_test",
+      "W20 A/B experiment readout: md5-parity arm assignment (growth-" +
+        "stable), per-user value mass, per-arm mean/variance in exact " +
+        "integer/decimal space, Welch t + significance — one user-" +
+        "keyed shuffle and a 2-row arm frame",
+      abTest, Some(abTestSql)),
     GraftQuery("v35_drift",
       "V35 distribution-drift monitor: per-type total-variation distance " +
         "+ max bin jump between the first 15 days and the rest, on a " +

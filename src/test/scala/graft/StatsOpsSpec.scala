@@ -373,4 +373,62 @@ class StatsOpsSpec extends SparkSpec {
           series(lastObs).getAs[Double]("value6"))
     }
   }
+
+  test("w20 A/B: stats recompute from a local walk, and a PLANTED arm " +
+      "effect flips significance while random assignment stays null") {
+    import spark.implicits._
+    // arm assignment replicated locally (md5 parity, v28 convention)
+    def arm(uid: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"ab$uid".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      if (Integer.parseInt(hex.substring(0, 2), 16) % 2 == 0) "A" else "B"
+    }
+    // planted effect: B users' values shifted +50 -> t must cross 1.96
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ab").toString
+    val ts0 = java.time.LocalDateTime.ofEpochSecond(
+      EventWindow.StartS + 3600, 0, java.time.ZoneOffset.UTC)
+    val rows = (1L to 400L).flatMap { uid =>
+      val base = (uid % 7).toDouble
+      val eff = if (arm(uid) == "B") 50.0 else 0.0
+      Seq.tabulate(5)(i => (uid * 10 + i, ts0.plusMinutes(uid), uid,
+        "view", base + eff + i, "{}"))
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val planted = StatsOps.abTest(spark, tmp).collect()(0)
+    assert(planted.getAs[Boolean]("significant"),
+      s"planted +50 shift must be significant: $planted")
+    assert(planted.getAs[Double]("mean_b") - planted.getAs[Double]("mean_a")
+      > 40.0, "B mean carries the planted effect")
+    // real fixture: random split, no effect -> not significant; and the
+    // per-arm stats equal a local recompute in the same integer space
+    val r = StatsOps.abTest(spark, sf0001).collect()(0)
+    assert(!r.getAs[Boolean]("significant"))
+    val perUser = Tables.events(spark, sf0001)
+      .select(col("user_id"), col("value")).collect()
+      .map(x => (x.getLong(0), x.getDouble(1)))
+      .groupBy(_._1).toSeq.map { case (uid, xs) =>
+        (arm(uid),
+          xs.map(v => BigDecimal(v._2).setScale(6,
+            BigDecimal.RoundingMode.HALF_UP) * 1000000).map(_.toLong).sum)
+      }.toSeq
+    def stats(a: String): (Long, Long, Long) = {
+      val xs = perUser.filter(_._1 == a).map(_._2)
+      val n = BigInt(xs.length)
+      val sx = xs.map(BigInt(_)).sum
+      val sxx = xs.map(x => BigInt(x) * BigInt(x)).sum
+      val mean6 = ((sx * 2 + n) / (n * 2)).toLong
+      val num = n * sxx - sx * sx
+      val den = n * (n - 1) * 1000000
+      val var6 = ((num * 2 + den) / (den * 2)).toLong
+      (n.toLong, mean6, var6)
+    }
+    val (na, ma6, va6) = stats("A"); val (nb, mb6, vb6) = stats("B")
+    assert(r.getAs[Long]("n_a") === na && r.getAs[Long]("n_b") === nb)
+    assert(r.getAs[Double]("mean_a") === ma6.toDouble / 1e6)
+    assert(r.getAs[Double]("mean_b") === mb6.toDouble / 1e6)
+    assert(r.getAs[Double]("var_a") === va6.toDouble / 1e6)
+    assert(r.getAs[Double]("var_b") === vb6.toDouble / 1e6)
+  }
 }
