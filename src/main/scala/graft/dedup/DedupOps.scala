@@ -263,6 +263,57 @@ object DedupOps extends QueryModule {
       .orderBy(col("i"), col("j"))
   }
 
+  /** V50: SemDeDup-style semantic pruning — the dedup DECISION layered
+    * on the near-dup machinery: within each semantic block (the `label`
+    * column — a cluster assignment stands exactly here in the SemDeDup
+    * paper; v3b's IVF cells are the unsupervised drop-in), a vector is
+    * pruned when some LOWER-ID vector of the same block sits above the
+    * cosine threshold — the deterministic keep-first rule, so exactly
+    * one representative of every tight semantic neighborhood survives.
+    * Output carries the pruning witness (max cosine against any prior
+    * same-block vector, 6 dp).
+    *
+    * Scale: the pair work is quadratic ONLY within a block — which is
+    * the entire point of SemDeDup: cluster first so the quadratic term
+    * is bounded by cluster size, not corpus size; the block-keyed join
+    * shuffles each block to one task (salt oversized clusters through
+    * the v3c subcell guard when a block outgrows a task). */
+  def semanticPrune(spark: SparkSession, dir: String,
+      tau: Double = 0.35): DataFrame = {
+    import graft.functions.VectorFunctions.dot_product
+    val e = graft.sim.SimilarityOps
+      .withNorm(Tables.embeddings(spark, dir))
+      .join(Tables.embeddings(spark, dir).select(col("vec_id"),
+        col("label")), Seq("vec_id"))
+    val a = e.select(col("label"), col("vec_id").as("i"),
+      col("v").as("v_i"), col("nrm").as("n_i"))
+    val b = e.select(col("label"), col("vec_id").as("j"),
+      col("v").as("v_j"), col("nrm").as("n_j"))
+    val maxPrior = a.join(b, Seq("label"))
+      .filter(col("i") < col("j"))
+      .withColumn("cos", round(
+        dot_product(col("v_i"), col("v_j")) / (col("n_i") * col("n_j")), 6))
+      .groupBy(col("j")).agg(max(col("cos")).as("max_prior_cos"))
+    e.select(col("vec_id"), col("label"))
+      .join(maxPrior, col("vec_id") === col("j"), "left")
+      .select(col("vec_id"), col("label"), col("max_prior_cos"),
+        coalesce(col("max_prior_cos") >= tau, lit(false)).as("pruned"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val semanticPruneSql: String =
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+       |  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+       |       CAST(embedding AS DOUBLE[]))) AS nrm FROM embeddings),
+       | p AS (SELECT b.vec_id AS j,
+       |   max(round(list_dot_product(a.v, b.v)/(a.nrm*b.nrm), 6)) AS mpc
+       |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+       |  GROUP BY 1)
+       |SELECT e.vec_id, e.label, p.mpc AS max_prior_cos,
+       | coalesce(p.mpc >= 0.35, false) AS pruned
+       |FROM e LEFT JOIN p ON p.j = e.vec_id
+       |ORDER BY e.vec_id""".stripMargin
+
   /** V2d2: the candidates+verify twin of [[embeddingNearDup]] — multi-probe
     * IVF cells (each vector assigned to its `nprobe` nearest of `nlist`
     * centroids), candidate pairs share a probed cell, exact cosine verify
@@ -848,6 +899,12 @@ object DedupOps extends QueryModule {
         "own exact-pair SQL — hash match = independent agreement on " +
         "what the candidates found and missed",
       ivfRecall, Some(ivfRecallSql)),
+    GraftQuery("v50_semantic_prune",
+      "V50 SemDeDup semantic pruning: within each semantic block " +
+        "(label; IVF cells at scale) keep the lowest-id vector of " +
+        "every cos>=0.35 neighborhood, prune the rest — the dedup " +
+        "DECISION with its pruning witness (max prior cosine)",
+      (s, d) => semanticPrune(s, d), Some(semanticPruneSql)),
     GraftQuery("v2d_embedding_neardup",
       "V2 embedding-cosine near-dup pairs (cos >= 0.4), exact " +
         "block-partitioned pair join (no unbounded broadcast)",

@@ -236,4 +236,33 @@ class DedupSpec extends SparkSpec {
     assert(deduped.count() ===
       docs.select("text").distinct().count())
   }
+
+  test("v50 semantic prune: keep-first rule recomputes locally; the " +
+      "first vector of every label is never pruned") {
+    val out = DedupOps.semanticPrune(spark, sf).collect()
+      .map(r => (r.getLong(0), r.get(1).toString.toLong, Option(r.get(2))
+        .map(_.asInstanceOf[Double]), r.getBoolean(3)))
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.get(1).toString.toLong,
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+      .sortBy(_._1)
+    def cos6(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.indices.foldLeft(0.0)((s, k) => s + a(k) * b(k))
+      val na = math.sqrt(a.indices.foldLeft(0.0)((s, k) => s + a(k) * a(k)))
+      val nb = math.sqrt(b.indices.foldLeft(0.0)((s, k) => s + b(k) * b(k)))
+      BigDecimal(dot / (na * nb))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val byId = vecs.map(v => v._1 -> v).toMap
+    out.foreach { case (id, label, mpc, pruned) =>
+      val priors = vecs.filter(v => v._2 == label && v._1 < id)
+      val want = priors.map(p => cos6(p._3, byId(id)._3))
+        .sorted.lastOption
+      assert(mpc === want, s"witness mismatch for vec $id")
+      assert(pruned === want.exists(_ >= 0.35), s"decision for vec $id")
+      if (priors.isEmpty) assert(!pruned, s"label-first $id pruned")
+    }
+    assert(out.count(_._4) > 0, "pruning must fire on this corpus")
+  }
 }
