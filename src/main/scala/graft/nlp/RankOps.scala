@@ -239,14 +239,17 @@ object RankOps extends QueryModule {
     * 100 TB the per-round cost is O(vocabulary), not O(corpus); the
     * rounds are inherently sequential (each merge changes the next
     * round's pair statistics) in ANY implementation of BPE. */
-  def bpeTrain(spark: SparkSession, dir: String, nMerges: Int = 6): DataFrame = {
-    import spark.implicits._
+  /** Learn `nMerges` merges; returns them plus the post-merge word
+    * frame (word, repr, c) for downstream application (v49b). */
+  private[graft] def learnMerges(spark: SparkSession, dir: String,
+      nMerges: Int): (Seq[(Int, String, String, Long)], DataFrame) = {
     val wordFreq = withWords(spark, dir)
       .select(explode(col("w")).as("word"))
       .filter(col("word") =!= "")
       .groupBy(col("word")).agg(count(lit(1)).as("c"))
-      .select(regexp_replace(col("word"), "(.)", BpeSep + "$1" + BpeSep)
-        .as("repr"), col("c"))
+      .select(col("word"),
+        regexp_replace(col("word"), "(.)", BpeSep + "$1" + BpeSep)
+          .as("repr"), col("c"))
       .localCheckpoint()
     var words = wordFreq
     val merges = scala.collection.mutable.Buffer[(Int, String, String, Long)]()
@@ -271,13 +274,18 @@ object RankOps extends QueryModule {
       val (l, r, pc) =
         (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
       merges += ((k, l, r, pc))
-      words = words.select(
+      words = words.select(col("word"),
         call_function("replace", col("repr"),
           lit(BpeSep + l + BpeSep + BpeSep + r + BpeSep),
           lit(BpeSep + l + r + BpeSep)).as("repr"),
         col("c"))
     }
-    merges.toSeq
+    (merges.toSeq, words)
+  }
+
+  def bpeTrain(spark: SparkSession, dir: String, nMerges: Int = 6): DataFrame = {
+    import spark.implicits._
+    learnMerges(spark, dir, nMerges)._1
       .toDF("merge_rank", "left_sym", "right_sym", "pair_count")
       .select(col("merge_rank"), col("left_sym"), col("right_sym"),
         concat(col("left_sym"), col("right_sym")).as("merged"),
@@ -288,14 +296,66 @@ object RankOps extends QueryModule {
   /** The unrolled-iteration oracle (v29's convention): 6 rounds of
     * pair-count → top-1 → replace as chained CTEs, with the same
     * delimited representation (chr(31)) and tie-break. */
-  private val bpeTrainSql: String = {
+  /** V49b: apply the learned merges back to the corpus — the tokenizer
+    * FERTILITY report per source (tokens/word, chars/token): the number
+    * every tokenizer change is judged by, and the per-source coverage
+    * view beside v44's OOV rate. The merge application runs on the
+    * vocab-bounded word frame (it already did, inside training); the
+    * corpus-scale side only joins the broadcast word→token-count map
+    * onto per-(source, word) counts — one linear pass. */
+  def bpeApply(spark: SparkSession, dir: String): DataFrame = {
+    val (_, words) = learnMerges(spark, dir, 6)
+    val tokensPerWord = words.select(col("word"),
+      size(split(trim(col("repr"), BpeSep), BpeSep + BpeSep)).as("syms"),
+      length(col("word")).as("chars"))
+    val bySourceWord = withWords(spark, dir)
+      .join(Tables.documents(spark, dir).select(col("doc_id"),
+        col("source")), Seq("doc_id"))
+      .select(col("source"), explode(col("w")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("source"), col("word")).agg(count(lit(1)).as("c"))
+    bySourceWord.join(broadcast(tokensPerWord), Seq("word"))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n_words"),
+        sum(col("c") * col("syms")).as("n_tokens"),
+        sum(col("c") * col("chars")).as("n_chars"))
+      .select(col("source"), col("n_words"), col("n_tokens"), col("n_chars"),
+        Exact.ratio6(col("n_tokens"), col("n_words")).as("fertility"),
+        Exact.ratio6(col("n_chars"), col("n_tokens")).as("chars_per_token"))
+      .orderBy(col("source"))
+  }
+
+  private lazy val bpeApplySql: String = bpeDerivationSql +
+    s""",
+       | wsrc AS (SELECT d.source,
+       |    unnest(string_split(lower(d.text), ' ')) AS word
+       |   FROM documents d WHERE d.text IS NOT NULL),
+       | wc AS (SELECT source, word, CAST(count(*) AS BIGINT) AS c
+       |   FROM wsrc WHERE word <> '' GROUP BY 1, 2),
+       | va AS (SELECT word,
+       |    len(string_split(trim(repr, chr(31)), chr(31) || chr(31)))
+       |      AS syms, length(word) AS chars FROM r6),
+       | g AS (SELECT source, sum(wc.c) AS n_words,
+       |    sum(wc.c * va.syms) AS n_tokens,
+       |    sum(wc.c * va.chars) AS n_chars
+       |   FROM wc JOIN va USING (word) GROUP BY 1)
+       |SELECT source, CAST(n_words AS BIGINT) AS n_words,
+       | CAST(n_tokens AS BIGINT) AS n_tokens,
+       | CAST(n_chars AS BIGINT) AS n_chars,
+       | ${OracleSql.ratio6("n_tokens", "n_words")} AS fertility,
+       | ${OracleSql.ratio6("n_chars", "n_tokens")} AS chars_per_token
+       |FROM g ORDER BY source""".stripMargin
+
+  private val bpeTrainSql: String = bpeDerivationSql + bpeTrainFinalSql
+
+  private lazy val bpeDerivationSql: String = {
     val prelude =
       """WITH d AS (SELECT string_split(lower(text), ' ') AS w
         |           FROM documents WHERE text IS NOT NULL),
         | wf AS (SELECT word, CAST(count(*) AS BIGINT) AS c
         |        FROM (SELECT unnest(w) AS word FROM d)
         |        WHERE word <> '' GROUP BY 1),
-        | r0 AS (SELECT
+        | r0 AS (SELECT word,
         |     regexp_replace(word, '(.)', chr(31) || '\1' || chr(31), 'g')
         |       AS repr, c FROM wf)""".stripMargin
     val rounds = (1 to 6).map { k =>
@@ -307,17 +367,18 @@ object RankOps extends QueryModule {
          |   c FROM s$k),
          | b$k AS (SELECT l, r, sum(c) AS pc FROM p$k GROUP BY 1, 2
          |         ORDER BY pc DESC, l, r LIMIT 1),
-         | r$k AS (SELECT replace(repr,
+         | r$k AS (SELECT word, replace(repr,
          |     chr(31) || b$k.l || chr(31) || chr(31) || b$k.r || chr(31),
          |     chr(31) || b$k.l || b$k.r || chr(31)) AS repr, c
          |   FROM r${k - 1}, b$k)""".stripMargin
     }.mkString(",\n", ",\n", "")
-    val finalSel = (1 to 6).map { k =>
-      s"SELECT $k AS merge_rank, l AS left_sym, r AS right_sym, " +
-        s"l || r AS merged, CAST(pc AS BIGINT) AS pair_count FROM b$k"
-    }.mkString("\n", "\nUNION ALL\n", "\nORDER BY merge_rank")
-    prelude + rounds + finalSel
+    prelude + rounds
   }
+
+  private lazy val bpeTrainFinalSql: String = (1 to 6).map { k =>
+    s"SELECT $k AS merge_rank, l AS left_sym, r AS right_sym, " +
+      s"l || r AS merged, CAST(pc AS BIGINT) AS pair_count FROM b$k"
+  }.mkString("\n", "\nUNION ALL\n", "\nORDER BY merge_rank")
 
   /** V4i: vocabulary ENCODING — the sequel to v4e's vocabulary build:
     * map each doc's words to token ids under the learned top-50 vocab
@@ -442,6 +503,11 @@ object RankOps extends QueryModule {
         "merge as a delimited-string replace); oracle unrolls the same " +
         "6 rounds as chained CTEs",
       (s, d) => bpeTrain(s, d), Some(bpeTrainSql)),
+    GraftQuery("v49b_bpe_fertility",
+      "V49b tokenizer fertility under the learned merges: per-source " +
+        "tokens/word and chars/token (merge application on the vocab-" +
+        "bounded frame; corpus side is one broadcast-join pass)",
+      bpeApply, Some(bpeApplySql)),
     GraftQuery("v4i_encode",
       "V4i vocabulary encoding: docs mapped to token-id sequences " +
         "under the v4e-learned top-50 vocab (broadcast lookup, " +
