@@ -87,7 +87,38 @@ object SourceOps extends QueryModule {
        |FROM read_parquet('${SpanFixture.Dir}/expected.parquet/*.parquet')
        |""".stripMargin
 
+  /** A8: the SAME custom source read as a STREAM (MICRO_BATCH_READ):
+    * offsets index the name-sorted file listing, each trigger admits
+    * ≤ 8 files past the committed point (24 fixture files → 3 genuine
+    * micro-batches — SourceSpec pins the batch count and the offset
+    * JSON round-trip), and the per-service rollup is a streaming
+    * aggregation run to completion. Finite directory ⇒ the final table
+    * equals the batch a7 rollup, so it shares a7's oracle — the
+    * incremental admission machinery is what's under test. */
+  def dsv2Stream(spark: SparkSession, dir: String): DataFrame = {
+    val d = SpanFixture.ensure(spark)
+    val stream = spark.readStream
+      .format(classOf[SpanFileSource].getName)
+      .option("maxFilesPerTrigger", "8")
+      .load(d)
+      .groupBy(col("service_name"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("duration_ns")).as("total_dur_ns"),
+        min(col("start_ns")).as("first_start_ns"),
+        sum(when(col("status_code") === "ERROR", 1L).otherwise(0L))
+          .as("n_errors"))
+    graft.streaming.StreamingOps
+      .runToBatch(spark, stream, s"a8_stream_${ProcessHandle.current().pid()}")
+      .orderBy(col("service_name"))
+  }
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("a8_dsv2_stream",
+      "A8 DSv2 streaming read of the span source: MicroBatchStream " +
+        "with file-count offsets + per-trigger admission (8 files/" +
+        "batch, 3 batches over the fixture); finite stream equals the " +
+        "batch rollup, sharing a7's oracle",
+      dsv2Stream, Some(dsv2ScanSql)),
     GraftQuery("a7c_dsv2_agg_pushdown",
       "A7c DSv2 aggregate pushdown: global count/min/max answered " +
         "entirely from sidecar stats (files=0/24 - no span file " +

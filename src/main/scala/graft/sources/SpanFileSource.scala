@@ -141,13 +141,16 @@ private[sources] class SpanTable(dir: String) extends Table
   override def name(): String = s"graft_spans($dir)"
   override def schema(): StructType = SpanFileSource.Schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
-    new SpanScanBuilder(dir)
+    new SpanScanBuilder(dir,
+      options.getInt("maxFilesPerTrigger", Int.MaxValue))
 }
 
-private[sources] class SpanScanBuilder(dir: String) extends ScanBuilder
+private[sources] class SpanScanBuilder(dir: String,
+    maxFilesPerTrigger: Int) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
   private var required: StructType = SpanFileSource.Schema
@@ -195,7 +198,7 @@ private[sources] class SpanScanBuilder(dir: String) extends ScanBuilder
 
   override def build(): Scan = pushedAgg match {
     case Some(kinds) => new SpanStatsAggScan(dir, kinds)
-    case None => new SpanScan(dir, required, skipping)
+    case None => new SpanScan(dir, required, skipping, maxFilesPerTrigger)
   }
 }
 
@@ -244,7 +247,8 @@ private[sources] final case class SpanStatsAggPartition(values: Seq[Long])
     extends InputPartition
 
 private[sources] class SpanScan(dir: String, required: StructType,
-    skipping: Array[Filter]) extends Scan with Batch {
+    skipping: Array[Filter], maxFilesPerTrigger: Int = Int.MaxValue)
+    extends Scan with Batch {
   private val stats = SpanFileSource.readStats(dir)
   private val survivors = stats.filter(s =>
     skipping.forall(f => SpanFileSource.mightMatch(s, f)))
@@ -265,6 +269,72 @@ private[sources] class SpanScan(dir: String, required: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new SpanReaderFactory(required)
+
+  /** The streaming read of the same source (MICRO_BATCH_READ): offsets
+    * index the NAME-SORTED file list, each trigger admits at most
+    * `maxFilesPerTrigger` new files — the standard log-structured file
+    * source design (a collector drops request files; the stream tails
+    * the directory in deterministic order). Stats skipping and column
+    * pruning apply inside each admitted range exactly as in batch. */
+  override def toMicroBatchStream(
+      checkpointLocation: String): org.apache.spark.sql.connector.read
+      .streaming.MicroBatchStream =
+    new SpanMicroBatchStream(dir, required, skipping,
+      stats.sortBy(_.file), maxFilesPerTrigger)
+}
+
+/** Offset = count of files (of the sorted listing) already admitted. */
+private[sources] final case class SpanStreamOffset(filesSeen: Int)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = s"""{"filesSeen":$filesSeen}"""
+}
+
+private[sources] class SpanMicroBatchStream(dir: String,
+    required: StructType, skipping: Array[Filter],
+    files: Seq[SpanFileSource.FileStat], maxFilesPerTrigger: Int)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming
+      .SupportsAdmissionControl {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+
+  private def seen(o: Offset): Int =
+    o.asInstanceOf[SpanStreamOffset].filesSeen
+
+  override def initialOffset(): Offset = SpanStreamOffset(0)
+
+  /** Admission control: each trigger admits at most maxFilesPerTrigger
+    * files beyond the offset the engine RESUMES FROM — stateless in
+    * this object, so a fresh stream instance per trigger (which the
+    * engine is free to create) still paces correctly; 24 fixture files
+    * at the test cap of 8 run as 3 genuine micro-batches (pinned in
+    * SourceSpec). */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    SpanStreamOffset(math.min(seen(start) + maxFilesPerTrigger.toLong,
+      files.size.toLong).toInt)
+
+  /** The true end of available data, regardless of pacing. */
+  override def reportLatestOffset(): Offset = SpanStreamOffset(files.size)
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is the admission-control entry")
+
+  override def deserializeOffset(json: String): Offset =
+    SpanStreamOffset(new ObjectMapper().readTree(json)
+      .get("filesSeen").asInt())
+
+  override def planInputPartitions(start: Offset,
+      end: Offset): Array[InputPartition] =
+    files.slice(seen(start), seen(end))
+      .filter(s => skipping.forall(f => SpanFileSource.mightMatch(s, f)))
+      .map(s => SpanInputPartition(s"$dir/${s.file}")
+        .asInstanceOf[InputPartition]).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SpanReaderFactory(required)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 private[sources] final case class SpanInputPartition(path: String)

@@ -116,4 +116,40 @@ class SourceSpec extends SparkSpec {
     other.collect()
     assert(plan(other).contains("GraftSpanScan"), plan(other))
   }
+
+  test("micro-batch stream: 8-file admission paces the fixture into 3 " +
+      "batches, offsets round-trip through JSON, final state == batch") {
+    val d = SpanFixture.ensure(spark)
+    val q = spark.readStream
+      .format(classOf[SpanFileSource].getName)
+      .option("maxFilesPerTrigger", "8")
+      .load(d)
+      .groupBy(col("service_name")).agg(count(lit(1)).as("n_spans"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("a8_spec_stream").start()
+    try q.processAllAvailable() finally q.stop()
+    // 24 fixture files / 8 per trigger = 3 data-carrying batches; the
+    // engine may append an empty no-new-data batch at the tail
+    val dataBatches = q.recentProgress
+      .filter(_.numInputRows > 0)
+    assert(dataBatches.length === 3,
+      q.recentProgress.map(p => p.numInputRows).mkString(","))
+    // each admitted batch carries exactly 8 files x 5 spans
+    assert(dataBatches.forall(_.numInputRows ===
+      8L * SpanFixture.SpansPerFile),
+      dataBatches.map(_.numInputRows).mkString(","))
+    val got = spark.table("a8_spec_stream")
+      .orderBy("service_name").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val want = source().groupBy(col("service_name"))
+      .agg(count(lit(1)).as("n_spans")).orderBy("service_name").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got === want, "finite stream must equal the batch rollup")
+    // offsets surface through the progress API in their JSON form —
+    // the final committed end offset is the full 24-file listing
+    // (deserializeOffset round-tripped it every trigger to get here)
+    val lastEnd = q.recentProgress.flatMap(p =>
+      p.sources.map(_.endOffset)).last
+    assert(lastEnd.contains("\"filesSeen\":24"), lastEnd)
+  }
 }
