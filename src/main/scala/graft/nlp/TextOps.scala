@@ -293,6 +293,93 @@ object TextOps extends QueryModule {
       .orderBy(col("source"), col("doc_id"))
   }
 
+  /** V13b: curation EXPLAIN — the provenance report v13 cannot give:
+    * one row per INPUT document with its verdict ('kept' or the FIRST
+    * gate that dropped it, in pipeline order: null_text → duplicate →
+    * language → quality → cap) plus the quality score where the doc
+    * got far enough to have one. Data-quality debugging at corpus
+    * scale is exactly this query — "why did my document disappear" —
+    * and because each gate's population is the previous gate's
+    * survivors, the verdicts must be derived in the SAME pipeline
+    * order as v13's filters (a doc failing two gates reports the
+    * first). Same dataflow cost as v13 itself: one dedup window, one
+    * scoring pass, one per-source rank over lang+quality survivors,
+    * assembled by disjoint unions. */
+  def curateExplain(spark: SparkSession, dir: String,
+      minScore: Double = 0.38, perSource: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val allDocs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+    val nulls = allDocs.filter(col("text").isNull)
+      .select(col("doc_id"), col("source"),
+        lit("null_text").as("verdict"), lit(null).cast("double").as("score"))
+    val withDk = allDocs.filter(col("text").isNotNull)
+      .withColumn("norm_hash", TextCanon.normHash)
+      .withColumn("dk", row_number().over(
+        Window.partitionBy(col("norm_hash")).orderBy(col("doc_id"))))
+    val dups = withDk.filter(col("dk") > 1)
+      .select(col("doc_id"), col("source"),
+        lit("duplicate").as("verdict"), lit(null).cast("double").as("score"))
+    val scored = withMarkerScores(withDk.filter(col("dk") === 1))
+      .withColumn("detected", argmaxLang)
+      .withColumn("n_words", size(col("w")))
+      .withColumn("n_distinct", size(array_distinct(col("w"))))
+      .withColumn("score", scoreCol)
+    val langFail = scored.filter(col("detected") =!= "en")
+      .select(col("doc_id"), col("source"),
+        lit("language").as("verdict"), lit(null).cast("double").as("score"))
+    val qualFail = scored
+      .filter(col("detected") === "en" && col("score") < minScore)
+      .select(col("doc_id"), col("source"),
+        lit("quality").as("verdict"), col("score"))
+    val surv = scored
+      .filter(col("detected") === "en" && col("score") >= minScore)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("doc_id"))))
+      .select(col("doc_id"), col("source"),
+        when(col("rk") <= perSource, "kept").otherwise("cap").as("verdict"),
+        col("score"))
+    nulls.unionByName(dups).unionByName(langFail).unionByName(qualFail)
+      .unionByName(surv)
+      .orderBy(col("doc_id"))
+  }
+
+  private lazy val curateExplainSql: String =
+    s"""WITH alln AS (SELECT doc_id, source, text FROM documents),
+       | base AS (SELECT doc_id, source, text,
+       |   ${OracleSql.normHashText} AS norm_hash
+       |  FROM alln WHERE text IS NOT NULL),
+       | d AS (SELECT *, row_number() OVER (
+       |    PARTITION BY norm_hash ORDER BY doc_id) AS dk FROM base),
+       | s AS (SELECT doc_id, source, text,
+       |   ${markerSql("en")} AS s_en, ${markerSql("de")} AS s_de,
+       |   ${markerSql("es")} AS s_es, ${markerSql("fr")} AS s_fr,
+       |   len($wordsSql) AS nw, len(list_distinct($wordsSql)) AS nd
+       |  FROM d WHERE dk = 1),
+       | g AS (SELECT doc_id, source,
+       |   (s_en + s_de + s_es + s_fr > 0 AND s_en >= s_de
+       |    AND s_en >= s_es AND s_en >= s_fr) AS lang_ok,
+       |   ${OracleSql.ratio6("(least(nw,100)*nw*40 + (s_en+nd)*3000)",
+            "nw*10000")} AS score
+       |  FROM s),
+       | surv AS (SELECT doc_id, source, score, row_number() OVER (
+       |    PARTITION BY source ORDER BY doc_id) AS rk
+       |  FROM g WHERE lang_ok AND score >= 0.38)
+       |SELECT doc_id, source, verdict, score FROM (
+       | SELECT doc_id, source, 'null_text' AS verdict,
+       |  CAST(NULL AS DOUBLE) AS score FROM alln WHERE text IS NULL
+       | UNION ALL
+       | SELECT doc_id, source, 'duplicate', NULL FROM d WHERE dk > 1
+       | UNION ALL
+       | SELECT doc_id, source, 'language', NULL FROM g WHERE NOT lang_ok
+       | UNION ALL
+       | SELECT doc_id, source, 'quality', score FROM g
+       | WHERE lang_ok AND score < 0.38
+       | UNION ALL
+       | SELECT doc_id, source,
+       |  CASE WHEN rk <= 10 THEN 'kept' ELSE 'cap' END, score FROM surv)
+       |ORDER BY doc_id""".stripMargin
+
   private val wordsSql = "string_split(lower(text), ' ')"
   private def markerSql(lang: String): String =
     s"len(list_filter($wordsSql, w -> w IN (${markers(lang).map(s => s"'$s'").mkString(",")})))"
@@ -531,6 +618,12 @@ object TextOps extends QueryModule {
               |WHERE score >= 0.38
               |QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 10
               |ORDER BY source, doc_id""".stripMargin)),
+    GraftQuery("v13b_curation_explain",
+      "V13b curation EXPLAIN: one verdict row per input doc — kept, or " +
+        "the FIRST failing gate in pipeline order (null_text/duplicate/" +
+        "language/quality/cap) with the score where computed — the " +
+        "why-did-my-document-disappear provenance report",
+      (s, d) => curateExplain(s, d), Some(curateExplainSql)),
     GraftQuery("v27_rare_bigrams",
       "V27 rare-bigram ratio: perplexity-proxy quality gate over " +
         "corpus bigram counts (integer-exact, no log-probs)",

@@ -156,6 +156,38 @@ class ScaleSpec extends SparkSpec {
     assert(ids === Set(1L) ++ (10L to 19L), out.mkString(","))
   }
 
+  test("V13b explain: every gate verdict fires on the planted fixture " +
+      "and agrees with v13's kept set") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-explain")
+      .toString
+    val good = "the quick brown fox jumps over the lazy dog and then " +
+      "the fox runs away with many other words here"
+    val rows =
+      Seq((1L, Option(good), "en", "s1", 0L),
+        (2L, Option(good), "en", "s1", 0L), // exact dup of 1
+        (3L, Option("der hund und die katze ist das haus"), "de", "s1", 0L),
+        (4L, Option(Seq.fill(10)("the").mkString(" ")), "en", "s1", 0L),
+        (5L, Option.empty[String], "xx", "s1", 0L)) ++ // null text
+        (10L to 24L).map(i => (i, Option(s"$good token$i"), "en", "big", 0L))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val verdicts = graft.nlp.TextOps.curateExplain(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(verdicts(1L) === "kept")
+    assert(verdicts(2L) === "duplicate", "first gate wins for the dup")
+    assert(verdicts(3L) === "language")
+    assert(verdicts(4L) === "quality")
+    assert(verdicts(5L) === "null_text")
+    assert((10L to 19L).forall(verdicts(_) == "kept"))
+    assert((20L to 24L).forall(verdicts(_) == "cap"))
+    // explain's kept set IS v13's output set
+    val kept = verdicts.filter(_._2 == "kept").keySet
+    val v13 = graft.nlp.TextOps.curate(spark, tmp).collect()
+      .map(_.getLong(0)).toSet
+    assert(kept === v13)
+  }
+
   test("V7 media ops: real PNG round-trip; NULL payloads skipped; frame " +
       "count is ceil(rasterBytes/frameBytes)") {
     import spark.implicits._
