@@ -83,6 +83,14 @@ object Bench {
         catch { case _: Throwable => false }
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
+      // clearCache drops only CacheManager entries; frames materialized
+      // via localCheckpoint (BPE word tables, BFS frontiers, graph
+      // edges) pin block-manager memory until the ContextCleaner gets
+      // to them — release those too so query N+1 starts clean. Safe:
+      // every cross-entry memo in this repo hands over a parquet PATH,
+      // never a persisted frame.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       name -> (if (ok) dt else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -55,8 +55,11 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/verify_errors.json"), errJson)
     // mirror into the repo so the artifact survives even if the driver only
-    // collects stdout + the named correctness file
-    try Files.writeString(Paths.get("/root/repo/VERIFY_ERRORS.json"), errJson)
+    // collects stdout + the named correctness file (path overridable so a
+    // checkout elsewhere doesn't silently lose the mirror — best-effort
+    // either way)
+    try Files.writeString(Paths.get(sys.env.getOrElse(
+      "SPARK_GRAFT_REPO_DIR", "/root/repo"), "VERIFY_ERRORS.json"), errJson)
     catch { case _: Throwable => () }
     spark.stop()
   }

@@ -281,10 +281,12 @@ object DedupOps extends QueryModule {
   def semanticPrune(spark: SparkSession, dir: String,
       tau: Double = 0.35): DataFrame = {
     import graft.functions.VectorFunctions.dot_product
-    val e = graft.sim.SimilarityOps
-      .withNorm(Tables.embeddings(spark, dir))
-      .join(Tables.embeddings(spark, dir).select(col("vec_id"),
-        col("label")), Seq("vec_id"))
+    // project label INLINE next to v/nrm — one scan, no recovery join
+    // (review finding, round 6)
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(dot_product(col("v"), col("v"))))
     val a = e.select(col("label"), col("vec_id").as("i"),
       col("v").as("v_i"), col("nrm").as("n_i"))
     val b = e.select(col("label"), col("vec_id").as("j"),

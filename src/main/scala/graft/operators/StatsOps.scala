@@ -778,8 +778,11 @@ object StatsOps extends QueryModule {
         when(conv(substring(md5(concat(lit("ab"),
           col("user_id").cast("string"))), 1, 2), 16, 10)
           .cast("int") % 2 === 0, "A").otherwise("B"))
+    // BOTH power sums in DECIMAL(38,0): sum(x) wraps a Long at ~2.5e10
+    // events/arm of micro-mass — the same scale step the sxx comment
+    // already defends against (review finding, round 6)
     val arms = perUser.groupBy(col("arm"))
-      .agg(count(lit(1)).as("n"), sum(col("xm")).as("sx"),
+      .agg(count(lit(1)).as("n"), sum(d(col("xm"))).as("sx"),
         sum(d(col("xm")) * d(col("xm"))).as("sxx"))
       .select(col("arm"), col("n"),
         decDivRound(d(col("sx")), d(col("n"))).as("mean6"),

@@ -279,28 +279,63 @@ private[sources] class SpanScan(dir: String, required: StructType,
   override def toMicroBatchStream(
       checkpointLocation: String): org.apache.spark.sql.connector.read
       .streaming.MicroBatchStream =
-    new SpanMicroBatchStream(dir, required, skipping,
-      stats.sortBy(_.file), maxFilesPerTrigger)
+    new SpanMicroBatchStream(dir, required, skipping, maxFilesPerTrigger)
 }
 
-/** Offset = count of files (of the sorted listing) already admitted. */
-private[sources] final case class SpanStreamOffset(filesSeen: Int)
+/** Offset = count of files (of the sorted listing) already admitted,
+  * plus a fingerprint of THOSE files' names: positional offsets are only
+  * sound while the seen prefix of the sorted listing is immutable, so
+  * the prefix is pinned in the offset itself and every trigger
+  * re-validates it against the live directory — a file arriving with a
+  * name that sorts INSIDE the seen range (a non-monotonically-named
+  * producer) fails loudly instead of silently shifting what every later
+  * offset means (data loss + duplicates). */
+private[sources] final case class SpanStreamOffset(filesSeen: Int,
+    prefixHash: String)
     extends org.apache.spark.sql.connector.read.streaming.Offset {
-  override def json(): String = s"""{"filesSeen":$filesSeen}"""
+  override def json(): String =
+    s"""{"filesSeen":$filesSeen,"prefixHash":"$prefixHash"}"""
 }
 
 private[sources] class SpanMicroBatchStream(dir: String,
-    required: StructType, skipping: Array[Filter],
-    files: Seq[SpanFileSource.FileStat], maxFilesPerTrigger: Int)
+    required: StructType, skipping: Array[Filter], maxFilesPerTrigger: Int)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming
       .SupportsAdmissionControl {
   import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
 
+  /** Re-list the directory EVERY call (the sidecar is one small JSON):
+    * a collector appending files mid-run is the point of a stream; a
+    * constructor-time snapshot would never admit them. */
+  private def listing(): Seq[SpanFileSource.FileStat] =
+    SpanFileSource.readStats(dir).sortBy(_.file)
+
+  private def prefixHash(fs: Seq[SpanFileSource.FileStat],
+      n: Int): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    fs.take(n).foreach(f => md.update((f.file + "\n").getBytes("UTF-8")))
+    md.digest().map("%02x".format(_)).mkString
+  }
+
   private def seen(o: Offset): Int =
     o.asInstanceOf[SpanStreamOffset].filesSeen
 
-  override def initialOffset(): Offset = SpanStreamOffset(0)
+  /** The seen prefix must still be the seen prefix: fail loudly on
+    * non-monotonic producers rather than silently re-indexing. Empty
+    * recorded hash (a pre-upgrade checkpoint) skips the check. */
+  private def validatePrefix(fs: Seq[SpanFileSource.FileStat],
+      o: Offset): Unit = {
+    val off = o.asInstanceOf[SpanStreamOffset]
+    if (off.prefixHash.nonEmpty &&
+        prefixHash(fs, off.filesSeen) != off.prefixHash)
+      throw new IllegalStateException(
+        s"graft span stream: the first ${off.filesSeen} files of " +
+          s"$dir changed after being read — a file was added, renamed " +
+          "or removed inside the consumed range (non-monotonic file " +
+          "naming?). Positional offsets cannot continue safely.")
+  }
+
+  override def initialOffset(): Offset = SpanStreamOffset(0, prefixHash(Nil, 0))
 
   /** Admission control: each trigger admits at most maxFilesPerTrigger
     * files beyond the offset the engine RESUMES FROM — stateless in
@@ -308,27 +343,40 @@ private[sources] class SpanMicroBatchStream(dir: String,
     * engine is free to create) still paces correctly; 24 fixture files
     * at the test cap of 8 run as 3 genuine micro-batches (pinned in
     * SourceSpec). */
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
-    SpanStreamOffset(math.min(seen(start) + maxFilesPerTrigger.toLong,
-      files.size.toLong).toInt)
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val fs = listing()
+    validatePrefix(fs, start)
+    val n = math.min(seen(start) + maxFilesPerTrigger.toLong,
+      fs.size.toLong).toInt
+    SpanStreamOffset(n, prefixHash(fs, n))
+  }
 
   /** The true end of available data, regardless of pacing. */
-  override def reportLatestOffset(): Offset = SpanStreamOffset(files.size)
+  override def reportLatestOffset(): Offset = {
+    val fs = listing()
+    SpanStreamOffset(fs.size, prefixHash(fs, fs.size))
+  }
 
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(
       "latestOffset(Offset, ReadLimit) is the admission-control entry")
 
-  override def deserializeOffset(json: String): Offset =
-    SpanStreamOffset(new ObjectMapper().readTree(json)
-      .get("filesSeen").asInt())
+  override def deserializeOffset(json: String): Offset = {
+    val node = new ObjectMapper().readTree(json)
+    SpanStreamOffset(node.get("filesSeen").asInt(),
+      Option(node.get("prefixHash")).map(_.asText()).getOrElse(""))
+  }
 
   override def planInputPartitions(start: Offset,
-      end: Offset): Array[InputPartition] =
-    files.slice(seen(start), seen(end))
+      end: Offset): Array[InputPartition] = {
+    val fs = listing()
+    validatePrefix(fs, start)
+    validatePrefix(fs, end)
+    fs.slice(seen(start), seen(end))
       .filter(s => skipping.forall(f => SpanFileSource.mightMatch(s, f)))
       .map(s => SpanInputPartition(s"$dir/${s.file}")
         .asInstanceOf[InputPartition]).toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new SpanReaderFactory(required)

@@ -152,4 +152,69 @@ class SourceSpec extends SparkSpec {
       p.sources.map(_.endOffset)).last
     assert(lastEnd.contains("\"filesSeen\":24"), lastEnd)
   }
+
+  /** Copy the span fixture into a writable temp dir. */
+  private def copyFixture(): String = {
+    val src = java.nio.file.Paths.get(SpanFixture.ensure(spark))
+    val dst = java.nio.file.Files.createTempDirectory("graft-stream-dir")
+    java.nio.file.Files.list(src).forEach { f =>
+      java.nio.file.Files.copy(f, dst.resolve(f.getFileName))
+    }
+    dst.toString
+  }
+
+  /** Clone an existing fixture file (and its stats entry) under a new
+    * name, so the directory "grows" the way a collector grows it. */
+  private def appendFile(dir: String, newName: String): Unit = {
+    val p = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.copy(p.resolve("spans_h0.json"),
+      p.resolve(newName))
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val stats = mapper.readTree(p.resolve("_stats.json").toFile)
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
+    val entry = stats.get(0)
+      .deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+    entry.put("file", newName)
+    stats.add(entry)
+    java.nio.file.Files.write(p.resolve("_stats.json"),
+      mapper.writeValueAsBytes(stats))
+  }
+
+  test("stream admits files appended mid-run (the listing refreshes " +
+      "per trigger); a file arriving INSIDE the seen prefix fails " +
+      "loudly instead of silently re-indexing") {
+    val dir = copyFixture()
+    val q = spark.readStream
+      .format(classOf[SpanFileSource].getName)
+      .option("maxFilesPerTrigger", "8")
+      .load(dir)
+      .agg(count(lit(1)).as("n"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("a8_grow_stream").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("a8_grow_stream").collect()(0).getLong(0) ===
+        SpanFixture.NFiles.toLong * SpanFixture.SpansPerFile)
+      // collector drops one more file, named to sort AFTER the prefix
+      appendFile(dir, "spans_z0.json")
+      q.processAllAvailable()
+      assert(spark.table("a8_grow_stream").collect()(0).getLong(0) ===
+        (SpanFixture.NFiles + 1).toLong * SpanFixture.SpansPerFile,
+        "the appended file must be admitted by a later trigger")
+      // a file sorting BEFORE the consumed range shifts every positional
+      // offset: the prefix fingerprint must refuse to continue
+      appendFile(dir, "spans_a0.json")
+      val ex = intercept[org.apache.spark.sql.streaming
+        .StreamingQueryException] {
+        appendFile(dir, "spans_z9.json") // new data so a trigger fires
+        q.processAllAvailable()
+      }
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: causes(t.getCause)
+      assert(causes(ex).exists(c =>
+        c.isInstanceOf[IllegalStateException] &&
+          c.getMessage.contains("changed after being read")),
+        causes(ex).map(_.toString).mkString(" | "))
+    } finally q.stop()
+  }
 }
