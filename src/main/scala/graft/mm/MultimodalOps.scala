@@ -320,8 +320,8 @@ object MultimodalOps extends QueryModule {
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("h_a").bitwiseXOR(col("h_b"))).as("hamming"),
         (col("m_a") === col("m_b")).as("raster_equal"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
+      .distinct()
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
