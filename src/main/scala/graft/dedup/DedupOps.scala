@@ -734,22 +734,32 @@ object DedupOps extends QueryModule {
     * the exact path deliberately suppressed. */
   def substringDupsWinnowed(spark: SparkSession, dir: String, b: Int = 8,
       minShared: Int = 2): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val k = WindowChars
-    val pos = Tables.documents(spark, dir)
+    // The whole winnowing runs IN-ROW (one codegen projection): build
+    // the (hash, pos, win) structs once per document, take the argmin
+    // of every b-length slice, dedupe the selections — and only THEN
+    // explode. The earlier form posexploded every position into a
+    // per-doc sort window, shipping every stride-1 window (40-char
+    // string included) through a full shuffle+sort just to throw
+    // ~b/(b+1) of them away; here nothing leaves the row until the
+    // ~2/(b+1)-density fingerprint set exists, so the one shuffle in
+    // the pair tail carries ONLY fingerprints. The single-element
+    // `transform(array(...), hs -> ...)` binds the struct array once
+    // per row (a let-binding — inlining it into the slice lambda would
+    // rebuild it per position, O(n²)). Tail slices shorter than b
+    // (start-of-run positions near the end) still select, exactly like
+    // the old rowsBetween(current, b-1) frame.
+    val fingerprints = Tables.documents(spark, dir)
       .filter(col("text").isNotNull && length(col("text")) >= k)
-      .select(col("doc_id"), posexplode(expr(
+      .select(col("doc_id"), expr(
         s"transform(sequence(0, length(text)-$k), " +
-          s"i -> substring(text, i+1, $k))")))
-      .toDF("doc_id", "pos", "win")
-    val runWindow = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      .rowsBetween(Window.currentRow, b - 1)
-    val fingerprints = pos
-      .withColumn("hs", struct(xxhash64(col("win")).as("h"),
-        col("pos").as("p"), col("win").as("w")))
-      .withColumn("sel", min(col("hs")).over(runWindow))
-      .select(col("doc_id"), col("sel.w").as("win"))
-      .distinct()
+          s"i -> substring(text, i+1, $k))").as("wins"))
+      .select(col("doc_id"), explode(expr(
+        s"""transform(array(transform(wins,
+           |   (w, i) -> named_struct('h', xxhash64(w), 'p', i, 'w', w))),
+           |  hs -> array_distinct(transform(
+           |    transform(sequence(1, size(hs)), p -> array_min(slice(hs, p, $b))),
+           |    s -> s.w)))[0]""".stripMargin)).as("win"))
     windowPairs(fingerprints, MaxDocsPerWindow, minShared)
   }
 

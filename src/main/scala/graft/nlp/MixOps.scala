@@ -526,7 +526,60 @@ object MixOps extends QueryModule {
        |FROM f LEFT JOIN u USING (source_a, source_b)
        |ORDER BY 1, 2""".stripMargin
 
+  /** V52 sampling temperature exponent (α = 1/2) and the document
+    * budget the weights allocate. α < 1 flattens the source
+    * distribution — the multilingual/multi-corpus rebalancing rule
+    * (sample ∝ n^α) that keeps head sources from drowning the tail. */
+  val MixBudget = 100000L
+
+  /** V52: temperature-scaled source mixing — per source, the raw share,
+    * the α=0.5 flattened weight, and its integer allocation of
+    * [[MixBudget]]. Exactness: n^0.5 is one IEEE-correctly-rounded
+    * sqrt on an integer (identical doubles in both engines), frozen to
+    * micro-units with the same floor(x*1e6+0.5) both sides; every
+    * share/allocation after that is integer ratio arithmetic
+    * ([[Exact.ratio6]] / integer div), so largest-source-last rounding
+    * cannot drift. Scale: ONE partial-agg count shuffle onto the
+    * bounded source frame; the totals ride a broadcast 1-row
+    * aggregate. */
+  def temperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val perSrc = Tables.documents(spark, dir)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("s_micro",
+        floor(sqrt(col("n_docs").cast("double")) * 1000000.0 + 0.5)
+          .cast("long"))
+    val totals = perSrc.agg(sum(col("n_docs")).as("tot_n"),
+      sum(col("s_micro")).as("tot_s"))
+    perSrc.crossJoin(broadcast(totals))
+      .select(col("source"), col("n_docs"),
+        Exact.ratio6(col("n_docs"), col("tot_n")).as("raw_share"),
+        Exact.ratio6(col("s_micro"), col("tot_s")).as("weight"),
+        Exact.intDiv(lit(MixBudget) * col("s_micro") +
+          shiftright(col("tot_s"), 1), col("tot_s")).as("alloc"))
+      .orderBy(col("source"))
+  }
+
+  private lazy val temperatureMixSql: String =
+    s"""WITH p AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |   CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 1000000.0 + 0.5)
+       |     AS BIGINT) AS s_micro
+       |  FROM documents GROUP BY 1),
+       | t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS tot_n,
+       |              CAST(sum(s_micro) AS BIGINT) AS tot_s FROM p)
+       |SELECT source, n_docs,
+       | ${OracleSql.ratio6("n_docs", "tot_n")} AS raw_share,
+       | ${OracleSql.ratio6("s_micro", "tot_s")} AS weight,
+       | ($MixBudget * s_micro + tot_s // 2) // tot_s AS alloc
+       |FROM p CROSS JOIN t ORDER BY source""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("v52_temperature_mix",
+      "V52 temperature-scaled source mixing (sample ∝ n^0.5): raw " +
+        "share vs flattened weight and the integer budget allocation " +
+        "per source — one keyed count shuffle + broadcast totals, " +
+        "IEEE-sqrt/integer-exact both engines",
+      temperatureMix, Some(temperatureMixSql)),
     GraftQuery("v43_cross_source_dup",
       "V43 cross-source duplication matrix: distinct shared contents " +
         "per source pair (hash-keyed self-join of the distinct " +

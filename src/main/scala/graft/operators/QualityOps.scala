@@ -272,7 +272,44 @@ object QualityOps extends QueryModule {
        |FROM a ORDER BY relation""".stripMargin
   }
 
+  /** W21 equivalence-class floor: below this group size a
+    * quasi-identifier combination is flagged re-identifiable. 10 is
+    * the conventional release bar (HIPAA expert-determination work
+    * commonly uses 5–11); the FLAG is data-derived either way, so the
+    * entry stays meaningful at every SF. */
+  val AnonymityK = 10
+
+  /** W21: k-anonymity audit — the privacy gate next to v46's PII
+    * scrub: group the release candidate by its quasi-identifier tuple
+    * (nation, market segment — the classic "harmless" columns that
+    * link), report each equivalence class with its size, the
+    * re-identification probability 1/n, and the below-k flag. The
+    * release decision (suppress / generalize flagged classes) consumes
+    * exactly this frame. Scale: ONE partial-agg keyed shuffle onto the
+    * bounded QI-combination frame (nations × segments); no window, no
+    * join — linear at any customer count. */
+  def kAnonymity(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("c_nationkey"), col("c_mktsegment"), col("n"),
+        Exact.ratio6(lit(1L), col("n")).as("reident_p"),
+        (col("n") < AnonymityK).as("at_risk"))
+      .orderBy(col("c_nationkey"), col("c_mktsegment"))
+
+  private lazy val kAnonymitySql: String =
+    s"""SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+       | ${OracleSql.ratio6("1", "count(*)")} AS reident_p,
+       | count(*) < $AnonymityK AS at_risk
+       |FROM customer GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("w21_k_anonymity",
+      "W21 k-anonymity audit: quasi-identifier equivalence classes " +
+        "with size, 1/n re-identification probability and below-k " +
+        "flag — one keyed partial-agg shuffle onto the bounded " +
+        "QI-combination frame",
+      kAnonymity, Some(kAnonymitySql)),
     GraftQuery("v37_expectations",
       "V37 declarative data-quality expectations: per-check violation " +
         "counts/shares + strict pass flags, row checks fused into one " +

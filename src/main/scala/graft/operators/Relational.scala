@@ -249,6 +249,45 @@ object Relational extends QueryModule {
        |  AND o_orderdate <  TIMESTAMP '1999-01-01'
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Q18-shape (TPC-H large-volume customers): a grouped HAVING filter
+    * on the FACT table acting as its own semi-join reducer — the big
+    * aggregate runs FIRST (partial/final hash agg over lineitem), its
+    * tiny survivor set (orders whose total quantity > 300: well under
+    * 0.1% of orders) then drives the orders→customer lookups, so the
+    * expensive table crosses the wire once as an aggregate and never as
+    * raw rows. The survivor frame joins orders on the shuffle key it
+    * already carries; AQE sees its runtime size and downgrades both
+    * lookup joins to broadcast. Top-100 compiles to
+    * TakeOrderedAndProject. */
+  def largeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(round(Exact.sumExact(col("l_quantity")), 6).as("total_qty"))
+      .filter(col("total_qty") > 300.0)
+    Tables.orders(spark, dir)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(spark, dir),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_totalprice"), col("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  private lazy val largeOrdersSql: String =
+    s"""WITH big AS (
+       |  SELECT l_orderkey,
+       |   round(${OracleSql.sumExact("l_quantity")}, 6) AS total_qty
+       |  FROM lineitem GROUP BY 1
+       |  HAVING round(${OracleSql.sumExact("l_quantity")}, 6) > 300.0)
+       |SELECT c_name, c_custkey, o_orderkey,
+       | strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       | o_totalprice, total_qty
+       |FROM big JOIN orders ON o_orderkey = l_orderkey
+       |     JOIN customer ON o_custkey = c_custkey
+       |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
+
   /** V10: cardinality estimation — exact distinct (oracle surface) next
     * to HyperLogLog++ (`approx_count_distinct`, the mergeable 100 TB /
     * streaming form). The approx column is engine-specific, so the oracle
@@ -290,6 +329,11 @@ object Relational extends QueryModule {
               |WHERE o_orderdate < TIMESTAMP '1998-01-01'
               |  AND l_shipdate >= TIMESTAMP '1998-01-01'
               |GROUP BY 1,2 ORDER BY revenue DESC, o_orderkey LIMIT 20""".stripMargin)),
+    GraftQuery("q18_large_orders",
+      "Q18-shape: grouped-HAVING semi-reduction on the fact table " +
+        "(aggregate first, join the tiny survivor set), customer " +
+        "lookup, top-100 TakeOrderedAndProject",
+      largeOrders, Some(largeOrdersSql)),
     GraftQuery("q5_local_supplier_volume",
       "Q5-shape multiway join: fact-fact shuffle (lineitem x orders) + " +
         "cross-dimension local-supplier equality + bounded-dim " +

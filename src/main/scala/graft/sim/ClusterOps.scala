@@ -1,0 +1,290 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.{Exact, GraftQuery, OracleSql, QueryModule, Tables}
+
+/** Clustering over the embeddings table — the operator family behind
+  * IVF cell maps (v3b), SemDeDup pruning (v50) and cluster-balanced
+  * data mixing. [[SimilarityOps.refineCentroids]] already runs a
+  * cosine Lloyd refinement *inside* the IVF build, but (like every ANN
+  * component) its output is engine-hash-specific and therefore
+  * rows-only. This module is the missing oracle-grade half: a k-means
+  * whose every step is exact integer arithmetic mirrored in DuckDB, so
+  * cluster sizes, inertia and the centroids themselves are
+  * hash-witnessed by both engines — the v36b/v19b "keep the scale twin
+  * on the oracle" convention applied to clustering itself.
+  */
+object ClusterOps extends QueryModule {
+
+  /** k and the unrolled Lloyd iteration count (v29-pagerank convention:
+    * a fixed unroll keeps the oracle expressible as chained CTEs). */
+  val K = 8
+  val Iters = 3
+
+  /** float → double (exact) → DECIMAL(18,6) (half-up, identical in both
+    * engines) → integer micro-units. The per-element form of
+    * [[Exact.microSum]]'s cast chain. */
+  private def microVec(c: Column): Column =
+    transform(c, v =>
+      (v.cast("double").cast(DecimalType(18, 6)) * 1000000).cast("long"))
+
+  private val microVecSql =
+    "list_transform(embedding, v -> " +
+      "CAST(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,6)) * 1000000 AS BIGINT))"
+
+  /** (vec_id, xm: array<long>) — micro-unit points. */
+  private def points(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), microVec(col("embedding")).as("xm"))
+
+  /** Exact squared-L2 distance between the point row's `xm` and the
+    * lambda-bound centroid `c.cm`, as a single in-row fold. Magnitude:
+    * |x|≤1e6 micro ⇒ (a−b)² ≤ 4e12, ×64 dims ≤ 2.6e14 ≪ 2⁶³. */
+  private val distExpr =
+    "aggregate(zip_with(xm, c.cm, (a, b) -> (a - b) * (a - b)), " +
+      "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+
+  /** All centroids folded into ONE row (k × dims longs — bytes, not
+    * data): assignment can then run as a broadcast + pure in-row argmin
+    * with ZERO shuffle, instead of the point×centroid join + per-point
+    * re-group a naive form pays per iteration. */
+  private def bundle(cents: DataFrame): DataFrame =
+    cents.agg(array_sort(collect_list(struct(col("cid"), col("cm"))))
+      .as("cs"))
+
+  /** Per point: (cid, d) of the nearest centroid — argmin via
+    * `array_min` over (d, cid) structs, so ties break to the lowest
+    * centroid id, identically to the oracle's `ORDER BY d, cid`. */
+  private def assign(pts: DataFrame, cents: DataFrame): DataFrame =
+    pts.crossJoin(broadcast(bundle(cents)))
+      .withColumn("best", expr("array_min(transform(cs, " +
+        s"c -> named_struct('d', $distExpr, 'cid', c.cid)))"))
+      .select(col("vec_id"), col("xm"),
+        col("best.cid").as("cid"), col("best.d").as("d"))
+
+  /** Lloyd update: per-(cluster, dim) mean in micro-units, half-away-
+    * from-zero ([[Exact.signedDivRound]] — embedding coordinates go
+    * negative, so the unsigned +n/2 form would floor-vs-truncate apart
+    * across engines). One (cid, dim)-keyed shuffle whose partial pass
+    * reduces to ≤ k×dims rows per task — the only shuffle an iteration
+    * pays. A cluster that loses every member drops out (mirrored by the
+    * oracle's GROUP BY). localCheckpoint caps lineage: each k-row
+    * centroid frame is re-read by the next assignment, and an uncut
+    * chain re-evaluates the whole unroll exponentially (the
+    * refineCentroids discipline). */
+  private def update(assigned: DataFrame): DataFrame =
+    assigned.select(col("cid"), posexplode(col("xm")))
+      .toDF("cid", "dim", "x")
+      .groupBy(col("cid"), col("dim"))
+      .agg(Exact.signedDivRound(sum(col("x")), count(lit(1))).as("mu"))
+      .groupBy(col("cid"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"),
+        col("mu")))), s => s.getField("mu")).as("cm"))
+      .localCheckpoint()
+
+  /** V47: exact k-means (k=8, 3 unrolled Lloyd iterations, seeded from
+    * the first k vec_ids). Output is the per-cluster profile — size,
+    * inertia (Σ squared micro-distance) and the centroid coordinate sum
+    * as a centroid witness — all integers, hash-compared with DuckDB
+    * running the identical unroll. Scale: per iteration one broadcast
+    * of k×dims longs + one (cid,dim) partial-agg shuffle; points are
+    * never re-grouped or re-shuffled. Micro-unit sums bound ~9e12
+    * points per cluster before Long overflow — beyond that the update
+    * switches to DECIMAL sums (the refineCentroids spelling). */
+  /** The shared Lloyd run: (final assignment (vec_id, xm, cid, d),
+    * final centroids (cid, cm)). */
+  private def lloyd(spark: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
+    val pts = points(spark, dir)
+    var cents = pts.filter(col("vec_id") < K)
+      .select(col("vec_id").as("cid"), col("xm").as("cm"))
+    for (_ <- 1 to Iters) cents = update(assign(pts, cents))
+    (assign(pts, cents), cents)
+  }
+
+  def kmeans(spark: SparkSession, dir: String): DataFrame = {
+    val (fin, cents) = lloyd(spark, dir)
+    val stats = fin.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n"), sum(col("d")).as("inertia"))
+    val witness = cents.select(col("cid"),
+      expr("aggregate(cm, CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+        .as("c_sum"))
+    stats.join(witness, Seq("cid"))
+      .select(col("cid").as("cluster"), col("n"), col("inertia"),
+        col("c_sum"))
+      .orderBy(col("cluster"))
+  }
+
+  private def iterSql(i: Int): String = {
+    val prev = s"c${i - 1}"
+    s"""d$i AS (SELECT p.vec_id, p.xm, c.cid,
+       |   CAST(list_sum(list_transform(range(1, len(p.xm) + 1),
+       |     k -> (p.xm[k] - c.cm[k]) * (p.xm[k] - c.cm[k]))) AS BIGINT) AS d
+       |  FROM pts p CROSS JOIN $prev c),
+       | a$i AS (SELECT vec_id, xm, cid FROM d$i
+       |   QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1),
+       | u$i AS (SELECT cid, dim,
+       |   ${OracleSql.signedDivRound("sum(x)", "count(*)")} AS mu
+       |  FROM (SELECT cid, unnest(xm) AS x,
+       |          unnest(range(1, len(xm) + 1)) AS dim FROM a$i)
+       |  GROUP BY cid, dim),
+       | c$i AS (SELECT cid, list(CAST(mu AS BIGINT) ORDER BY dim) AS cm
+       |  FROM u$i GROUP BY cid)""".stripMargin
+  }
+
+  /** The WITH-chain shared by every oracle that consumes the Lloyd
+    * run: pts → c0 → 3 iterations → final assignment `fa`. */
+  private lazy val lloydChainSql: String = {
+    val iters = (1 to Iters).map(iterSql).mkString(",\n ")
+    s"""WITH pts AS (SELECT vec_id, $microVecSql AS xm FROM embeddings),
+       | c0 AS (SELECT vec_id AS cid, xm AS cm FROM pts WHERE vec_id < $K),
+       | $iters,
+       | df AS (SELECT p.vec_id, c.cid,
+       |   CAST(list_sum(list_transform(range(1, len(p.xm) + 1),
+       |     k -> (p.xm[k] - c.cm[k]) * (p.xm[k] - c.cm[k]))) AS BIGINT) AS d
+       |  FROM pts p CROSS JOIN c$Iters c),
+       | fa AS (SELECT vec_id, cid, d FROM df
+       |   QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1)""".stripMargin
+  }
+
+  private lazy val kmeansSql: String =
+    s"""$lloydChainSql,
+       | st AS (SELECT cid, CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(d) AS BIGINT) AS inertia FROM fa GROUP BY cid),
+       | wt AS (SELECT cid, CAST(list_sum(cm) AS BIGINT) AS c_sum
+       |        FROM c$Iters)
+       |SELECT st.cid AS cluster, n, inertia, c_sum
+       |FROM st JOIN wt USING (cid) ORDER BY cluster""".stripMargin
+
+  /** V53 per-cluster quota. */
+  val Quota = 25
+
+  /** Deterministic engine-independent pseudo-random score for the
+    * coreset draw: an LCG on vec_id (NOT xxhash64/md5 — those are
+    * engine-hash-specific and would force the entry off the oracle).
+    * vec_id ≤ ~8×10⁹ keeps the product below 2⁶³ in both engines. */
+  private val lcgExpr = "(vec_id * 1103515245 + 12345) % 2147483648"
+
+  /** V53: cluster-balanced coreset — the downstream consumer of v47
+    * (the composition SemDeDup-style curation actually runs: cluster,
+    * then draw evenly per cluster so the subset keeps representation
+    * coverage instead of mirroring the cluster-size skew). Per final
+    * cluster, the [[Quota]] members with the smallest LCG score.
+    *
+    * The draw is answered by the NATIVE [[graft.plans.TopKPerKey]]
+    * operator: per-key bounded heaps, partial before the one hash
+    * exchange (which carries ≤ quota×clusters×partitions rows, never
+    * the corpus), final after — no sort, no rank column in flight. The
+    * rank the contract exposes is recovered by a window over the
+    * ≤ quota×clusters survivors. Fully oracle-checked: the LCG makes
+    * the draw engine-independent, so DuckDB reproduces the exact
+    * member set from its own Lloyd run. */
+  def balancedCoreset(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (fin, _) = lloyd(spark, dir)
+    val scored = fin.select(col("cid"), col("vec_id"),
+      expr(lcgExpr).as("h"))
+    val kept = graft.plans.TopKPerKey.topK(scored,
+      Seq("cid"), Seq("h", "vec_id"), Quota)
+    kept.withColumn("rk", row_number().over(
+        Window.partitionBy(col("cid")).orderBy(col("h"), col("vec_id"))))
+      .select(col("cid").as("cluster"), col("rk"), col("vec_id"))
+      .orderBy(col("cluster"), col("rk"))
+  }
+
+  private lazy val coresetSql: String =
+    s"""$lloydChainSql,
+       | sel AS (SELECT cid, vec_id, $lcgExpr AS h FROM fa),
+       | r AS (SELECT cid, vec_id,
+       |   row_number() OVER (PARTITION BY cid ORDER BY h, vec_id) AS rk
+       |  FROM sel)
+       |SELECT cid AS cluster, CAST(rk AS INT) AS rk, vec_id
+       |FROM r WHERE rk <= $Quota ORDER BY cluster, rk""".stripMargin
+
+  /** Per-(label, dim) micro-unit centroid — v39's projection, but with
+    * the signed mean (affinity works on raw per-label centroids whose
+    * coordinate sums go negative). */
+  private def labelCentroids(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("label"), posexplode(microVec(col("embedding"))))
+      .toDF("label", "dim", "x")
+      .groupBy(col("label"), col("dim"))
+      .agg(Exact.signedDivRound(sum(col("x")), count(lit(1))).as("mu"))
+
+  /** V51: label affinity matrix — pairwise cosine between per-label
+    * centroids, the curation readout that tells you which label pairs
+    * share representation space (merge candidates / confusion risk)
+    * before any training run. Exactness: integer-micro centroids,
+    * exact integer dot products (|μ|≤1e6 ⇒ Σμaμb ≤ 64e12 ≪ 2⁶³), one
+    * IEEE-correctly-rounded sqrt per side. Scale: ONE (label,dim)
+    * partial-agg shuffle over the corpus; everything after runs on
+    * labels×dims rows (bounded — 640 here), pairs on labels² — the
+    * v39 domain-bounded-frame discipline. */
+  def labelAffinity(spark: SparkSession, dir: String): DataFrame = {
+    val m = labelCentroids(spark, dir).localCheckpoint()
+    val norms = m.groupBy(col("label"))
+      .agg(sum(col("mu") * col("mu")).as("dd"))
+    val a = m.select(col("label").as("label_a"), col("dim"),
+      col("mu").as("mua"))
+    val b = m.select(col("label").as("label_b"), col("dim"),
+      col("mu").as("mub"))
+    a.join(b, Seq("dim")).filter(col("label_a") < col("label_b"))
+      .groupBy(col("label_a"), col("label_b"))
+      .agg(sum(col("mua") * col("mub")).as("dab"))
+      .join(broadcast(norms.select(col("label").as("label_a"),
+        col("dd").as("daa"))), Seq("label_a"))
+      .join(broadcast(norms.select(col("label").as("label_b"),
+        col("dd").as("dbb"))), Seq("label_b"))
+      .select(col("label_a"), col("label_b"),
+        round(col("dab").cast("double") /
+          (sqrt(col("daa").cast("double")) *
+            sqrt(col("dbb").cast("double"))), 6).as("cos"))
+      .orderBy(col("label_a"), col("label_b"))
+  }
+
+  private lazy val labelAffinitySql: String =
+    s"""WITH x AS (SELECT label,
+       |   unnest($microVecSql) AS x,
+       |   unnest(range(1, len(embedding) + 1)) AS dim
+       |  FROM embeddings),
+       | m AS (SELECT label, dim,
+       |   CAST(${OracleSql.signedDivRound("sum(x)", "count(*)")} AS BIGINT)
+       |     AS mu
+       |  FROM x GROUP BY 1, 2),
+       | nn AS (SELECT label, CAST(sum(mu * mu) AS BIGINT) AS dd
+       |        FROM m GROUP BY 1),
+       | p AS (SELECT a.label AS label_a, b.label AS label_b,
+       |         CAST(sum(a.mu * b.mu) AS BIGINT) AS dab
+       |       FROM m a JOIN m b ON a.dim = b.dim AND a.label < b.label
+       |       GROUP BY 1, 2)
+       |SELECT label_a, label_b,
+       | round(CAST(dab AS DOUBLE) /
+       |   (sqrt(CAST(na.dd AS DOUBLE)) * sqrt(CAST(nb.dd AS DOUBLE))), 6)
+       |   AS cos
+       |FROM p JOIN nn na ON p.label_a = na.label
+       |       JOIN nn nb ON p.label_b = nb.label
+       |ORDER BY label_a, label_b""".stripMargin
+
+  val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("v47_kmeans",
+      "V47 exact k-means (k=8, 3 unrolled Lloyd iterations, integer-" +
+        "micro L2, signed half-up means): per-cluster size/inertia/" +
+        "centroid witness, hash-identical across engines — the oracle-" +
+        "grade sibling of the IVF build's cosine Lloyd (v3b)",
+      kmeans, Some(kmeansSql)),
+    GraftQuery("v53_balanced_coreset",
+      "V53 cluster-balanced coreset over the v47 clusters: per-cluster " +
+        "quota drawn by an engine-independent LCG, answered by the " +
+        "native TopKPerKey operator (bounded heaps astride one " +
+        "exchange) — fully oracle-checked including the draw",
+      balancedCoreset, Some(coresetSql)),
+    GraftQuery("v51_label_affinity",
+      "V51 label affinity matrix: pairwise cosine between per-label " +
+        "integer-micro centroids (exact dots, IEEE sqrt) — which label " +
+        "pairs share representation space; one (label,dim) shuffle, " +
+        "then bounded frames only",
+      labelAffinity, Some(labelAffinitySql)))
+}

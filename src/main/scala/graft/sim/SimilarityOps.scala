@@ -122,17 +122,22 @@ object SimilarityOps extends QueryModule {
     * over the same (dir, nlist, iters) shares one normed projection
     * and one Lloyd refinement instead of re-running the build per
     * query (the build is deterministic, so sharing cannot change any
-    * result). Values: (e localCheckpoint'd, centroids, assignment).
-    * Keyed by the OWNING SESSION too: the cached frames hold
-    * localCheckpoint blocks bound to the SparkContext that built them,
-    * so a process that stops and recreates its session must rebuild
-    * rather than replay plans against dead executors. */
+    * result). The memo hands over a PARQUET PATH, never live frames:
+    * an earlier version cached the localCheckpoint'd DataFrames
+    * themselves, and any block-manager hygiene between entries (the
+    * bench unpersists leftover RDDs so query N+1 doesn't pay query N's
+    * memory) silently deleted the checkpoint blocks out from under the
+    * memo — the next consumer then replayed a truncated lineage and
+    * died. Paths are pid-suffixed (the IngestOps convention) so
+    * parallel test JVMs never clobber each other; keyed by session so
+    * a recreated session rebuilds rather than trusting stale files
+    * (same pid ⇒ same path ⇒ harmless overwrite). */
   private val ivfCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String, Int, Int), (DataFrame, DataFrame, DataFrame)]()
+    (SparkSession, String, Int, Int), String]()
 
   private[graft] def ivfBuild(spark: SparkSession, dir: String,
-      nlist: Int, iters: Int): (DataFrame, DataFrame, DataFrame) =
-    ivfCache.computeIfAbsent((spark, dir, nlist, iters), _ => {
+      nlist: Int, iters: Int): (DataFrame, DataFrame, DataFrame) = {
+    val base = ivfCache.computeIfAbsent((spark, dir, nlist, iters), _ => {
       // one materialization of the normed projection: every Lloyd
       // round and the final assignment re-scan e, and re-reading
       // parquet + re-computing norms per pass is pure repeated work
@@ -141,8 +146,18 @@ object SimilarityOps extends QueryModule {
       // pass at ingest)
       val e = withNorm(Tables.embeddings(spark, dir)).localCheckpoint()
       val cents = refineCentroids(e, nlist, iters)
-      (e, cents, assignTo(e, cents))
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_" +
+        s"${ProcessHandle.current().pid()}_" +
+        s"${Integer.toHexString((dir, nlist, iters).hashCode())}"
+      e.write.mode("overwrite").parquet(s"$root/e")
+      cents.write.mode("overwrite").parquet(s"$root/cents")
+      assignTo(e, cents).write.mode("overwrite").parquet(s"$root/assign")
+      root
     })
+    (spark.read.parquet(s"$base/e"),
+      spark.read.parquet(s"$base/cents"),
+      spark.read.parquet(s"$base/assign"))
+  }
 
   /** IVF index: Lloyd-refined centroids + nearest-centroid assignment of
     * every vector. At 100 TB both steps happen once at ingest (centroids

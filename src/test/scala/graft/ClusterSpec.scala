@@ -1,0 +1,213 @@
+package graft
+
+import graft.sim.ClusterOps
+
+/** ClusterOps (v47 exact k-means, v51 label affinity) against plain-
+  * Scala reimplementations: the oracle proves Spark==DuckDB; these
+  * prove both equal the intended algorithm computed with none of
+  * either engine's machinery. */
+class ClusterSpec extends SparkSpec {
+
+  /** Independent micro-unit conversion: double → DECIMAL(18,6) half-up
+    * → ×1e6 long (the [[graft.Exact]] cast chain, redone by hand). */
+  private def micro(v: Double): Long =
+    BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      .*(BigDecimal(1000000)).toLongExact
+
+  private def signedDivRound(num: Long, den: Long): Long =
+    if (num < 0) -((-num + den / 2) / den) else (num + den / 2) / den
+
+  private lazy val pts: Seq[(Long, Int, Array[Long])] =
+    spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .collect().toSeq
+      .map { r =>
+        val id = r.getAs[Long]("vec_id")
+        val lb = r.getAs[Int]("label")
+        val xs = r.getAs[scala.collection.Seq[Float]]("embedding")
+          .map(f => micro(f.toDouble)).toArray
+        (id, lb, xs)
+      }.sortBy(_._1)
+
+  private def d2(a: Array[Long], b: Array[Long]): Long =
+    a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
+
+  /** Plain-Scala Lloyd: same seed, same iteration count, same signed
+    * half-up means, same (d, cid) tie-break. */
+  private def referenceKmeans(): Map[Long, (Long, Long)] = {
+    var cents: Seq[(Long, Array[Long])] = pts.filter(_._1 < ClusterOps.K)
+      .map(p => (p._1, p._3))
+    def assign(): Seq[(Long, Array[Long], Long, Long)] =
+      pts.map { case (id, _, xs) =>
+        val (cid, d) = cents.map { case (c, cm) => (c, d2(xs, cm)) }
+          .minBy { case (c, dd) => (dd, c) }
+        (id, xs, cid, d)
+      }
+    for (_ <- 1 to ClusterOps.Iters) {
+      val asg = assign()
+      cents = asg.groupBy(_._3).toSeq.map { case (cid, members) =>
+        val dims = members.head._2.length
+        val cm = Array.tabulate(dims) { i =>
+          signedDivRound(members.map(_._2(i)).sum, members.size.toLong)
+        }
+        (cid, cm)
+      }.sortBy(_._1)
+    }
+    val fin = assign()
+    fin.groupBy(_._3).map { case (cid, members) =>
+      cid -> (members.size.toLong, members.map(_._4).sum)
+    }
+  }
+
+  test("v47 k-means profile equals an engine-free Lloyd reimplementation") {
+    val got = ClusterOps.kmeans(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("cluster"),
+        (r.getAs[Long]("n"), r.getAs[Long]("inertia")))).toMap
+    val want = referenceKmeans()
+    assert(got.keySet === want.keySet)
+    got.foreach { case (cid, (n, inertia)) =>
+      assert((n, inertia) === want(cid), s"cluster $cid")
+    }
+    // the clusters partition the corpus
+    assert(got.values.map(_._1).sum === pts.size.toLong)
+  }
+
+  test("v47 centroid witness matches the reimplemented final centroids") {
+    var cents: Seq[(Long, Array[Long])] = pts.filter(_._1 < ClusterOps.K)
+      .map(p => (p._1, p._3))
+    for (_ <- 1 to ClusterOps.Iters) {
+      val asg = pts.map { case (id, _, xs) =>
+        val (c, _) = cents.map { case (c, cm) => (c, d2(xs, cm)) }
+          .minBy { case (c, d) => (d, c) }
+        (xs, c)
+      }
+      cents = asg.groupBy(_._2).toSeq.map { case (cid, members) =>
+        val dims = members.head._1.length
+        (cid, Array.tabulate(dims) { i =>
+          signedDivRound(members.map(_._1(i)).sum, members.size.toLong)
+        })
+      }.sortBy(_._1)
+    }
+    val want = cents.map { case (c, cm) => c -> cm.sum }.toMap
+    val got = ClusterOps.kmeans(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("cluster") -> r.getAs[Long]("c_sum")).toMap
+    assert(got === want)
+  }
+
+  test("v51 affinity: full strict-upper-triangle, |cos| <= 1, and one " +
+    "pair recomputed by hand") {
+    val rows = ClusterOps.labelAffinity(spark, sf0001).collect()
+    val labels = pts.map(_._2).distinct.sorted
+    val nPairs = labels.size * (labels.size - 1) / 2
+    assert(rows.length === nPairs)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("label_a") < r.getAs[Int]("label_b"))
+      assert(math.abs(r.getAs[Double]("cos")) <= 1.0 + 1e-9)
+    }
+    // hand recompute for the lexicographically first pair
+    val (la, lb) = (labels(0), labels(1))
+    def centroid(lab: Int): Array[Long] = {
+      val members = pts.filter(_._2 == lab).map(_._3)
+      Array.tabulate(members.head.length) { i =>
+        signedDivRound(members.map(_(i)).sum, members.size.toLong)
+      }
+    }
+    val (ca, cb) = (centroid(la), centroid(lb))
+    val dab = ca.indices.map(i => ca(i) * cb(i)).sum.toDouble
+    val want = BigDecimal(dab /
+      (math.sqrt(ca.map(x => x * x).sum.toDouble) *
+        math.sqrt(cb.map(x => x * x).sum.toDouble)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = rows.find(r => r.getAs[Int]("label_a") == la &&
+      r.getAs[Int]("label_b") == lb).get.getAs[Double]("cos")
+    assert(got === want)
+  }
+
+  test("q18 survivors all exceed the quantity bar and match a local " +
+    "recompute") {
+    import org.apache.spark.sql.functions._
+    val got = graft.operators.Relational.largeOrders(spark, sf0001).collect()
+    val qty = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .groupBy(col("l_orderkey"))
+      .agg(round(Exact.sumExact(col("l_quantity")), 6).as("q"))
+      .collect().map(r => r.getAs[Long]("l_orderkey") ->
+        r.getAs[Double]("q")).toMap
+    val expected = qty.filter(_._2 > 300.0).keySet
+    assert(got.map(_.getAs[Long]("o_orderkey")).toSet === expected)
+    got.foreach(r =>
+      assert(r.getAs[Double]("total_qty") ===
+        qty(r.getAs[Long]("o_orderkey"))))
+    // descending price, orderkey tie-break
+    val prices = got.map(r => (-r.getAs[Double]("o_totalprice"),
+      r.getAs[Long]("o_orderkey")))
+    assert(prices.sameElements(prices.sorted))
+  }
+
+  test("v53 coreset: per-cluster counts are min(quota, cluster size) " +
+    "and the draw is the LCG-smallest members of each v47 cluster") {
+    val sizes = ClusterOps.kmeans(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("cluster") -> r.getAs[Long]("n")).toMap
+    val rows = ClusterOps.balancedCoreset(spark, sf0001).collect()
+    val byCluster = rows.groupBy(_.getAs[Long]("cluster"))
+    assert(byCluster.keySet === sizes.keySet.filter(sizes(_) > 0))
+    byCluster.foreach { case (c, members) =>
+      assert(members.length === math.min(ClusterOps.Quota, sizes(c)))
+      // ranks are 1..m and ordered by the LCG score
+      assert(members.map(_.getAs[Int]("rk")).sorted.toSeq ===
+        (1 to members.length))
+      val hs = members.sortBy(_.getAs[Int]("rk")).map { r =>
+        val v = r.getAs[Long]("vec_id")
+        ((v * 1103515245L + 12345L) % 2147483648L, v)
+      }
+      assert(hs.sameElements(hs.sortBy(identity)))
+    }
+  }
+
+  test("v53 plans through the native TopKPerKeyExec (no sort below " +
+    "the exchange, no rank column in flight)") {
+    val p = ClusterOps.balancedCoreset(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TopKPerKeyPartial"), p)
+    assert(p.contains("TopKPerKeyFinal"), p)
+  }
+
+  test("v52 temperature mix: weights flatten the raw shares and the " +
+    "allocation sums to the budget up to per-source rounding") {
+    val rows = graft.nlp.MixOps.temperatureMix(spark, sf0001).collect()
+    val nSources = rows.length
+    val allocSum = rows.map(_.getAs[Long]("alloc")).sum
+    assert(math.abs(allocSum - graft.nlp.MixOps.MixBudget) <= nSources)
+    // α=0.5 flattening: the gain/loss crossover sits at the
+    // sqrt-weighted mean of n, which is >= the plain mean and <= the
+    // max — so every below-mean source gains weight and the largest
+    // source never does (up to the 1e-6 rounding grain)
+    val totN = rows.map(_.getAs[Long]("n_docs")).sum.toDouble
+    val eps = 2e-6
+    rows.foreach { r =>
+      if (r.getAs[Long]("n_docs") < totN / nSources)
+        assert(r.getAs[Double]("weight") >=
+          r.getAs[Double]("raw_share") - eps, r.toString)
+    }
+    val big = rows.maxBy(_.getAs[Long]("n_docs"))
+    assert(big.getAs[Double]("weight") <=
+      big.getAs[Double]("raw_share") + eps)
+    // monotone: more docs never means a smaller weight
+    val byN = rows.sortBy(_.getAs[Long]("n_docs"))
+      .map(_.getAs[Double]("weight"))
+    assert(byN.zip(byN.tail).forall { case (a, b) => a <= b + eps })
+  }
+
+  test("w21 classes partition customers; flag and probability are " +
+    "exact functions of n") {
+    val rows = graft.operators.QualityOps.kAnonymity(spark, sf0001).collect()
+    val total = spark.read.parquet(s"$sf0001/customer.parquet").count()
+    assert(rows.map(_.getAs[Long]("n")).sum === total)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n")
+      assert(r.getAs[Boolean]("at_risk") === (n < ClusterOpsSpecK))
+      val want = ((1000000L + n / 2) / n).toDouble / 1000000.0
+      assert(r.getAs[Double]("reident_p") === want)
+    }
+  }
+
+  private def ClusterOpsSpecK = graft.operators.QualityOps.AnonymityK
+}
