@@ -249,6 +249,88 @@ object Relational extends QueryModule {
        |  AND o_orderdate <  TIMESTAMP '1999-01-01'
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Q1-shape (TPC-H pricing summary): THE sequential-scan aggregate —
+    * one pushed-down date filter, eight aggregates in one partial/final
+    * hash-agg pass onto a 6-row group frame. The canonical
+    * is-the-scan-path-right probe: wide input, no joins, no windows;
+    * at 100 TB the cost is exactly one pass over the pruned columns.
+    * Sums/averages ride [[Exact]] decimal micro-units so partition
+    * order cannot move a bit. */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= "1998-09-02")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(Exact.sumExact(col("l_quantity")), 6).as("sum_qty"),
+        round(Exact.sumExact(col("l_extendedprice")), 6).as("sum_base_price"),
+        round(Exact.sumExact(col("l_extendedprice") *
+          (lit(1.0) - col("l_discount"))), 6).as("sum_disc_price"),
+        round(Exact.sumExact(col("l_extendedprice") *
+          (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))), 6)
+          .as("sum_charge"),
+        Exact.avgExact(col("l_quantity")).as("avg_qty"),
+        Exact.avgExact(col("l_extendedprice")).as("avg_price"),
+        Exact.avgExact(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  private lazy val pricingSummarySql: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       | round(${OracleSql.sumExact("l_quantity")}, 6) AS sum_qty,
+       | round(${OracleSql.sumExact("l_extendedprice")}, 6) AS sum_base_price,
+       | round(${OracleSql.sumExact("l_extendedprice*(1.0-l_discount)")}, 6)
+       |   AS sum_disc_price,
+       | round(${OracleSql.sumExact(
+            "l_extendedprice*(1.0-l_discount)*(1.0+l_tax)")}, 6) AS sum_charge,
+       | ${OracleSql.avgExact("l_quantity")} AS avg_qty,
+       | ${OracleSql.avgExact("l_extendedprice")} AS avg_price,
+       | ${OracleSql.avgExact("l_discount")} AS avg_disc,
+       | CAST(count(*) AS BIGINT) AS count_order
+       |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Q17-shape (TPC-H small-quantity revenue): the CORRELATED SCALAR
+    * SUBQUERY pattern — "lineitems below 20% of their part's average
+    * quantity" — decorrelated by hand to its optimal plan: ONE
+    * (partkey)-keyed window computes each part's sum/count in place,
+    * so the per-part statistic and the row predicate meet with no
+    * aggregate-join-back and no second scan of the fact table (what a
+    * naive decorrelation pays). Per-part fan-in is bounded by the
+    * schema (~30 lineitems/part at every SF), so the window partitions
+    * stay small at any corpus size. The brand filter broadcasts.
+    * Exactness: quantities are compared by INTEGER cross-multiplication
+    * in micro-units (qty·5·n < Σqty — no division, no float
+    * threshold), so both engines admit identical rows. */
+  def smallQuantityRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pa = Tables.part(spark, dir)
+      .filter(col("p_brand") === "Brand#11").select(col("p_partkey"))
+    val l = Tables.lineitem(spark, dir)
+      .join(broadcast(pa), col("l_partkey") === col("p_partkey"))
+      .withColumn("qm", (col("l_quantity")
+        .cast(org.apache.spark.sql.types.DecimalType(18, 6)) * 1000000)
+        .cast("long"))
+    val w = Window.partitionBy(col("l_partkey"))
+    l.withColumn("s", sum(col("qm")).over(w))
+      .withColumn("n", count(lit(1)).over(w))
+      .filter(col("qm") * 5 * col("n") < col("s"))
+      .agg(count(lit(1)).as("n_items"),
+        round(Exact.sumExact(col("l_extendedprice")), 6).as("revenue"))
+  }
+
+  private lazy val smallQuantitySql: String =
+    s"""WITH pa AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#11'),
+       | l AS (SELECT l_partkey,
+       |   CAST(CAST(l_quantity AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS qm,
+       |   l_extendedprice
+       |  FROM lineitem JOIN pa ON l_partkey = p_partkey),
+       | a AS (SELECT l_partkey, sum(qm) AS s, count(*) AS n
+       |       FROM l GROUP BY 1)
+       |SELECT CAST(count(*) AS BIGINT) AS n_items,
+       | round(${OracleSql.sumExact("l_extendedprice")}, 6) AS revenue
+       |FROM l JOIN a USING (l_partkey)
+       |WHERE qm * 5 * n < s""".stripMargin
+
   /** Q18-shape (TPC-H large-volume customers): a grouped HAVING filter
     * on the FACT table acting as its own semi-join reducer — the big
     * aggregate runs FIRST (partial/final hash agg over lineitem), its
@@ -329,6 +411,15 @@ object Relational extends QueryModule {
               |WHERE o_orderdate < TIMESTAMP '1998-01-01'
               |  AND l_shipdate >= TIMESTAMP '1998-01-01'
               |GROUP BY 1,2 ORDER BY revenue DESC, o_orderkey LIMIT 20""".stripMargin)),
+    GraftQuery("q1_pricing_summary",
+      "Q1-shape: the canonical one-pass scan aggregate — pushed-down " +
+        "date filter, eight exact aggregates onto a 6-row group frame",
+      pricingSummary, Some(pricingSummarySql)),
+    GraftQuery("q17_small_quantity",
+      "Q17-shape: correlated scalar subquery decorrelated to ONE " +
+        "per-part window (no agg-join-back, no second fact scan); " +
+        "integer cross-multiplied threshold, broadcast brand filter",
+      smallQuantityRevenue, Some(smallQuantitySql)),
     GraftQuery("q18_large_orders",
       "Q18-shape: grouped-HAVING semi-reduction on the fact table " +
         "(aggregate first, join the tiny survivor set), customer " +

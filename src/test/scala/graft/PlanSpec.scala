@@ -55,6 +55,25 @@ class PlanSpec extends SparkSpec {
     assert(!analyzed.toLowerCase.contains("broadcast"), analyzed)
   }
 
+  test("q1 is one pass: pushed date filter, partial->final agg, no " +
+    "join, no window, no extra exchange") {
+    val p = plan(q("q1_pricing_summary"))
+    assert(p.contains("PushedFilters") && p.contains("l_shipdate"), p)
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+  }
+
+  test("q17 decorrelates to ONE per-part window over the broadcast-" +
+    "filtered join — no aggregate-join-back, no second fact scan") {
+    val p = plan(q("q17_small_quantity"))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("Window"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+    // one scan of lineitem only
+    assert("lineitem".r.findAllIn(p).length <= 2, p) // scan node + its ReadSchema path
+  }
+
   test("t08 computes per-trace avg with ONE exchange (window, no broadcast)") {
     val p = plan(q("t08_trace_list"))
     assert(!p.contains("BroadcastExchange"), p)
