@@ -35,10 +35,14 @@ object ClusterOps extends QueryModule {
     "list_transform(embedding, v -> " +
       "CAST(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,6)) * 1000000 AS BIGINT))"
 
-  /** (vec_id, xm: array<long>) — micro-unit points. */
+  /** (vec_id, xm: array<long>) — micro-unit points, from any
+    * embeddings-shaped frame (batch or streaming: the projection is
+    * per-row). */
+  private[graft] def pointsOf(df: DataFrame): DataFrame =
+    df.select(col("vec_id"), microVec(col("embedding")).as("xm"))
+
   private def points(spark: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(spark, dir)
-      .select(col("vec_id"), microVec(col("embedding")).as("xm"))
+    pointsOf(Tables.embeddings(spark, dir))
 
   /** Exact squared-L2 distance between the point row's `xm` and the
     * lambda-bound centroid `c.cm`, as a single in-row fold. Magnitude:
@@ -58,7 +62,7 @@ object ClusterOps extends QueryModule {
   /** Per point: (cid, d) of the nearest centroid — argmin via
     * `array_min` over (d, cid) structs, so ties break to the lowest
     * centroid id, identically to the oracle's `ORDER BY d, cid`. */
-  private def assign(pts: DataFrame, cents: DataFrame): DataFrame =
+  private[graft] def assign(pts: DataFrame, cents: DataFrame): DataFrame =
     pts.crossJoin(broadcast(bundle(cents)))
       .withColumn("best", expr("array_min(transform(cs, " +
         s"c -> named_struct('d', $distExpr, 'cid', c.cid)))"))
@@ -158,6 +162,30 @@ object ClusterOps extends QueryModule {
        |        FROM c$Iters)
        |SELECT st.cid AS cluster, n, inertia, c_sum
        |FROM st JOIN wt USING (cid) ORDER BY cluster""".stripMargin
+
+  /** The deterministic seed model (first [[K]] vec_ids as centroids)
+    * from the batch table — the "trained model" a streaming scorer
+    * broadcasts into every micro-batch (st15). */
+  private[graft] def seedCentroids(spark: SparkSession,
+      dir: String): DataFrame =
+    points(spark, dir).filter(col("vec_id") < K)
+      .select(col("vec_id").as("cid"), col("xm").as("cm"))
+
+  /** Oracle for scoring the corpus against the SEED centroids (the
+    * zero-iteration assignment): per-cluster size + inertia. Shared by
+    * st15's driver oracle — finite stream == this batch aggregate. */
+  private[graft] lazy val seedScoreSql: String =
+    s"""WITH pts AS (SELECT vec_id, $microVecSql AS xm FROM embeddings),
+       | c0 AS (SELECT vec_id AS cid, xm AS cm FROM pts WHERE vec_id < $K),
+       | d1 AS (SELECT p.vec_id, c.cid,
+       |   CAST(list_sum(list_transform(range(1, len(p.xm) + 1),
+       |     k -> (p.xm[k] - c.cm[k]) * (p.xm[k] - c.cm[k]))) AS BIGINT) AS d
+       |  FROM pts p CROSS JOIN c0 c),
+       | a1 AS (SELECT vec_id, cid, d FROM d1
+       |   QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1)
+       |SELECT cid AS cluster, CAST(count(*) AS BIGINT) AS n,
+       | CAST(sum(d) AS BIGINT) AS inertia
+       |FROM a1 GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** V53 per-cluster quota. */
   val Quota = 25

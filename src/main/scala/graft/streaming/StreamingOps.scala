@@ -643,7 +643,40 @@ object StreamingOps extends QueryModule {
        |   AS vocab_cum
        |FROM fs GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** ST15: streaming model scoring — the embeddings table replayed as
+    * a stream and scored against a FIXED trained model (the v47 seed
+    * centroids, built batch-side and broadcast into every micro-batch:
+    * the stream-static enrichment every online feature pipeline runs —
+    * "assign each arriving vector to its cluster"). Assignment is
+    * [[graft.sim.ClusterOps.assign]]'s in-row argmin — per-row, no
+    * state — and the per-cluster (count, inertia) rollup is ALGEBRAIC,
+    * so state is O(k) and the finite stream equals the batch
+    * aggregate, which IS the DuckDB oracle
+    * ([[graft.sim.ClusterOps.seedScoreSql]]). At 100 TB/day this is
+    * the monitoring surface for representation drift in arriving data:
+    * inertia-per-cluster rising means the model no longer fits the
+    * stream. */
+  def streamingClusterAssign(spark: SparkSession, dir: String): DataFrame = {
+    val schema = Tables.table(spark, dir, "embeddings").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+    val pts = graft.sim.ClusterOps.pointsOf(stream)
+    val cents = graft.sim.ClusterOps.seedCentroids(spark, dir)
+    val agg = graft.sim.ClusterOps.assign(pts, cents)
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n"), sum(col("d")).as("inertia"))
+    runToBatch(spark, agg, s"st15_cluster_${System.nanoTime()}")
+      .select(col("cid").as("cluster"), col("n"), col("inertia"))
+      .orderBy(col("cluster"))
+  }
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("st15_streaming_cluster_assign",
+      "ST15 streaming model scoring: embedding stream assigned to the " +
+        "broadcast seed centroids in-row (stream-static, stateless " +
+        "per row), per-cluster count+inertia as an algebraic O(k) " +
+        "aggregate — finite stream == the batch seed-score oracle",
+      streamingClusterAssign, Some(graft.sim.ClusterOps.seedScoreSql)),
     GraftQuery("st14_streaming_vocab",
       "ST14 streaming vocabulary ledger: one algebraic state row per " +
         "distinct word bigram (first-seen batch + occurrences) from an " +

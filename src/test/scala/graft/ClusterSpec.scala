@@ -196,6 +196,23 @@ class ClusterSpec extends SparkSpec {
     assert(byN.zip(byN.tail).forall { case (a, b) => a <= b + eps })
   }
 
+  test("st15 streaming seed-score equals the engine-free batch " +
+    "assignment under the seed centroids") {
+    val got = graft.streaming.StreamingOps
+      .streamingClusterAssign(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("cluster") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("inertia"))).toMap
+    // plain-Scala zero-iteration assignment (the st15 contract)
+    val cents = pts.filter(_._1 < ClusterOps.K).map(p => (p._1, p._3))
+    val want = pts.map { case (_, _, xs) =>
+      cents.map { case (c, cm) => (c, d2(xs, cm)) }
+        .minBy { case (c, dd) => (dd, c) }
+    }.groupBy(_._1).map { case (c, ms) =>
+      c -> (ms.size.toLong, ms.map(_._2).sum)
+    }
+    assert(got === want)
+  }
+
   test("w21 classes partition customers; flag and probability are " +
     "exact functions of n") {
     val rows = graft.operators.QualityOps.kAnonymity(spark, sf0001).collect()
