@@ -112,7 +112,71 @@ object SourceOps extends QueryModule {
       .orderBy(col("service_name"))
   }
 
+  /** The a9 service→team dimension (a tiny ops-owned mapping table; the
+    * VALUES mirror in the oracle SQL keeps both engines on the same
+    * literal rows). */
+  val TeamRows: Seq[(String, String)] = Seq(
+    "svc0" -> "edge", "svc1" -> "core", "svc2" -> "edge",
+    "svc3" -> "batch", "svc4" -> "core")
+
+  /** The dim as a REAL parquet scan (written once per process beside
+    * the span fixture): a local relation won't do — the optimizer
+    * constant-folds a filter over literal rows into the relation
+    * itself, and dynamic pruning is only planned when the dim side
+    * still CARRIES a selective predicate. */
+  private val teamsWritten =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
+  private def teamsDim(spark: SparkSession): DataFrame = {
+    val path = s"${SpanFixture.Dir}_teams"
+    if (teamsWritten.compareAndSet(false, true)) {
+      import spark.implicits._
+      TeamRows.toDF("service_name", "team").coalesce(1)
+        .write.mode("overwrite").parquet(path)
+    }
+    spark.read.parquet(path)
+  }
+
+  /** A9: runtime (DPP-style) file pruning through
+    * `SupportsRuntimeFiltering` — the spans source joined to a tiny
+    * team dimension filtered to one team: Spark broadcasts the dim,
+    * materializes the surviving join keys as a DynamicPruning subquery,
+    * and hands them to the scan as an `In(service_name, ...)` filter
+    * BEFORE partitions are planned, so the 15 files whose sidecar
+    * service sets cannot match are never opened (24 → 9 here) — with
+    * NO static predicate on the fact side at all. At 100 TB this is
+    * join-driven data skipping: the dimension decides which span files
+    * exist for the query. SourceSpec pins the plan's runtime-filter
+    * expression, the 24→9 prune, and filtered == closed-form. */
+  def dsv2RuntimeFilter(spark: SparkSession, dir: String): DataFrame = {
+    val d = SpanFixture.ensure(spark)
+    val dim = teamsDim(spark)
+    SpanFileSource.read(spark, d)
+      .join(broadcast(dim.filter(col("team") === "core")),
+        Seq("service_name"))
+      .groupBy(col("service_name"), col("team"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("duration_ns")).as("total_dur_ns"))
+      .orderBy(col("service_name"))
+  }
+
+  private lazy val dsv2RuntimeFilterSql: String = {
+    val values = TeamRows
+      .map { case (s, t) => s"('$s', '$t')" }.mkString(", ")
+    s"""SELECT service_name, team, CAST(count(*) AS BIGINT) AS n_spans,
+       | CAST(sum(duration_ns) AS BIGINT) AS total_dur_ns
+       |FROM read_parquet('${SpanFixture.Dir}/expected.parquet/*.parquet')
+       |JOIN (SELECT * FROM (VALUES $values) AS t(service_name, team)
+       |      WHERE team = 'core') USING (service_name)
+       |GROUP BY 1, 2 ORDER BY 1""".stripMargin
+  }
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("a9_dsv2_runtime_filter",
+      "A9 DSv2 runtime filtering (SupportsRuntimeFiltering): join-" +
+        "driven file skipping — the broadcast dim's surviving keys " +
+        "reach the scan as a DynamicPruning In-filter before " +
+        "partitions are planned (24 -> 9 files, no static predicate)",
+      dsv2RuntimeFilter, Some(dsv2RuntimeFilterSql)),
     GraftQuery("a8_dsv2_stream",
       "A8 DSv2 streaming read of the span source: MicroBatchStream " +
         "with file-count offsets + per-trigger admission (8 files/" +

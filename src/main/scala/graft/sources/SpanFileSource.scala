@@ -80,6 +80,12 @@ object SpanFileSource {
   def read(spark: SparkSession, dir: String): DataFrame =
     spark.read.format(classOf[SpanFileSource].getName).load(dir)
 
+  /** Observability hook for the runtime-filter path: (files surviving
+    * static skipping, files surviving the runtime join-key filter) of
+    * the most recent [[SpanScan.filter]] call in this JVM. A test
+    * seam — the numbers also appear in the scan's `description()`. */
+  @volatile var lastRuntimePrune: Option[(Int, Int)] = None
+
   final case class FileStat(file: String, nSpans: Long, minStartNs: Long,
       maxStartNs: Long, services: Set[String])
 
@@ -248,19 +254,43 @@ private[sources] final case class SpanStatsAggPartition(values: Seq[Long])
 
 private[sources] class SpanScan(dir: String, required: StructType,
     skipping: Array[Filter], maxFilesPerTrigger: Int = Int.MaxValue)
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsRuntimeFiltering {
   private val stats = SpanFileSource.readStats(dir)
-  private val survivors = stats.filter(s =>
+  private var survivors = stats.filter(s =>
     skipping.forall(f => SpanFileSource.mightMatch(s, f)))
+  private var runtime: Array[Filter] = Array.empty
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Runtime (DPP-style) filtering: when this scan feeds a join whose
+    * other side carries a selective predicate, Spark plans a
+    * DynamicPruning subquery over the join keys declared here and
+    * hands the materialized key set back as an `In` filter BEFORE
+    * partitions are planned — so files whose sidecar service set
+    * cannot match any surviving join key are never opened. Soundness:
+    * the same conservative [[SpanFileSource.mightMatch]] the static
+    * path uses (stats only prune); rows from a wrongly-kept file are
+    * dropped by the join itself, and SourceSpec pins filtered ==
+    * unfiltered results. */
+  override def filterAttributes(): Array[NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions
+      .column("service_name"))
+
+  override def filter(filters: Array[Filter]): Unit = {
+    runtime = filters.filter(SpanFileSource.skippable)
+    val before = survivors.size
+    survivors = survivors.filter(s =>
+      runtime.forall(f => SpanFileSource.mightMatch(s, f)))
+    SpanFileSource.lastRuntimePrune = Some((before, survivors.size))
+  }
 
   /** Shown in `.explain()` — SourceSpec greps the `files=` fraction to
     * pin that skipping actually happened. */
   override def description(): String =
     s"GraftSpanScan files=${survivors.size}/${stats.size} " +
       s"skipping=[${skipping.mkString(", ")}] " +
+      s"runtime=[${runtime.mkString(", ")}] " +
       s"columns=[${required.fieldNames.mkString(", ")}]"
 
   override def planInputPartitions(): Array[InputPartition] =

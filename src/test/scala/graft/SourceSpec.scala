@@ -50,6 +50,47 @@ class SourceSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("a9 runtime filtering: the join's DynamicPruning key set " +
+    "reaches the scan and prunes 24 -> 9 files") {
+    SpanFileSource.lastRuntimePrune = None
+    val df = SourceOps.dsv2RuntimeFilter(spark, sf0001)
+    // the planned (pre-execution) scan must carry the runtime-filter
+    // subquery — dynamic pruning is a plan-time decision
+    val planned = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.executedPlan.toString
+    assert(planned.toLowerCase.contains("dynamicpruning"), planned)
+    val got = df.collect()
+    // the scan's filter() ran and pruned to exactly the files whose
+    // sidecar service set intersects {svc1, svc4}: h%5 in {1,4} over
+    // h=0..23 -> 9 files
+    assert(SpanFileSource.lastRuntimePrune === Some((24, 9)))
+    // filtered == closed-form (runtime stats prune, never decide)
+    val want = SpanFixture.expected(spark)
+      .filter(col("service_name").isin("svc1", "svc4"))
+      .groupBy(col("service_name"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("duration_ns")).as("total_dur_ns"))
+      .orderBy(col("service_name")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(r => (r.getAs[String]("service_name"),
+      r.getAs[Long]("n_spans"), r.getAs[Long]("total_dur_ns"))).toSeq
+      === want.toSeq)
+  }
+
+  test("runtime filter() is conservative: a key set with no stats " +
+    "match keeps zero files, a full set keeps all") {
+    SpanFileSource.lastRuntimePrune = None
+    val dim = spark.createDataFrame(Seq(Tuple1("svcX")))
+      .toDF("service_name")
+    val n = source().join(broadcast(dim), Seq("service_name")).count()
+    assert(n === 0L)
+    // if DPP fired, it must have pruned everything (0 files opened);
+    // if the planner chose not to inject it, the join still answers 0
+    SpanFileSource.lastRuntimePrune.foreach { case (b, a) =>
+      assert(b === 24 && a === 0)
+    }
+  }
+
   test("column pruning reaches the reader: ReadSchema carries only the " +
     "requested columns") {
     val df = source().select(col("name"), col("duration_ns"))
