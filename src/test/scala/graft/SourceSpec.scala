@@ -91,6 +91,33 @@ class SourceSpec extends SparkSpec {
     }
   }
 
+  test("sidecar stats reach the cost model: a narrowed scan reports " +
+    "its pruned rowCount and a small size, and an un-hinted join " +
+    "broadcasts it") {
+    val narrowed = source()
+      .filter(col("service_name") === SourceOps.PushService &&
+        col("start_ns") < SourceOps.PushMaxNs)
+      .select(col("span_id"), col("duration_ns"))
+    // read the scan RELATION's stats (the default size-only visitor
+    // drops rowCount above the leaf when CBO is off)
+    val leaf = narrowed.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.optimizedPlan.collectLeaves().head
+    val st = leaf.stats
+    // 2 surviving files x 5 spans (filters re-applied above the scan,
+    // so the SCAN's row count is the files' total)
+    assert(st.rowCount.exists(_.toLong == 10L), st)
+    assert(st.sizeInBytes > 0 && st.sizeInBytes < 10000, st)
+    // un-hinted join against the expected table: the planner must pick
+    // a broadcast join (the reported size is far under the threshold);
+    // without estimateStatistics a V2 relation defaults to
+    // defaultSizeInBytes and this plan goes sort-merge
+    val other = SpanFixture.expected(spark)
+      .select(col("span_id"), col("name"))
+    val p = plan(narrowed.join(other, Seq("span_id")))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("column pruning reaches the reader: ReadSchema carries only the " +
     "requested columns") {
     val df = source().select(col("name"), col("duration_ns"))
