@@ -484,7 +484,79 @@ object TextOps extends QueryModule {
        |FROM t LEFT JOIN v ON t.token = v.token
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** V54: the dataset card — the one-page datasheet a corpus release
+    * ships with (docs, sources, languages, size, English share,
+    * duplicate share, null share), as one (metric, value) frame. ONE
+    * scan: every metric is a column of a single aggregate row (the v37
+    * fused-conditional-sum discipline; the only non-algebraic pieces
+    * are the distinct counts, which ride the same pass and swap to
+    * HLL sketches at 100 TB per the v9→v9b convention), exploded to
+    * rows after. All values surface as exact-integer-derived doubles
+    * ([[Exact.ratio6]] for the shares), so the card hash-matches
+    * DuckDB bit-for-bit. */
+  def datasetCard(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .withColumn("nh", when(col("text").isNotNull, TextCanon.normHash))
+    val a = d.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("text").isNull, 1L).otherwise(0L)).as("n_null"),
+      countDistinct(col("source")).as("n_sources"),
+      countDistinct(col("lang")).as("n_langs"),
+      sum(col("n_chars")).as("chars"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"),
+      count(col("nh")).as("n_text"),
+      countDistinct(col("nh")).as("n_uniq"))
+    def m(name: String, v: Column) =
+      struct(lit(name).as("metric"), v.cast("double").as("value"))
+    a.select(explode(array(
+        m("avg_chars", Exact.ratio6(col("chars"), col("n"))),
+        m("dup_share",
+          Exact.ratio6(col("n_text") - col("n_uniq"), col("n_text"))),
+        m("en_share", Exact.ratio6(col("n_en"), col("n"))),
+        m("n_docs", col("n")),
+        m("n_langs", col("n_langs")),
+        m("n_sources", col("n_sources")),
+        m("null_text_share", Exact.ratio6(col("n_null"), col("n"))),
+        m("total_chars", col("chars")))).as("r"))
+      .select(col("r.metric"), col("r.value"))
+      .orderBy(col("metric"))
+  }
+
+  private lazy val datasetCardSql: String =
+    s"""WITH a AS (SELECT
+       |  CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_null,
+       |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       |  CAST(sum(n_chars) AS BIGINT) AS chars,
+       |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_en,
+       |  CAST(count(CASE WHEN text IS NOT NULL THEN 1 END) AS BIGINT)
+       |    AS n_text,
+       |  CAST(count(DISTINCT CASE WHEN text IS NOT NULL
+       |    THEN ${OracleSql.normHashText} END) AS BIGINT) AS n_uniq
+       | FROM documents)
+       |SELECT metric, value FROM (
+       | SELECT 'avg_chars' AS metric,
+       |   ${OracleSql.ratio6("chars", "n")} AS value FROM a
+       | UNION ALL SELECT 'dup_share',
+       |   ${OracleSql.ratio6("(n_text - n_uniq)", "n_text")} FROM a
+       | UNION ALL SELECT 'en_share', ${OracleSql.ratio6("n_en", "n")} FROM a
+       | UNION ALL SELECT 'n_docs', CAST(n AS DOUBLE) FROM a
+       | UNION ALL SELECT 'n_langs', CAST(n_langs AS DOUBLE) FROM a
+       | UNION ALL SELECT 'n_sources', CAST(n_sources AS DOUBLE) FROM a
+       | UNION ALL SELECT 'null_text_share',
+       |   ${OracleSql.ratio6("n_null", "n")} FROM a
+       | UNION ALL SELECT 'total_chars', CAST(chars AS DOUBLE) FROM a)
+       |ORDER BY metric""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("v54_dataset_card",
+      "V54 dataset card: the release datasheet (docs/sources/langs/" +
+        "size/en-share/dup-share/null-share) as one exact (metric, " +
+        "value) frame from a single fused scan pass",
+      datasetCard, Some(datasetCardSql)),
     GraftQuery("v44_oov_rate",
       "V44 OOV rate per source under the learned top-20 vocab " +
         "(tokenizer-coverage metric; broadcast vocab membership probe, " +

@@ -303,8 +303,14 @@ object Relational extends QueryModule {
     * threshold), so both engines admit identical rows. */
   def smallQuantityRevenue(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // brand = min(p_brand): a DATA-DERIVED pick (broadcast 1-row
+    // aggregate, not a literal) so a testdata regeneration that renames
+    // brands can never silently make the entry vacuous
+    val minBrand = Tables.part(spark, dir)
+      .agg(min(col("p_brand")).as("b"))
     val pa = Tables.part(spark, dir)
-      .filter(col("p_brand") === "Brand#11").select(col("p_partkey"))
+      .join(broadcast(minBrand), col("p_brand") === col("b"))
+      .select(col("p_partkey"))
     val l = Tables.lineitem(spark, dir)
       .join(broadcast(pa), col("l_partkey") === col("p_partkey"))
       .withColumn("qm", (col("l_quantity")
@@ -319,7 +325,8 @@ object Relational extends QueryModule {
   }
 
   private lazy val smallQuantitySql: String =
-    s"""WITH pa AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#11'),
+    s"""WITH pa AS (SELECT p_partkey FROM part
+       |       WHERE p_brand = (SELECT min(p_brand) FROM part)),
        | l AS (SELECT l_partkey,
        |   CAST(CAST(l_quantity AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS qm,
        |   l_extendedprice

@@ -33,7 +33,9 @@ class ClusterSpec extends SparkSpec {
 
   /** Plain-Scala Lloyd: same seed, same iteration count, same signed
     * half-up means, same (d, cid) tie-break. */
-  private def referenceKmeans(): Map[Long, (Long, Long)] = {
+  private def referenceKmeans(points: Seq[(Long, Int, Array[Long])] = pts)
+      : Map[Long, (Long, Long)] = {
+    val pts = points
     var cents: Seq[(Long, Array[Long])] = pts.filter(_._1 < ClusterOps.K)
       .map(p => (p._1, p._3))
     def assign(): Seq[(Long, Array[Long], Long, Long)] =
@@ -91,6 +93,35 @@ class ClusterSpec extends SparkSpec {
     val got = ClusterOps.kmeans(spark, sf0001).collect()
       .map(r => r.getAs[Long]("cluster") -> r.getAs[Long]("c_sum")).toMap
     assert(got === want)
+  }
+
+  test("v47 empty-cluster edge: a duplicated seed's cluster drops out " +
+    "and the run still equals the reference impl") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_kmeans_edge").toString
+    import org.apache.spark.sql.functions.col
+    val sess = spark
+    import sess.implicits._
+    // vec 7 duplicates vec 6: every point ties between centroids 6 and
+    // 7, the (d, cid) tie-break sends all of them to 6, cluster 7
+    // empties and must DROP (mirrored by the oracle's GROUP BY)
+    val vecs = (0L until 12L).map { i =>
+      val base = if (i == 7) 6L else i
+      (i, Seq.tabulate(4)(d => (base * 10 + d).toFloat / 100f),
+        (i % 3).toInt)
+    }
+    vecs.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = ClusterOps.kmeans(spark, dir).collect()
+      .map(r => (r.getAs[Long]("cluster"),
+        (r.getAs[Long]("n"), r.getAs[Long]("inertia")))).toMap
+    val ref = referenceKmeans(vecs.map { case (id, v, lb) =>
+      (id, lb, v.map(f => micro(f.toDouble)).toArray)
+    })
+    assert(got === ref)
+    assert(!got.keySet.contains(7L))
+    assert(got.keySet.size < ClusterOps.K)
+    assert(got.values.map(_._1).sum === 12L)
   }
 
   test("v51 affinity: full strict-upper-triangle, |cos| <= 1, and one " +
