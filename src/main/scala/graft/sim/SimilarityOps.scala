@@ -496,6 +496,56 @@ object SimilarityOps extends QueryModule {
        |SELECT neg_for, CAST(rk AS INT) AS rk, vec_id, label, cos
        |FROM r WHERE rk <= 5 ORDER BY neg_for, rk""".stripMargin
 
+  /** Path for the dumped IVF top-k id set — referenced by the v3b3
+    * oracle SQL after the Verify JVM exits, so NOT exit-deleted
+    * (the v2d2b/IvfPairsPath contract). */
+  val IvfTopkPath: String =
+    s"${sys.props("java.io.tmpdir")}/graft_ivf_topk_" +
+      ProcessHandle.current().pid()
+
+  private val ivfTopkOnce =
+    new graft.util.OncePerProcess("IVF top-k dump")
+
+  /** V3b3: recall@10 of the IVF probe, ORACLE-WITNESSED (the v2d2b
+    * convention brought to the ANN surface): the engine dumps its IVF
+    * top-10 ids, Spark computes |ivf ∩ exact| / |exact| from its own
+    * two plans, and DuckDB recomputes the SAME number from the dump
+    * plus its own independent exact top-10 SQL (the v3a oracle). A
+    * hash match means both engines agree on exactly which of the true
+    * neighbors the probe found — ANN quality as a driver-visible
+    * value row every round, not only a spec assertion. */
+  def ivfTopKRecall(spark: SparkSession, dir: String): DataFrame = {
+    ivfTopkOnce.ensure(dir) {
+      ivfTopK(spark, dir).select(col("vec_id"))
+        .coalesce(1).write.mode("overwrite").parquet(IvfTopkPath)
+    }
+    val stored = spark.read.parquet(IvfTopkPath).withColumn("h", lit(1))
+    cosineTopK(spark, dir).select(col("vec_id"))
+      .join(broadcast(stored), Seq("vec_id"), "left")
+      .agg(coalesce(sum(coalesce(col("h"), lit(0))), lit(0))
+        .cast("long").as("n_hit"),
+        count(lit(1)).as("n_exact"))
+      .select(col("n_hit"), col("n_exact"),
+        Exact.ratio6(col("n_hit"), col("n_exact")).as("recall_at_10"))
+  }
+
+  private lazy val ivfTopKRecallSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+       |       CAST(embedding AS DOUBLE[]))) AS nrm FROM embeddings),
+       | q AS (SELECT v AS q_v, nrm AS q_nrm FROM e WHERE vec_id = 0),
+       | x AS (SELECT e.vec_id,
+       |   round(list_dot_product(e.v, q.q_v)/(e.nrm*q.q_nrm),6) AS cos
+       |  FROM e, q WHERE e.vec_id <> 0
+       |  ORDER BY cos DESC, vec_id LIMIT 10),
+       | c AS (SELECT vec_id FROM read_parquet('$IvfTopkPath/*.parquet')),
+       | h AS (SELECT CAST(count(*) AS BIGINT) AS n_hit FROM x
+       |       WHERE EXISTS (SELECT 1 FROM c WHERE c.vec_id = x.vec_id)),
+       | t AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM x)
+       |SELECT n_hit, n_exact,
+       | ${OracleSql.ratio6("n_hit", "n_exact")} AS recall_at_10
+       |FROM h, t""".stripMargin
+
   /** V39: embedding drift — the v35/st12 distribution monitors'
     * EMBEDDING-space sibling: per label, the centroid of snapshot A
     * (even vec_ids — the parity split stands in for the time axis the
@@ -617,6 +667,13 @@ object SimilarityOps extends QueryModule {
       "V3 approximate kNN join: per-vector top-5 within IVF cells " +
         "(linear-shuffle similarity join; recall pinned in DedupSpec)",
       (s, d) => knnJoin(s, d), None),
+    GraftQuery("v3b3_ivf_topk_recall",
+      "V3b recall@10, ORACLE-WITNESSED (the v2d2b convention): the " +
+        "IVF top-10 is dumped, Spark computes |ivf ∩ exact|/10 from " +
+        "its own two plans, DuckDB recomputes the same number from " +
+        "the dump + its independent exact top-10 SQL — ANN quality " +
+        "as a driver-visible value row",
+      (s, d) => ivfTopKRecall(s, d), Some(ivfTopKRecallSql)),
     GraftQuery("v3a_cosine_topk",
       "V3 brute-force cosine top-10 vs query vector (exact baseline)",
       (s, d) => cosineTopK(s, d),
