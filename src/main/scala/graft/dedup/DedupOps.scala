@@ -418,6 +418,23 @@ object DedupOps extends QueryModule {
     * — [[graft.util.OncePerProcess]] guards it loudly instead. */
   private val ivfPairsOnce = new graft.util.OncePerProcess("IVF pair dump")
 
+  /** Shared tail of every oracle-witnessed quality metric (v2d2b,
+    * v2c2, v22c, and SimilarityOps' v3b3/v18c): ONE pass over the
+    * exact plan with a left join against the (tiny) dumped approximate
+    * result marking hits, one aggregate for both counts, the ratio in
+    * exact integer space. */
+  private[graft] def overlapAgainstDump(spark: SparkSession,
+      dumpPath: String, exact: DataFrame, keys: Seq[String],
+      metric: String): DataFrame = {
+    val stored = spark.read.parquet(dumpPath).withColumn("h", lit(1))
+    exact.join(broadcast(stored), keys, "left")
+      .agg(coalesce(sum(coalesce(col("h"), lit(0))), lit(0))
+        .cast("long").as("n_hit"),
+        count(lit(1)).as("n_exact"))
+      .select(col("n_hit"), col("n_exact"),
+        Exact.ratio6(col("n_hit"), col("n_exact")).as(metric))
+  }
+
   /** V2d2b: the recall of the IVF candidate path, ORACLE-WITNESSED —
     * not just spec-pinned. The engine dumps its verified IVF pairs to
     * parquet; Spark computes |ivf ∩ exact| / |exact| from its own two
@@ -805,6 +822,73 @@ object DedupOps extends QueryModule {
     * pinned against the fixture in DedupSpec. At a scale where a banded
     * miss appears, this oracle would catch exactly that recall loss,
     * which is the honest thing to measure. */
+  /** v2c2 / v22c dump paths + per-process guards (the IvfPairsPath
+    * contract: pid-suffixed, NOT exit-deleted — the oracle SQL reads
+    * them from DuckDB after the Verify JVM exits). */
+  val SimhashPairsPath: String =
+    s"${sys.props("java.io.tmpdir")}/graft_simhash_pairs_" +
+      ProcessHandle.current().pid()
+  val WinnowPairsPath: String =
+    s"${sys.props("java.io.tmpdir")}/graft_winnow_pairs_" +
+      ProcessHandle.current().pid()
+  private val simhashPairsOnce =
+    new graft.util.OncePerProcess("SimHash pair dump")
+  private val winnowPairsOnce =
+    new graft.util.OncePerProcess("winnowed pair dump")
+
+  /** V2c2: cross-method agreement of the SimHash path,
+    * ORACLE-WITNESSED — the share of exact Jaccard≥τ near-dup pairs
+    * the hamming≤7 pigeonhole join also flags. SimHash approximates
+    * COSINE of the shingle multiset, not Jaccard, so this is a
+    * cross-method agreement rate (not a recall against its own
+    * target); it is exactly the number a curation owner needs before
+    * swapping v2a's quadratic join for v2c's linear one. */
+  def simhashOverlap(spark: SparkSession, dir: String): DataFrame = {
+    simhashPairsOnce.ensure(dir) {
+      simhashDedup(spark, dir).select(col("i"), col("j"))
+        .coalesce(1).write.mode("overwrite").parquet(SimhashPairsPath)
+    }
+    overlapAgainstDump(spark, SimhashPairsPath,
+      ngramJaccard(spark, dir).select(col("i"), col("j")),
+      Seq("i", "j"), "agreement")
+  }
+
+  private lazy val simhashOverlapSql: String =
+    s"""WITH x AS (SELECT i, j FROM ($jaccardPairsSql)),
+       | c AS (SELECT i, j FROM read_parquet('$SimhashPairsPath/*.parquet')),
+       | h AS (SELECT CAST(count(*) AS BIGINT) AS n_hit FROM x
+       |       WHERE EXISTS (SELECT 1 FROM c WHERE c.i=x.i AND c.j=x.j)),
+       | t AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM x)
+       |SELECT n_hit, n_exact,
+       | ${OracleSql.ratio6("n_hit", "n_exact")} AS agreement
+       |FROM h, t""".stripMargin
+
+  /** V22c: coverage of the winnowed fingerprint path,
+    * ORACLE-WITNESSED — the share of exact stride-1 substring-dup
+    * pairs (v22) the MOSS-sampled path (v22b) also reports. The
+    * winnowing guarantee says spans ≥ k+b−1 chars are always caught;
+    * this value row shows what that means on the live corpus, judged
+    * independently by both engines every round. */
+  def winnowCoverage(spark: SparkSession, dir: String): DataFrame = {
+    winnowPairsOnce.ensure(dir) {
+      substringDupsWinnowed(spark, dir).select(col("i"), col("j"))
+        .coalesce(1).write.mode("overwrite").parquet(WinnowPairsPath)
+    }
+    overlapAgainstDump(spark, WinnowPairsPath,
+      substringDups(spark, dir).select(col("i"), col("j")),
+      Seq("i", "j"), "coverage")
+  }
+
+  private lazy val winnowCoverageSql: String =
+    s"""WITH x AS (SELECT i, j FROM ($substringSql)),
+       | c AS (SELECT i, j FROM read_parquet('$WinnowPairsPath/*.parquet')),
+       | h AS (SELECT CAST(count(*) AS BIGINT) AS n_hit FROM x
+       |       WHERE EXISTS (SELECT 1 FROM c WHERE c.i=x.i AND c.j=x.j)),
+       | t AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM x)
+       |SELECT n_hit, n_exact,
+       | ${OracleSql.ratio6("n_hit", "n_exact")} AS coverage
+       |FROM h, t""".stripMargin
+
   private val jaccardPairsSql: String =
     s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
        | s AS (SELECT doc_id, $shinglesSql AS sh FROM t),
@@ -835,6 +919,17 @@ object DedupOps extends QueryModule {
       "V2 near-dup via 64-bit SimHash, 8-block pigeonhole join, " +
         "hamming<=7 (hash-specific, no SQL oracle)",
       (s, d) => simhashDedup(s, d), None),
+    GraftQuery("v2c2_simhash_agreement",
+      "V2c2 SimHash cross-method agreement, ORACLE-WITNESSED: share " +
+        "of exact Jaccard pairs the pigeonhole path also flags, " +
+        "recomputed by DuckDB from the dumped pair set (v2d2b " +
+        "convention)",
+      simhashOverlap, Some(simhashOverlapSql)),
+    GraftQuery("v22c_winnow_coverage",
+      "V22c winnowed-fingerprint coverage, ORACLE-WITNESSED: share " +
+        "of exact stride-1 substring-dup pairs the MOSS-sampled path " +
+        "reports, recomputed by DuckDB from the dumped pair set",
+      winnowCoverage, Some(winnowCoverageSql)),
     GraftQuery("v2e_dup_clusters",
       "V2 duplicate clusters: connected components (min-label propagation) " +
         "over the near-dup pair graph",

@@ -546,6 +546,44 @@ object SimilarityOps extends QueryModule {
        | ${OracleSql.ratio6("n_hit", "n_exact")} AS recall_at_10
        |FROM h, t""".stripMargin
 
+  /** v18c dump path + guard (the IvfTopkPath contract). */
+  val QuantTopkPath: String =
+    s"${sys.props("java.io.tmpdir")}/graft_quant_topk_" +
+      ProcessHandle.current().pid()
+  private val quantTopkOnce =
+    new graft.util.OncePerProcess("quantized top-k dump")
+
+  /** V18c: recall@10 of the int8-code top-k (v18b) vs the float
+    * exact top-k, ORACLE-WITNESSED — how much neighborhood quality
+    * the 4× storage saving costs, judged independently by both
+    * engines from the dumped id set every round. */
+  def quantizedTopKRecall(spark: SparkSession, dir: String): DataFrame = {
+    quantTopkOnce.ensure(dir) {
+      cosineTopKQuantized(spark, dir).select(col("vec_id"))
+        .coalesce(1).write.mode("overwrite").parquet(QuantTopkPath)
+    }
+    graft.dedup.DedupOps.overlapAgainstDump(spark, QuantTopkPath,
+      cosineTopK(spark, dir).select(col("vec_id")),
+      Seq("vec_id"), "recall_at_10")
+  }
+
+  private lazy val quantizedTopKRecallSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+       |       CAST(embedding AS DOUBLE[]))) AS nrm FROM embeddings),
+       | q AS (SELECT v AS q_v, nrm AS q_nrm FROM e WHERE vec_id = 0),
+       | x AS (SELECT e.vec_id,
+       |   round(list_dot_product(e.v, q.q_v)/(e.nrm*q.q_nrm),6) AS cos
+       |  FROM e, q WHERE e.vec_id <> 0
+       |  ORDER BY cos DESC, vec_id LIMIT 10),
+       | c AS (SELECT vec_id FROM read_parquet('$QuantTopkPath/*.parquet')),
+       | h AS (SELECT CAST(count(*) AS BIGINT) AS n_hit FROM x
+       |       WHERE EXISTS (SELECT 1 FROM c WHERE c.vec_id = x.vec_id)),
+       | t AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM x)
+       |SELECT n_hit, n_exact,
+       | ${OracleSql.ratio6("n_hit", "n_exact")} AS recall_at_10
+       |FROM h, t""".stripMargin
+
   /** V39: embedding drift — the v35/st12 distribution monitors'
     * EMBEDDING-space sibling: per label, the centroid of snapshot A
     * (even vec_ids — the parity split stands in for the time axis the
@@ -667,6 +705,11 @@ object SimilarityOps extends QueryModule {
       "V3 approximate kNN join: per-vector top-5 within IVF cells " +
         "(linear-shuffle similarity join; recall pinned in DedupSpec)",
       (s, d) => knnJoin(s, d), None),
+    GraftQuery("v18c_quantized_recall",
+      "V18c recall@10 of the int8-code top-k vs the float exact " +
+        "top-k, ORACLE-WITNESSED from the dumped id set (v2d2b " +
+        "convention) — the measured cost of 4x-smaller vectors",
+      quantizedTopKRecall, Some(quantizedTopKRecallSql)),
     GraftQuery("v3b3_ivf_topk_recall",
       "V3b recall@10, ORACLE-WITNESSED (the v2d2b convention): the " +
         "IVF top-10 is dumped, Spark computes |ivf ∩ exact|/10 from " +
