@@ -393,7 +393,62 @@ object Relational extends QueryModule {
       approx_count_distinct(col("l_suppkey"), 0.02).as("n_supps"),
       approx_count_distinct(col("l_orderkey"), 0.02).as("n_orders"))
 
+  /** v10c dump path + guard (IvfPairsPath contract). */
+  val HllCountsPath: String =
+    s"${sys.props("java.io.tmpdir")}/graft_hll_counts_" +
+      ProcessHandle.current().pid()
+  private val hllCountsOnce =
+    new graft.util.OncePerProcess("HLL counts dump")
+
+  /** V10c: the HLL++ cardinalities' error vs exact, ORACLE-WITNESSED —
+    * the sketch counts are dumped; both engines compare them to their
+    * own exact distinct counts and report per-column relative error
+    * (exact-integer ratio). */
+  def cardinalityError(spark: SparkSession, dir: String): DataFrame = {
+    hllCountsOnce.ensure(dir) {
+      cardinalityApprox(spark, dir)
+        .coalesce(1).write.mode("overwrite").parquet(HllCountsPath)
+    }
+    val a = spark.read.parquet(HllCountsPath)
+      .select(col("n_parts").as("a_p"), col("n_supps").as("a_s"),
+        col("n_orders").as("a_o"))
+    def m(name: String, ap: Column, ex: Column) =
+      struct(lit(name).as("col_name"), ap.as("approx"), ex.as("exact"),
+        Exact.ratio6(abs(ap - ex), ex).as("rel_err"))
+    cardinality(spark, dir).crossJoin(broadcast(a))
+      .select(explode(array(
+        m("l_orderkey", col("a_o"), col("n_orders")),
+        m("l_partkey", col("a_p"), col("n_parts")),
+        m("l_suppkey", col("a_s"), col("n_supps")))).as("r"))
+      .select(col("r.col_name"), col("r.approx"), col("r.exact"),
+        col("r.rel_err"))
+      .orderBy(col("col_name"))
+  }
+
+  private lazy val cardinalityErrorSql: String =
+    s"""WITH a AS (SELECT n_parts AS a_p, n_supps AS a_s,
+       |        n_orders AS a_o
+       |       FROM read_parquet('$HllCountsPath/*.parquet')),
+       | e AS (SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS e_p,
+       |        CAST(count(DISTINCT l_suppkey) AS BIGINT) AS e_s,
+       |        CAST(count(DISTINCT l_orderkey) AS BIGINT) AS e_o
+       |       FROM lineitem)
+       |SELECT col_name, approx, exact, rel_err FROM (
+       | SELECT 'l_orderkey' AS col_name, CAST(a_o AS BIGINT) AS approx,
+       |  e_o AS exact, ${OracleSql.ratio6("abs(a_o - e_o)", "e_o")}
+       |    AS rel_err FROM a, e
+       | UNION ALL SELECT 'l_partkey', CAST(a_p AS BIGINT), e_p,
+       |  ${OracleSql.ratio6("abs(a_p - e_p)", "e_p")} FROM a, e
+       | UNION ALL SELECT 'l_suppkey', CAST(a_s AS BIGINT), e_s,
+       |  ${OracleSql.ratio6("abs(a_s - e_s)", "e_s")} FROM a, e)
+       |ORDER BY col_name""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("v10c_hll_error",
+      "V10c HLL++ cardinality error vs exact, ORACLE-WITNESSED from " +
+        "the dumped sketch counts (v2d2b convention) — per-column " +
+        "relative error as driver-visible value rows",
+      cardinalityError, Some(cardinalityErrorSql)),
     GraftQuery("v10_cardinality",
       "V10 exact distinct-count cardinalities (dedup accounting)",
       cardinality,

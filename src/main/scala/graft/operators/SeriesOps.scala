@@ -193,6 +193,47 @@ object SeriesOps extends QueryModule {
     zeroFill(spark, agg, Seq("u" -> lit(0L)))
   }
 
+  /** t20c dump path + guard (the IvfPairsPath contract: pid-suffixed,
+    * not exit-deleted — the oracle SQL reads it after the JVM exits). */
+  val HllSeriesPath: String =
+    s"${sys.props("java.io.tmpdir")}/graft_hll_series_" +
+      ProcessHandle.current().pid()
+  private val hllSeriesOnce =
+    new graft.util.OncePerProcess("HLL series dump")
+
+  /** T20c: the HLL++ series' error vs exact, ORACLE-WITNESSED — the
+    * sketch series is dumped; both engines join it to their own exact
+    * distinct series and report the worst per-bucket relative error
+    * (exact-integer ratio). The sketch twin's accuracy stops being a
+    * spec-only claim and becomes a value the driver hashes every
+    * round. */
+  def uniqueUsersSeriesError(spark: SparkSession, dir: String): DataFrame = {
+    hllSeriesOnce.ensure(dir) {
+      uniqueUsersSeriesApprox(spark, dir)
+        .coalesce(1).write.mode("overwrite").parquet(HllSeriesPath)
+    }
+    val approx = spark.read.parquet(HllSeriesPath)
+      .select(col("bucket_s"), col("u").as("a"))
+    uniqueUsersSeries(spark, dir).select(col("bucket_s"), col("u").as("e"))
+      .join(approx, Seq("bucket_s"))
+      .filter(col("e") > 0)
+      .agg(count(lit(1)).as("n_buckets"),
+        max(Exact.ratio6(abs(col("a") - col("e")), col("e")))
+          .as("max_rel_err"))
+  }
+
+  private lazy val hllSeriesErrorSql: String =
+    s"""WITH c AS (SELECT $bucketSql AS b,
+       |        count(DISTINCT user_id) AS e FROM events
+       |       WHERE $rangeSql GROUP BY 1),
+       | a AS (SELECT bucket_s, u AS a
+       |       FROM read_parquet('$HllSeriesPath/*.parquet')),
+       | j AS (SELECT c.e AS e, a.a AS a
+       |       FROM c JOIN a ON a.bucket_s = c.b WHERE c.e > 0)
+       |SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+       | max(${OracleSql.ratio6("abs(a - e)", "e")}) AS max_rel_err
+       |FROM j""".stripMargin
+
   /** W15: DAU/WAU stickiness — daily active users over trailing-7-day
     * active users per day. The one engagement series that CANNOT be
     * derived from the daily series (distinct users don't sum across
@@ -280,6 +321,12 @@ object SeriesOps extends QueryModule {
       "T20 distinct-users series via HLL++ (mergeable, bounded state; " +
         "rows-only — tolerance pinned in ScaleSpec)",
       uniqueUsersSeriesApprox, None),
+    GraftQuery("t20c_hll_series_error",
+      "T20c the HLL series' max relative error vs exact, ORACLE-" +
+        "WITNESSED from the dumped sketch series (v2d2b convention) — " +
+        "the 2%-target sketch's real per-bucket error as a driver-" +
+        "visible value row",
+      uniqueUsersSeriesError, Some(hllSeriesErrorSql)),
     GraftQuery("t19_moving_average",
       "T19 trailing 7-day moving sum/avg via window frames (rowsBetween)",
       movingAverage,
