@@ -443,7 +443,109 @@ object Relational extends QueryModule {
        |  ${OracleSql.ratio6("abs(a_s - e_s)", "e_s")} FROM a, e)
        |ORDER BY col_name""".stripMargin
 
+  /** Micro-unit freeze of an already-6dp-rounded double — the exact
+    * integer both engines agree on (the Exact cast chain). */
+  private def micro6(c: Column): Column =
+    (c.cast(org.apache.spark.sql.types.DecimalType(18, 6)) * 1000000)
+      .cast("long")
+  private def micro6Sql(x: String): String =
+    s"CAST(CAST($x AS DECIMAL(18,6)) * 1000000 AS BIGINT)"
+
+  /** t04d / v9c dump paths + guards (IvfPairsPath contract). */
+  val ApproxLatPath: String =
+    s"${sys.props("java.io.tmpdir")}/graft_approx_lat_" +
+      ProcessHandle.current().pid()
+  val ProfileHllPath: String =
+    s"${sys.props("java.io.tmpdir")}/graft_profile_hll_" +
+      ProcessHandle.current().pid()
+  private val approxLatOnce =
+    new graft.util.OncePerProcess("approx latency dump")
+  private val profileHllOnce =
+    new graft.util.OncePerProcess("profile HLL dump")
+
+  /** T04d: the approx-percentile twin's error vs exact,
+    * ORACLE-WITNESSED — t04b's grouped p50/p90/p99 are dumped; both
+    * engines join them to their own exact percentiles and report the
+    * worst relative error across groups and percentiles, in exact
+    * integer micro-space. */
+  def endpointLatenciesError(spark: SparkSession, dir: String): DataFrame = {
+    approxLatOnce.ensure(dir) {
+      endpointLatenciesApprox(spark, dir)
+        .coalesce(1).write.mode("overwrite").parquet(ApproxLatPath)
+    }
+    val a = spark.read.parquet(ApproxLatPath)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("p50_price").as("a50"), col("p90_price").as("a90"),
+        col("p99_price").as("a99"))
+    def err(ac: Column, ec: Column) =
+      Exact.ratio6(abs(micro6(ac) - micro6(ec)), micro6(ec))
+    endpointLatencies(spark, dir)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("p50_price"), col("p90_price"), col("p99_price"))
+      .join(broadcast(a), Seq("l_returnflag", "l_linestatus"))
+      .agg(count(lit(1)).as("n_groups"),
+        max(greatest(err(col("a50"), col("p50_price")),
+          err(col("a90"), col("p90_price")),
+          err(col("a99"), col("p99_price")))).as("max_rel_err"))
+  }
+
+  private lazy val endpointLatenciesErrorSql: String = {
+    def err(a: String, e: String) = OracleSql.ratio6(
+      s"abs(${micro6Sql(a)} - ${micro6Sql(e)})", micro6Sql(e))
+    s"""WITH a AS (SELECT l_returnflag, l_linestatus,
+       |   p50_price AS a50, p90_price AS a90, p99_price AS a99
+       |  FROM read_parquet('$ApproxLatPath/*.parquet')),
+       | e AS (SELECT l_returnflag, l_linestatus,
+       |   round(quantile_cont(l_extendedprice,0.5),6) AS e50,
+       |   round(quantile_cont(l_extendedprice,0.9),6) AS e90,
+       |   round(quantile_cont(l_extendedprice,0.99),6) AS e99
+       |  FROM lineitem GROUP BY 1, 2)
+       |SELECT CAST(count(*) AS BIGINT) AS n_groups,
+       | max(greatest(${err("a50", "e50")}, ${err("a90", "e90")},
+       |   ${err("a99", "e99")})) AS max_rel_err
+       |FROM e JOIN a USING (l_returnflag, l_linestatus)""".stripMargin
+  }
+
+  /** V9c: the HLL profile twin's distinct-count error vs exact,
+    * ORACLE-WITNESSED — per-column relative error from the dumped v9b
+    * report. */
+  def profileError(spark: SparkSession, dir: String): DataFrame = {
+    profileHllOnce.ensure(dir) {
+      profileApprox(spark, dir)
+        .coalesce(1).write.mode("overwrite").parquet(ProfileHllPath)
+    }
+    val a = spark.read.parquet(ProfileHllPath)
+      .select(col("col_name"), col("n_distinct").as("approx"))
+    profile(spark, dir).select(col("col_name"),
+        col("n_distinct").as("exact"))
+      .join(broadcast(a), Seq("col_name"))
+      .select(col("col_name"), col("approx"), col("exact"),
+        Exact.ratio6(abs(col("approx") - col("exact")), col("exact"))
+          .as("rel_err"))
+      .orderBy(col("col_name"))
+  }
+
+  private lazy val profileErrorSql: String =
+    s"""WITH a AS (SELECT col_name, n_distinct AS approx
+       |  FROM read_parquet('$ProfileHllPath/*.parquet')),
+       | e AS (SELECT col_name, n_distinct AS exact
+       |  FROM ($profileSql))
+       |SELECT col_name, CAST(approx AS BIGINT) AS approx,
+       | CAST(exact AS BIGINT) AS exact,
+       | ${OracleSql.ratio6("abs(approx - exact)", "exact")} AS rel_err
+       |FROM e JOIN a USING (col_name)
+       |ORDER BY col_name""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("t04d_approx_pct_error",
+      "T04d approx-percentile error vs exact, ORACLE-WITNESSED from " +
+        "the dumped t04b report (v2d2b convention): worst relative " +
+        "error across groups and percentiles in exact micro-space",
+      endpointLatenciesError, Some(endpointLatenciesErrorSql)),
+    GraftQuery("v9c_profile_error",
+      "V9c HLL profile error vs exact, ORACLE-WITNESSED from the " +
+        "dumped v9b report: per-column distinct-count relative error",
+      profileError, Some(profileErrorSql)),
     GraftQuery("v10c_hll_error",
       "V10c HLL++ cardinality error vs exact, ORACLE-WITNESSED from " +
         "the dumped sketch counts (v2d2b convention) — per-column " +

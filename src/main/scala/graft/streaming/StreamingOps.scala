@@ -670,7 +670,61 @@ object StreamingOps extends QueryModule {
       .orderBy(col("cluster"))
   }
 
+  /** st6c dump path + guard (IvfPairsPath contract). */
+  val SketchSeriesPath: String =
+    s"${sys.props("java.io.tmpdir")}/graft_sketch_series_" +
+      ProcessHandle.current().pid()
+  private val sketchSeriesOnce =
+    new graft.util.OncePerProcess("streaming sketch series dump")
+
+  /** ST6c: the streaming p90 sketch's error vs the exact batch
+    * percentile, ORACLE-WITNESSED — st6's series is dumped; both
+    * engines join it to their own exact per-bucket p90 and report the
+    * worst relative error in exact micro-space (buckets with a
+    * positive exact p90). The last approximate surface in the registry
+    * gains a driver-visible quality value. */
+  def streamingSketchError(spark: SparkSession, dir: String): DataFrame = {
+    sketchSeriesOnce.ensure(dir) {
+      streamingQuantileSeries(spark, dir)
+        .coalesce(1).write.mode("overwrite").parquet(SketchSeriesPath)
+    }
+    def micro6(c: org.apache.spark.sql.Column) =
+      (c.cast(org.apache.spark.sql.types.DecimalType(18, 6)) * 1000000)
+        .cast("long")
+    val a = spark.read.parquet(SketchSeriesPath)
+      .select(col("bucket_s"), micro6(col("p90")).as("am"))
+    val e = Tables.events(spark, dir)
+      .withColumn("bucket_s", expr("ts_s - ts_s % 172800"))
+      .groupBy(col("bucket_s"))
+      .agg(round(percentile(col("value"), lit(0.9)), 6).as("p90"))
+      .select(col("bucket_s"), micro6(col("p90")).as("em"))
+    e.join(a, Seq("bucket_s"))
+      .filter(col("em") > 0)
+      .agg(count(lit(1)).as("n_buckets"),
+        max(Exact.ratio6(abs(col("am") - col("em")), col("em")))
+          .as("max_rel_err"))
+  }
+
+  private lazy val streamingSketchErrorSql: String = {
+    val micro = (x: String) =>
+      s"CAST(CAST($x AS DECIMAL(18,6)) * 1000000 AS BIGINT)"
+    s"""WITH a AS (SELECT bucket_s, ${micro("p90")} AS am
+       |  FROM read_parquet('$SketchSeriesPath/*.parquet')),
+       | e AS (SELECT (epoch_us(ts)//1000000) -
+       |         (epoch_us(ts)//1000000) % 172800 AS bucket_s,
+       |        ${micro("round(quantile_cont(value,0.9),6)")} AS em
+       |  FROM events GROUP BY 1)
+       |SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+       | max(${OracleSql.ratio6("abs(am - em)", "em")}) AS max_rel_err
+       |FROM e JOIN a USING (bucket_s) WHERE em > 0""".stripMargin
+  }
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("st6c_streaming_sketch_error",
+      "ST6c streaming p90 sketch error vs the exact batch percentile, " +
+        "ORACLE-WITNESSED from the dumped st6 series (v2d2b " +
+        "convention): worst per-bucket relative error in micro-space",
+      streamingSketchError, Some(streamingSketchErrorSql)),
     GraftQuery("st15_streaming_cluster_assign",
       "ST15 streaming model scoring: embedding stream assigned to the " +
         "broadcast seed centroids in-row (stream-static, stateless " +
