@@ -203,36 +203,55 @@ object SimilarityOps extends QueryModule {
   }
 
   /** V3c: approximate kNN JOIN — top-k neighbours for EVERY vector, not
-    * just one query point. Vectors are grouped by IVF centroid and
-    * compared within their cell only (plus nothing else — cell-local
-    * recall; raise nlist resolution or probe neighbours for more).
-    * Shuffle cost: one exchange on centroid_id, then an in-partition
-    * pair product bounded by cell size — the linear-shuffle alternative
-    * to the N² cross join at corpus scale.
+    * just one query point. Index side: every vector lives in its ONE
+    * primary IVF cell. Query side: every vector probes its `nprobe`
+    * nearest cells (its primary among them), so neighbours that sit
+    * just across a Voronoi boundary are found — the standard IVF query
+    * pattern. The v3c2 witness is what forced this shape: the earlier
+    * single-cell-both-sides form measured macro recall@5 = 0.20 at
+    * sf0.1 (a vector's true neighbours usually straddle cells at
+    * nlist=16 over these weakly-clustered synthetic vectors);
+    * multi-probe measured 0.53 at nprobe=4 and 0.78 at nprobe=8 — the
+    * witnessed curve that makes the nprobe-vs-candidate-cost trade a
+    * data-driven decision instead of a guess (real corpora with
+    * genuine cluster structure sit far higher at lower nprobe).
+    * Shuffle: one exchange on (cell, sub), then in-partition pair
+    * products bounded by nprobe·maxCellSize per query row — the
+    * linear-shuffle alternative to the N² cross join.
     *
     * Skew guard: one giant cell would reintroduce the N² blowup (its
     * pair product is quadratic in the cell size, and AQE can only split
     * the shuffle, not the pair product). Cells larger than `maxCellSize`
-    * are salted into ceil(size/maxCellSize) subcells by vec_id hash, so
-    * every task's pair product is bounded by maxCellSize² regardless of
-    * the data distribution; recall inside an oversized cell degrades
-    * gracefully (neighbours in other subcells are missed — pinned in
-    * DedupSpec on an all-one-cell dataset). */
+    * are salted into ceil(size/maxCellSize) subcells by vec_id hash on
+    * BOTH sides — a probe row lands in one subcell of each probed cell,
+    * so every task's pair product stays bounded by ~maxCellSize² and
+    * the TOTAL work stays linear in the cell (fanning probes out to
+    * every subcell would restore completeness but also the quadratic
+    * total — the wrong trade; recall inside an oversized cell degrades
+    * gracefully instead, pinned in DedupSpec on an all-one-cell
+    * dataset). At sane cell sizes (n_sub = 1, every real layout) the
+    * multi-probe recall gain is untouched. */
   def knnJoin(spark: SparkSession, dir: String, k: Int = 5,
-      nlist: Int = 16, maxCellSize: Int = 4096): DataFrame = {
-    // both join sides reuse one materialization of the assignment
-    val assigned = ivfAssign(spark, dir, nlist).cache()
+      nlist: Int = 16, nprobe: Int = 8, maxCellSize: Int = 4096): DataFrame = {
+    val (e, cents, assignedRaw) = ivfBuild(spark, dir, nlist, 1)
+    val assigned = assignedRaw.cache()
     val sizes = assigned.groupBy(col("cent_id"))
       .agg(count(lit(1)).as("cell_n")) // ≤ nlist rows — broadcastable
-    val salted = assigned.join(broadcast(sizes), Seq("cent_id"))
+    val b = assigned.join(broadcast(sizes), Seq("cent_id"))
       .withColumn("n_sub",
         greatest(lit(1L), ceil(col("cell_n") / maxCellSize)).cast("int"))
       .withColumn("sub", pmod(xxhash64(col("vec_id")), col("n_sub"))
         .cast("int"))
-    val a = salted.select(col("cent_id"), col("sub"),
-      col("vec_id").as("i"), col("v").as("v_i"), col("nrm").as("n_i"))
-    val b = salted.select(col("cent_id"), col("sub"),
-      col("vec_id").as("j"), col("v").as("v_j"), col("nrm").as("n_j"))
+      .select(col("cent_id"), col("sub"),
+        col("vec_id").as("j"), col("v").as("v_j"), col("nrm").as("n_j"))
+    val a = multiProbeAssign(e, cents, nprobe)
+      .join(broadcast(sizes), Seq("cent_id"))
+      .withColumn("n_sub",
+        greatest(lit(1L), ceil(col("cell_n") / maxCellSize)).cast("int"))
+      .withColumn("sub", pmod(xxhash64(col("vec_id")), col("n_sub"))
+        .cast("int"))
+      .select(col("cent_id"), col("sub"),
+        col("vec_id").as("i"), col("v").as("v_i"), col("nrm").as("n_i"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("i")).orderBy(col("cos").desc, col("j"))
     a.join(b.hint("shuffle_hash"), Seq("cent_id", "sub"))
@@ -546,6 +565,68 @@ object SimilarityOps extends QueryModule {
        | ${OracleSql.ratio6("n_hit", "n_exact")} AS recall_at_10
        |FROM h, t""".stripMargin
 
+  /** v3c2 dump path + guard (the IvfTopkPath contract). */
+  val KnnPairsPath: String =
+    s"${sys.props("java.io.tmpdir")}/graft_knn_pairs_" +
+      ProcessHandle.current().pid()
+  private val knnPairsOnce =
+    new graft.util.OncePerProcess("kNN join dump")
+
+  /** The exact top-k-per-vector baseline: all-pairs cosine (one side
+    * broadcast — the deliberate quadratic VERIFY plan; a production
+    * run samples query vectors instead) + per-vector rank. Feeds the
+    * v3c2 witness only. */
+  private def exactKnn(spark: SparkSession, dir: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = withNorm(Tables.embeddings(spark, dir))
+    val b = e.select(col("vec_id").as("j"), col("v").as("v_j"),
+      col("nrm").as("n_j"))
+    val w = Window.partitionBy(col("i"))
+      .orderBy(col("cos").desc, col("j"))
+    e.select(col("vec_id").as("i"), col("v"), col("nrm"))
+      .join(broadcast(b), col("i") =!= col("j"))
+      .withColumn("cos",
+        round(dot(col("v"), col("v_j")) / (col("nrm") * col("n_j")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("i"), col("j"))
+  }
+
+  /** V3c2: macro recall of the IVF-cell kNN join vs the exact
+    * all-pairs top-5, ORACLE-WITNESSED — v3c's (i, j) pairs are
+    * dumped; Spark counts how many of ITS exact top-5 pairs the cell
+    * join found, and DuckDB recomputes the same number from the dump
+    * plus its own independent all-pairs QUALIFY SQL. The similarity
+    * join's quality — the number that decides whether nlist/maxCell
+    * need retuning — becomes a driver-hashed value each round. */
+  def knnJoinRecall(spark: SparkSession, dir: String): DataFrame = {
+    knnPairsOnce.ensure(dir) {
+      knnJoin(spark, dir).select(col("i"), col("j"))
+        .coalesce(1).write.mode("overwrite").parquet(KnnPairsPath)
+    }
+    graft.dedup.DedupOps.overlapAgainstDump(spark, KnnPairsPath,
+      exactKnn(spark, dir, 5), Seq("i", "j"), "recall_at_5")
+  }
+
+  private lazy val knnJoinRecallSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+       |       CAST(embedding AS DOUBLE[]))) AS nrm FROM embeddings),
+       | p AS (SELECT a.vec_id AS i, b.vec_id AS j,
+       |   round(list_dot_product(a.v, b.v)/(a.nrm*b.nrm),6) AS cos
+       |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+       | x AS (SELECT i, j FROM p
+       |   QUALIFY row_number() OVER (PARTITION BY i
+       |     ORDER BY cos DESC, j) <= 5),
+       | c AS (SELECT i, j FROM read_parquet('$KnnPairsPath/*.parquet')),
+       | h AS (SELECT CAST(count(*) AS BIGINT) AS n_hit FROM x
+       |       WHERE EXISTS (SELECT 1 FROM c WHERE c.i=x.i AND c.j=x.j)),
+       | t AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM x)
+       |SELECT n_hit, n_exact,
+       | ${OracleSql.ratio6("n_hit", "n_exact")} AS recall_at_5
+       |FROM h, t""".stripMargin
+
   /** v18c dump path + guard (the IvfTopkPath contract). */
   val QuantTopkPath: String =
     s"${sys.props("java.io.tmpdir")}/graft_quant_topk_" +
@@ -705,6 +786,12 @@ object SimilarityOps extends QueryModule {
       "V3 approximate kNN join: per-vector top-5 within IVF cells " +
         "(linear-shuffle similarity join; recall pinned in DedupSpec)",
       (s, d) => knnJoin(s, d), None),
+    GraftQuery("v3c2_knn_recall",
+      "V3c2 macro recall@5 of the IVF-cell kNN join vs the exact " +
+        "all-pairs top-5, ORACLE-WITNESSED from the dumped pair set " +
+        "(v2d2b convention) — the retune-decision number for " +
+        "nlist/maxCellSize",
+      knnJoinRecall, Some(knnJoinRecallSql)),
     GraftQuery("v18c_quantized_recall",
       "V18c recall@10 of the int8-code top-k vs the float exact " +
         "top-k, ORACLE-WITNESSED from the dumped id set (v2d2b " +
