@@ -275,33 +275,112 @@ object DedupOps extends QueryModule {
     *
     * Scale: the pair work is quadratic ONLY within a block — which is
     * the entire point of SemDeDup: cluster first so the quadratic term
-    * is bounded by cluster size, not corpus size; the block-keyed join
-    * shuffles each block to one task (salt oversized clusters through
-    * the v3c subcell guard when a block outgrows a task). */
+    * is bounded by cluster size, not corpus size. An unguarded
+    * block-keyed join would still put each WHOLE block on one task, so
+    * one oversized semantic cluster (exactly what real corpora have)
+    * becomes a single-task quadratic blowup. Guard: the v3c subcell
+    * salt, adapted to keep the keep-first rule EXACT — a row j must see
+    * every lower-id same-block row i, so the higher-id (probe) side is
+    * salted into ONE of `n_sub = ceil(block_n / maxBlockSize)` subcells
+    * by vec_id hash while the lower-id (prior) side is REPLICATED across
+    * all subcells. Every i<j pair meets exactly once (j lives in one
+    * subcell; i is present in all of them), so the result — and the
+    * DuckDB oracle — is bit-identical to the unsalted join, while each
+    * task's pair product drops from block_n² to ~block_n·maxBlockSize
+    * and tasks parallelize n_sub-ways. Replication cost is
+    * block_n·n_sub rows ≈ block_n²/maxBlockSize — linear in the number
+    * of pairs each i-row must anyway serve, not a new term. At sane
+    * block sizes (n_sub = 1) the plan is the plain block join.
+    * DedupSpec pins the bound on an all-one-label fixture. */
   def semanticPrune(spark: SparkSession, dir: String,
-      tau: Double = 0.35): DataFrame = {
+      tau: Double = 0.35, maxBlockSize: Int = 4096): DataFrame = {
     import graft.functions.VectorFunctions.dot_product
     // project label INLINE next to v/nrm — one scan, no recovery join
     // (review finding, round 6)
     val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("label"),
+      .select(col("vec_id"), col("label").as("blk"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("nrm", sqrt(dot_product(col("v"), col("v"))))
-    val a = e.select(col("label"), col("vec_id").as("i"),
-      col("v").as("v_i"), col("nrm").as("n_i"))
-    val b = e.select(col("label"), col("vec_id").as("j"),
-      col("v").as("v_j"), col("nrm").as("n_j"))
-    val maxPrior = a.join(b, Seq("label"))
+    saltedSemanticPrune(e, tau, maxBlockSize)
+      .withColumnRenamed("blk", "label")
+      .select(col("vec_id"), col("label"), col("max_prior_cos"),
+        col("pruned"))
+  }
+
+  /** The salted keep-first prune over any (blk, vec_id, v, nrm) frame —
+    * the shared core of v50 (blk = label) and v50b (blk = v47 k-means
+    * cell). See [[semanticPrune]]'s scaladoc for the exactness argument:
+    * the j side lands in one subcell, the i side is replicated across
+    * all of them, so every i<j pair meets exactly once and the result
+    * is bit-identical to the unsalted block join. */
+  private[graft] def saltedSemanticPrune(e: DataFrame, tau: Double,
+      maxBlockSize: Int): DataFrame = {
+    import graft.functions.VectorFunctions.dot_product
+    val sizes = e.groupBy(col("blk")).agg(count(lit(1)).as("blk_n"))
+    // ≤ |blocks| rows — broadcastable by construction
+    val sized = e.join(broadcast(sizes), Seq("blk"))
+      .withColumn("n_sub",
+        greatest(lit(1L), ceil(col("blk_n") / maxBlockSize)).cast("int"))
+    val a = sized.select(col("blk"),
+      explode(sequence(lit(0), col("n_sub") - 1)).as("sub"),
+      col("vec_id").as("i"), col("v").as("v_i"), col("nrm").as("n_i"))
+    val b = sized.select(col("blk"),
+      pmod(xxhash64(col("vec_id")), col("n_sub")).cast("int").as("sub"),
+      col("vec_id").as("j"), col("v").as("v_j"), col("nrm").as("n_j"))
+    // build the UNreplicated j side (~maxBlockSize rows per (blk,sub)
+    // partition); the replicated i side streams — same convention as
+    // the v3c cell join
+    val maxPrior = a.join(b.hint("shuffle_hash"), Seq("blk", "sub"))
       .filter(col("i") < col("j"))
       .withColumn("cos", round(
         dot_product(col("v_i"), col("v_j")) / (col("n_i") * col("n_j")), 6))
       .groupBy(col("j")).agg(max(col("cos")).as("max_prior_cos"))
-    e.select(col("vec_id"), col("label"))
+    e.select(col("vec_id"), col("blk"))
       .join(maxPrior, col("vec_id") === col("j"), "left")
-      .select(col("vec_id"), col("label"), col("max_prior_cos"),
+      .select(col("vec_id"), col("blk"), col("max_prior_cos"),
         coalesce(col("max_prior_cos") >= tau, lit(false)).as("pruned"))
       .orderBy(col("vec_id"))
   }
+
+  /** V50b: the UNSUPERVISED SemDeDup composition — the form the paper
+    * actually runs: blocks are not a given label but the v47 exact
+    * k-means cells (cluster first, then keep-first-prune within each
+    * cluster). Every stage is oracle-checked: DuckDB reruns the
+    * identical integer-micro Lloyd unroll (the lloydChainSql
+    * convention), derives the same cell map, and hash-matches the prune
+    * verdicts — so even the cluster assignment feeding the dedup
+    * decision is engine-agreed. Same salted pair join as v50. */
+  def semanticPruneKmeans(spark: SparkSession, dir: String,
+      tau: Double = 0.35, maxBlockSize: Int = 4096): DataFrame = {
+    import graft.functions.VectorFunctions.dot_product
+    val cells = graft.sim.ClusterOps.finalAssign(spark, dir)
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(dot_product(col("v"), col("v"))))
+      .join(cells, Seq("vec_id"))
+      .select(col("vec_id"), col("cid").as("blk"), col("v"), col("nrm"))
+    saltedSemanticPrune(e, tau, maxBlockSize)
+      .withColumnRenamed("blk", "cluster")
+      .select(col("vec_id"), col("cluster"), col("max_prior_cos"),
+        col("pruned"))
+  }
+
+  private lazy val semanticPruneKmeansSql: String =
+    s"""${graft.sim.ClusterOps.lloydChainSql},
+       | e AS (SELECT em.vec_id, fa.cid,
+       |   CAST(em.embedding AS DOUBLE[]) AS v,
+       |   sqrt(list_dot_product(CAST(em.embedding AS DOUBLE[]),
+       |        CAST(em.embedding AS DOUBLE[]))) AS nrm
+       |  FROM embeddings em JOIN fa ON fa.vec_id = em.vec_id),
+       | p AS (SELECT b.vec_id AS j,
+       |   max(round(list_dot_product(a.v, b.v)/(a.nrm*b.nrm), 6)) AS mpc
+       |  FROM e a JOIN e b ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |  GROUP BY 1)
+       |SELECT e.vec_id, e.cid AS cluster, p.mpc AS max_prior_cos,
+       | coalesce(p.mpc >= 0.35, false) AS pruned
+       |FROM e LEFT JOIN p ON p.j = e.vec_id
+       |ORDER BY e.vec_id""".stripMargin
 
   private val semanticPruneSql: String =
     s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
@@ -1012,6 +1091,12 @@ object DedupOps extends QueryModule {
         "every cos>=0.35 neighborhood, prune the rest — the dedup " +
         "DECISION with its pruning witness (max prior cosine)",
       (s, d) => semanticPrune(s, d), Some(semanticPruneSql)),
+    GraftQuery("v50b_semantic_prune_kmeans",
+      "V50b unsupervised SemDeDup: blocks are the v47 exact k-means " +
+        "cells (the composition the paper runs — cluster, then " +
+        "keep-first prune within each cluster); DuckDB reruns the " +
+        "identical Lloyd unroll so even the cell map is hash-agreed",
+      (s, d) => semanticPruneKmeans(s, d), Some(semanticPruneKmeansSql)),
     GraftQuery("v2d_embedding_neardup",
       "V2 embedding-cosine near-dup pairs (cos >= 0.4), exact " +
         "block-partitioned pair join (no unbounded broadcast)",

@@ -139,9 +139,14 @@ object ClusterOps extends QueryModule {
        |  FROM u$i GROUP BY cid)""".stripMargin
   }
 
+  /** The final (vec_id, cid) assignment of the shared Lloyd run — the
+    * unsupervised block map v50b's SemDeDup composition consumes. */
+  private[graft] def finalAssign(spark: SparkSession, dir: String): DataFrame =
+    lloyd(spark, dir)._1.select(col("vec_id"), col("cid"))
+
   /** The WITH-chain shared by every oracle that consumes the Lloyd
     * run: pts → c0 → 3 iterations → final assignment `fa`. */
-  private lazy val lloydChainSql: String = {
+  private[graft] lazy val lloydChainSql: String = {
     val iters = (1 to Iters).map(iterSql).mkString(",\n ")
     s"""WITH pts AS (SELECT vec_id, $microVecSql AS xm FROM embeddings),
        | c0 AS (SELECT vec_id AS cid, xm AS cm FROM pts WHERE vec_id < $K),

@@ -178,6 +178,56 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.05, s"rank-1 recall under 10x salting: $recall")
   }
 
+  test("V50 salt guard: one giant block stays bounded AND exact") {
+    import spark.implicits._
+    // all-one-label fixture: the worst semantic skew — every vector in
+    // ONE block. Unsalted, the pair join would put all 500² pair evals
+    // on a single task.
+    val tmp = java.nio.file.Files.createTempDirectory("v50-salt").toString
+    Tables.embeddings(spark, sf).withColumn("label", lit(0))
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val salted = DedupOps.semanticPrune(spark, tmp, maxBlockSize = 50)
+      .collect().map(r => (r.getLong(0), Option(r.get(2)), r.getBoolean(3)))
+    // EXACT under salting: the j side meets every lower-id i exactly
+    // once, so the verdicts are bit-identical to the unsalted join
+    val unsalted = DedupOps.semanticPrune(spark, tmp, maxBlockSize = 1 << 20)
+      .collect().map(r => (r.getLong(0), Option(r.get(2)), r.getBoolean(3)))
+    assert(salted === unsalted)
+    assert(salted.length === 500)
+    assert(salted.count(_._3) > 0, "fixture should prune something")
+    // BOUNDED per task: with blk_n=500, maxBlockSize=50 ⇒ n_sub=10, the
+    // j side of each (blk,sub) task is its hash slice — every task's
+    // pair product is blk_n·|slice| ≈ blk_n·maxBlockSize, 10x under the
+    // unsalted blk_n². Recompute the slice sizes the salt produces.
+    val nSub = math.ceil(500.0 / 50).toInt
+    val slices = Tables.embeddings(spark, tmp)
+      .select(pmod(xxhash64(col("vec_id")), lit(nSub)).cast("int").as("sub"))
+      .groupBy("sub").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(slices.size === nSub, s"expected $nSub subcells: $slices")
+    // hash imbalance slack: no slice (hence no task's build side) may
+    // exceed 2x the target subcell size
+    assert(slices.values.max <= 100, s"oversized subcell: $slices")
+  }
+
+  test("V50b k-means SemDeDup: cells from v47, prune verdicts coherent") {
+    val r = DedupOps.semanticPruneKmeans(spark, sf).collect()
+    assert(r.length === 500)
+    // clusters are the v47 cell ids (0..K-1 seeded); verdicts follow
+    // the witness: pruned <=> max_prior_cos >= tau
+    r.foreach { row =>
+      val mpc = Option(row.get(2)).map(_.asInstanceOf[Double])
+      val pruned = row.getBoolean(3)
+      assert(pruned === mpc.exists(_ >= 0.35), row.toString)
+    }
+    // the unsupervised blocks differ from the label blocks, so the two
+    // entries are genuinely distinct queries
+    val byLabel = DedupOps.semanticPrune(spark, sf).collect()
+      .map(r0 => r0.getLong(0) -> r0.getBoolean(3)).toMap
+    val agree = r.count(row => byLabel(row.getLong(0)) == row.getBoolean(3))
+    assert(agree < r.length, "k-means blocks identical to label blocks?")
+  }
+
   test("V2e cluster paths agree: local union-find == distributed labels") {
     import spark.implicits._
     // a chain, a triangle, an isolated pair — exercises transitivity
