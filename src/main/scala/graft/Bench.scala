@@ -77,21 +77,33 @@ object Bench {
     // leftover blocks + GC pressure. Round 5 measured the contamination at
     // up to 18x (v22b: 190s in-suite vs 10.4s isolated). Failures are
     // recorded as -1 so an erroring entry reads as broken, not as fast.
+    // Best-of-2 per entry (round-6 review): two same-code full-suite
+    // runs disagreed up to 5x on individual entries — host contention
+    // and IO noise, not plan changes — so a single sample is not a
+    // reproducible number. Each entry runs twice with the full cache
+    // hygiene between runs; the MIN is recorded (the run least
+    // polluted by external noise). Entry-level hygiene still holds:
+    // clearCache drops only CacheManager entries; frames materialized
+    // via localCheckpoint (BPE word tables, BFS frontiers, graph
+    // edges) pin block-manager memory until the ContextCleaner gets
+    // to them — release those too so the next run starts clean. Safe:
+    // every cross-entry memo in this repo hands over a parquet PATH,
+    // never a persisted frame.
     val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
-        catch { case _: Throwable => false }
-      val dt = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache()
-      // clearCache drops only CacheManager entries; frames materialized
-      // via localCheckpoint (BPE word tables, BFS frontiers, graph
-      // edges) pin block-manager memory until the ContextCleaner gets
-      // to them — release those too so query N+1 starts clean. Safe:
-      // every cross-entry memo in this repo hands over a parquet PATH,
-      // never a persisted frame.
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
-      name -> (if (ok) dt else -1.0)
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true }
+          catch { case _: Throwable => false }
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        if (ok) dt else -1.0
+      }
+      val (a, b) = (once(), once())
+      // an erroring entry must read as broken, not fast: -1 unless
+      // BOTH runs succeed (a flaky single failure is itself a signal)
+      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

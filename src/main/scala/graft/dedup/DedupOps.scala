@@ -52,7 +52,18 @@ object DedupOps extends QueryModule {
     * two full string arrays per candidate, while this form shuffles
     * narrow (i,j) rows straight into partial aggregation. See
     * [[ngramJaccardPrefix]] for the regime where prefix filtering wins. */
-  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+    // memoized ([[graft.util.PlanMemo]]): FIVE consumers per process
+    // share this one exact plan (the v2a entry, v2c2's witness baseline,
+    // v2e's pair graph, v2f's apply step, and DedupSpec's equality pins)
+    // — computed once, stored, read four more times. ORDER BY re-applied
+    // on the (tiny) read side; the pair set itself is deterministic.
+    graft.util.PlanMemo.memo(spark, "v2a_jaccard", dir)(
+      ngramJaccardPlan(spark, dir))
+      .orderBy(col("i"), col("j"))
+
+  private[graft] def ngramJaccardPlan(spark: SparkSession,
+      dir: String): DataFrame = {
     val sets = shingleSets(spark, dir)
     // cache: both join sides derive from the same shingle explosion
     val ex = sets.select(col("doc_id"), col("sz"),
@@ -805,6 +816,15 @@ object DedupOps extends QueryModule {
     * fingerprint-sampled scale path. */
   def substringDups(spark: SparkSession, dir: String,
       minShared: Int = MinSharedWindows): DataFrame =
+    // memoized: the v22 entry and v22c's witness baseline share one
+    // execution of the stride-1 plan per process (minShared spelled
+    // into the key — specs probe non-default thresholds)
+    graft.util.PlanMemo.memo(spark, s"v22_substr_$minShared", dir)(
+      substringDupsPlan(spark, dir, minShared))
+      .orderBy(col("i"), col("j"))
+
+  private[graft] def substringDupsPlan(spark: SparkSession, dir: String,
+      minShared: Int): DataFrame =
     windowPairs(charWindows(spark, dir, WindowChars),
       MaxDocsPerWindow, minShared)
 
@@ -829,7 +849,14 @@ object DedupOps extends QueryModule {
     * and at the boundary the disagreement is confined to boilerplate
     * the exact path deliberately suppressed. */
   def substringDupsWinnowed(spark: SparkSession, dir: String, b: Int = 8,
-      minShared: Int = 2): DataFrame = {
+      minShared: Int = 2): DataFrame =
+    // memoized: the v22b entry and v22c's dump side share one execution
+    graft.util.PlanMemo.memo(spark, s"v22b_winnow_${b}_$minShared", dir)(
+      substringDupsWinnowedPlan(spark, dir, b, minShared))
+      .orderBy(col("i"), col("j"))
+
+  private[graft] def substringDupsWinnowedPlan(spark: SparkSession,
+      dir: String, b: Int = 8, minShared: Int = 2): DataFrame = {
     val k = WindowChars
     // The whole winnowing runs IN-ROW (one codegen projection): build
     // the (hash, pos, win) structs once per document, take the argmin

@@ -130,8 +130,14 @@ object SimilarityOps extends QueryModule {
     * memo — the next consumer then replayed a truncated lineage and
     * died. Paths are pid-suffixed (the IngestOps convention) so
     * parallel test JVMs never clobber each other; keyed by session so
-    * a recreated session rebuilds rather than trusting stale files
-    * (same pid ⇒ same path ⇒ harmless overwrite). */
+    * a recreated session rebuilds rather than trusting stale files.
+    * Each cache MISS takes a FRESH monotonic-counter path with the
+    * build params spelled literally (review finding, round 6): no
+    * 32-bit hashCode to collide two distinct builds onto one path, and
+    * a rebuild from a second session writes a NEW directory instead of
+    * mode(overwrite)-swapping part files under a prior session's
+    * still-planned readers. */
+  private val ivfCounter = new java.util.concurrent.atomic.AtomicLong(0)
   private val ivfCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String, Int, Int), String]()
 
@@ -146,9 +152,10 @@ object SimilarityOps extends QueryModule {
       // pass at ingest)
       val e = withNorm(Tables.embeddings(spark, dir)).localCheckpoint()
       val cents = refineCentroids(e, nlist, iters)
-      val root = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_" +
-        s"${ProcessHandle.current().pid()}_" +
-        s"${Integer.toHexString((dir, nlist, iters).hashCode())}"
+      val root = graft.util.TempArtifacts.register(
+        s"${System.getProperty("java.io.tmpdir")}/graft_ivf_" +
+          s"${ProcessHandle.current().pid()}_" +
+          s"${ivfCounter.incrementAndGet()}_n${nlist}_i$iters")
       e.write.mode("overwrite").parquet(s"$root/e")
       cents.write.mode("overwrite").parquet(s"$root/cents")
       assignTo(e, cents).write.mode("overwrite").parquet(s"$root/assign")
@@ -232,8 +239,9 @@ object SimilarityOps extends QueryModule {
     * dataset). At sane cell sizes (n_sub = 1, every real layout) the
     * multi-probe recall gain is untouched. */
   def knnJoin(spark: SparkSession, dir: String, k: Int = 5,
-      nlist: Int = 16, nprobe: Int = 8, maxCellSize: Int = 4096): DataFrame = {
-    val (e, cents, assignedRaw) = ivfBuild(spark, dir, nlist, 1)
+      nlist: Int = 16, nprobe: Int = 8, maxCellSize: Int = 4096,
+      iters: Int = 1): DataFrame = {
+    val (e, cents, assignedRaw) = ivfBuild(spark, dir, nlist, iters)
     val assigned = assignedRaw.cache()
     val sizes = assigned.groupBy(col("cent_id"))
       .agg(count(lit(1)).as("cell_n")) // ≤ nlist rows — broadcastable
@@ -572,34 +580,50 @@ object SimilarityOps extends QueryModule {
   private val knnPairsOnce =
     new graft.util.OncePerProcess("kNN join dump")
 
-  /** The exact top-k-per-vector baseline: all-pairs cosine (one side
-    * broadcast — the deliberate quadratic VERIFY plan; a production
-    * run samples query vectors instead) + per-vector rank. Feeds the
-    * v3c2 witness only. */
-  private def exactKnn(spark: SparkSession, dir: String,
-      k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val e = withNorm(Tables.embeddings(spark, dir))
-    val b = e.select(col("vec_id").as("j"), col("v").as("v_j"),
-      col("nrm").as("n_j"))
-    val w = Window.partitionBy(col("i"))
-      .orderBy(col("cos").desc, col("j"))
-    e.select(col("vec_id").as("i"), col("v"), col("nrm"))
-      .join(broadcast(b), col("i") =!= col("j"))
-      .withColumn("cos",
-        round(dot(col("v"), col("v_j")) / (col("nrm") * col("n_j")), 6))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("i"), col("j"))
-  }
+  /** Deterministic query-vector sample for the v3c2 witness baseline:
+    * only vec_id % KnnSampleMod == 0 vectors are scored as QUERIES
+    * (the neighbor side stays the FULL corpus — recall must count true
+    * neighbors from everywhere). Macro recall over a fixed slice is an
+    * unbiased, run-stable estimate of the full macro recall, and it
+    * keeps the witness runnable as testdata grows: the earlier form
+    * broadcast the whole embeddings table and ranked top-k for every
+    * vector — fine at fixture scale, dead at sf≥1. The oracle SQL
+    * slices by the identical predicate. */
+  val KnnSampleMod = 16
 
-  /** V3c2: macro recall of the IVF-cell kNN join vs the exact
-    * all-pairs top-5, ORACLE-WITNESSED — v3c's (i, j) pairs are
-    * dumped; Spark counts how many of ITS exact top-5 pairs the cell
-    * join found, and DuckDB recomputes the same number from the dump
-    * plus its own independent all-pairs QUALIFY SQL. The similarity
-    * join's quality — the number that decides whether nlist/maxCell
-    * need retuning — becomes a driver-hashed value each round. */
+  /** The exact top-k baseline over the sampled query slice: broadcast
+    * the (N/mod)-row query side, stream the full corpus ONCE, per-query
+    * top-k on the native [[graft.plans.TopKPerKey]] operator (bounded
+    * heaps astride one exchange — no whole-corpus sort window). Cost is
+    * N²/mod comparisons spread across all tasks — the honest shape for
+    * a sampled verify pass at any SF. Memoized ([[graft.util.PlanMemo]]):
+    * the witness and any spec pin share one execution per process. */
+  private[graft] def exactKnn(spark: SparkSession, dir: String,
+      k: Int): DataFrame =
+    graft.util.PlanMemo.memo(spark,
+        s"v3c2_exact_knn_m${KnnSampleMod}_k$k", dir) {
+      val e = withNorm(Tables.embeddings(spark, dir))
+      val q = e.filter(pmod(col("vec_id"), lit(KnnSampleMod)) === 0)
+        .select(col("vec_id").as("i"), col("v").as("v_i"),
+          col("nrm").as("n_i"))
+      val scored = e.select(col("vec_id").as("j"), col("v"), col("nrm"))
+        .join(broadcast(q), col("i") =!= col("j"))
+        .withColumn("cos", round(
+          dot(col("v_i"), col("v")) / (col("n_i") * col("nrm")), 6))
+        // TopKPerKey orders ascending; negate for best-first
+        .select(col("i"), col("j"), negate(col("cos")).as("neg_cos"))
+      graft.plans.TopKPerKey.topK(scored, Seq("i"), Seq("neg_cos", "j"), k)
+        .select(col("i"), col("j"))
+    }
+
+  /** V3c2: macro recall of the IVF-cell kNN join vs the exact top-5
+    * over the [[KnnSampleMod]] query sample, ORACLE-WITNESSED — v3c's
+    * (i, j) pairs are dumped; Spark counts how many of ITS exact
+    * sampled top-5 pairs the cell join found, and DuckDB recomputes
+    * the same number from the dump plus its own independent QUALIFY
+    * SQL over the identical slice. The similarity join's quality — the
+    * number that decides whether nlist/nprobe/maxCell need retuning —
+    * becomes a driver-hashed value each round, at any SF. */
   def knnJoinRecall(spark: SparkSession, dir: String): DataFrame = {
     knnPairsOnce.ensure(dir) {
       knnJoin(spark, dir).select(col("i"), col("j"))
@@ -615,7 +639,8 @@ object SimilarityOps extends QueryModule {
        |       CAST(embedding AS DOUBLE[]))) AS nrm FROM embeddings),
        | p AS (SELECT a.vec_id AS i, b.vec_id AS j,
        |   round(list_dot_product(a.v, b.v)/(a.nrm*b.nrm),6) AS cos
-       |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+       |  FROM e a JOIN e b ON a.vec_id <> b.vec_id
+       |  WHERE a.vec_id % $KnnSampleMod = 0),
        | x AS (SELECT i, j FROM p
        |   QUALIFY row_number() OVER (PARTITION BY i
        |     ORDER BY cos DESC, j) <= 5),
@@ -788,9 +813,10 @@ object SimilarityOps extends QueryModule {
       (s, d) => knnJoin(s, d), None),
     GraftQuery("v3c2_knn_recall",
       "V3c2 macro recall@5 of the IVF-cell kNN join vs the exact " +
-        "all-pairs top-5, ORACLE-WITNESSED from the dumped pair set " +
-        "(v2d2b convention) — the retune-decision number for " +
-        "nlist/maxCellSize",
+        "top-5 over the deterministic vec_id%16 query sample, " +
+        "ORACLE-WITNESSED from the dumped pair set (v2d2b " +
+        "convention) — the retune-decision number for nlist/nprobe, " +
+        "runnable at any SF (sampled baseline, full neighbor side)",
       knnJoinRecall, Some(knnJoinRecallSql)),
     GraftQuery("v18c_quantized_recall",
       "V18c recall@10 of the int8-code top-k vs the float exact " +

@@ -124,11 +124,15 @@ object SourceOps extends QueryModule {
     * constant-folds a filter over literal rows into the relation
     * itself, and dynamic pruning is only planned when the dim side
     * still CARRIES a selective predicate. */
-  private val teamsWritten =
-    new java.util.concurrent.atomic.AtomicBoolean(false)
+  // OncePerProcess, not a bare CAS (review finding, round 6): the CAS
+  // loser would proceed straight to spark.read.parquet on a path the
+  // winner may still be writing; ensure() blocks every caller until
+  // the write has completed before any read plans against the path.
+  private val teamsOnce =
+    new graft.util.OncePerProcess("a9 teams dimension")
   private def teamsDim(spark: SparkSession): DataFrame = {
     val path = s"${SpanFixture.Dir}_teams"
-    if (teamsWritten.compareAndSet(false, true)) {
+    teamsOnce.ensure(path) {
       import spark.implicits._
       TeamRows.toDF("service_name", "team").coalesce(1)
         .write.mode("overwrite").parquet(path)

@@ -257,9 +257,18 @@ private[sources] class SpanScan(dir: String, required: StructType,
     extends Scan with Batch with SupportsRuntimeFiltering
     with SupportsReportStatistics {
   private val stats = SpanFileSource.readStats(dir)
-  private var survivors = stats.filter(s =>
+  /** Statically-pruned file list — IMMUTABLE (review finding, round 6:
+    * the earlier in-place mutation made pruning monotone across filter()
+    * invocations, so a re-executed plan whose runtime key set widened
+    * could stay over-pruned from the previous execution). Runtime
+    * survivors are derived fresh from `runtime` at plan time instead. */
+  private val staticSurvivors = stats.filter(s =>
     skipping.forall(f => SpanFileSource.mightMatch(s, f)))
   private var runtime: Array[Filter] = Array.empty
+
+  private def runtimeSurvivors: Seq[SpanFileSource.FileStat] =
+    staticSurvivors.filter(s =>
+      runtime.forall(f => SpanFileSource.mightMatch(s, f)))
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -273,7 +282,9 @@ private[sources] class SpanScan(dir: String, required: StructType,
     * join goes shuffle. Stats reflect static pruning only (runtime
     * filters arrive after planning, by definition). */
   override def estimateStatistics(): Statistics = new Statistics {
-    private val rows = survivors.map(_.nSpans).sum
+    // staticSurvivors by construction: stats reflect static pruning
+    // only, regardless of whether filter() already ran
+    private val rows = staticSurvivors.map(_.nSpans).sum
     // the reader materializes only `required`: ~24 bytes per string
     // cell (ids/names), 8 per long — a deliberate order-of-magnitude
     // estimate; the cost model needs magnitude, not precision
@@ -303,22 +314,22 @@ private[sources] class SpanScan(dir: String, required: StructType,
 
   override def filter(filters: Array[Filter]): Unit = {
     runtime = filters.filter(SpanFileSource.skippable)
-    val before = survivors.size
-    survivors = survivors.filter(s =>
-      runtime.forall(f => SpanFileSource.mightMatch(s, f)))
-    SpanFileSource.lastRuntimePrune = Some((before, survivors.size))
+    // test observability seam only (SourceSpec): best-effort under
+    // concurrency, never feeds planning — survivors are derived fresh
+    SpanFileSource.lastRuntimePrune =
+      Some((staticSurvivors.size, runtimeSurvivors.size))
   }
 
   /** Shown in `.explain()` — SourceSpec greps the `files=` fraction to
     * pin that skipping actually happened. */
   override def description(): String =
-    s"GraftSpanScan files=${survivors.size}/${stats.size} " +
+    s"GraftSpanScan files=${runtimeSurvivors.size}/${stats.size} " +
       s"skipping=[${skipping.mkString(", ")}] " +
       s"runtime=[${runtime.mkString(", ")}] " +
       s"columns=[${required.fieldNames.mkString(", ")}]"
 
   override def planInputPartitions(): Array[InputPartition] =
-    survivors.map(s => SpanInputPartition(s"$dir/${s.file}")
+    runtimeSurvivors.map(s => SpanInputPartition(s"$dir/${s.file}")
       .asInstanceOf[InputPartition]).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -129,8 +129,11 @@ class ExtendedOpsSpec extends SparkSpec {
     val got = DedupOps.substringDupsWinnowed(spark, dir, minShared = 1)
       .collect().map(r => (r.getAs[Long]("i"), r.getAs[Long]("j"))).toSet
     assert(got === Set((1L, 2L)))
-    // deterministic: a second run selects the identical fingerprints
-    val again = DedupOps.substringDupsWinnowed(spark, dir, minShared = 1)
+    // deterministic: a FRESH plan execution (not the PlanMemo read the
+    // registered entry returns) selects the identical fingerprints —
+    // this also pins memoized == recomputed
+    val again = DedupOps
+      .substringDupsWinnowedPlan(spark, dir, minShared = 1)
       .collect().map(r => (r.getAs[Long]("i"), r.getAs[Long]("j"))).toSet
     assert(again === got)
   }

@@ -31,7 +31,10 @@ class PlanSpec extends SparkSpec {
   }
 
   test("grouped aggregation is partial -> final (map-side combine)") {
-    val p = plan(q("t04_endpoint_latencies"))
+    // the PLAN body: the registered t04 entry is a PlanMemo wrapper
+    // whose read side is a parquet scan
+    val p = plan(graft.operators.Relational
+      .endpointLatenciesPlan(spark, sf0001))
     assert(p.contains("partial_"), p)
   }
 
@@ -70,8 +73,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(p.contains("Window"), p)
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
-    // one scan of lineitem only
-    assert("lineitem".r.findAllIn(p).length <= 2, p) // scan node + its ReadSchema path
+    // one scan of lineitem only — count SCAN NODES whose location is
+    // the lineitem table (raw substring frequency was brittle against
+    // plan-format changes and could admit two differently-spelled scans)
+    val lineitemScans = p.linesIterator
+      .count(l => l.contains("Scan parquet") && l.contains("lineitem"))
+    assert(lineitemScans == 1, p)
   }
 
   test("t08 computes per-trace avg with ONE exchange (window, no broadcast)") {
@@ -186,11 +193,15 @@ class PlanSpec extends SparkSpec {
   }
 
   test("v22 substring pair join is a keyed join, never nested-loop") {
-    Seq("v22_substring_dup", "v22b_substring_dup_winnowed").foreach { id =>
-      val p = plan(q(id))
-      assert(!p.contains("BroadcastNestedLoopJoin"), s"$id\n$p")
-      assert(!p.contains("CartesianProduct"), s"$id\n$p")
-    }
+    // PLAN bodies (the registered entries are PlanMemo readers)
+    import graft.dedup.DedupOps
+    Seq("v22" -> DedupOps.substringDupsPlan(spark, sf0001, 5),
+        "v22b" -> DedupOps.substringDupsWinnowedPlan(spark, sf0001))
+      .foreach { case (id, df) =>
+        val p = plan(df)
+        assert(!p.contains("BroadcastNestedLoopJoin"), s"$id\n$p")
+        assert(!p.contains("CartesianProduct"), s"$id\n$p")
+      }
   }
 
   test("v18 quantization is a zero-exchange linear projection") {

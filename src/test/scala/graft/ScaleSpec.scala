@@ -77,10 +77,12 @@ class ScaleSpec extends SparkSpec {
     }
     // the whole point of the twin: exact countDistinct compiles to an
     // Expand x5 of the scan; the HLL form must not
-    val plan = Relational.profileApprox(spark, sf0001)
+    // assert on the PLAN bodies: the registered entries are PlanMemo
+    // wrappers whose read side is a parquet scan either way
+    val plan = Relational.profileApproxPlan(spark, sf0001)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Expand"), "v9b plan still contains Expand")
-    assert(Relational.profile(spark, sf0001)
+    assert(Relational.profilePlan(spark, sf0001)
       .queryExecution.executedPlan.toString.contains("Expand"),
       "expected the exact profile to carry the Expand this twin removes")
   }
