@@ -217,11 +217,16 @@ object SimilarityOps extends QueryModule {
     * pattern. The v3c2 witness is what forced this shape: the earlier
     * single-cell-both-sides form measured macro recall@5 = 0.20 at
     * sf0.1 (a vector's true neighbours usually straddle cells at
-    * nlist=16 over these weakly-clustered synthetic vectors);
-    * multi-probe measured 0.53 at nprobe=4 and 0.78 at nprobe=8 — the
-    * witnessed curve that makes the nprobe-vs-candidate-cost trade a
-    * data-driven decision instead of a guess (real corpora with
-    * genuine cluster structure sit far higher at lower nprobe).
+    * nlist=16 over these weakly-clustered synthetic vectors). The r7
+    * witnessed sweep (KnnTune, sf0.1, sampled exact baseline):
+    * nprobe 4/8/12 → recall 0.53/0.79/0.93 at 1 Lloyd iter, and
+    * 0.56/0.79/0.93 at 3 iters — extra refinement moves nothing here
+    * (the synthetic vectors have no real cluster structure for Lloyd
+    * to find), while nprobe=12 buys +0.14 recall for ~1.5x candidate
+    * work (measured wall-time difference within noise). Default is
+    * therefore nprobe=12, iters=1 — the witnessed curve makes this a
+    * data-driven decision, re-checkable every round (real corpora
+    * with genuine cluster structure sit far higher at lower nprobe).
     * Shuffle: one exchange on (cell, sub), then in-partition pair
     * products bounded by nprobe·maxCellSize per query row — the
     * linear-shuffle alternative to the N² cross join.
@@ -239,7 +244,7 @@ object SimilarityOps extends QueryModule {
     * dataset). At sane cell sizes (n_sub = 1, every real layout) the
     * multi-probe recall gain is untouched. */
   def knnJoin(spark: SparkSession, dir: String, k: Int = 5,
-      nlist: Int = 16, nprobe: Int = 8, maxCellSize: Int = 4096,
+      nlist: Int = 16, nprobe: Int = 12, maxCellSize: Int = 4096,
       iters: Int = 1): DataFrame = {
     val (e, cents, assignedRaw) = ivfBuild(spark, dir, nlist, iters)
     val assigned = assignedRaw.cache()

@@ -41,8 +41,9 @@ class WitnessBandSpec extends SparkSpec {
     // winnowed-fingerprint coverage: 0.964 sf0.001 (one sub-47-char
     // pair legitimately missed — the guarantee starts at k+b-1) / 1.0
     ("v22c_winnow_coverage", "coverage", 0.9, 1.0),
-    // sampled-query kNN-join macro recall@5: 0.806 / 0.781
-    ("v3c2_knn_recall", "recall_at_5", 0.7, 1.0))
+    // sampled-query kNN-join macro recall@5 at the r7-tuned nprobe=12:
+    // 0.93 at sf0.1 (0.79 at the old nprobe=8 — see KnnTune curve)
+    ("v3c2_knn_recall", "recall_at_5", 0.85, 1.0))
 
   bands.foreach { case (id, metric, lo, hi) =>
     test(s"$id: $metric in [$lo, $hi] at sf0.001") {
