@@ -5,7 +5,7 @@ import graft.operators._
 import graft.dedup.DedupOps
 import graft.mm.MultimodalOps
 import graft.nlp.{MixOps, RankOps, TextOps}
-import graft.sim.{ClusterOps, SimilarityOps}
+import graft.sim.{ClusterOps, PqOps, SimilarityOps}
 import graft.sources.SourceOps
 import graft.streaming.StreamingOps
 
@@ -18,7 +18,7 @@ object SparkEntry {
     Relational, EventOps, SeriesOps, SearchOps, IngestOps, SessionOps,
     SpanNativeOps, LayoutOps, JoinOps, CdcOps, OlapOps, GraphOps, StatsOps,
     QualityOps, SourceOps,
-    TextOps, RankOps, MixOps, DedupOps, SimilarityOps, ClusterOps,
+    TextOps, RankOps, MixOps, DedupOps, SimilarityOps, ClusterOps, PqOps,
     MultimodalOps,
     StreamingOps)
 

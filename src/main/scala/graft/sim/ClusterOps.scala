@@ -27,11 +27,11 @@ object ClusterOps extends QueryModule {
   /** float → double (exact) → DECIMAL(18,6) (half-up, identical in both
     * engines) → integer micro-units. The per-element form of
     * [[Exact.microSum]]'s cast chain. */
-  private def microVec(c: Column): Column =
+  private[graft] def microVec(c: Column): Column =
     transform(c, v =>
       (v.cast("double").cast(DecimalType(18, 6)) * 1000000).cast("long"))
 
-  private val microVecSql =
+  private[graft] val microVecSql =
     "list_transform(embedding, v -> " +
       "CAST(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,6)) * 1000000 AS BIGINT))"
 

@@ -1,0 +1,350 @@
+package graft.sim
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Exact, GraftQuery, OracleSql, QueryModule, Tables}
+
+/** Product quantization (V18d-g) — the storage format large-corpus ANN
+  * actually ships: split each vector into [[M]] subspaces, k-means each
+  * subspace to a [[Ksub]]-entry codebook, store each vector as M
+  * sub-codes (here 8 × 6 bits = 6 bytes against 256 bytes of float32 —
+  * ~43× compression; production corpora use 8-bit codebooks, Ksub
+  * scales with corpus size), and answer queries by Asymmetric Distance
+  * Computation: one (sub, code) → distance lookup table of M·Ksub
+  * entries per query, so a scan touches codes + a broadcast LUT and
+  * never the raw vectors. The natural companion of the IVF cell layout
+  * (v3b: route to cells, PQ: distances inside them) and the int8
+  * scalar path (v18: 4×; PQ: ~43×).
+  *
+  * Quality on THIS corpus (v18g, both numbers oracle-derived): the
+  * synthetic vectors have no cluster structure and pairwise distances
+  * concentrate (the true top-10 margin is ~0.2% of the distance), so
+  * set-recall@10 is inherently low for ANY codebook size (numpy sweep:
+  * 0.0/0.2/0.4 at Ksub 16/64/256) — which is why the witness ALSO
+  * reports distance inflation (Σ true distance of the ADC picks over
+  * Σ of the exact picks): ~1.14 here, i.e. the quantized search's ten
+  * picks are ~14% farther than the perfect ten while a random ten
+  * would be ~50% farther — the number that actually characterizes
+  * ADC quality under concentration.
+  *
+  * Everything is oracle-grade exact (the v47 discipline): micro-unit
+  * integer coordinates, integer squared-L2, signed half-up centroid
+  * means, argmin ties to the lowest code id — DuckDB reruns the
+  * identical per-subspace Lloyd unroll and hash-matches codebook
+  * profiles, per-vector codes, the ADC top-k AND its recall against
+  * the exact top-k (no dump needed: both sides derive in-engine).
+  *
+  * Scale shape: training/encoding is ONE dataflow for all M subspaces
+  * (subspace id is a key, not a loop) — per Lloyd round one broadcast
+  * of the M·Ksub×SubDims codebook bundle (1 KiB-scale) plus one
+  * (sub, cid, dim)-keyed partial-agg shuffle; encoding is the same
+  * broadcast + in-row argmin with zero extra shuffle; the ADC query
+  * is codes ⋈ broadcast(LUT) + one vec_id-keyed partial agg into a
+  * TakeOrderedAndProject. Overflow bounds at these micro-units
+  * (|x| ≤ ~6e5): per-sub d ≤ 8·(1.2e6)² ≈ 1.2e13, ADC sums ≤ 1e14,
+  * inertia safe to ~7e5 members per (sub, cell) — beyond that switch
+  * the sums to DECIMAL (the refineCentroids spelling).
+  */
+object PqOps extends QueryModule {
+
+  /** Subspace count × dims per subspace = the 64-dim embedding. */
+  val M = 8
+  val SubDims = 8
+  /** Codebook size per subspace — 6-bit codes (~n/30 members per cell
+    * at this corpus size; 256 at production scale). */
+  val Ksub = 64
+  /** Unrolled Lloyd iterations (PQ codebooks converge fast; a fixed
+    * small unroll keeps the oracle expressible as chained CTEs). */
+  val Iters = 2
+
+  private val distExpr =
+    "aggregate(zip_with(xm, c.cm, (a, b) -> (a - b) * (a - b)), " +
+      "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+
+  /** (vec_id, xm64) — full micro-unit vectors. */
+  private def base(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), ClusterOps.microVec(col("embedding"))
+        .as("xm64"))
+
+  /** (vec_id, sub, xm[SubDims]) — one row per (vector, subspace), all
+    * M slices built in ONE in-row transform + posexplode. */
+  private def subPoints(spark: SparkSession, dir: String): DataFrame =
+    base(spark, dir)
+      .select(col("vec_id"), posexplode(expr(
+        s"transform(sequence(0, ${M - 1}), " +
+          s"s -> slice(xm64, s * $SubDims + 1, $SubDims))")))
+      .toDF("vec_id", "sub", "xm")
+
+  /** All M codebooks folded into ONE broadcast row; assignment is a
+    * pure in-row argmin over the row's own subspace (ties to the
+    * lowest code id, mirroring the oracle's ORDER BY d, cid). */
+  private def assignSub(pts: DataFrame, cents: DataFrame): DataFrame =
+    pts.crossJoin(broadcast(cents.agg(array_sort(collect_list(
+        struct(col("sub"), col("cid"), col("cm")))).as("cs"))))
+      .withColumn("best", expr(
+        "array_min(transform(filter(cs, c -> c.sub = sub), " +
+          s"c -> named_struct('d', $distExpr, 'cid', c.cid)))"))
+      .select(col("vec_id"), col("sub"),
+        col("best.cid").as("cid"), col("best.d").as("d"))
+
+  /** Lloyd update over all subspaces at once: one (sub, cid, dim)
+    * partial-agg shuffle, k-row-scale output localCheckpointed (the
+    * v47 lineage discipline). The update re-joins xm from pts by
+    * (vec_id): assignSub's output deliberately drops the vectors so
+    * the memoized code table stays 4 narrow columns. */
+  private def update(pts: DataFrame, assigned: DataFrame): DataFrame =
+    assigned.join(pts, Seq("vec_id", "sub"))
+      .select(col("sub"), col("cid"), posexplode(col("xm")))
+      .toDF("sub", "cid", "dim", "x")
+      .groupBy(col("sub"), col("cid"), col("dim"))
+      .agg(Exact.signedDivRound(sum(col("x")), count(lit(1))).as("mu"))
+      .groupBy(col("sub"), col("cid"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"),
+        col("mu")))), s => s.getField("mu")).as("cm"))
+      .localCheckpoint()
+
+  /** The trained codebooks (sub, cid, cm) — memoized to parquet per
+    * process ([[graft.util.PlanMemo]]): four registry entries consume
+    * one training run, which is also the honest layout (codebooks are
+    * trained once at ingest and stored). */
+  private def codebooks(spark: SparkSession, dir: String): DataFrame =
+    graft.util.PlanMemo.memo(spark, "v18d_pq_codebooks", dir) {
+      val pts = subPoints(spark, dir).localCheckpoint()
+      var cents = pts.filter(col("vec_id") < Ksub)
+        .select(col("sub"), col("vec_id").as("cid"), col("xm").as("cm"))
+      for (_ <- 1 to Iters) cents = update(pts, assignSub(pts, cents))
+      cents
+    }
+
+  /** The encoded corpus (vec_id, sub, cid, d) — the stored code table. */
+  private def codes(spark: SparkSession, dir: String): DataFrame =
+    graft.util.PlanMemo.memo(spark, "v18e_pq_codes", dir)(
+      assignSub(subPoints(spark, dir), codebooks(spark, dir)))
+
+  /** V18d: PQ codebook training profile — per (sub, cid): member
+    * count, inertia (Σ squared micro-L2 to the codebook entry) and the
+    * centroid coordinate sum as the codebook witness. */
+  def pqTrain(spark: SparkSession, dir: String): DataFrame = {
+    val stats = codes(spark, dir).groupBy(col("sub"), col("cid"))
+      .agg(count(lit(1)).as("n"), sum(col("d")).as("inertia"))
+    val witness = codebooks(spark, dir).select(col("sub"), col("cid"),
+      expr("aggregate(cm, CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+        .as("c_sum"))
+    stats.join(witness, Seq("sub", "cid"))
+      .select(col("sub"), col("cid"), col("n"), col("inertia"),
+        col("c_sum"))
+      .orderBy(col("sub"), col("cid"))
+  }
+
+  /** V18e: the encoded corpus witnessed per vector — code_sum (Σ of
+    * the M sub-codes) and code_pack (the literal 48-bit packed PQ code:
+    * Σ cid·2^(6·sub) — exactly the 6 bytes a production code table
+    * stores per vector). Two independent integer checksums = the code
+    * arrays agree bit-for-bit across engines (the v18 convention). */
+  def pqEncode(spark: SparkSession, dir: String): DataFrame =
+    codes(spark, dir).groupBy(col("vec_id"))
+      .agg(sum(col("cid")).as("code_sum"),
+        sum(expr("cid * shiftleft(CAST(1 AS BIGINT), 6 * sub)"))
+          .as("code_pack"))
+      .orderBy(col("vec_id"))
+
+  /** ADC scores against the query (vec_id = [[queryId]]): the M·Ksub
+    * lookup table is built once from the codebooks and broadcast; the
+    * scan touches only the code table. */
+  private val queryId = 0L
+
+  private def adcScores(spark: SparkSession, dir: String): DataFrame = {
+    val q = subPoints(spark, dir).filter(col("vec_id") === queryId)
+      .select(col("sub"), col("xm").as("qm"))
+    val lut = codebooks(spark, dir).join(broadcast(q), Seq("sub"))
+      .select(col("sub"), col("cid"), expr(
+        "aggregate(zip_with(cm, qm, (a, b) -> (a - b) * (a - b)), " +
+          "CAST(0 AS BIGINT), (acc, v) -> acc + v)").as("ld"))
+    codes(spark, dir).filter(col("vec_id") =!= queryId)
+      .join(broadcast(lut), Seq("sub", "cid"))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("ld")).as("adc_d"))
+  }
+
+  /** V18f: ADC top-10 — nearest neighbours by the quantized distance.
+    * Deterministic integers end-to-end, so unlike most ANN surfaces
+    * this approximate QUERY PATH itself carries a full oracle. */
+  def pqAdcTopK(spark: SparkSession, dir: String,
+      k: Int = 10): DataFrame =
+    adcScores(spark, dir)
+      .orderBy(col("adc_d"), col("vec_id"))
+      .limit(k)
+
+  private val trueDistExpr =
+    "aggregate(zip_with(xm64, qm, (a, b) -> (a - b) * (a - b)), " +
+      "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+
+  /** V18g: ADC quality vs the exact full-precision micro-L2 top-10 —
+    * BOTH set recall@10 and distance inflation (Σ true distance of the
+    * ADC picks / Σ of the exact picks, exact-integer ratio): under the
+    * distance concentration of this corpus the set metric saturates
+    * low while inflation cleanly quantifies how much farther the
+    * quantized search's picks land (see the module scaladoc). No dump
+    * needed (the v2d2b convention's simpler cousin): both sides are
+    * deterministic, so each engine derives both itself and the driver
+    * hash-checks the agreement. */
+  def pqRecall(spark: SparkSession, dir: String): DataFrame = {
+    val b = base(spark, dir)
+    val q = b.filter(col("vec_id") === queryId)
+      .select(col("xm64").as("qm"))
+    val pqIds = pqAdcTopK(spark, dir).select(col("vec_id"))
+    // true (not ADC) distances of the ADC picks — 10 rows
+    val pqSum = pqIds.join(b, Seq("vec_id")).crossJoin(broadcast(q))
+      .agg(sum(expr(trueDistExpr)).as("pq_sum"))
+    val exact = b.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .withColumn("d", expr(trueDistExpr))
+      .orderBy(col("d"), col("vec_id"))
+      .limit(10)
+      .select(col("vec_id"), col("d"))
+    exact.join(broadcast(pqIds.withColumn("h", lit(1))),
+        Seq("vec_id"), "left")
+      .agg(coalesce(sum(coalesce(col("h"), lit(0))), lit(0))
+        .cast("long").as("n_hit"),
+        count(lit(1)).as("n_exact"),
+        sum(col("d")).as("ex_sum"))
+      .crossJoin(broadcast(pqSum))
+      .select(col("n_hit"), col("n_exact"),
+        Exact.ratio6(col("n_hit"), col("n_exact")).as("recall_at_10"),
+        // distance sums reach ~1e15 micro² — ratio6's ×1e6 would
+        // overflow Long, so both sides shed 12 bits first (identical
+        // integer shift in both engines; 9+ significant digits remain
+        // for a 6dp ratio)
+        Exact.ratio6(shiftright(col("pq_sum"), 12),
+          shiftright(col("ex_sum"), 12)).as("dist_inflation"))
+  }
+
+  // ---- oracle SQL: the per-subspace Lloyd unroll (lloydChainSql
+  // generalized: every CTE carries `sub` in its keys) ----
+
+  private def iterSql(i: Int): String =
+    s"""d$i AS (SELECT p.vec_id, p.sub, p.xm, c.cid,
+       |   CAST(list_sum(list_transform(range(1, len(p.xm) + 1),
+       |     k -> (p.xm[k] - c.cm[k]) * (p.xm[k] - c.cm[k]))) AS BIGINT) AS d
+       |  FROM pts p JOIN c${i - 1} c ON c.sub = p.sub),
+       | a$i AS (SELECT vec_id, sub, xm, cid FROM d$i
+       |   QUALIFY row_number() OVER (PARTITION BY vec_id, sub
+       |     ORDER BY d, cid) = 1),
+       | u$i AS (SELECT sub, cid, dim,
+       |   ${OracleSql.signedDivRound("sum(x)", "count(*)")} AS mu
+       |  FROM (SELECT sub, cid, unnest(xm) AS x,
+       |          unnest(range(1, len(xm) + 1)) AS dim FROM a$i)
+       |  GROUP BY sub, cid, dim),
+       | c$i AS (SELECT sub, cid, list(CAST(mu AS BIGINT) ORDER BY dim) AS cm
+       |  FROM u$i GROUP BY sub, cid)""".stripMargin
+
+  /** base → subspace points → c0 → unrolled iterations → final
+    * assignment `fa` (vec_id, sub, cid, d). */
+  private lazy val pqChainSql: String = {
+    val iters = (1 to Iters).map(iterSql).mkString(",\n ")
+    s"""WITH b AS (SELECT vec_id, ${ClusterOps.microVecSql} AS xm64
+       |           FROM embeddings),
+       | subs AS (SELECT unnest(range($M)) AS sub),
+       | pts AS (SELECT vec_id, sub,
+       |   list_slice(xm64, sub * $SubDims + 1, sub * $SubDims + $SubDims)
+       |     AS xm
+       |  FROM b, subs),
+       | c0 AS (SELECT sub, vec_id AS cid, xm AS cm FROM pts
+       |        WHERE vec_id < $Ksub),
+       | $iters,
+       | fd AS (SELECT p.vec_id, p.sub, c.cid,
+       |   CAST(list_sum(list_transform(range(1, len(p.xm) + 1),
+       |     k -> (p.xm[k] - c.cm[k]) * (p.xm[k] - c.cm[k]))) AS BIGINT) AS d
+       |  FROM pts p JOIN c$Iters c ON c.sub = p.sub),
+       | fa AS (SELECT vec_id, sub, cid, d FROM fd
+       |   QUALIFY row_number() OVER (PARTITION BY vec_id, sub
+       |     ORDER BY d, cid) = 1)""".stripMargin
+  }
+
+  private lazy val pqTrainSql: String =
+    s"""$pqChainSql,
+       | st AS (SELECT sub, cid, CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(d) AS BIGINT) AS inertia FROM fa GROUP BY 1, 2),
+       | wt AS (SELECT sub, cid, CAST(list_sum(cm) AS BIGINT) AS c_sum
+       |        FROM c$Iters)
+       |SELECT CAST(sub AS INT) AS sub, cid, n, inertia, c_sum
+       |FROM st JOIN wt USING (sub, cid) ORDER BY sub, cid""".stripMargin
+
+  private lazy val pqEncodeSql: String =
+    s"""$pqChainSql
+       |SELECT vec_id, CAST(sum(cid) AS BIGINT) AS code_sum,
+       | CAST(sum(cid * (CAST(1 AS BIGINT) << (6 * sub))) AS BIGINT)
+       |   AS code_pack
+       |FROM fa GROUP BY 1 ORDER BY vec_id""".stripMargin
+
+  private lazy val adcSql: String =
+    s"""q AS (SELECT sub, xm AS qm FROM pts WHERE vec_id = $queryId),
+       | lut AS (SELECT c.sub, c.cid,
+       |   CAST(list_sum(list_transform(range(1, len(c.cm) + 1),
+       |     k -> (c.cm[k] - q.qm[k]) * (c.cm[k] - q.qm[k]))) AS BIGINT)
+       |     AS ld
+       |  FROM c$Iters c JOIN q ON q.sub = c.sub),
+       | sc AS (SELECT f.vec_id, CAST(sum(l.ld) AS BIGINT) AS adc_d
+       |  FROM fa f JOIN lut l ON l.sub = f.sub AND l.cid = f.cid
+       |  WHERE f.vec_id <> $queryId GROUP BY 1)""".stripMargin
+
+  private lazy val pqAdcTopKSql: String =
+    s"""$pqChainSql,
+       | $adcSql
+       |SELECT vec_id, adc_d FROM sc ORDER BY adc_d, vec_id
+       |LIMIT 10""".stripMargin
+
+  private lazy val pqRecallSql: String =
+    s"""$pqChainSql,
+       | $adcSql,
+       | pq AS (SELECT vec_id FROM sc ORDER BY adc_d, vec_id LIMIT 10),
+       | qf AS (SELECT xm64 AS qm FROM b WHERE vec_id = $queryId),
+       | ex AS (SELECT bb.vec_id,
+       |   CAST(list_sum(list_transform(range(1, len(bb.xm64) + 1),
+       |     k -> (bb.xm64[k] - q.qm[k]) * (bb.xm64[k] - q.qm[k])))
+       |     AS BIGINT) AS d
+       |  FROM b bb, qf q WHERE bb.vec_id <> $queryId
+       |  ORDER BY d, vec_id LIMIT 10),
+       | pd AS (SELECT CAST(sum(
+       |     CAST(list_sum(list_transform(range(1, len(bb.xm64) + 1),
+       |       k -> (bb.xm64[k] - q.qm[k]) * (bb.xm64[k] - q.qm[k])))
+       |       AS BIGINT)) AS BIGINT) AS pq_sum
+       |  FROM b bb JOIN pq ON pq.vec_id = bb.vec_id, qf q),
+       | ed AS (SELECT CAST(sum(d) AS BIGINT) AS ex_sum FROM ex),
+       | h AS (SELECT CAST(count(*) AS BIGINT) AS n_hit FROM ex
+       |       WHERE EXISTS (SELECT 1 FROM pq WHERE pq.vec_id = ex.vec_id)),
+       | t AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM ex)
+       |SELECT n_hit, n_exact,
+       | ${OracleSql.ratio6("n_hit", "n_exact")} AS recall_at_10,
+       | ${OracleSql.ratio6("(pq_sum >> 12)", "(ex_sum >> 12)")}
+       |   AS dist_inflation
+       |FROM h, t, pd, ed""".stripMargin
+
+  val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("v18d_pq_train",
+      "V18d product-quantization codebook training (M=8 subspaces, " +
+        "Ksub=64, 2 unrolled integer-micro Lloyd rounds in ONE " +
+        "dataflow — subspace is a key, not a loop): per-(sub, code) " +
+        "size/inertia/centroid witness, hash-identical across engines",
+      pqTrain, Some(pqTrainSql)),
+    GraftQuery("v18e_pq_encode",
+      "V18e PQ encoding: each vector as M 6-bit sub-codes, witnessed " +
+        "by code_sum + the literal packed 48-bit code (~43x smaller " +
+        "than float32) — broadcast codebooks, in-row argmin, zero " +
+        "extra shuffle",
+      pqEncode, Some(pqEncodeSql)),
+    GraftQuery("v18f_pq_adc_topk",
+      "V18f ADC top-10: asymmetric distance via a broadcast M*Ksub " +
+        "lookup table over the code table only — integer-exact, so " +
+        "the approximate query path itself is fully oracled",
+      (s, d) => pqAdcTopK(s, d), Some(pqAdcTopKSql)),
+    GraftQuery("v18g_pq_recall",
+      "V18g ADC quality vs the exact top-10: set recall@10 AND " +
+        "distance inflation (true distance of the ADC picks over the " +
+        "exact picks — the metric that survives distance " +
+        "concentration), derived in-engine by BOTH engines (no dump) " +
+        "and driver-hashed",
+      pqRecall, Some(pqRecallSql)))
+}

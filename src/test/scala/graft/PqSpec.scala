@@ -1,0 +1,52 @@
+package graft
+
+import graft.sim.PqOps
+import org.apache.spark.sql.functions._
+
+/** Product-quantization invariants (v18d-g) beyond the oracle hashes:
+  * code ranges, pack/unpack round-trip, ADC ordering, and the
+  * inflation lower bound. */
+class PqSpec extends SparkSpec {
+
+  test("v18e codes: every vector carries M sub-codes in [0, Ksub) and " +
+    "code_pack decodes back to code_sum") {
+    val enc = PqOps.pqEncode(spark, sf0001).collect()
+    assert(enc.length === 500)
+    enc.foreach { r =>
+      val pack = r.getAs[Long]("code_pack")
+      val sum = r.getAs[Long]("code_sum")
+      val codes = (0 until PqOps.M).map(s => (pack >> (6 * s)) & 0x3F)
+      // every 6-bit field is a valid code and the fields reassemble
+      // both checksums — pack and sum agree on the same code vector
+      assert(codes.forall(c => c >= 0 && c < PqOps.Ksub), r.toString)
+      assert(codes.sum === sum, s"pack/sum disagree: $r")
+      assert(pack >>> (6 * PqOps.M) === 0L, s"stray high bits: $r")
+    }
+  }
+
+  test("v18d training profile: M*Ksub cells at most, members sum to " +
+    "n_vectors per subspace, inertia non-negative") {
+    val prof = PqOps.pqTrain(spark, sf0001).collect()
+    assert(prof.length <= PqOps.M * PqOps.Ksub)
+    val bySub = prof.groupBy(_.getAs[Int]("sub"))
+    assert(bySub.keySet === (0 until PqOps.M).toSet)
+    bySub.values.foreach { rs =>
+      assert(rs.map(_.getAs[Long]("n")).sum === 500L)
+      rs.foreach(r => assert(r.getAs[Long]("inertia") >= 0L))
+    }
+  }
+
+  test("v18f ADC top-10 is ascending with deterministic tie-break") {
+    val rows = PqOps.pqAdcTopK(spark, sf0001).collect()
+    assert(rows.length === 10)
+    val ds = rows.map(_.getAs[Long]("adc_d"))
+    assert(ds.sorted.toSeq === ds.toSeq)
+    assert(!rows.map(_.getAs[Long]("vec_id")).contains(0L))
+  }
+
+  test("v18g: ADC picks can never beat the exact picks (inflation >= 1)") {
+    val r = PqOps.pqRecall(spark, sf0001).collect().head
+    assert(r.getAs[Long]("n_exact") === 10L)
+    assert(r.getAs[Double]("dist_inflation") >= 1.0)
+  }
+}

@@ -43,7 +43,11 @@ class WitnessBandSpec extends SparkSpec {
     ("v22c_winnow_coverage", "coverage", 0.9, 1.0),
     // sampled-query kNN-join macro recall@5 at the r7-tuned nprobe=12:
     // 0.93 at sf0.1 (0.79 at the old nprobe=8 — see KnnTune curve)
-    ("v3c2_knn_recall", "recall_at_5", 0.85, 1.0))
+    ("v3c2_knn_recall", "recall_at_5", 0.85, 1.0),
+    // PQ ADC distance inflation: 1.07/1.06/1.14 at sf0.001/0.01/0.1
+    // (set recall saturates low under distance concentration — the
+    // PqOps scaladoc — so the band rides the inflation metric)
+    ("v18g_pq_recall", "dist_inflation", 1.0, 1.3))
 
   bands.foreach { case (id, metric, lo, hi) =>
     test(s"$id: $metric in [$lo, $hi] at sf0.001") {
