@@ -98,16 +98,28 @@ object ClusterOps extends QueryModule {
     * never re-grouped or re-shuffled. Micro-unit sums bound ~9e12
     * points per cluster before Long overflow — beyond that the update
     * switches to DECIMAL sums (the refineCentroids spelling). */
-  /** The shared Lloyd run: (final assignment (vec_id, xm, cid, d),
-    * final centroids (cid, cm)). */
+  /** The shared Lloyd run, memoized ([[graft.util.PlanMemo]]): v47,
+    * v53, v50b and v18h all consume one training run per process —
+    * centroids first (the full iteration chain), then the final
+    * assignment derived from the stored centroids. Returns (final
+    * assignment (vec_id, xm, cid, d), final centroids (cid, cm)). */
   private def lloyd(spark: SparkSession,
       dir: String): (DataFrame, DataFrame) = {
-    val pts = points(spark, dir)
-    var cents = pts.filter(col("vec_id") < K)
-      .select(col("vec_id").as("cid"), col("xm").as("cm"))
-    for (_ <- 1 to Iters) cents = update(assign(pts, cents))
-    (assign(pts, cents), cents)
+    val cents = graft.util.PlanMemo.memo(spark, "v47_cents", dir) {
+      val pts = points(spark, dir)
+      var c = pts.filter(col("vec_id") < K)
+        .select(col("vec_id").as("cid"), col("xm").as("cm"))
+      for (_ <- 1 to Iters) c = update(assign(pts, c))
+      c
+    }
+    val fin = graft.util.PlanMemo.memo(spark, "v47_assign", dir)(
+      assign(points(spark, dir), cents))
+    (fin, cents)
   }
+
+  /** Final centroids only — the coarse quantizer v18h routes through. */
+  private[graft] def finalCentroids(spark: SparkSession,
+      dir: String): DataFrame = lloyd(spark, dir)._2
 
   def kmeans(spark: SparkSession, dir: String): DataFrame = {
     val (fin, cents) = lloyd(spark, dir)

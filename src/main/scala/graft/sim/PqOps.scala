@@ -119,9 +119,13 @@ object PqOps extends QueryModule {
     }
 
   /** The encoded corpus (vec_id, sub, cid, d) — the stored code table. */
-  private def codes(spark: SparkSession, dir: String): DataFrame =
+  private def codes(spark: SparkSession, dir: String): DataFrame = {
+    // resolve the codebook memo BEFORE entering this memo's build (a
+    // memo-in-memo call is legal but keeps the lock held longer)
+    val cb = codebooks(spark, dir)
     graft.util.PlanMemo.memo(spark, "v18e_pq_codes", dir)(
-      assignSub(subPoints(spark, dir), codebooks(spark, dir)))
+      assignSub(subPoints(spark, dir), cb))
+  }
 
   /** V18d: PQ codebook training profile — per (sub, cid): member
     * count, inertia (Σ squared micro-L2 to the codebook entry) and the
@@ -221,47 +225,106 @@ object PqOps extends QueryModule {
           shiftright(col("ex_sum"), 12)).as("dist_inflation"))
   }
 
+  /** Cells probed by the v18h coarse router. */
+  val NCell = 2
+
+  /** V18h: IVF-PQ — the complete modern ANN serving path composed from
+    * two oracle-grade halves: v47's exact k-means is the COARSE
+    * quantizer (route the query to its [[NCell]] nearest of K=8 cells
+    * by exact integer L2), and the ADC scan runs ONLY over the probed
+    * cells' code-table rows. At scale the code table is stored
+    * partitioned by cell id (the v3b2 layout), so the semi-join below
+    * becomes partition pruning and a query touches NCell/K of the
+    * codes plus one broadcast LUT — the FAISS IVFPQ architecture as a
+    * Spark dataflow. Every stage (cell map, codebooks, routing, ADC
+    * ranks) is integer-exact, so the whole composition hash-checks
+    * against DuckDB running BOTH Lloyd unrolls in one WITH chain. */
+  def ivfPqTopK(spark: SparkSession, dir: String, k: Int = 10,
+      ncell: Int = NCell): DataFrame = {
+    val q = ClusterOps.pointsOf(Tables.embeddings(spark, dir))
+      .filter(col("vec_id") === queryId).select(col("xm"))
+    val probed = ClusterOps.finalCentroids(spark, dir)
+      .crossJoin(broadcast(q))
+      .withColumn("d", expr(
+        "aggregate(zip_with(cm, xm, (a, b) -> (a - b) * (a - b)), " +
+          "CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+      .orderBy(col("d"), col("cid"))
+      .limit(ncell)
+      .select(col("cid"))
+    val cand = ClusterOps.finalAssign(spark, dir)
+      .join(broadcast(probed), Seq("cid"))
+      .filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"))
+    adcScores(spark, dir)
+      .join(cand, Seq("vec_id"), "left_semi")
+      .orderBy(col("adc_d"), col("vec_id"))
+      .limit(k)
+  }
+
+  private lazy val ivfPqTopKSql: String =
+    s"""${ClusterOps.lloydChainSql},
+       | ${pqCtes("p")},
+       | ${adcCtes("p")},
+       | qpt AS (SELECT xm FROM pts WHERE vec_id = $queryId),
+       | qd AS (SELECT c.cid,
+       |   CAST(list_sum(list_transform(range(1, len(c.cm) + 1),
+       |     k -> (c.cm[k] - q.xm[k]) * (c.cm[k] - q.xm[k]))) AS BIGINT)
+       |     AS d
+       |  FROM c${ClusterOps.Iters} c, qpt q),
+       | probed AS (SELECT cid FROM qd ORDER BY d, cid LIMIT $NCell),
+       | cand AS (SELECT vec_id FROM fa
+       |   WHERE cid IN (SELECT cid FROM probed) AND vec_id <> $queryId)
+       |SELECT s.vec_id, s.adc_d FROM psc s JOIN cand USING (vec_id)
+       |ORDER BY adc_d, vec_id LIMIT 10""".stripMargin
+
   // ---- oracle SQL: the per-subspace Lloyd unroll (lloydChainSql
   // generalized: every CTE carries `sub` in its keys) ----
 
-  private def iterSql(i: Int): String =
-    s"""d$i AS (SELECT p.vec_id, p.sub, p.xm, c.cid,
+  /** CTE name prefix `x`: the standalone entries use "", v18h prefixes
+    * with "p" so the PQ chain composes with ClusterOps.lloydChainSql
+    * (whose names pts/c0../fa would otherwise collide) in one WITH. */
+  private def iterSql(x: String, i: Int): String =
+    s"""${x}d$i AS (SELECT p.vec_id, p.sub, p.xm, c.cid,
        |   CAST(list_sum(list_transform(range(1, len(p.xm) + 1),
        |     k -> (p.xm[k] - c.cm[k]) * (p.xm[k] - c.cm[k]))) AS BIGINT) AS d
-       |  FROM pts p JOIN c${i - 1} c ON c.sub = p.sub),
-       | a$i AS (SELECT vec_id, sub, xm, cid FROM d$i
+       |  FROM ${x}pts p JOIN ${x}c${i - 1} c ON c.sub = p.sub),
+       | ${x}a$i AS (SELECT vec_id, sub, xm, cid FROM ${x}d$i
        |   QUALIFY row_number() OVER (PARTITION BY vec_id, sub
        |     ORDER BY d, cid) = 1),
-       | u$i AS (SELECT sub, cid, dim,
+       | ${x}u$i AS (SELECT sub, cid, dim,
        |   ${OracleSql.signedDivRound("sum(x)", "count(*)")} AS mu
        |  FROM (SELECT sub, cid, unnest(xm) AS x,
-       |          unnest(range(1, len(xm) + 1)) AS dim FROM a$i)
+       |          unnest(range(1, len(xm) + 1)) AS dim FROM ${x}a$i)
        |  GROUP BY sub, cid, dim),
-       | c$i AS (SELECT sub, cid, list(CAST(mu AS BIGINT) ORDER BY dim) AS cm
-       |  FROM u$i GROUP BY sub, cid)""".stripMargin
+       | ${x}c$i AS (SELECT sub, cid,
+       |   list(CAST(mu AS BIGINT) ORDER BY dim) AS cm
+       |  FROM ${x}u$i GROUP BY sub, cid)""".stripMargin
 
   /** base → subspace points → c0 → unrolled iterations → final
-    * assignment `fa` (vec_id, sub, cid, d). */
-  private lazy val pqChainSql: String = {
-    val iters = (1 to Iters).map(iterSql).mkString(",\n ")
-    s"""WITH b AS (SELECT vec_id, ${ClusterOps.microVecSql} AS xm64
+    * assignment `fa` (vec_id, sub, cid, d) — the CTE LIST (no WITH),
+    * so callers can splice it after other chains. */
+  private def pqCtes(x: String): String = {
+    val iters = (1 to Iters).map(iterSql(x, _)).mkString(",\n ")
+    s"""${x}b AS (SELECT vec_id, ${ClusterOps.microVecSql} AS xm64
        |           FROM embeddings),
-       | subs AS (SELECT unnest(range($M)) AS sub),
-       | pts AS (SELECT vec_id, sub,
+       | ${x}subs AS (SELECT unnest(range($M)) AS sub),
+       | ${x}pts AS (SELECT vec_id, sub,
        |   list_slice(xm64, sub * $SubDims + 1, sub * $SubDims + $SubDims)
        |     AS xm
-       |  FROM b, subs),
-       | c0 AS (SELECT sub, vec_id AS cid, xm AS cm FROM pts
+       |  FROM ${x}b, ${x}subs),
+       | ${x}c0 AS (SELECT sub, vec_id AS cid, xm AS cm FROM ${x}pts
        |        WHERE vec_id < $Ksub),
        | $iters,
-       | fd AS (SELECT p.vec_id, p.sub, c.cid,
+       | ${x}fd AS (SELECT p.vec_id, p.sub, c.cid,
        |   CAST(list_sum(list_transform(range(1, len(p.xm) + 1),
        |     k -> (p.xm[k] - c.cm[k]) * (p.xm[k] - c.cm[k]))) AS BIGINT) AS d
-       |  FROM pts p JOIN c$Iters c ON c.sub = p.sub),
-       | fa AS (SELECT vec_id, sub, cid, d FROM fd
+       |  FROM ${x}pts p JOIN ${x}c$Iters c ON c.sub = p.sub),
+       | ${x}fa AS (SELECT vec_id, sub, cid, d FROM ${x}fd
        |   QUALIFY row_number() OVER (PARTITION BY vec_id, sub
        |     ORDER BY d, cid) = 1)""".stripMargin
   }
+
+  private lazy val pqChainSql: String = "WITH " + pqCtes("")
 
   private lazy val pqTrainSql: String =
     s"""$pqChainSql,
@@ -279,16 +342,19 @@ object PqOps extends QueryModule {
        |   AS code_pack
        |FROM fa GROUP BY 1 ORDER BY vec_id""".stripMargin
 
-  private lazy val adcSql: String =
-    s"""q AS (SELECT sub, xm AS qm FROM pts WHERE vec_id = $queryId),
-       | lut AS (SELECT c.sub, c.cid,
+  private def adcCtes(x: String): String =
+    s"""${x}q AS (SELECT sub, xm AS qm FROM ${x}pts
+       |          WHERE vec_id = $queryId),
+       | ${x}lut AS (SELECT c.sub, c.cid,
        |   CAST(list_sum(list_transform(range(1, len(c.cm) + 1),
        |     k -> (c.cm[k] - q.qm[k]) * (c.cm[k] - q.qm[k]))) AS BIGINT)
        |     AS ld
-       |  FROM c$Iters c JOIN q ON q.sub = c.sub),
-       | sc AS (SELECT f.vec_id, CAST(sum(l.ld) AS BIGINT) AS adc_d
-       |  FROM fa f JOIN lut l ON l.sub = f.sub AND l.cid = f.cid
+       |  FROM ${x}c$Iters c JOIN ${x}q q ON q.sub = c.sub),
+       | ${x}sc AS (SELECT f.vec_id, CAST(sum(l.ld) AS BIGINT) AS adc_d
+       |  FROM ${x}fa f JOIN ${x}lut l ON l.sub = f.sub AND l.cid = f.cid
        |  WHERE f.vec_id <> $queryId GROUP BY 1)""".stripMargin
+
+  private lazy val adcSql: String = adcCtes("")
 
   private lazy val pqAdcTopKSql: String =
     s"""$pqChainSql,
@@ -340,6 +406,14 @@ object PqOps extends QueryModule {
         "lookup table over the code table only — integer-exact, so " +
         "the approximate query path itself is fully oracled",
       (s, d) => pqAdcTopK(s, d), Some(pqAdcTopKSql)),
+    GraftQuery("v18h_ivfpq_topk",
+      "V18h IVF-PQ: v47's exact k-means as the coarse quantizer " +
+        "(route to NCell=2 of 8 cells by integer L2) + ADC over only " +
+        "the probed cells' codes — the FAISS IVFPQ architecture as a " +
+        "Spark dataflow, hash-checked end-to-end by DuckDB running " +
+        "both Lloyd unrolls in one chain; at scale the code table is " +
+        "cell-partitioned so probing is partition pruning",
+      (s, d) => ivfPqTopK(s, d), Some(ivfPqTopKSql)),
     GraftQuery("v18g_pq_recall",
       "V18g ADC quality vs the exact top-10: set recall@10 AND " +
         "distance inflation (true distance of the ADC picks over the " +

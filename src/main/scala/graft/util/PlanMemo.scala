@@ -35,25 +35,44 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * ever references a memo path, so cleanup is safe.
   */
 object PlanMemo {
+  private type Key = (SparkSession, String, String)
   private val counter = new java.util.concurrent.atomic.AtomicLong(0)
-  private val cache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String, String), String]()
+  private val paths =
+    new java.util.concurrent.ConcurrentHashMap[Key, String]()
+  private val locks =
+    new java.util.concurrent.ConcurrentHashMap[Key, Object]()
 
   /** The memoized result of `build` as a DataFrame read from its
     * materialized parquet; `build` runs at most once per
     * (session, key, dir). NOTE: parquet round-trips drop sort order —
     * callers that promise an ordered result re-apply their ORDER BY on
-    * the (small) read side. */
+    * the (small) read side.
+    *
+    * Concurrency: builds run under a PER-KEY monitor, never inside a
+    * ConcurrentHashMap compute — a build lambda is allowed to call
+    * memo() for a DIFFERENT key (the codes→codebooks chain does), and
+    * a nested computeIfAbsent on one shared map can deadlock or throw
+    * 'recursive update' when keys land in the same bin. Only a CYCLE
+    * of memo dependencies could deadlock the per-key form, and the
+    * dependency graph here is a DAG by construction. */
   def memo(spark: SparkSession, key: String, dir: String)
       (build: => DataFrame): DataFrame = {
-    val path = cache.computeIfAbsent((spark, key, dir), _ => {
-      val p = TempArtifacts.register(
-        s"${sys.props("java.io.tmpdir")}/graft_memo_" +
-          s"${ProcessHandle.current().pid()}_" +
-          s"${counter.incrementAndGet()}_$key")
-      build.write.mode("overwrite").parquet(p)
-      p
-    })
-    spark.read.parquet(path)
+    val k = (spark, key, dir)
+    var p = paths.get(k)
+    if (p == null) {
+      val lock = locks.computeIfAbsent(k, _ => new Object)
+      lock.synchronized {
+        p = paths.get(k)
+        if (p == null) {
+          p = TempArtifacts.register(
+            s"${sys.props("java.io.tmpdir")}/graft_memo_" +
+              s"${ProcessHandle.current().pid()}_" +
+              s"${counter.incrementAndGet()}_$key")
+          build.write.mode("overwrite").parquet(p)
+          paths.put(k, p)
+        }
+      }
+    }
+    spark.read.parquet(p)
   }
 }

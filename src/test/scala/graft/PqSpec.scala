@@ -44,6 +44,22 @@ class PqSpec extends SparkSpec {
     assert(!rows.map(_.getAs[Long]("vec_id")).contains(0L))
   }
 
+  test("v18h IVF-PQ: results come only from probed cells and are a " +
+    "subset-consistent rerank of the full ADC scan") {
+    val rows = PqOps.ivfPqTopK(spark, sf0001).collect()
+    assert(rows.length === 10)
+    val ds = rows.map(_.getAs[Long]("adc_d"))
+    assert(ds.sorted.toSeq === ds.toSeq)
+    // every result's full-scan ADC distance matches (the probe only
+    // narrows the candidate set, never changes a score)
+    val full = PqOps.pqAdcTopK(spark, sf0001, k = 500).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("adc_d")).toMap
+    rows.foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      assert(full.get(id).contains(r.getAs[Long]("adc_d")), s"vec $id")
+    }
+  }
+
   test("v18g: ADC picks can never beat the exact picks (inflation >= 1)") {
     val r = PqOps.pqRecall(spark, sf0001).collect().head
     assert(r.getAs[Long]("n_exact") === 10L)
