@@ -25,7 +25,7 @@ object TextOps extends QueryModule {
 
   /** Adds the shared scoring columns: `w` (words), `mc` (fused marker
     * counts) and `s_en..s_fr` (shared by [[langId]] and [[curate]]). */
-  private def withMarkerScores(df: DataFrame): DataFrame = {
+  private[graft] def withMarkerScores(df: DataFrame): DataFrame = {
     val d = df.withColumn("w", words)
       .withColumn("mc", graft.functions.MarkerFunctions.marker_counts(
         col("w"), langs.map(markers)))
@@ -45,7 +45,7 @@ object TextOps extends QueryModule {
   /** Argmax language over s_en..s_fr marker-count columns with the
     * deterministic en > de > es > fr tie-break (shared by [[langId]] and
     * [[curate]]; assumes non-null scores — callers gate NULL text). */
-  private def argmaxLang: Column =
+  private[graft] def argmaxLang: Column =
     when(col("s_en") + col("s_de") + col("s_es") + col("s_fr") === 0, "und")
       .when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") &&
         col("s_en") >= col("s_fr"), "en")
@@ -380,8 +380,8 @@ object TextOps extends QueryModule {
        |  CASE WHEN rk <= 10 THEN 'kept' ELSE 'cap' END, score FROM surv)
        |ORDER BY doc_id""".stripMargin
 
-  private val wordsSql = "string_split(lower(text), ' ')"
-  private def markerSql(lang: String): String =
+  private[graft] val wordsSql = "string_split(lower(text), ' ')"
+  private[graft] def markerSql(lang: String): String =
     s"len(list_filter($wordsSql, w -> w IN (${markers(lang).map(s => s"'$s'").mkString(",")})))"
 
   /** V42: vocabulary growth — per ingest batch (doc_id-range buckets of
