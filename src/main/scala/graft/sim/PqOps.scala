@@ -277,6 +277,110 @@ object PqOps extends QueryModule {
        |SELECT s.vec_id, s.adc_d FROM psc s JOIN cand USING (vec_id)
        |ORDER BY adc_d, vec_id LIMIT 10""".stripMargin
 
+  /** Stateless in-row PQ encode of any embeddings-shaped frame (batch
+    * OR streaming) against the broadcast codebook bundle: all M
+    * sub-codes argmin'd inside one row (slices built inline), then the
+    * two integer checksums — no explode, no per-vector state, so the
+    * streaming twin runs in APPEND mode with zero aggregation state.
+    * NOTE Spark SQL's `arr[i]` is 0-based (element_at is the 1-based
+    * form). */
+  private def encodeInRow(df: DataFrame, cents: DataFrame): DataFrame =
+    df.select(col("vec_id"),
+        ClusterOps.microVec(col("embedding")).as("xm64"))
+      .crossJoin(broadcast(cents.agg(array_sort(collect_list(
+        struct(col("sub"), col("cid"), col("cm")))).as("cs"))))
+      .withColumn("codes", expr(
+        s"""transform(sequence(0, ${M - 1}), s ->
+           |  array_min(transform(filter(cs, c -> c.sub = s),
+           |    c -> named_struct('d',
+           |      aggregate(zip_with(slice(xm64, s * $SubDims + 1, $SubDims),
+           |        c.cm, (a, b) -> (a - b) * (a - b)),
+           |        CAST(0 AS BIGINT), (acc, v) -> acc + v),
+           |      'cid', c.cid))).cid)""".stripMargin))
+      .select(col("vec_id"),
+        expr("aggregate(codes, CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+          .as("code_sum"),
+        expr(s"aggregate(transform(sequence(0, ${M - 1}), " +
+          "s -> codes[s] * shiftleft(CAST(1 AS BIGINT), 6 * s)), " +
+          "CAST(0 AS BIGINT), (acc, v) -> acc + v)").as("code_pack"))
+
+  /** ST16: streaming PQ encoding — the embeddings table replayed as a
+    * stream and encoded in-row against the batch-trained codebooks
+    * (the st15 train-batch/serve-streaming convention, now for the
+    * storage format itself: an ingest pipeline compresses arriving
+    * vectors to codes before they ever land). Stateless append-mode
+    * map, so the finite stream equals the batch encode and shares
+    * v18e's oracle unchanged. */
+  def streamingPqEncode(spark: SparkSession, dir: String): DataFrame = {
+    val schema = Tables.table(spark, dir, "embeddings").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+    val enc = encodeInRow(stream, codebooks(spark, dir))
+    graft.streaming.StreamingOps.runToBatchAppend(spark, enc,
+        s"st16_pq_${System.nanoTime()}")
+      .orderBy(col("vec_id"))
+  }
+
+  /** Write the IVF-PQ index as storage: the code table joined with the
+    * v47 cell map, parquet-PARTITIONED BY cell — the literal layout
+    * v18h's scaladoc promises — plus the codebooks and coarse
+    * centroids beside it. A stored probe then reads NCell of K code
+    * directories (partition pruning, pinned in PqSpec): query cost
+    * scales with ncell/K of the codes, never the corpus. */
+  def writeIvfPqIndex(spark: SparkSession, dir: String,
+      indexPath: String): Unit = {
+    val cells = ClusterOps.finalAssign(spark, dir)
+      .withColumnRenamed("cid", "cell")
+    codes(spark, dir).join(cells, Seq("vec_id"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$indexPath/codes")
+    codebooks(spark, dir).write.mode("overwrite")
+      .parquet(s"$indexPath/codebooks")
+    ClusterOps.finalCentroids(spark, dir).write.mode("overwrite")
+      .parquet(s"$indexPath/coarse")
+  }
+
+  /** Point-lookup of one vector in exact micro units (the b6-style
+    * pushed-down source read) — how a stored-index query obtains its
+    * vector when it does not arrive with the request. */
+  def microQueryVector(spark: SparkSession, dir: String,
+      vecId: Long): Array[Long] =
+    Tables.embeddings(spark, dir).filter(col("vec_id") === vecId)
+      .select(ClusterOps.microVec(col("embedding")).as("xm"))
+      .head.getSeq[Long](0).toArray
+
+  /** V18i: the stored probe — route on the tiny coarse-centroid table,
+    * read ONLY the probed cell partitions of the code table, ADC via a
+    * LUT built from the stored codebooks against the externally-
+    * supplied query vector. Same integers as [[ivfPqTopK]] (pinned in
+    * PqSpec), so it shares v18h's oracle. */
+  def ivfPqTopKStored(spark: SparkSession, indexPath: String,
+      qm: Array[Long], k: Int = 10, ncell: Int = NCell,
+      excludeVecId: Long = -1L): DataFrame = {
+    val qFull = typedLit(qm.toSeq)
+    val probedIds = spark.read.parquet(s"$indexPath/coarse")
+      .withColumn("d", aggregate(zip_with(col("cm"), qFull,
+        (a, b) => (a - b) * (a - b)), lit(0L), (acc, v) => acc + v))
+      .orderBy(col("d"), col("cid"))
+      .limit(ncell)
+      .select(col("cid"))
+      .collect().map(_.getLong(0)) // ncell ids -> partition pruning
+    val qSubs = typedLit(qm.grouped(SubDims).map(_.toSeq).toSeq)
+    val lut = spark.read.parquet(s"$indexPath/codebooks")
+      .withColumn("qm", element_at(qSubs, col("sub") + 1))
+      .withColumn("ld", aggregate(zip_with(col("cm"), col("qm"),
+        (a, b) => (a - b) * (a - b)), lit(0L), (acc, v) => acc + v))
+      .select(col("sub"), col("cid"), col("ld"))
+    spark.read.parquet(s"$indexPath/codes")
+      .filter(col("cell").isin(probedIds: _*))
+      .filter(col("vec_id") =!= excludeVecId)
+      .join(broadcast(lut), Seq("sub", "cid"))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("ld")).as("adc_d"))
+      .orderBy(col("adc_d"), col("vec_id"))
+      .limit(k)
+  }
+
   // ---- oracle SQL: the per-subspace Lloyd unroll (lloydChainSql
   // generalized: every CTE carries `sub` in its keys) ----
 
@@ -414,6 +518,26 @@ object PqOps extends QueryModule {
         "both Lloyd unrolls in one chain; at scale the code table is " +
         "cell-partitioned so probing is partition pruning",
       (s, d) => ivfPqTopK(s, d), Some(ivfPqTopKSql)),
+    GraftQuery("v18i_ivfpq_stored",
+      "V18i stored IVF-PQ: code table parquet-partitioned by v47 " +
+        "cell, probe routes on the coarse centroids and reads ONLY " +
+        "the probed cell partitions (pruning + equality with v18h " +
+        "pinned in PqSpec) — shares v18h's oracle",
+      (s, d) => {
+        val idx = graft.util.TempArtifacts.register(
+          s"${sys.props("java.io.tmpdir")}/graft_ivfpq_index_" +
+            ProcessHandle.current().pid())
+        writeIvfPqIndex(s, d, idx)
+        ivfPqTopKStored(s, idx, microQueryVector(s, d, queryId),
+          excludeVecId = queryId)
+      }, Some(ivfPqTopKSql)),
+    GraftQuery("st16_streaming_pq_encode",
+      "ST16 streaming PQ encode: arriving vectors compressed in-row " +
+        "against broadcast batch-trained codebooks (train-batch/" +
+        "serve-streaming for the storage format itself) — stateless " +
+        "append map, finite stream == batch encode, shares v18e's " +
+        "oracle",
+      streamingPqEncode, Some(pqEncodeSql)),
     GraftQuery("v18g_pq_recall",
       "V18g ADC quality vs the exact top-10: set recall@10 AND " +
         "distance inflation (true distance of the ADC picks over the " +

@@ -60,6 +60,25 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("v18i stored IVF-PQ: partition-pruned probe equals in-memory") {
+    val idx = java.nio.file.Files
+      .createTempDirectory("ivfpq-index").toString
+    PqOps.writeIvfPqIndex(spark, sf0001, idx)
+    val stored = PqOps.ivfPqTopKStored(spark, idx,
+      PqOps.microQueryVector(spark, sf0001, 0L), excludeVecId = 0L)
+    // the probed code scan must read only NCell partitions — partition
+    // pruning is the entire economics of a stored IVF-PQ index
+    val plan = stored.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan)
+    assert(plan.contains("cell"), plan)
+    val a = stored.collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("adc_d"))).toSeq
+    val b = PqOps.ivfPqTopK(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("adc_d"))).toSeq
+    assert(a === b)
+  }
+
   test("v18g: ADC picks can never beat the exact picks (inflation >= 1)") {
     val r = PqOps.pqRecall(spark, sf0001).collect().head
     assert(r.getAs[Long]("n_exact") === 10L)
