@@ -492,6 +492,88 @@ object DedupOps extends QueryModule {
        |WHERE ${OracleSql.ratio6("n_hit", "sz")} >= 0.05
        |ORDER BY doc_id""".stripMargin
 
+  /** V16b: SEMANTIC decontamination — v16's embedding-space sibling
+    * (and the modern pipeline's second line of defense: paraphrased or
+    * translated eval material shares no shingles but sits next to the
+    * benchmark in embedding space). Flag every corpus vector whose
+    * cosine to ANY benchmark vector (the same deterministic
+    * `vec_id % 97` slice convention as v16's doc slice) reaches `tau`.
+    *
+    * Scale shape: the benchmark embeddings fold into ONE broadcast row
+    * of structs (benchmarks are small by definition — the assignSub /
+    * v47 centroid-bundle convention) and the per-vector max cosine is
+    * computed IN-ROW (transform + array_max over the bundle): one
+    * linear corpus scan, ZERO extra shuffle, no corpus-vs-corpus join. */
+  def semanticDecontaminate(spark: SparkSession, dir: String,
+      tau: Double = 0.3): DataFrame = {
+    val e = graft.sim.SimilarityOps.withNorm(Tables.embeddings(spark, dir))
+    val benchRow = e.filter(pmod(col("vec_id"), lit(97)) === 0)
+      .agg(array_sort(collect_list(struct(col("vec_id").as("bid"),
+        col("v").as("bv"), col("nrm").as("bn")))).as("bs"))
+    e.filter(pmod(col("vec_id"), lit(97)) =!= 0)
+      .crossJoin(broadcast(benchRow))
+      .withColumn("cs", transform(col("bs"), b =>
+        round(graft.sim.SimilarityOps.dot(col("v"), b.getField("bv")) /
+          (col("nrm") * b.getField("bn")), 6)))
+      .select(col("vec_id"),
+        size(filter(col("cs"), _ >= tau)).cast("long").as("n_bench_hits"),
+        array_max(col("cs")).as("max_bench_cos"))
+      .filter(col("max_bench_cos") >= tau)
+      .orderBy(col("vec_id"))
+  }
+
+  private val semanticDecontaminateSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+       |       CAST(embedding AS DOUBLE[]))) AS nrm FROM embeddings),
+       | b AS (SELECT * FROM e WHERE vec_id % 97 = 0),
+       | c AS (SELECT * FROM e WHERE vec_id % 97 <> 0),
+       | s AS (SELECT c.vec_id,
+       |   round(list_dot_product(c.v, b.v)/(c.nrm*b.nrm), 6) AS cos
+       |  FROM c, b)
+       |SELECT vec_id,
+       | CAST(count(*) FILTER (WHERE cos >= 0.3) AS BIGINT) AS n_bench_hits,
+       | max(cos) AS max_bench_cos
+       |FROM s GROUP BY 1 HAVING max(cos) >= 0.3
+       |ORDER BY vec_id""".stripMargin
+
+  /** ST17: STREAMING decontamination — v16 as an ingest-time gate
+    * (catch eval contamination before a document ever lands in the
+    * corpus) in the st15/st16 train-batch/serve-streaming convention:
+    * the pooled benchmark shingles are computed batch-side (a static
+    * eval table in production), folded into one broadcast row, and each
+    * arriving document's containment is computed IN-ROW over its own
+    * shingle set — a stateless append-mode map, so the finite stream
+    * equals the batch decontaminate and SHARES v16's oracle unchanged.
+    * (At a benchmark too large for array_contains scans, the v20b
+    * Bloom runtime filter is the drop-in membership probe.) */
+  def streamingDecontaminate(spark: SparkSession, dir: String,
+      tau: Double = 0.05): DataFrame = {
+    val benchRow = shingleSets(spark, dir)
+      .filter(pmod(col("doc_id"), lit(97)) === 0)
+      .select(explode(col("sh")).as("shingle")).distinct()
+      .agg(array_sort(collect_list(col("shingle"))).as("bench"))
+    val schema = Tables.table(spark, dir, "documents").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val scored = stream
+      .filter(pmod(col("doc_id"), lit(97)) =!= 0)
+      .select(col("doc_id"), shingles.as("sh"))
+      .withColumn("sz", size(col("sh")))
+      .filter(col("sz") > 0)
+      .crossJoin(broadcast(benchRow))
+      .withColumn("n_hit",
+        size(filter(col("sh"), s => array_contains(col("bench"), s)))
+          .cast("long"))
+      .withColumn("contamination", Exact.ratio6(col("n_hit"), col("sz")))
+      .filter(col("contamination") >= tau)
+      .select(col("doc_id"), col("sz").as("n_shingles"), col("n_hit"),
+        col("contamination"))
+    graft.streaming.StreamingOps.runToBatchAppend(spark, scored,
+        s"st17_decon_${System.nanoTime()}")
+      .orderBy(col("doc_id"))
+  }
+
   /** Path for the dumped IVF pair set — referenced by the v2d2b oracle
     * SQL, so it must be stable within a process (pid-suffixed against
     * concurrent runners, same convention as the ingest fixture). */
@@ -1106,6 +1188,19 @@ object DedupOps extends QueryModule {
         "overlaps the pooled benchmark (doc_id%97) shingles >= 0.05 " +
         "containment — broadcast semi-join, linear in corpus size",
       (s, d) => decontaminate(s, d), Some(decontaminateSql)),
+    GraftQuery("v16b_semantic_decontamination",
+      "V16b semantic decontamination: corpus vectors with cosine >= " +
+        "0.3 to any benchmark embedding (vec_id%97 slice) — benchmark " +
+        "folded into one broadcast row, per-vector max cosine in-row: " +
+        "linear scan, zero extra shuffle",
+      (s, d) => semanticDecontaminate(s, d),
+      Some(semanticDecontaminateSql)),
+    GraftQuery("st17_streaming_decontamination",
+      "ST17 streaming decontamination: v16 as an ingest-time gate — " +
+        "broadcast benchmark shingles, per-document containment " +
+        "computed in-row, stateless append map; finite stream == batch " +
+        "so it shares v16's oracle",
+      (s, d) => streamingDecontaminate(s, d), Some(decontaminateSql)),
     GraftQuery("v2d2b_ivf_recall",
       "V2d2 candidate-path recall, oracle-witnessed: engine dumps its " +
         "IVF pairs; DuckDB recomputes |ivf ∩ exact|/|exact| against its " +

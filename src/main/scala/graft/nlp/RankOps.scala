@@ -165,10 +165,13 @@ object RankOps extends QueryModule {
     scoreTopK(tf, totals, k)
   }
 
-  private val bm25Sql: String = {
+  /** The BM25 scoring chain as a CTE LIST (no WITH), ending in
+    * `bmscores(doc_id, n_terms, score)` — spliced whole into v55's
+    * hybrid-fusion oracle so both entries score from ONE spelling. */
+  private[graft] val bm25Ctes: String = {
     val inList = QueryTerms.map(t => s"'$t'").mkString(",")
-    s"""WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w
-       |           FROM documents WHERE text IS NOT NULL),
+    s"""d AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+       |      FROM documents WHERE text IS NOT NULL),
        | dd AS (SELECT doc_id, len(w) AS dl, w FROM d),
        | tot AS (SELECT count(*) AS n_docs, sum(dl) AS total_dl FROM dd),
        | tf AS (SELECT doc_id, dl, term, count(*) AS tf
@@ -179,12 +182,16 @@ object RankOps extends QueryModule {
        |        ${OracleSql.ratio6(
                   "22*tf.tf*total_dl*(2*n_docs - 2*df + 1)",
                   "(10*tf.tf*total_dl + 3*total_dl + 9*tf.dl*n_docs)*(2*df + 1)")} AS score_t
-       |       FROM tf JOIN dfq USING (term) CROSS JOIN tot)
-       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
-       | ${OracleSql.sumExact("score_t")} AS score
-       |FROM s GROUP BY 1
-       |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+       |       FROM tf JOIN dfq USING (term) CROSS JOIN tot),
+       | bmscores AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+       |   ${OracleSql.sumExact("score_t")} AS score
+       |  FROM s GROUP BY 1)""".stripMargin
   }
+
+  private val bm25Sql: String =
+    s"""WITH $bm25Ctes
+       |SELECT doc_id, n_terms, score FROM bmscores
+       |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
 
   /** Adjacent-word bigram list built IN-ROW: zip_with of two slices —
     * no positional explode + self-join (shared by V21 and V4h). */

@@ -1,0 +1,189 @@
+package graft.sim
+
+import graft._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Retrieval fusion and diversification — the serving-side tail of the
+  * hybrid-search pipeline the corpus operators feed: lexical BM25
+  * (v19) and dense cosine (v3a) candidate pools fused by Reciprocal
+  * Rank Fusion, and a result list diversified by Maximal Marginal
+  * Relevance.
+  *
+  * Scale shape: both operators run on POOLS — rank-k prefixes whose
+  * size is fixed by the query (TakeOrderedAndProject outputs), never
+  * by the corpus — so every join, window and greedy step below is over
+  * frames of ≤ [[Pool]] rows regardless of data volume. The corpus-
+  * scale work is the candidate generation itself, which stays in the
+  * already-registered v19/v3a/v3b2/v19b plans (stored partition-pruned
+  * indexes at 100 TB).
+  *
+  * Determinism: RRF is computed in INTEGER micro-units
+  * (⌊1e6/(60+rank)⌋ — ranks are integers, so the fold is exact in both
+  * engines); MMR works on rounded-6 cosines, scaled by λ=0.5 (a power
+  * of two — exact in IEEE), with vec_id tie-breaks at every argmax.
+  */
+object FusionOps extends QueryModule {
+
+  /** Candidate-pool size per retriever (bounded by construction). */
+  val Pool = 20
+
+  /** The RRF smoothing constant from Cormack et al. — rank
+    * contributions are 1/(RrfK + rank). */
+  val RrfK = 60L
+
+  /** MMR trade-off λ: score = λ·relevance − (1−λ)·max-similarity.
+    * 0.5 is exact in binary, so the double arithmetic is
+    * engine-identical. */
+  val Lambda = 0.5
+
+  /** V59: hybrid retrieval via Reciprocal Rank Fusion — BM25's top-20
+    * (lexical) and brute-cosine's top-20 (dense) joined FULL OUTER on
+    * doc id, each doc scored Σ ⌊1e6/(60+rank)⌋ over the lists it
+    * appears in (rank 0 = absent = no contribution), top-k by the
+    * fused score. The standard zero-training hybrid ranker; both
+    * source rankings are the oracle-green v19/v3a plans, and the fused
+    * arithmetic is integer-exact, so the HYBRID list itself carries a
+    * full oracle. */
+  def hybridRrf(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val bm = graft.nlp.RankOps.bm25(spark, dir, k = Pool)
+      .select(col("doc_id"), row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))).as("r_bm25"))
+    val vec = SimilarityOps.cosineTopK(spark, dir, k = Pool)
+      .select(col("vec_id").as("doc_id"), row_number().over(
+        Window.orderBy(col("cos").desc, col("vec_id"))).as("r_vec"))
+    bm.join(vec, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_micro",
+        coalesce(Exact.intDiv(lit(1000000L),
+          lit(RrfK) + col("r_bm25").cast("long")), lit(0L)) +
+        coalesce(Exact.intDiv(lit(1000000L),
+          lit(RrfK) + col("r_vec").cast("long")), lit(0L)))
+      .select(col("doc_id"),
+        coalesce(col("r_bm25"), lit(0)).cast("long").as("r_bm25"),
+        coalesce(col("r_vec"), lit(0)).cast("long").as("r_vec"),
+        (col("rrf_micro").cast("double") / 1000000.0).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** The dense pool's CTE chain (v3a's spelling, pool-sized):
+    * `vpool(vec_id, rel, v, nrm)` — the top-[[Pool]] by rounded cosine
+    * WITH their vectors (MMR needs in-pool similarities). */
+  private val vpoolCtes: String =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+       |       CAST(embedding AS DOUBLE[]))) AS nrm FROM embeddings),
+       | q AS (SELECT v AS q_v, nrm AS q_nrm FROM e WHERE vec_id = 0),
+       | vpool AS (SELECT e.vec_id,
+       |   round(list_dot_product(e.v, q.q_v)/(e.nrm*q.q_nrm), 6) AS rel,
+       |   e.v, e.nrm
+       |  FROM e, q WHERE e.vec_id <> 0
+       |  ORDER BY rel DESC, e.vec_id LIMIT $Pool)""".stripMargin
+
+  private val hybridRrfSql: String =
+    s"""WITH ${graft.nlp.RankOps.bm25Ctes},
+       | bmp AS (SELECT doc_id, score FROM bmscores
+       |         ORDER BY score DESC, doc_id LIMIT $Pool),
+       | bmr AS (SELECT doc_id, row_number()
+       |           OVER (ORDER BY score DESC, doc_id) AS r_bm25 FROM bmp),
+       | $vpoolCtes,
+       | vr AS (SELECT vec_id AS doc_id, row_number()
+       |          OVER (ORDER BY rel DESC, vec_id) AS r_vec FROM vpool),
+       | f AS (SELECT coalesce(bmr.doc_id, vr.doc_id) AS doc_id,
+       |        r_bm25, r_vec
+       |       FROM bmr FULL OUTER JOIN vr ON bmr.doc_id = vr.doc_id)
+       |SELECT doc_id,
+       | CAST(coalesce(r_bm25, 0) AS BIGINT) AS r_bm25,
+       | CAST(coalesce(r_vec, 0) AS BIGINT) AS r_vec,
+       | CAST(coalesce(1000000 // ($RrfK + r_bm25), 0)
+       |    + coalesce(1000000 // ($RrfK + r_vec), 0) AS DOUBLE) / 1000000.0
+       |   AS rrf
+       |FROM f ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
+
+  /** V60: Maximal Marginal Relevance diversification of the dense
+    * top-[[Pool]]: greedily select `k` results maximizing
+    * λ·rel − (1−λ)·max-cosine-to-already-selected — the classic
+    * redundancy killer for retrieval-augmented sampling (near-identical
+    * passages stop crowding the context window).
+    *
+    * The greedy loop is UNROLLED as k−1 dataflow steps over the
+    * ≤[[Pool]]-row pool (the v47/v49 unroll convention — each step is
+    * a bounded join + argmax, never a driver-side collect), and DuckDB
+    * replays the identical unroll as chained CTEs, so every pick —
+    * including each step's marginal score — is hash-agreed. */
+  def mmrDiversify(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val rel = SimilarityOps.cosineTopK(spark, dir, k = Pool)
+      .withColumnRenamed("cos", "rel")
+    val e = SimilarityOps.withNorm(Tables.embeddings(spark, dir))
+    val pool = rel.join(e, Seq("vec_id"))
+    val sims = pool.select(col("vec_id").as("i"), col("v").as("vi"),
+        col("nrm").as("ni"))
+      .join(broadcast(pool.select(col("vec_id").as("j"),
+        col("v").as("vj"), col("nrm").as("nj"))), col("i") =!= col("j"))
+      .select(col("i"), col("j"), round(SimilarityOps.dot(col("vi"),
+        col("vj")) / (col("ni") * col("nj")), 6).as("sim"))
+    var sel = rel.orderBy(col("rel").desc, col("vec_id")).limit(1)
+      .select(col("vec_id"), lit(1).as("step"), col("rel"),
+        (lit(Lambda) * col("rel")).as("mmr"))
+    for (step <- 2 to k) {
+      val chosen = sel.select(col("vec_id").as("j"))
+      val marg = sims.join(broadcast(chosen), Seq("j"))
+        .groupBy(col("i")).agg(max(col("sim")).as("max_sim"))
+      val pick = rel
+        .join(chosen.withColumnRenamed("j", "vec_id"),
+          Seq("vec_id"), "left_anti")
+        .join(marg, col("vec_id") === col("i"))
+        .withColumn("mmr",
+          lit(Lambda) * col("rel") - lit(1 - Lambda) * col("max_sim"))
+        .orderBy(col("mmr").desc, col("vec_id"))
+        .limit(1)
+        .select(col("vec_id"), lit(step).as("step"), col("rel"),
+          col("mmr"))
+      sel = sel.unionByName(pick)
+    }
+    sel.orderBy(col("step"))
+  }
+
+  private def mmrSql(k: Int = 5): String = {
+    val steps = (2 to k).map { n =>
+      val selected = (1 until n).map(i => s"SELECT vec_id FROM s$i")
+        .mkString(" UNION ALL ")
+      s"""p$n AS (SELECT c.vec_id, c.rel, max(s.sim) AS ms
+         |  FROM vpool c JOIN sims s ON s.i = c.vec_id
+         |   AND s.j IN ($selected)
+         |  WHERE c.vec_id NOT IN ($selected)
+         |  GROUP BY 1, 2),
+         | s$n AS (SELECT vec_id, $n AS step, rel,
+         |   $Lambda*rel - ${1 - Lambda}*ms AS mmr
+         |  FROM p$n ORDER BY mmr DESC, vec_id LIMIT 1)""".stripMargin
+    }.mkString(",\n ")
+    val unionAll = (1 to k).map(i => s"SELECT * FROM s$i")
+      .mkString(" UNION ALL ")
+    s"""WITH $vpoolCtes,
+       | sims AS (SELECT a.vec_id AS i, b.vec_id AS j,
+       |   round(list_dot_product(a.v, b.v)/(a.nrm*b.nrm), 6) AS sim
+       |  FROM vpool a JOIN vpool b ON a.vec_id <> b.vec_id),
+       | s1 AS (SELECT vec_id, 1 AS step, rel, $Lambda*rel AS mmr
+       |        FROM vpool ORDER BY rel DESC, vec_id LIMIT 1),
+       | $steps
+       |SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(step AS INT) AS step,
+       | rel, mmr
+       |FROM ($unionAll) ORDER BY step""".stripMargin
+  }
+
+  val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("v59_hybrid_rrf",
+      "V59 hybrid retrieval: BM25 top-20 + dense cosine top-20 fused " +
+        "by Reciprocal Rank Fusion (integer micro-unit 1/(60+rank) " +
+        "sums — the fused ranking itself fully oracled); all work is " +
+        "over query-bounded pools, candidate generation stays in the " +
+        "stored-index plans",
+      (s, d) => hybridRrf(s, d), Some(hybridRrfSql)),
+    GraftQuery("v60_mmr_diversify",
+      "V60 MMR diversification of the dense top-20: greedy " +
+        "lambda*rel - (1-lambda)*max-sim selection UNROLLED as " +
+        "bounded dataflow steps (no driver loop); DuckDB replays the " +
+        "identical unroll so every pick and marginal score hash-match",
+      (s, d) => mmrDiversify(s, d), Some(mmrSql())))
+}
