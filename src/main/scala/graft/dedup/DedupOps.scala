@@ -562,9 +562,13 @@ object DedupOps extends QueryModule {
       .withColumn("sz", size(col("sh")))
       .filter(col("sz") > 0)
       .crossJoin(broadcast(benchRow))
+      // array_intersect, NOT filter+array_contains: both sides are
+      // distinct sets, so |sh ∩ bench| is the same count, but the
+      // per-row cost is one hash-set pass (O(|sh|+|bench|)) instead of
+      // |sh|·|bench| string comparisons — measured 50.9 s → ~1 s at
+      // sf0.1 (~2.6k bench shingles × ~52 per doc × 5k docs)
       .withColumn("n_hit",
-        size(filter(col("sh"), s => array_contains(col("bench"), s)))
-          .cast("long"))
+        size(array_intersect(col("sh"), col("bench"))).cast("long"))
       .withColumn("contamination", Exact.ratio6(col("n_hit"), col("sz")))
       .filter(col("contamination") >= tau)
       .select(col("doc_id"), col("sz").as("n_shingles"), col("n_hit"),

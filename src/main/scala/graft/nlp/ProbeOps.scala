@@ -58,15 +58,19 @@ object ProbeOps extends QueryModule {
   /** (doc_id, x1 = en-stopword ratio milli, x2 = mean word length
     * milli, y = 1 if the v4a teacher detects English) — one in-row
     * projection per doc (the fused marker pass provides both the
-    * student's x1 numerator and the teacher's four scores). */
-  private def features(spark: SparkSession, dir: String): DataFrame =
-    TextOps.withMarkerScores(
-        Tables.documents(spark, dir).filter(col("text").isNotNull))
+    * student's x1 numerator and the teacher's four scores). Pure
+    * projections, so it applies to a STREAMING frame unchanged
+    * (st18). */
+  private def featuresOf(docs: DataFrame): DataFrame =
+    TextOps.withMarkerScores(docs.filter(col("text").isNotNull))
       .select(col("doc_id"),
         milli(col("s_en"), size(col("w"))).as("x1"),
         milli(aggregate(col("w"), lit(0L), (acc, x) => acc + length(x)),
           size(col("w"))).as("x2"),
         when(TextOps.argmaxLang === "en", 1L).otherwise(0L).as("y"))
+
+  private def features(spark: SparkSession, dir: String): DataFrame =
+    featuresOf(Tables.documents(spark, dir))
 
   /** The nine sufficient statistics of the normal equations AᵀA b =
     * Aᵀy for A = [1, x1, x2], folded to ONE row in DECIMAL(38,0). */
@@ -112,13 +116,15 @@ object ProbeOps extends QueryModule {
     * micro-unit prediction is b0m + b1m·x1 + b2m·x2 directly (the
     * coefficient rounding to micro costs ≤ ~1e-3 at these feature
     * magnitudes — identical in both engines); class at 0.5. */
-  private def scored(spark: SparkSession, dir: String): DataFrame =
-    features(spark, dir)
-      .crossJoin(broadcast(coefficients(suffStats(
-        features(spark, dir)))))
+  private def scoreAgainst(feats: DataFrame, coef: DataFrame): DataFrame =
+    feats.crossJoin(broadcast(coef))
       .withColumn("pred_micro", col("b0m") +
         col("b1m") * col("x1") + col("b2m") * col("x2"))
       .withColumn("pred_en", col("pred_micro") >= 500000L)
+
+  private def scored(spark: SparkSession, dir: String): DataFrame =
+    scoreAgainst(features(spark, dir),
+      coefficients(suffStats(features(spark, dir))))
 
   /** V61: the trained probe — one row: n, the three micro-coefficient
     * doubles, the training accuracy of the 0.5-threshold class, and
@@ -154,6 +160,27 @@ object ProbeOps extends QueryModule {
       .select(col("doc_id"), col("x1"), col("x2"), col("pred_micro"),
         col("pred_en"), (col("y") === 1L).as("teacher_en"))
       .orderBy(col("doc_id"))
+
+  /** ST18: the trained probe SERVED on a stream — coefficients fitted
+    * batch-side (v61's solve), arriving documents featurized and
+    * scored in-row against the broadcast 3-coefficient row (the
+    * st15/st16/st17 train-batch/serve-streaming convention, now for a
+    * trained model): stateless append map, finite stream == batch, so
+    * it shares v61b's oracle unchanged. This is the deploy shape of
+    * the quality gate: the filter model scores documents at ingest,
+    * before they ever land in the corpus. */
+  def streamingProbeScores(spark: SparkSession, dir: String): DataFrame = {
+    val coef = coefficients(suffStats(features(spark, dir)))
+    val schema = Tables.table(spark, dir, "documents").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val out = scoreAgainst(featuresOf(stream), coef)
+      .select(col("doc_id"), col("x1"), col("x2"), col("pred_micro"),
+        col("pred_en"), (col("y") === 1L).as("teacher_en"))
+    graft.streaming.StreamingOps.runToBatchAppend(spark, out,
+        s"st18_probe_${System.nanoTime()}")
+      .orderBy(col("doc_id"))
+  }
 
   private val featureSql: String = {
     val w = graft.nlp.TextOps.wordsSql
@@ -243,9 +270,15 @@ object ProbeOps extends QueryModule {
         "accuracy are fully oracled",
       probeTrain, Some(probeTrainSql)),
     GraftQuery("v61b_probe_scores",
-      "V57b the probe applied: per-document integer-exact affine " +
+      "V61b the probe applied: per-document integer-exact affine " +
         "score + 0.5-threshold class against the broadcast 3-" +
         "coefficient row — the quality-gate input a curation " +
         "pipeline consumes",
-      probeScores, Some(probeScoresSql)))
+      probeScores, Some(probeScoresSql)),
+    GraftQuery("st18_streaming_probe_scores",
+      "ST18 the trained probe served on a stream: batch-fitted " +
+        "coefficients broadcast, arriving documents featurized and " +
+        "scored in-row — stateless append map, finite stream == " +
+        "batch, shares v61b's oracle",
+      streamingProbeScores, Some(probeScoresSql)))
 }

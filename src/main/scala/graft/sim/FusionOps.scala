@@ -113,8 +113,12 @@ object FusionOps extends QueryModule {
     * replays the identical unroll as chained CTEs, so every pick —
     * including each step's marginal score — is hash-agreed. */
   def mmrDiversify(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    // localCheckpoint both bounded frames (≤20 / ≤380 rows): the
+    // unrolled greedy steps each reference them several times, and
+    // without the cut every step would re-execute the corpus scan +
+    // pair join from scratch (measured 8.9 s → sub-second at sf0.1)
     val rel = SimilarityOps.cosineTopK(spark, dir, k = Pool)
-      .withColumnRenamed("cos", "rel")
+      .withColumnRenamed("cos", "rel").localCheckpoint()
     val e = SimilarityOps.withNorm(Tables.embeddings(spark, dir))
     val pool = rel.join(e, Seq("vec_id"))
     val sims = pool.select(col("vec_id").as("i"), col("v").as("vi"),
@@ -123,6 +127,7 @@ object FusionOps extends QueryModule {
         col("v").as("vj"), col("nrm").as("nj"))), col("i") =!= col("j"))
       .select(col("i"), col("j"), round(SimilarityOps.dot(col("vi"),
         col("vj")) / (col("ni") * col("nj")), 6).as("sim"))
+      .localCheckpoint()
     var sel = rel.orderBy(col("rel").desc, col("vec_id")).limit(1)
       .select(col("vec_id"), lit(1).as("step"), col("rel"),
         (lit(Lambda) * col("rel")).as("mmr"))
@@ -172,7 +177,117 @@ object FusionOps extends QueryModule {
        |FROM ($unionAll) ORDER BY step""".stripMargin
   }
 
+  // ---- V62: feature-hashed document vectors (the hashing trick) ----
+
+  /** Hashed-vector dimensionality (production uses 2^18+; 16 keeps the
+    * oracle output readable while exercising the identical dataflow). */
+  val HashDim = 16
+
+  /** V62: model-free document vectors via the hashing trick — each
+    * word maps to a bucket (md5 hex → int, the v28 spelling, both
+    * engines bit-identical) with a ±1 sign bit, per-doc bucket sums
+    * form a [[HashDim]]-dim integer vector. The cheap text-side
+    * representation when no embedding model is in the loop: one
+    * explode + one (doc,bucket) partial-agg shuffle, output ≤
+    * docs×HashDim rows, integer-exact end-to-end. Zero-sum buckets
+    * are dropped (HAVING <> 0) so the sparse representation is
+    * canonical. */
+  def hashedFeatures(spark: SparkSession, dir: String): DataFrame =
+    hashedVecs(spark, dir)
+      .select(col("doc_id"), col("bucket"), col("weight"))
+      .orderBy(col("doc_id"), col("bucket"))
+
+  private def hashedVecs(spark: SparkSession, dir: String): DataFrame = {
+    val h = md5(concat(lit("feat"), col("word")))
+    Tables.documents(spark, dir).filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), " ")).as("word"))
+      .select(col("doc_id"),
+        pmod(conv(substring(h, 1, 2), 16, 10).cast("long"),
+          lit(HashDim.toLong)).as("bucket"),
+        when(conv(substring(h, 3, 1), 16, 10).cast("int") < 8, 1L)
+          .otherwise(-1L).as("sgn"))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(sum(col("sgn")).as("weight"))
+      .filter(col("weight") =!= 0)
+  }
+
+  /** V62b: cosine top-10 over the hashed vectors against doc 0 — text
+    * similarity search with NO model anywhere (v3a's shape on v62's
+    * representation): the query's ≤HashDim weights broadcast, one
+    * bucket-keyed join + doc-keyed partial agg for the dots, LEFT
+    * join so zero-overlap docs keep dot 0 (exactness), integer dots +
+    * IEEE sqrt (the v51 convention) for the rounded cosine. */
+  def hashedTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val f = hashedVecs(spark, dir)
+    val q = f.filter(col("doc_id") === 0)
+      .select(col("bucket"), col("weight").as("qw"))
+    val qn = q.agg(sum(col("qw") * col("qw")).as("qnn"))
+    val norms = f.groupBy(col("doc_id"))
+      .agg(sum(col("weight") * col("weight")).as("nn"))
+    val dots = f.join(broadcast(q), Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("weight") * col("qw")).as("dot"))
+    norms.join(dots, Seq("doc_id"), "left")
+      .crossJoin(broadcast(qn))
+      .filter(col("doc_id") =!= 0)
+      .select(col("doc_id"),
+        round(coalesce(col("dot"), lit(0L)).cast("double") /
+          (sqrt(col("nn").cast("double")) * sqrt(col("qnn").cast("double"))),
+          6).as("cos"))
+      .orderBy(col("cos").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Shared CTE chain: words → signed buckets → canonical sparse
+    * vectors `hf(doc_id, bucket, weight)`. */
+  private val hashedCtes: String =
+    s"""hw AS (SELECT doc_id,
+       |   unnest(string_split(lower(text), ' ')) AS word
+       |  FROM documents WHERE text IS NOT NULL),
+       | hb AS (SELECT doc_id,
+       |   CAST(('0x' || substr(md5('feat' || word), 1, 2))::INT % $HashDim
+       |     AS BIGINT) AS bucket,
+       |   CASE WHEN ('0x' || substr(md5('feat' || word), 3, 1))::INT < 8
+       |        THEN 1 ELSE -1 END AS sgn
+       |  FROM hw),
+       | hf AS (SELECT doc_id, bucket, CAST(sum(sgn) AS BIGINT) AS weight
+       |  FROM hb GROUP BY 1, 2 HAVING sum(sgn) <> 0)""".stripMargin
+
+  private val hashedFeaturesSql: String =
+    s"""WITH $hashedCtes
+       |SELECT doc_id, bucket, weight FROM hf
+       |ORDER BY doc_id, bucket""".stripMargin
+
+  private val hashedTopKSql: String =
+    s"""WITH $hashedCtes,
+       | hq AS (SELECT bucket, weight AS qw FROM hf WHERE doc_id = 0),
+       | hqn AS (SELECT sum(qw * qw) AS qnn FROM hq),
+       | hn AS (SELECT doc_id, sum(weight * weight) AS nn FROM hf
+       |        GROUP BY 1),
+       | hd AS (SELECT f.doc_id, sum(f.weight * q.qw) AS dot
+       |        FROM hf f JOIN hq q USING (bucket) GROUP BY 1)
+       |SELECT hn.doc_id,
+       | round(CAST(coalesce(hd.dot, 0) AS DOUBLE)
+       |   / (sqrt(CAST(hn.nn AS DOUBLE)) * sqrt(CAST(hqn.qnn AS DOUBLE))),
+       |   6) AS cos
+       |FROM hn LEFT JOIN hd ON hd.doc_id = hn.doc_id CROSS JOIN hqn
+       |WHERE hn.doc_id <> 0
+       |ORDER BY cos DESC, hn.doc_id LIMIT 10""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("v62_hashed_features",
+      "V62 feature-hashing document vectors (the hashing trick, " +
+        "model-free): md5-bucketed signed word counts as canonical " +
+        "sparse HashDim-dim integer vectors — one explode + one " +
+        "(doc,bucket) partial-agg shuffle, integer-exact",
+      hashedFeatures, Some(hashedFeaturesSql)),
+    GraftQuery("v62b_hashed_topk",
+      "V62b cosine top-10 over the hashed vectors (text similarity " +
+        "with no model): broadcast query weights, bucket-keyed dot " +
+        "join with LEFT-join zero-overlap exactness, integer dots + " +
+        "IEEE sqrt",
+      (s, d) => hashedTopK(s, d), Some(hashedTopKSql)),
     GraftQuery("v59_hybrid_rrf",
       "V59 hybrid retrieval: BM25 top-20 + dense cosine top-20 fused " +
         "by Reciprocal Rank Fusion (integer micro-unit 1/(60+rank) " +

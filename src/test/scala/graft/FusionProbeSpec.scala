@@ -114,4 +114,50 @@ class FusionProbeSpec extends SparkSpec {
       .collect().map(_.toSeq)
     assert(stream.toSeq === batch.toSeq)
   }
+
+  test("st18 streaming probe scoring equals the batch v61b scores " +
+    "row-for-row") {
+    val batch = graft.nlp.ProbeOps.probeScores(spark, sf0001)
+      .collect().map(_.toSeq)
+    val stream = graft.nlp.ProbeOps.streamingProbeScores(spark, sf0001)
+      .collect().map(_.toSeq)
+    assert(stream.toSeq === batch.toSeq)
+  }
+
+  test("v62 hashed vectors: weights reconstruct from a local hash of " +
+    "the words, and v62b's cosine re-derives from the vectors") {
+    import java.security.MessageDigest
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .filter(!_.isNullAt(1)).map(r => r.getLong(0) -> r.getString(1))
+    def vecOf(text: String): Map[Long, Long] =
+      text.toLowerCase.split(" ", -1).toSeq.map { w =>
+        val hex = MessageDigest.getInstance("MD5")
+          .digest(("feat" + w).getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        val b = java.lang.Long.parseLong(hex.substring(0, 2), 16) % 16
+        val s = if (java.lang.Long.parseLong(hex.substring(2, 3), 16) < 8)
+          1L else -1L
+        b -> s
+      }.groupBy(_._1).map { case (b, ss) => b -> ss.map(_._2).sum }
+        .filter(_._2 != 0L)
+    val expect = docs.toMap.map { case (id, t) => id -> vecOf(t) }
+    val got = graft.sim.FusionOps.hashedFeatures(spark, sf0001)
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rs) =>
+        id -> rs.map(r => r.getLong(1) -> r.getLong(2)).toMap }
+    assert(got === expect.filter(_._2.nonEmpty))
+    // v62b: re-derive the reported cosines
+    val q = expect(0L)
+    val qn = math.sqrt(q.values.map(w => w * w).sum.toDouble)
+    graft.sim.FusionOps.hashedTopK(spark, sf0001).collect().foreach { r =>
+      val v = expect(r.getLong(0))
+      val dot = v.map { case (b, w) => w * q.getOrElse(b, 0L) }.sum
+      val cos = dot.toDouble /
+        (math.sqrt(v.values.map(w => w * w).sum.toDouble) * qn)
+      assert(r.getDouble(1) ===
+        BigDecimal(cos).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble, s"doc ${r.getLong(0)}")
+    }
+  }
 }
