@@ -351,7 +351,95 @@ object SessionOps extends QueryModule {
        |FROM a WHERE event_type = 'purchase'
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** U10: next-event Markov transition matrix — per (from, to) event
+    * type: pair count and the row-normalized transition probability.
+    * The product-analytics complement of w9's top-k path n-grams: the
+    * full first-order model of where users go next. One user-keyed
+    * window (lead) for the consecutive pairs, one (from,to) partial-agg
+    * shuffle, probabilities via a window over the TYPES²-bounded
+    * aggregate frame — never over raw rows. */
+  def markovTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val counts = Tables.events(spark, dir)
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .select(col("event_type").as("from_type"), col("to_type"))
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("p", Exact.ratio6(col("n"),
+        sum(col("n")).over(Window.partitionBy(col("from_type")))))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  private val markovSql: String =
+    s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+       |            event_type FROM events),
+       | p AS (SELECT event_type AS from_type,
+       |   lead(event_type) OVER (PARTITION BY user_id
+       |     ORDER BY ts_us, event_id) AS to_type
+       |  FROM e),
+       | c AS (SELECT from_type, to_type, count(*) AS n FROM p
+       |       WHERE to_type IS NOT NULL GROUP BY 1, 2)
+       |SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+       | ${OracleSql.ratio6("n", "sum(n) OVER (PARTITION BY from_type)")}
+       |   AS p
+       |FROM c ORDER BY 1, 2""".stripMargin
+
+  /** U11: cohort retention matrix — the full weekly cohort triangle u4's
+    * two-point retention summarizes: users cohorted by epoch-week of
+    * first activity (integer ts_s div 604800 — no calendar semantics to
+    * disagree on), each (cohort, offset) cell counting the cohort
+    * members active that week with the integer-exact retention share.
+    * Two user-keyed aggregates + one join; output bounded at weeks²
+    * cells; cohort sizes broadcast back. */
+  def cohortMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val wkEvents = Tables.events(spark, dir)
+      .select(col("user_id"), expr("ts_s div 604800").as("wk"))
+    val firstWk = wkEvents.groupBy(col("user_id"))
+      .agg(min(col("wk")).as("cohort_wk"))
+    val sizes = firstWk.groupBy(col("cohort_wk"))
+      .agg(count(lit(1)).as("cohort_n"))
+    wkEvents.distinct()
+      .join(firstWk, Seq("user_id"))
+      .groupBy(col("cohort_wk"), col("wk"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .join(broadcast(sizes), Seq("cohort_wk"))
+      .select(col("cohort_wk"),
+        (col("wk") - col("cohort_wk")).as("week_offset"),
+        col("n_active"), col("cohort_n"),
+        Exact.ratio6(col("n_active"), col("cohort_n")).as("retention"))
+      .orderBy(col("cohort_wk"), col("week_offset"))
+  }
+
+  private val cohortMatrixSql: String =
+    s"""WITH e AS (SELECT user_id,
+       |            (epoch_us(ts) // 1000000) // 604800 AS wk FROM events),
+       | f AS (SELECT user_id, min(wk) AS cohort_wk FROM e GROUP BY 1),
+       | z AS (SELECT cohort_wk, count(*) AS cohort_n FROM f GROUP BY 1),
+       | a AS (SELECT DISTINCT user_id, wk FROM e),
+       | m AS (SELECT f.cohort_wk, a.wk,
+       |        count(DISTINCT a.user_id) AS n_active
+       |       FROM a JOIN f USING (user_id) GROUP BY 1, 2)
+       |SELECT m.cohort_wk, m.wk - m.cohort_wk AS week_offset,
+       | CAST(n_active AS BIGINT) AS n_active,
+       | CAST(cohort_n AS BIGINT) AS cohort_n,
+       | ${OracleSql.ratio6("n_active", "cohort_n")} AS retention
+       |FROM m JOIN z USING (cohort_wk)
+       |ORDER BY 1, 2""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("u10_markov_transitions",
+      "U10 next-event Markov transition matrix: consecutive-pair " +
+        "counts per user (one lead window) row-normalized to " +
+        "transition probabilities over the types^2-bounded aggregate",
+      markovTransitions, Some(markovSql)),
+    GraftQuery("u11_cohort_matrix",
+      "U11 weekly cohort retention triangle: epoch-week cohorts, " +
+        "per-(cohort, offset) active share, integer-exact ratios — " +
+        "two user-keyed aggregates, broadcast cohort sizes",
+      cohortMatrix, Some(cohortMatrixSql)),
     GraftQuery("u7_attribution",
       "U7 purchase attribution: session entry type x previous in-" +
         "session touch (first-touch/last-touch matrix on v6's session " +

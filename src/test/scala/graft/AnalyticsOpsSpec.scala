@@ -550,4 +550,43 @@ class AnalyticsOpsSpec extends SparkSpec {
     // the curve is genuinely multi-batch on this corpus
     assert(rows.length > 1)
   }
+
+  test("u10 transition probabilities: each from-type's row sums to ~1 " +
+    "and counts reconcile with a local per-user walk") {
+    val rows = graft.operators.SessionOps.markovTransitions(spark, sf0001)
+      .collect()
+    // row-normalization: per from_type, p sums to 1 within rounding
+    rows.groupBy(_.getString(0)).foreach { case (ft, rs) =>
+      val s = rs.map(_.getDouble(3)).sum
+      assert(math.abs(s - 1.0) < 1e-4, s"$ft sums to $s")
+    }
+    // local reconstruction of the pair counts
+    val local = graft.Tables.events(spark, sf0001)
+      .select("user_id", "ts_us", "event_id", "event_type").collect()
+      .groupBy(_.getLong(0)).values.flatMap { es =>
+        val types = es.sortBy(r => (r.getLong(1), r.getLong(2)))
+          .map(_.getString(3))
+        types.zip(types.drop(1))
+      }.toSeq.groupBy(x => x).view.mapValues(_.size.toLong).toMap
+    rows.foreach { r =>
+      assert(r.getLong(2) ===
+        local((r.getString(0), r.getString(1))), r.toString) }
+    assert(rows.map(_.getLong(2)).sum === local.values.sum)
+  }
+
+  test("u11 cohort matrix: offset-0 cells equal the cohort size and " +
+    "no cell exceeds it") {
+    val rows = graft.operators.SessionOps.cohortMatrix(spark, sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (off, nA, nC) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nA <= nC, r.toString)
+      if (off == 0L) assert(nA === nC, s"cohort week incomplete: $r")
+    }
+    // every cohort has its offset-0 cell (first-activity week is active)
+    val cohorts = rows.map(_.getLong(0)).distinct
+    val zeroes = rows.filter(_.getLong(1) == 0L).map(_.getLong(0))
+    assert(cohorts.sorted.toSeq === zeroes.sorted.toSeq)
+  }
 }
