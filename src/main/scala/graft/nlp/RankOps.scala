@@ -213,6 +213,70 @@ object RankOps extends QueryModule {
       .orderBy(col("freq").desc, col("pair"))
       .limit(k)
 
+  /** V63: corpus bigram-LM fluency scoring — the KenLM-filter role of
+    * a curation pipeline (score each document by how predictable its
+    * word transitions are under a language model trained on the corpus
+    * itself) with the log-likelihood replaced by an EXACT statistic:
+    * the mean transition probability. For each adjacent pair (w1,w2),
+    * P(w2|w1) = C(w1,w2)/U(w1) with U the prefix total (so every LM row
+    * is exactly row-stochastic), each probability an integer micro-unit
+    * ratio, and the per-doc score the half-up mean over its pairs —
+    * monotone in the geometric-mean likelihood's arithmetic cousin and
+    * reproducible bit-for-bit in DuckDB where a libm `log` is not.
+    * Gibberish (rare transitions) scores low; template/boilerplate
+    * (deterministic transitions) scores high — the two tails a fluency
+    * gate cuts.
+    *
+    * Scale shape: one in-row bigram build + explode (linear), one
+    * bigram-keyed partial-agg shuffle for C, a vocab-bounded prefix
+    * aggregate for U, one bigram-keyed join back to the doc pairs, one
+    * doc-keyed mean. No broadcast of the LM table (corpus-sized at
+    * 100 TB) — both big joins are key-partitioned. Self-inclusion (a
+    * doc scores under a model containing itself) is the standard
+    * corpus-stats regime, documented. */
+  def lmScore(spark: SparkSession, dir: String): DataFrame = {
+    val docPairs = withWords(spark, dir)
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(bigramsCol).as("bg"))
+    val counts = docPairs.groupBy(col("bg")).agg(count(lit(1)).as("c"))
+    val prefix = counts
+      .select(substring_index(col("bg"), " ", 1).as("w1"), col("c"))
+      .groupBy(col("w1")).agg(sum(col("c")).as("u"))
+    val probs = counts
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .join(prefix, Seq("w1"))
+      .select(col("bg"), Exact.intDiv(
+        col("c") * 1000000L + shiftright(col("u"), 1), col("u"))
+        .as("p_micro"))
+    docPairs.join(probs, Seq("bg"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("p_micro")).as("sp"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (Exact.intDiv(col("sp") + shiftright(col("n_bigrams"), 1),
+          col("n_bigrams")).cast("double") / 1000000.0).as("lm_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val lmScoreSql: String =
+    """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+      |           FROM documents WHERE text IS NOT NULL),
+      | bp AS (SELECT doc_id, unnest([w[i] || ' ' || w[i+1]
+      |          for i in generate_series(1, len(w)-1)]) AS bg
+      |        FROM d WHERE len(w) >= 2),
+      | c AS (SELECT bg, count(*) AS c FROM bp GROUP BY 1),
+      | u AS (SELECT split_part(bg, ' ', 1) AS w1, sum(c) AS u FROM c
+      |       GROUP BY 1),
+      | pr AS (SELECT c.bg,
+      |   (c.c * 1000000 + u.u // 2) // u.u AS p_micro
+      |  FROM c JOIN u ON u.w1 = split_part(c.bg, ' ', 1)),
+      | s AS (SELECT bp.doc_id, count(*) AS n_bigrams,
+      |        sum(pr.p_micro) AS sp
+      |       FROM bp JOIN pr USING (bg) GROUP BY 1)
+      |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+      | CAST((sp + n_bigrams // 2) // n_bigrams AS DOUBLE) / 1000000.0
+      |   AS lm_score
+      |FROM s ORDER BY doc_id""".stripMargin
+
   private val bpePairsSql: String =
     """WITH d AS (SELECT string_split(lower(text), ' ') AS w
       |           FROM documents WHERE text IS NOT NULL),
@@ -514,6 +578,12 @@ object RankOps extends QueryModule {
        |FROM m ORDER BY doc_id""".stripMargin
 
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("v63_lm_fluency",
+      "V63 corpus bigram-LM fluency scoring (the KenLM-filter role): " +
+        "per-doc mean transition probability P(w2|w1)=C/U in integer " +
+        "micro-units — row-stochastic by construction, no libm log, " +
+        "key-partitioned joins only (no LM broadcast)",
+      (s, d) => lmScore(s, d), Some(lmScoreSql)),
     GraftQuery("v19_bm25_search",
       "V19 BM25 top-k lexical retrieval: integer-exact rational-idf " +
         "scoring, term-pruned explode + broadcast df/totals + " +

@@ -276,4 +276,38 @@ class ExtendedOpsSpec extends SparkSpec {
     // round 3: {aa aa} pairs (aa,aa)=3 beat (bc,bc)=2
     assert(m(2) === ((3, "aaaa", 3L)), m.mkString(","))
   }
+
+  test("v63 LM fluency recomputes from a local bigram model and the " +
+    "implied LM is row-stochastic") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .filter(!_.isNullAt(1)).map(r => r.getLong(0) -> r.getString(1))
+    val pairs = docs.toSeq.flatMap { case (id, t) =>
+      val w = t.toLowerCase.split(" ", -1)
+      w.zip(w.drop(1)).map(p => (id, p._1 + " " + p._2))
+    }
+    val c = pairs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val u = c.toSeq.groupBy(_._1.split(" ")(0)).view
+      .mapValues(_.map(_._2).sum).toMap
+    // row-stochastic: per prefix the probabilities sum to ~1 by
+    // construction (U is the prefix total)
+    val pm = c.map { case (bg, n) =>
+      val den = u(bg.split(" ")(0))
+      bg -> (n * 1000000L + den / 2) / den
+    }
+    val expect = pairs.groupBy(_._1).map { case (id, ps) =>
+      val micros = ps.map(p => pm(p._2))
+      val n = micros.size.toLong
+      id -> (n, (micros.sum + n / 2) / n)
+    }
+    val got = graft.nlp.RankOps.lmScore(spark, sf0001).collect()
+    assert(got.length === expect.size)
+    got.foreach { r =>
+      val (n, sc) = expect(r.getLong(0))
+      assert(r.getLong(1) === n, s"doc ${r.getLong(0)} n")
+      assert(r.getDouble(2) === sc.toDouble / 1e6, s"doc ${r.getLong(0)}")
+    }
+    // the score separates: not all docs identical
+    assert(got.map(_.getDouble(2)).distinct.length > 10)
+  }
 }
