@@ -75,6 +75,17 @@ object Exact {
     val half = shiftright(d, 1)
     when(n < 0, -intDiv(-n + half, d)).otherwise(intDiv(n + half, d))
   }
+
+  /** [[signedDivRound]] without the Long casts, for DECIMAL operands
+    * that exceed Long range (Cramer determinants, pooled covariance
+    * sums); den > 0, and the QUOTIENT must fit a Long (IntegralDivide's
+    * result type). Same DuckDB spelling ([[OracleSql.signedDivRound]] —
+    * generic SQL, HUGEINT-safe). */
+  def signedDivRoundDec(num: Column, den: Column): Column = {
+    val half = intDiv(den, lit(2).cast(DecimalType(38, 0)))
+    when(num < 0, -intDiv(-num + half, den))
+      .otherwise(intDiv(num + half, den))
+  }
 }
 
 /** THE canonical text normalization (lowercase, collapse whitespace,

@@ -45,15 +45,11 @@ object ProbeOps extends QueryModule {
     Exact.intDiv(num.cast("long") * 1000L + shiftright(den.cast("long"), 1),
       den.cast("long"))
 
-  /** Decimal signed half-away-from-zero division, den > 0 — the
-    * [[Exact.signedDivRound]] semantics without the Long casts (the
-    * Cramer determinants exceed Long range); the quotient fits a Long
-    * (micro-unit coefficients are ~1e6-scale). */
-  private def sdrDec(num: Column, den: Column): Column = {
-    val half = Exact.intDiv(den, dec(lit(2)))
-    when(num < 0, -Exact.intDiv(-num + half, den))
-      .otherwise(Exact.intDiv(num + half, den))
-  }
+  /** Decimal signed half-away-from-zero division
+    * ([[Exact.signedDivRoundDec]]): the Cramer determinants exceed
+    * Long range; the quotient fits a Long (micro coefficients). */
+  private def sdrDec(num: Column, den: Column): Column =
+    Exact.signedDivRoundDec(num, den)
 
   /** (doc_id, x1 = en-stopword ratio milli, x2 = mean word length
     * milli, y = 1 if the v4a teacher detects English) — one in-row

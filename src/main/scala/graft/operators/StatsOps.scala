@@ -842,6 +842,128 @@ object StatsOps extends QueryModule {
        |  > 1.96) AS significant
        |FROM w""".stripMargin
 
+  /** Pre/post cut for W22's CUPED covariate: the window midpoint. */
+  private val CupedCutS = EventWindow.StartS + 15L * 86400L
+
+  /** W22: CUPED-adjusted A/B readout — the variance-reduction
+    * technique every mature experimentation platform applies on top of
+    * w20's plain difference: each user's PRE-period mass (first half
+    * of the window, before any hypothetical treatment) is the
+    * covariate; θ = cov(pre, post)/var(pre) is fit POOLED, each arm's
+    * post-period mean is adjusted by −θ·(arm pre-mean − overall
+    * pre-mean), and the readout reports the raw diff, the CUPED diff,
+    * θ, and the variance-reduction factor ρ² (share of outcome
+    * variance the covariate removes).
+    *
+    * Exactness: per-user masses in micro Longs, the five pooled power
+    * sums in DECIMAL(38,0), θ as a signed half-away-from-zero micro
+    * ratio ([[Exact.signedDivRoundDec]]), adjusted means in pure
+    * integer space; ρ² alone is formed in doubles FROM the exact
+    * integer components (cov² would pass 38 digits), identically in
+    * both engines. Scale shape: one user-keyed conditional aggregate,
+    * a 2-row arm frame, a 1-row solve — w20's cost exactly. */
+  def cupedAbTest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+    def d(c: Column): Column = c.cast(DecimalType(38, 0))
+    def microIf(cond: Column): Column =
+      sum(when(cond, (col("value").cast(DecimalType(18, 6)) * 1000000)
+        .cast(LongType)).otherwise(0L))
+    val perUser = ev(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(microIf(col("ts_s") < CupedCutS).as("cm"),
+        microIf(col("ts_s") >= CupedCutS).as("xm"))
+      .withColumn("arm",
+        when(conv(substring(md5(concat(lit("ab"),
+          col("user_id").cast("string"))), 1, 2), 16, 10)
+          .cast("int") % 2 === 0, "A").otherwise("B"))
+    val arms = perUser.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"),
+        sum(d(col("cm"))).as("sc"), sum(d(col("xm"))).as("sx"),
+        sum(d(col("cm")) * d(col("cm"))).as("scc"),
+        sum(d(col("cm")) * d(col("xm"))).as("scx"),
+        sum(d(col("xm")) * d(col("xm"))).as("sxx"))
+    def pick(a: String, c: String): Column =
+      min(when(col("arm") === a, col(c)))
+    val one = arms.agg(
+      pick("A", "n").as("n_a"), pick("B", "n").as("n_b"),
+      pick("A", "sc").as("sca"), pick("B", "sc").as("scb"),
+      pick("A", "sx").as("sxa"), pick("B", "sx").as("sxb"),
+      sum(col("n")).as("nn"), sum(col("sc")).as("sc"),
+      sum(col("sx")).as("sx"), sum(col("scc")).as("scc"),
+      sum(col("scx")).as("scx"), sum(col("sxx")).as("sxx"))
+    val nD = d(col("nn"))
+    val covN = nD * col("scx") - col("sc") * col("sx")
+    val varcN = nD * col("scc") - col("sc") * col("sc")
+    val varxN = nD * col("sxx") - col("sx") * col("sx")
+    val theta = Exact.signedDivRoundDec(covN * 1000000L, varcN)
+    val mcAll = decDivRound(d(col("sc")), nD)
+    def adj(sx: String, sc: String, n: String): Column =
+      decDivRound(d(col(sx)), d(col(n))) - Exact.signedDivRound(
+        theta * (decDivRound(d(col(sc)), d(col(n))) - mcAll),
+        lit(1000000L))
+    val rho2 = round(
+      (covN.cast(DoubleType) / varcN.cast(DoubleType)) *
+        (covN.cast(DoubleType) / varxN.cast(DoubleType)), 6)
+    one.select(col("n_a"), col("n_b"),
+      (theta.cast(DoubleType) / 1000000.0).as("theta"),
+      ((decDivRound(d(col("sxa")), d(col("n_a"))) -
+        decDivRound(d(col("sxb")), d(col("n_b"))))
+        .cast(DoubleType) / 1000000.0).as("diff_raw"),
+      ((adj("sxa", "sca", "n_a") - adj("sxb", "scb", "n_b"))
+        .cast(DoubleType) / 1000000.0).as("diff_cuped"),
+      rho2.as("var_reduction"))
+  }
+
+  private val cupedSql: String = {
+    val micro =
+      "CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)"
+    def sdr(num: String, den: String) = OracleSql.signedDivRound(num, den)
+    s"""WITH pu AS (SELECT user_id,
+       |   sum(CASE WHEN epoch_us(ts) // 1000000 < $CupedCutS
+       |       THEN $micro ELSE 0 END) AS cm,
+       |   sum(CASE WHEN epoch_us(ts) // 1000000 >= $CupedCutS
+       |       THEN $micro ELSE 0 END) AS xm
+       |  FROM events GROUP BY 1),
+       | ar AS (SELECT CASE WHEN ('0x' || substr(md5('ab' ||
+       |          CAST(user_id AS VARCHAR)), 1, 2))::INT % 2 = 0
+       |          THEN 'A' ELSE 'B' END AS arm, cm, xm FROM pu),
+       | g AS (SELECT arm, count(*) AS n,
+       |        sum(cm::HUGEINT) AS sc, sum(xm::HUGEINT) AS sx,
+       |        sum(cm::HUGEINT * cm::HUGEINT) AS scc,
+       |        sum(cm::HUGEINT * xm::HUGEINT) AS scx,
+       |        sum(xm::HUGEINT * xm::HUGEINT) AS sxx FROM ar GROUP BY 1),
+       | w AS (SELECT
+       |   max(CASE WHEN arm = 'A' THEN n END) AS n_a,
+       |   max(CASE WHEN arm = 'B' THEN n END) AS n_b,
+       |   max(CASE WHEN arm = 'A' THEN sc END) AS sca,
+       |   max(CASE WHEN arm = 'B' THEN sc END) AS scb,
+       |   max(CASE WHEN arm = 'A' THEN sx END) AS sxa,
+       |   max(CASE WHEN arm = 'B' THEN sx END) AS sxb,
+       |   sum(n) AS nn, sum(sc) AS sc, sum(sx) AS sx,
+       |   sum(scc) AS scc, sum(scx) AS scx, sum(sxx) AS sxx FROM g),
+       | k AS (SELECT *,
+       |   nn::HUGEINT * scx - sc * sx AS covn,
+       |   nn::HUGEINT * scc - sc * sc AS varcn,
+       |   nn::HUGEINT * sxx - sx * sx AS varxn FROM w),
+       | t AS (SELECT *,
+       |   ${sdr("covn * 1000000", "varcn")} AS theta,
+       |   (sc * 2 + nn) // (nn * 2) AS mc_all,
+       |   (sxa * 2 + n_a) // (n_a * 2) AS mxa,
+       |   (sxb * 2 + n_b) // (n_b * 2) AS mxb,
+       |   (sca * 2 + n_a) // (n_a * 2) AS mca,
+       |   (scb * 2 + n_b) // (n_b * 2) AS mcb FROM k)
+       |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       | CAST(theta AS DOUBLE) / 1000000.0 AS theta,
+       | CAST(mxa - mxb AS DOUBLE) / 1000000.0 AS diff_raw,
+       | CAST((mxa - ${sdr("theta * (mca - mc_all)", "1000000")})
+       |    - (mxb - ${sdr("theta * (mcb - mc_all)", "1000000")})
+       |   AS DOUBLE) / 1000000.0 AS diff_cuped,
+       | round((CAST(covn AS DOUBLE) / CAST(varcn AS DOUBLE))
+       |     * (CAST(covn AS DOUBLE) / CAST(varxn AS DOUBLE)), 6)
+       |   AS var_reduction
+       |FROM t""".stripMargin
+  }
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("w20_ab_test",
       "W20 A/B experiment readout: md5-parity arm assignment (growth-" +
@@ -849,6 +971,12 @@ object StatsOps extends QueryModule {
         "integer/decimal space, Welch t + significance — one user-" +
         "keyed shuffle and a 2-row arm frame",
       abTest, Some(abTestSql)),
+    GraftQuery("w22_cuped_ab",
+      "W22 CUPED-adjusted A/B readout: pre-period mass as covariate, " +
+        "pooled theta = cov/var as a signed micro ratio, adjusted " +
+        "means in integer space, variance-reduction rho^2 — w20's " +
+        "one-shuffle cost with the industry-standard sensitivity boost",
+      cupedAbTest, Some(cupedSql)),
     GraftQuery("v35_drift",
       "V35 distribution-drift monitor: per-type total-variation distance " +
         "+ max bin jump between the first 15 days and the rest, on a " +

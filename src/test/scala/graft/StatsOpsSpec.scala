@@ -431,4 +431,80 @@ class StatsOpsSpec extends SparkSpec {
     assert(r.getAs[Double]("var_a") === va6.toDouble / 1e6)
     assert(r.getAs[Double]("var_b") === vb6.toDouble / 1e6)
   }
+
+  test("w22 CUPED: every column recomputes from a local BigInt walk, " +
+    "and a planted pre/post correlation yields high variance reduction") {
+    import spark.implicits._
+    def arm(uid: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"ab$uid".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      if (Integer.parseInt(hex.substring(0, 2), 16) % 2 == 0) "A" else "B"
+    }
+    val cut = EventWindow.StartS + 15L * 86400L
+    // local recompute on the fixture
+    val perUser = Tables.events(spark, sf0001)
+      .select(col("user_id"), col("ts_s"), col("value")).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2)))
+      .groupBy(_._1).toSeq.map { case (uid, xs) =>
+        def mass(f: Long => Boolean): Long = xs.filter(e => f(e._2))
+          .map(v => (BigDecimal(v._3).setScale(6,
+            BigDecimal.RoundingMode.HALF_UP) * 1000000).toLong).sum
+        (arm(uid), mass(_ < cut), mass(_ >= cut))
+      }
+    val n = BigInt(perUser.size)
+    val sc = perUser.map(u => BigInt(u._2)).sum
+    val sx = perUser.map(u => BigInt(u._3)).sum
+    val scc = perUser.map(u => BigInt(u._2) * BigInt(u._2)).sum
+    val scx = perUser.map(u => BigInt(u._2) * BigInt(u._3)).sum
+    val sxx = perUser.map(u => BigInt(u._3) * BigInt(u._3)).sum
+    val covN = n * scx - sc * sx
+    val varcN = n * scc - sc * sc
+    val varxN = n * sxx - sx * sx
+    def sdr(num: BigInt, den: BigInt): BigInt =
+      if (num < 0) -((-num + den / 2) / den) else (num + den / 2) / den
+    val theta = sdr(covN * 1000000, varcN)
+    def ddr(num: BigInt, den: BigInt): BigInt = (num * 2 + den) / (den * 2)
+    val mcAll = ddr(sc, n)
+    def armStats(a: String): (BigInt, BigInt, BigInt) = {
+      val us = perUser.filter(_._1 == a)
+      (BigInt(us.size), us.map(u => BigInt(u._2)).sum,
+        us.map(u => BigInt(u._3)).sum)
+    }
+    val (na, scaA, sxaA) = armStats("A")
+    val (nb, scbB, sxbB) = armStats("B")
+    def adjusted(nA: BigInt, scA: BigInt, sxA: BigInt): BigInt =
+      ddr(sxA, nA) - sdr(theta * (ddr(scA, nA) - mcAll), BigInt(1000000))
+    val r = StatsOps.cupedAbTest(spark, sf0001).collect()(0)
+    assert(r.getLong(0) === na.toLong && r.getLong(1) === nb.toLong)
+    assert(r.getDouble(2) === theta.toDouble / 1e6, "theta")
+    assert(r.getDouble(3) ===
+      (ddr(sxaA, na) - ddr(sxbB, nb)).toDouble / 1e6, "diff_raw")
+    assert(r.getDouble(4) ===
+      (adjusted(na, scaA, sxaA) - adjusted(nb, scbB, sxbB)).toDouble / 1e6,
+      "diff_cuped")
+    val rho2 = BigDecimal((covN.toDouble / varcN.toDouble) *
+      (covN.toDouble / varxN.toDouble))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(5) === rho2, "var_reduction")
+    // planted correlation: post ~ pre per user => CUPED removes most
+    // outcome variance
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cuped").toString
+    val pre0 = java.time.LocalDateTime.ofEpochSecond(
+      EventWindow.StartS + 3600, 0, java.time.ZoneOffset.UTC)
+    val post0 = java.time.LocalDateTime.ofEpochSecond(
+      cut + 3600, 0, java.time.ZoneOffset.UTC)
+    val rows = (1L to 300L).flatMap { uid =>
+      val base = (uid % 50).toDouble * 10
+      val noise = (uid % 7).toDouble
+      Seq((uid * 10, pre0.plusMinutes(uid), uid, "view", base, "{}"),
+        (uid * 10 + 1, post0.plusMinutes(uid), uid, "view",
+          base + noise, "{}"))
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val planted = StatsOps.cupedAbTest(spark, tmp).collect()(0)
+    assert(planted.getDouble(5) > 0.8,
+      s"planted correlation must yield high variance reduction: $planted")
+  }
 }
