@@ -79,13 +79,19 @@ object Exact {
   /** [[signedDivRound]] without the Long casts, for DECIMAL operands
     * that exceed Long range (Cramer determinants, pooled covariance
     * sums); den > 0, and the QUOTIENT must fit a Long (IntegralDivide's
-    * result type). Same DuckDB spelling ([[OracleSql.signedDivRound]] —
-    * generic SQL, HUGEINT-safe). */
-  def signedDivRoundDec(num: Column, den: Column): Column = {
-    val half = intDiv(den, lit(2).cast(DecimalType(38, 0)))
-    when(num < 0, -intDiv(-num + half, den))
-      .otherwise(intDiv(num + half, den))
-  }
+    * result type). Spelled ⌊(2·num + den)/(2·den)⌋ WITHOUT materializing
+    * den/2: `intDiv` always RETURNS BigInt-truncated-to-Long, so a
+    * `half = den div 2` intermediate silently wraps once den/2 passes
+    * Long.MaxValue (review finding, round 7 — measured: a 3.8e23
+    * denominator's half came back as 1.28e18) and the rounding offset
+    * is destroyed exactly where this helper exists to be exact. The
+    * doubled form keeps every intermediate in DECIMAL and is provably
+    * equal to DuckDB's `(num + den//2)//den`
+    * ([[OracleSql.signedDivRound]]) for all integers: between 2n+2⌊d/2⌋
+    * and 2n+d no multiple of 2d can fall (parity). */
+  def signedDivRoundDec(num: Column, den: Column): Column =
+    when(num < 0, -intDiv(-num * 2 + den, den * 2))
+      .otherwise(intDiv(num * 2 + den, den * 2))
 }
 
 /** THE canonical text normalization (lowercase, collapse whitespace,

@@ -118,9 +118,19 @@ object ProbeOps extends QueryModule {
         col("b1m") * col("x1") + col("b2m") * col("x2"))
       .withColumn("pred_en", col("pred_micro") >= 500000L)
 
-  private def scored(spark: SparkSession, dir: String): DataFrame =
-    scoreAgainst(features(spark, dir),
+  /** The fitted coefficient row, memoized per process
+    * ([[graft.util.PlanMemo]] — review finding, round 7): v61, v61b
+    * and st18 each need the model, and without the memo every entry
+    * invocation re-runs the training scan beside its scoring scan.
+    * Memoized, the corpus is scanned once to FIT (the stored-model
+    * shape: a filter model is trained once, then served), and each
+    * entry pays only its scoring scan. */
+  private def fitted(spark: SparkSession, dir: String): DataFrame =
+    graft.util.PlanMemo.memo(spark, "v61_probe_coefficients", dir)(
       coefficients(suffStats(features(spark, dir))))
+
+  private def scored(spark: SparkSession, dir: String): DataFrame =
+    scoreAgainst(features(spark, dir), fitted(spark, dir))
 
   /** V61: the trained probe — one row: n, the three micro-coefficient
     * doubles, the training accuracy of the 0.5-threshold class, and
@@ -166,7 +176,7 @@ object ProbeOps extends QueryModule {
     * the quality gate: the filter model scores documents at ingest,
     * before they ever land in the corpus. */
   def streamingProbeScores(spark: SparkSession, dir: String): DataFrame = {
-    val coef = coefficients(suffStats(features(spark, dir)))
+    val coef = fitted(spark, dir)
     val schema = Tables.table(spark, dir, "documents").schema
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "documents.parquet").parquet(dir)

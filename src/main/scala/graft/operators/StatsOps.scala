@@ -842,8 +842,11 @@ object StatsOps extends QueryModule {
        |  > 1.96) AS significant
        |FROM w""".stripMargin
 
-  /** Pre/post cut for W22's CUPED covariate: the window midpoint. */
-  private val CupedCutS = EventWindow.StartS + 15L * 86400L
+  /** Pre/post cut for W22's CUPED covariate: the same window midpoint
+    * v35's drift split uses (ONE spelling — review finding, round 7: a
+    * duplicated `Start + 15·Day` here would silently desynchronize the
+    * two split points under a future window change). */
+  private val CupedCutS = Mid
 
   /** W22: CUPED-adjusted A/B readout — the variance-reduction
     * technique every mature experimentation platform applies on top of

@@ -66,4 +66,29 @@ class ContractSpec extends SparkSpec {
       }
     }
   }
+
+  test("signedDivRoundDec survives denominators whose half exceeds " +
+    "Long range (the round-7 wrap bug) and matches BigInt half-up " +
+    "at every sign") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    // (num, den) pairs: den/2 far past Long.MaxValue, both num signs,
+    // fractional parts straddling the .5 rounding boundary
+    val cases = Seq(
+      (BigInt("379673444564831600000000") * 3 + BigInt("189836722282415800000000"),
+        BigInt("379673444564831600000000")),          // frac = .5 exactly
+      (BigInt("123456789012345678901234567"), BigInt("25000000000000000000000000")),
+      (-BigInt("123456789012345678901234567"), BigInt("25000000000000000000000000")),
+      (BigInt("874999999999999999999999"), BigInt("250000000000000000000000")),
+      (-BigInt("875000000000000000000001"), BigInt("250000000000000000000000")))
+    def expect(n: BigInt, d: BigInt): Long =
+      (if (n < 0) -((-n + d / 2) / d) else (n + d / 2) / d).toLong
+    cases.foreach { case (n, d) =>
+      val df = spark.range(1).select(
+        Exact.signedDivRoundDec(
+          lit(n.toString).cast(DecimalType(38, 0)),
+          lit(d.toString).cast(DecimalType(38, 0))).as("q"))
+      assert(df.collect()(0).getLong(0) === expect(n, d), s"$n / $d")
+    }
+  }
 }
