@@ -92,6 +92,24 @@ object Exact {
   def signedDivRoundDec(num: Column, den: Column): Column =
     when(num < 0, -intDiv(-num * 2 + den, den * 2))
       .otherwise(intDiv(num * 2 + den, den * 2))
+
+  /** [[ratio6]] for operands whose ×1e6 scaling passes Long range
+    * (pairwise-AUC numerators ~n²/2, n² chance terms, per-bin micro-sum
+    * masses — anything quadratic in corpus size): both operands lift to
+    * DECIMAL(38,0) and the half-up rounding uses the doubled form
+    * ⌊(2·num·1e6 + den)/(2·den)⌋ so no den/2 intermediate ever
+    * materializes (the [[signedDivRoundDec]] wrap lesson). Non-negative
+    * operands; the QUOTIENT (≤1e6 for any ratio ≤ 1) must fit a Long —
+    * IntegralDivide's result type. Provably equal to [[ratio6]]
+    * wherever both are in range (parity argument in
+    * [[signedDivRoundDec]]'s doc). DuckDB spelling:
+    * [[OracleSql.ratio6Huge]]. */
+  def ratio6Dec(num: Column, den: Column): Column = {
+    val d38 = DecimalType(38, 0)
+    val n = num.cast(d38)
+    val d = den.cast(d38)
+    intDiv(n * 2000000L + d, d * 2).cast(DoubleType) / 1000000.0
+  }
 }
 
 /** THE canonical text normalization (lowercase, collapse whitespace,
@@ -133,4 +151,9 @@ object OracleSql {
   def signedDivRound(num: String, den: String): String =
     s"CASE WHEN ($num) < 0 THEN -((-($num) + ($den) // 2) // ($den)) " +
       s"ELSE (($num) + ($den) // 2) // ($den) END"
+  /** DuckDB spelling of [[Exact.ratio6Dec]] — the identical doubled
+    * form in HUGEINT, operand for operand. */
+  def ratio6Huge(num: String, den: String): String =
+    s"CAST((CAST($num AS HUGEINT) * 2000000 + CAST($den AS HUGEINT)) // " +
+      s"(CAST($den AS HUGEINT) * 2) AS DOUBLE) / 1000000.0"
 }

@@ -26,26 +26,24 @@ import org.apache.spark.sql.functions._
   */
 object ScoreQaOps extends QueryModule {
 
-  /** Per-doc (micro-unit score, is_en) — the v4b score verbatim, in
-    * exact integer micro space; the binary class is the corpus's
-    * DECLARED language (the score is later used to gate English
-    * training data, so "does it separate declared-en" is the natural
-    * validation question). */
+  /** Per-doc (micro-unit score, is_en) — the v4b score verbatim: the
+    * blend comes from [[TextOps.scoreMicro]] and the marker list from
+    * [[TextOps.markers]], the SAME definitions the gate itself runs
+    * (re-spelling either here would let the validated score silently
+    * drift from the gating score — review finding, r7). The binary
+    * class is the corpus's DECLARED language (the score later gates
+    * English training data, so "does it separate declared-en" is the
+    * natural validation question). */
   private def scored(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .filter(col("text").isNotNull)
       .withColumn("w", split(lower(col("text")), " "))
-      .withColumn("nw", size(col("w")).cast("long"))
-      .withColumn("nd", size(array_distinct(col("w"))).cast("long"))
-      .withColumn("sm", graft.functions.MarkerFunctions.marker_counts(
-        col("w"), Seq(Seq("the", "a", "of", "and", "is"))).getItem(0)
-        .cast("long"))
-      .select(col("doc_id"),
-        Exact.intDiv(
-          (least(col("nw"), lit(100L)) * col("nw") * 40L +
-            (col("sm") + col("nd")) * 3000L) * 1000000L +
-            shiftright(col("nw") * 10000L, 1),
-          col("nw") * 10000L).as("sc"),
+      .withColumn("n_words", size(col("w")).cast("long"))
+      .withColumn("n_distinct",
+        size(array_distinct(col("w"))).cast("long"))
+      .withColumn("s_en", graft.functions.MarkerFunctions.marker_counts(
+        col("w"), Seq(TextOps.markers("en"))).getItem(0).cast("long"))
+      .select(col("doc_id"), TextOps.scoreMicro.as("sc"),
         (col("lang") === "en").cast("int").as("pos"))
 
   private val scoredSql: String =
@@ -67,9 +65,15 @@ object ScoreQaOps extends QueryModule {
     * aggregate to one row per distinct micro-score (the score-domain
     * frame), order THAT frame, prefix-sum negatives, and fold — the
     * doubled-integer numerator Σ n_pos(s)·(2·neg_below(s) + n_neg(s))
-    * over 2·n_pos·n_neg stays exact in both engines. */
+    * over 2·n_pos·n_neg stays exact in both engines. The numerator is
+    * ~n²/2 — quadratic in corpus size — so it accumulates in
+    * DECIMAL(38,0) (Spark) / HUGEINT (DuckDB): in Long it wraps
+    * silently at ~5M docs while DuckDB errors, breaking both the value
+    * and the cross-engine agreement (review finding, r7). */
   def scoreAuc(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    def d(c: Column): Column = c.cast(DecimalType(38, 0))
     val byScore = scored(spark, dir)
       .groupBy(col("sc"))
       .agg(sum(col("pos")).cast("long").as("np"),
@@ -80,10 +84,10 @@ object ScoreQaOps extends QueryModule {
       .withColumn("cum_nn", sum(col("nn")).over(w) - col("nn"))
       .agg(sum(col("np")).cast("long").as("n_pos"),
         sum(col("nn")).cast("long").as("n_neg"),
-        sum(col("np") * (col("cum_nn") * 2L + col("nn"))).cast("long")
+        sum(d(col("np")) * d(col("cum_nn") * 2L + col("nn")))
           .as("num2"))
       .select(col("n_pos"), col("n_neg"),
-        Exact.ratio6(col("num2"), col("n_pos") * col("n_neg") * 2L)
+        Exact.ratio6Dec(col("num2"), d(col("n_pos")) * d(col("n_neg")) * 2L)
           .as("auc"))
   }
 
@@ -98,8 +102,8 @@ object ScoreQaOps extends QueryModule {
        |       FROM g)
        |SELECT CAST(sum(np) AS BIGINT) AS n_pos,
        | CAST(sum(nn) AS BIGINT) AS n_neg,
-       | ${OracleSql.ratio6("CAST(sum(np * (cum_nn * 2 + nn)) AS BIGINT)",
-          "CAST(sum(np) AS BIGINT) * CAST(sum(nn) AS BIGINT) * 2")} AS auc
+       | ${OracleSql.ratio6Huge("sum(np::HUGEINT * (cum_nn * 2 + nn))",
+          "sum(np)::HUGEINT * sum(nn)::HUGEINT * 2")} AS auc
        |FROM c""".stripMargin
 
   /** V56: calibration / reliability bins — score deciles (fixed 0.1
@@ -112,7 +116,9 @@ object ScoreQaOps extends QueryModule {
         lit(10L)).cast("int"))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n"),
-        Exact.ratio6(sum(col("sc")), count(lit(1)) * 1000000L)
+        // per-bin micro-score mass is n·1e6-scale: ×1e6 again inside
+        // the ratio passes Long at ~9M docs/bin → DECIMAL/HUGEINT
+        Exact.ratio6Dec(sum(col("sc")), count(lit(1)) * 1000000L)
           .as("mean_score"),
         Exact.ratio6(sum(col("pos")).cast("long"), count(lit(1)))
           .as("pos_rate"))
@@ -122,7 +128,7 @@ object ScoreQaOps extends QueryModule {
     s"""WITH $scoredSql
        |SELECT CAST(least(sc // 100000, 10) AS INT) AS bin,
        | CAST(count(*) AS BIGINT) AS n,
-       | ${OracleSql.ratio6("CAST(sum(sc) AS BIGINT)",
+       | ${OracleSql.ratio6Huge("sum(sc)",
           "count(*) * 1000000")} AS mean_score,
        | ${OracleSql.ratio6("CAST(sum(pos) AS BIGINT)", "count(*)")}
        |   AS pos_rate
@@ -136,6 +142,8 @@ object ScoreQaOps extends QueryModule {
     * signed half-up at 6 dp (the numerator can go negative). One
     * confusion aggregate onto a labels² frame. */
   def langIdKappa(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def d(c: Column): Column = c.cast(DecimalType(38, 0))
     val conf = TextOps.withMarkerScores(
         Tables.documents(spark, dir).filter(col("text").isNotNull))
       .withColumn("detected", TextOps.argmaxLang)
@@ -149,16 +157,20 @@ object ScoreQaOps extends QueryModule {
       .agg(sum(col("c")).cast("long").as("rn"))
     val cols = cells.groupBy(col("detected"))
       .agg(sum(col("c")).cast("long").as("cn"))
+    // rn·cn and the n², diag·n chance terms below are quadratic in
+    // corpus size: DECIMAL(38,0) throughout (Long wraps at ~3M docs
+    // where DuckDB's HUGEINT doesn't — review finding, r7)
     val rc = rows.join(cols, col("lang") === col("detected"))
-      .agg(coalesce(sum(col("rn") * col("cn")), lit(0L)).cast("long")
-        .as("src"))
+      .agg(coalesce(sum(d(col("rn")) * d(col("cn"))),
+        d(lit(0L))).as("src"))
     n.crossJoin(broadcast(diag)).crossJoin(broadcast(rc))
       .select(col("n").as("n_docs"),
         Exact.ratio6(col("diag"), col("n")).as("po"),
-        Exact.ratio6(col("src"), col("n") * col("n")).as("pe"),
-        (Exact.signedDivRound(
-          (col("diag") * col("n") - col("src")) * 1000000L,
-          col("n") * col("n") - col("src")).cast("double") / 1000000.0)
+        Exact.ratio6Dec(col("src"), d(col("n")) * d(col("n"))).as("pe"),
+        (Exact.signedDivRoundDec(
+          (d(col("diag")) * d(col("n")) - col("src")) * 1000000L,
+          d(col("n")) * d(col("n")) - col("src")).cast("double")
+          / 1000000.0)
           .as("kappa"))
   }
 
@@ -182,13 +194,14 @@ object ScoreQaOps extends QueryModule {
        |       FROM cells GROUP BY 1),
        | cc AS (SELECT detected, CAST(sum(c) AS BIGINT) AS cn
        |        FROM cells GROUP BY 1),
-       | rc AS (SELECT CAST(coalesce(sum(rn * cn), 0) AS BIGINT) AS src
+       | rc AS (SELECT coalesce(sum(rn::HUGEINT * cn), 0::HUGEINT) AS src
        |        FROM r JOIN cc ON r.lang = cc.detected)
        |SELECT n AS n_docs,
        | ${OracleSql.ratio6("diag", "n")} AS po,
-       | ${OracleSql.ratio6("src", "n * n")} AS pe,
+       | ${OracleSql.ratio6Huge("src", "n::HUGEINT * n")} AS pe,
        | CAST(${OracleSql.signedDivRound(
-          "(diag * n - src) * 1000000", "n * n - src")} AS DOUBLE)
+          "(diag::HUGEINT * n - src) * 1000000",
+          "n::HUGEINT * n - src")} AS DOUBLE)
        |   / 1000000.0 AS kappa
        |FROM nn, dg, rc""".stripMargin
 

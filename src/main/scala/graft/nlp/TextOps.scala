@@ -12,8 +12,11 @@ import org.apache.spark.sql.functions._
   */
 object TextOps extends QueryModule {
 
-  // Marker stopwords per language for the n-gram/stopword langid heuristic.
-  private val markers: Map[String, Seq[String]] = Map(
+  // Marker stopwords per language for the n-gram/stopword langid
+  // heuristic. private[graft]: ScoreQaOps validates these very signals
+  // (v55-v57) and must score with the SAME lists — a second hardcoded
+  // copy would silently drift from the oracles (review finding, r7).
+  private[graft] val markers: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "a", "of", "and", "is"),
     "de" -> Seq("der", "die", "das", "und", "ist"),
     "es" -> Seq("el", "la", "de", "los", "que"),
@@ -34,13 +37,23 @@ object TextOps extends QueryModule {
     }
   }
 
-  /** Quality-score blend over n_words/s_en/n_distinct columns, computed
-    * in LONG space (the Int expressions would overflow at nw > ~214k
-    * words where the DuckDB oracle's BIGINT len() does not). */
-  private def scoreCol: Column = Exact.ratio6(
+  /** The v4b quality-score blend's exact integer numerator/denominator
+    * over n_words/s_en/n_distinct columns, in LONG space (the Int
+    * expressions would overflow at nw > ~214k words where the DuckDB
+    * oracle's BIGINT len() does not). THE one definition of the score:
+    * [[scoreCol]] is num/den half-up at 6 dp; [[scoreMicro]] is the
+    * same pair kept in integer micro space for ScoreQaOps' v55-v57
+    * validation statistics — sharing the pair is what makes "the v4b
+    * score verbatim" a structural fact rather than a comment. */
+  private def scoreNum: Column =
     least(col("n_words"), lit(100)).cast("long") * col("n_words") * 40 +
-      (col("s_en") + col("n_distinct")).cast("long") * 3000,
-    col("n_words").cast("long") * 10000)
+      (col("s_en") + col("n_distinct")).cast("long") * 3000
+  private def scoreDen: Column = col("n_words").cast("long") * 10000
+  private def scoreCol: Column = Exact.ratio6(scoreNum, scoreDen)
+  /** Integer micro-unit v4b score (half-up at 6 dp — [[scoreCol]]'s
+    * value ×1e6, before the final double division). */
+  private[graft] def scoreMicro: Column =
+    Exact.intDiv(scoreNum * 1000000L + shiftright(scoreDen, 1), scoreDen)
 
   /** Argmax language over s_en..s_fr marker-count columns with the
     * deterministic en > de > es > fr tie-break (shared by [[langId]] and

@@ -401,10 +401,13 @@ object SessionOps extends QueryModule {
       .agg(min(col("wk")).as("cohort_wk"))
     val sizes = firstWk.groupBy(col("cohort_wk"))
       .agg(count(lit(1)).as("cohort_n"))
+    // (user_id, wk) is distinct by construction and firstWk is one row
+    // per user, so a plain count is exact — countDistinct would pay a
+    // second distinct-aggregate pass over the event-scale frame
     wkEvents.distinct()
       .join(firstWk, Seq("user_id"))
       .groupBy(col("cohort_wk"), col("wk"))
-      .agg(countDistinct(col("user_id")).as("n_active"))
+      .agg(count(lit(1)).as("n_active"))
       .join(broadcast(sizes), Seq("cohort_wk"))
       .select(col("cohort_wk"),
         (col("wk") - col("cohort_wk")).as("week_offset"),

@@ -900,10 +900,13 @@ object StatsOps extends QueryModule {
     val varxN = nD * col("sxx") - col("sx") * col("sx")
     val theta = Exact.signedDivRoundDec(covN * 1000000L, varcN)
     val mcAll = decDivRound(d(col("sc")), nD)
+    // θ·Δ runs in DECIMAL: both factors are micro-scale Longs, so the
+    // raw Long product wraps near 1e19 (large fitted θ × large mean
+    // gap) while the HUGEINT oracle doesn't — review finding, r7
     def adj(sx: String, sc: String, n: String): Column =
-      decDivRound(d(col(sx)), d(col(n))) - Exact.signedDivRound(
-        theta * (decDivRound(d(col(sc)), d(col(n))) - mcAll),
-        lit(1000000L))
+      decDivRound(d(col(sx)), d(col(n))) - Exact.signedDivRoundDec(
+        d(theta) * d(decDivRound(d(col(sc)), d(col(n))) - mcAll),
+        d(lit(1000000L)))
     val rho2 = round(
       (covN.cast(DoubleType) / varcN.cast(DoubleType)) *
         (covN.cast(DoubleType) / varxN.cast(DoubleType)), 6)

@@ -17,6 +17,12 @@ object KnnTune {
     val nExact = exact.count()
     println(s"exact sampled pairs: $nExact")
     for (iters <- Seq(1, 3); nprobe <- Seq(4, 8, 12)) {
+      // resolve the per-(nlist,iters) IVF build OUTSIDE the timed
+      // window: ivfBuild memoizes per process, so without this the
+      // first nprobe point of each iters setting absorbs the whole
+      // Lloyd build + parquet writes and the sweep's wall times stop
+      // being comparable across points (review finding, r7)
+      SimilarityOps.ivfBuild(spark, dir, nlist = 16, iters = iters)
       val t0 = System.nanoTime()
       val pairs = SimilarityOps
         .knnJoin(spark, dir, k = 5, nlist = 16, nprobe = nprobe,
