@@ -110,7 +110,15 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // The driver's stdout capture has head-truncated the single long
+    // JSON line twice (r4, r7: "parsed": null). Print a SHORT line the
+    // parser can always swallow first, then the full per-query map;
+    // both precede SparkSession shutdown logging.
+    val shortLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}"""
+    println(shortLine)
     println(line)
+    System.out.flush()
     // The driver's BENCH artifact head-truncates long stdout captures
     // (round 4 kept only 60 of 154 per-query times), so also write the
     // full metric map to a file that survives whole. Overridable for

@@ -671,8 +671,14 @@ object DedupOps extends QueryModule {
     * large-scale shape). Both paths yield min-reachable-id labels. */
   def dupClusters(spark: SparkSession, dir: String): DataFrame = {
     val pairs = ngramJaccard(spark, dir).select(col("i"), col("j")).cache()
-    if (pairs.count() <= LocalEdgeLimit) localComponents(spark, pairs)
-    else distributedComponents(pairs)
+    // Both paths fully consume `pairs` before returning (local path
+    // collects; distributed path ends on a localCheckpoint with severed
+    // lineage), so the cache can be released here rather than pinning
+    // the pair blocks until session end for library callers.
+    try {
+      if (pairs.count() <= LocalEdgeLimit) localComponents(spark, pairs)
+      else distributedComponents(pairs)
+    } finally pairs.unpersist()
   }
 
   val LocalEdgeLimit = 1000000L

@@ -310,10 +310,10 @@ object StreamingOps extends QueryModule {
     * can't diverge), deterministic 1-in-4 sample — the stateful path is
     * exercised identically (all traces, fewer spans) at a quarter of
     * the micro-batch volume. BOTH st3/st4 oracles mirror the predicate
-    * and this projection exactly. */
-  private def sampledSpanEvents(spark: SparkSession,
-      dir: String): Seq[TraceAssembler.SpanEvent] = {
-    import spark.implicits._
+    * and this projection exactly. A batch FRAME — the drive below keeps
+    * it executor-side end to end. */
+  private def sampledSpanFrame(spark: SparkSession,
+      dir: String): DataFrame =
     Tables.events(spark, dir)
       .filter(pmod(col("event_id"), lit(4)) === 0)
       .select(
@@ -324,43 +324,66 @@ object StreamingOps extends QueryModule {
         col("event_type").as("scope_name"),
         expr("ts div 1000").as("start_time_unix_nano"), // µs basis
         floor(col("value")).cast("long").as("duration_ns"))
-      .as[TraceAssembler.SpanEvent].collect().toSeq
-  }
 
-  /** Drive a stateful operator over `spans` through a MemoryStream with
-    * two sentinel batches pushing the watermark past every gap deadline
+  /** Test-only seam: the source description of the last sentinel-file
+    * drive, read from the query's final progress — StreamingSpec pins
+    * that the stateful entries are driven by a FILE source (executor
+    * side), not a driver-materialized MemoryStream. Never read by
+    * production code. */
+  private[graft] var lastDriveSource: String = ""
+
+  /** Drive a stateful operator over the sampled span stream with two
+    * sentinel batches pushing the watermark past every gap deadline
     * (timeouts fire one batch AFTER the watermark passes them), then
-    * return the memory-sink table with sentinel traces dropped. The
-    * state store is sized to the stream for the run: its partition
-    * count is fixed at query start from shuffle.partitions, and 32
-    * partitions × 3 micro-batches of per-partition state files is pure
-    * overhead at this volume (a real deployment sizes it to
-    * keys/throughput). */
+    * return the memory-sink table with sentinel traces dropped.
+    *
+    * The drive is a FILE stream, not a MemoryStream: the sampled frame
+    * is written executor-side as one parquet file (one file ⇒ all real
+    * spans land in micro-batch 1, the same batch structure the old
+    * MemoryStream drive had), the query starts against the directory,
+    * and each sentinel is appended as a new FILE between
+    * `processAllAvailable()` calls — discovery order guarantees the
+    * sentinels arrive in later micro-batches. Nothing corpus-sized ever
+    * touches the driver: the sentinels are two constant 1-row frames,
+    * and `maxUs` is a 1-row aggregate. The state store is sized to the
+    * stream for the run (32 partitions × 3 micro-batches of state files
+    * is pure machinery at this volume). */
   private def runWithSentinels(spark: SparkSession, name: String,
-      outputMode: String, spans: Seq[TraceAssembler.SpanEvent])(
+      outputMode: String, dir: String)(
       op: org.apache.spark.sql.Dataset[TraceAssembler.SpanEvent] =>
         DataFrame): DataFrame = {
     import spark.implicits._
+    val streamDir = s"${sys.props("java.io.tmpdir")}/graft_stdrive_" +
+      ProcessHandle.current().pid() + "_" + name
+    sampledSpanFrame(spark, dir).coalesce(1)
+      .write.mode("overwrite").parquet(streamDir)
     // Empty input still needs the sentinel batches to run (and then be
-    // filtered) so the caller gets an empty frame with the right schema
-    // instead of an empty.max crash.
-    val maxUs =
-      if (spans.isEmpty) 0L else spans.map(_.start_time_unix_nano).max
-    def sentinel(id: String, offsetUs: Long) = TraceAssembler.SpanEvent(
-      id, "sx", "", "wm", "wm", maxUs + offsetUs, 1L)
-    val ms = org.apache.spark.sql.execution.streaming.runtime
-      .MemoryStream[TraceAssembler.SpanEvent](spark)
-    val out = op(ms.toDS())
+    // filtered) so the caller gets an empty frame with the right schema.
+    val maxUs = spark.read.parquet(streamDir)
+      .agg(coalesce(max(col("start_time_unix_nano")), lit(0L)))
+      .first().getLong(0)
+    def sentinel(id: String, offsetUs: Long): DataFrame =
+      Seq(TraceAssembler.SpanEvent(
+        id, "sx", "", "wm", "wm", maxUs + offsetUs, 1L)).toDF()
+    val src = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[
+        TraceAssembler.SpanEvent]].schema)
+      .parquet(streamDir).as[TraceAssembler.SpanEvent]
+    val out = op(src)
     withStreamSizedShuffle(spark, 4) {
       val q = out.writeStream.outputMode(outputMode).format("memory")
         .queryName(name).start()
       try {
-        ms.addData(spans)
-        q.processAllAvailable()
-        ms.addData(sentinel("WM1", 100000000000L))
-        q.processAllAvailable()
-        ms.addData(sentinel("WM2", 200000000000L)) // fires the timeouts
-        q.processAllAvailable()
+        q.processAllAvailable() // batch 1: the data file
+        sentinel("WM1", 100000000000L)
+          .write.mode("append").parquet(streamDir)
+        q.processAllAvailable() // batch 2: watermark passes the deadlines
+        sentinel("WM2", 200000000000L)
+          .write.mode("append").parquet(streamDir)
+        q.processAllAvailable() // batch 3: the timeouts fire
+        lastDriveSource = Option(q.lastProgress)
+          .flatMap(p => p.sources.headOption).map(_.description)
+          .getOrElse("")
       } finally q.stop()
     }
     spark.table(name).filter(!col("trace_id").startsWith("WM"))
@@ -374,7 +397,7 @@ object StreamingOps extends QueryModule {
   def streamingTraceAssembly(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
     runWithSentinels(spark, s"st3_assembled_${System.nanoTime()}",
-      "append", sampledSpanEvents(spark, dir))(
+      "append", dir)(
       ds => TraceAssembler.assembleTraces(ds, gapMs = 60000).toDF())
       .select(col("trace_id"), col("n_spans"), col("root_name"),
         array_join(col("services"), ",").as("services_csv"),
@@ -391,7 +414,7 @@ object StreamingOps extends QueryModule {
   def streamingTraceStatus(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
     runWithSentinels(spark, s"st4_status_${System.nanoTime()}",
-      "update", sampledSpanEvents(spark, dir))(
+      "update", dir)(
       ds => TraceAssembler.traceStatus(ds, watermarkDelay = "1 second")
         .toDF())
       .groupBy(col("trace_id"))

@@ -242,6 +242,16 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("V2e dupClusters leaves no persisted RDDs behind") {
+    // the pair frame is cached for the count + component pass and must
+    // be released before returning — library callers (and Verify) would
+    // otherwise pin the pair blocks until session end
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    DedupOps.dupClusters(spark, sf).collect()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"persisted RDDs leaked: $leaked")
+  }
+
   test("V3c kNN join: cell-local neighbours are true neighbours") {
     val knn = SimilarityOps.knnJoin(spark, sf, k = 5)
     val rows = knn.collect()

@@ -75,6 +75,31 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("st3/st4 sentinel drive is a FILE stream, executor-side") {
+    // the stateful entries must be driven by a file source (nothing
+    // corpus-sized on the driver) — the old MemoryStream drive
+    // collected n/4 event rows to feed addData. lastDriveSource is the
+    // documented test-only seam exposing the final progress's source.
+    val assembled = StreamingOps.streamingTraceAssembly(spark, sf0001)
+    assert(StreamingOps.lastDriveSource.contains("FileStreamSource"),
+      s"st3 drive source was '${StreamingOps.lastDriveSource}'")
+    // and the drive still computes the right thing: every sampled
+    // trace present exactly once, span counts equal the batch rollup
+    val exact = Tables.events(spark, sf0001)
+      .filter(pmod(col("event_id"), lit(4)) === 0)
+      .groupBy(col("user_id").cast("string").as("trace_id"))
+      .agg(count(lit(1)).cast("int").as("n_spans"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    val got = assembled.select("trace_id", "n_spans")
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(got === exact)
+
+    val status = StreamingOps.streamingTraceStatus(spark, sf0001)
+    assert(StreamingOps.lastDriveSource.contains("FileStreamSource"),
+      s"st4 drive source was '${StreamingOps.lastDriveSource}'")
+    assert(status.count() === exact.size.toLong)
+  }
+
   test("session_window matches batch gap sessionization") {
     val stream = StreamingOps.eventsStream(spark, sf0001)
     val sessions = StreamingOps.runToBatch(spark,
