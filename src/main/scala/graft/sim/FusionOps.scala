@@ -81,8 +81,13 @@ object FusionOps extends QueryModule {
        |  FROM e, q WHERE e.vec_id <> 0
        |  ORDER BY rel DESC, e.vec_id LIMIT $Pool)""".stripMargin
 
-  private val hybridRrfSql: String =
-    s"""WITH ${graft.nlp.RankOps.bm25Ctes},
+  /** The RRF fusion chain as a CTE LIST (no WITH), ending in
+    * `fused10(doc_id, r_bm25, r_vec, rrf_micro)` — the fused top-10
+    * with integer micro-unit scores. Spliced whole into the v64
+    * ranking-quality oracles so the witnessed list and the registered
+    * v59 list come from ONE spelling. */
+  private[graft] val rrfCtes: String =
+    s"""${graft.nlp.RankOps.bm25Ctes},
        | bmp AS (SELECT doc_id, score FROM bmscores
        |         ORDER BY score DESC, doc_id LIMIT $Pool),
        | bmr AS (SELECT doc_id, row_number()
@@ -92,14 +97,19 @@ object FusionOps extends QueryModule {
        |          OVER (ORDER BY rel DESC, vec_id) AS r_vec FROM vpool),
        | f AS (SELECT coalesce(bmr.doc_id, vr.doc_id) AS doc_id,
        |        r_bm25, r_vec
-       |       FROM bmr FULL OUTER JOIN vr ON bmr.doc_id = vr.doc_id)
-       |SELECT doc_id,
-       | CAST(coalesce(r_bm25, 0) AS BIGINT) AS r_bm25,
-       | CAST(coalesce(r_vec, 0) AS BIGINT) AS r_vec,
-       | CAST(coalesce(1000000 // ($RrfK + r_bm25), 0)
-       |    + coalesce(1000000 // ($RrfK + r_vec), 0) AS DOUBLE) / 1000000.0
-       |   AS rrf
-       |FROM f ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
+       |       FROM bmr FULL OUTER JOIN vr ON bmr.doc_id = vr.doc_id),
+       | fused10 AS (SELECT doc_id,
+       |   CAST(coalesce(r_bm25, 0) AS BIGINT) AS r_bm25,
+       |   CAST(coalesce(r_vec, 0) AS BIGINT) AS r_vec,
+       |   CAST(coalesce(1000000 // ($RrfK + r_bm25), 0)
+       |      + coalesce(1000000 // ($RrfK + r_vec), 0) AS BIGINT) AS rrf_micro
+       |  FROM f ORDER BY rrf_micro DESC, doc_id LIMIT 10)""".stripMargin
+
+  private val hybridRrfSql: String =
+    s"""WITH $rrfCtes
+       |SELECT doc_id, r_bm25, r_vec,
+       | CAST(rrf_micro AS DOUBLE) / 1000000.0 AS rrf
+       |FROM fused10 ORDER BY rrf DESC, doc_id""".stripMargin
 
   /** V60: Maximal Marginal Relevance diversification of the dense
     * top-[[Pool]]: greedily select `k` results maximizing
@@ -241,7 +251,7 @@ object FusionOps extends QueryModule {
 
   /** Shared CTE chain: words → signed buckets → canonical sparse
     * vectors `hf(doc_id, bucket, weight)`. */
-  private val hashedCtes: String =
+  private[graft] val hashedCtes: String =
     s"""hw AS (SELECT doc_id,
        |   unnest(string_split(lower(text), ' ')) AS word
        |  FROM documents WHERE text IS NOT NULL),
@@ -259,21 +269,28 @@ object FusionOps extends QueryModule {
        |SELECT doc_id, bucket, weight FROM hf
        |ORDER BY doc_id, bucket""".stripMargin
 
-  private val hashedTopKSql: String =
-    s"""WITH $hashedCtes,
+  /** The hashed-cosine ranking chain as a CTE LIST (no WITH), ending
+    * in `hrank10(doc_id, cos)` — the v62b top-10; spliced into the v64
+    * ranking-quality oracle so both entries rank from ONE spelling. */
+  private[graft] val hashedRankCtes: String =
+    s"""$hashedCtes,
        | hq AS (SELECT bucket, weight AS qw FROM hf WHERE doc_id = 0),
        | hqn AS (SELECT sum(qw * qw) AS qnn FROM hq),
        | hn AS (SELECT doc_id, sum(weight * weight) AS nn FROM hf
        |        GROUP BY 1),
        | hd AS (SELECT f.doc_id, sum(f.weight * q.qw) AS dot
-       |        FROM hf f JOIN hq q USING (bucket) GROUP BY 1)
-       |SELECT hn.doc_id,
-       | round(CAST(coalesce(hd.dot, 0) AS DOUBLE)
-       |   / (sqrt(CAST(hn.nn AS DOUBLE)) * sqrt(CAST(hqn.qnn AS DOUBLE))),
-       |   6) AS cos
-       |FROM hn LEFT JOIN hd ON hd.doc_id = hn.doc_id CROSS JOIN hqn
-       |WHERE hn.doc_id <> 0
-       |ORDER BY cos DESC, hn.doc_id LIMIT 10""".stripMargin
+       |        FROM hf f JOIN hq q USING (bucket) GROUP BY 1),
+       | hrank10 AS (SELECT hn.doc_id,
+       |   round(CAST(coalesce(hd.dot, 0) AS DOUBLE)
+       |     / (sqrt(CAST(hn.nn AS DOUBLE)) * sqrt(CAST(hqn.qnn AS DOUBLE))),
+       |     6) AS cos
+       |  FROM hn LEFT JOIN hd ON hd.doc_id = hn.doc_id CROSS JOIN hqn
+       |  WHERE hn.doc_id <> 0
+       |  ORDER BY cos DESC, hn.doc_id LIMIT 10)""".stripMargin
+
+  private val hashedTopKSql: String =
+    s"""WITH $hashedRankCtes
+       |SELECT doc_id, cos FROM hrank10 ORDER BY cos DESC, doc_id""".stripMargin
 
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("v62_hashed_features",

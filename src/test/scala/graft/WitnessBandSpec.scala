@@ -47,7 +47,19 @@ class WitnessBandSpec extends SparkSpec {
     // PQ ADC distance inflation: 1.07/1.06/1.14 at sf0.001/0.01/0.1
     // (set recall saturates low under distance concentration — the
     // PqOps scaladoc — so the band rides the inflation metric)
-    ("v18g_pq_recall", "dist_inflation", 1.0, 1.3))
+    ("v18g_pq_recall", "dist_inflation", 1.0, 1.3),
+    // ranking-quality witnesses (r8): nDCG@10, integer-rational DCG.
+    // BM25 vs lexical grades: 0.847 sf0.001 / 0.716 sf0.01 / 0.831 sf0.1
+    ("v64a_ndcg_bm25", "ndcg", 0.6, 1.0),
+    // hashed-cosine (HashDim=16) vs exact word-vector grades:
+    // 0.613 / 0.571 / 0.870
+    ("v64b_ndcg_hashed", "ndcg", 0.4, 1.0),
+    // RRF fused vs lexical grades (dense arm dilutes by design):
+    // 0.413 / 0.598 / 0.546
+    ("v64c_ndcg_rrf", "ndcg", 0.25, 0.9),
+    // Kendall tau fused-vs-BM25-arm: -0.067 sf0.001 / 0.2 sf0.01 /
+    // 1.0 sf0.1 — band is sf0.001's neighborhood
+    ("v64d_rrf_tau", "tau", -0.5, 0.5))
 
   bands.foreach { case (id, metric, lo, hi) =>
     test(s"$id: $metric in [$lo, $hi] at sf0.001") {
