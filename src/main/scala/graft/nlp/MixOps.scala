@@ -196,6 +196,124 @@ object MixOps extends QueryModule {
        |FROM c GROUP BY source, pack_id
        |ORDER BY source, pack_id""".stripMargin
 
+  // ---- V65: training-shard export (the pipeline's last mile) ----
+
+  /** Tokens per training shard. Test-SF sized (≈13 shards at sf0.01);
+    * a production run sets this to the trainer's shard size (e.g.
+    * ~100M tokens) — the dataflow is budget-agnostic. */
+  val ShardBudget = 2048L
+
+  /** Radix of the shuffle-key prefix used to shard the global
+    * prefix-sum: 2 hex chars = 256 ordered buckets, each ≈ n/256 rows
+    * (md5 is uniform). A 100 TB run widens the prefix (4 hex chars =
+    * 65536 buckets) — same plan, smaller window partitions. */
+  private val ShufflePrefixHex = 2
+
+  /** Per-document export row: content-free md5 shuffle key (the v28
+    * growth-stable spelling — a doc's position never depends on its
+    * neighbors), whitespace token count (v15's), and an
+    * order-independent 32-bit content signature for the manifest
+    * checksum. */
+  private def exportRows(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"),
+        md5(concat(lit("shard"), col("doc_id").cast("string"))).as("sk"),
+        when(col("text").isNotNull,
+          size(split(lower(col("text")), " "))).otherwise(0)
+          .cast("long").as("toks"),
+        conv(substring(md5(concat(lit("sig"),
+          col("doc_id").cast("string"), lit("|"),
+          coalesce(TextCanon.normalized, lit("")))), 1, 8), 16, 10)
+          .cast("long").as("sig"))
+
+  /** Shard assignment: deterministic global shuffle order = (sk,
+    * doc_id); a doc belongs to the shard its FIRST token falls in
+    * (v15's stream fill) under a [[ShardBudget]]-token budget. The
+    * running sum is the v15 distributed prefix-sum transposed to hash
+    * order: bucket = the shuffle key's leading hex prefix (buckets are
+    * ORDERED — bucket order is key-prefix order), local exclusive
+    * cumsum inside each ≈n/256-row bucket, exclusive offsets from the
+    * 256-row bucket-totals frame. No global sort ever runs: shard
+    * identity needs only the prefix-sum, and within-shard file order
+    * is irrelevant because every manifest column is
+    * order-independent. */
+  private def withShards(spark: SparkSession, dir: String): DataFrame = {
+    val d = exportRows(spark, dir)
+      .withColumn("bkt",
+        conv(substring(col("sk"), 1, ShufflePrefixHex), 16, 10)
+          .cast("int"))
+    val wLocal = Window.partitionBy(col("bkt"))
+      .orderBy(col("sk"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = d.withColumn("local_cum",
+      coalesce(sum(col("toks")).over(wLocal), lit(0L)))
+    val offsets = d.groupBy(col("bkt"))
+      .agg(sum(col("toks")).as("bkt_toks"))
+      .withColumn("offset", coalesce(sum(col("bkt_toks")).over(
+        Window.orderBy(col("bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bkt"), col("offset"))
+    local.join(offsets, Seq("bkt"))
+      .withColumn("cum", col("offset") + col("local_cum"))
+      .withColumn("shard_id", expr(s"cum div $ShardBudget"))
+  }
+
+  /** V65: the shard MANIFEST — per shard: doc count, token count, an
+    * order-independent content checksum (sum of per-doc 32-bit
+    * signatures over doc_id + normalized text — any dropped, duplicated
+    * or altered document changes it), and the shard's shuffle-key
+    * range. This is the contract a trainer verifies before reading a
+    * shard; fully oracle-checkable, so the driver hash-agrees the
+    * checksums themselves. */
+  def shardManifest(spark: SparkSession, dir: String): DataFrame =
+    withShards(spark, dir)
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("shard_tokens"),
+        sum(col("sig")).as("content_sum"),
+        min(col("sk")).as("first_key"),
+        max(col("sk")).as("last_key"))
+      .orderBy(col("shard_id"))
+
+  /** The export itself: writes `docs/` parquet partitioned by shard_id
+    * (one file per shard via the shard-keyed repartition) plus the
+    * `manifest/` parquet next to it; returns the manifest path pair
+    * root. Library surface — the registered entry is [[shardManifest]]
+    * (the write is a side effect the correctness gate can't hash). */
+  def exportShards(spark: SparkSession, dir: String, out: String): String = {
+    withShards(spark, dir)
+      .select(col("shard_id"), col("doc_id"), col("source"), col("text"),
+        col("toks"), col("sig"))
+      .repartition(col("shard_id"))
+      .write.mode("overwrite").partitionBy("shard_id")
+      .parquet(s"$out/docs")
+    shardManifest(spark, dir)
+      .write.mode("overwrite").parquet(s"$out/manifest")
+    out
+  }
+
+  private lazy val shardManifestSql: String = {
+    val norm = OracleSql.normalizedText
+    s"""WITH d AS (
+       | SELECT doc_id,
+       |  md5('shard' || CAST(doc_id AS VARCHAR)) AS sk,
+       |  CAST(coalesce(len(string_split(lower(text), ' ')), 0) AS BIGINT)
+       |    AS toks,
+       |  ('0x' || substr(md5('sig' || CAST(doc_id AS VARCHAR) || '|' ||
+       |     coalesce($norm, '')), 1, 8))::BIGINT AS sig
+       | FROM documents),
+       |c AS (
+       | SELECT *, coalesce(sum(toks) OVER (ORDER BY sk, doc_id
+       |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+       | FROM d)
+       |SELECT CAST(cum // $ShardBudget AS BIGINT) AS shard_id,
+       | CAST(count(*) AS BIGINT) AS n_docs,
+       | CAST(sum(toks) AS BIGINT) AS shard_tokens,
+       | CAST(sum(sig) AS BIGINT) AS content_sum,
+       | min(sk) AS first_key, max(sk) AS last_key
+       |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   // ---- V28: deterministic train/val/test hash split ----
 
   /** V28: assignment of every document to train/val/test by content-free
@@ -620,5 +738,12 @@ object MixOps extends QueryModule {
       s"V15 sequence packing: stream-fill docs into $PackTokens-token " +
         "packs per source (distributed prefix-sum over doc_id-range " +
         "shards; straddlers stay whole)",
-      tokenPacking, Some(tokenPackingSql)))
+      tokenPacking, Some(tokenPackingSql)),
+    GraftQuery("v65_shard_manifest",
+      s"V65 training-shard export manifest: deterministic md5 global " +
+        s"shuffle + $ShardBudget-token stream-fill shard assignment " +
+        "(hash-ordered distributed prefix-sum, no global sort) with " +
+        "per-shard doc/token counts and an order-independent content " +
+        "checksum — the contract a trainer verifies per shard",
+      shardManifest, Some(shardManifestSql)))
 }

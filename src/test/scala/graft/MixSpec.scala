@@ -190,7 +190,13 @@ class MixSpec extends SparkSpec {
       src -> (mine.length.toLong,
         mine.count(d => copies(md5hex(norm(d._3))) > 1).toLong, kept.toLong)
     }
-    val rows = MixOps.dedupWeightedSample(spark, sf0001).collect()
+    val rowsDw = MixOps.dedupWeightedSample(spark, sf0001).collect()
+    checkDedupWeighted(rowsDw, expect)
+  }
+
+  private def checkDedupWeighted(
+      rows: Array[org.apache.spark.sql.Row],
+      expect: Map[String, (Long, Long, Long)]): Unit = {
     assert(rows.length === expect.size)
     rows.foreach { r =>
       val (n, dup, kept) = expect(r.getAs[String]("source"))
@@ -199,6 +205,39 @@ class MixSpec extends SparkSpec {
       assert(r.getAs[Long]("n_kept") === kept, r.toString)
       // every unique doc is kept (u*1 < 2^24 always)
       assert(kept >= n - dup)
+    }
+  }
+
+  test("v65 written shards verify against the manifest: counts, " +
+    "tokens and content checksum recompute from the files") {
+    import org.apache.spark.sql.functions._
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_shards").toString
+    MixOps.exportShards(spark, sf0001, out)
+    // recompute the manifest FROM THE WRITTEN FILES — the trainer's
+    // verification pass: any doc dropped/duplicated/altered by the
+    // write would break a checksum
+    val back = spark.read.parquet(s"$out/docs")
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("shard_tokens"),
+        sum(col("sig")).as("content_sum"))
+      .collect()
+      .map(r => r.getAs[Long]("shard_id") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("shard_tokens"),
+          r.getAs[Long]("content_sum"))).toMap
+    val manifest = spark.read.parquet(s"$out/manifest").collect()
+      .map(r => r.getAs[Long]("shard_id") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("shard_tokens"),
+          r.getAs[Long]("content_sum"))).toMap
+    assert(manifest.size > 1, "budget should yield multiple shards")
+    assert(back === manifest)
+    // stream fill never splits a doc, so a shard can overrun the
+    // budget only by its last straddler: tokens < budget + max doc
+    val maxDocToks = spark.read.parquet(s"$out/docs")
+      .agg(max(col("toks"))).collect().head.getLong(0)
+    back.values.foreach { case (_, toks, _) =>
+      assert(toks < MixOps.ShardBudget + maxDocToks,
+        s"shard overran the stream-fill bound: $toks")
     }
   }
 }
