@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators._
 import graft.dedup.DedupOps
 import graft.mm.MultimodalOps
-import graft.nlp.{MixOps, ProbeOps, RankOps, RankQaOps, ScoreQaOps, TextOps}
+import graft.nlp.{CurationDagOps, MixOps, ProbeOps, RankOps, RankQaOps,
+  ScoreQaOps, TextOps}
 import graft.sim.{ClusterOps, FusionOps, PqOps, SimilarityOps}
 import graft.sources.SourceOps
 import graft.streaming.StreamingOps
@@ -18,8 +19,8 @@ object SparkEntry {
     Relational, EventOps, SeriesOps, SearchOps, IngestOps, SessionOps,
     SpanNativeOps, LayoutOps, JoinOps, CdcOps, OlapOps, GraphOps, StatsOps,
     QualityOps, SourceOps,
-    TextOps, RankOps, MixOps, ScoreQaOps, RankQaOps, ProbeOps, DedupOps,
-    SimilarityOps,
+    TextOps, RankOps, MixOps, ScoreQaOps, RankQaOps, CurationDagOps,
+    ProbeOps, DedupOps, SimilarityOps,
     ClusterOps, PqOps, FusionOps,
     MultimodalOps,
     StreamingOps)

@@ -1006,7 +1006,7 @@ object DedupOps extends QueryModule {
       |WHERE norm_hash NOT IN (SELECT norm_hash FROM ex)
       |ORDER BY doc_id""".stripMargin
 
-  private val shinglesSql =
+  private[graft] val shinglesSql =
     """list_distinct([w[i]||' '||w[i+1]||' '||w[i+2]
       | for i in generate_series(1, greatest(len(w)-2, 1))])""".stripMargin
       .replace("\n", " ")

@@ -1,0 +1,253 @@
+package graft.nlp
+
+import graft._
+import graft.dedup.DedupOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** V66: the composed end-to-end curation DAG — the operator a real
+  * training-data run actually executes, as ONE registered entry:
+  *
+  *   v13 gates (normalize → exact-dedup → language → quality)
+  *   → v16/v16b decontamination (lexical shingle containment +
+  *     embedding-space proximity to the benchmark slice)
+  *   → v50 semantic prune (SemDeDup keep-first within label blocks)
+  *   → v52 temperature mix + v15 stream-fill packing over the final
+  *     survivors,
+  *
+  * reported per source with PER-STAGE ROW-COUNT PROVENANCE: how many
+  * documents entered, survived the gates, survived decontamination,
+  * and survived the prune — plus the final token mass, the number of
+  * packed training sequences, and the α=0.5 mix weight/allocation the
+  * survivors would get. The v13b "first failing gate wins" convention
+  * extends across operators: each stage's verdict comes from that
+  * operator's OWN registered single-scan plan (v16/v16b/v50 verbatim —
+  * corpus-wide decisions, the SemDeDup-paper composition), and the DAG
+  * assembles them with doc-keyed left joins — no stage rescans another
+  * stage's input, which PlanSpec pins by counting scan nodes.
+  *
+  * Scale shape: stage verdicts are linear scans of their own table
+  * (gates: one dedup window + fused marker pass; v16: broadcast
+  * benchmark shingles; v16b: one broadcast benchmark-vector row; v50:
+  * the salted block-bounded pair join); the assembly is doc-keyed hash
+  * joins; packing's running sum is the v15 sharded prefix-sum computed
+  * in ONE window pass over the assembled frame (non-survivors
+  * contribute 0 tokens, so the cumulative sum at a kept row equals the
+  * kept-only prefix-sum — no second pass over survivors); the
+  * per-source report is a bounded frame with broadcast totals.
+  * Documents without an embedding row (the tables decouple at sf0.1)
+  * pass the semantic stages untouched — LEFT joins, mirrored in the
+  * oracle.
+  */
+object CurationDagOps extends QueryModule {
+
+  /** Quality-score gate in micro units (v13's 0.38). */
+  private val MinScoreMicro = 380000L
+
+  /** v15's packing budget and prefix-sum shard width. */
+  private val PackTokens = MixOps.PackTokens
+  private val ShardWidth = MixOps.ShardWidth
+
+  /** The per-doc curation LEDGER (doc_id, source, toks, stage): every
+    * stage's verdict assembled by doc-keyed left joins — v13b's explain
+    * table generalized across operators. Lazy; [[curationDag]]
+    * materializes it ONCE (localCheckpoint) so the downstream
+    * consumers (packing windows, provenance aggregate, mix totals)
+    * read the materialized ledger instead of re-running four stages
+    * per consumer — the stage-boundary materialization a production
+    * DAG performs anyway. PlanSpec pins THIS frame's scan budget
+    * (composition must not rescan a stage's table) and the entry
+    * plan's zero raw-table scans. */
+  private[graft] def verdictLedger(spark: SparkSession,
+      dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+
+    // stage 1 — v13's gates, one chain: dedup window + fused scoring
+    val nonNull = docs.filter(col("text").isNotNull)
+      .withColumn("norm_hash", TextCanon.normHash)
+      .withColumn("dk", row_number().over(
+        Window.partitionBy(col("norm_hash")).orderBy(col("doc_id"))))
+    val gated = TextOps.withMarkerScores(nonNull.filter(col("dk") === 1))
+      .withColumn("n_words", size(col("w")))
+      .withColumn("n_distinct", size(array_distinct(col("w"))))
+      .filter(TextOps.argmaxLang === "en" &&
+        TextOps.scoreMicro >= MinScoreMicro)
+      .select(col("doc_id"), col("n_words").cast("long").as("toks"),
+        lit(true).as("g"))
+
+    // stage 2 — decontamination flags, each operator's own plan
+    val lexFlag = DedupOps.decontaminate(spark, dir)
+      .select(col("doc_id"), lit(true).as("lex_c"))
+    val semFlag = DedupOps.semanticDecontaminate(spark, dir)
+      .select(col("vec_id").as("doc_id"), lit(true).as("sem_c"))
+
+    // stage 3 — v50 SemDeDup verdicts (corpus-wide keep-first)
+    val pruneFlag = DedupOps.semanticPrune(spark, dir)
+      .filter(col("pruned"))
+      .select(col("vec_id").as("doc_id"), lit(true).as("sem_p"))
+
+    // assembly: first failing stage wins (v13b's convention across
+    // operators); stage = how far the doc got (0 gates, 1 decontam,
+    // 2 prune, 3 kept)
+    docs
+      .join(gated, Seq("doc_id"), "left")
+      .join(lexFlag, Seq("doc_id"), "left")
+      .join(semFlag, Seq("doc_id"), "left")
+      .join(pruneFlag, Seq("doc_id"), "left")
+      .withColumn("stage",
+        when(col("g").isNull, 0)
+          .when(pmod(col("doc_id"), lit(97)) === 0 ||
+            col("lex_c").isNotNull || col("sem_c").isNotNull, 1)
+          .when(col("sem_p").isNotNull, 2)
+          .otherwise(3))
+      .withColumn("toks_k",
+        when(col("stage") === 3, col("toks")).otherwise(0L))
+      .select(col("doc_id"), col("source"), col("stage"), col("toks_k"))
+  }
+
+  def curationDag(spark: SparkSession, dir: String): DataFrame = {
+    // materialize the ledger once; like distributedComponents' final
+    // labels frame, the checkpoint blocks live until the context
+    // cleaner collects the frame — a narrow 4-column per-doc table
+    val verdict = verdictLedger(spark, dir).localCheckpoint()
+
+    // v15 packing of the survivors in ONE window pass: non-survivors
+    // add 0 tokens, so the exclusive cumsum AT a kept row equals the
+    // kept-only prefix-sum; sharded like v15 (no whole-source window)
+    val sharded = verdict.withColumn("shard",
+      floor(col("doc_id") / lit(ShardWidth)).cast("long"))
+    val wLocal = Window.partitionBy(col("source"), col("shard"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = sharded.withColumn("local_cum",
+      coalesce(sum(col("toks_k")).over(wLocal), lit(0L)))
+    val offsets = sharded.groupBy(col("source"), col("shard"))
+      .agg(sum(col("toks_k")).as("shard_toks"))
+      .withColumn("offset", coalesce(sum(col("shard_toks")).over(
+        Window.partitionBy(col("source")).orderBy(col("shard"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("source"), col("shard"), col("offset"))
+    val packed = local.join(offsets, Seq("source", "shard"))
+      .withColumn("cum", col("offset") + col("local_cum"))
+      .withColumn("pack_id",
+        when(col("stage") === 3, expr(s"cum div $PackTokens")))
+
+    // per-source provenance report + v52 temperature arithmetic
+    val perSrc = packed.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_input"),
+        sum(when(col("stage") >= 1, 1L).otherwise(0L)).as("n_gated"),
+        sum(when(col("stage") >= 2, 1L).otherwise(0L)).as("n_clean"),
+        sum(when(col("stage") === 3, 1L).otherwise(0L)).as("n_final"),
+        sum(col("toks_k")).as("n_tokens"),
+        countDistinct(col("pack_id")).as("n_packs"))
+      .withColumn("s_micro",
+        floor(sqrt(col("n_final").cast("double")) * 1000000.0 + 0.5)
+          .cast("long"))
+    val totals = perSrc.agg(sum(col("s_micro")).as("tot_s"))
+    perSrc.crossJoin(broadcast(totals))
+      .select(col("source"), col("n_input"), col("n_gated"),
+        col("n_clean"), col("n_final"), col("n_tokens"), col("n_packs"),
+        Exact.ratio6(col("s_micro"), col("tot_s")).as("weight"),
+        Exact.intDiv(lit(MixOps.MixBudget) * col("s_micro") +
+          shiftright(col("tot_s"), 1), col("tot_s")).as("alloc"))
+      .orderBy(col("source"))
+  }
+
+  private lazy val curationDagSql: String = {
+    val w = TextOps.wordsSql
+    def m(l: String) = TextOps.markerSql(l)
+    s"""WITH base AS (SELECT doc_id, source, text,
+       |   ${OracleSql.normHashText} AS norm_hash
+       |  FROM documents WHERE text IS NOT NULL),
+       | dd AS (SELECT *, row_number() OVER (
+       |    PARTITION BY norm_hash ORDER BY doc_id) AS dk FROM base),
+       | sc AS (SELECT doc_id, source,
+       |   ${m("en")} AS s_en, ${m("de")} AS s_de,
+       |   ${m("es")} AS s_es, ${m("fr")} AS s_fr,
+       |   len($w) AS nw, len(list_distinct($w)) AS nd
+       |  FROM dd WHERE dk = 1),
+       | g AS (SELECT doc_id, CAST(nw AS BIGINT) AS toks FROM sc
+       |  WHERE s_en+s_de+s_es+s_fr > 0
+       |   AND s_en >= s_de AND s_en >= s_es AND s_en >= s_fr
+       |   AND ${OracleSql.ratio6Micro(
+              "(least(nw,100)*nw*40 + (s_en+nd)*3000)", "nw*10000")}
+       |     >= $MinScoreMicro),
+       | lt AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+       | ls AS (SELECT doc_id, ${DedupOps.shinglesSql} AS sh FROM lt),
+       | lbench AS (SELECT DISTINCT unnest(sh) AS shingle FROM ls
+       |            WHERE doc_id % 97 = 0),
+       | lc AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS shingle
+       |        FROM ls WHERE doc_id % 97 <> 0),
+       | lh AS (SELECT doc_id, sz, count(*) AS n_hit FROM lc
+       |        WHERE shingle IN (SELECT shingle FROM lbench)
+       |        GROUP BY 1, 2),
+       | lflag AS (SELECT doc_id FROM lh
+       |           WHERE ${OracleSql.ratio6("n_hit", "sz")} >= 0.05),
+       | se AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |   sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+       |        CAST(embedding AS DOUBLE[]))) AS nrm FROM embeddings),
+       | sflag AS (SELECT c.vec_id FROM
+       |   (SELECT * FROM se WHERE vec_id % 97 <> 0) c,
+       |   (SELECT * FROM se WHERE vec_id % 97 = 0) b
+       |  GROUP BY 1
+       |  HAVING max(round(list_dot_product(c.v, b.v)/(c.nrm*b.nrm), 6))
+       |    >= 0.3),
+       | pe AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+       |   sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+       |        CAST(embedding AS DOUBLE[]))) AS nrm FROM embeddings),
+       | pflag AS (SELECT b.vec_id FROM pe a
+       |   JOIN pe b ON a.label = b.label AND a.vec_id < b.vec_id
+       |  GROUP BY 1
+       |  HAVING max(round(list_dot_product(a.v, b.v)/(a.nrm*b.nrm), 6))
+       |    >= 0.35),
+       | v AS (SELECT d.doc_id, d.source, g.toks,
+       |   CASE WHEN g.doc_id IS NULL THEN 0
+       |        WHEN d.doc_id % 97 = 0
+       |          OR lf.doc_id IS NOT NULL OR sf.vec_id IS NOT NULL THEN 1
+       |        WHEN pf.vec_id IS NOT NULL THEN 2
+       |        ELSE 3 END AS stage
+       |  FROM documents d
+       |  LEFT JOIN g ON g.doc_id = d.doc_id
+       |  LEFT JOIN lflag lf ON lf.doc_id = d.doc_id
+       |  LEFT JOIN sflag sf ON sf.vec_id = d.doc_id
+       |  LEFT JOIN pflag pf ON pf.vec_id = d.doc_id),
+       | c AS (SELECT *,
+       |   CASE WHEN stage = 3 THEN toks ELSE 0 END AS toks_k,
+       |   coalesce(sum(CASE WHEN stage = 3 THEN toks ELSE 0 END)
+       |     OVER (PARTITION BY source ORDER BY doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |     AS cum
+       |  FROM v),
+       | agg AS (SELECT source,
+       |   CAST(count(*) AS BIGINT) AS n_input,
+       |   CAST(sum(CASE WHEN stage >= 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |     AS n_gated,
+       |   CAST(sum(CASE WHEN stage >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+       |     AS n_clean,
+       |   CAST(sum(CASE WHEN stage = 3 THEN 1 ELSE 0 END) AS BIGINT)
+       |     AS n_final,
+       |   CAST(sum(toks_k) AS BIGINT) AS n_tokens,
+       |   CAST(count(DISTINCT CASE WHEN stage = 3
+       |     THEN cum // $PackTokens END) AS BIGINT) AS n_packs,
+       |   CAST(floor(sqrt(CAST(sum(CASE WHEN stage = 3 THEN 1 ELSE 0
+       |     END) AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS s_micro
+       |  FROM c GROUP BY 1),
+       | t AS (SELECT CAST(sum(s_micro) AS BIGINT) AS tot_s FROM agg)
+       |SELECT source, n_input, n_gated, n_clean, n_final, n_tokens,
+       | n_packs,
+       | ${OracleSql.ratio6("s_micro", "tot_s")} AS weight,
+       | (${MixOps.MixBudget} * s_micro + tot_s // 2) // tot_s AS alloc
+       |FROM agg CROSS JOIN t ORDER BY source""".stripMargin
+  }
+
+  val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("v66_curation_dag",
+      "V66 composed curation DAG: v13 gates -> v16/v16b decontam -> " +
+        "v50 semantic prune -> v52 mix + v15 packing of survivors, as " +
+        "one entry with per-stage per-source row-count provenance " +
+        "(first-failing-stage verdicts, doc-keyed flag joins, one " +
+        "window pass packs the survivors)",
+      curationDag, Some(curationDagSql)))
+}

@@ -306,6 +306,28 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_"), p)
   }
 
+  test("v66 curation DAG: each stage scans its own input once — the " +
+    "composite never rescans a stage's table, and the entry runs off " +
+    "the one materialized ledger") {
+    // the LEDGER's plan: composition may only add the base doc scan to
+    // each stage's own registered scan budget (gates 1 + v16's 2 for
+    // documents; v16b's 2 + v50's 3 for embeddings)
+    val lp = plan(graft.nlp.CurationDagOps.verdictLedger(spark, sf0001))
+    val docScans = lp.linesIterator
+      .count(l => l.contains("Scan parquet") && l.contains("documents"))
+    assert(docScans <= 4, s"documents scanned $docScans times\n$lp")
+    val embScans = lp.linesIterator
+      .count(l => l.contains("Scan parquet") && l.contains("embeddings"))
+    assert(embScans <= 7, s"embeddings scanned $embScans times\n$lp")
+    // the ENTRY's plan: packing windows, provenance aggregate and mix
+    // totals all read the checkpointed ledger — zero raw-table rescans
+    val ep = plan(q("v66_curation_dag"))
+    val rawScans = ep.linesIterator.count(l =>
+      l.contains("Scan parquet") &&
+        (l.contains("documents") || l.contains("embeddings")))
+    assert(rawScans == 0, s"entry rescans raw tables\n$ep")
+  }
+
   /** The generic anti-pattern detector behind the GLOBAL SWEEP test:
     * flags (a) joins with no equality predicate between their sides
     * (nested-loop at execution) where NEITHER side is bounded, and
