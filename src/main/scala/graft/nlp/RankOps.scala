@@ -165,6 +165,90 @@ object RankOps extends QueryModule {
     scoreTopK(tf, totals, k)
   }
 
+  // ---- V19c: incremental index maintenance (append, don't rebuild) --
+
+  private val incrIndexCache = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.FutureTask[String]]()
+
+  /** Build the inverted index INCREMENTALLY: the base generation (the
+    * 90% `doc_id % 10 != 0` slice — standing in for yesterday's
+    * corpus) is written first; the delta generation (today's 10%
+    * append) is then added as NEW part files into the same bucket
+    * partitioning via append mode — no base posting file is rewritten
+    * (asserted at build time), which is the whole point: at 100 TB an
+    * index refresh that rewrites the index is a rebuild. Totals are
+    * stored per generation and summed at probe time. BM25 carries no
+    * trained artifact, so the merged probe equals the full rebuild
+    * EXACTLY — v19's oracle applies unchanged. */
+  def writeIncrementalIndex(spark: SparkSession, dir: String): String = {
+    val task = incrIndexCache.computeIfAbsent(dir,
+      _ => new java.util.concurrent.FutureTask(() => {
+        val path = graft.util.TempArtifacts.register(
+          s"${sys.props("java.io.tmpdir")}/graft_incr_index_" +
+            s"${ProcessHandle.current().pid()}_${indexSeq.getAndIncrement()}")
+        val docs = withWords(spark, dir).withColumn("dl", size(col("w")))
+        def postings(d: org.apache.spark.sql.DataFrame) = d
+          .select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
+          .groupBy(col("term"), col("doc_id"), col("dl"))
+          .agg(count(lit(1)).as("tf"))
+          .withColumn("bucket",
+            pmod(xxhash64(col("term")), lit(IndexBuckets)))
+        def totals(d: org.apache.spark.sql.DataFrame, gen: Int) = d
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("dl").cast("long")).as("total_dl"))
+          .withColumn("gen", lit(gen))
+        val base = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+        val delta = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+        postings(base).write.mode("overwrite").partitionBy("bucket")
+          .parquet(s"$path/postings")
+        totals(base, 0).write.mode("overwrite").parquet(s"$path/totals")
+        def listing(): Map[String, Long] = {
+          def walk(f: java.io.File): Seq[java.io.File] =
+            if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+            else Seq(f)
+          walk(new java.io.File(s"$path/postings"))
+            .filter(_.getName.endsWith(".parquet"))
+            .map(f => f.getPath -> f.length()).toMap
+        }
+        val baseFiles = listing()
+        postings(delta).write.mode("append").partitionBy("bucket")
+          .parquet(s"$path/postings")
+        totals(delta, 1).write.mode("append").parquet(s"$path/totals")
+        // the append contract, self-checked: every base file survives
+        // the delta write byte-identical in place
+        val after = listing()
+        require(baseFiles.forall { case (f, len) =>
+          after.get(f).contains(len) },
+          "delta append rewrote base posting files")
+        path
+      }))
+    task.run()
+    task.get()
+  }
+
+  /** V19c: BM25 answered from the INCREMENTALLY-maintained index —
+    * bucket-pruned probe over base+delta postings (one merged read:
+    * the generations are disjoint by doc_id, so union is concat),
+    * corpus totals summed across generations. Exactly v19's numbers
+    * (nothing trained, nothing approximated), so the full-rebuild
+    * oracle pins that the append lost and duplicated nothing. */
+  def bm25Incremental(spark: SparkSession, dir: String,
+      terms: Seq[String] = QueryTerms, k: Int = 10): DataFrame = {
+    val path = writeIncrementalIndex(spark, dir)
+    import spark.implicits._
+    val bucketIds = terms.toDF("term")
+      .select(pmod(xxhash64(col("term")), lit(IndexBuckets)))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val tf = spark.read.parquet(s"$path/postings")
+      .filter(col("bucket").isin(bucketIds: _*))
+      .filter(col("term").isin(terms: _*))
+      .select(col("doc_id"), col("dl"), col("term"), col("tf"))
+    val totals = spark.read.parquet(s"$path/totals")
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("total_dl")).as("total_dl"))
+    scoreTopK(tf, totals, k)
+  }
+
   /** The BM25 scoring chain as a CTE LIST (no WITH), ending in
     * `bmscores(doc_id, n_terms, score)` — spliced whole into v55's
     * hybrid-fusion oracle so both entries score from ONE spelling. */
@@ -589,6 +673,13 @@ object RankOps extends QueryModule {
         "scoring, term-pruned explode + broadcast df/totals + " +
         "TakeOrderedAndProject (the keyword half of corpus search)",
       (s, d) => bm25(s, d), Some(bm25Sql)),
+    GraftQuery("v19c_bm25_incremental",
+      "V19c BM25 from the INCREMENTALLY-maintained stored index: the " +
+        "10% delta generation appended as new posting files into the " +
+        "same bucket partitioning (base files provably untouched), " +
+        "totals summed across generations at probe time — equals the " +
+        "full rebuild exactly, same oracle as v19",
+      (s, d) => bm25Incremental(s, d), Some(bm25Sql)),
     GraftQuery("v19b_bm25_stored_index",
       "V19b BM25 from the STORED hash-bucketed inverted index: probe " +
         "reads only the query terms' partitions (pruning pinned in " +

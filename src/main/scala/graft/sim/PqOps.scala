@@ -340,6 +340,44 @@ object PqOps extends QueryModule {
       .parquet(s"$indexPath/coarse")
   }
 
+  /** Write the IVF-PQ index INCREMENTALLY: base generation = the 90%
+    * `vec_id % 10 != 0` slice, delta = the 10% append ENCODED WITH THE
+    * EXISTING codebooks and routed by the EXISTING coarse centroids
+    * (FAISS `add()` semantics — maintenance never retrains), written
+    * as new code files into the same cell partitioning with base files
+    * provably untouched (require below). Because both generations
+    * carry the same trained artifacts, the merged probe equals the
+    * full index probe bit-for-bit — v18h's oracle applies unchanged
+    * and pins that the append lost/duplicated nothing. */
+  def writeIvfPqIncremental(spark: SparkSession, dir: String,
+      indexPath: String): Unit = {
+    val cells = ClusterOps.finalAssign(spark, dir)
+      .withColumnRenamed("cid", "cell")
+    val all = codes(spark, dir).join(cells, Seq("vec_id"))
+    all.filter(pmod(col("vec_id"), lit(10)) =!= 0)
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$indexPath/codes")
+    def listing(): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$indexPath/codes"))
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> f.length()).toMap
+    }
+    val baseFiles = listing()
+    all.filter(pmod(col("vec_id"), lit(10)) === 0)
+      .write.mode("append").partitionBy("cell")
+      .parquet(s"$indexPath/codes")
+    val after = listing()
+    require(baseFiles.forall { case (f, len) =>
+      after.get(f).contains(len) },
+      "delta append rewrote base code files")
+    codebooks(spark, dir).write.mode("overwrite")
+      .parquet(s"$indexPath/codebooks")
+    ClusterOps.finalCentroids(spark, dir).write.mode("overwrite")
+      .parquet(s"$indexPath/coarse")
+  }
+
   /** Point-lookup of one vector in exact micro units (the b6-style
     * pushed-down source read) — how a stored-index query obtains its
     * vector when it does not arrive with the request. */
@@ -528,6 +566,20 @@ object PqOps extends QueryModule {
           s"${sys.props("java.io.tmpdir")}/graft_ivfpq_index_" +
             ProcessHandle.current().pid())
         writeIvfPqIndex(s, d, idx)
+        ivfPqTopKStored(s, idx, microQueryVector(s, d, queryId),
+          excludeVecId = queryId)
+      }, Some(ivfPqTopKSql)),
+    GraftQuery("v18j_ivfpq_incremental",
+      "V18j incrementally-maintained IVF-PQ: the 10% delta encoded " +
+        "with the EXISTING codebooks/coarse centroids (FAISS add() " +
+        "semantics — no retrain) and appended as new code files into " +
+        "the same cell partitioning, base files provably untouched; " +
+        "merged probe == the full index probe, shares v18h's oracle",
+      (s, d) => {
+        val idx = graft.util.TempArtifacts.register(
+          s"${sys.props("java.io.tmpdir")}/graft_ivfpq_incr_" +
+            ProcessHandle.current().pid())
+        writeIvfPqIncremental(s, d, idx)
         ivfPqTopKStored(s, idx, microQueryVector(s, d, queryId),
           excludeVecId = queryId)
       }, Some(ivfPqTopKSql)),

@@ -91,6 +91,26 @@ class ExtendedOpsSpec extends SparkSpec {
       plan.take(3000))
   }
 
+  test("v19c incrementally-maintained index equals the full rebuild " +
+    "and never rebuilds on re-probe") {
+    val a = RankOps.bm25(spark, sf0001).collect().toSeq
+    val b = RankOps.bm25Incremental(spark, sf0001).collect().toSeq
+    assert(b === a)
+    // re-probing must reuse the built generations (the build itself
+    // require()s that the delta append left base files untouched)
+    val path = RankOps.writeIncrementalIndex(spark, sf0001)
+    def listing() = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$path/postings"))
+        .map(f => (f.getPath, f.length(), f.lastModified())).toSet
+    }
+    val before = listing()
+    val c = RankOps.bm25Incremental(spark, sf0001).collect().toSeq
+    assert(c === a)
+    assert(listing() === before, "re-probe modified the stored index")
+  }
+
   test("v22b winnowed pairs are a subset of the exact stride-1 pairs " +
     "on the testdata") {
     // holds because no window's doc-count straddles the boilerplate

@@ -79,6 +79,20 @@ class PqSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("v18j incrementally-maintained IVF-PQ equals the full index " +
+    "probe (append with existing artifacts loses nothing)") {
+    val idx = java.nio.file.Files
+      .createTempDirectory("ivfpq-incr").toString
+    PqOps.writeIvfPqIncremental(spark, sf0001, idx)
+    val incr = PqOps.ivfPqTopKStored(spark, idx,
+      PqOps.microQueryVector(spark, sf0001, 0L), excludeVecId = 0L)
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("adc_d"))).toSeq
+    val full = PqOps.ivfPqTopK(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("adc_d"))).toSeq
+    assert(incr === full)
+  }
+
   test("v18g: ADC picks can never beat the exact picks (inflation >= 1)") {
     val r = PqOps.pqRecall(spark, sf0001).collect().head
     assert(r.getAs[Long]("n_exact") === 10L)
