@@ -284,11 +284,19 @@ object PqOps extends QueryModule {
     * streaming twin runs in APPEND mode with zero aggregation state.
     * NOTE Spark SQL's `arr[i]` is 0-based (element_at is the 1-based
     * form). */
-  private def encodeInRow(df: DataFrame, cents: DataFrame): DataFrame =
+  private def encodeInRow(df: DataFrame, cents: DataFrame): DataFrame = {
+    // localCheckpoint: the 1-row codebook bundle would otherwise be
+    // re-aggregated from the memo parquet EVERY micro-batch when `df`
+    // is a stream (broadcast subqueries re-execute per batch)
+    val bundle = cents.agg(array_sort(collect_list(
+      struct(col("sub"), col("cid"), col("cm")))).as("cs"))
+      .localCheckpoint()
     df.select(col("vec_id"),
         ClusterOps.microVec(col("embedding")).as("xm64"))
-      .crossJoin(broadcast(cents.agg(array_sort(collect_list(
-        struct(col("sub"), col("cid"), col("cm")))).as("cs"))))
+      // spread the interpreted per-row argmin across cores: a stream's
+      // micro-batch otherwise runs one task per source file
+      .repartition(8)
+      .crossJoin(broadcast(bundle))
       .withColumn("codes", expr(
         s"""transform(sequence(0, ${M - 1}), s ->
            |  array_min(transform(filter(cs, c -> c.sub = s),
@@ -303,6 +311,7 @@ object PqOps extends QueryModule {
         expr(s"aggregate(transform(sequence(0, ${M - 1}), " +
           "s -> codes[s] * shiftleft(CAST(1 AS BIGINT), 6 * s)), " +
           "CAST(0 AS BIGINT), (acc, v) -> acc + v)").as("code_pack"))
+  }
 
   /** ST16: streaming PQ encoding — the embeddings table replayed as a
     * stream and encoded in-row against the batch-trained codebooks

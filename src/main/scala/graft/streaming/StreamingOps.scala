@@ -465,9 +465,13 @@ object StreamingOps extends QueryModule {
     * enrichment against reference data is exactly this shape at any
     * scale. Left join keeps never-viewed purchasers with n_views=0. */
   def streamStaticJoin(spark: SparkSession, dir: String): DataFrame = {
+    // localCheckpoint: the static profile would re-aggregate the events
+    // table every micro-batch (broadcast sides re-execute per batch);
+    // bounded by the user domain — it is the broadcast side already
     val userViews = Tables.events(spark, dir)
       .filter(col("event_type") === "view")
       .groupBy(col("user_id")).agg(count(lit(1)).as("n_views"))
+      .localCheckpoint()
     val purchases = eventsStream(spark, dir)
       .filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), col("ts_us"))
@@ -684,7 +688,10 @@ object StreamingOps extends QueryModule {
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
     val pts = graft.sim.ClusterOps.pointsOf(stream)
+    // localCheckpoint: the broadcast centroid table re-executes per
+    // micro-batch otherwise (bounded: K rows)
     val cents = graft.sim.ClusterOps.seedCentroids(spark, dir)
+      .localCheckpoint()
     val agg = graft.sim.ClusterOps.assign(pts, cents)
       .groupBy(col("cid"))
       .agg(count(lit(1)).as("n"), sum(col("d")).as("inertia"))
