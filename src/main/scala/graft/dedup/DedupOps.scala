@@ -406,6 +406,90 @@ object DedupOps extends QueryModule {
        |FROM e LEFT JOIN p ON p.j = e.vec_id
        |ORDER BY e.vec_id""".stripMargin
 
+  // ---- V67: exact repeated-span SCRUBBING (the removal operator) ----
+
+  /** Span-scrub window width (words). Production exact-substring dedup
+    * (Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better") removes repeats of ~50 BPE tokens found via suffix
+    * arrays; fixed-width word windows give the same removal decision
+    * for any repeat ≥ W words, in plain dataflow. */
+  val ScrubWindow = 8
+
+  /** V67: the fourth dedup granularity completed — v1 removes whole
+    * duplicate DOCS, v2f near-dup docs, v50 semantic neighbors, v22
+    * only DETECTS copied spans; this operator REMOVES them. Every
+    * [[ScrubWindow]]-word window occurring in ≥ 2 documents is
+    * scrubbed from every document EXCEPT the lowest-doc_id holder
+    * (keep-first, the v1/v50 convention): a word is dropped when any
+    * duplicated window covering it belongs to a later doc. Output is
+    * the per-doc scrub report with the cleaned text witnessed by md5 —
+    * the operator that turns v22's findings into training data.
+    *
+    * Scale shape: one explode to (doc, start, window-hash) rows, one
+    * hash-keyed aggregate for (first holder, occurrence count), one
+    * hash-keyed join back, one doc-keyed aggregate of removed
+    * positions, rebuild in-row — all linear in corpus token count, no
+    * pair join anywhere (the hash aggregate replaces the suffix
+    * array). */
+  def spanScrub(spark: SparkSession, dir: String): DataFrame = {
+    val W = ScrubWindow
+    val d = Tables.documents(spark, dir).filter(col("text").isNotNull)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+    val occ = d.filter(size(col("w")) >= W)
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(1), size(col("w")) - (W - 1))).as("s"))
+      .select(col("doc_id"), col("s"),
+        md5(array_join(slice(col("w"), col("s"), lit(W)), " ")).as("h"))
+    val firsts = occ.groupBy(col("h"))
+      .agg(min(col("doc_id")).as("keep_doc"), count(lit(1)).as("n_occ"))
+    val scrubbed = occ.join(firsts, Seq("h"))
+      .filter(col("n_occ") >= 2 && col("doc_id") > col("keep_doc"))
+    val removed = scrubbed
+      .select(col("doc_id"),
+        explode(sequence(col("s"), col("s") + (W - 1))).as("p"))
+      .distinct()
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_removed"),
+        sort_array(collect_list(col("p").cast("long"))).as("ps"))
+    d.join(removed, Seq("doc_id"), "left")
+      .select(col("doc_id"), size(col("w")).as("n_words"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        md5(array_join(
+          when(col("ps").isNull, col("w")).otherwise(
+            filter(col("w"), (_, i) =>
+              !array_contains(col("ps"), i.cast("long") + 1L))),
+          " ")).as("clean_hash"))
+      .orderBy(col("doc_id"))
+  }
+
+  private lazy val spanScrubSql: String = {
+    val W = ScrubWindow
+    s"""WITH sd AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+       |  FROM documents WHERE text IS NOT NULL),
+       | so AS (SELECT doc_id, s,
+       |   md5(array_to_string(list_slice(w, s, s + ${W - 1}), ' ')) AS h
+       |  FROM (SELECT doc_id, w,
+       |          unnest(range(1, len(w) - ${W - 2})) AS s
+       |        FROM sd WHERE len(w) >= $W)),
+       | sg AS (SELECT h, min(doc_id) AS keep_doc, count(*) AS n_occ
+       |        FROM so GROUP BY 1),
+       | sp AS (SELECT DISTINCT so.doc_id, unnest(range(so.s, so.s + $W))
+       |          AS p
+       |  FROM so JOIN sg USING (h)
+       |  WHERE sg.n_occ >= 2 AND so.doc_id > sg.keep_doc),
+       | sr AS (SELECT doc_id, count(*) AS n_removed,
+       |         list(p ORDER BY p) AS ps
+       |        FROM sp GROUP BY 1)
+       |SELECT sd.doc_id, CAST(len(sd.w) AS INT) AS n_words,
+       | CAST(coalesce(sr.n_removed, 0) AS BIGINT) AS n_removed,
+       | md5(coalesce(array_to_string(CASE WHEN sr.ps IS NULL THEN sd.w
+       |   ELSE list_filter(sd.w,
+       |          (x, i) -> NOT list_contains(sr.ps, i)) END,
+       |   ' '), '')) AS clean_hash
+       |FROM sd LEFT JOIN sr USING (doc_id)
+       |ORDER BY sd.doc_id""".stripMargin
+  }
+
   /** V2d2: the candidates+verify twin of [[embeddingNearDup]] — multi-probe
     * IVF cells (each vector assigned to its `nprobe` nearest of `nlist`
     * centroids), candidate pairs share a probed cell, exact cosine verify
@@ -1203,6 +1287,13 @@ object DedupOps extends QueryModule {
         "verify (100 TB shape; recall vs exact pinned in DedupSpec " +
         "and oracle-witnessed as v2d2b)",
       (s, d) => embeddingNearDupIvf(s, d), None),
+    GraftQuery("v67_span_scrub",
+      "V67 exact repeated-span SCRUBBING (the Lee-et-al removal step " +
+        "v22 only detects): every 8-word window occurring in >=2 docs " +
+        "is removed from every doc except the lowest-id holder; " +
+        "per-doc scrub report with the cleaned text md5-witnessed — " +
+        "one explode + hash-keyed aggregate/join, no pair join",
+      spanScrub, Some(spanScrubSql)),
     GraftQuery("v16_decontamination",
       "V16 benchmark decontamination: corpus docs whose shingle set " +
         "overlaps the pooled benchmark (doc_id%97) shingles >= 0.05 " +

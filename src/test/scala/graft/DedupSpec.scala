@@ -290,6 +290,45 @@ class DedupSpec extends SparkSpec {
     assert(local === expected)
   }
 
+  test("V67 span scrub removes a planted repeated span from the later " +
+    "doc only, and never touches unique docs") {
+    val rows = DedupOps.spanScrub(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2), r.getString(3)))
+      .toMap
+    // recompute locally: window hash -> (min doc, occurrences)
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .filter(_.get(1) != null)
+      .map(r => (r.getLong(0), r.getString(1).toLowerCase.split(" ", -1)))
+    val W = DedupOps.ScrubWindow
+    val occ = docs.flatMap { case (id, w) =>
+      (0 to w.length - W).map(s => (id, s, w.slice(s, s + W).mkString(" ")))
+    }
+    val byKey = occ.groupBy(_._3)
+    val firsts = byKey.view.mapValues(os => (os.map(_._1).min, os.length))
+    docs.foreach { case (id, w) =>
+      val removedPos = occ.filter(o => o._1 == id && {
+        val (keep, n) = firsts(o._3); n >= 2 && id > keep
+      }).flatMap(o => o._2 until o._2 + W).toSet
+      val expectClean = w.zipWithIndex
+        .filterNot { case (_, i) => removedPos(i) }.map(_._1)
+        .mkString(" ")
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(expectClean.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val (nw, nRem, hash) = rows(id)
+      assert(nw === w.length, s"doc $id")
+      assert(nRem === removedPos.size.toLong, s"doc $id")
+      assert(hash === md5, s"doc $id cleaned text diverged")
+    }
+    // the corpus actually exercises the operator: something is scrubbed
+    assert(rows.values.exists(_._2 > 0), "no spans scrubbed at this SF?")
+    // and keep-first holds: for every duplicated window, the min-doc
+    // holder keeps its copy (its positions are not removed unless a
+    // DIFFERENT duplicated window covers them from a later-doc rule) —
+    // verified implicitly by the per-doc hash equality above
+  }
+
   test("V1 exact dedup keeps every distinct text once") {
     val docs = Tables.documents(spark, sf)
     val deduped = DedupOps.exactDedup(spark, sf)
