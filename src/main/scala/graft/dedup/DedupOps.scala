@@ -490,6 +490,65 @@ object DedupOps extends QueryModule {
        |ORDER BY sd.doc_id""".stripMargin
   }
 
+  /** ST19: STREAMING span scrub — v67 as an ingest-time gate (copied
+    * spans removed before a document lands), the st17 convention for
+    * the span granularity: the duplicated-window LEDGER (hash →
+    * first-holder doc id, only hashes occurring ≥ 2×) is computed
+    * batch-side, folded into ONE broadcast map row (localCheckpointed
+    * — broadcast sides re-execute per micro-batch), and each arriving
+    * document scrubs itself IN-ROW: window hashes looked up in the
+    * map, covered positions flattened/deduped, words rebuilt. A
+    * stateless append map, so the finite stream equals batch v67 and
+    * SHARES its oracle. At a ledger too large for one map row, the
+    * v20b Bloom runtime filter is the membership probe (candidates
+    * then pay a keyed join). */
+  def streamingSpanScrub(spark: SparkSession, dir: String): DataFrame = {
+    val W = ScrubWindow
+    val base = Tables.documents(spark, dir).filter(col("text").isNotNull)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+    val ledgerRow = base.filter(size(col("w")) >= W)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("w")) - (W - 1))).as("s"),
+        col("w"))
+      .select(col("doc_id"),
+        md5(array_join(slice(col("w"), col("s"), lit(W)), " ")).as("h"))
+      .groupBy(col("h"))
+      .agg(min(col("doc_id")).as("keep_doc"), count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= 2)
+      .agg(map_from_entries(
+        array_sort(collect_list(struct(col("h"), col("keep_doc")))))
+        .as("ledger"))
+      .localCheckpoint()
+    val schema = Tables.table(spark, dir, "documents").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val scrubbed = stream.filter(col("text").isNotNull)
+      .repartition(8)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+      .crossJoin(broadcast(ledgerRow))
+      .withColumn("starts",
+        when(size(col("w")) >= W,
+          sequence(lit(1), size(col("w")) - (W - 1)))
+          .otherwise(array().cast("array<int>")))
+      .withColumn("hits", filter(col("starts"), s => {
+        val keep = element_at(col("ledger"),
+          md5(array_join(slice(col("w"), s, lit(W)), " ")))
+        keep.isNotNull && keep < col("doc_id")
+      }))
+      .withColumn("ps", array_sort(array_distinct(flatten(
+        transform(col("hits"), s => sequence(s.cast("long"),
+          s.cast("long") + (W - 1)))))))
+      .select(col("doc_id"), size(col("w")).as("n_words"),
+        size(col("ps")).cast("long").as("n_removed"),
+        md5(array_join(
+          filter(col("w"), (_, i) =>
+            !array_contains(col("ps"), i.cast("long") + 1L)), " "))
+          .as("clean_hash"))
+    graft.streaming.StreamingOps.runToBatchAppend(spark, scrubbed,
+        s"st19_scrub_${System.nanoTime()}")
+      .orderBy(col("doc_id"))
+  }
+
   /** V2d2: the candidates+verify twin of [[embeddingNearDup]] — multi-probe
     * IVF cells (each vector assigned to its `nprobe` nearest of `nlist`
     * centroids), candidate pairs share a probed cell, exact cosine verify
@@ -1294,6 +1353,13 @@ object DedupOps extends QueryModule {
         "per-doc scrub report with the cleaned text md5-witnessed — " +
         "one explode + hash-keyed aggregate/join, no pair join",
       spanScrub, Some(spanScrubSql)),
+    GraftQuery("st19_streaming_span_scrub",
+      "ST19 streaming span scrub: v67 as an ingest-time gate — the " +
+        "duplicated-window ledger (hash -> first holder) broadcast as " +
+        "one map row, arriving docs scrub themselves in-row; " +
+        "stateless append map, finite stream == batch, shares v67's " +
+        "oracle",
+      streamingSpanScrub, Some(spanScrubSql)),
     GraftQuery("v16_decontamination",
       "V16 benchmark decontamination: corpus docs whose shingle set " +
         "overlaps the pooled benchmark (doc_id%97) shingles >= 0.05 " +
