@@ -237,8 +237,11 @@ object MixOps extends QueryModule {
     * identity needs only the prefix-sum, and within-shard file order
     * is irrelevant because every manifest column is
     * order-independent. */
-  private def withShards(spark: SparkSession, dir: String): DataFrame = {
-    val d = exportRows(spark, dir)
+  private def withShards(spark: SparkSession, dir: String): DataFrame =
+    withShardsOf(exportRows(spark, dir))
+
+  private def withShardsOf(rows: DataFrame): DataFrame = {
+    val d = rows
       .withColumn("bkt",
         conv(substring(col("sk"), 1, ShufflePrefixHex), 16, 10)
           .cast("int"))
@@ -266,14 +269,47 @@ object MixOps extends QueryModule {
     * shard; fully oracle-checkable, so the driver hash-agrees the
     * checksums themselves. */
   def shardManifest(spark: SparkSession, dir: String): DataFrame =
-    withShards(spark, dir)
-      .groupBy(col("shard_id"))
+    manifestOf(withShards(spark, dir)).orderBy(col("shard_id"))
+
+  private def manifestOf(sharded: DataFrame): DataFrame =
+    sharded.groupBy(col("shard_id"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("toks")).as("shard_tokens"),
         sum(col("sig")).as("content_sum"),
         min(col("sk")).as("first_key"),
         max(col("sk")).as("last_key"))
-      .orderBy(col("shard_id"))
+
+  /** V65b: INCREMENTAL shard export — the v19c/v18j maintenance
+    * convention for the pipeline's last mile: shard sets are IMMUTABLE
+    * per generation. The base snapshot (the 90% `doc_id % 10 != 0`
+    * slice) shards as v65 does; the 10% delta exports as its OWN
+    * generation of NEW shards numbered after the base maximum (base
+    * shards are never rewritten — an export refresh that reshuffles
+    * history invalidates every trainer checkpoint downstream). The
+    * manifest is the union, generation-tagged; conservation (every doc
+    * in exactly one (gen, shard); checksum totals equal the one-shot
+    * export's) is pinned in MixSpec. */
+  def shardManifestIncremental(spark: SparkSession,
+      dir: String): DataFrame = {
+    val rows = exportRows(spark, dir)
+    val baseM = manifestOf(
+      withShardsOf(rows.filter(pmod(col("doc_id"), lit(10)) =!= 0)))
+      .withColumn("gen", lit(0))
+    val offset = baseM
+      .agg(coalesce(max(col("shard_id")) + 1L, lit(0L)).as("off"))
+    val deltaM = manifestOf(
+      withShardsOf(rows.filter(pmod(col("doc_id"), lit(10)) === 0)))
+      .crossJoin(broadcast(offset))
+      .select((col("shard_id") + col("off")).as("shard_id"),
+        col("n_docs"), col("shard_tokens"), col("content_sum"),
+        col("first_key"), col("last_key"))
+      .withColumn("gen", lit(1))
+    baseM.unionByName(deltaM)
+      .select(col("gen"), col("shard_id"), col("n_docs"),
+        col("shard_tokens"), col("content_sum"), col("first_key"),
+        col("last_key"))
+      .orderBy(col("gen"), col("shard_id"))
+  }
 
   /** The export itself: writes `docs/` parquet partitioned by shard_id
     * (one file per shard via the shard-keyed repartition) plus the
@@ -292,27 +328,51 @@ object MixOps extends QueryModule {
     out
   }
 
-  private lazy val shardManifestSql: String = {
+  /** The shard chain as a CTE LIST: `${p}d` export rows (under `pred`),
+    * `${p}c` the prefix-summed rows, `${p}m` the manifest. */
+  private def shardCtes(p: String, pred: String): String = {
     val norm = OracleSql.normalizedText
-    s"""WITH d AS (
+    s"""${p}d AS (
        | SELECT doc_id,
        |  md5('shard' || CAST(doc_id AS VARCHAR)) AS sk,
        |  CAST(coalesce(len(string_split(lower(text), ' ')), 0) AS BIGINT)
        |    AS toks,
        |  ('0x' || substr(md5('sig' || CAST(doc_id AS VARCHAR) || '|' ||
        |     coalesce($norm, '')), 1, 8))::BIGINT AS sig
-       | FROM documents),
-       |c AS (
+       | FROM documents $pred),
+       |${p}c AS (
        | SELECT *, coalesce(sum(toks) OVER (ORDER BY sk, doc_id
        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
-       | FROM d)
-       |SELECT CAST(cum // $ShardBudget AS BIGINT) AS shard_id,
-       | CAST(count(*) AS BIGINT) AS n_docs,
-       | CAST(sum(toks) AS BIGINT) AS shard_tokens,
-       | CAST(sum(sig) AS BIGINT) AS content_sum,
-       | min(sk) AS first_key, max(sk) AS last_key
-       |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+       | FROM ${p}d),
+       |${p}m AS (
+       | SELECT CAST(cum // $ShardBudget AS BIGINT) AS shard_id,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(toks) AS BIGINT) AS shard_tokens,
+       |  CAST(sum(sig) AS BIGINT) AS content_sum,
+       |  min(sk) AS first_key, max(sk) AS last_key
+       | FROM ${p}c GROUP BY 1)""".stripMargin
   }
+
+  private lazy val shardManifestSql: String =
+    s"""WITH ${shardCtes("", "")}
+       |SELECT shard_id, n_docs, shard_tokens, content_sum,
+       | first_key, last_key
+       |FROM m ORDER BY shard_id""".stripMargin
+
+  private lazy val shardIncrementalSql: String =
+    s"""WITH ${shardCtes("b", "WHERE doc_id % 10 <> 0")},
+       | ${shardCtes("x", "WHERE doc_id % 10 = 0")},
+       | off AS (SELECT coalesce(max(shard_id) + 1, 0) AS off FROM bm)
+       |SELECT CAST(gen AS INT) AS gen, shard_id, n_docs, shard_tokens,
+       | content_sum, first_key, last_key
+       |FROM (
+       | SELECT 0 AS gen, shard_id, n_docs, shard_tokens, content_sum,
+       |  first_key, last_key FROM bm
+       | UNION ALL
+       | SELECT 1 AS gen, xm.shard_id + off.off AS shard_id, n_docs,
+       |  shard_tokens, content_sum, first_key, last_key
+       | FROM xm CROSS JOIN off)
+       |ORDER BY gen, shard_id""".stripMargin
 
   // ---- V28: deterministic train/val/test hash split ----
 
@@ -745,5 +805,12 @@ object MixOps extends QueryModule {
         "(hash-ordered distributed prefix-sum, no global sort) with " +
         "per-shard doc/token counts and an order-independent content " +
         "checksum — the contract a trainer verifies per shard",
-      shardManifest, Some(shardManifestSql)))
+      shardManifest, Some(shardManifestSql)),
+    GraftQuery("v65b_shard_incremental",
+      "V65b incremental shard export (the v19c/v18j maintenance " +
+        "convention at the last mile): shard sets are immutable per " +
+        "generation — the 10% delta exports as NEW shards numbered " +
+        "after the base maximum, base shards never rewritten; " +
+        "generation-tagged manifest union",
+      shardManifestIncremental, Some(shardIncrementalSql)))
 }
