@@ -328,6 +328,19 @@ class PlanSpec extends SparkSpec {
     assert(rawScans == 0, s"entry rescans raw tables\n$ep")
   }
 
+  test("v65 shard manifest plans no global sort: shard identity comes " +
+    "from the bucketed prefix-sum, not a range-partitioned order-by") {
+    val p = plan(q("v65_shard_manifest"))
+    // a global sort materializes as an Exchange rangepartitioning
+    // below a Sort; the final ORDER BY on the ≤|shards| manifest frame
+    // is the only admissible range exchange
+    val rangeEx = "Exchange rangepartitioning".r.findAllIn(p).length
+    assert(rangeEx <= 1, s"expected at most the final ORDER BY, got $rangeEx\n$p")
+    // and the prefix-sum windows are keyed, never constant-partitioned
+    // over raw rows (the global sweep also guards this)
+    assert(p.contains("Window"), p)
+  }
+
   /** The generic anti-pattern detector behind the GLOBAL SWEEP test:
     * flags (a) joins with no equality predicate between their sides
     * (nested-loop at execution) where NEITHER side is bounded, and
