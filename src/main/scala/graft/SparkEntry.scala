@@ -6,7 +6,7 @@ import graft.dedup.DedupOps
 import graft.mm.MultimodalOps
 import graft.nlp.{CurationDagOps, MixOps, ProbeOps, RankOps, RankQaOps,
   ScoreQaOps, TextOps}
-import graft.sim.{ClusterOps, FusionOps, PqOps, SimilarityOps}
+import graft.sim.{ClusterOps, FusionOps, PcaOps, PqOps, SimilarityOps}
 import graft.sources.SourceOps
 import graft.streaming.StreamingOps
 
@@ -21,7 +21,7 @@ object SparkEntry {
     QualityOps, SourceOps,
     TextOps, RankOps, MixOps, ScoreQaOps, RankQaOps, CurationDagOps,
     ProbeOps, DedupOps, SimilarityOps,
-    ClusterOps, PqOps, FusionOps,
+    ClusterOps, PqOps, FusionOps, PcaOps,
     MultimodalOps,
     StreamingOps)
 

@@ -258,4 +258,47 @@ class ClusterSpec extends SparkSpec {
   }
 
   private def ClusterOpsSpecK = graft.operators.QualityOps.AnonymityK
+
+  test("v68 PCA: the engine's unrolled power iteration equals a local " +
+    "BigInt replay, and the Rayleigh value is a true spectral bound") {
+    import org.apache.spark.sql.functions._
+    val row = graft.sim.PcaOps.embeddingPca(spark, sf0001).collect().head
+    val d = graft.sim.PcaOps.D
+    // local replay in exact BigInt arithmetic
+    val xs = Tables.embeddings(spark, sf0001)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray.map(f =>
+        BigDecimal(f.toDouble).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .*(BigDecimal(1000000)).toBigInt))
+    val n = BigInt(xs.length)
+    val sx = Array.tabulate(d)(i => xs.map(_(i)).sum)
+    def halfUp(num: BigInt, den: BigInt): BigInt =
+      if (num < 0) -((-num * 2 + den) / (den * 2))
+      else (num * 2 + den) / (den * 2)
+    val cm = Array.tabulate(d * d) { k =>
+      val (i, j) = (k / d, k % d)
+      val sxy = xs.map(x => x(i) * x(j)).sum
+      halfUp(n * sxy - sx(i) * sx(j), n)
+    }
+    var v = Array.tabulate(d)(i => if (i == 0) BigInt(1000000) else BigInt(0))
+    for (_ <- 1 to graft.sim.PcaOps.PowerIters) {
+      val ys = Array.tabulate(d)(i =>
+        (0 until d).map(j => cm(i * d + j) * v(j)).sum)
+      val m = ys.map(_.abs).max.max(BigInt(1))
+      v = ys.map(y => halfUp(y * 1000000, m))
+    }
+    assert(row.getAs[String]("v_csv") === v.mkString(","),
+      "engine direction diverged from the local replay")
+    val ys = Array.tabulate(d)(i =>
+      (0 until d).map(j => cm(i * d + j) * v(j)).sum)
+    val lambda = halfUp(
+      (0 until d).map(i => v(i) * ys(i)).sum,
+      (0 until d).map(i => v(i) * v(i)).sum)
+    assert(row.getAs[Long]("lambda_c") === lambda.toLong)
+    // spectral sanity: dominant component explains at least the
+    // average share 1/d and at most everything
+    val share = row.getAs[Double]("ev_share")
+    assert(share >= 1.0 / d && share <= 1.0, share.toString)
+    assert(row.getAs[Long]("lambda_c") <= row.getAs[Long]("trace_c"))
+  }
 }
