@@ -50,27 +50,36 @@ object PcaOps extends QueryModule {
   private val dec38 = DecimalType(38, 0)
 
   /** One matrix-vector step + max-norm rescale on a 1-row frame with
-    * columns `cm` (flat row-major d² longs) and `v` (d longs). */
-  private def powerStep(row: DataFrame): DataFrame = {
+    * columns `cm` (flat row-major d² longs) and `v` (d longs). Every
+    * step materializes (localCheckpoint): chaining steps symbolically
+    * was MEASURED slower (5.0 s → 8.1 s at sf0.1) — the m-inside-v
+    * reference re-inlines the mat-vec and evaluation duplicates. */
+  private val CheckpointEvery = 1
+
+  private def powerStep(row: DataFrame, step: Int): DataFrame = {
     val ys = transform(sequence(lit(0), lit(D - 1)), i =>
       aggregate(sequence(lit(0), lit(D - 1)), lit(0).cast(dec38),
         (acc, j) => acc +
           element_at(col("cm"), (i * D + j + 1).cast("int")).cast(dec38) *
           element_at(col("v"), (j + 1).cast("int")).cast(dec38)))
-    row.withColumn("ys", ys)
+    val next = row.withColumn("ys", ys)
       .withColumn("m",
         greatest(array_max(transform(col("ys"), y => abs(y))),
           lit(1).cast(dec38)))
       .withColumn("v", transform(col("ys"), y =>
         Exact.signedDivRoundDec(y * 1000000L, col("m"))))
       .drop("ys", "m")
-      .localCheckpoint()
+    if (step % CheckpointEvery == 0) next.localCheckpoint() else next
   }
 
   /** The 1-row (n, cm) covariance frame: numerators n·Σxy − Σx·Σy per
     * (i,j), half-up divided by n. */
-  private def covRow(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def covRow(spark: SparkSession, dir: String): DataFrame = {
+    // repartition: the source is one parquet file = one task, and the
+    // d² in-row products are interpreted HOF work — spread it (the
+    // st16/st17 finding; measured ~2 s -> sub-second at sf0.1)
     val pts = ClusterOps.pointsOf(Tables.embeddings(spark, dir))
+      .repartition(8)
     // in-row d² product array → one (k)-keyed partial-agg shuffle
     val prods = pts.select(posexplode(flatten(transform(col("xm"),
         xi => transform(col("xm"), xj => xi * xj)))))
@@ -106,7 +115,14 @@ object PcaOps extends QueryModule {
       .withColumn("v", transform(sequence(lit(0), lit(D - 1)), i =>
         when(i === 0, 1000000L).otherwise(0L)))
       .localCheckpoint()
-    val last = (1 to PowerIters).foldLeft(start)((df, _) => powerStep(df))
+    // each step is a 1-row job whose cost is the Janino compile of its
+    // (always fresh) plan, not the arithmetic — run the unroll
+    // interpreted; values are identical, only the eval mode changes
+    val prevCg = spark.conf.get("spark.sql.codegen.wholeStage")
+    val last = try {
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      (1 to PowerIters).foldLeft(start)(powerStep)
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", prevCg)
     val ys = transform(sequence(lit(0), lit(D - 1)), i =>
       aggregate(sequence(lit(0), lit(D - 1)), lit(0).cast(dec38),
         (acc, j) => acc +
