@@ -107,22 +107,33 @@ object PcaOps extends QueryModule {
           col("n").cast(dec38))).as("cm"))
   }
 
+  /** The trained artifact — one row (n, cm, v): covariance + the
+    * step-[[PowerIters]] principal direction, MEMOIZED to stored
+    * parquet per (process, dir) (the codebooks/probe convention: a
+    * fitted model is computed once and stored, not re-derived per
+    * consumer — v68 and v68b both read it). */
+  private[graft] def principalRow(spark: SparkSession,
+      dir: String): DataFrame =
+    graft.util.PlanMemo.memo(spark, "v68_principal", dir) {
+      val start = covRow(spark, dir)
+        .withColumn("v", transform(sequence(lit(0), lit(D - 1)), i =>
+          when(i === 0, 1000000L).otherwise(0L)))
+        .localCheckpoint()
+      // each step is a 1-row job whose cost is the Janino compile of
+      // its (always fresh) plan, not the arithmetic — run the unroll
+      // interpreted; values are identical, only the eval mode changes
+      val prevCg = spark.conf.get("spark.sql.codegen.wholeStage")
+      try {
+        spark.conf.set("spark.sql.codegen.wholeStage", "false")
+        (1 to PowerIters).foldLeft(start)(powerStep)
+      } finally spark.conf.set("spark.sql.codegen.wholeStage", prevCg)
+    }
+
   /** V68: the entry — one row: n, trace, the Rayleigh eigenvalue of
     * the step-12 vector, the explained-variance share (anisotropy),
     * and the direction itself (micro units, CSV-witnessed). */
   def embeddingPca(spark: SparkSession, dir: String): DataFrame = {
-    val start = covRow(spark, dir)
-      .withColumn("v", transform(sequence(lit(0), lit(D - 1)), i =>
-        when(i === 0, 1000000L).otherwise(0L)))
-      .localCheckpoint()
-    // each step is a 1-row job whose cost is the Janino compile of its
-    // (always fresh) plan, not the arithmetic — run the unroll
-    // interpreted; values are identical, only the eval mode changes
-    val prevCg = spark.conf.get("spark.sql.codegen.wholeStage")
-    val last = try {
-      spark.conf.set("spark.sql.codegen.wholeStage", "false")
-      (1 to PowerIters).foldLeft(start)(powerStep)
-    } finally spark.conf.set("spark.sql.codegen.wholeStage", prevCg)
+    val last = principalRow(spark, dir)
     val ys = transform(sequence(lit(0), lit(D - 1)), i =>
       aggregate(sequence(lit(0), lit(D - 1)), lit(0).cast(dec38),
         (acc, j) => acc +
@@ -150,6 +161,34 @@ object PcaOps extends QueryModule {
           (acc, x) => acc + x).as("v_l1"))
   }
 
+  /** V68b: per-source drift along the dominant axis — every vector's
+    * coordinate on the stored principal direction (one broadcast row,
+    * in-row integer dot: |v·x| ≤ d·1e6·|x| fits Long), rolled up per
+    * source via the documents join (vec_id = doc_id). The number a
+    * curation pipeline tracks per ingest source: a source whose mean
+    * coordinate runs away from the corpus is feeding the drift v68's
+    * share detects. */
+  def pcaSourceDrift(spark: SparkSession, dir: String): DataFrame = {
+    val vRow = principalRow(spark, dir).select(col("v"))
+    val pts = ClusterOps.pointsOf(Tables.embeddings(spark, dir))
+      .repartition(8)
+    val proj = pts.crossJoin(broadcast(vRow))
+      .select(col("vec_id"),
+        aggregate(sequence(lit(0), lit(D - 1)), lit(0L), (acc, i) =>
+          acc + element_at(col("v"), (i + 1).cast("int")) *
+            element_at(col("xm"), (i + 1).cast("int"))).as("coord"))
+    val srcs = Tables.documents(spark, dir)
+      .select(col("doc_id").as("vec_id"), col("source"))
+    proj.join(srcs, Seq("vec_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_vecs"),
+        Exact.signedDivRound(sum(col("coord")), count(lit(1)))
+          .as("mu_coord"),
+        min(col("coord")).as("min_coord"),
+        max(col("coord")).as("max_coord"))
+      .orderBy(col("source"))
+  }
+
   // ---- oracle SQL: the identical unroll in HUGEINT ----
 
   private def sdr(num: String, den: String): String =
@@ -170,9 +209,11 @@ object PcaOps extends QueryModule {
        |  list_transform(ys, y -> ${sdr("y * 1000000", "m")}) AS v
        | FROM m$k)""".stripMargin
 
-  private lazy val pcaSql: String = {
+  /** The full unroll as a CTE LIST ending in `fin(n, cm, v, ys)` —
+    * spliced by both entries' oracles. */
+  private lazy val pcaCtes: String = {
     val steps = (1 to PowerIters).map(stepSql).mkString(",\n ")
-    s"""WITH pts AS (SELECT vec_id, ${ClusterOps.microVecSql} AS xm
+    s"""pts AS (SELECT vec_id, ${ClusterOps.microVecSql} AS xm
        |             FROM embeddings),
        | pp AS (SELECT k, sum(CAST(p AS HUGEINT)) AS s FROM (
        |    SELECT unnest(range(0, ${D * D})) AS k,
@@ -200,7 +241,11 @@ object PcaOps extends QueryModule {
        |   list_transform(range(0, $D), i ->
        |     list_sum(list_transform(range(0, $D), j ->
        |       CAST(cm[i * $D + j + 1] AS HUGEINT) * v[j + 1]))) AS ys
-       |  FROM it$PowerIters),
+       |  FROM it$PowerIters)""".stripMargin
+  }
+
+  private lazy val pcaSql: String =
+    s"""WITH $pcaCtes,
        | agg AS (SELECT n,
        |   list_sum(list_transform(range(0, $D), i ->
        |     CAST(cm[i * $D + i + 1] AS HUGEINT))) AS trace_c,
@@ -216,7 +261,21 @@ object PcaOps extends QueryModule {
        | ${OracleSql.ratio6Huge(sdr("vy", "vv"), "trace_c")} AS ev_share,
        | v_csv, CAST(v_l1 AS BIGINT) AS v_l1
        |FROM agg""".stripMargin
-  }
+
+  private lazy val driftSql: String =
+    s"""WITH $pcaCtes,
+       | proj AS (SELECT p.vec_id,
+       |   list_sum(list_transform(range(0, $D), i ->
+       |     CAST(f.v[i + 1] AS HUGEINT) * p.xm[i + 1])) AS coord
+       |  FROM pts p, fin f),
+       | j AS (SELECT d.source, proj.coord
+       |       FROM proj JOIN documents d ON d.doc_id = proj.vec_id)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_vecs,
+       | CAST(${OracleSql.signedDivRound("sum(coord)", "count(*)")}
+       |   AS BIGINT) AS mu_coord,
+       | CAST(min(coord) AS BIGINT) AS min_coord,
+       | CAST(max(coord) AS BIGINT) AS max_coord
+       |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
 
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("v68_embedding_pca",
@@ -226,5 +285,11 @@ object PcaOps extends QueryModule {
         "(one d^2-key partial-agg shuffle), 12 unrolled max-norm power " +
         "steps, Rayleigh eigenvalue; DuckDB replays the identical " +
         "unroll in HUGEINT so even the spectral method is hash-agreed",
-      embeddingPca, Some(pcaSql)))
+      embeddingPca, Some(pcaSql)),
+    GraftQuery("v68b_pca_source_drift",
+      "V68b per-source drift along the dominant principal axis: each " +
+        "vector's coordinate on the stored v68 direction (broadcast " +
+        "1-row model, in-row integer dot), per-source mean/min/max — " +
+        "the per-ingest-source companion of the anisotropy share",
+      pcaSourceDrift, Some(driftSql)))
 }
