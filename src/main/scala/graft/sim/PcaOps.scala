@@ -189,6 +189,43 @@ object PcaOps extends QueryModule {
       .orderBy(col("source"))
   }
 
+  /** ST20: the spectral model SERVED on a stream — arriving vectors'
+    * coordinates on the stored v68 axis (broadcast 1-row model,
+    * in-row dot: stateless), per-source drift rollup maintained as an
+    * algebraic complete-mode aggregate (sum/count/min/max are
+    * mergeable; the exact mean derives read-side), the st15/st16/st18
+    * train-batch/serve-streaming convention for the PCA model.
+    * Finite stream == batch v68b, so it SHARES its oracle. */
+  def streamingPcaDrift(spark: SparkSession, dir: String): DataFrame = {
+    val vRow = principalRow(spark, dir).select(col("v"))
+      .localCheckpoint() // broadcast sides re-execute per micro-batch
+    val schema = Tables.table(spark, dir, "embeddings").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+    val proj = ClusterOps.pointsOf(stream)
+      .crossJoin(broadcast(vRow))
+      .select(col("vec_id"),
+        aggregate(sequence(lit(0), lit(D - 1)), lit(0L), (acc, i) =>
+          acc + element_at(col("v"), (i + 1).cast("int")) *
+            element_at(col("xm"), (i + 1).cast("int"))).as("coord"))
+    // NOT checkpointed: the source map is corpus-sized (pinning it in
+    // block storage would be worse than the per-batch 2-column scan
+    // the pushed projection costs)
+    val srcs = Tables.documents(spark, dir)
+      .select(col("doc_id").as("vec_id"), col("source"))
+    val agg = proj.join(srcs, Seq("vec_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("coord")).as("sum_c"),
+        min(col("coord")).as("min_coord"),
+        max(col("coord")).as("max_coord"))
+    graft.streaming.StreamingOps.runToBatch(spark, agg,
+        s"st20_pca_${System.nanoTime()}")
+      .select(col("source"), col("n_vecs"),
+        Exact.signedDivRound(col("sum_c"), col("n_vecs")).as("mu_coord"),
+        col("min_coord"), col("max_coord"))
+      .orderBy(col("source"))
+  }
+
   // ---- oracle SQL: the identical unroll in HUGEINT ----
 
   private def sdr(num: String, den: String): String =
@@ -291,5 +328,12 @@ object PcaOps extends QueryModule {
         "vector's coordinate on the stored v68 direction (broadcast " +
         "1-row model, in-row integer dot), per-source mean/min/max — " +
         "the per-ingest-source companion of the anisotropy share",
-      pcaSourceDrift, Some(driftSql)))
+      pcaSourceDrift, Some(driftSql)),
+    GraftQuery("st20_streaming_pca_drift",
+      "ST20 the PCA model served on a stream: arriving vectors scored " +
+        "against the stored principal axis in-row (stateless), " +
+        "per-source drift as an algebraic complete-mode rollup with " +
+        "the exact mean derived read-side — finite stream == batch, " +
+        "shares v68b's oracle",
+      streamingPcaDrift, Some(driftSql)))
 }
