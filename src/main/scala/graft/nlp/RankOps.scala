@@ -93,15 +93,10 @@ object RankOps extends QueryModule {
     * a probe prunes on. */
   val IndexBuckets = 64
 
-  /** dir → built index path: the index is written once per (process,
-    * source dir) — writing per query would both repeat ingest-time
-    * work and swap part-file names under already-planned readers (the
-    * round-3 fixture-clobber bug class). pid-suffixed so concurrent
-    * runners on one host cannot clobber each other; no oracle SQL
-    * references the path, so per-process uniqueness is free. */
-  private val indexCache = new java.util.concurrent.ConcurrentHashMap[
-    String, java.util.concurrent.FutureTask[String]]()
-  private val indexSeq = new java.util.concurrent.atomic.AtomicInteger()
+  // index builds go through graft.util.ArtifactCache: once per
+  // (process, dir) — writing per query would both repeat ingest-time
+  // work and swap part-file names under already-planned readers (the
+  // round-3 fixture-clobber bug class)
 
   /** Build the stored inverted index: one posting row per (term,
     * doc_id) carrying tf and the doc length, parquet-partitioned by
@@ -110,37 +105,19 @@ object RankOps extends QueryModule {
     * partitions alone), plus the 1-row corpus totals. This is
     * ingest-time work at 100 TB — the same explode + (term,doc)
     * aggregate v19 runs per query, paid once. Returns the index path. */
-  def writeInvertedIndex(spark: SparkSession, dir: String): String = {
-    // computeIfAbsent only ALLOCATES the (inert) task — the multi-stage
-    // Spark write runs outside the map's bin lock via FutureTask.run()
-    // (a no-op for every caller but the first), so a concurrent build
-    // for a different dir in the same bin never blocks behind this one
-    // and the map contract can't be violated by reentrant cache access
-    val task = indexCache.computeIfAbsent(dir,
-      _ => new java.util.concurrent.FutureTask(() => {
-        // collision-free within the process (an AtomicInteger, not a dir
-        // hash — two dirs with colliding hashCodes would silently share
-        // and overwrite one index: the fixture-clobber bug class);
-        // registered for exit-time cleanup BEFORE the write, so a JVM
-        // kill mid-build doesn't leak the partial directory
-        val path = graft.util.TempArtifacts.register(
-          s"${sys.props("java.io.tmpdir")}/graft_inv_index_" +
-            s"${ProcessHandle.current().pid()}_${indexSeq.getAndIncrement()}")
-        val docs = withWords(spark, dir).withColumn("dl", size(col("w")))
-        docs.select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
-          .groupBy(col("term"), col("doc_id"), col("dl"))
-          .agg(count(lit(1)).as("tf"))
-          .withColumn("bucket", pmod(xxhash64(col("term")), lit(IndexBuckets)))
-          .write.mode("overwrite").partitionBy("bucket")
-          .parquet(s"$path/postings")
-        docs.agg(count(lit(1)).as("n_docs"),
-            sum(col("dl").cast("long")).as("total_dl"))
-          .write.mode("overwrite").parquet(s"$path/totals")
-        path
-      }))
-    task.run()
-    task.get()
-  }
+  def writeInvertedIndex(spark: SparkSession, dir: String): String =
+    graft.util.ArtifactCache.cached("inv_index", dir) { path =>
+      val docs = withWords(spark, dir).withColumn("dl", size(col("w")))
+      docs.select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
+        .groupBy(col("term"), col("doc_id"), col("dl"))
+        .agg(count(lit(1)).as("tf"))
+        .withColumn("bucket", pmod(xxhash64(col("term")), lit(IndexBuckets)))
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$path/postings")
+      docs.agg(count(lit(1)).as("n_docs"),
+          sum(col("dl").cast("long")).as("total_dl"))
+        .write.mode("overwrite").parquet(s"$path/totals")
+    }
 
   /** V19b: BM25 answered FROM the stored index — the literal 100 TB
     * retrieval layout (v3b2's analog for text): the probe reads ONLY
@@ -167,9 +144,6 @@ object RankOps extends QueryModule {
 
   // ---- V19c: incremental index maintenance (append, don't rebuild) --
 
-  private val incrIndexCache = new java.util.concurrent.ConcurrentHashMap[
-    String, java.util.concurrent.FutureTask[String]]()
-
   /** Build the inverted index INCREMENTALLY: the base generation (the
     * 90% `doc_id % 10 != 0` slice — standing in for yesterday's
     * corpus) is written first; the delta generation (today's 10%
@@ -180,51 +154,37 @@ object RankOps extends QueryModule {
     * stored per generation and summed at probe time. BM25 carries no
     * trained artifact, so the merged probe equals the full rebuild
     * EXACTLY — v19's oracle applies unchanged. */
-  def writeIncrementalIndex(spark: SparkSession, dir: String): String = {
-    val task = incrIndexCache.computeIfAbsent(dir,
-      _ => new java.util.concurrent.FutureTask(() => {
-        val path = graft.util.TempArtifacts.register(
-          s"${sys.props("java.io.tmpdir")}/graft_incr_index_" +
-            s"${ProcessHandle.current().pid()}_${indexSeq.getAndIncrement()}")
-        val docs = withWords(spark, dir).withColumn("dl", size(col("w")))
-        def postings(d: org.apache.spark.sql.DataFrame) = d
-          .select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
-          .groupBy(col("term"), col("doc_id"), col("dl"))
-          .agg(count(lit(1)).as("tf"))
-          .withColumn("bucket",
-            pmod(xxhash64(col("term")), lit(IndexBuckets)))
-        def totals(d: org.apache.spark.sql.DataFrame, gen: Int) = d
-          .agg(count(lit(1)).as("n_docs"),
-            sum(col("dl").cast("long")).as("total_dl"))
-          .withColumn("gen", lit(gen))
-        val base = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
-        val delta = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
-        postings(base).write.mode("overwrite").partitionBy("bucket")
-          .parquet(s"$path/postings")
-        totals(base, 0).write.mode("overwrite").parquet(s"$path/totals")
-        def listing(): Map[String, Long] = {
-          def walk(f: java.io.File): Seq[java.io.File] =
-            if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
-            else Seq(f)
-          walk(new java.io.File(s"$path/postings"))
-            .filter(_.getName.endsWith(".parquet"))
-            .map(f => f.getPath -> f.length()).toMap
-        }
-        val baseFiles = listing()
-        postings(delta).write.mode("append").partitionBy("bucket")
-          .parquet(s"$path/postings")
-        totals(delta, 1).write.mode("append").parquet(s"$path/totals")
-        // the append contract, self-checked: every base file survives
-        // the delta write byte-identical in place
-        val after = listing()
-        require(baseFiles.forall { case (f, len) =>
-          after.get(f).contains(len) },
-          "delta append rewrote base posting files")
-        path
-      }))
-    task.run()
-    task.get()
-  }
+  def writeIncrementalIndex(spark: SparkSession, dir: String): String =
+    graft.util.ArtifactCache.cached("incr_index", dir) { path =>
+      val docs = withWords(spark, dir).withColumn("dl", size(col("w")))
+      def postings(d: org.apache.spark.sql.DataFrame) = d
+        .select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
+        .groupBy(col("term"), col("doc_id"), col("dl"))
+        .agg(count(lit(1)).as("tf"))
+        .withColumn("bucket",
+          pmod(xxhash64(col("term")), lit(IndexBuckets)))
+      def totals(d: org.apache.spark.sql.DataFrame, gen: Int) = d
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("dl").cast("long")).as("total_dl"))
+        .withColumn("gen", lit(gen))
+      val base = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+      val delta = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+      postings(base).write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$path/postings")
+      totals(base, 0).write.mode("overwrite").parquet(s"$path/totals")
+      val baseFiles =
+        graft.util.ArtifactCache.parquetListing(s"$path/postings")
+      postings(delta).write.mode("append").partitionBy("bucket")
+        .parquet(s"$path/postings")
+      totals(delta, 1).write.mode("append").parquet(s"$path/totals")
+      // the append contract, self-checked: every base file survives
+      // the delta write byte-identical in place
+      val after =
+        graft.util.ArtifactCache.parquetListing(s"$path/postings")
+      require(baseFiles.forall { case (f, len) =>
+        after.get(f).contains(len) },
+        "delta append rewrote base posting files")
+    }
 
   /** V19c: BM25 answered from the INCREMENTALLY-maintained index —
     * bucket-pruned probe over base+delta postings (one merged read:

@@ -54,8 +54,6 @@ object PcaOps extends QueryModule {
     * step materializes (localCheckpoint): chaining steps symbolically
     * was MEASURED slower (5.0 s → 8.1 s at sf0.1) — the m-inside-v
     * reference re-inlines the mat-vec and evaluation duplicates. */
-  private val CheckpointEvery = 1
-
   private def powerStep(row: DataFrame, step: Int): DataFrame = {
     val ys = transform(sequence(lit(0), lit(D - 1)), i =>
       aggregate(sequence(lit(0), lit(D - 1)), lit(0).cast(dec38),
@@ -69,7 +67,7 @@ object PcaOps extends QueryModule {
       .withColumn("v", transform(col("ys"), y =>
         Exact.signedDivRoundDec(y * 1000000L, col("m"))))
       .drop("ys", "m")
-    if (step % CheckpointEvery == 0) next.localCheckpoint() else next
+    next.localCheckpoint()
   }
 
   /** The 1-row (n, cm) covariance frame: numerators n·Σxy − Σx·Σy per

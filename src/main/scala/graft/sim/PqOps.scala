@@ -350,14 +350,20 @@ object PqOps extends QueryModule {
   }
 
   /** Write the IVF-PQ index INCREMENTALLY: base generation = the 90%
-    * `vec_id % 10 != 0` slice, delta = the 10% append ENCODED WITH THE
-    * EXISTING codebooks and routed by the EXISTING coarse centroids
-    * (FAISS `add()` semantics — maintenance never retrains), written
-    * as new code files into the same cell partitioning with base files
-    * provably untouched (require below). Because both generations
-    * carry the same trained artifacts, the merged probe equals the
-    * full index probe bit-for-bit — v18h's oracle applies unchanged
-    * and pins that the append lost/duplicated nothing. */
+    * `vec_id % 10 != 0` slice, delta = the 10% append encoded with the
+    * SAME (shared, fixed) codebooks and coarse centroids as the base —
+    * the FAISS `add()` file-layout contract: new code files land in
+    * the existing cell partitioning and no base file is rewritten
+    * (require below), so the merged probe equals the full index probe
+    * bit-for-bit and v18h's oracle pins that the append
+    * lost/duplicated nothing. Honesty note: the shared artifacts here
+    * come from the corpus-wide training the other v18 entries memoize,
+    * so what this entry PROVES is append-completeness under fixed
+    * artifacts — the encode/route functions are deterministic given a
+    * codebook bundle, so the same plan holds verbatim when the bundle
+    * was trained on yesterday's corpus (true no-retrain maintenance);
+    * a base-only-trained twin would need its own filtered Lloyd-unroll
+    * oracle and is deliberately out of scope. */
   def writeIvfPqIncremental(spark: SparkSession, dir: String,
       indexPath: String): Unit = {
     val cells = ClusterOps.finalAssign(spark, dir)
@@ -366,18 +372,13 @@ object PqOps extends QueryModule {
     all.filter(pmod(col("vec_id"), lit(10)) =!= 0)
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$indexPath/codes")
-    def listing(): Map[String, Long] = {
-      def walk(f: java.io.File): Seq[java.io.File] =
-        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
-      walk(new java.io.File(s"$indexPath/codes"))
-        .filter(_.getName.endsWith(".parquet"))
-        .map(f => f.getPath -> f.length()).toMap
-    }
-    val baseFiles = listing()
+    val baseFiles =
+      graft.util.ArtifactCache.parquetListing(s"$indexPath/codes")
     all.filter(pmod(col("vec_id"), lit(10)) === 0)
       .write.mode("append").partitionBy("cell")
       .parquet(s"$indexPath/codes")
-    val after = listing()
+    val after =
+      graft.util.ArtifactCache.parquetListing(s"$indexPath/codes")
     require(baseFiles.forall { case (f, len) =>
       after.get(f).contains(len) },
       "delta append rewrote base code files")
@@ -385,30 +386,6 @@ object PqOps extends QueryModule {
       .parquet(s"$indexPath/codebooks")
     ClusterOps.finalCentroids(spark, dir).write.mode("overwrite")
       .parquet(s"$indexPath/coarse")
-  }
-
-  /** dir → built index path, once per (process, dir) — the
-    * writeInvertedIndex convention: an index is ingest-time work; a
-    * probe that rebuilds it per query measures the build, not the
-    * query (v18i/v18j previously rewrote the whole index every
-    * invocation). Key carries the builder name so the full and
-    * incremental layouts never share a directory. */
-  private val ivfIndexCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, String), java.util.concurrent.FutureTask[String]]()
-  private val ivfIndexSeq = new java.util.concurrent.atomic.AtomicInteger()
-
-  private def cachedIndex(kind: String, spark: SparkSession, dir: String)(
-      build: String => Unit): String = {
-    val task = ivfIndexCache.computeIfAbsent((kind, dir),
-      _ => new java.util.concurrent.FutureTask(() => {
-        val path = graft.util.TempArtifacts.register(
-          s"${sys.props("java.io.tmpdir")}/graft_${kind}_" +
-            s"${ProcessHandle.current().pid()}_${ivfIndexSeq.getAndIncrement()}")
-        build(path)
-        path
-      }))
-    task.run()
-    task.get()
   }
 
   /** Point-lookup of one vector in exact micro units (the b6-style
@@ -595,18 +572,19 @@ object PqOps extends QueryModule {
         "the probed cell partitions (pruning + equality with v18h " +
         "pinned in PqSpec) — shares v18h's oracle",
       (s, d) => {
-        val idx = cachedIndex("ivfpq_index", s, d)(writeIvfPqIndex(s, d, _))
+        val idx = graft.util.ArtifactCache.cached("ivfpq_index", d)(
+          writeIvfPqIndex(s, d, _))
         ivfPqTopKStored(s, idx, microQueryVector(s, d, queryId),
           excludeVecId = queryId)
       }, Some(ivfPqTopKSql)),
     GraftQuery("v18j_ivfpq_incremental",
-      "V18j incrementally-maintained IVF-PQ: the 10% delta encoded " +
-        "with the EXISTING codebooks/coarse centroids (FAISS add() " +
-        "semantics — no retrain) and appended as new code files into " +
-        "the same cell partitioning, base files provably untouched; " +
-        "merged probe == the full index probe, shares v18h's oracle",
+      "V18j incrementally-maintained IVF-PQ: the 10% delta appended " +
+        "as new code files into the existing cell partitioning under " +
+        "shared fixed codebooks/centroids (the FAISS add() file-" +
+        "layout contract; base files provably untouched) — merged " +
+        "probe == the full index probe, shares v18h's oracle",
       (s, d) => {
-        val idx = cachedIndex("ivfpq_incr", s, d)(
+        val idx = graft.util.ArtifactCache.cached("ivfpq_incr", d)(
           writeIvfPqIncremental(s, d, _))
         ivfPqTopKStored(s, idx, microQueryVector(s, d, queryId),
           excludeVecId = queryId)

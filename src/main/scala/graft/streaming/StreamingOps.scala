@@ -353,8 +353,11 @@ object StreamingOps extends QueryModule {
       op: org.apache.spark.sql.Dataset[TraceAssembler.SpanEvent] =>
         DataFrame): DataFrame = {
     import spark.implicits._
-    val streamDir = s"${sys.props("java.io.tmpdir")}/graft_stdrive_" +
-      ProcessHandle.current().pid() + "_" + name
+    // registered for exit-time cleanup — one fresh dir per run (the
+    // nanoTime-suffixed query name), holding a quarter-corpus dump
+    val streamDir = graft.util.TempArtifacts.register(
+      s"${sys.props("java.io.tmpdir")}/graft_stdrive_" +
+        ProcessHandle.current().pid() + "_" + name)
     sampledSpanFrame(spark, dir).coalesce(1)
       .write.mode("overwrite").parquet(streamDir)
     // Empty input still needs the sentinel batches to run (and then be
