@@ -23,7 +23,16 @@ object ArtifactCache {
         path
       }))
     task.run()
-    task.get()
+    try task.get()
+    catch {
+      case e: java.util.concurrent.ExecutionException =>
+        // a failed build must not poison the key forever: evict so a
+        // later caller retries (a fresh pid+seq path — the partial
+        // directory is already registered for exit-time cleanup), and
+        // surface the build's own exception, not the wrapper
+        cache.remove((kind, dir), task)
+        throw e.getCause
+    }
   }
 
   /** Snapshot of a directory's parquet part files (path → length) —
