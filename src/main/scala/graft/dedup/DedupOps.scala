@@ -571,6 +571,87 @@ object DedupOps extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
+  // ---- V69: benchmark span SCRUBBING (decontamination as removal) ----
+
+  /** V69: window-level benchmark decontamination — the REMOVAL form of
+    * v16's gate. v16 DROPS a document whose shingle containment against
+    * the pooled benchmark crosses a threshold; below that threshold a
+    * contaminated span still ships to the trainer verbatim. This
+    * operator instead removes every [[ScrubWindow]]-word window of a
+    * corpus document that also occurs anywhere in the benchmark — eval
+    * answers cut out of the training text itself, the document kept.
+    * The benchmark here is the `doc_id % 7 == 0` slice, denser than
+    * v16's `% 97`: the sparse slice shares no 8-word window with the
+    * corpus at the test SFs, so the removal branch would go untested. Output is the per-corpus-doc scrub
+    * report (word count, removed-word count, cleaned-text md5), zero-hit
+    * docs included, so the oracle pins both the removals AND the
+    * untouched complement.
+    *
+    * Scale shape: the benchmark's distinct window hashes broadcast
+    * (benchmarks are small by definition — v16's argument); the corpus
+    * side is one linear explode → broadcast LEFT SEMI probe → one
+    * doc-keyed aggregate of covered positions → in-row rebuild. No
+    * corpus-vs-corpus join, no keep-first ordering (the benchmark is
+    * always the holder), linear in corpus token count. */
+  def benchmarkScrub(spark: SparkSession, dir: String): DataFrame = {
+    val W = ScrubWindow
+    val d = Tables.documents(spark, dir).filter(col("text").isNotNull)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+    def windows(df: DataFrame): DataFrame = df
+      .filter(size(col("w")) >= W)
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(1), size(col("w")) - (W - 1))).as("s"))
+      .select(col("doc_id"), col("s"),
+        md5(array_join(slice(col("w"), col("s"), lit(W)), " ")).as("h"))
+    val bench = windows(d.filter(pmod(col("doc_id"), lit(7)) === 0))
+      .select(col("h")).distinct()
+    val corpus = d.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+    val removed = windows(corpus)
+      .join(broadcast(bench), Seq("h"), "left_semi")
+      .select(col("doc_id"),
+        explode(sequence(col("s"), col("s") + (W - 1))).as("p"))
+      .distinct()
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_removed"),
+        sort_array(collect_list(col("p").cast("long"))).as("ps"))
+    corpus.join(removed, Seq("doc_id"), "left")
+      .select(col("doc_id"), size(col("w")).as("n_words"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        md5(array_join(
+          when(col("ps").isNull, col("w")).otherwise(
+            filter(col("w"), (_, i) =>
+              !array_contains(col("ps"), i.cast("long") + 1L))),
+          " ")).as("clean_hash"))
+      .orderBy(col("doc_id"))
+  }
+
+  private lazy val benchmarkScrubSql: String = {
+    val W = ScrubWindow
+    s"""WITH sd AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+       |  FROM documents WHERE text IS NOT NULL),
+       | so AS (SELECT doc_id, s,
+       |   md5(array_to_string(list_slice(w, s, s + ${W - 1}), ' ')) AS h
+       |  FROM (SELECT doc_id, w,
+       |          unnest(range(1, len(w) - ${W - 2})) AS s
+       |        FROM sd WHERE len(w) >= $W)),
+       | bh AS (SELECT DISTINCT h FROM so WHERE doc_id % 7 = 0),
+       | sp AS (SELECT DISTINCT so.doc_id, unnest(range(so.s, so.s + $W))
+       |          AS p
+       |  FROM so JOIN bh USING (h) WHERE so.doc_id % 7 <> 0),
+       | sr AS (SELECT doc_id, count(*) AS n_removed,
+       |         list(p ORDER BY p) AS ps
+       |        FROM sp GROUP BY 1)
+       |SELECT sd.doc_id, CAST(len(sd.w) AS INT) AS n_words,
+       | CAST(coalesce(sr.n_removed, 0) AS BIGINT) AS n_removed,
+       | md5(coalesce(array_to_string(CASE WHEN sr.ps IS NULL THEN sd.w
+       |   ELSE list_filter(sd.w,
+       |          (x, i) -> NOT list_contains(sr.ps, i)) END,
+       |   ' '), '')) AS clean_hash
+       |FROM sd LEFT JOIN sr USING (doc_id)
+       |WHERE sd.doc_id % 7 <> 0
+       |ORDER BY sd.doc_id""".stripMargin
+  }
+
   /** V2d2: the candidates+verify twin of [[embeddingNearDup]] — multi-probe
     * IVF cells (each vector assigned to its `nprobe` nearest of `nlist`
     * centroids), candidate pairs share a probed cell, exact cosine verify
@@ -1382,6 +1463,13 @@ object DedupOps extends QueryModule {
         "stateless append map, finite stream == batch, shares v67's " +
         "oracle",
       streamingSpanScrub, Some(spanScrubSql)),
+    GraftQuery("v69_benchmark_scrub",
+      "V69 benchmark span scrub: v16's decontamination as REMOVAL — " +
+        "every 8-word window of a corpus doc that also occurs in the " +
+        "benchmark (doc_id%7 slice) is cut out, document kept; " +
+        "per-doc report with cleaned-text md5, zero-hit docs included " +
+        "— broadcast benchmark window hashes, linear corpus scan",
+      benchmarkScrub, Some(benchmarkScrubSql)),
     GraftQuery("v16_decontamination",
       "V16 benchmark decontamination: corpus docs whose shingle set " +
         "overlaps the pooled benchmark (doc_id%97) shingles >= 0.05 " +

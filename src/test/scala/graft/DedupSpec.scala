@@ -329,6 +329,42 @@ class DedupSpec extends SparkSpec {
     // verified implicitly by the per-doc hash equality above
   }
 
+  test("V69 benchmark scrub cuts exactly the benchmark-overlapping " +
+    "windows from corpus docs and reports the untouched complement") {
+    val rows = DedupOps.benchmarkScrub(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2), r.getString(3)))
+      .toMap
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .filter(_.get(1) != null)
+      .map(r => (r.getLong(0), r.getString(1).toLowerCase.split(" ", -1)))
+    val W = DedupOps.ScrubWindow
+    def windows(w: Array[String]): Seq[(Int, String)] =
+      (0 to w.length - W).map(s => (s, w.slice(s, s + W).mkString(" ")))
+    val benchSet = docs.filter(_._1 % 7 == 0)
+      .flatMap { case (_, w) => windows(w).map(_._2) }.toSet
+    val corpus = docs.filter(_._1 % 7 != 0)
+    // exactly the corpus docs appear in the report
+    assert(rows.keySet === corpus.map(_._1).toSet)
+    corpus.foreach { case (id, w) =>
+      val removedPos = windows(w).filter(o => benchSet(o._2))
+        .flatMap(o => o._1 until o._1 + W).toSet
+      val expectClean = w.zipWithIndex
+        .filterNot { case (_, i) => removedPos(i) }.map(_._1)
+        .mkString(" ")
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(expectClean.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val (nw, nRem, hash) = rows(id)
+      assert(nw === w.length, s"doc $id")
+      assert(nRem === removedPos.size.toLong, s"doc $id")
+      assert(hash === md5, s"doc $id cleaned text diverged")
+    }
+    // the fixture exercises both branches: some doc is scrubbed, some not
+    assert(rows.values.exists(_._2 > 0), "no benchmark overlap at this SF?")
+    assert(rows.values.exists(_._2 == 0), "every doc scrubbed?")
+  }
+
   test("V1 exact dedup keeps every distinct text once") {
     val docs = Tables.documents(spark, sf)
     val deduped = DedupOps.exactDedup(spark, sf)
