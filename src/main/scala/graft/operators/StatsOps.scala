@@ -970,7 +970,116 @@ object StatsOps extends QueryModule {
        |FROM t""".stripMargin
   }
 
+  /** W23: Mann-Whitney U (Wilcoxon rank-sum) A/B readout — the
+    * NONPARAMETRIC significance test w20/w22 lack: both compare arm
+    * MEANS, which heavy-tailed per-user masses (u8 shows top-decile
+    * concentration) can let a single whale flip; the rank-sum statistic
+    * is outlier-robust and distribution-free. Same md5-parity arm split
+    * and per-user micro-mass metric as w20, so the three entries read
+    * out the same experiment three ways.
+    *
+    * Exactness: ranks never materialize — tie groups do. Per distinct
+    * mass x with c users below and t = na+nb tied at x, the A-arm rank
+    * sum contribution is na·(c + (t+1)/2); doubled it is the INTEGER
+    * na·(2c + t + 1), so 2·R_A, 2·U_A = 2·R_A − n_A(n_A+1), and the tie
+    * correction Σ(t³−t) all live in DECIMAL(38,0). The normal-approx z
+    * (the standard readout at experiment scale) and the common-language
+    * effect size CLES = U_A/(n_A·n_B) are then formed from those exact
+    * integers — identical operands, identical IEEE doubles (the w20
+    * argument); CLES rounds in integer space ([[Exact.ratio6Dec]]).
+    *
+    * Scale shape: one user-keyed shuffle → one mass-keyed aggregate
+    * onto the distinct-value frame → a TWO-LEVEL prefix sum (the v65
+    * convention: within-bucket window keyed by `xm >> 20` — arithmetic
+    * shift, so bucket order = value order — plus a broadcast cumulative
+    * offset from the bounded bucket-total frame); no single-task global
+    * window ever sees the value frame. The oracle replays the same
+    * prefix sum as one flat window — DuckDB is single-node, and prefix
+    * sums are exact, so the split is invisible in the result. */
+  def mannWhitney(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    def d(c: Column): Column = c.cast(DecimalType(38, 0))
+    val perUser = ev(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(Exact.microSum(col("value")).as("xm"))
+      .withColumn("arm",
+        when(conv(substring(md5(concat(lit("ab"),
+          col("user_id").cast("string"))), 1, 2), 16, 10)
+          .cast("int") % 2 === 0, "A").otherwise("B"))
+    val byVal = perUser.groupBy(col("xm"))
+      .agg(sum(when(col("arm") === "A", 1L).otherwise(0L)).as("na"),
+        sum(when(col("arm") === "B", 1L).otherwise(0L)).as("nb"))
+      .withColumn("bkt", shiftright(col("xm"), 20))
+    val wIn = Window.partitionBy(col("bkt")).orderBy(col("xm"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val inCum = byVal.withColumn("cin",
+      coalesce(sum(col("na") + col("nb")).over(wIn), lit(0L)))
+    val wB = Window.orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off = byVal.groupBy(col("bkt"))
+      .agg(sum(col("na") + col("nb")).as("bt"))
+      .withColumn("coff", coalesce(sum(col("bt")).over(wB), lit(0L)))
+      .select(col("bkt"), col("coff"))
+    val t = col("na") + col("nb")
+    val one = inCum.join(broadcast(off), Seq("bkt"))
+      .withColumn("c", col("cin") + col("coff"))
+      .agg(sum(col("na")).as("n_a"), sum(col("nb")).as("n_b"),
+        sum(d(col("na")) * d(col("c") * 2 + t + 1)).as("r2a"),
+        sum(d(t) * d(t) * d(t) - d(t)).as("tu"))
+      .withColumn("u2a", col("r2a") - d(col("n_a")) * d(col("n_a") + 1))
+    val naD = col("n_a").cast(DoubleType)
+    val nbD = col("n_b").cast(DoubleType)
+    val nD = (col("n_a") + col("n_b")).cast(DoubleType)
+    val z = (col("u2a").cast(DoubleType) - naD * nbD) /
+      (lit(2.0) * sqrt(naD * nbD / 12.0 *
+        ((nD + 1.0) - col("tu").cast(DoubleType) / (nD * (nD - 1.0)))))
+    one.select(col("n_a"), col("n_b"),
+      Exact.ratio6Dec(col("u2a"),
+        d(col("n_a")) * d(col("n_b")) * 2).as("cles"),
+      round(z, 6).as("mw_z"), (abs(z) > 1.96).as("significant"))
+  }
+
+  private val mannWhitneySql: String = {
+    val zExpr =
+      """(CAST(u2a AS DOUBLE) - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+        | / (2.0 * sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0
+        |    * ((CAST(n_a + n_b AS DOUBLE) + 1.0)
+        |       - CAST(tu AS DOUBLE) / (CAST(n_a + n_b AS DOUBLE)
+        |          * (CAST(n_a + n_b AS DOUBLE) - 1.0)))))"""
+        .stripMargin.replace("\n", " ").replaceAll(" +", " ")
+    s"""WITH pu AS (SELECT user_id, ${OracleSql.microSum("value")} AS xm
+       |            FROM events GROUP BY 1),
+       | ar AS (SELECT CASE WHEN ('0x' || substr(md5('ab' ||
+       |          CAST(user_id AS VARCHAR)), 1, 2))::INT % 2 = 0
+       |          THEN 'A' ELSE 'B' END AS arm, xm FROM pu),
+       | g AS (SELECT xm,
+       |        sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS na,
+       |        sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS nb
+       |       FROM ar GROUP BY 1),
+       | r AS (SELECT *, coalesce(sum(na + nb) OVER (ORDER BY xm
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |         AS c FROM g),
+       | s AS (SELECT sum(na) AS n_a, sum(nb) AS n_b,
+       |        sum(na::HUGEINT * (2 * c + na + nb + 1)) AS r2a,
+       |        sum((na + nb)::HUGEINT * (na + nb) * (na + nb)
+       |            - (na + nb)) AS tu FROM r),
+       | k AS (SELECT *, r2a - n_a::HUGEINT * (n_a + 1) AS u2a FROM s)
+       |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       | ${OracleSql.ratio6Huge("u2a",
+            "n_a::HUGEINT * n_b::HUGEINT * 2")} AS cles,
+       | round($zExpr, 6) AS mw_z,
+       | (abs($zExpr) > 1.96) AS significant
+       |FROM k""".stripMargin
+  }
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("w23_mann_whitney",
+      "W23 Mann-Whitney rank-sum A/B readout: tie-corrected 2*U and " +
+        "Sum(t^3-t) exact in DECIMAL(38) from tie-group counts (ranks " +
+        "never materialize), normal-approx z + CLES effect size from " +
+        "identical integers in both engines; two-level distributed " +
+        "prefix sum over the distinct-mass frame — no global sort",
+      mannWhitney, Some(mannWhitneySql)),
     GraftQuery("w20_ab_test",
       "W20 A/B experiment readout: md5-parity arm assignment (growth-" +
         "stable), per-user value mass, per-arm mean/variance in exact " +

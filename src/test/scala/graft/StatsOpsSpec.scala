@@ -432,6 +432,85 @@ class StatsOpsSpec extends SparkSpec {
     assert(r.getAs[Double]("var_b") === vb6.toDouble / 1e6)
   }
 
+  test("w23 Mann-Whitney: every column recomputes from a local " +
+    "tie-group walk, and a planted shift flips significance with CLES " +
+    "near zero while the random split stays null") {
+    import spark.implicits._
+    def arm(uid: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"ab$uid".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      if (Integer.parseInt(hex.substring(0, 2), 16) % 2 == 0) "A" else "B"
+    }
+    // local replay of the doubled tie-group rank-sum in BigInt
+    def local(rows: Seq[(Long, Double)]): (Long, Long, Double, Double, Boolean) = {
+      val perUser = rows.groupBy(_._1).toSeq.map { case (uid, xs) =>
+        (arm(uid),
+          xs.map(v => (BigDecimal(v._2).setScale(6,
+            BigDecimal.RoundingMode.HALF_UP) * 1000000).toLong).sum)
+      }
+      val byVal = perUser.groupBy(_._2).toSeq.sortBy(_._1).map {
+        case (xm, g) =>
+          (xm, g.count(_._1 == "A").toLong, g.count(_._1 == "B").toLong)
+      }
+      var c = BigInt(0); var r2a = BigInt(0); var tu = BigInt(0)
+      byVal.foreach { case (_, na, nb) =>
+        val t = BigInt(na + nb)
+        r2a += BigInt(na) * (2 * c + t + 1)
+        tu += t * t * t - t
+        c += t
+      }
+      val nA = perUser.count(_._1 == "A").toLong
+      val nB = perUser.count(_._1 == "B").toLong
+      val u2a = r2a - BigInt(nA) * BigInt(nA + 1)
+      val den = BigInt(nA) * BigInt(nB) * 2
+      val cles = ((u2a * 2000000 + den) / (den * 2)).toDouble / 1e6
+      val nD = (nA + nB).toDouble
+      val z = (u2a.toDouble - nA.toDouble * nB.toDouble) /
+        (2.0 * math.sqrt(nA.toDouble * nB.toDouble / 12.0 *
+          ((nD + 1.0) - tu.toDouble / (nD * (nD - 1.0)))))
+      (nA, nB, cles, z, math.abs(z) > 1.96)
+    }
+    // planted: B users' masses shifted far above A's -> significant,
+    // CLES (P[A beats B]) collapses toward 0; heavy ties by design
+    // (base = uid % 7) exercise the tie-correction path
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mw").toString
+    val ts0 = java.time.LocalDateTime.ofEpochSecond(
+      EventWindow.StartS + 3600, 0, java.time.ZoneOffset.UTC)
+    val rows = (1L to 400L).flatMap { uid =>
+      val base = (uid % 7).toDouble
+      val eff = if (arm(uid) == "B") 50.0 else 0.0
+      Seq.tabulate(5)(i => (uid * 10 + i, ts0.plusMinutes(uid), uid,
+        "view", base + eff + i, "{}"))
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val planted = StatsOps.mannWhitney(spark, tmp).collect()(0)
+    assert(planted.getAs[Boolean]("significant"), s"planted: $planted")
+    assert(planted.getAs[Double]("cles") < 0.1, s"planted: $planted")
+    val (pna, pnb, pcles, pz, psig) =
+      local(rows.map(r => (r._3, r._5)))
+    assert(planted.getAs[Long]("n_a") === pna)
+    assert(planted.getAs[Long]("n_b") === pnb)
+    assert(planted.getAs[Double]("cles") === pcles)
+    assert(planted.getAs[Double]("mw_z") ===
+      BigDecimal(pz).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(planted.getAs[Boolean]("significant") === psig)
+    // real fixture: random split -> null result, and exact agreement
+    // with the local walk
+    val r = StatsOps.mannWhitney(spark, sf0001).collect()(0)
+    assert(!r.getAs[Boolean]("significant"))
+    val fixture = Tables.events(spark, sf0001)
+      .select(col("user_id"), col("value")).collect()
+      .map(x => (x.getLong(0), x.getDouble(1))).toSeq
+    val (na, nb, cles, z, sig) = local(fixture)
+    assert(r.getAs[Long]("n_a") === na && r.getAs[Long]("n_b") === nb)
+    assert(r.getAs[Double]("cles") === cles)
+    assert(r.getAs[Double]("mw_z") ===
+      BigDecimal(z).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(r.getAs[Boolean]("significant") === sig)
+  }
+
   test("w22 CUPED: every column recomputes from a local BigInt walk, " +
     "and a planted pre/post correlation yields high variance reduction") {
     import spark.implicits._
