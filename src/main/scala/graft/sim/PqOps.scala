@@ -429,6 +429,130 @@ object PqOps extends QueryModule {
       .limit(k)
   }
 
+  /** Query-workload slice for [[streamingAnnServe]]: every 89th vector
+    * stands in for an external query stream (6-23 queries across the
+    * test SFs; a real workload arrives from outside the corpus). */
+  val ServeModulus = 89
+
+  /** ST21: streaming ANN SERVING against the stored IVF-PQ index — the
+    * missing end of the train-batch/serve-streaming story: st15 scores
+    * a stream against a model, st16 compresses a stream INTO the index
+    * format; this entry answers QUERIES from a stream against the
+    * index. Per arriving query, entirely in-row: the coarse route
+    * (top-[[NCell]] cells by exact micro-L2 against the broadcast
+    * coarse-centroid bundle, ties to the lower cell id) and the ADC
+    * lookup table (all M·Ksub squared sub-distances against the
+    * broadcast codebook bundle). The query then explodes to its
+    * bounded (cell) × (sub, cid) LUT rows — ncell·M·Ksub ≈ 1k rows per
+    * query, never corpus-scale — and ONE stream-static equi-join on
+    * (cell, sub, cid) against the stored cell-partitioned code table
+    * scores every candidate; the per-(query, candidate) ADC sum is an
+    * algebraic streaming aggregate. Top-k ranks on the read side over
+    * the ≤(queries × probed-cell-candidates) result.
+    *
+    * Scale: the joins and aggregates are all keyed; state is bounded
+    * by queries-in-flight × candidates-in-probed-cells (the IVF
+    * contract: ncell/K of the corpus), and the static side is the
+    * same parquet layout v18i partition-prunes — a production server
+    * resolves the probed-cell union per micro-batch and prunes to it
+    * (the v18i collect), which this plan omits only because cells
+    * arrive data-dependent inside one streaming query. Integer-exact
+    * end to end, so the full chain (both Lloyd unrolls + routing + ADC
+    * + ranking) carries a DuckDB oracle. */
+  def streamingAnnServe(spark: SparkSession, dir: String, k: Int = 10,
+      ncell: Int = NCell): DataFrame = {
+    val idx = graft.util.ArtifactCache.cached("ivfpq_index", dir)(
+      writeIvfPqIndex(spark, dir, _))
+    // one-row broadcast bundles, localCheckpointed: broadcast sides
+    // re-execute every micro-batch otherwise (the st15/st16 lesson)
+    val coarseBundle = spark.read.parquet(s"$idx/coarse")
+      .agg(array_sort(collect_list(struct(col("cid"), col("cm"))))
+        .as("cc")).localCheckpoint()
+    val lutBundle = spark.read.parquet(s"$idx/codebooks")
+      .agg(array_sort(collect_list(
+        struct(col("sub"), col("cid"), col("cm")))).as("cb"))
+      .localCheckpoint()
+    val schema = Tables.table(spark, dir, "embeddings").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+      .filter(pmod(col("vec_id"), lit(ServeModulus)) === 0)
+      // spread the in-row route/LUT work (one task per source file
+      // otherwise — the st16 lesson)
+      .repartition(8)
+    val q = stream
+      .select(col("vec_id").as("qid"),
+        ClusterOps.microVec(col("embedding")).as("xm64"))
+      .crossJoin(broadcast(coarseBundle))
+      .crossJoin(broadcast(lutBundle))
+      .withColumn("probed", expr(
+        s"""transform(slice(array_sort(transform(cc, c ->
+           |  named_struct('d', aggregate(zip_with(c.cm, xm64,
+           |      (a, b) -> (a - b) * (a - b)),
+           |    CAST(0 AS BIGINT), (acc, v) -> acc + v),
+           |  'cid', c.cid))), 1, $ncell), p -> p.cid)""".stripMargin))
+      .withColumn("lut", expr(
+        s"""transform(cb, c -> named_struct('sub', c.sub, 'cid', c.cid,
+           |  'ld', aggregate(zip_with(c.cm,
+           |      slice(xm64, c.sub * $SubDims + 1, $SubDims),
+           |      (a, b) -> (a - b) * (a - b)),
+           |    CAST(0 AS BIGINT), (acc, v) -> acc + v)))""".stripMargin))
+      .select(col("qid"), explode(col("probed")).as("cell"), col("lut"))
+      .select(col("qid"), col("cell"), explode(col("lut")).as("l"))
+      .select(col("qid"), col("cell").cast("long").as("cell"),
+        col("l.sub").as("sub"), col("l.cid").as("cid"),
+        col("l.ld").as("ld"))
+    val codes = spark.read.parquet(s"$idx/codes")
+      .select(col("vec_id"), col("sub"), col("cid"),
+        col("cell").cast("long").as("cell"))
+    val scored = q.join(codes, Seq("cell", "sub", "cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("ld")).as("adc_d"))
+    val res = graft.streaming.StreamingOps.runToBatch(spark, scored,
+      s"st21_serve_${System.nanoTime()}")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("adc_d"), col("vec_id"))
+    res.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("vec_id"), col("adc_d"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
+  private lazy val annServeSql: String =
+    s"""${ClusterOps.lloydChainSql},
+       | ${pqCtes("p")},
+       | sq AS (SELECT vec_id AS qid, xm FROM pts
+       |        WHERE vec_id % $ServeModulus = 0),
+       | sqd AS (SELECT q.qid, c.cid,
+       |   CAST(list_sum(list_transform(range(1, len(c.cm) + 1),
+       |     k -> (c.cm[k] - q.xm[k]) * (c.cm[k] - q.xm[k]))) AS BIGINT)
+       |     AS d
+       |  FROM c${ClusterOps.Iters} c, sq q),
+       | sprobed AS (SELECT qid, cid FROM sqd
+       |   QUALIFY row_number() OVER (PARTITION BY qid
+       |     ORDER BY d, cid) <= $NCell),
+       | spq AS (SELECT vec_id AS qid, sub, xm AS qm FROM ppts
+       |         WHERE vec_id % $ServeModulus = 0),
+       | slut AS (SELECT q.qid, c.sub, c.cid,
+       |   CAST(list_sum(list_transform(range(1, len(c.cm) + 1),
+       |     k -> (c.cm[k] - q.qm[k]) * (c.cm[k] - q.qm[k]))) AS BIGINT)
+       |     AS ld
+       |  FROM pc$Iters c JOIN spq q ON q.sub = c.sub),
+       | ssc AS (SELECT p.qid, f.vec_id, CAST(sum(l.ld) AS BIGINT)
+       |           AS adc_d
+       |  FROM pfa f
+       |  JOIN fa a ON a.vec_id = f.vec_id
+       |  JOIN sprobed p ON p.cid = a.cid
+       |  JOIN slut l ON l.qid = p.qid AND l.sub = f.sub
+       |    AND l.cid = f.cid
+       |  WHERE f.vec_id <> p.qid
+       |  GROUP BY 1, 2),
+       | sr AS (SELECT qid, vec_id, adc_d,
+       |   row_number() OVER (PARTITION BY qid ORDER BY adc_d, vec_id)
+       |     AS rnk FROM ssc)
+       |SELECT qid, CAST(rnk AS INT) AS rnk, vec_id, adc_d
+       |FROM sr WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin
+
   // ---- oracle SQL: the per-subspace Lloyd unroll (lloydChainSql
   // generalized: every CTE carries `sub` in its keys) ----
 
@@ -596,6 +720,14 @@ object PqOps extends QueryModule {
         "append map, finite stream == batch encode, shares v18e's " +
         "oracle",
       streamingPqEncode, Some(pqEncodeSql)),
+    GraftQuery("st21_streaming_ann_serve",
+      "ST21 streaming ANN serving: a query stream answered against " +
+        "the stored IVF-PQ index — in-row coarse route + ADC LUT " +
+        "from broadcast bundles, one (cell,sub,cid) stream-static " +
+        "equi-join against the cell-partitioned code table, algebraic " +
+        "per-(query,candidate) ADC sums, read-side top-10 — the full " +
+        "approximate serving path integer-exact and DuckDB-oracled",
+      (s, d) => streamingAnnServe(s, d), Some(annServeSql)),
     GraftQuery("v18g_pq_recall",
       "V18g ADC quality vs the exact top-10: set recall@10 AND " +
         "distance inflation (true distance of the ADC picks over the " +

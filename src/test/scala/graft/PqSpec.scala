@@ -93,6 +93,29 @@ class PqSpec extends SparkSpec {
     assert(incr === full)
   }
 
+  test("st21 streaming serve answers query 0 exactly as the batch " +
+    "IVF-PQ probe, ranks every query fully, and stays ascending") {
+    val rows = PqOps.streamingAnnServe(spark, sf0001).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("qid"))
+    // the workload slice is every 89th vector
+    assert(byQ.keySet.forall(_ % PqOps.ServeModulus == 0))
+    assert(byQ.nonEmpty)
+    byQ.values.foreach { qs =>
+      val sorted = qs.sortBy(_.getAs[Int]("rnk"))
+      assert(sorted.map(_.getAs[Int]("rnk")).toSeq === (1 to qs.length))
+      val ds = sorted.map(_.getAs[Long]("adc_d")).toSeq
+      assert(ds === ds.sorted)
+      assert(qs.length === 10)
+    }
+    // query 0 is also v18h/v18i's query: the streaming answer must be
+    // the batch probe's answer, bit for bit
+    val served = byQ(0L).sortBy(_.getAs[Int]("rnk"))
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("adc_d"))).toSeq
+    val batch = PqOps.ivfPqTopK(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("adc_d"))).toSeq
+    assert(served === batch)
+  }
+
   test("v18g: ADC picks can never beat the exact picks (inflation >= 1)") {
     val r = PqOps.pqRecall(spark, sf0001).collect().head
     assert(r.getAs[Long]("n_exact") === 10L)
