@@ -970,6 +970,136 @@ object StatsOps extends QueryModule {
        |FROM t""".stripMargin
   }
 
+  /** Interim-look schedule for [[groupSequential]]: 6 looks, one per
+    * 5 days of the 30-day window. */
+  private val SeqLooks = 6
+  private val LookStep = 5 * 86400L
+
+  /** Pocock two-sided 5% critical value for K=6 equally-spaced looks
+    * (Pocock 1977, table 2 — the flat-boundary design: same threshold
+    * at every look, total type-I error 0.05 across all six). */
+  private val PocockC6 = 2.453
+
+  /** W24: group-sequential A/B monitoring — the readout a LIVE
+    * experiment actually uses: w20 is a single fixed-horizon test, but
+    * peeking at a fixed 1.96 threshold every few days inflates type-I
+    * error severalfold; the group-sequential design pre-commits to K
+    * interim looks with an adjusted per-look boundary. This entry
+    * replays the Welch z at 6 five-day looks against the Pocock
+    * boundary and reports, per look, the enrolled arm sizes, the mean
+    * difference, the z trajectory, and whether the boundary was
+    * crossed — early-stopping decisions included.
+    *
+    * Exactness: each user's SIX cumulative masses and enrollment flags
+    * come from one conditional aggregate (one user-keyed shuffle,
+    * exactly w20's cost); a bounded 6-way in-row explode turns them
+    * into (look, arm) sufficient statistics in DECIMAL(38), and each
+    * look's mean/variance/z uses w20's integer-space spellings
+    * verbatim, so z at look 6 over the full window IS a w20-grade
+    * number. Scale shape: one user shuffle → ≤6n bounded explode →
+    * the 12-row (look × arm) frame. */
+  def groupSequential(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+    def d(c: Column): Column = c.cast(DecimalType(38, 0))
+    val micro =
+      (col("value").cast(DecimalType(18, 6)) * 1000000).cast(LongType)
+    val cuts = (1 to SeqLooks).map(l => Start + l * LookStep)
+    val aggs = cuts.zipWithIndex.flatMap { case (cut, i) =>
+      Seq(
+        sum(when(col("ts_s") < cut, micro).otherwise(0L)).as(s"c${i + 1}"),
+        max(when(col("ts_s") < cut, 1).otherwise(0)).as(s"h${i + 1}"))
+    }
+    val perUser = ev(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("arm",
+        when(conv(substring(md5(concat(lit("ab"),
+          col("user_id").cast("string"))), 1, 2), 16, 10)
+          .cast("int") % 2 === 0, "A").otherwise("B"))
+    val looks = perUser
+      .select(col("arm"), explode(array((1 to SeqLooks).map(l =>
+        struct(lit(l).as("lk"), col(s"c$l").as("cm"),
+          col(s"h$l").as("h"))): _*)).as("u"))
+      .filter(col("u.h") === 1)
+      .select(col("arm"), col("u.lk").as("lk"), col("u.cm").as("cm"))
+    val arms = looks.groupBy(col("lk"), col("arm"))
+      .agg(count(lit(1)).as("n"), sum(d(col("cm"))).as("sx"),
+        sum(d(col("cm")) * d(col("cm"))).as("sxx"))
+      .select(col("lk"), col("arm"), col("n"),
+        decDivRound(d(col("sx")), d(col("n"))).as("mean6"),
+        decDivRound(d(col("n")) * col("sxx") - d(col("sx")) * d(col("sx")),
+          d(col("n")) * (d(col("n")) - 1) * lit(1000000L)).as("var6"))
+    def pick(a: String, c: String): Column =
+      min(when(col("arm") === a, col(c)))
+    val byLook = arms.groupBy(col("lk")).agg(
+      pick("A", "n").as("n_a"), pick("B", "n").as("n_b"),
+      pick("A", "mean6").as("ma6"), pick("B", "mean6").as("mb6"),
+      pick("A", "var6").as("va6"), pick("B", "var6").as("vb6"))
+    val ma = col("ma6").cast(DoubleType) / 1000000.0
+    val mb = col("mb6").cast(DoubleType) / 1000000.0
+    val va = col("va6").cast(DoubleType) / 1000000.0
+    val vb = col("vb6").cast(DoubleType) / 1000000.0
+    val z = abs(ma - mb) / sqrt(
+      va / col("n_a").cast(DoubleType) + vb / col("n_b").cast(DoubleType))
+    byLook.select(col("lk").cast("int").as("look"),
+      col("n_a"), col("n_b"),
+      ((col("ma6") - col("mb6")).cast(DoubleType) / 1000000.0).as("diff"),
+      round(z, 6).as("welch_z"), lit(PocockC6).as("boundary"),
+      (z > PocockC6).as("crossed"))
+      .orderBy(col("look"))
+  }
+
+  private val groupSequentialSql: String = {
+    val micro =
+      "CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)"
+    val cuts = (1 to SeqLooks).map(l => Start + l * LookStep)
+    val puCols = cuts.zipWithIndex.map { case (cut, i) =>
+      s"""sum(CASE WHEN epoch_us(ts) // 1000000 < $cut
+         |     THEN $micro ELSE 0 END) AS c${i + 1},
+         |   max(CASE WHEN epoch_us(ts) // 1000000 < $cut
+         |     THEN 1 ELSE 0 END) AS h${i + 1}""".stripMargin
+    }.mkString(",\n   ")
+    val unions = (1 to SeqLooks).map(l =>
+      s"SELECT arm, $l AS lk, c$l AS cm FROM ar WHERE h$l = 1")
+      .mkString("\n   UNION ALL ")
+    val zExpr =
+      """abs(CAST(ma6 AS DOUBLE) / 1000000.0
+        |     - CAST(mb6 AS DOUBLE) / 1000000.0)
+        | / sqrt(CAST(va6 AS DOUBLE) / 1000000.0 / CAST(n_a AS BIGINT)
+        |      + CAST(vb6 AS DOUBLE) / 1000000.0 / CAST(n_b AS BIGINT))"""
+        .stripMargin.replace("\n", " ").replaceAll(" +", " ")
+    s"""WITH pu AS (SELECT user_id,
+       |   $puCols
+       |  FROM events GROUP BY 1),
+       | ar AS (SELECT CASE WHEN ('0x' || substr(md5('ab' ||
+       |          CAST(user_id AS VARCHAR)), 1, 2))::INT % 2 = 0
+       |          THEN 'A' ELSE 'B' END AS arm, * FROM pu),
+       | lx AS ($unions),
+       | g AS (SELECT lk, arm, count(*) AS n, sum(cm::HUGEINT) AS sx,
+       |        sum(cm::HUGEINT * cm::HUGEINT) AS sxx
+       |       FROM lx GROUP BY 1, 2),
+       | s AS (SELECT lk, arm, n,
+       |        (sx * 2 + n) // (n * 2) AS mean6,
+       |        ((n * sxx - sx * sx) * 2
+       |         + n::HUGEINT * (n - 1) * 1000000)
+       |        // (n::HUGEINT * (n - 1) * 1000000 * 2) AS var6 FROM g),
+       | w AS (SELECT lk,
+       |   max(CASE WHEN arm = 'A' THEN n END) AS n_a,
+       |   max(CASE WHEN arm = 'B' THEN n END) AS n_b,
+       |   max(CASE WHEN arm = 'A' THEN mean6 END) AS ma6,
+       |   max(CASE WHEN arm = 'B' THEN mean6 END) AS mb6,
+       |   max(CASE WHEN arm = 'A' THEN var6 END) AS va6,
+       |   max(CASE WHEN arm = 'B' THEN var6 END) AS vb6
+       |  FROM s GROUP BY 1)
+       |SELECT CAST(lk AS INT) AS look,
+       | CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       | CAST(ma6 - mb6 AS DOUBLE) / 1000000.0 AS diff,
+       | round($zExpr, 6) AS welch_z,
+       | $PocockC6 AS boundary,
+       | ($zExpr > $PocockC6) AS crossed
+       |FROM w ORDER BY look""".stripMargin
+  }
+
   /** W23: Mann-Whitney U (Wilcoxon rank-sum) A/B readout — the
     * NONPARAMETRIC significance test w20/w22 lack: both compare arm
     * MEANS, which heavy-tailed per-user masses (u8 shows top-decile
@@ -1073,6 +1203,13 @@ object StatsOps extends QueryModule {
   }
 
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("w24_group_sequential",
+      "W24 group-sequential A/B monitor: Welch z replayed at 6 " +
+        "five-day interim looks against the Pocock K=6 boundary " +
+        "(2.453) — per-look enrollment, mean diff, z trajectory, " +
+        "crossing flags; one user-keyed conditional aggregate + a " +
+        "bounded 6-way explode onto the 12-row (look, arm) frame",
+      groupSequential, Some(groupSequentialSql)),
     GraftQuery("w23_mann_whitney",
       "W23 Mann-Whitney rank-sum A/B readout: tie-corrected 2*U and " +
         "Sum(t^3-t) exact in DECIMAL(38) from tie-group counts (ranks " +

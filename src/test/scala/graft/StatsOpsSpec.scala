@@ -432,6 +432,56 @@ class StatsOpsSpec extends SparkSpec {
     assert(r.getAs[Double]("var_b") === vb6.toDouble / 1e6)
   }
 
+  test("w24 group-sequential: look 6 IS w20's fixed-horizon readout, " +
+    "enrollment is monotone, and a planted late-onset effect crosses " +
+    "late looks only") {
+    import spark.implicits._
+    val rows = StatsOps.groupSequential(spark, sf0001).collect()
+      .sortBy(_.getAs[Int]("look"))
+    assert(rows.map(_.getAs[Int]("look")).toSeq === (1 to 6))
+    val na = rows.map(_.getAs[Long]("n_a"))
+    val nb = rows.map(_.getAs[Long]("n_b"))
+    assert(na.toSeq === na.sorted.toSeq, "A enrollment must be monotone")
+    assert(nb.toSeq === nb.sorted.toSeq, "B enrollment must be monotone")
+    // the final look covers the whole window: its z and arm sizes must
+    // equal the fixed-horizon w20 readout bit for bit
+    val w20r = StatsOps.abTest(spark, sf0001).collect()(0)
+    val last = rows.last
+    assert(last.getAs[Long]("n_a") === w20r.getAs[Long]("n_a"))
+    assert(last.getAs[Long]("n_b") === w20r.getAs[Long]("n_b"))
+    assert(last.getAs[Double]("welch_z") === w20r.getAs[Double]("welch_t"))
+    assert(last.getAs[Double]("diff") ===
+      w20r.getAs[Double]("mean_a") - w20r.getAs[Double]("mean_b"))
+    // planted late-onset effect: B's events gain +200 only from day 15
+    // on; looks 1-3 (days 5/10/15) see none of it, the final look must
+    // cross the Pocock boundary
+    def arm(uid: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"ab$uid".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      if (Integer.parseInt(hex.substring(0, 2), 16) % 2 == 0) "A" else "B"
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft-gs").toString
+    val days = Seq(3L, 9L, 16L, 21L, 27L)
+    val evRows = (1L to 400L).flatMap { uid =>
+      days.zipWithIndex.map { case (day, i) =>
+        val ts = java.time.LocalDateTime.ofEpochSecond(
+          EventWindow.StartS + day * 86400L + uid, 0,
+          java.time.ZoneOffset.UTC)
+        val eff = if (arm(uid) == "B" && day >= 15) 200.0 else 0.0
+        (uid * 10 + i, ts, uid, "view", (uid % 7).toDouble + eff + i, "{}")
+      }
+    }
+    evRows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val planted = StatsOps.groupSequential(spark, tmp).collect()
+      .sortBy(_.getAs[Int]("look"))
+    assert(!planted(0).getAs[Boolean]("crossed"), planted.mkString(", "))
+    assert(!planted(1).getAs[Boolean]("crossed"), planted.mkString(", "))
+    assert(!planted(2).getAs[Boolean]("crossed"), planted.mkString(", "))
+    assert(planted(5).getAs[Boolean]("crossed"), planted.mkString(", "))
+  }
+
   test("w23 Mann-Whitney: every column recomputes from a local " +
     "tie-group walk, and a planted shift flips significance with CLES " +
     "near zero while the random split stays null") {
