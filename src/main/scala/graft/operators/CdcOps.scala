@@ -281,6 +281,54 @@ object CdcOps extends QueryModule {
       .orderBy(col("day"), col("event_type"))
   }
 
+  /** Erasure-request slice for [[erasureDowndate]]: every 53rd user
+    * stands in for the right-to-be-forgotten queue. */
+  val EraseModulus = 53
+
+  /** V70: targeted erasure with aggregate DOWNDATE — the
+    * right-to-be-forgotten dataflow w19 is missing: deletion requests
+    * must propagate into DERIVED tables, and recomputing a year of
+    * history because 0.1% of users left is the O(history) cost this
+    * operator avoids. The stored daily (day, event_type) rollup (w19's
+    * materialized-view shape over the full window, memoized once per
+    * process as the stored artifact it is in production) is refreshed
+    * by SUBTRACTING only the erased users' own contributions: one scan
+    * of the delete set's rows (at 100 TB this scan is keyed — the
+    * erasure queue joins against a user-bucketed/Z-ordered layout, the
+    * v12/v17 machinery — never a full pass), negated, merged
+    * algebraically, groups erased to zero dropped. Counts and micro
+    * sums are decomposable in BOTH directions — adding and subtracting
+    * — which is exactly what makes the downdate lossless; the oracle
+    * IS the full recompute over the surviving users, so the hash match
+    * proves no trace of the erased users survives in the view. */
+  def erasureDowndate(spark: SparkSession, dir: String): DataFrame = {
+    def rollup(df: DataFrame): DataFrame = df
+      .groupBy(Exact.intDiv(col("ts_s") - EventWindow.StartS, lit(86400L))
+        .as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Exact.microSum(col("value"))
+        .as("value_micro"))
+    val base = graft.util.PlanMemo.memo(spark, "v70_full_agg", dir)(
+      rollup(Tables.events(spark, dir)))
+    val erased = rollup(Tables.events(spark, dir)
+      .filter(pmod(col("user_id"), lit(EraseModulus)) === 0))
+      .select(col("day"), col("event_type"),
+        (-col("n")).as("n"), (-col("value_micro")).as("value_micro"))
+    base.unionByName(erased)
+      .groupBy(col("day"), col("event_type"))
+      .agg(sum(col("n")).as("n"), sum(col("value_micro")).as("value_micro"))
+      .filter(col("n") > 0)
+      .orderBy(col("day"), col("event_type"))
+  }
+
+  private val erasureSql: String =
+    s"""SELECT (epoch_us(ts)//1000000 - ${EventWindow.StartS}) // 86400
+       |   AS day,
+       | event_type, CAST(count(*) AS BIGINT) AS n,
+       | CAST(sum(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT))
+       |      AS BIGINT) AS value_micro
+       |FROM events WHERE user_id % $EraseModulus <> 0
+       |GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin
+
   private val incAggSql: String =
     s"""SELECT (epoch_us(ts)//1000000 - ${EventWindow.StartS}) // 86400 AS day,
        | event_type, CAST(count(*) AS BIGINT) AS n,
@@ -309,6 +357,13 @@ object CdcOps extends QueryModule {
         "seq 1 and 3 via the interval-containment predicate, " +
         "broadcast probes — time travel, no extra shuffle",
       pitLookup, Some(pitSql)),
+    GraftQuery("v70_erasure_downdate",
+      "V70 right-to-be-forgotten propagation: the stored daily rollup " +
+        "refreshed by SUBTRACTING only the erased users' (user_id%53) " +
+        "own contributions — algebraic downdate, O(delete-set) not " +
+        "O(history); oracle is the full surviving-user recompute the " +
+        "downdate must equal, so the hash proves no trace survives",
+      erasureDowndate, Some(erasureSql)),
     GraftQuery("w19_incremental_agg",
       "W19 incremental aggregation maintenance: stored base aggregate " +
         "+ delta-only scan (cutoff filter pushed to the events read) " +

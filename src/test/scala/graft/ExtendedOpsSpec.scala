@@ -274,6 +274,33 @@ class ExtendedOpsSpec extends SparkSpec {
       "GreaterThanOrEqual(ts,"), deltaPlan)
   }
 
+  test("v70 erasure downdate: equals the surviving-user recompute, the " +
+      "delete set is non-empty, and erased groups vanish rather than " +
+      "linger at zero") {
+    val dir = "/root/testdata/sf0.001"
+    val down = graft.operators.CdcOps.erasureDowndate(spark, dir)
+      .collect().toSeq
+    val m = graft.operators.CdcOps.EraseModulus
+    val surviving = graft.Tables.events(spark, dir)
+      .filter(pmod(col("user_id"), lit(m)) =!= 0)
+      .groupBy(graft.Exact.intDiv(col("ts_s") - graft.EventWindow.StartS,
+        lit(86400L)).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        graft.Exact.microSum(col("value")).as("value_micro"))
+      .orderBy(col("day"), col("event_type"))
+      .collect().toSeq
+    assert(down === surviving, "downdate == surviving-user recompute")
+    // the fixture actually erases something: the downdate must differ
+    // from the full (nobody-erased) rollup
+    val erasedRows = graft.Tables.events(spark, dir)
+      .filter(pmod(col("user_id"), lit(m)) === 0).count()
+    assert(erasedRows > 0, "fixture has no erasure candidates?")
+    val fullN = graft.Tables.events(spark, dir).count()
+    assert(down.map(_.getAs[Long]("n")).sum === fullN - erasedRows)
+    // and no zero-count group lingers
+    assert(down.forall(_.getAs[Long]("n") > 0))
+  }
+
   test("v49 BPE training: greedy L2R merge application (aaaa + (a,a) " +
       "-> two aa, no triple-count) and merges feed later rounds") {
     import spark.implicits._
