@@ -301,6 +301,101 @@ object RankOps extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
+  /** In-domain slice for [[contrastiveSelect]] — one source (5% of the
+    * corpus) stands in for the curated seed corpus a domain-adaptation
+    * run holds. */
+  val InDomainSource = "src0"
+
+  /** V71: contrastive data selection (Moore & Lewis 2010) — the
+    * domain-adaptation selector a targeted training run uses: score
+    * every general-corpus document by the DIFFERENCE of its fit under
+    * an in-domain LM and under the general LM, keep what the in-domain
+    * model likes MORE than its own corpus does. v13 gates on surface
+    * quality and v34 importance-samples a global score; neither can
+    * say "reads like the seed corpus". Log cross-entropies are
+    * replaced by v63's engine-agreed statistic — the exact mean
+    * transition probability under each bigram LM — so the contrast
+    * ml = mean_in − mean_gen is a signed micro integer both engines
+    * agree on (half-away rounding, [[Exact.signedDivRound]]);
+    * in-domain-unseen transitions contribute 0 (the OOV floor of a
+    * backoff-free LM).
+    *
+    * Scale shape: two v63 dataflows sharing one corpus bigram explode
+    * — the in-domain LM table is seed-corpus-sized, the general LM
+    * corpus-sized, BOTH joined bigram-keyed (no broadcast of an LM at
+    * 100 TB), one doc-keyed mean. Self-inclusion on the general side
+    * is v63's documented corpus-stats regime. */
+  def contrastiveSelect(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"),
+        split(lower(col("text")), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), col("source"), explode(bigramsCol).as("bg"))
+    def lm(p: DataFrame, out: String): DataFrame = {
+      val counts = p.groupBy(col("bg")).agg(count(lit(1)).as("c"))
+      val prefix = counts
+        .select(substring_index(col("bg"), " ", 1).as("w1"), col("c"))
+        .groupBy(col("w1")).agg(sum(col("c")).as("u"))
+      counts.withColumn("w1", substring_index(col("bg"), " ", 1))
+        .join(prefix, Seq("w1"))
+        .select(col("bg"), Exact.intDiv(
+          col("c") * 1000000L + shiftright(col("u"), 1), col("u")).as(out))
+    }
+    val inLm = lm(pairs.filter(col("source") === InDomainSource), "pi")
+    val genPairs = pairs.filter(col("source") =!= InDomainSource)
+    val genLm = lm(genPairs, "pg")
+    val ml = Exact.signedDivRound(col("si") - col("sg"), col("n_bigrams"))
+    genPairs
+      .join(genLm, Seq("bg"))
+      .join(inLm, Seq("bg"), "left")
+      .na.fill(0L, Seq("pi"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("pi")).as("si"), sum(col("pg")).as("sg"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (Exact.intDiv(col("si") + shiftright(col("n_bigrams"), 1),
+          col("n_bigrams")).cast("double") / 1000000.0).as("in_score"),
+        (Exact.intDiv(col("sg") + shiftright(col("n_bigrams"), 1),
+          col("n_bigrams")).cast("double") / 1000000.0).as("gen_score"),
+        (ml.cast("double") / 1000000.0).as("ml_score"),
+        (ml > 0).as("selected"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val contrastiveSql: String = {
+    val sdr = graft.OracleSql.signedDivRound("si - sg", "n")
+    s"""WITH d AS (SELECT doc_id, source,
+       |   string_split(lower(text), ' ') AS w
+       |  FROM documents WHERE text IS NOT NULL),
+       | bp AS (SELECT doc_id, source,
+       |   unnest([w[i] || ' ' || w[i+1]
+       |     for i in generate_series(1, len(w)-1)]) AS bg
+       |  FROM d WHERE len(w) >= 2),
+       | ic AS (SELECT bg, count(*) AS c FROM bp
+       |        WHERE source = '$InDomainSource' GROUP BY 1),
+       | iu AS (SELECT split_part(bg, ' ', 1) AS w1, sum(c) AS u
+       |        FROM ic GROUP BY 1),
+       | ip AS (SELECT ic.bg, (ic.c * 1000000 + iu.u // 2) // iu.u AS pi
+       |  FROM ic JOIN iu ON iu.w1 = split_part(ic.bg, ' ', 1)),
+       | gc AS (SELECT bg, count(*) AS c FROM bp
+       |        WHERE source <> '$InDomainSource' GROUP BY 1),
+       | gu AS (SELECT split_part(bg, ' ', 1) AS w1, sum(c) AS u
+       |        FROM gc GROUP BY 1),
+       | gp AS (SELECT gc.bg, (gc.c * 1000000 + gu.u // 2) // gu.u AS pg
+       |  FROM gc JOIN gu ON gu.w1 = split_part(gc.bg, ' ', 1)),
+       | s AS (SELECT bp.doc_id, count(*) AS n,
+       |        sum(coalesce(ip.pi, 0)) AS si, sum(gp.pg) AS sg
+       |  FROM bp JOIN gp USING (bg) LEFT JOIN ip USING (bg)
+       |  WHERE bp.source <> '$InDomainSource' GROUP BY 1)
+       |SELECT doc_id, CAST(n AS BIGINT) AS n_bigrams,
+       | CAST((si + n // 2) // n AS DOUBLE) / 1000000.0 AS in_score,
+       | CAST((sg + n // 2) // n AS DOUBLE) / 1000000.0 AS gen_score,
+       | CAST($sdr AS DOUBLE) / 1000000.0 AS ml_score,
+       | ($sdr > 0) AS selected
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
   private val lmScoreSql: String =
     """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w
       |           FROM documents WHERE text IS NOT NULL),
@@ -628,6 +723,14 @@ object RankOps extends QueryModule {
         "micro-units — row-stochastic by construction, no libm log, " +
         "key-partitioned joins only (no LM broadcast)",
       (s, d) => lmScore(s, d), Some(lmScoreSql)),
+    GraftQuery("v71_contrastive_select",
+      "V71 Moore-Lewis contrastive data selection: general-corpus " +
+        "docs scored by in-domain-LM fit MINUS general-LM fit (v63's " +
+        "exact mean-transition-probability statistic under two bigram " +
+        "LMs, signed micro contrast, OOV floor 0) — the domain-" +
+        "adaptation selector; two key-partitioned LM joins sharing " +
+        "one bigram explode, no LM broadcast",
+      contrastiveSelect, Some(contrastiveSql)),
     GraftQuery("v19_bm25_search",
       "V19 BM25 top-k lexical retrieval: integer-exact rational-idf " +
         "scoring, term-pruned explode + broadcast df/totals + " +

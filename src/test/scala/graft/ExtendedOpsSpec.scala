@@ -357,4 +357,41 @@ class ExtendedOpsSpec extends SparkSpec {
     // the score separates: not all docs identical
     assert(got.map(_.getDouble(2)).distinct.length > 10)
   }
+
+  test("v71 contrastive selection: a planted in-domain clone outranks " +
+    "gibberish, unseen transitions floor at zero, and both LMs score " +
+    "exactly the general corpus") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ml").toString
+    val seed = "the quick brown fox jumps over the lazy dog again and again"
+    // sources: src0 = in-domain seed corpus; general corpus holds a
+    // clone of the seed text, a half-overlap doc, and pure gibberish
+    // (bigrams unseen in-domain)
+    val rows = Seq(
+      (1L, seed, "en", graft.nlp.RankOps.InDomainSource, 60L),
+      (2L, seed + " quick brown fox jumps", "en",
+        graft.nlp.RankOps.InDomainSource, 80L),
+      (10L, seed, "en", "srcX", 60L),
+      (11L, "the quick brown fox sat on zz yy xx ww vv uu", "en",
+        "srcX", 45L),
+      (12L, "qq rr ss tt uu vv ww xx yy zz aa bb", "en", "srcX", 36L))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = graft.nlp.RankOps.contrastiveSelect(spark, tmp).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // only the three general docs are scored
+    assert(got.keySet === Set(10L, 11L, 12L))
+    // the clone reads exactly like the seed corpus: every transition
+    // seen in-domain, so it must be selected with the top ml_score
+    assert(got(10L).getAs[Boolean]("selected"), got(10L).toString)
+    assert(got(10L).getAs[Double]("ml_score") >
+      got(11L).getAs[Double]("ml_score"))
+    assert(got(11L).getAs[Double]("ml_score") >
+      got(12L).getAs[Double]("ml_score"))
+    // pure gibberish shares no transition with the seed corpus: the
+    // OOV floor makes its in-domain fit exactly zero, and scoring
+    // under the general LM (which contains it) keeps gen_score > 0
+    assert(got(12L).getAs[Double]("in_score") === 0.0)
+    assert(got(12L).getAs[Double]("gen_score") > 0.0)
+    assert(!got(12L).getAs[Boolean]("selected"))
+  }
 }
