@@ -341,6 +341,46 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), p)
   }
 
+  test("v69 benchmark scrub probes via a broadcast semi-join — the " +
+    "corpus side never shuffles against the benchmark hash set") {
+    val p = plan(q("v69_benchmark_scrub"))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("v70 erasure downdate is union + re-aggregate: no join, " +
+    "map-side combined") {
+    val p = plan(q("v70_erasure_downdate"))
+    assert(!p.contains("Join"), p)
+    assert(p.contains("partial_"), p)
+  }
+
+  test("w23 rank prefix sums run two-level: every window is keyed or " +
+    "sits on the bounded bucket-total aggregate, never a single-task " +
+    "pass over the value frame") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Window => LWindow}
+    val lp = q("w23_mann_whitney")
+      .asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.optimizedPlan
+    val windows = lp.collect { case w: LWindow => w }
+    assert(windows.size === 2, s"expected the two-level pair\n$lp")
+    // constant-partitioned windows admissible only over a frame that
+    // re-aggregates (the bucket totals); the value-frame window must
+    // carry the bucket key
+    def aggDepth(p: LogicalPlan): Int = {
+      val self = p match { case _: Aggregate => 1; case _ => 0 }
+      self + (if (p.children.isEmpty) 0 else p.children.map(aggDepth).max)
+    }
+    windows.foreach { w =>
+      if (w.partitionSpec.isEmpty || w.partitionSpec.forall(_.foldable))
+        // the offset window: its input must be the bucket-total
+        // re-aggregate (two Aggregates below: value-frame + bucket)
+        assert(aggDepth(w.child) >= 2, s"offset window over raw frame\n$w")
+      else
+        assert(w.partitionSpec.nonEmpty, w.toString)
+    }
+  }
+
   /** The generic anti-pattern detector behind the GLOBAL SWEEP test:
     * flags (a) joins with no equality predicate between their sides
     * (nested-loop at execution) where NEITHER side is bounded, and
