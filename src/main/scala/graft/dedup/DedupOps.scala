@@ -415,6 +415,36 @@ object DedupOps extends QueryModule {
     * for any repeat ≥ W words, in plain dataflow. */
   val ScrubWindow = 8
 
+  /** (doc_id, s, h): every [[ScrubWindow]]-word window's 1-based start
+    * and md5 hash over a (doc_id, w) frame — THE window spelling (
+    * lowercase words, single-space join, md5 of the W-word slice)
+    * shared by v67, st19's ledger and v69 (review finding, round 8:
+    * independent copies would let a tokenization tweak silently turn
+    * another scrub into a no-op). st19's stream side keeps the IN-ROW
+    * expression twin of this spelling; DuckDB side:
+    * [[scrubWindowCtes]]. */
+  private def scrubWindows(d: DataFrame): DataFrame = {
+    val W = ScrubWindow
+    d.filter(size(col("w")) >= W)
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(1), size(col("w")) - (W - 1))).as("s"))
+      .select(col("doc_id"), col("s"),
+        md5(array_join(slice(col("w"), col("s"), lit(W)), " ")).as("h"))
+  }
+
+  /** DuckDB spelling of the `sd`/`so` window CTEs behind
+    * [[scrubWindows]]. */
+  private lazy val scrubWindowCtes: String = {
+    val W = ScrubWindow
+    s"""sd AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+       |  FROM documents WHERE text IS NOT NULL),
+       | so AS (SELECT doc_id, s,
+       |   md5(array_to_string(list_slice(w, s, s + ${W - 1}), ' ')) AS h
+       |  FROM (SELECT doc_id, w,
+       |          unnest(range(1, len(w) - ${W - 2})) AS s
+       |        FROM sd WHERE len(w) >= $W))""".stripMargin
+  }
+
   /** V67: the fourth dedup granularity completed — v1 removes whole
     * duplicate DOCS, v2f near-dup docs, v50 semantic neighbors, v22
     * only DETECTS copied spans; this operator REMOVES them. Every
@@ -435,11 +465,7 @@ object DedupOps extends QueryModule {
     val W = ScrubWindow
     val d = Tables.documents(spark, dir).filter(col("text").isNotNull)
       .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
-    val occ = d.filter(size(col("w")) >= W)
-      .select(col("doc_id"), col("w"),
-        explode(sequence(lit(1), size(col("w")) - (W - 1))).as("s"))
-      .select(col("doc_id"), col("s"),
-        md5(array_join(slice(col("w"), col("s"), lit(W)), " ")).as("h"))
+    val occ = scrubWindows(d)
     val firsts = occ.groupBy(col("h"))
       .agg(min(col("doc_id")).as("keep_doc"), count(lit(1)).as("n_occ"))
     val scrubbed = occ.join(firsts, Seq("h"))
@@ -464,13 +490,7 @@ object DedupOps extends QueryModule {
 
   private lazy val spanScrubSql: String = {
     val W = ScrubWindow
-    s"""WITH sd AS (SELECT doc_id, string_split(lower(text), ' ') AS w
-       |  FROM documents WHERE text IS NOT NULL),
-       | so AS (SELECT doc_id, s,
-       |   md5(array_to_string(list_slice(w, s, s + ${W - 1}), ' ')) AS h
-       |  FROM (SELECT doc_id, w,
-       |          unnest(range(1, len(w) - ${W - 2})) AS s
-       |        FROM sd WHERE len(w) >= $W)),
+    s"""WITH $scrubWindowCtes,
        | sg AS (SELECT h, min(doc_id) AS keep_doc, count(*) AS n_occ
        |        FROM so GROUP BY 1),
        | sp AS (SELECT DISTINCT so.doc_id, unnest(range(so.s, so.s + $W))
@@ -511,14 +531,9 @@ object DedupOps extends QueryModule {
     // ~|ledger|/256-entry struct scan — no map (a Spark map element_at
     // linear-scans every entry: 17.8 s at sf0.1 before this layout)
     val ledgerRow = graft.util.PlanMemo.memo(spark, "st19_ledger", dir) {
-      Tables.documents(spark, dir).filter(col("text").isNotNull)
-        .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
-        .filter(size(col("w")) >= W)
-        .select(col("doc_id"),
-          explode(sequence(lit(1), size(col("w")) - (W - 1))).as("s"),
-          col("w"))
-        .select(col("doc_id"),
-          md5(array_join(slice(col("w"), col("s"), lit(W)), " ")).as("h"))
+      scrubWindows(
+        Tables.documents(spark, dir).filter(col("text").isNotNull)
+          .select(col("doc_id"), split(lower(col("text")), " ").as("w")))
         .groupBy(col("h"))
         .agg(min(col("doc_id")).as("keep_doc"), count(lit(1)).as("n_occ"))
         .filter(col("n_occ") >= 2)
@@ -597,16 +612,10 @@ object DedupOps extends QueryModule {
     val W = ScrubWindow
     val d = Tables.documents(spark, dir).filter(col("text").isNotNull)
       .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
-    def windows(df: DataFrame): DataFrame = df
-      .filter(size(col("w")) >= W)
-      .select(col("doc_id"), col("w"),
-        explode(sequence(lit(1), size(col("w")) - (W - 1))).as("s"))
-      .select(col("doc_id"), col("s"),
-        md5(array_join(slice(col("w"), col("s"), lit(W)), " ")).as("h"))
-    val bench = windows(d.filter(pmod(col("doc_id"), lit(7)) === 0))
+    val bench = scrubWindows(d.filter(pmod(col("doc_id"), lit(7)) === 0))
       .select(col("h")).distinct()
     val corpus = d.filter(pmod(col("doc_id"), lit(7)) =!= 0)
-    val removed = windows(corpus)
+    val removed = scrubWindows(corpus)
       .join(broadcast(bench), Seq("h"), "left_semi")
       .select(col("doc_id"),
         explode(sequence(col("s"), col("s") + (W - 1))).as("p"))
@@ -627,13 +636,7 @@ object DedupOps extends QueryModule {
 
   private lazy val benchmarkScrubSql: String = {
     val W = ScrubWindow
-    s"""WITH sd AS (SELECT doc_id, string_split(lower(text), ' ') AS w
-       |  FROM documents WHERE text IS NOT NULL),
-       | so AS (SELECT doc_id, s,
-       |   md5(array_to_string(list_slice(w, s, s + ${W - 1}), ' ')) AS h
-       |  FROM (SELECT doc_id, w,
-       |          unnest(range(1, len(w) - ${W - 2})) AS s
-       |        FROM sd WHERE len(w) >= $W)),
+    s"""WITH $scrubWindowCtes,
        | bh AS (SELECT DISTINCT h FROM so WHERE doc_id % 7 = 0),
        | sp AS (SELECT DISTINCT so.doc_id, unnest(range(so.s, so.s + $W))
        |          AS p

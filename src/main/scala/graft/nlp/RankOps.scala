@@ -282,16 +282,7 @@ object RankOps extends QueryModule {
     val docPairs = withWords(spark, dir)
       .filter(size(col("w")) >= 2)
       .select(col("doc_id"), explode(bigramsCol).as("bg"))
-    val counts = docPairs.groupBy(col("bg")).agg(count(lit(1)).as("c"))
-    val prefix = counts
-      .select(substring_index(col("bg"), " ", 1).as("w1"), col("c"))
-      .groupBy(col("w1")).agg(sum(col("c")).as("u"))
-    val probs = counts
-      .withColumn("w1", substring_index(col("bg"), " ", 1))
-      .join(prefix, Seq("w1"))
-      .select(col("bg"), Exact.intDiv(
-        col("c") * 1000000L + shiftright(col("u"), 1), col("u"))
-        .as("p_micro"))
+    val probs = bigramLm(docPairs, "p_micro")
     docPairs.join(probs, Seq("bg"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("p_micro")).as("sp"))
@@ -299,6 +290,24 @@ object RankOps extends QueryModule {
         (Exact.intDiv(col("sp") + shiftright(col("n_bigrams"), 1),
           col("n_bigrams")).cast("double") / 1000000.0).as("lm_score"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Bigram-LM transition probabilities P(w2|w1) = C(w1,w2)/U(w1) as
+    * integer micro-units over any frame with a `bg` ("w1 w2") column —
+    * THE v63 statistic's model build, ONE spelling shared by v63 and
+    * v71 (review finding, round 8: two independent spellings would let
+    * a smoothing/rounding fix drift one while the docs claim they are
+    * the same statistic). Row-stochastic by construction (U is the
+    * prefix total). */
+  private def bigramLm(pairs: DataFrame, out: String): DataFrame = {
+    val counts = pairs.groupBy(col("bg")).agg(count(lit(1)).as("c"))
+    val prefix = counts
+      .select(substring_index(col("bg"), " ", 1).as("w1"), col("c"))
+      .groupBy(col("w1")).agg(sum(col("c")).as("u"))
+    counts.withColumn("w1", substring_index(col("bg"), " ", 1))
+      .join(prefix, Seq("w1"))
+      .select(col("bg"), Exact.intDiv(
+        col("c") * 1000000L + shiftright(col("u"), 1), col("u")).as(out))
   }
 
   /** In-domain slice for [[contrastiveSelect]] — one source (5% of the
@@ -332,19 +341,10 @@ object RankOps extends QueryModule {
         split(lower(col("text")), " ").as("w"))
       .filter(size(col("w")) >= 2)
       .select(col("doc_id"), col("source"), explode(bigramsCol).as("bg"))
-    def lm(p: DataFrame, out: String): DataFrame = {
-      val counts = p.groupBy(col("bg")).agg(count(lit(1)).as("c"))
-      val prefix = counts
-        .select(substring_index(col("bg"), " ", 1).as("w1"), col("c"))
-        .groupBy(col("w1")).agg(sum(col("c")).as("u"))
-      counts.withColumn("w1", substring_index(col("bg"), " ", 1))
-        .join(prefix, Seq("w1"))
-        .select(col("bg"), Exact.intDiv(
-          col("c") * 1000000L + shiftright(col("u"), 1), col("u")).as(out))
-    }
-    val inLm = lm(pairs.filter(col("source") === InDomainSource), "pi")
+    val inLm = bigramLm(
+      pairs.filter(col("source") === InDomainSource), "pi")
     val genPairs = pairs.filter(col("source") =!= InDomainSource)
-    val genLm = lm(genPairs, "pg")
+    val genLm = bigramLm(genPairs, "pg")
     val ml = Exact.signedDivRound(col("si") - col("sg"), col("n_bigrams"))
     genPairs
       .join(genLm, Seq("bg"))

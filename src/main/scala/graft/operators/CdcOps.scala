@@ -232,6 +232,17 @@ object CdcOps extends QueryModule {
     * disjoint union). */
   val IncAggCutoffS: Long = EventWindow.StartS + 23L * 86400L + 43200L
 
+  /** THE daily (day, event_type) rollup — count + exact value
+    * micro-sum. ONE spelling shared by w19's stored base aggregate,
+    * its delta, and v70's downdate (review finding, round 8: three
+    * independent spellings let a day-bucketing change desynchronize
+    * the view v70 claims to refresh). DuckDB side: [[dailySelectSql]]. */
+  private def dailyRollup(df: DataFrame): DataFrame = df
+    .groupBy(Exact.intDiv(col("ts_s") - EventWindow.StartS, lit(86400L))
+      .as("day"), col("event_type"))
+    .agg(count(lit(1)).as("n"), Exact.microSum(col("value"))
+      .as("value_micro"))
+
   private val incAggCache = new java.util.concurrent.ConcurrentHashMap[
     String, java.util.concurrent.FutureTask[String]]()
   private val incAggSeq = new java.util.concurrent.atomic.AtomicInteger()
@@ -247,11 +258,7 @@ object CdcOps extends QueryModule {
         val path = graft.util.TempArtifacts.register(
           s"${sys.props("java.io.tmpdir")}/graft_incagg_" +
             s"${ProcessHandle.current().pid()}_${incAggSeq.getAndIncrement()}")
-        Tables.eventsUntil(spark, dir, IncAggCutoffS)
-          .groupBy(Exact.intDiv(col("ts_s") - EventWindow.StartS, lit(86400L))
-            .as("day"), col("event_type"))
-          .agg(count(lit(1)).as("n"), Exact.microSum(col("value"))
-            .as("value_micro"))
+        dailyRollup(Tables.eventsUntil(spark, dir, IncAggCutoffS))
           .write.mode("overwrite").parquet(path)
         path
       }))
@@ -270,11 +277,7 @@ object CdcOps extends QueryModule {
     * (the v10b/st5 machinery) under the same dataflow. */
   def incrementalAgg(spark: SparkSession, dir: String): DataFrame = {
     val base = spark.read.parquet(writeBaseAgg(spark, dir))
-    val delta = Tables.eventsFrom(spark, dir, IncAggCutoffS)
-      .groupBy(Exact.intDiv(col("ts_s") - EventWindow.StartS, lit(86400L))
-        .as("day"), col("event_type"))
-      .agg(count(lit(1)).as("n"), Exact.microSum(col("value"))
-        .as("value_micro"))
+    val delta = dailyRollup(Tables.eventsFrom(spark, dir, IncAggCutoffS))
     base.unionByName(delta)
       .groupBy(col("day"), col("event_type"))
       .agg(sum(col("n")).as("n"), sum(col("value_micro")).as("value_micro"))
@@ -302,14 +305,9 @@ object CdcOps extends QueryModule {
     * IS the full recompute over the surviving users, so the hash match
     * proves no trace of the erased users survives in the view. */
   def erasureDowndate(spark: SparkSession, dir: String): DataFrame = {
-    def rollup(df: DataFrame): DataFrame = df
-      .groupBy(Exact.intDiv(col("ts_s") - EventWindow.StartS, lit(86400L))
-        .as("day"), col("event_type"))
-      .agg(count(lit(1)).as("n"), Exact.microSum(col("value"))
-        .as("value_micro"))
     val base = graft.util.PlanMemo.memo(spark, "v70_full_agg", dir)(
-      rollup(Tables.events(spark, dir)))
-    val erased = rollup(Tables.events(spark, dir)
+      dailyRollup(Tables.events(spark, dir)))
+    val erased = dailyRollup(Tables.events(spark, dir)
       .filter(pmod(col("user_id"), lit(EraseModulus)) === 0))
       .select(col("day"), col("event_type"),
         (-col("n")).as("n"), (-col("value_micro")).as("value_micro"))
@@ -320,20 +318,20 @@ object CdcOps extends QueryModule {
       .orderBy(col("day"), col("event_type"))
   }
 
-  private val erasureSql: String =
-    s"""SELECT (epoch_us(ts)//1000000 - ${EventWindow.StartS}) // 86400
-       |   AS day,
-       | event_type, CAST(count(*) AS BIGINT) AS n,
-       | CAST(sum(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT))
-       |      AS BIGINT) AS value_micro
+  private lazy val erasureSql: String =
+    s"""$dailySelectSql
        |FROM events WHERE user_id % $EraseModulus <> 0
        |GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin
 
-  private val incAggSql: String =
+  /** DuckDB spelling of [[dailyRollup]]'s select list. */
+  private val dailySelectSql: String =
     s"""SELECT (epoch_us(ts)//1000000 - ${EventWindow.StartS}) // 86400 AS day,
        | event_type, CAST(count(*) AS BIGINT) AS n,
        | CAST(sum(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT))
-       |      AS BIGINT) AS value_micro
+       |      AS BIGINT) AS value_micro""".stripMargin
+
+  private lazy val incAggSql: String =
+    s"""$dailySelectSql
        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin
 
   val queries: Seq[GraftQuery] = Seq(

@@ -757,6 +757,23 @@ object StatsOps extends QueryModule {
   private def decDivRound(num: Column, den: Column): Column =
     Exact.intDiv(num * 2 + den, den * 2)
 
+  /** md5-parity A/B arm ('ab' ∥ user_id — v28's growth-stable split: a
+    * user never migrates arms as data accrues). ONE spelling shared by
+    * w20/w22/w23/w24 and their oracles (review finding, round 8: a salt
+    * or parity tweak applied to one copy would silently place the same
+    * experiment's users in different arms across the four readouts,
+    * breaking the "same experiment, four ways" and "w24 look 6 == w20"
+    * invariants with no compile-time signal). */
+  private def armCol: Column =
+    when(conv(substring(md5(concat(lit("ab"),
+      col("user_id").cast("string"))), 1, 2), 16, 10)
+      .cast("int") % 2 === 0, "A").otherwise("B")
+
+  /** DuckDB spelling of [[armCol]]. */
+  private val ArmSqlCase: String =
+    "CASE WHEN ('0x' || substr(md5('ab' || CAST(user_id AS VARCHAR)), " +
+      "1, 2))::INT % 2 = 0 THEN 'A' ELSE 'B' END"
+
   /** W20: A/B experiment readout — deterministic arm assignment by
     * md5('ab' ∥ user_id) parity (v28's growth-stable split: a user
     * never migrates arms as data accrues), per-user value mass as the
@@ -774,10 +791,7 @@ object StatsOps extends QueryModule {
     val perUser = ev(spark, dir)
       .groupBy(col("user_id"))
       .agg(Exact.microSum(col("value")).as("xm"))
-      .withColumn("arm",
-        when(conv(substring(md5(concat(lit("ab"),
-          col("user_id").cast("string"))), 1, 2), 16, 10)
-          .cast("int") % 2 === 0, "A").otherwise("B"))
+      .withColumn("arm", armCol)
     // BOTH power sums in DECIMAL(38,0): sum(x) wraps a Long at ~2.5e10
     // events/arm of micro-mass — the same scale step the sxx comment
     // already defends against (review finding, round 6)
@@ -808,9 +822,7 @@ object StatsOps extends QueryModule {
   private val abTestSql: String =
     s"""WITH pu AS (SELECT user_id, ${OracleSql.microSum("value")} AS xm
        |            FROM events GROUP BY 1),
-       | ar AS (SELECT CASE WHEN ('0x' || substr(md5('ab' ||
-       |          CAST(user_id AS VARCHAR)), 1, 2))::INT % 2 = 0
-       |          THEN 'A' ELSE 'B' END AS arm, xm FROM pu),
+       | ar AS (SELECT $ArmSqlCase AS arm, xm FROM pu),
        | g AS (SELECT arm, count(*) AS n, sum(xm) AS sx,
        |        sum(xm::HUGEINT * xm::HUGEINT) AS sxx FROM ar GROUP BY 1),
        | s AS (SELECT arm, n,
@@ -875,10 +887,7 @@ object StatsOps extends QueryModule {
       .groupBy(col("user_id"))
       .agg(microIf(col("ts_s") < CupedCutS).as("cm"),
         microIf(col("ts_s") >= CupedCutS).as("xm"))
-      .withColumn("arm",
-        when(conv(substring(md5(concat(lit("ab"),
-          col("user_id").cast("string"))), 1, 2), 16, 10)
-          .cast("int") % 2 === 0, "A").otherwise("B"))
+      .withColumn("arm", armCol)
     val arms = perUser.groupBy(col("arm"))
       .agg(count(lit(1)).as("n"),
         sum(d(col("cm"))).as("sc"), sum(d(col("xm"))).as("sx"),
@@ -930,9 +939,7 @@ object StatsOps extends QueryModule {
        |   sum(CASE WHEN epoch_us(ts) // 1000000 >= $CupedCutS
        |       THEN $micro ELSE 0 END) AS xm
        |  FROM events GROUP BY 1),
-       | ar AS (SELECT CASE WHEN ('0x' || substr(md5('ab' ||
-       |          CAST(user_id AS VARCHAR)), 1, 2))::INT % 2 = 0
-       |          THEN 'A' ELSE 'B' END AS arm, cm, xm FROM pu),
+       | ar AS (SELECT $ArmSqlCase AS arm, cm, xm FROM pu),
        | g AS (SELECT arm, count(*) AS n,
        |        sum(cm::HUGEINT) AS sc, sum(xm::HUGEINT) AS sx,
        |        sum(cm::HUGEINT * cm::HUGEINT) AS scc,
@@ -1012,10 +1019,7 @@ object StatsOps extends QueryModule {
     val perUser = ev(spark, dir)
       .groupBy(col("user_id"))
       .agg(aggs.head, aggs.tail: _*)
-      .withColumn("arm",
-        when(conv(substring(md5(concat(lit("ab"),
-          col("user_id").cast("string"))), 1, 2), 16, 10)
-          .cast("int") % 2 === 0, "A").otherwise("B"))
+      .withColumn("arm", armCol)
     val looks = perUser
       .select(col("arm"), explode(array((1 to SeqLooks).map(l =>
         struct(lit(l).as("lk"), col(s"c$l").as("cm"),
@@ -1041,7 +1045,13 @@ object StatsOps extends QueryModule {
     val vb = col("vb6").cast(DoubleType) / 1000000.0
     val z = abs(ma - mb) / sqrt(
       va / col("n_a").cast(DoubleType) + vb / col("n_b").cast(DoubleType))
-    byLook.select(col("lk").cast("int").as("look"),
+    byLook
+      // a look where an arm has <2 enrollees has no variance and no
+      // decision — dropped rather than emitted as null z/crossed rows
+      // (review finding, round 8); the null n from pick() on an absent
+      // arm fails the same predicate. The oracle mirrors the WHERE.
+      .filter(col("n_a") >= 2 && col("n_b") >= 2)
+      .select(col("lk").cast("int").as("look"),
       col("n_a"), col("n_b"),
       ((col("ma6") - col("mb6")).cast(DoubleType) / 1000000.0).as("diff"),
       round(z, 6).as("welch_z"), lit(PocockC6).as("boundary"),
@@ -1071,9 +1081,7 @@ object StatsOps extends QueryModule {
     s"""WITH pu AS (SELECT user_id,
        |   $puCols
        |  FROM events GROUP BY 1),
-       | ar AS (SELECT CASE WHEN ('0x' || substr(md5('ab' ||
-       |          CAST(user_id AS VARCHAR)), 1, 2))::INT % 2 = 0
-       |          THEN 'A' ELSE 'B' END AS arm, * FROM pu),
+       | ar AS (SELECT $ArmSqlCase AS arm, * FROM pu),
        | lx AS ($unions),
        | g AS (SELECT lk, arm, count(*) AS n, sum(cm::HUGEINT) AS sx,
        |        sum(cm::HUGEINT * cm::HUGEINT) AS sxx
@@ -1097,7 +1105,7 @@ object StatsOps extends QueryModule {
        | round($zExpr, 6) AS welch_z,
        | $PocockC6 AS boundary,
        | ($zExpr > $PocockC6) AS crossed
-       |FROM w ORDER BY look""".stripMargin
+       |FROM w WHERE n_a >= 2 AND n_b >= 2 ORDER BY look""".stripMargin
   }
 
   /** W23: Mann-Whitney U (Wilcoxon rank-sum) A/B readout — the
@@ -1132,10 +1140,7 @@ object StatsOps extends QueryModule {
     val perUser = ev(spark, dir)
       .groupBy(col("user_id"))
       .agg(Exact.microSum(col("value")).as("xm"))
-      .withColumn("arm",
-        when(conv(substring(md5(concat(lit("ab"),
-          col("user_id").cast("string"))), 1, 2), 16, 10)
-          .cast("int") % 2 === 0, "A").otherwise("B"))
+      .withColumn("arm", armCol)
     val byVal = perUser.groupBy(col("xm"))
       .agg(sum(when(col("arm") === "A", 1L).otherwise(0L)).as("na"),
         sum(when(col("arm") === "B", 1L).otherwise(0L)).as("nb"))
@@ -1179,9 +1184,7 @@ object StatsOps extends QueryModule {
         .stripMargin.replace("\n", " ").replaceAll(" +", " ")
     s"""WITH pu AS (SELECT user_id, ${OracleSql.microSum("value")} AS xm
        |            FROM events GROUP BY 1),
-       | ar AS (SELECT CASE WHEN ('0x' || substr(md5('ab' ||
-       |          CAST(user_id AS VARCHAR)), 1, 2))::INT % 2 = 0
-       |          THEN 'A' ELSE 'B' END AS arm, xm FROM pu),
+       | ar AS (SELECT $ArmSqlCase AS arm, xm FROM pu),
        | g AS (SELECT xm,
        |        sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS na,
        |        sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS nb

@@ -450,8 +450,9 @@ class StatsOpsSpec extends SparkSpec {
     assert(last.getAs[Long]("n_a") === w20r.getAs[Long]("n_a"))
     assert(last.getAs[Long]("n_b") === w20r.getAs[Long]("n_b"))
     assert(last.getAs[Double]("welch_z") === w20r.getAs[Double]("welch_t"))
-    assert(last.getAs[Double]("diff") ===
-      w20r.getAs[Double]("mean_a") - w20r.getAs[Double]("mean_b"))
+    assert(math.abs(last.getAs[Double]("diff") -
+      (w20r.getAs[Double]("mean_a") - w20r.getAs[Double]("mean_b")))
+      < 1e-6, "look-6 diff must be w20's mean gap at micro resolution")
     // planted late-onset effect: B's events gain +200 only from day 15
     // on; looks 1-3 (days 5/10/15) see none of it, the final look must
     // cross the Pocock boundary
