@@ -459,12 +459,14 @@ object PqOps extends QueryModule {
     * arrive data-dependent inside one streaming query. Integer-exact
     * end to end, so the full chain (both Lloyd unrolls + routing + ADC
     * + ranking) carries a DuckDB oracle. */
-  def streamingAnnServe(spark: SparkSession, dir: String, k: Int = 10,
-      ncell: Int = NCell): DataFrame = {
-    val idx = graft.util.ArtifactCache.cached("ivfpq_index", dir)(
-      writeIvfPqIndex(spark, dir, _))
-    // one-row broadcast bundles, localCheckpointed: broadcast sides
-    // re-execute every micro-batch otherwise (the st15/st16 lesson)
+  /** The arriving-query route + LUT frame shared by st21/st21b:
+    * (qid, cell, sub, cid, ld) — each query's coarse route and full
+    * ADC lookup table built entirely in-row against the broadcast
+    * bundles (localCheckpointed — broadcast sides re-execute every
+    * micro-batch otherwise, the st15/st16 lesson), then exploded to
+    * its bounded ncell·M·Ksub rows. */
+  private def serveQueryFrame(spark: SparkSession, dir: String,
+      idx: String, ncell: Int): DataFrame = {
     val coarseBundle = spark.read.parquet(s"$idx/coarse")
       .agg(array_sort(collect_list(struct(col("cid"), col("cm"))))
         .as("cc")).localCheckpoint()
@@ -473,13 +475,12 @@ object PqOps extends QueryModule {
         struct(col("sub"), col("cid"), col("cm")))).as("cb"))
       .localCheckpoint()
     val schema = Tables.table(spark, dir, "embeddings").schema
-    val stream = spark.readStream.schema(schema)
+    spark.readStream.schema(schema)
       .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
       .filter(pmod(col("vec_id"), lit(ServeModulus)) === 0)
       // spread the in-row route/LUT work (one task per source file
       // otherwise — the st16 lesson)
       .repartition(8)
-    val q = stream
       .select(col("vec_id").as("qid"),
         ClusterOps.microVec(col("embedding")).as("xm64"))
       .crossJoin(broadcast(coarseBundle))
@@ -501,6 +502,23 @@ object PqOps extends QueryModule {
       .select(col("qid"), col("cell").cast("long").as("cell"),
         col("l.sub").as("sub"), col("l.cid").as("cid"),
         col("l.ld").as("ld"))
+  }
+
+  /** Shared read-side tail: per-query top-k over the served scores. */
+  private def rankTopK(res: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("adc_d"), col("vec_id"))
+    res.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("vec_id"), col("adc_d"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
+  def streamingAnnServe(spark: SparkSession, dir: String, k: Int = 10,
+      ncell: Int = NCell): DataFrame = {
+    val idx = graft.util.ArtifactCache.cached("ivfpq_index", dir)(
+      writeIvfPqIndex(spark, dir, _))
+    val q = serveQueryFrame(spark, dir, idx, ncell)
     val codes = spark.read.parquet(s"$idx/codes")
       .select(col("vec_id"), col("sub"), col("cid"),
         col("cell").cast("long").as("cell"))
@@ -508,14 +526,58 @@ object PqOps extends QueryModule {
       .filter(col("vec_id") =!= col("qid"))
       .groupBy(col("qid"), col("vec_id"))
       .agg(sum(col("ld")).as("adc_d"))
-    val res = graft.streaming.StreamingOps.runToBatch(spark, scored,
-      s"st21_serve_${System.nanoTime()}")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("qid")).orderBy(col("adc_d"), col("vec_id"))
-    res.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("qid"), col("rnk"), col("vec_id"), col("adc_d"))
-      .orderBy(col("qid"), col("rnk"))
+    rankTopK(graft.streaming.StreamingOps.runToBatch(spark, scored,
+      s"st21_serve_${System.nanoTime()}"), k)
+  }
+
+  /** Executed plan of the most recent st21b per-batch code scan — a
+    * documented TEST-ONLY seam (the SpanScan.lastRuntimePrune
+    * convention) so PqSpec can pin that the pruned serving loop
+    * actually partition-prunes. */
+  @volatile private[graft] var lastServePlan: String = ""
+
+  /** ST21b: the PRUNED streaming serving loop — st21's scaladoc notes
+    * that a production server resolves the probed-cell union per
+    * micro-batch and reads only those partitions; this entry makes
+    * that claim CODE (the v50-salt lesson: a scale argument that
+    * lives only in documentation regresses silently). Each
+    * micro-batch of queries runs through `foreachBatch`: the batch's
+    * probed-cell union collects driver-side (bounded: ≤ ncell ×
+    * batch-queries ids — the v18i collect), the code table is read
+    * with those cells as LITERAL partition filters (PartitionFilters,
+    * pinned via [[lastServePlan]]), and the batch join + ADC
+    * aggregate run as plain bounded batch dataflow appended to the
+    * result store. A query is ONE input row, so its LUT rows never
+    * span micro-batches and per-batch aggregation is complete —
+    * identical integers to st21, same oracle. */
+  def streamingAnnServePruned(spark: SparkSession, dir: String,
+      k: Int = 10, ncell: Int = NCell): DataFrame = {
+    val idx = graft.util.ArtifactCache.cached("ivfpq_index", dir)(
+      writeIvfPqIndex(spark, dir, _))
+    val q = serveQueryFrame(spark, dir, idx, ncell)
+    val outPath = graft.util.TempArtifacts.register(
+      s"${sys.props("java.io.tmpdir")}/graft_st21b_" +
+        s"${ProcessHandle.current().pid()}_${System.nanoTime()}")
+    graft.streaming.StreamingOps.runForeachBatch(spark, q,
+      s"st21b_serve_${System.nanoTime()}") { (batch, _) =>
+      val cells = batch.select(col("cell")).distinct()
+        .collect().map(_.getLong(0)) // bounded: ncell ids per query
+      if (cells.nonEmpty) {
+        val codes = spark.read.parquet(s"$idx/codes")
+          .filter(col("cell").isin(cells: _*))
+          .select(col("vec_id"), col("sub"), col("cid"),
+            col("cell").cast("long").as("cell"))
+        val scored = batch.join(codes, Seq("cell", "sub", "cid"))
+          .filter(col("vec_id") =!= col("qid"))
+          .groupBy(col("qid"), col("vec_id"))
+          .agg(sum(col("ld")).as("adc_d"))
+        lastServePlan = scored
+          .asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+          .queryExecution.executedPlan.toString
+        scored.write.mode("append").parquet(outPath)
+      }
+    }
+    rankTopK(spark.read.parquet(outPath), k)
   }
 
   private lazy val annServeSql: String =
@@ -728,6 +790,13 @@ object PqOps extends QueryModule {
         "per-(query,candidate) ADC sums, read-side top-10 — the full " +
         "approximate serving path integer-exact and DuckDB-oracled",
       (s, d) => streamingAnnServe(s, d), Some(annServeSql)),
+    GraftQuery("st21b_streaming_ann_pruned",
+      "ST21b the PRUNED streaming serving loop: each micro-batch's " +
+        "probed-cell union resolves driver-side (bounded collect, the " +
+        "v18i convention) and the code read carries literal partition " +
+        "filters — per-query cost is ncell/K of the index however " +
+        "large the corpus; identical integers to st21, same oracle",
+      (s, d) => streamingAnnServePruned(s, d), Some(annServeSql)),
     GraftQuery("v18g_pq_recall",
       "V18g ADC quality vs the exact top-10: set recall@10 AND " +
         "distance inflation (true distance of the ADC picks over the " +

@@ -174,6 +174,21 @@ object StreamingOps extends QueryModule {
   def runToBatchAppend(spark: SparkSession, df: DataFrame,
       name: String): DataFrame = runToBatch(spark, df, name, "append")
 
+  /** Run a finite stream to completion through `foreachBatch` — the
+    * per-micro-batch serving-loop shape (st21b): the caller's function
+    * sees each micro-batch as a plain DataFrame and may run arbitrary
+    * batch dataflow (pruned reads, joins, writes). Same state-store
+    * sizing discipline as [[runToBatch]]; Spark provisions a temp
+    * checkpoint for the unanchored sink. */
+  def runForeachBatch(spark: SparkSession, df: DataFrame, name: String)(
+      fn: (DataFrame, Long) => Unit): Unit =
+    withStreamSizedShuffle(spark, 4) {
+      val q = df.writeStream
+        .foreachBatch { (b: DataFrame, id: Long) => fn(b, id) }
+        .queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+
   /** ST6: streaming quantile series — the streaming twin of T14/D8.
     * Exact percentiles are HOLISTIC (Spark rejects them in streaming
     * aggregations), which is precisely what the mergeable

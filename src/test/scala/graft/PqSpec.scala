@@ -116,6 +116,22 @@ class PqSpec extends SparkSpec {
     assert(served === batch)
   }
 
+  test("st21b pruned serving loop equals st21 row-for-row and its " +
+    "per-batch code scan carries literal partition filters") {
+    val pruned = PqOps.streamingAnnServePruned(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rnk"),
+        r.getAs[Long]("vec_id"), r.getAs[Long]("adc_d"))).toSeq
+    val full = PqOps.streamingAnnServe(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rnk"),
+        r.getAs[Long]("vec_id"), r.getAs[Long]("adc_d"))).toSeq
+    assert(pruned === full)
+    // the serving loop's economics: the code read must partition-prune
+    // to the batch's probed cells (the lastServePlan test seam)
+    assert(PqOps.lastServePlan.contains("PartitionFilters"),
+      PqOps.lastServePlan)
+    assert(PqOps.lastServePlan.contains("cell"), PqOps.lastServePlan)
+  }
+
   test("v18g: ADC picks can never beat the exact picks (inflation >= 1)") {
     val r = PqOps.pqRecall(spark, sf0001).collect().head
     assert(r.getAs[Long]("n_exact") === 10L)
