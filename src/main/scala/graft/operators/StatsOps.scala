@@ -1005,21 +1005,28 @@ object StatsOps extends QueryModule {
     * verbatim, so z at look 6 over the full window IS a w20-grade
     * number. Scale shape: one user shuffle → ≤6n bounded explode →
     * the 12-row (look × arm) frame. */
-  def groupSequential(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
-    def d(c: Column): Column = c.cast(DecimalType(38, 0))
+  /** The six per-look cumulative-mass / enrollment aggregates over an
+    * events frame — the per-user sufficient statistics of the
+    * group-sequential readout. ALGEBRAIC (conditional sums and maxes),
+    * which is exactly what lets st22 maintain them as streaming state. */
+  private def lookAggs: Seq[Column] = {
+    import org.apache.spark.sql.types.{DecimalType, LongType}
     val micro =
       (col("value").cast(DecimalType(18, 6)) * 1000000).cast(LongType)
-    val cuts = (1 to SeqLooks).map(l => Start + l * LookStep)
-    val aggs = cuts.zipWithIndex.flatMap { case (cut, i) =>
-      Seq(
+    (1 to SeqLooks).map(l => Start + l * LookStep).zipWithIndex.flatMap {
+      case (cut, i) => Seq(
         sum(when(col("ts_s") < cut, micro).otherwise(0L)).as(s"c${i + 1}"),
         max(when(col("ts_s") < cut, 1).otherwise(0)).as(s"h${i + 1}"))
     }
-    val perUser = ev(spark, dir)
-      .groupBy(col("user_id"))
-      .agg(aggs.head, aggs.tail: _*)
-      .withColumn("arm", armCol)
+  }
+
+  /** w24's readout tail over the per-user sufficient-statistics frame
+    * (user_id, c1..c6, h1..h6) — shared verbatim by the batch entry
+    * and st22's streaming twin, so the two cannot drift. */
+  private def lookReadout(perUserStats: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    def d(c: Column): Column = c.cast(DecimalType(38, 0))
+    val perUser = perUserStats.withColumn("arm", armCol)
     val looks = perUser
       .select(col("arm"), explode(array((1 to SeqLooks).map(l =>
         struct(lit(l).as("lk"), col(s"c$l").as("cm"),
@@ -1057,6 +1064,31 @@ object StatsOps extends QueryModule {
       round(z, 6).as("welch_z"), lit(PocockC6).as("boundary"),
       (z > PocockC6).as("crossed"))
       .orderBy(col("look"))
+  }
+
+  def groupSequential(spark: SparkSession, dir: String): DataFrame =
+    lookReadout(ev(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(lookAggs.head, lookAggs.tail: _*))
+
+  /** ST22: the group-sequential monitor SERVED LIVE — w24's whole
+    * pitch is interim looks at a running experiment, and this is the
+    * running half: the per-user sufficient statistics ([[lookAggs]] —
+    * six conditional cumulative masses + enrollment flags, all
+    * algebraic) are maintained as streaming aggregation state (O(users)
+    * rows, mergeable across micro-batches), and the bounded look
+    * readout runs read-side on the final state. Finite stream == the
+    * batch per-user frame, so st22 SHARES w24's oracle — the
+    * st15/st18/st20 train-batch/serve-streaming convention applied to
+    * the experimentation suite. */
+  def streamingGroupSequential(spark: SparkSession,
+      dir: String): DataFrame = {
+    val perUser = graft.streaming.StreamingOps.eventsStream(spark, dir)
+      .withColumn("ts_s", expr("ts div 1000000000"))
+      .groupBy(col("user_id"))
+      .agg(lookAggs.head, lookAggs.tail: _*)
+    lookReadout(graft.streaming.StreamingOps.runToBatch(spark, perUser,
+      s"st22_gs_${System.nanoTime()}"))
   }
 
   private val groupSequentialSql: String = {
@@ -1206,6 +1238,13 @@ object StatsOps extends QueryModule {
   }
 
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("st22_streaming_group_sequential",
+      "ST22 the group-sequential monitor served LIVE: the per-user " +
+        "cumulative-mass/enrollment sufficient statistics maintained " +
+        "as algebraic streaming aggregation state, the bounded look " +
+        "readout on the final state — finite stream == batch, shares " +
+        "w24's oracle (train-batch/serve-streaming for experiments)",
+      streamingGroupSequential, Some(groupSequentialSql)),
     GraftQuery("w24_group_sequential",
       "W24 group-sequential A/B monitor: Welch z replayed at 6 " +
         "five-day interim looks against the Pocock K=6 boundary " +

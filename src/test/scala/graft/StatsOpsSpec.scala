@@ -483,6 +483,16 @@ class StatsOpsSpec extends SparkSpec {
     assert(planted(5).getAs[Boolean]("crossed"), planted.mkString(", "))
   }
 
+  test("st22 streaming group-sequential equals the batch w24 readout " +
+    "row-for-row (finite stream == batch per-user statistics)") {
+    val streamed = StatsOps.streamingGroupSequential(spark, sf0001)
+      .collect().map(_.toSeq).toSeq
+    val batch = StatsOps.groupSequential(spark, sf0001)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("w23 Mann-Whitney: every column recomputes from a local " +
     "tie-group walk, and a planted shift flips significance with CLES " +
     "near zero while the random split stays null") {
