@@ -59,11 +59,17 @@ object Tables {
       s"events.ts: expected ns-long or timestamp, got $other")
   }
 
+  /** THE derived µs/s epoch columns over a normalized ns-long `ts` —
+    * one spelling for batch (events/eventsSplit) and streaming
+    * (StreamingOps.eventsStream) consumers alike (review finding,
+    * round 8: a third copy had appeared in a streaming entry). */
+  def withEpochCols(df: DataFrame): DataFrame = df
+    .withColumn("ts_us", expr("ts div 1000"))
+    .withColumn("ts_s", expr("ts div 1000000000"))
+
   /** events with derived µs/s epoch columns (oracle-compatible, see above). */
   def events(spark: SparkSession, dir: String): DataFrame =
-    normalizeTsNs(table(spark, dir, "events"))
-      .withColumn("ts_us", expr("ts div 1000"))
-      .withColumn("ts_s", expr("ts div 1000000000"))
+    withEpochCols(normalizeTsNs(table(spark, dir, "events")))
 
   /** events restricted to ts ≥/< an epoch-second cutoff, with the
     * comparison phrased against the PHYSICAL `ts` column (typed literal
@@ -91,8 +97,6 @@ object Tables {
         s"events.ts: expected ns-long or timestamp, got $other")
     }
     val cut = if (after) col("ts") >= bound else col("ts") < bound
-    normalizeTsNs(raw.filter(cut))
-      .withColumn("ts_us", expr("ts div 1000"))
-      .withColumn("ts_s", expr("ts div 1000000000"))
+    withEpochCols(normalizeTsNs(raw.filter(cut)))
   }
 }

@@ -1084,7 +1084,6 @@ object StatsOps extends QueryModule {
   def streamingGroupSequential(spark: SparkSession,
       dir: String): DataFrame = {
     val perUser = graft.streaming.StreamingOps.eventsStream(spark, dir)
-      .withColumn("ts_s", expr("ts div 1000000000"))
       .groupBy(col("user_id"))
       .agg(lookAggs.head, lookAggs.tail: _*)
     lookReadout(graft.streaming.StreamingOps.runToBatch(spark, perUser,

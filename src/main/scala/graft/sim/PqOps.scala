@@ -558,24 +558,39 @@ object PqOps extends QueryModule {
     val outPath = graft.util.TempArtifacts.register(
       s"${sys.props("java.io.tmpdir")}/graft_st21b_" +
         s"${ProcessHandle.current().pid()}_${System.nanoTime()}")
+    // seed the result store with the empty frame so a workload with no
+    // queries reads back empty exactly like st21's memory sink (review
+    // finding, round 8: an all-empty run otherwise had no path to read)
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val seedSchema = StructType(Seq(StructField("qid", LongType),
+      StructField("vec_id", LongType), StructField("adc_d", LongType)))
+    spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), seedSchema)
+      .write.mode("overwrite").parquet(outPath)
     graft.streaming.StreamingOps.runForeachBatch(spark, q,
       s"st21b_serve_${System.nanoTime()}") { (batch, _) =>
-      val cells = batch.select(col("cell")).distinct()
-        .collect().map(_.getLong(0)) // bounded: ncell ids per query
-      if (cells.nonEmpty) {
-        val codes = spark.read.parquet(s"$idx/codes")
-          .filter(col("cell").isin(cells: _*))
-          .select(col("vec_id"), col("sub"), col("cid"),
-            col("cell").cast("long").as("cell"))
-        val scored = batch.join(codes, Seq("cell", "sub", "cid"))
-          .filter(col("vec_id") =!= col("qid"))
-          .groupBy(col("qid"), col("vec_id"))
-          .agg(sum(col("ld")).as("adc_d"))
-        lastServePlan = scored
-          .asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
-          .queryExecution.executedPlan.toString
-        scored.write.mode("append").parquet(outPath)
-      }
+      // the route+LUT frame feeds both the cell collect and the join:
+      // persist so the in-row serving work runs once per batch, not
+      // twice (review finding, round 8)
+      val b = batch.persist()
+      try {
+        val cells = b.select(col("cell")).distinct()
+          .collect().map(_.getLong(0)) // bounded: ncell ids per query
+        if (cells.nonEmpty) {
+          val codes = spark.read.parquet(s"$idx/codes")
+            .filter(col("cell").isin(cells: _*))
+            .select(col("vec_id"), col("sub"), col("cid"),
+              col("cell").cast("long").as("cell"))
+          val scored = b.join(codes, Seq("cell", "sub", "cid"))
+            .filter(col("vec_id") =!= col("qid"))
+            .groupBy(col("qid"), col("vec_id"))
+            .agg(sum(col("ld")).as("adc_d"))
+          lastServePlan = scored
+            .asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+            .queryExecution.executedPlan.toString
+          scored.write.mode("append").parquet(outPath)
+        }
+      } finally b.unpersist()
     }
     rankTopK(spark.read.parquet(outPath), k)
   }

@@ -136,10 +136,10 @@ object StreamingOps extends QueryModule {
     // streaming file sources take a directory; select the one table file.
     // normalizeTsNs dispatches on the static schema, so it composes with
     // a streaming frame exactly as with a batch one.
-    Tables.normalizeTsNs(spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir))
-      .withColumn("ts_us", expr("ts div 1000"))
-      .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
+    Tables.withEpochCols(
+        Tables.normalizeTsNs(spark.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)))
+      .withColumn("event_ts", timestamp_micros(col("ts_us")))
   }
 
   /** Size the state store to the stream for the duration of `body`: a
