@@ -1032,6 +1032,67 @@ object DedupOps extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
+  /** V72: quality-aware dedup apply — v2f's keeper rule upgraded to
+    * what production pipelines actually do: within a near-dup cluster,
+    * keep the HIGHEST-QUALITY member (v4b score, [[graft.nlp.TextOps
+    * .qualityMicro]] — the same integer micro spelling the quality
+    * gate runs), not the lowest id; ties break to the lower id so the
+    * decision stays deterministic. The dropped near-dups leave by the
+    * same left_anti shape as v2f.
+    *
+    * Scale shape: the cluster frame is pair-graph-sized (tiny relative
+    * to the corpus — the v2e argument), so the per-cluster argmax
+    * window runs over it, never over the corpus; quality joins in
+    * doc-keyed; the corpus pays one left_anti hash join. */
+  def qualityDedupApply(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("sc").desc, col("doc_id"))
+    val drops = dupClusters(spark, dir)
+      .join(graft.nlp.TextOps.qualityMicro(spark, dir), Seq("doc_id"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") > 1)
+      .select(col("doc_id"))
+    Tables.documents(spark, dir)
+      .join(drops, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
+  private lazy val qualityDedupApplySql: String = {
+    import graft.nlp.TextOps.{markerSql, wordsSql}
+    s"""WITH RECURSIVE
+       | t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+       | s AS (SELECT doc_id, $shinglesSql AS sh FROM t),
+       | p AS (SELECT a.doc_id i, b.doc_id j
+       |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+       |  WHERE ${OracleSql.ratio6("len(list_intersect(a.sh,b.sh))",
+            "len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh))")} >= 0.5),
+       | e AS (SELECT i, j FROM p UNION SELECT j AS i, i AS j FROM p),
+       | reach(a, b) AS (
+       |   SELECT i AS a, i AS b FROM e
+       |   UNION
+       |   SELECT r.a, e.j FROM reach r JOIN e ON r.b = e.i),
+       | cl AS (SELECT a AS doc_id, min(b) AS cluster_id
+       |        FROM reach GROUP BY a),
+       | q0 AS (SELECT doc_id,
+       |   len($wordsSql) AS nw,
+       |   len(list_distinct($wordsSql)) AS nd,
+       |   ${markerSql("en")} AS sm
+       |  FROM documents WHERE text IS NOT NULL),
+       | q AS (SELECT doc_id, ${OracleSql.ratio6Micro(
+            "(least(nw,100)*nw*40 + (sm+nd)*3000)", "nw*10000")} AS sc
+       |       FROM q0),
+       | k AS (SELECT cl.doc_id,
+       |   row_number() OVER (PARTITION BY cl.cluster_id
+       |     ORDER BY q.sc DESC, cl.doc_id) AS rk
+       |  FROM cl JOIN q USING (doc_id)),
+       | drops AS (SELECT doc_id FROM k WHERE rk > 1)
+       |SELECT doc_id, lang, source FROM documents
+       |WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** The V20 corpus split: `incoming` (doc_id%3==0) arriving against the
     * `existing` accumulated ledger (the rest) — derived deterministically
     * from the one documents table so the oracle states the identical
@@ -1405,6 +1466,13 @@ object DedupOps extends QueryModule {
               |   SELECT r.a, e.j FROM reach r JOIN e ON r.b = e.i)
               |SELECT a AS doc_id, min(b) AS cluster_id
               |FROM reach GROUP BY a ORDER BY a""".stripMargin)),
+    GraftQuery("v72_quality_dedup_apply",
+      "V72 quality-aware dedup apply: per near-dup cluster keep the " +
+        "HIGHEST v4b-quality member (ties to lower id) instead of " +
+        "v2f's lowest-id rule — the keeper policy production " +
+        "pipelines run; argmax window over the pair-graph-sized " +
+        "cluster frame, one corpus left_anti",
+      qualityDedupApply, Some(qualityDedupApplySql)),
     GraftQuery("v2f_dedup_apply",
       "V2 apply step: left_anti join removes non-representative near-dups",
       dedupApply,

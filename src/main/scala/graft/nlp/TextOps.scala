@@ -66,6 +66,23 @@ object TextOps extends QueryModule {
       .when(col("s_es") >= col("s_fr"), "es")
       .otherwise("fr")
 
+  /** (doc_id, sc): every non-null-text doc with its v4b score in
+    * integer micro units, from THE shared [[scoreMicro]] spelling —
+    * the ranking key the quality-aware dedup keeper (v72) sorts on.
+    * (ScoreQaOps keeps its own single-scan prep because it carries the
+    * `pos` label inline; the SCORE spelling is shared either way.) */
+  private[graft] def qualityMicro(spark: SparkSession,
+      dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .withColumn("w", words)
+      .withColumn("n_words", size(col("w")).cast("long"))
+      .withColumn("n_distinct",
+        size(array_distinct(col("w"))).cast("long"))
+      .withColumn("s_en", graft.functions.MarkerFunctions.marker_counts(
+        col("w"), Seq(markers("en"))).getItem(0).cast("long"))
+      .select(col("doc_id"), scoreMicro.as("sc"))
+
   /** V4a: language identification — argmax of per-language marker-word
     * counts, 'und' when nothing matches or the text is NULL (explicit on
     * both engines — marker scores are NULL for NULL text, which would

@@ -365,6 +365,30 @@ class DedupSpec extends SparkSpec {
     assert(rows.values.exists(_._2 == 0), "every doc scrubbed?")
   }
 
+  test("V72 quality-aware keeper: one survivor per cluster, and it is " +
+    "the argmax-quality member (ties to lower id), not necessarily " +
+    "v2f's min-id one") {
+    val clusters = DedupOps.dupClusters(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(clusters.nonEmpty)
+    val q = graft.nlp.TextOps.qualityMicro(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val expectedKeepers = clusters.groupBy(_._2).map { case (_, ms) =>
+      ms.map(_._1).minBy(id => (-q(id), id))
+    }.toSet
+    val expectedDrops =
+      clusters.map(_._1).toSet -- expectedKeepers
+    val kept = DedupOps.qualityDedupApply(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    val all = Tables.documents(spark, sf).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(kept === all -- expectedDrops)
+    // same survivor COUNT as v2f (one keeper per cluster), even where
+    // the chosen ids differ
+    val v2f = DedupOps.dedupApply(spark, sf).count()
+    assert(kept.size.toLong === v2f)
+  }
+
   test("V1 exact dedup keeps every distinct text once") {
     val docs = Tables.documents(spark, sf)
     val deduped = DedupOps.exactDedup(spark, sf)
