@@ -1407,6 +1407,66 @@ object DedupOps extends QueryModule {
        | ${OracleSql.ratio6("n_hit", "n_exact")} AS coverage
        |FROM h, t""".stripMargin
 
+  /** V73 sweep grid: the τ range a curation owner actually debates.
+    * Starts at [[Tau]] (0.5) because the memoized v2a pair frame is
+    * already filtered there — every grid point ≥ τ₀ reuses it for
+    * free; a sweep below τ₀ would need a re-mined pair frame. */
+  private[graft] val SweepTaus = Seq(0.5, 0.6, 0.7, 0.8, 0.9)
+
+  /** V73: dedup threshold sweep — the aggressiveness curve behind the
+    * "where do we set τ?" decision: for each candidate Jaccard
+    * threshold, the flagged pair count, the number of distinct
+    * documents touched, and their corpus share. One pass over the
+    * MEMOIZED v2a pair frame (already mined once per process): each
+    * pair explodes into the bounded 5-point grid IN-ROW and filters by
+    * `jaccard >= tau` — no new pair join, no window; the aggregates
+    * land on the 5-row grid frame. The double compare is safe
+    * cross-engine: both sides derive jaccard as micro/1e6 (identical
+    * IEEE doubles) and the grid literals are the same doubles. Scale:
+    * the pair frame is the τ₀-filtered near-dup set (corpus-sublinear
+    * by construction); ×5 in-row replication is free. */
+  def thresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+    val flagged = ngramJaccard(spark, dir)
+      .withColumn("tau", explode(array(SweepTaus.map(lit): _*)))
+      .filter(col("jaccard") >= col("tau"))
+    val nPairs = flagged.groupBy(col("tau"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val nDocs = flagged
+      .select(col("tau"), explode(array(col("i"), col("j"))).as("d"))
+      .groupBy(col("tau"))
+      .agg(countDistinct(col("d")).as("n_docs"))
+    val grid = spark.range(1)
+      .select(explode(array(SweepTaus.map(lit): _*)).as("tau"))
+    val total = Tables.documents(spark, dir)
+      .agg(count(lit(1)).as("n_total"))
+    grid.join(broadcast(nPairs), Seq("tau"), "left")
+      .join(broadcast(nDocs), Seq("tau"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("tau"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        Exact.ratio6(coalesce(col("n_docs"), lit(0L)), col("n_total"))
+          .as("docs_share"))
+      .orderBy(col("tau"))
+  }
+
+  private lazy val thresholdSweepSql: String =
+    s"""WITH p AS (SELECT i, j, jaccard FROM ($jaccardPairsSql)),
+       | taus AS (SELECT unnest([${SweepTaus.mkString(", ")}]) AS tau),
+       | f AS (SELECT tau, i, j FROM taus, p WHERE jaccard >= tau),
+       | np AS (SELECT tau, CAST(count(*) AS BIGINT) AS n_pairs
+       |        FROM f GROUP BY 1),
+       | nd AS (SELECT tau, CAST(count(DISTINCT d) AS BIGINT) AS n_docs
+       |        FROM (SELECT tau, unnest([i, j]) AS d FROM f) GROUP BY 1),
+       | tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents)
+       |SELECT t.tau,
+       | CAST(coalesce(np.n_pairs, 0) AS BIGINT) AS n_pairs,
+       | CAST(coalesce(nd.n_docs, 0) AS BIGINT) AS n_docs,
+       | ${OracleSql.ratio6("coalesce(nd.n_docs, 0)", "n_total")}
+       |   AS docs_share
+       |FROM taus t LEFT JOIN np USING (tau) LEFT JOIN nd USING (tau), tot
+       |ORDER BY t.tau""".stripMargin
+
   private val jaccardPairsSql: String =
     s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
        | s AS (SELECT doc_id, $shinglesSql AS sh FROM t),
@@ -1466,6 +1526,13 @@ object DedupOps extends QueryModule {
               |   SELECT r.a, e.j FROM reach r JOIN e ON r.b = e.i)
               |SELECT a AS doc_id, min(b) AS cluster_id
               |FROM reach GROUP BY a ORDER BY a""".stripMargin)),
+    GraftQuery("v73_dedup_threshold_sweep",
+      "V73 dedup threshold sweep: flagged pair count, distinct docs " +
+        "touched and corpus share at each candidate Jaccard tau — the " +
+        "aggressiveness curve behind the threshold decision; one pass " +
+        "over the memoized v2a pair frame with an in-row 5-point grid " +
+        "explode, aggregates onto the bounded grid frame",
+      thresholdSweep, Some(thresholdSweepSql)),
     GraftQuery("v72_quality_dedup_apply",
       "V72 quality-aware dedup apply: per near-dup cluster keep the " +
         "HIGHEST v4b-quality member (ties to lower id) instead of " +

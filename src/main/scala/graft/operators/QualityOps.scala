@@ -303,6 +303,74 @@ object QualityOps extends QueryModule {
        | count(*) < $AnonymityK AS at_risk
        |FROM customer GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** W25 distinct-sensitive-value floor. 3 is the conventional
+    * l-diversity bar for small sensitive domains (Machanavajjhala et
+    * al. 2007 use l=2..4); the bracket domain here is ~6 values, so
+    * l=3 is the highest bar that stays satisfiable. */
+  val DiversityL = 3
+
+  /** Sensitive attribute for the w25 audit: the account balance in
+    * $2000 brackets, shifted +$1000 before the integer division so the
+    * one negative TPC-H bracket (-999.99..) never exercises
+    * engine-divergent negative `div` semantics. Micro conversion is
+    * the [[Exact.microSum]] spelling (DECIMAL(18,6) half-up), so both
+    * engines bracket identically at the cent boundaries. */
+  private def balBracket: Column = {
+    import org.apache.spark.sql.types.{DecimalType, LongType}
+    val micro = (col("c_acctbal").cast(DecimalType(18, 6)) * 1000000)
+      .cast(LongType)
+    Exact.intDiv(micro + 1000000000L, lit(2000000000L))
+  }
+
+  private val balBracketSql: String =
+    "(CAST(CAST(c_acctbal AS DECIMAL(18,6)) * 1000000 AS BIGINT)" +
+      " + 1000000000) // 2000000000"
+
+  /** W25: l-diversity audit — k-anonymity's necessary second check
+    * (Machanavajjhala et al. 2007): a class can be large (k-safe) yet
+    * HOMOGENEOUS in the sensitive attribute, so linking someone to it
+    * still discloses their value. Per w21 quasi-identifier class
+    * (nation, market segment): size, count of DISTINCT sensitive
+    * balance brackets, the top bracket's share (the homogeneity-attack
+    * success probability), and the below-l flag. Scale: two stacked
+    * partial-agg keyed shuffles — (QI, sensitive) cells then QI — onto
+    * frames bounded by QI-combinations × bracket domain; no window, no
+    * join, linear at any customer count. */
+  def lDiversity(spark: SparkSession, dir: String): DataFrame =
+    lDiversityOf(Tables.customer(spark, dir))
+
+  /** [[lDiversity]]'s core over any customer-shaped frame (public so
+    * the spec can plant a homogeneous class — the shipped tables are
+    * diverse, which a detection test must not rely on). */
+  def lDiversityOf(customer: DataFrame): DataFrame = {
+    val cells = customer
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        balBracket.as("bal_bracket"))
+      .groupBy(col("c_nationkey"), col("c_mktsegment"), col("bal_bracket"))
+      .agg(count(lit(1)).as("c"))
+    cells.groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(sum(col("c")).cast("long").as("n"),
+        count(lit(1)).cast("long").as("l_distinct"),
+        max(col("c")).cast("long").as("top_c"))
+      .select(col("c_nationkey"), col("c_mktsegment"), col("n"),
+        col("l_distinct"),
+        Exact.ratio6(col("top_c"), col("n")).as("top_share"),
+        (col("l_distinct") < DiversityL).as("at_risk"))
+      .orderBy(col("c_nationkey"), col("c_mktsegment"))
+  }
+
+  private lazy val lDiversitySql: String =
+    s"""WITH cells AS (
+       | SELECT c_nationkey, c_mktsegment, $balBracketSql AS bal_bracket,
+       |  CAST(count(*) AS BIGINT) AS c
+       | FROM customer GROUP BY 1, 2, 3)
+       |SELECT c_nationkey, c_mktsegment,
+       | CAST(sum(c) AS BIGINT) AS n,
+       | CAST(count(*) AS BIGINT) AS l_distinct,
+       | ${OracleSql.ratio6("max(c)", "sum(c)")} AS top_share,
+       | count(*) < $DiversityL AS at_risk
+       |FROM cells GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("w21_k_anonymity",
       "W21 k-anonymity audit: quasi-identifier equivalence classes " +
@@ -310,6 +378,13 @@ object QualityOps extends QueryModule {
         "flag — one keyed partial-agg shuffle onto the bounded " +
         "QI-combination frame",
       kAnonymity, Some(kAnonymitySql)),
+    GraftQuery("w25_l_diversity",
+      "W25 l-diversity audit: per quasi-identifier class, distinct " +
+        "sensitive balance brackets, top-bracket homogeneity-attack " +
+        "share, and below-l flag — the disclosure check k-anonymity " +
+        "alone misses; two stacked keyed partial-aggs onto bounded " +
+        "frames",
+      lDiversity, Some(lDiversitySql)),
     GraftQuery("v37_expectations",
       "V37 declarative data-quality expectations: per-check violation " +
         "counts/shares + strict pass flags, row checks fused into one " +

@@ -424,4 +424,27 @@ class DedupSpec extends SparkSpec {
     }
     assert(out.count(_._4) > 0, "pruning must fire on this corpus")
   }
+
+  test("V73 threshold sweep replays from the pair frame and is " +
+    "monotone non-increasing in tau") {
+    val pairs = DedupOps.ngramJaccard(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val nTotal = Tables.documents(spark, sf0001).count()
+    val rows = DedupOps.thresholdSweep(spark, sf0001).collect()
+    val taus = Seq(0.5, 0.6, 0.7, 0.8, 0.9)
+    assert(rows.map(_.getAs[Double]("tau")).toSeq === taus)
+    rows.foreach { r =>
+      val tau = r.getAs[Double]("tau")
+      val mine = pairs.filter(_._3 >= tau)
+      val docs = mine.flatMap(p => Seq(p._1, p._2)).distinct
+      assert(r.getAs[Long]("n_pairs") === mine.length.toLong, s"tau=$tau")
+      assert(r.getAs[Long]("n_docs") === docs.length.toLong, s"tau=$tau")
+      assert(r.getAs[Double]("docs_share") ===
+        ((docs.length * 1000000L + nTotal / 2) / nTotal).toDouble / 1e6)
+    }
+    // tau=0.5 is the mined frame itself; counts never rise with tau
+    assert(rows.head.getAs[Long]("n_pairs") === pairs.length.toLong)
+    val np = rows.map(_.getAs[Long]("n_pairs")).toSeq
+    assert(np === np.sorted.reverse, "pair counts must fall with tau")
+  }
 }

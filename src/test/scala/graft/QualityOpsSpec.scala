@@ -92,4 +92,45 @@ class QualityOpsSpec extends SparkSpec {
     assert(a.getAs[Long]("n_parent") === 4L)
     assert(a.getAs[Long]("n_childless") === 2L)
   }
+
+  test("w25 l-diversity: every class recomputes from a local bracket " +
+    "replay, and a planted homogeneous class flags at_risk") {
+    val rows = QualityOps.lDiversity(spark, sf0001).collect()
+    val raw = Tables.customer(spark, sf0001)
+      .select(col("c_nationkey"), col("c_mktsegment"), col("c_acctbal"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getDouble(2)))
+    def bracket(b: Double): Long =
+      (BigDecimal(b).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .*(BigDecimal(1000000)).toLongExact + 1000000000L) / 2000000000L
+    val grouped = raw.groupBy(e => (e._1, e._2))
+    assert(rows.length === grouped.size)
+    assert(rows.exists(_.getAs[Long]("l_distinct") > 1L))
+    rows.foreach { r =>
+      val mine = grouped((r.getAs[Int]("c_nationkey"),
+        r.getAs[String]("c_mktsegment")))
+      val bs = mine.map(e => bracket(e._3))
+      assert(r.getAs[Long]("n") === mine.length.toLong, r.toString)
+      assert(r.getAs[Long]("l_distinct") === bs.distinct.length.toLong)
+      val top = bs.groupBy(identity).values.map(_.length).max.toLong
+      assert(r.getAs[Double]("top_share") ===
+        ((top * 1000000L + mine.length / 2) / mine.length).toDouble / 1e6)
+      assert(r.getAs[Boolean]("at_risk") ===
+        (bs.distinct.length < QualityOps.DiversityL))
+    }
+    // detection: a large-but-homogeneous class (k-safe, l-unsafe) must
+    // flag — every member shares one balance bracket
+    val planted = (1 to 20).map(i => (7, "HOMOG", 100.0 + i)) ++
+      (1 to 20).map(i => (8, "SPREAD", i * 977.0 - 900.0))
+    val pdf = planted.toDF("c_nationkey", "c_mktsegment", "c_acctbal")
+    val audit = QualityOps.lDiversityOf(pdf).collect()
+    val homog = audit.find(_.getAs[String]("c_mktsegment") == "HOMOG").get
+    assert(homog.getAs[Long]("n") === 20L)
+    assert(homog.getAs[Long]("l_distinct") === 1L)
+    assert(homog.getAs[Double]("top_share") === 1.0)
+    assert(homog.getAs[Boolean]("at_risk"))
+    val spread = audit.find(_.getAs[String]("c_mktsegment") == "SPREAD").get
+    assert(spread.getAs[Long]("l_distinct") >=
+      QualityOps.DiversityL.toLong)
+    assert(!spread.getAs[Boolean]("at_risk"))
+  }
 }
