@@ -155,13 +155,20 @@ object DedupOps extends QueryModule {
     ex.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
 
-  /** Candidate pairs sharing at least one LSH band bucket. */
-  private def lshCandidates(sigs: DataFrame): DataFrame = {
+  /** (doc_id, band_idx, band_hash) LSH bucket rows — the banding step
+    * shared by the all-pairs candidate join (v2b) and the stored band
+    * INDEX the incremental probe (v20c) maintains at ingest. */
+  private def bandedBuckets(sigs: DataFrame): DataFrame = {
     val bandCols = (0 until Bands).map { bi =>
       hash((4 * bi until 4 * bi + 4).map(k => col(s"m$k")): _*).cast("long")
     }
-    val banded = sigs.select(col("doc_id"),
+    sigs.select(col("doc_id"),
       posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_hash")))
+  }
+
+  /** Candidate pairs sharing at least one LSH band bucket. */
+  private def lshCandidates(sigs: DataFrame): DataFrame = {
+    val banded = bandedBuckets(sigs)
     val x = banded.select(col("doc_id").as("i"), col("band_idx"),
       col("band_hash"))
     val y = banded.select(col("doc_id").as("j"), col("band_idx"),
@@ -1169,6 +1176,62 @@ object DedupOps extends QueryModule {
     definiteNew.unionByName(candidates).orderBy(col("doc_id"))
   }
 
+  /** V20c: incremental NEAR-dup — v20's arriving-batch question asked at
+    * v2b's granularity: which incoming docs are Jaccard-≥τ near-dups of
+    * something ALREADY IN the accumulated ledger, without ever pairing
+    * the ledger with itself. The ledger's LSH band buckets are a STORED
+    * index (memoized parquet — the v19b/v18i ingest-artifact
+    * convention): the probe is (incoming bands) ⋈ (stored bands) —
+    * O(delta·Bands + matching buckets), never O(ledger²) — and exact
+    * Jaccard verification touches candidate pairs only, so the output
+    * is exact given candidate recall (1.0 on this corpus, the pinned
+    * v2b property; at a scale where banding misses, the miss rate is
+    * exactly what v2b's oracle measures). Output: every incoming doc
+    * with its dup flag, the smallest matching ledger id, and that
+    * match's Jaccard. */
+  def incrementalNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).filter(col("text").isNotNull)
+    val inc = docs.filter(col("doc_id") % 3 === 0)
+    val ledgerBands = graft.util.PlanMemo.memo(spark, "v20c_band_index",
+      dir)(bandedBuckets(signatures(docs.filter(col("doc_id") % 3 =!= 0))))
+    val cands = bandedBuckets(signatures(inc))
+      .select(col("doc_id").as("i"), col("band_idx"), col("band_hash"))
+      .join(ledgerBands.select(col("doc_id").as("j"), col("band_idx"),
+        col("band_hash")), Seq("band_idx", "band_hash"))
+      .select(col("i"), col("j")).distinct()
+    // struct-min picks the smallest ledger id WITH its jaccard (field
+    // order makes the comparison lexicographic on j first)
+    val best = verifyJaccard(cands, shingleSets(spark, dir))
+      .groupBy(col("i"))
+      .agg(min(struct(col("j"), col("jaccard"))).as("b"))
+      .select(col("i").as("doc_id"), col("b.j").as("dup_of"),
+        col("b.jaccard").as("jaccard"))
+    inc.select(col("doc_id"))
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_of").isNotNull.as("is_dup"),
+        col("dup_of"), col("jaccard"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** v20c oracle: the symmetric closure of the v2a exact pair frame,
+    * restricted to (incoming, ledger) pairs — only as expensive as the
+    * v2a oracle the driver already runs. */
+  private lazy val incrementalNearDupSql: String =
+    s"""WITH pr AS (SELECT i, j, jaccard FROM ($jaccardPairsSql)),
+       | sym AS (SELECT i, j, jaccard FROM pr
+       |         UNION ALL SELECT j, i, jaccard FROM pr),
+       | f AS (SELECT i, j, jaccard FROM sym
+       |       WHERE i % 3 = 0 AND j % 3 <> 0),
+       | b AS (SELECT i, min(j) AS dup_of FROM f GROUP BY 1),
+       | g AS (SELECT b.i, b.dup_of, f.jaccard
+       |       FROM b JOIN f ON f.i = b.i AND f.j = b.dup_of),
+       | inc AS (SELECT doc_id FROM documents
+       |         WHERE text IS NOT NULL AND doc_id % 3 = 0)
+       |SELECT inc.doc_id, g.dup_of IS NOT NULL AS is_dup,
+       | g.dup_of, g.jaccard
+       |FROM inc LEFT JOIN g ON g.i = inc.doc_id
+       |ORDER BY inc.doc_id""".stripMargin
+
   /** V22 window length (chars) and the boilerplate ceiling: windows
     * shared by more than [[MaxDocsPerWindow]] docs are boilerplate
     * (license headers, templates) — at corpus scale one such window
@@ -1582,6 +1645,13 @@ object DedupOps extends QueryModule {
         "candidate fraction before the exact anti-join — same oracle " +
         "as v20 (false positives removed by the residual join)",
       (s, d) => incrementalDedupBloom(s, d), Some(incrementalSql)),
+    GraftQuery("v20c_incremental_neardup",
+      "V20c incremental near-dup: arriving batch probed against the " +
+        "ledger's STORED LSH band index (memoized ingest artifact) — " +
+        "O(delta) candidate probe + exact-Jaccard verify on candidates " +
+        "only, never a ledger self-pairing; per incoming doc the dup " +
+        "flag, smallest matching ledger id and its Jaccard",
+      incrementalNearDup, Some(incrementalNearDupSql)),
     GraftQuery("v2d2_embedding_neardup_ivf",
       "V2 embedding near-dup via multi-probe IVF candidates + exact " +
         "verify (100 TB shape; recall vs exact pinned in DedupSpec " +

@@ -425,6 +425,40 @@ class DedupSpec extends SparkSpec {
     assert(out.count(_._4) > 0, "pruning must fire on this corpus")
   }
 
+  test("V20c incremental near-dup: flags recompute from the symmetric " +
+    "closure of the exact pair frame, and the probe finds a dup") {
+    // ngramJaccard is the oracle-pinned exact pair frame; v20c must
+    // equal its (incoming, ledger) restriction — same recall argument
+    // as v2b, but across the split
+    val pairs = DedupOps.ngramJaccard(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val sym = pairs ++ pairs.map(p => (p._2, p._1, p._3))
+    val cross = sym.filter(p => p._1 % 3 == 0 && p._2 % 3 != 0)
+    val want = cross.groupBy(_._1).map { case (i, ms) =>
+      val best = ms.minBy(_._2)
+      i -> (best._2, best._3)
+    }
+    val rows = DedupOps.incrementalNearDup(spark, sf0001).collect()
+    val incIds = Tables.documents(spark, sf0001)
+      .filter(col("text").isNotNull && col("doc_id") % 3 === 0)
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    assert(rows.map(_.getLong(0)).toSeq === incIds.toSeq)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      want.get(id) match {
+        case Some((j, jac)) =>
+          assert(r.getAs[Boolean]("is_dup"), s"doc $id must flag")
+          assert(r.getAs[Long]("dup_of") === j)
+          assert(r.getAs[Double]("jaccard") === jac)
+        case None =>
+          assert(!r.getAs[Boolean]("is_dup"), s"doc $id must not flag")
+          assert(r.isNullAt(r.fieldIndex("dup_of")))
+      }
+    }
+    assert(rows.count(_.getAs[Boolean]("is_dup")) > 0,
+      "the fixture must contain cross-split near-dups")
+  }
+
   test("V73 threshold sweep replays from the pair frame and is " +
     "monotone non-increasing in tau") {
     val pairs = DedupOps.ngramJaccard(spark, sf0001)
