@@ -237,7 +237,7 @@ object CdcOps extends QueryModule {
     * its delta, and v70's downdate (review finding, round 8: three
     * independent spellings let a day-bucketing change desynchronize
     * the view v70 claims to refresh). DuckDB side: [[dailySelectSql]]. */
-  private def dailyRollup(df: DataFrame): DataFrame = df
+  private[graft] def dailyRollup(df: DataFrame): DataFrame = df
     .groupBy(Exact.intDiv(col("ts_s") - EventWindow.StartS, lit(86400L))
       .as("day"), col("event_type"))
     .agg(count(lit(1)).as("n"), Exact.microSum(col("value"))
@@ -318,7 +318,35 @@ object CdcOps extends QueryModule {
       .orderBy(col("day"), col("event_type"))
   }
 
-  private lazy val erasureSql: String =
+  /** ST23: streaming erasure gate — v70's other half: the downdate
+    * cleans HISTORY, this gate keeps erased users from re-entering the
+    * derived view at ingest time. The erasure queue (v70's delete set,
+    * standing in for the right-to-be-forgotten table) is one bounded
+    * localCheckpointed frame broadcast against the arriving stream as
+    * a left_anti stream-static join — stateless per row, no state
+    * store growth from the gate itself; surviving events roll up into
+    * the SAME daily (day, type) aggregate ([[dailyRollup]], one
+    * spelling). Counts and micro-sums are algebraic, so the finite
+    * stream equals the batch recompute over surviving users — st23
+    * shares v70's oracle, and together they prove the erasure
+    * invariant end-to-end: gate the feed, downdate the view, and no
+    * trace of the erased users exists in either. At 100 TB the queue
+    * is ≪ the user domain (it is a request log), so the broadcast
+    * holds; a queue outgrowing memory shifts to the v20b Bloom
+    * prefilter + keyed residual anti-join with no semantic change. */
+  def streamingErasureGate(spark: SparkSession, dir: String): DataFrame = {
+    val deleteSet = Tables.events(spark, dir)
+      .filter(pmod(col("user_id"), lit(EraseModulus.toLong)) === 0)
+      .select(col("user_id")).distinct()
+      .localCheckpoint()
+    val gated = graft.streaming.StreamingOps.eventsStream(spark, dir)
+      .join(broadcast(deleteSet), Seq("user_id"), "left_anti")
+    graft.streaming.StreamingOps.runToBatch(spark, dailyRollup(gated),
+        s"st23_erasure_${System.nanoTime()}")
+      .orderBy(col("day"), col("event_type"))
+  }
+
+  private[graft] lazy val erasureSql: String =
     s"""$dailySelectSql
        |FROM events WHERE user_id % $EraseModulus <> 0
        |GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin
@@ -362,6 +390,13 @@ object CdcOps extends QueryModule {
         "O(history); oracle is the full surviving-user recompute the " +
         "downdate must equal, so the hash proves no trace survives",
       erasureDowndate, Some(erasureSql)),
+    GraftQuery("st23_streaming_erasure_gate",
+      "ST23 streaming erasure gate: the arriving event stream " +
+        "anti-joined against the broadcast erasure queue (stateless " +
+        "stream-static left_anti), survivors rolled up into the same " +
+        "daily aggregate — shares v70's full-recompute oracle, " +
+        "closing the right-to-be-forgotten loop at ingest",
+      streamingErasureGate, Some(erasureSql)),
     GraftQuery("w19_incremental_agg",
       "W19 incremental aggregation maintenance: stored base aggregate " +
         "+ delta-only scan (cutoff filter pushed to the events read) " +

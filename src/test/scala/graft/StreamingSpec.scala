@@ -100,6 +100,23 @@ class StreamingSpec extends SparkSpec {
     assert(status.count() === exact.size.toLong)
   }
 
+  test("st23 streaming erasure gate equals the v70 downdate " +
+    "row-for-row, and the gate demonstrably removes the erased users") {
+    val stream = graft.operators.CdcOps
+      .streamingErasureGate(spark, sf0001).collect()
+    val batch = graft.operators.CdcOps
+      .erasureDowndate(spark, sf0001).collect()
+    assert(stream.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
+    // the gate must have dropped exactly the erased users' rows
+    val gatedN = stream.map(_.getAs[Long]("n")).sum
+    val allN = Tables.events(spark, sf0001).count()
+    val erasedN = Tables.events(spark, sf0001)
+      .filter(pmod(col("user_id"),
+        lit(graft.operators.CdcOps.EraseModulus.toLong)) === 0).count()
+    assert(erasedN > 0, "the fixture must contain erased users")
+    assert(gatedN === allN - erasedN)
+  }
+
   test("session_window matches batch gap sessionization") {
     val stream = StreamingOps.eventsStream(spark, sf0001)
     val sessions = StreamingOps.runToBatch(spark,
