@@ -617,6 +617,20 @@ object RankOps extends QueryModule {
       s"l || r AS merged, CAST(pc AS BIGINT) AS pair_count FROM b$k"
   }.mkString("\n", "\nUNION ALL\n", "\nORDER BY merge_rank")
 
+  /** The learned (token, id) vocabulary v4i encodes under and v4j
+    * decodes with — id = 1-based rank by (freq desc, token asc) over
+    * the corpus's top-50 tokens. One spelling for both directions. */
+  private def vocab50(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    withWords(spark, dir)
+      .select(explode(col("w")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token")).limit(50)
+      .withColumn("id",
+        row_number().over(Window.orderBy(col("freq").desc, col("token"))))
+      .select(col("token"), col("id"))
+  }
+
   /** V4i: vocabulary ENCODING — the sequel to v4e's vocabulary build:
     * map each doc's words to token ids under the learned top-50 vocab
     * (id = 1-based rank by freq desc, token asc; out-of-vocab words
@@ -626,14 +640,7 @@ object RankOps extends QueryModule {
     * as CSV — the driver's hash compare sorts COLUMNS, and list
     * columns don't sort; same convention as v18's checksums. */
   def encode(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val vocab = withWords(spark, dir)
-      .select(explode(col("w")).as("token"))
-      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
-      .orderBy(col("freq").desc, col("token")).limit(50)
-      .withColumn("id",
-        row_number().over(Window.orderBy(col("freq").desc, col("token"))))
-      .select(col("token"), col("id"))
+    val vocab = vocab50(spark, dir)
     withWords(spark, dir)
       .select(col("doc_id"), posexplode(col("w"))).toDF("doc_id", "pos", "token")
       .join(broadcast(vocab), Seq("token"))
@@ -659,6 +666,75 @@ object RankOps extends QueryModule {
       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ids,
       | array_to_string(list(id ORDER BY pos), ',') AS ids_csv
       |FROM j GROUP BY 1 ORDER BY doc_id""".stripMargin
+
+  /** V4j: decode round-trip — the tokenizer-correctness witness the
+    * encode-only family lacks: rebuild each document from NOTHING BUT
+    * its serialized id sequence and the (token, id) vocabulary (the
+    * two stored artifacts a trainer's data loader actually receives),
+    * and prove the result equals the document's in-vocab word
+    * subsequence. A hash-green run certifies the id assignment is
+    * collision-free and order survives serialization — the invariant
+    * that silently breaks when a vocab is rebuilt with a different
+    * tie order than the one the shards were encoded under. Scale:
+    * decode is one broadcast 50-row lookup + a (doc)-keyed
+    * re-assembly; the reference subsequence rides the same shape —
+    * two keyed shuffles, no window over the corpus. */
+  def decodeRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = vocab50(spark, dir).localCheckpoint()
+    def reassemble(df: DataFrame, out: String) =
+      df.groupBy(col("doc_id"))
+        .agg(concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("token")))),
+          s => s.getField("token"))).as(out))
+    val decoded = encode(spark, dir)
+      .select(col("doc_id"), col("n_ids"),
+        posexplode(split(col("ids_csv"), ","))).toDF(
+          "doc_id", "n_ids", "pos", "id_s")
+      .withColumn("id", col("id_s").cast("int"))
+      .join(broadcast(vocab), Seq("id"))
+    val target = reassemble(withWords(spark, dir)
+      .select(col("doc_id"), posexplode(col("w")))
+      .toDF("doc_id", "pos", "token")
+      .join(broadcast(vocab.select(col("token"))), Seq("token")), "orig_inv")
+    reassemble(decoded, "decoded")
+      .join(decoded.select(col("doc_id"), col("n_ids")).distinct(),
+        Seq("doc_id"))
+      .join(target, Seq("doc_id"))
+      .select(col("doc_id"), col("n_ids"),
+        md5(col("decoded").cast("binary")).as("decoded_md5"),
+        (col("decoded") === col("orig_inv")).as("round_trip_ok"))
+      .orderBy(col("doc_id"))
+  }
+
+  private lazy val decodeRoundTripSql: String =
+    """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+      |           FROM documents WHERE text IS NOT NULL),
+      | vf AS (SELECT token, count(*) AS freq FROM (
+      |          SELECT unnest(w) AS token FROM d) GROUP BY 1
+      |        ORDER BY freq DESC, token LIMIT 50),
+      | v AS (SELECT token, CAST(row_number() OVER (
+      |         ORDER BY freq DESC, token) AS INT) AS id FROM vf),
+      | wp AS (SELECT doc_id, unnest(w) AS token,
+      |         unnest(range(len(w))) AS pos FROM d),
+      | j AS (SELECT wp.doc_id, wp.pos, wp.token, v.id
+      |       FROM wp JOIN v USING (token)),
+      | e AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ids,
+      |        array_to_string(list(id ORDER BY pos), ',') AS ids_csv
+      |       FROM j GROUP BY 1),
+      | ex AS (SELECT doc_id, n_ids,
+      |         unnest(string_split(ids_csv, ',')) AS id_s,
+      |         unnest(range(len(string_split(ids_csv, ',')))) AS pos
+      |        FROM e),
+      | dec AS (SELECT ex.doc_id, ex.n_ids,
+      |          string_agg(v.token, ' ' ORDER BY ex.pos) AS decoded
+      |         FROM ex JOIN v ON v.id = CAST(ex.id_s AS INT)
+      |         GROUP BY 1, 2),
+      | tgt AS (SELECT doc_id,
+      |          string_agg(token, ' ' ORDER BY pos) AS orig_inv
+      |         FROM j GROUP BY 1)
+      |SELECT dec.doc_id, dec.n_ids, md5(dec.decoded) AS decoded_md5,
+      | dec.decoded = tgt.orig_inv AS round_trip_ok
+      |FROM dec JOIN tgt USING (doc_id) ORDER BY dec.doc_id""".stripMargin
 
   /** Repetition-flag thresholds (Gopher-style gates, tuned so both
     * classes are populated on the testdata). */
@@ -771,6 +847,13 @@ object RankOps extends QueryModule {
         "under the v4e-learned top-50 vocab (broadcast lookup, " +
         "position-preserving re-assembly; OOV drops)",
       encode, Some(encodeSql)),
+    GraftQuery("v4j_decode_roundtrip",
+      "V4j decode round-trip witness: each doc rebuilt from only its " +
+        "serialized id sequence + the stored vocab, proven equal to " +
+        "its in-vocab word subsequence — certifies collision-free ids " +
+        "and order-preserving serialization; broadcast 50-row lookup " +
+        "+ doc-keyed re-assembly",
+      decodeRoundTrip, Some(decodeRoundTripSql)),
     GraftQuery("v21_repetition_filter",
       "V21 Gopher-style repetition gate: duplicate-word + top-bigram " +
         "mass per doc (in-row bigram build, doc-keyed shuffles only)",

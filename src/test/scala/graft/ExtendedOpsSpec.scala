@@ -394,4 +394,27 @@ class ExtendedOpsSpec extends SparkSpec {
     assert(got(12L).getAs[Double]("gen_score") > 0.0)
     assert(!got(12L).getAs[Boolean]("selected"))
   }
+
+  test("v4j decode round-trip: every doc reconstructs, and n_ids " +
+    "reconciles with a local in-vocab word count") {
+    val rows = graft.nlp.RankOps.decodeRoundTrip(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Boolean]("round_trip_ok"),
+      s"doc ${r.getLong(0)} failed the round-trip"))
+    // vocabulary + per-doc in-vocab counts replayed locally
+    val words = Tables.documents(spark, sf0001)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), lower(col("text"))).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq)
+    val freq = words.flatMap(_._2).groupBy(identity)
+      .map { case (t, xs) => t -> xs.length }
+    val vocab = freq.toSeq.sortBy { case (t, f) => (-f, t) }.take(50)
+      .map(_._1).toSet
+    val wantIds = words.map { case (id, ws) =>
+      id -> ws.count(vocab.contains)
+    }.filter(_._2 > 0).toMap
+    assert(rows.length === wantIds.size)
+    rows.foreach(r => assert(
+      r.getAs[Long]("n_ids") === wantIds(r.getLong(0)).toLong))
+  }
 }
