@@ -155,16 +155,21 @@ object DedupOps extends QueryModule {
     ex.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
 
+  /** The 8 LSH band hashes over signature columns m0..m31 — ONE
+    * spelling for the batch banding (groupBy-built signatures) and the
+    * streaming in-row signature path (st24), so the stored index and
+    * the stream probe cannot disagree on a bucket. */
+  private def bandHashCols: Seq[Column] =
+    (0 until Bands).map { bi =>
+      hash((4 * bi until 4 * bi + 4).map(k => col(s"m$k")): _*).cast("long")
+    }
+
   /** (doc_id, band_idx, band_hash) LSH bucket rows — the banding step
     * shared by the all-pairs candidate join (v2b) and the stored band
     * INDEX the incremental probe (v20c) maintains at ingest. */
-  private def bandedBuckets(sigs: DataFrame): DataFrame = {
-    val bandCols = (0 until Bands).map { bi =>
-      hash((4 * bi until 4 * bi + 4).map(k => col(s"m$k")): _*).cast("long")
-    }
+  private def bandedBuckets(sigs: DataFrame): DataFrame =
     sigs.select(col("doc_id"),
-      posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_hash")))
-  }
+      posexplode(array(bandHashCols: _*)).as(Seq("band_idx", "band_hash")))
 
   /** Candidate pairs sharing at least one LSH band bucket. */
   private def lshCandidates(sigs: DataFrame): DataFrame = {
@@ -1213,6 +1218,70 @@ object DedupOps extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
+  /** ST24: streaming near-dup gate — v20c at ingest time: each ARRIVING
+    * document is probed against the ledger's stored LSH band index the
+    * moment it lands, emitting every verified (arriving doc, ledger
+    * doc, Jaccard) decision for the downstream dedup apply. The MinHash
+    * signature is computed IN-ROW on the stream (32 `array_min` folds
+    * over the fused shingle hashes — no explode/groupBy, stateless per
+    * row) through the SAME permutation coefficients and band-hash
+    * spelling as the stored index, so stream probe and batch index
+    * cannot disagree on a bucket; candidates join the two static
+    * frames (band index, ledger shingle sets), verify exact Jaccard
+    * in-row, and dedupe multi-band hits with a keyed dropDuplicates
+    * (state bounded by VERIFIED pairs, not the corpus). Append mode
+    * end-to-end — no aggregation, no watermark needed on a finite
+    * stream. */
+  def streamingNearDupGate(spark: SparkSession, dir: String): DataFrame = {
+    val ledger = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull && col("doc_id") % 3 =!= 0)
+    val ledgerBands = graft.util.PlanMemo.memo(spark, "v20c_band_index",
+      dir)(bandedBuckets(signatures(ledger)))
+      .select(col("doc_id").as("j"), col("band_idx"), col("band_hash"))
+    val ledgerSets = graft.util.PlanMemo.memo(spark, "st24_ledger_sets",
+      dir)(ledger.select(col("doc_id"), shingles.as("sh"))
+        .withColumn("sz", size(col("sh"))))
+      .select(col("doc_id").as("j"), col("sh").as("sh_j"),
+        col("sz").as("sz_j"))
+    val schema = Tables.table(spark, dir, "documents").schema
+    val mins = coefs.zipWithIndex.map { case ((a, b), k) =>
+      array_min(transform(col("h0"), x => pmod(x * a + b, lit(Prime))))
+        .as(s"m$k")
+    }
+    val probes = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      .filter(col("text").isNotNull && col("doc_id") % 3 === 0)
+      .repartition(8)
+      .withColumn("h0", transform(
+        graft.functions.ShingleFunctions.shingle_hashes(col("text")),
+        h => pmod(h, lit(Prime))))
+      .select(Seq(col("doc_id").as("i"), shingles.as("sh_i")) ++ mins: _*)
+      .withColumn("sz_i", size(col("sh_i")))
+      .select(col("i"), col("sh_i"), col("sz_i"),
+        posexplode(array(bandHashCols: _*)).as(Seq("band_idx", "band_hash")))
+    val verified = probes
+      .join(ledgerBands, Seq("band_idx", "band_hash"))
+      .join(ledgerSets, Seq("j"))
+      .withColumn("inter",
+        size(array_intersect(col("sh_i"), col("sh_j"))))
+      .withColumn("jaccard", Exact.ratio6(col("inter"),
+        col("sz_i") + col("sz_j") - col("inter")))
+      .filter(col("jaccard") >= Tau)
+      .select(col("i").as("doc_id"), col("j").as("dup_of"), col("jaccard"))
+      .dropDuplicates("doc_id", "dup_of")
+    graft.streaming.StreamingOps.runToBatchAppend(spark, verified,
+        s"st24_neardup_${System.nanoTime()}")
+      .orderBy(col("doc_id"), col("dup_of"))
+  }
+
+  private lazy val streamingNearDupSql: String =
+    s"""WITH pr AS (SELECT i, j, jaccard FROM ($jaccardPairsSql)),
+       | sym AS (SELECT i, j, jaccard FROM pr
+       |         UNION ALL SELECT j, i, jaccard FROM pr)
+       |SELECT i AS doc_id, j AS dup_of, jaccard FROM sym
+       |WHERE i % 3 = 0 AND j % 3 <> 0
+       |ORDER BY 1, 2""".stripMargin
+
   /** v20c oracle: the symmetric closure of the v2a exact pair frame,
     * restricted to (incoming, ledger) pairs — only as expensive as the
     * v2a oracle the driver already runs. */
@@ -1652,6 +1721,13 @@ object DedupOps extends QueryModule {
         "only, never a ledger self-pairing; per incoming doc the dup " +
         "flag, smallest matching ledger id and its Jaccard",
       incrementalNearDup, Some(incrementalNearDupSql)),
+    GraftQuery("st24_streaming_neardup_gate",
+      "ST24 streaming near-dup gate: arriving docs probed against the " +
+        "stored LSH band index at ingest — in-row MinHash signature " +
+        "(stateless, same band spelling as the index), two static " +
+        "joins, exact-Jaccard verify in-row, pair-keyed dedup; every " +
+        "(arriving, ledger, jaccard) decision emitted append-mode",
+      streamingNearDupGate, Some(streamingNearDupSql)),
     GraftQuery("v2d2_embedding_neardup_ivf",
       "V2 embedding near-dup via multi-probe IVF candidates + exact " +
         "verify (100 TB shape; recall vs exact pinned in DedupSpec " +

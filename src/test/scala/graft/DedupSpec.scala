@@ -459,6 +459,19 @@ class DedupSpec extends SparkSpec {
       "the fixture must contain cross-split near-dups")
   }
 
+  test("ST24 streaming near-dup gate emits exactly the cross-split " +
+    "verified pairs (stream == the exact pair frame's restriction)") {
+    val pairs = DedupOps.ngramJaccard(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val want = (pairs ++ pairs.map(p => (p._2, p._1, p._3)))
+      .filter(p => p._1 % 3 == 0 && p._2 % 3 != 0)
+      .sortBy(p => (p._1, p._2))
+    val got = DedupOps.streamingNearDupGate(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq === want.toSeq)
+    assert(got.nonEmpty, "the fixture must contain cross-split pairs")
+  }
+
   test("V73 threshold sweep replays from the pair frame and is " +
     "monotone non-increasing in tau") {
     val pairs = DedupOps.ngramJaccard(spark, sf0001)
