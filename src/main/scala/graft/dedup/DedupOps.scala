@@ -534,15 +534,16 @@ object DedupOps extends QueryModule {
     * SHARES its oracle. At a ledger too large for one map row, the
     * v20b Bloom runtime filter is the membership probe (candidates
     * then pay a keyed join). */
-  def streamingSpanScrub(spark: SparkSession, dir: String): DataFrame = {
-    val W = ScrubWindow
-    // the ledger is a stored artifact (PlanMemo — a production corpus
-    // maintains its dup-window ledger ingest-side, consumers read it):
-    // one row whose 256 prefix buckets hold the (hash, first-holder)
-    // structs, so a per-window probe is an O(1) array index + a
-    // ~|ledger|/256-entry struct scan — no map (a Spark map element_at
-    // linear-scans every entry: 17.8 s at sf0.1 before this layout)
-    val ledgerRow = graft.util.PlanMemo.memo(spark, "st19_ledger", dir) {
+  /** The duplicated-window ledger as ONE bucketed broadcast row — a
+    * stored artifact (PlanMemo — a production corpus maintains its
+    * dup-window ledger ingest-side, consumers read it): one row whose
+    * 256 prefix buckets hold the (hash, first-holder) structs, so a
+    * per-window probe is an O(1) array index + a ~|ledger|/256-entry
+    * struct scan — no map (a Spark map element_at linear-scans every
+    * entry: 17.8 s at sf0.1 before this layout). Shared by st19 and
+    * the st25 ingest DAG. */
+  private def scrubLedgerRow(spark: SparkSession, dir: String): DataFrame =
+    graft.util.PlanMemo.memo(spark, "st19_ledger", dir) {
       scrubWindows(
         Tables.documents(spark, dir).filter(col("text").isNotNull)
           .select(col("doc_id"), split(lower(col("text")), " ").as("w")))
@@ -557,20 +558,19 @@ object DedupOps extends QueryModule {
               === b.cast("long"))))
         .drop("dup")
     }.localCheckpoint()
-    val schema = Tables.table(spark, dir, "documents").schema
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "documents.parquet").parquet(dir)
-    val scrubbed = stream.filter(col("text").isNotNull)
-      .repartition(8)
-      .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
-      .crossJoin(broadcast(ledgerRow))
-      .withColumn("starts",
+
+  /** In-row scrub over a frame carrying (doc_id, w) already
+    * crossJoined with [[scrubLedgerRow]]'s `dupB` bucket map: appends
+    * n_words / n_removed / clean_hash and drops the probe scratch.
+    * Membership per window is an O(1) bucket index + a bucket-sized
+    * struct scan; a matching entry scrubs iff its first holder
+    * precedes this doc. One spelling for st19 and st25. */
+  private def withInRowScrub(df: DataFrame): DataFrame = {
+    val W = ScrubWindow
+    df.withColumn("starts",
         when(size(col("w")) >= W,
           sequence(lit(1), size(col("w")) - (W - 1)))
           .otherwise(array().cast("array<int>")))
-      // membership per window: O(1) bucket index + bucket-sized struct
-      // scan; a matching entry scrubs iff its first holder precedes
-      // this doc
       .withColumn("wh", transform(col("starts"), s =>
         md5(array_join(slice(col("w"), s, lit(W)), " "))))
       .withColumn("hits",
@@ -587,12 +587,25 @@ object DedupOps extends QueryModule {
         transform(col("hits"), p =>
           sequence(p.getField("starts").cast("long"),
             p.getField("starts").cast("long") + (W - 1)))))))
-      .select(col("doc_id"), size(col("w")).as("n_words"),
-        size(col("ps")).cast("long").as("n_removed"),
-        md5(array_join(
-          filter(col("w"), (_, i) =>
-            !array_contains(col("ps"), i.cast("long") + 1L)), " "))
-          .as("clean_hash"))
+      .withColumn("n_words", size(col("w")))
+      .withColumn("n_removed", size(col("ps")).cast("long"))
+      .withColumn("clean_hash", md5(array_join(
+        filter(col("w"), (_, i) =>
+          !array_contains(col("ps"), i.cast("long") + 1L)), " ")))
+      .drop("starts", "wh", "hits", "ps", "dupB")
+  }
+
+  def streamingSpanScrub(spark: SparkSession, dir: String): DataFrame = {
+    val ledgerRow = scrubLedgerRow(spark, dir)
+    val schema = Tables.table(spark, dir, "documents").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val scrubbed = withInRowScrub(stream.filter(col("text").isNotNull)
+        .repartition(8)
+        .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+        .crossJoin(broadcast(ledgerRow)))
+      .select(col("doc_id"), col("n_words"), col("n_removed"),
+        col("clean_hash"))
     graft.streaming.StreamingOps.runToBatchAppend(spark, scrubbed,
         s"st19_scrub_${System.nanoTime()}")
       .orderBy(col("doc_id"))
@@ -1282,6 +1295,150 @@ object DedupOps extends QueryModule {
        |WHERE i % 3 = 0 AND j % 3 <> 0
        |ORDER BY 1, 2""".stripMargin
 
+  /** ST25: the composed STREAMING INGEST DAG — the gate chain a
+    * production crawler actually runs on every arriving document, as
+    * ONE streaming plan (v66 is the batch curation composition; this
+    * is the ingest-time sibling): exact-dup against the ledger's
+    * content hashes → near-dup against the stored LSH band index
+    * (st24's probe) → benchmark membership / shingle-containment
+    * decontamination (v16's gate against one broadcast benchmark row)
+    * → duplicated-span scrub (st19's in-row machinery) for the docs
+    * that survive. Per arriving doc: the first-failing-gate verdict
+    * and, for kept docs, the scrub report (removed words + cleaned
+    * md5). Every signal is computed in-row or against a static
+    * artifact; the only state is the per-arriving-doc aggregation that
+    * folds the 8 band probes back to one row — O(ingest batch), never
+    * O(corpus). Reuses one spelling per gate (normHash, bandHashCols,
+    * shingles, withInRowScrub), so the composition CANNOT drift from
+    * the individual operators it composes. */
+  def streamingIngestDag(spark: SparkSession, dir: String): DataFrame = {
+    val docsB = Tables.documents(spark, dir).filter(col("text").isNotNull)
+    val ledgerDocs = docsB.filter(col("doc_id") % 3 =!= 0)
+    val exLedger = ledgerDocs
+      .select(TextCanon.normHash.as("norm_hash")).distinct()
+      .withColumn("ex_flag", lit(1))
+    val bandIndex = graft.util.PlanMemo.memo(spark, "v20c_band_index",
+      dir)(bandedBuckets(signatures(ledgerDocs)))
+      .select(col("doc_id").as("j"), col("band_idx"), col("band_hash"))
+    val ledgerSets = graft.util.PlanMemo.memo(spark, "st24_ledger_sets",
+      dir)(ledgerDocs.select(col("doc_id"), shingles.as("sh"))
+        .withColumn("sz", size(col("sh"))))
+      .select(col("doc_id").as("j"), col("sh").as("sh_j"),
+        col("sz").as("sz_j"))
+    val benchRow = docsB.filter(pmod(col("doc_id"), lit(97)) === 0)
+      .select(explode(shingles).as("shingle")).distinct()
+      .agg(collect_list(col("shingle")).as("bench")).localCheckpoint()
+    val ledgerRow = scrubLedgerRow(spark, dir)
+    val schema = Tables.table(spark, dir, "documents").schema
+    val mins = coefs.zipWithIndex.map { case ((a, b), k) =>
+      array_min(transform(col("h0"), x => pmod(x * a + b, lit(Prime))))
+        .as(s"m$k")
+    }
+    val enriched = withInRowScrub(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .filter(col("text").isNotNull && col("doc_id") % 3 === 0)
+        .repartition(8)
+        .withColumn("w", split(lower(col("text")), " "))
+        .withColumn("norm_hash", TextCanon.normHash)
+        .withColumn("sh_i", shingles)
+        .withColumn("sz_i", size(col("sh_i")))
+        .withColumn("h0", transform(
+          graft.functions.ShingleFunctions.shingle_hashes(col("text")),
+          h => pmod(h, lit(Prime))))
+        .withColumn("bm", pmod(col("doc_id"), lit(97)) === 0)
+        .crossJoin(broadcast(benchRow))
+        .withColumn("contam", Exact.ratio6(
+          size(array_intersect(col("sh_i"), col("bench"))), col("sz_i")))
+        .crossJoin(broadcast(ledgerRow)))
+      .join(exLedger, Seq("norm_hash"), "left")
+    val cand = enriched
+      .select(Seq(col("doc_id"), col("ex_flag"), col("bm"), col("contam"),
+        col("n_removed"), col("clean_hash"), col("sh_i"),
+        col("sz_i")) ++ mins: _*)
+      .select(col("doc_id"), col("ex_flag"), col("bm"), col("contam"),
+        col("n_removed"), col("clean_hash"), col("sh_i"), col("sz_i"),
+        posexplode(array(bandHashCols: _*)).as(Seq("band_idx", "band_hash")))
+      .join(bandIndex, Seq("band_idx", "band_hash"), "left")
+      .join(ledgerSets, Seq("j"), "left")
+      .withColumn("inter",
+        size(array_intersect(col("sh_i"), col("sh_j"))))
+      .withColumn("jac", Exact.ratio6(col("inter"),
+        col("sz_i") + col("sz_j") - col("inter")))
+    val perDoc = cand.groupBy(col("doc_id"))
+      .agg(first(col("ex_flag")).as("ex_flag"), first(col("bm")).as("bm"),
+        first(col("contam")).as("contam"),
+        first(col("n_removed")).as("n_rm"),
+        first(col("clean_hash")).as("ch"),
+        max(when(col("jac") >= Tau, 1).otherwise(0)).as("near_hit"))
+    val kept = col("ex_flag").isNull && col("near_hit") === 0 &&
+      !col("bm") && col("contam") < ContamTau
+    val out = perDoc.select(col("doc_id"),
+      when(col("ex_flag").isNotNull, "exact_dup")
+        .when(col("near_hit") === 1, "near_dup")
+        .when(col("bm"), "benchmark")
+        .when(col("contam") >= ContamTau, "contaminated")
+        .otherwise("kept").as("verdict"),
+      when(kept, col("n_rm")).as("n_removed"),
+      when(kept, col("ch")).as("clean_hash"))
+    graft.streaming.StreamingOps.runToBatch(spark, out,
+        s"st25_ingest_${System.nanoTime()}")
+      .orderBy(col("doc_id"))
+  }
+
+  /** v16's containment threshold, shared with the st25 gate. */
+  private val ContamTau = 0.05
+
+  private lazy val streamingIngestDagSql: String =
+    s"""WITH pr AS (SELECT i, j, jaccard FROM ($jaccardPairsSql)),
+       | nd AS (SELECT DISTINCT i FROM (
+       |   SELECT i, j FROM pr UNION ALL SELECT j AS i, i AS j FROM pr)
+       |  WHERE i % 3 = 0 AND j % 3 <> 0),
+       | exh AS (SELECT DISTINCT ${OracleSql.normHashText} AS nh
+       |  FROM documents WHERE text IS NOT NULL AND doc_id % 3 <> 0),
+       | tt AS (SELECT doc_id, string_split(text, ' ') AS w
+       |        FROM documents WHERE text IS NOT NULL),
+       | ss AS (SELECT doc_id, $shinglesSql AS sh FROM tt),
+       | bl AS (SELECT list(DISTINCT shingle) AS bench FROM (
+       |   SELECT unnest(sh) AS shingle FROM ss WHERE doc_id % 97 = 0)),
+       | $scrubWindowCtes,
+       | sg AS (SELECT h, min(doc_id) AS keep_doc, count(*) AS n_occ
+       |        FROM so GROUP BY 1),
+       | sp AS (SELECT DISTINCT so.doc_id,
+       |          unnest(range(so.s, so.s + $ScrubWindow)) AS p
+       |  FROM so JOIN sg USING (h)
+       |  WHERE sg.n_occ >= 2 AND so.doc_id > sg.keep_doc),
+       | sr AS (SELECT doc_id, count(*) AS n_removed,
+       |         list(p ORDER BY p) AS ps
+       |        FROM sp GROUP BY 1),
+       | scrub AS (SELECT sd.doc_id,
+       |    CAST(coalesce(sr.n_removed, 0) AS BIGINT) AS n_removed,
+       |    md5(coalesce(array_to_string(
+       |      CASE WHEN sr.ps IS NULL THEN sd.w
+       |           ELSE list_filter(sd.w,
+       |                  (x, i) -> NOT list_contains(sr.ps, i)) END,
+       |      ' '), '')) AS clean_hash
+       |   FROM sd LEFT JOIN sr USING (doc_id)),
+       | flg AS (SELECT d.doc_id,
+       |    (${OracleSql.normHashText} IN (SELECT nh FROM exh)) AS ex_hit,
+       |    (d.doc_id IN (SELECT i FROM nd)) AS near_hit,
+       |    (d.doc_id % 97 = 0) AS bm,
+       |    ${OracleSql.ratio6("len(list_intersect(ss.sh, bl.bench))",
+            "len(ss.sh)")} AS contam
+       |  FROM documents d JOIN ss USING (doc_id) CROSS JOIN bl
+       |  WHERE d.text IS NOT NULL AND d.doc_id % 3 = 0)
+       |SELECT f.doc_id,
+       | CASE WHEN ex_hit THEN 'exact_dup' WHEN near_hit THEN 'near_dup'
+       |      WHEN bm THEN 'benchmark'
+       |      WHEN contam >= $ContamTau THEN 'contaminated'
+       |      ELSE 'kept' END AS verdict,
+       | CASE WHEN NOT ex_hit AND NOT near_hit AND NOT bm
+       |       AND contam < $ContamTau THEN sc.n_removed END AS n_removed,
+       | CASE WHEN NOT ex_hit AND NOT near_hit AND NOT bm
+       |       AND contam < $ContamTau THEN sc.clean_hash END AS clean_hash
+       |FROM flg f JOIN scrub sc USING (doc_id)
+       |ORDER BY f.doc_id""".stripMargin
+
   /** v20c oracle: the symmetric closure of the v2a exact pair frame,
     * restricted to (incoming, ledger) pairs — only as expensive as the
     * v2a oracle the driver already runs. */
@@ -1728,6 +1885,15 @@ object DedupOps extends QueryModule {
         "joins, exact-Jaccard verify in-row, pair-keyed dedup; every " +
         "(arriving, ledger, jaccard) decision emitted append-mode",
       streamingNearDupGate, Some(streamingNearDupSql)),
+    GraftQuery("st25_streaming_ingest_dag",
+      "ST25 composed streaming ingest DAG — the production crawler's " +
+        "gate chain on every arriving doc in ONE streaming plan: " +
+        "exact-dup (ledger hash) -> near-dup (stored band index) -> " +
+        "benchmark membership / contamination (broadcast benchmark " +
+        "row) -> in-row span scrub for survivors; first-failing-gate " +
+        "verdict + scrub report, one spelling per gate shared with " +
+        "the standalone operators",
+      streamingIngestDag, Some(streamingIngestDagSql)),
     GraftQuery("v2d2_embedding_neardup_ivf",
       "V2 embedding near-dup via multi-probe IVF candidates + exact " +
         "verify (100 TB shape; recall vs exact pinned in DedupSpec " +

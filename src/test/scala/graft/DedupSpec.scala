@@ -459,6 +459,71 @@ class DedupSpec extends SparkSpec {
       "the fixture must contain cross-split near-dups")
   }
 
+  test("ST25 ingest DAG verdicts reconcile with the standalone gates, " +
+    "and a planted exact dup trips the first gate") {
+    import spark.implicits._
+    val rows = DedupOps.streamingIngestDag(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // near-dup target set from the pinned exact pair frame
+    val pairs = DedupOps.ngramJaccard(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nearIds = (pairs ++ pairs.map(p => (p._2, p._1)))
+      .filter(p => p._1 % 3 == 0 && p._2 % 3 != 0).map(_._1).toSet
+    // exact gate: incoming norm-hashes present in the ledger
+    val nh = Tables.documents(spark, sf0001)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), TextCanon.normHash.as("h")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val ledgerH = nh.filter(_._1 % 3 != 0).map(_._2).toSet
+    val exactIds = nh.filter(p => p._1 % 3 == 0 && ledgerH(p._2))
+      .map(_._1).toSet
+    // contamination gate from the standalone v16 result
+    val contamIds = DedupOps.decontaminate(spark, sf0001)
+      .collect().map(_.getLong(0)).filter(_ % 3 == 0).toSet
+    // scrub report for kept docs from the standalone v67 result
+    val scrub = DedupOps.spanScrub(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_removed"),
+        r.getAs[String]("clean_hash"))).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, r) =>
+      val want =
+        if (exactIds(id)) "exact_dup"
+        else if (nearIds(id)) "near_dup"
+        else if (id % 97 == 0) "benchmark"
+        else if (contamIds(id)) "contaminated"
+        else "kept"
+      assert(r.getAs[String]("verdict") === want, s"doc $id")
+      if (want == "kept") {
+        assert(r.getAs[Long]("n_removed") === scrub(id)._1, s"doc $id")
+        assert(r.getAs[String]("clean_hash") === scrub(id)._2, s"doc $id")
+      } else assert(r.isNullAt(r.fieldIndex("clean_hash")), s"doc $id")
+    }
+    assert(Set("near_dup", "benchmark", "contaminated", "kept")
+      .forall(v => rows.values.exists(_.getAs[String]("verdict") == v)))
+    // the corpus has no cross-split exact dup — plant one: doc 3
+    // copies ledger doc 1's text verbatim
+    val tmp = java.nio.file.Files
+      .createTempDirectory("st25_fixture").toString
+    Tables.documents(spark, sf0001).limit(0).unionByName(
+      Seq((1L, "alpha beta gamma delta epsilon zeta eta theta iota",
+            "en", "src0", 9L),
+          (2L, "totally unrelated ledger text with its own words here ok",
+            "en", "src1", 10L),
+          (3L, "alpha beta gamma delta epsilon zeta eta theta iota",
+            "en", "src0", 9L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/_w")
+    // the streaming source's pathGlobFilter matches the FILE name
+    // documents.parquet, so surface the part file under that name
+    val part = new java.io.File(s"$tmp/_w").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(s"$tmp/documents.parquet"))
+    val planted = DedupOps.streamingIngestDag(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("verdict")).toMap
+    assert(planted(3L) === "exact_dup")
+  }
+
   test("ST24 streaming near-dup gate emits exactly the cross-split " +
     "verified pairs (stream == the exact pair frame's restriction)") {
     val pairs = DedupOps.ngramJaccard(spark, sf0001)
