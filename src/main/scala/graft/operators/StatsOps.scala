@@ -100,6 +100,90 @@ object StatsOps extends QueryModule {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** W26: CUSUM change-point monitor — the SEQUENTIAL drift detector
+    * u9's per-slot grading can't express: a small persistent level
+    * shift never trips a per-hour threshold but accumulates in a
+    * cumulative sum. Page's CUSUM with allowance k = μ/4 and decision
+    * threshold h = 2μ, run per event type over the dense final-9-day
+    * grid against the first-21-day baseline mean μ. The recursive
+    * C_t = max(0, C_{t−1} + x_t − μ − k) is rewritten into its CLOSED
+    * form C_t = P_t − min(0, min_{s≤t} P_s) (prefix sum minus running
+    * floor) so it is two window functions, not a recursion; everything
+    * is INTEGER by cross-multiplication — scaling by 84 = 4·21 turns
+    * x_t − μ ∓ μ/4 into 84·x_t − 5·S21 / 3·S21 − 84·x_t and h into
+    * 8·S21 (S21 = the type's 21-day count), so both engines agree
+    * bit-for-bit with zero division. Both directions monitored; a
+    * type absent from the baseline (S21 = 0) alarms on its first
+    * observation — new-feed detection, deliberate.
+    *
+    * Scale: two linear scans aggregate onto domain-bounded frames
+    * (types, types×9) before the windows; windows run per type over
+    * ≤9 rows. */
+  def cusumMonitor(spark: SparkSession, dir: String): DataFrame =
+    cusumOf(spark, ev(spark, dir)
+      .withColumn("day", Exact.intDiv(col("ts_s") - Start, lit(Day))))
+
+  /** [[cusumMonitor]]'s core over any (event_type, day) event frame —
+    * public so the spec can plant a level shift (the shipped feed is
+    * stable, which a detection test must not rely on). */
+  private[graft] def cusumOf(spark: SparkSession, e: DataFrame): DataFrame = {
+    val s21 = e.filter(col("day") < 21).groupBy(col("event_type"))
+      .agg(count(lit(1)).as("s21"))
+    val obs = e.filter(col("day") >= 21)
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n_obs"))
+    val grid = e.select(col("event_type")).distinct()
+      .crossJoin(spark.range(21, 30).select(col("id").as("day")))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(obs, Seq("event_type", "day"), "left")
+      .withColumn("n_obs", coalesce(col("n_obs"), lit(0L)))
+      .join(broadcast(s21), Seq("event_type"), "left")
+      .withColumn("s21", coalesce(col("s21"), lit(0L)))
+      .withColumn("p_up",
+        sum(col("n_obs") * 84L - col("s21") * 5L).over(w))
+      .withColumn("p_dn",
+        sum(col("s21") * 3L - col("n_obs") * 84L).over(w))
+      .withColumn("c_up", col("p_up") -
+        least(min(col("p_up")).over(w), lit(0L)))
+      .withColumn("c_dn", col("p_dn") -
+        least(min(col("p_dn")).over(w), lit(0L)))
+      .select(col("event_type"), col("day"), col("n_obs"),
+        col("c_up"), col("c_dn"),
+        (col("c_up") >= col("s21") * 8L).as("alarm_up"),
+        (col("c_dn") >= col("s21") * 8L).as("alarm_dn"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  private lazy val cusumSql: String =
+    s"""WITH e AS (SELECT event_type,
+       |   (epoch_us(ts)//1000000 - $Start) // $Day AS day FROM events),
+       | s21 AS (SELECT event_type, CAST(count(*) AS BIGINT) AS s21
+       |         FROM e WHERE day < 21 GROUP BY 1),
+       | obs AS (SELECT event_type, day, CAST(count(*) AS BIGINT) AS n_obs
+       |         FROM e WHERE day >= 21 GROUP BY 1, 2),
+       | grid AS (SELECT t.event_type, d.day
+       |   FROM (SELECT DISTINCT event_type FROM e) t,
+       |        (SELECT unnest(range(21, 30)) AS day) d),
+       | x AS (SELECT g.event_type, g.day,
+       |    coalesce(o.n_obs, 0) AS n_obs, coalesce(s.s21, 0) AS s21
+       |   FROM grid g LEFT JOIN obs o USING (event_type, day)
+       |   LEFT JOIN s21 s USING (event_type)),
+       | p AS (SELECT *,
+       |    sum(n_obs * 84 - s21 * 5) OVER wd AS p_up,
+       |    sum(s21 * 3 - n_obs * 84) OVER wd AS p_dn
+       |   FROM x WINDOW wd AS (PARTITION BY event_type ORDER BY day
+       |     ROWS UNBOUNDED PRECEDING)),
+       | c AS (SELECT *,
+       |    p_up - least(min(p_up) OVER wd, 0) AS c_up,
+       |    p_dn - least(min(p_dn) OVER wd, 0) AS c_dn
+       |   FROM p WINDOW wd AS (PARTITION BY event_type ORDER BY day
+       |     ROWS UNBOUNDED PRECEDING))
+       |SELECT event_type, day, n_obs,
+       | CAST(c_up AS BIGINT) AS c_up, CAST(c_dn AS BIGINT) AS c_dn,
+       | c_up >= s21 * 8 AS alarm_up, c_dn >= s21 * 8 AS alarm_dn
+       |FROM c ORDER BY event_type, day""".stripMargin
+
   private lazy val seasonalAnomalySql: String =
     s"""WITH e AS (
        |  SELECT event_type,
@@ -1310,6 +1394,14 @@ object StatsOps extends QueryModule {
         "(zero-event hours flag low); integer cross-multiplied " +
         "thresholds, no division, aggregates before any join",
       seasonalAnomaly, Some(seasonalAnomalySql)),
+    GraftQuery("w26_cusum_monitor",
+      "W26 CUSUM change-point monitor: Page's sequential drift " +
+        "detector per event type (allowance mu/4, threshold 2*mu) in " +
+        "the closed prefix-sum-minus-running-floor form — two windows " +
+        "over the bounded (type x 9-day) grid, all-integer via x84 " +
+        "cross-multiplication, both directions, dense grid so an " +
+        "outage day counts zero",
+      cusumMonitor, Some(cusumSql)),
     GraftQuery("w16_weekday_profile",
       "W16 weekday seasonality: per (type, dow) count, exact mean, " +
         "weekly share — integer calendar arithmetic (day 0 = Monday), " +

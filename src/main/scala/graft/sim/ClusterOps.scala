@@ -204,6 +204,57 @@ object ClusterOps extends QueryModule {
        | CAST(sum(d) AS BIGINT) AS inertia
        |FROM a1 GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** V74: centroid silhouette — the clustering-quality witness the
+    * v47 family lacks: inertia says how tight clusters are, not
+    * whether points sit closer to a NEIGHBOR cluster. Per point, the
+    * simplified (centroid-based) silhouette on squared micro
+    * distances: a = d(own centroid), b = min over other centroids,
+    * s = (b − a) / max(a, b) ∈ [−1, 1] — s < 0 is a misassigned
+    * point. Exact: s in micro units via DECIMAL(38) signed half-away
+    * division ((b−a)·10⁶ overflows Long at d ~ 2.6e14); per-cluster
+    * mean exact over the micro sum. Scale: b is a pure in-row argmin
+    * over the broadcast k-centroid bundle (zero shuffle — the v47
+    * assignment shape); the rollup is one k-row aggregate. */
+  def silhouette(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def dec(c: Column): Column = c.cast(DecimalType(38, 0))
+    val (fin, cents) = lloyd(spark, dir)
+    val withB = fin.crossJoin(broadcast(bundle(cents)))
+      .withColumn("b", expr("array_min(transform(" +
+        s"filter(cs, c -> c.cid != cid), c -> $distExpr))"))
+    val sil = withB.withColumn("sm",
+      when(greatest(col("d"), col("b")) === 0, lit(0L))
+        .otherwise(Exact.signedDivRoundDec(
+          (dec(col("b")) - dec(col("d"))) * 1000000L,
+          dec(greatest(col("d"), col("b")))).cast("long")))
+    sil.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n"),
+        (Exact.signedDivRound(sum(col("sm")), count(lit(1)))
+          .cast("double") / 1000000.0).as("mean_sil"),
+        sum(when(col("sm") < 0, 1L).otherwise(0L)).as("n_misassigned"))
+      .select(col("cid").as("cluster"), col("n"), col("mean_sil"),
+        col("n_misassigned"))
+      .orderBy(col("cluster"))
+  }
+
+  private lazy val silhouetteSql: String =
+    s"""$lloydChainSql,
+       | bd AS (SELECT df.vec_id, min(df.d) AS b
+       |   FROM df JOIN fa USING (vec_id) WHERE df.cid <> fa.cid
+       |   GROUP BY 1),
+       | sil AS (SELECT fa.vec_id, fa.cid,
+       |    CASE WHEN greatest(fa.d, bd.b) = 0 THEN 0
+       |         ELSE ${OracleSql.signedDivRound(
+              "(bd.b::HUGEINT - fa.d::HUGEINT) * 1000000",
+              "greatest(fa.d, bd.b)::HUGEINT")} END AS sm
+       |   FROM fa JOIN bd USING (vec_id))
+       |SELECT cid AS cluster, CAST(count(*) AS BIGINT) AS n,
+       | CAST(${OracleSql.signedDivRound("sum(sm)", "count(*)")}
+       |   AS DOUBLE) / 1000000.0 AS mean_sil,
+       | CAST(sum(CASE WHEN sm < 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |   AS n_misassigned
+       |FROM sil GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** V53 per-cluster quota. */
   val Quota = 25
 
@@ -320,6 +371,13 @@ object ClusterOps extends QueryModule {
         "centroid witness, hash-identical across engines — the oracle-" +
         "grade sibling of the IVF build's cosine Lloyd (v3b)",
       kmeans, Some(kmeansSql)),
+    GraftQuery("v74_silhouette",
+      "V74 centroid silhouette: per-cluster mean (b-a)/max(a,b) over " +
+        "squared micro distances + misassigned-point count — the " +
+        "clustering-quality witness inertia can't give; b is an " +
+        "in-row argmin over the broadcast centroid bundle, zero extra " +
+        "shuffle, DECIMAL-exact signed division",
+      silhouette, Some(silhouetteSql)),
     GraftQuery("v53_balanced_coreset",
       "V53 cluster-balanced coreset over the v47 clusters: per-cluster " +
         "quota drawn by an engine-independent LCG, answered by the " +

@@ -33,8 +33,8 @@ class ClusterSpec extends SparkSpec {
 
   /** Plain-Scala Lloyd: same seed, same iteration count, same signed
     * half-up means, same (d, cid) tie-break. */
-  private def referenceKmeans(points: Seq[(Long, Int, Array[Long])] = pts)
-      : Map[Long, (Long, Long)] = {
+  private def referenceLloyd(points: Seq[(Long, Int, Array[Long])] = pts)
+      : (Seq[(Long, Array[Long], Long, Long)], Seq[(Long, Array[Long])]) = {
     val pts = points
     var cents: Seq[(Long, Array[Long])] = pts.filter(_._1 < ClusterOps.K)
       .map(p => (p._1, p._3))
@@ -54,9 +54,41 @@ class ClusterSpec extends SparkSpec {
         (cid, cm)
       }.sortBy(_._1)
     }
-    val fin = assign()
-    fin.groupBy(_._3).map { case (cid, members) =>
+    (assign(), cents)
+  }
+
+  private def referenceKmeans(points: Seq[(Long, Int, Array[Long])] = pts)
+      : Map[Long, (Long, Long)] =
+    referenceLloyd(points)._1.groupBy(_._3).map { case (cid, members) =>
       cid -> (members.size.toLong, members.map(_._4).sum)
+    }
+
+  test("v74 silhouette equals an engine-free replay, bounded in [-1,1]") {
+    val (fin, cents) = referenceLloyd()
+    val want = fin.map { case (id, xs, cid, a) =>
+      val b = cents.filter(_._1 != cid).map(c => d2(xs, c._2)).min
+      val sm = if (math.max(a, b) == 0L) 0L
+        else {
+          val num = (BigInt(b) - BigInt(a)) * 1000000
+          val den = BigInt(math.max(a, b))
+          (if (num < 0) -((-num + den / 2) / den)
+           else (num + den / 2) / den).toLong
+        }
+      (id, cid, sm)
+    }
+    val wantBy = want.groupBy(_._2).map { case (cid, ms) =>
+      cid -> (ms.size.toLong,
+        signedDivRound(ms.map(_._3).sum, ms.size.toLong).toDouble / 1e6,
+        ms.count(_._3 < 0L).toLong)
+    }
+    val got = ClusterOps.silhouette(spark, sf0001).collect()
+    assert(got.length === wantBy.size)
+    got.foreach { r =>
+      val (n, ms, neg) = wantBy(r.getAs[Long]("cluster"))
+      assert(r.getAs[Long]("n") === n)
+      assert(r.getAs[Double]("mean_sil") === ms)
+      assert(r.getAs[Long]("n_misassigned") === neg)
+      assert(math.abs(r.getAs[Double]("mean_sil")) <= 1.0)
     }
   }
 

@@ -647,4 +647,48 @@ class StatsOpsSpec extends SparkSpec {
     assert(planted.getDouble(5) > 0.8,
       s"planted correlation must yield high variance reduction: $planted")
   }
+
+  test("w26 CUSUM: every row replays the recursive definition locally, " +
+    "and a planted level shift alarms while a stable feed never does") {
+    import spark.implicits._
+    // local recursive replay on the real feed
+    val raw = Tables.events(spark, sf0001)
+      .select(col("event_type"),
+        Exact.intDiv(col("ts_s") - EventWindow.StartS,
+          lit(86400L)).as("day"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val types = raw.map(_._1).distinct.sorted
+    val rows = StatsOps.cusumMonitor(spark, sf0001).collect()
+    assert(rows.length === types.length * 9)
+    types.foreach { t =>
+      val s21 = raw.count(e => e._1 == t && e._2 < 21).toLong
+      var cUp = 0L
+      var cDn = 0L
+      (21L to 29L).foreach { d =>
+        val x = raw.count(e => e._1 == t && e._2 == d).toLong
+        cUp = math.max(0L, cUp + x * 84L - s21 * 5L)
+        cDn = math.max(0L, cDn + s21 * 3L - x * 84L)
+        val r = rows.find(r =>
+          r.getString(0) == t && r.getLong(1) == d).get
+        assert(r.getAs[Long]("c_up") === cUp, s"$t day $d")
+        assert(r.getAs[Long]("c_dn") === cDn, s"$t day $d")
+        assert(r.getAs[Boolean]("alarm_up") === (cUp >= s21 * 8L))
+        assert(r.getAs[Boolean]("alarm_dn") === (cDn >= s21 * 8L))
+      }
+    }
+    // detection: a +100% shift from day 25 must alarm up; the stable
+    // twin must stay silent both directions
+    val plantedE =
+      (0L until 30L).flatMap(d => Seq.fill(100)(("stable", d))) ++
+      (0L until 25L).flatMap(d => Seq.fill(100)(("shifted", d))) ++
+      (25L until 30L).flatMap(d => Seq.fill(200)(("shifted", d)))
+    val out = StatsOps.cusumOf(spark,
+      plantedE.toDF("event_type", "day")).collect()
+    assert(out.filter(_.getString(0) == "shifted")
+      .exists(_.getAs[Boolean]("alarm_up")))
+    out.filter(_.getString(0) == "stable").foreach { r =>
+      assert(!r.getAs[Boolean]("alarm_up") &&
+        !r.getAs[Boolean]("alarm_dn"), r.toString)
+    }
+  }
 }
