@@ -1295,6 +1295,67 @@ object DedupOps extends QueryModule {
        |WHERE i % 3 = 0 AND j % 3 <> 0
        |ORDER BY 1, 2""".stripMargin
 
+  /** V75: split-leakage audit — the eval-integrity check every paper
+    * that reports a test score implicitly claims (Dodge et al. 2021's
+    * C4 finding: benchmark data leaks through near-dups, not just
+    * exact copies): how many near-dup pairs STRADDLE the v28
+    * train/val/test assignment? A train doc whose near-dup sits in
+    * test inflates the test score without any exact duplication. One
+    * pass: the memoized v2a pair frame joins each side's split label
+    * (the EXACT v28 spelling, shared — [[graft.nlp.MixOps
+    * .splitAssign]]), pairs canonicalize to (least, greatest), and the
+    * rollup lands on the dense 6-combination grid with the cross-split
+    * flag. Scale: pair-frame-sized work + two broadcast-able label
+    * joins; no new pair mining. */
+  def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables.documents(spark, dir)
+      .select(col("doc_id"), graft.nlp.MixOps.splitAssign.as("sp"))
+    val si = s.select(col("doc_id").as("i"), col("sp").as("sp_i"))
+    val sj = s.select(col("doc_id").as("j"), col("sp").as("sp_j"))
+    val agg = ngramJaccard(spark, dir)
+      .join(si, Seq("i")).join(sj, Seq("j"))
+      .withColumn("split_a", least(col("sp_i"), col("sp_j")))
+      .withColumn("split_b", greatest(col("sp_i"), col("sp_j")))
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        max(col("jaccard")).as("max_jaccard"))
+    val combos = Seq("test" -> "test", "test" -> "train", "test" -> "val",
+      "train" -> "train", "train" -> "val", "val" -> "val")
+    val grid = spark.range(1)
+      .select(explode(array(combos.map { case (a, b) =>
+        struct(lit(a).as("split_a"), lit(b).as("split_b"))
+      }: _*)).as("c"))
+      .select(col("c.split_a").as("split_a"), col("c.split_b").as("split_b"))
+    grid.join(broadcast(agg), Seq("split_a", "split_b"), "left")
+      .select(col("split_a"), col("split_b"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        col("max_jaccard"),
+        (col("split_a") =!= col("split_b")).as("cross_split"))
+      .orderBy(col("split_a"), col("split_b"))
+  }
+
+  private lazy val splitLeakageSql: String =
+    s"""WITH pr AS (SELECT i, j, jaccard FROM ($jaccardPairsSql)),
+       | sp AS (SELECT doc_id, ${graft.nlp.MixOps.splitAssignSql} AS sp
+       |        FROM documents),
+       | cl AS (SELECT least(a.sp, b.sp) AS split_a,
+       |         greatest(a.sp, b.sp) AS split_b, pr.jaccard
+       |   FROM pr JOIN sp a ON a.doc_id = pr.i
+       |   JOIN sp b ON b.doc_id = pr.j),
+       | ag AS (SELECT split_a, split_b,
+       |         CAST(count(*) AS BIGINT) AS n_pairs,
+       |         max(jaccard) AS max_jaccard
+       |   FROM cl GROUP BY 1, 2),
+       | grid AS (SELECT * FROM (VALUES
+       |   ('test','test'), ('test','train'), ('test','val'),
+       |   ('train','train'), ('train','val'), ('val','val'))
+       |   AS g(split_a, split_b))
+       |SELECT g.split_a, g.split_b,
+       | CAST(coalesce(ag.n_pairs, 0) AS BIGINT) AS n_pairs,
+       | ag.max_jaccard, g.split_a <> g.split_b AS cross_split
+       |FROM grid g LEFT JOIN ag USING (split_a, split_b)
+       |ORDER BY 1, 2""".stripMargin
+
   /** ST25: the composed STREAMING INGEST DAG — the gate chain a
     * production crawler actually runs on every arriving document, as
     * ONE streaming plan (v66 is the batch curation composition; this
@@ -1822,6 +1883,13 @@ object DedupOps extends QueryModule {
         "over the memoized v2a pair frame with an in-row 5-point grid " +
         "explode, aggregates onto the bounded grid frame",
       thresholdSweep, Some(thresholdSweepSql)),
+    GraftQuery("v75_split_leakage",
+      "V75 split-leakage audit: near-dup pairs straddling the v28 " +
+        "train/val/test assignment (the Dodge-et-al eval-integrity " +
+        "check) — memoized v2a pair frame + the exact v28 split " +
+        "spelling, rolled onto the dense 6-combination grid with " +
+        "cross-split flags and worst-pair Jaccard",
+      splitLeakage, Some(splitLeakageSql)),
     GraftQuery("v72_quality_dedup_apply",
       "V72 quality-aware dedup apply: per near-dup cluster keep the " +
         "HIGHEST v4b-quality member (ties to lower id) instead of " +

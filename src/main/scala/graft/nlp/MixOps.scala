@@ -385,14 +385,28 @@ object MixOps extends QueryModule {
     * Pure per-row map + one (source, split) aggregate with map-side
     * partial combine — no window, no join, embarrassingly parallel at
     * any scale. */
+  /** The v28 bucket → split assignment as a column over doc_id — ONE
+    * spelling shared with the v75 leakage audit (a re-spelled bucket
+    * boundary would silently audit a different split than the one
+    * shipped). */
+  private[graft] def splitAssign: Column = {
+    val b = conv(substring(
+      md5(concat(lit("split"), col("doc_id").cast("string"))), 1, 2),
+      16, 10).cast("int")
+    when(b < 205, "train").when(b < 230, "val").otherwise("test")
+  }
+
+  /** DuckDB spelling of [[splitAssign]]. */
+  private[graft] val splitAssignSql: String = {
+    val b = "('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR))" +
+      ", 1, 2))::INT"
+    s"CASE WHEN $b < 205 THEN 'train' WHEN $b < 230 THEN 'val' " +
+      "ELSE 'test' END"
+  }
+
   def hashSplit(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .withColumn("b", conv(substring(
-        md5(concat(lit("split"), col("doc_id").cast("string"))), 1, 2),
-        16, 10).cast("int"))
-      .withColumn("split",
-        when(col("b") < 205, "train").when(col("b") < 230, "val")
-          .otherwise("test"))
+      .withColumn("split", splitAssign)
       .groupBy(col("source"), col("split"))
       .agg(count(lit(1)).as("n_docs"),
         min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))

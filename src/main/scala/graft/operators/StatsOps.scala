@@ -134,13 +134,26 @@ object StatsOps extends QueryModule {
       .agg(count(lit(1)).as("n_obs"))
     val grid = e.select(col("event_type")).distinct()
       .crossJoin(spark.range(21, 30).select(col("id").as("day")))
-    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cusumReadout(cusumAssemble(grid, obs, s21))
+  }
+
+  /** Dense (type × eval-day) frame with observed counts and baseline
+    * mass — the shape [[cusumReadout]] consumes; shared by the batch
+    * monitor and its streaming twin (st26), which supplies `obs` from
+    * streaming aggregation state. */
+  private def cusumAssemble(grid: DataFrame, obs: DataFrame,
+      s21: DataFrame): DataFrame =
     grid.join(obs, Seq("event_type", "day"), "left")
       .withColumn("n_obs", coalesce(col("n_obs"), lit(0L)))
       .join(broadcast(s21), Seq("event_type"), "left")
       .withColumn("s21", coalesce(col("s21"), lit(0L)))
-      .withColumn("p_up",
+
+  /** The closed-form CUSUM windows + alarm readout over the assembled
+    * bounded frame — ONE spelling for w26 and st26. */
+  private def cusumReadout(x: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    x.withColumn("p_up",
         sum(col("n_obs") * 84L - col("s21") * 5L).over(w))
       .withColumn("p_dn",
         sum(col("s21") * 3L - col("n_obs") * 84L).over(w))
@@ -153,6 +166,33 @@ object StatsOps extends QueryModule {
         (col("c_up") >= col("s21") * 8L).as("alarm_up"),
         (col("c_dn") >= col("s21") * 8L).as("alarm_dn"))
       .orderBy(col("event_type"), col("day"))
+  }
+
+  /** ST26: the CUSUM monitor SERVED LIVE — the whole point of a
+    * sequential test is to watch a RUNNING feed (the w24→st22
+    * argument applied to drift detection): per-(type, day) eval
+    * counts are maintained as streaming aggregation state (algebraic,
+    * O(types × days) rows), the baseline mass is the batch-side
+    * trained artifact (localCheckpointed — broadcast sides re-execute
+    * per micro-batch), and the closed-form window readout runs on the
+    * final bounded state through the SAME [[cusumReadout]] spelling —
+    * batch and stream cannot drift. Shares w26's oracle. */
+  def streamingCusum(spark: SparkSession, dir: String): DataFrame = {
+    val e = ev(spark, dir)
+      .withColumn("day", Exact.intDiv(col("ts_s") - Start, lit(Day)))
+    val s21 = e.filter(col("day") < 21).groupBy(col("event_type"))
+      .agg(count(lit(1)).as("s21")).localCheckpoint()
+    val grid = e.select(col("event_type")).distinct()
+      .crossJoin(spark.range(21, 30).select(col("id").as("day")))
+      .localCheckpoint()
+    val obs = graft.streaming.StreamingOps.runToBatch(spark,
+      graft.streaming.StreamingOps.eventsStream(spark, dir)
+        .withColumn("day", Exact.intDiv(col("ts_s") - Start, lit(Day)))
+        .filter(col("day") >= 21)
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n_obs")),
+      s"st26_cusum_${System.nanoTime()}")
+    cusumReadout(cusumAssemble(grid, obs, s21))
   }
 
   private lazy val cusumSql: String =
@@ -1402,6 +1442,13 @@ object StatsOps extends QueryModule {
         "cross-multiplication, both directions, dense grid so an " +
         "outage day counts zero",
       cusumMonitor, Some(cusumSql)),
+    GraftQuery("st26_streaming_cusum",
+      "ST26 the CUSUM monitor served live: per-(type, day) eval " +
+        "counts as algebraic streaming aggregation state, batch-side " +
+        "baseline artifact, closed-form window readout on the final " +
+        "bounded state through the same spelling as w26 — shares its " +
+        "oracle",
+      streamingCusum, Some(cusumSql)),
     GraftQuery("w16_weekday_profile",
       "W16 weekday seasonality: per (type, dow) count, exact mean, " +
         "weekly share — integer calendar arithmetic (day 0 = Monday), " +

@@ -459,6 +459,41 @@ class DedupSpec extends SparkSpec {
       "the fixture must contain cross-split near-dups")
   }
 
+  test("V75 split leakage replays from the pair frame and an " +
+    "independent md5 split assignment; cross-split pairs exist") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def splitOf(id: Long): String = {
+      val b = Integer.parseInt(md5hex(s"split$id").substring(0, 2), 16)
+      if (b < 205) "train" else if (b < 230) "val" else "test"
+    }
+    val pairs = DedupOps.ngramJaccard(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val want = pairs.groupBy { p =>
+      val (a, b) = (splitOf(p._1), splitOf(p._2))
+      (if (a <= b) a else b, if (a <= b) b else a)
+    }.map { case (k, ps) =>
+      k -> (ps.length.toLong, ps.map(_._3).max)
+    }
+    val rows = DedupOps.splitLeakage(spark, sf0001).collect()
+    assert(rows.length === 6)
+    rows.foreach { r =>
+      val k = (r.getString(0), r.getString(1))
+      want.get(k) match {
+        case Some((n, mx)) =>
+          assert(r.getAs[Long]("n_pairs") === n, s"$k")
+          assert(r.getAs[Double]("max_jaccard") === mx, s"$k")
+        case None =>
+          assert(r.getAs[Long]("n_pairs") === 0L, s"$k")
+          assert(r.isNullAt(r.fieldIndex("max_jaccard")), s"$k")
+      }
+      assert(r.getAs[Boolean]("cross_split") === (k._1 != k._2))
+    }
+    assert(want.keys.exists(k => k._1 != k._2),
+      "the fixture must contain cross-split near-dup pairs")
+  }
+
   test("ST25 ingest DAG verdicts reconcile with the standalone gates, " +
     "and a planted exact dup trips the first gate") {
     import spark.implicits._

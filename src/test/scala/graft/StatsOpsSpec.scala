@@ -648,6 +648,13 @@ class StatsOpsSpec extends SparkSpec {
       s"planted correlation must yield high variance reduction: $planted")
   }
 
+  test("st26 streaming CUSUM equals the batch monitor row-for-row") {
+    val stream = StatsOps.streamingCusum(spark, sf0001).collect()
+    val batch = StatsOps.cusumMonitor(spark, sf0001).collect()
+    assert(stream.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
+    assert(stream.nonEmpty)
+  }
+
   test("w26 CUSUM: every row replays the recursive definition locally, " +
     "and a planted level shift alarms while a stable feed never does") {
     import spark.implicits._
