@@ -132,28 +132,30 @@ object DedupOps extends QueryModule {
   // ---- MinHash + LSH banding (V2b) ----
   private val NumPerm = 32
   private val Bands = 8 // 4 rows per band
-  private val Prime = 2147483647L
+  private[graft] val Prime = 2147483647L
   /** Fixed permutation coefficients (seeded — stable across runs). */
-  private val coefs: Seq[(Long, Long)] = {
+  private[graft] val coefs: Seq[(Long, Long)] = {
     val rnd = new scala.util.Random(42)
     Seq.fill(NumPerm)((1L + rnd.nextInt(Int.MaxValue - 1).toLong,
       rnd.nextInt(Int.MaxValue).toLong))
   }
 
   /** MinHash signatures: fused shingle hashes
-    * ([[graft.functions.ShingleHashes]], one compiled pass per doc)
-    * folded through NumPerm affine permutations, min per doc — one
-    * groupBy, NumPerm min-aggs, no 32x explode. */
-  private def signatures(docs: DataFrame): DataFrame = {
-    val ex = docs.select(col("doc_id"),
-      explode(graft.functions.ShingleFunctions.shingle_hashes(col("text")))
-        .as("h"))
-      .withColumn("h0", pmod(col("h"), lit(Prime)))
-    val mins = coefs.zipWithIndex.map { case ((a, b), k) =>
-      min(pmod(col("h0") * a + b, lit(Prime))).as(s"m$k")
-    }
-    ex.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
-  }
+    * ([[graft.functions.ShingleHashes]]) folded through all NumPerm
+    * affine permutations in ONE compiled pass per row
+    * ([[graft.functions.MinHashSig]]) — a pure per-row projection.
+    * (The previous form exploded hashes into a 32-min groupBy: a
+    * corpus-sized SHUFFLE for numbers that never leave the row;
+    * FunctionsSpec pins bit-equality of the two spellings.) The
+    * null-text filter preserves the explode form's semantics — those
+    * docs simply had no rows to aggregate. */
+  private def signatures(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull)
+      .withColumn("sig", graft.functions.MinHashFunctions.minhash_sig(
+        graft.functions.ShingleFunctions.shingle_hashes(col("text")),
+        coefs, Prime))
+      .select(Seq(col("doc_id")) ++ (0 until NumPerm).map(k =>
+        col("sig").getItem(k).as(s"m$k")): _*)
 
   /** The 8 LSH band hashes over signature columns m0..m31 — ONE
     * spelling for the batch banding (groupBy-built signatures) and the
@@ -1257,18 +1259,15 @@ object DedupOps extends QueryModule {
       .select(col("doc_id").as("j"), col("sh").as("sh_j"),
         col("sz").as("sz_j"))
     val schema = Tables.table(spark, dir, "documents").schema
-    val mins = coefs.zipWithIndex.map { case ((a, b), k) =>
-      array_min(transform(col("h0"), x => pmod(x * a + b, lit(Prime))))
-        .as(s"m$k")
-    }
     val probes = spark.readStream.schema(schema)
       .option("pathGlobFilter", "documents.parquet").parquet(dir)
       .filter(col("text").isNotNull && col("doc_id") % 3 === 0)
       .repartition(8)
-      .withColumn("h0", transform(
+      .withColumn("sig", graft.functions.MinHashFunctions.minhash_sig(
         graft.functions.ShingleFunctions.shingle_hashes(col("text")),
-        h => pmod(h, lit(Prime))))
-      .select(Seq(col("doc_id").as("i"), shingles.as("sh_i")) ++ mins: _*)
+        coefs, Prime))
+      .select(Seq(col("doc_id").as("i"), shingles.as("sh_i")) ++
+        (0 until NumPerm).map(k => col("sig").getItem(k).as(s"m$k")): _*)
       .withColumn("sz_i", size(col("sh_i")))
       .select(col("i"), col("sh_i"), col("sz_i"),
         posexplode(array(bandHashCols: _*)).as(Seq("band_idx", "band_hash")))
@@ -1391,10 +1390,6 @@ object DedupOps extends QueryModule {
       .agg(collect_list(col("shingle")).as("bench")).localCheckpoint()
     val ledgerRow = scrubLedgerRow(spark, dir)
     val schema = Tables.table(spark, dir, "documents").schema
-    val mins = coefs.zipWithIndex.map { case ((a, b), k) =>
-      array_min(transform(col("h0"), x => pmod(x * a + b, lit(Prime))))
-        .as(s"m$k")
-    }
     val enriched = withInRowScrub(
       spark.readStream.schema(schema)
         .option("pathGlobFilter", "documents.parquet").parquet(dir)
@@ -1404,9 +1399,9 @@ object DedupOps extends QueryModule {
         .withColumn("norm_hash", TextCanon.normHash)
         .withColumn("sh_i", shingles)
         .withColumn("sz_i", size(col("sh_i")))
-        .withColumn("h0", transform(
+        .withColumn("sig", graft.functions.MinHashFunctions.minhash_sig(
           graft.functions.ShingleFunctions.shingle_hashes(col("text")),
-          h => pmod(h, lit(Prime))))
+          coefs, Prime))
         .withColumn("bm", pmod(col("doc_id"), lit(97)) === 0)
         .crossJoin(broadcast(benchRow))
         .withColumn("contam", Exact.ratio6(
@@ -1415,8 +1410,8 @@ object DedupOps extends QueryModule {
       .join(exLedger, Seq("norm_hash"), "left")
     val cand = enriched
       .select(Seq(col("doc_id"), col("ex_flag"), col("bm"), col("contam"),
-        col("n_removed"), col("clean_hash"), col("sh_i"),
-        col("sz_i")) ++ mins: _*)
+        col("n_removed"), col("clean_hash"), col("sh_i"), col("sz_i")) ++
+        (0 until NumPerm).map(k => col("sig").getItem(k).as(s"m$k")): _*)
       .select(col("doc_id"), col("ex_flag"), col("bm"), col("contam"),
         col("n_removed"), col("clean_hash"), col("sh_i"), col("sz_i"),
         posexplode(array(bandHashCols: _*)).as(Seq("band_idx", "band_hash")))

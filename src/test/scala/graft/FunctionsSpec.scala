@@ -102,6 +102,26 @@ class FunctionsSpec extends SparkSpec {
     assert(fused(4) === Seq(2, 2, 4))
   }
 
+  test("minhash_sig equals the per-permutation composable spelling " +
+    "bit-for-bit on real documents") {
+    import graft.functions.{MinHashFunctions, ShingleFunctions}
+    val coefs = graft.dedup.DedupOps.coefs
+    val p = graft.dedup.DedupOps.Prime
+    val base = Tables.documents(spark, sf0001)
+      .filter(col("text").isNotNull)
+      .withColumn("h0", transform(
+        ShingleFunctions.shingle_hashes(col("text")),
+        h => pmod(h, lit(p))))
+      .withColumn("sig", MinHashFunctions.minhash_sig(
+        ShingleFunctions.shingle_hashes(col("text")), coefs, p))
+    val allEq = coefs.zipWithIndex.map { case ((a, b), k) =>
+      array_min(transform(col("h0"), x => pmod(x * a + b, lit(p)))) ===
+        col("sig").getItem(k)
+    }.reduce(_ && _)
+    assert(base.filter(!allEq).count() === 0L)
+    assert(base.count() > 0L)
+  }
+
   test("dot_product rejects non-double arrays at analysis time") {
     val df = Seq((Seq(1, 2), Seq(3, 4))).toDF("a", "b")
     intercept[Exception] {
