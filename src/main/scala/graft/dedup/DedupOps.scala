@@ -1355,6 +1355,55 @@ object DedupOps extends QueryModule {
        |FROM grid g LEFT JOIN ag USING (split_a, split_b)
        |ORDER BY 1, 2""".stripMargin
 
+  /** V76: eval-protection scrub — v75's REPAIR step: the audit counts
+    * leaks, this operator removes them. Policy: the eval sets (val,
+    * test) are authoritative — a TRAIN document with a near-dup in
+    * either is quarantined (dropped from the training corpus), so the
+    * shipped eval scores stay meaningful without re-drawing the split
+    * (re-drawing would invalidate every historical score — the reason
+    * production pipelines scrub train, not eval). Output: every doc
+    * with its split, the keep/quarantine action, and the smallest
+    * eval doc it leaked to. Same cost shape as v75: pair-frame work +
+    * label joins, no new mining. */
+  def splitScrub(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables.documents(spark, dir)
+      .select(col("doc_id"), graft.nlp.MixOps.splitAssign.as("split"))
+    val pairs = ngramJaccard(spark, dir).select(col("i"), col("j"))
+    val sym = pairs.unionByName(
+      pairs.select(col("j").as("i"), col("i").as("j")))
+    val leaks = sym
+      .join(s.select(col("doc_id").as("i"), col("split").as("sp_i")),
+        Seq("i"))
+      .join(s.select(col("doc_id").as("j"), col("split").as("sp_j")),
+        Seq("j"))
+      .filter(col("sp_i") === "train" && col("sp_j") =!= "train")
+      .groupBy(col("i").as("doc_id"))
+      .agg(min(col("j")).as("leak_to"))
+    s.join(leaks, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("split"),
+        when(col("leak_to").isNotNull, "quarantine").otherwise("keep")
+          .as("action"),
+        col("leak_to"))
+      .orderBy(col("doc_id"))
+  }
+
+  private lazy val splitScrubSql: String =
+    s"""WITH pr AS (SELECT i, j FROM ($jaccardPairsSql)),
+       | sym AS (SELECT i, j FROM pr UNION ALL SELECT j AS i, i AS j FROM pr),
+       | sp AS (SELECT doc_id, ${graft.nlp.MixOps.splitAssignSql} AS sp
+       |        FROM documents),
+       | lk AS (SELECT sym.i AS doc_id, min(sym.j) AS leak_to
+       |   FROM sym JOIN sp a ON a.doc_id = sym.i
+       |   JOIN sp b ON b.doc_id = sym.j
+       |   WHERE a.sp = 'train' AND b.sp <> 'train'
+       |   GROUP BY 1)
+       |SELECT sp.doc_id, sp.sp AS split,
+       | CASE WHEN lk.leak_to IS NOT NULL THEN 'quarantine'
+       |      ELSE 'keep' END AS action,
+       | lk.leak_to
+       |FROM sp LEFT JOIN lk USING (doc_id)
+       |ORDER BY sp.doc_id""".stripMargin
+
   /** ST25: the composed STREAMING INGEST DAG — the gate chain a
     * production crawler actually runs on every arriving document, as
     * ONE streaming plan (v66 is the batch curation composition; this
@@ -1885,6 +1934,12 @@ object DedupOps extends QueryModule {
         "spelling, rolled onto the dense 6-combination grid with " +
         "cross-split flags and worst-pair Jaccard",
       splitLeakage, Some(splitLeakageSql)),
+    GraftQuery("v76_split_scrub",
+      "V76 eval-protection scrub (v75's repair): train docs with a " +
+        "near-dup in val/test are quarantined — eval membership stays " +
+        "authoritative so historical scores remain valid; per-doc " +
+        "keep/quarantine verdict with the smallest leaked-to eval id",
+      splitScrub, Some(splitScrubSql)),
     GraftQuery("v72_quality_dedup_apply",
       "V72 quality-aware dedup apply: per near-dup cluster keep the " +
         "HIGHEST v4b-quality member (ties to lower id) instead of " +

@@ -494,6 +494,43 @@ class DedupSpec extends SparkSpec {
       "the fixture must contain cross-split near-dup pairs")
   }
 
+  test("V76 split scrub quarantines exactly the train docs with an " +
+    "eval near-dup, and no kept train doc still leaks") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def splitOf(id: Long): String = {
+      val b = Integer.parseInt(md5hex(s"split$id").substring(0, 2), 16)
+      if (b < 205) "train" else if (b < 230) "val" else "test"
+    }
+    val pairs = DedupOps.ngramJaccard(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sym = pairs ++ pairs.map(p => (p._2, p._1))
+    val wantLeak = sym
+      .filter(p => splitOf(p._1) == "train" && splitOf(p._2) != "train")
+      .groupBy(_._1).map { case (i, ps) => i -> ps.map(_._2).min }
+    val rows = DedupOps.splitScrub(spark, sf0001).collect()
+    assert(rows.length ===
+      Tables.documents(spark, sf0001).count().toInt)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getString(1) === splitOf(id))
+      wantLeak.get(id) match {
+        case Some(to) =>
+          assert(r.getString(2) === "quarantine", s"doc $id")
+          assert(r.getAs[Long]("leak_to") === to)
+        case None =>
+          assert(r.getString(2) === "keep", s"doc $id")
+          assert(r.isNullAt(r.fieldIndex("leak_to")))
+      }
+    }
+    assert(wantLeak.nonEmpty, "the fixture must contain train leaks")
+    // invariant: after the scrub, no kept train doc has an eval near-dup
+    val kept = rows.filter(r => r.getString(1) == "train" &&
+      r.getString(2) == "keep").map(_.getLong(0)).toSet
+    assert(!sym.exists(p => kept(p._1) && splitOf(p._2) != "train"))
+  }
+
   test("ST25 ingest DAG verdicts reconcile with the standalone gates, " +
     "and a planted exact dup trips the first gate") {
     import spark.implicits._
