@@ -280,6 +280,75 @@ object Relational extends QueryModule {
        |  AND o_orderdate <  TIMESTAMP '1999-01-01'
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Q21-shape (TPC-H waiting suppliers): THE correlated-EXISTS
+    * showcase — the original nests one EXISTS (another supplier on the
+    * same order) and one NOT EXISTS (no OTHER supplier was late)
+    * inside the supplier scan; a naive engine re-probes lineitem twice
+    * per candidate row. Decorrelated BY CONSTRUCTION: ONE pass over
+    * the order's lines computes (distinct suppliers, distinct LATE
+    * suppliers) per order, and both existence predicates collapse to
+    * `n_supp > 1 AND n_late = 1` on that aggregate; and since n_late=1
+    * makes the late supplier unique per qualifying order, min() inside
+    * the SAME aggregate recovers its identity — the fact table is
+    * scanned ONCE and the double correlation became a single grouped
+    * aggregate (the q17 discipline, one step further).
+    * "Late" adapts TPC-H's receipt>commit to this schema: shipped more
+    * than 60 days after the order date. Finished-orders filter
+    * ('F') pushes into the orders scan. Top-100 by (numwait desc,
+    * name) compiles to TakeOrderedAndProject. Dimensions broadcast. */
+  def waitingSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val lines = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(Tables.orders(spark, dir)
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("delayed",
+        datediff(col("l_shipdate").cast("date"),
+          col("o_orderdate").cast("date")) > 60)
+    // n_late = 1 makes the late supplier UNIQUE per qualifying order,
+    // so min(late suppkey) recovers its identity inside the same
+    // aggregate — no second fact pass, no join back to lines
+    val perOrder = lines.groupBy(col("l_orderkey"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(col("delayed"), col("l_suppkey")))
+          .as("n_late"),
+        min(when(col("delayed"), col("l_suppkey"))).as("late_supp"))
+      .filter(col("n_supp") > 1 && col("n_late") === 1)
+    val waits = perOrder.groupBy(col("late_supp").as("l_suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+    waits
+      .join(broadcast(Tables.supplier(spark, dir)
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_name"), col("n_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(100)
+  }
+
+  private lazy val waitingSuppliersSql: String =
+    s"""WITH l AS (
+       | SELECT l_orderkey, l_suppkey,
+       |  date_diff('day', CAST(o_orderdate AS DATE),
+       |            CAST(l_shipdate AS DATE)) > 60 AS delayed
+       | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       | WHERE o_orderstatus = 'F'),
+       | oa AS (SELECT l_orderkey,
+       |   min(CASE WHEN delayed THEN l_suppkey END) AS late_supp
+       |  FROM l GROUP BY 1
+       |  HAVING count(DISTINCT l_suppkey) > 1
+       |     AND count(DISTINCT CASE WHEN delayed THEN l_suppkey END) = 1),
+       | w AS (SELECT late_supp AS l_suppkey,
+       |   CAST(count(*) AS BIGINT) AS numwait
+       |  FROM oa GROUP BY 1)
+       |SELECT s_name, n_name, numwait
+       |FROM w JOIN supplier ON l_suppkey = s_suppkey
+       | JOIN nation ON s_nationkey = n_nationkey
+       |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin
+
   /** Q1-shape (TPC-H pricing summary): THE sequential-scan aggregate —
     * one pushed-down date filter, eight aggregates in one partial/final
     * hash-agg pass onto a 6-row group frame. The canonical
@@ -618,6 +687,13 @@ object Relational extends QueryModule {
         "per-part window (no agg-join-back, no second fact scan); " +
         "integer cross-multiplied threshold, broadcast brand filter",
       smallQuantityRevenue, Some(smallQuantitySql)),
+    GraftQuery("q21_waiting_suppliers",
+      "Q21-shape waiting suppliers: double correlated EXISTS/NOT " +
+        "EXISTS decorrelated by construction — one fact pass computes " +
+        "per-order (distinct suppliers, distinct late suppliers), both " +
+        "existence predicates collapse to n_supp>1 AND n_late=1; " +
+        "dims broadcast, top-100 via TakeOrderedAndProject",
+      waitingSuppliers, Some(waitingSuppliersSql)),
     GraftQuery("q18_large_orders",
       "Q18-shape: grouped-HAVING semi-reduction on the fact table " +
         "(aggregate first, join the tiny survivor set), customer " +

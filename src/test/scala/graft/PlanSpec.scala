@@ -81,6 +81,16 @@ class PlanSpec extends SparkSpec {
     assert(lineitemScans == 1, p)
   }
 
+  test("q21 decorrelates the double EXISTS to one fact pass: single " +
+    "lineitem scan, top-k compiled, dims broadcast") {
+    val p = plan(q("q21_waiting_suppliers"))
+    val lineitemScans = p.linesIterator
+      .count(l => l.contains("Scan parquet") && l.contains("lineitem"))
+    assert(lineitemScans == 1, p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("t08 computes per-trace avg with ONE exchange (window, no broadcast)") {
     val p = plan(q("t08_trace_list"))
     assert(!p.contains("BroadcastExchange"), p)
