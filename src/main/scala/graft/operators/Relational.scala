@@ -349,6 +349,66 @@ object Relational extends QueryModule {
        | JOIN nation ON s_nationkey = n_nationkey
        |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin
 
+  /** Q22-shape (TPC-H global sales opportunity): the scalar-subquery +
+    * NOT-EXISTS pattern — customers richer than the positive-balance
+    * average who never ordered, rolled up per nation. The scalar
+    * subquery is ONE broadcast 1-row aggregate; the threshold compare
+    * runs in integer space by cross-multiplication (bal·n_pos >
+    * Σbal_pos, DECIMAL(38) — the product leaves Long at ~9e8
+    * customers) so no division ever happens; NOT EXISTS is one
+    * left_anti hash join against the date-filtered orders slice
+    * (the filter pushes into the scan; never a per-row probe); the
+    * nation dim broadcasts. Grouping adapts Q22's phone-prefix country
+    * code to this schema's nation key, and "never ordered" adapts to
+    * "no order since 1998-09-01" — Q22 verbatim is VACUOUS on this
+    * generator (every rich customer has some order), and a populated
+    * lapsed-customer variant exercises the identical plan shape while
+    * giving the hash compare real rows at every SF. */
+  def globalSalesOpportunity(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, LongType}
+    def d(c: Column): Column = c.cast(DecimalType(38, 0))
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
+        (col("c_acctbal").cast(DecimalType(18, 6)) * 1000000)
+          .cast(LongType).as("bal_micro"))
+    val pos = cust.filter(col("bal_micro") > 0L)
+      .agg(sum(col("bal_micro")).as("sum_pos"),
+        count(lit(1)).as("n_pos"))
+    cust.crossJoin(broadcast(pos))
+      .filter(d(col("bal_micro")) * d(col("n_pos")) > d(col("sum_pos")))
+      .join(Tables.orders(spark, dir)
+        .filter(col("o_orderdate") >= "1998-09-01")
+        .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("numcust"),
+        round(Exact.sumExact(col("c_acctbal")), 6).as("totacctbal"))
+      .orderBy(col("n_name"))
+  }
+
+  private lazy val globalSalesOpportunitySql: String =
+    s"""WITH c AS (SELECT c_custkey, c_nationkey, c_acctbal,
+       |  CAST(CAST(c_acctbal AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+       |    AS bal_micro
+       | FROM customer),
+       | p AS (SELECT CAST(sum(bal_micro) AS BIGINT) AS sum_pos,
+       |        CAST(count(*) AS BIGINT) AS n_pos
+       |       FROM c WHERE bal_micro > 0),
+       | r AS (SELECT c.* FROM c, p
+       |       WHERE bal_micro::HUGEINT * n_pos > sum_pos::HUGEINT),
+       | n AS (SELECT r.c_nationkey, r.c_acctbal FROM r
+       |       WHERE NOT EXISTS (SELECT 1 FROM orders o
+       |                         WHERE o.o_custkey = r.c_custkey
+       |                           AND o.o_orderdate >=
+       |                               TIMESTAMP '1998-09-01'))
+       |SELECT n_name, CAST(count(*) AS BIGINT) AS numcust,
+       | round(${OracleSql.sumExact("c_acctbal")}, 6) AS totacctbal
+       |FROM n JOIN nation ON c_nationkey = n_nationkey
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Q1-shape (TPC-H pricing summary): THE sequential-scan aggregate —
     * one pushed-down date filter, eight aggregates in one partial/final
     * hash-agg pass onto a 6-row group frame. The canonical
@@ -694,6 +754,12 @@ object Relational extends QueryModule {
         "existence predicates collapse to n_supp>1 AND n_late=1; " +
         "dims broadcast, top-100 via TakeOrderedAndProject",
       waitingSuppliers, Some(waitingSuppliersSql)),
+    GraftQuery("q22_sales_opportunity",
+      "Q22-shape global sales opportunity: scalar subquery as one " +
+        "broadcast 1-row aggregate, threshold compare cross-multiplied " +
+        "in DECIMAL integer space, NOT EXISTS as one left_anti hash " +
+        "join, nation rollup — no per-row probes, no division",
+      globalSalesOpportunity, Some(globalSalesOpportunitySql)),
     GraftQuery("q18_large_orders",
       "Q18-shape: grouped-HAVING semi-reduction on the fact table " +
         "(aggregate first, join the tiny survivor set), customer " +
