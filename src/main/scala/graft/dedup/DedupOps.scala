@@ -22,6 +22,13 @@ import org.apache.spark.sql.functions._
 object DedupOps extends QueryModule {
   private val Tau = 0.5 // near-dup Jaccard threshold
 
+  /** v16's shingle-containment threshold — ONE definition shared by
+    * the standalone gate (Spark default + oracle SQL) and the st25
+    * ingest DAG (review finding, r8: independent 0.05 literals let
+    * the composed gate silently diverge from the operator it
+    * composes). */
+  private[graft] val ContamTau = 0.05
+
   /** Distinct 3-word shingle strings of `text` — the fused single-pass
     * expression; string output keeps the DuckDB oracle's shingle
     * semantics byte-for-byte. */
@@ -731,7 +738,7 @@ object DedupOps extends QueryModule {
     * → one shuffle on doc_id for the hit count. No corpus-vs-corpus
     * join anywhere, so it stays linear in corpus size. */
   def decontaminate(spark: SparkSession, dir: String,
-      tau: Double = 0.05): DataFrame = {
+      tau: Double = ContamTau): DataFrame = {
     val sets = shingleSets(spark, dir)
     val bench = sets.filter(pmod(col("doc_id"), lit(97)) === 0)
       .select(explode(col("sh")).as("shingle")).distinct()
@@ -765,7 +772,7 @@ object DedupOps extends QueryModule {
        | CAST(n_hit AS BIGINT) AS n_hit,
        | ${OracleSql.ratio6("n_hit", "sz")} AS contamination
        |FROM h
-       |WHERE ${OracleSql.ratio6("n_hit", "sz")} >= 0.05
+       |WHERE ${OracleSql.ratio6("n_hit", "sz")} >= $ContamTau
        |ORDER BY doc_id""".stripMargin
 
   /** V16b: SEMANTIC decontamination — v16's embedding-space sibling
@@ -1237,11 +1244,11 @@ object DedupOps extends QueryModule {
     * document is probed against the ledger's stored LSH band index the
     * moment it lands, emitting every verified (arriving doc, ledger
     * doc, Jaccard) decision for the downstream dedup apply. The MinHash
-    * signature is computed IN-ROW on the stream (32 `array_min` folds
-    * over the fused shingle hashes — no explode/groupBy, stateless per
-    * row) through the SAME permutation coefficients and band-hash
-    * spelling as the stored index, so stream probe and batch index
-    * cannot disagree on a bucket; candidates join the two static
+    * signature is computed IN-ROW on the stream (the fused one-pass
+    * [[graft.functions.MinHashSig]] expression — no explode/groupBy,
+    * stateless per row) through the SAME permutation coefficients and
+    * band-hash spelling as the stored index, so stream probe and batch
+    * index cannot disagree on a bucket; candidates join the two static
     * frames (band index, ledger shingle sets), verify exact Jaccard
     * in-row, and dedupe multi-band hits with a keyed dropDuplicates
     * (state bounded by VERIFIED pairs, not the corpus). Append mode
@@ -1490,9 +1497,6 @@ object DedupOps extends QueryModule {
         s"st25_ingest_${System.nanoTime()}")
       .orderBy(col("doc_id"))
   }
-
-  /** v16's containment threshold, shared with the st25 gate. */
-  private val ContamTau = 0.05
 
   private lazy val streamingIngestDagSql: String =
     s"""WITH pr AS (SELECT i, j, jaccard FROM ($jaccardPairsSql)),

@@ -376,19 +376,15 @@ object MixOps extends QueryModule {
 
   // ---- V28: deterministic train/val/test hash split ----
 
-  /** V28: assignment of every document to train/val/test by content-free
-    * hash — the split that must stay stable as the corpus grows (a doc
-    * never migrates between splits when neighbors are added or removed,
-    * unlike fraction-of-sorted-order splits). Bucket = first two hex
-    * chars of md5('split' ∥ doc_id) read as an integer (256 buckets):
-    * < 205 train (~80.1%), < 230 val (~9.8%), else test (~10.2%).
-    * Pure per-row map + one (source, split) aggregate with map-side
-    * partial combine — no window, no join, embarrassingly parallel at
-    * any scale. */
   /** The v28 bucket → split assignment as a column over doc_id — ONE
-    * spelling shared with the v75 leakage audit (a re-spelled bucket
-    * boundary would silently audit a different split than the one
-    * shipped). */
+    * spelling shared with the v75/v76 leakage audit and repair (a
+    * re-spelled bucket boundary would silently audit a different
+    * split than the one shipped). Content-free hash, so the split
+    * stays stable as the corpus grows (a doc never migrates between
+    * splits when neighbors are added or removed, unlike
+    * fraction-of-sorted-order splits). Bucket = first two hex chars
+    * of md5('split' ∥ doc_id) read as an integer (256 buckets):
+    * < 205 train (~80.1%), < 230 val (~9.8%), else test (~10.2%). */
   private[graft] def splitAssign: Column = {
     val b = conv(substring(
       md5(concat(lit("split"), col("doc_id").cast("string"))), 1, 2),
@@ -404,6 +400,11 @@ object MixOps extends QueryModule {
       "ELSE 'test' END"
   }
 
+  /** V28: every document assigned to train/val/test by
+    * [[splitAssign]]'s content-free hash, rolled up per (source,
+    * split). Pure per-row map + one aggregate with map-side partial
+    * combine — no window, no join, embarrassingly parallel at any
+    * scale. */
   def hashSplit(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .withColumn("split", splitAssign)

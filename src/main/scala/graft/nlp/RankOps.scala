@@ -619,17 +619,21 @@ object RankOps extends QueryModule {
 
   /** The learned (token, id) vocabulary v4i encodes under and v4j
     * decodes with — id = 1-based rank by (freq desc, token asc) over
-    * the corpus's top-50 tokens. One spelling for both directions. */
-  private def vocab50(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    withWords(spark, dir)
-      .select(explode(col("w")).as("token"))
-      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
-      .orderBy(col("freq").desc, col("token")).limit(50)
-      .withColumn("id",
-        row_number().over(Window.orderBy(col("freq").desc, col("token"))))
-      .select(col("token"), col("id"))
-  }
+    * the corpus's top-50 tokens. One spelling for both directions,
+    * MEMOIZED ([[graft.util.PlanMemo]]): v4i and v4j's two consumers
+    * (decode + reference subsequence) would otherwise each re-run the
+    * corpus-wide frequency aggregate (review finding, r8). */
+  private def vocab50(spark: SparkSession, dir: String): DataFrame =
+    graft.util.PlanMemo.memo(spark, "v4i_vocab50", dir) {
+      import org.apache.spark.sql.expressions.Window
+      withWords(spark, dir)
+        .select(explode(col("w")).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("token")).limit(50)
+        .withColumn("id",
+          row_number().over(Window.orderBy(col("freq").desc, col("token"))))
+        .select(col("token"), col("id"))
+    }
 
   /** V4i: vocabulary ENCODING — the sequel to v4e's vocabulary build:
     * map each doc's words to token ids under the learned top-50 vocab
@@ -680,7 +684,8 @@ object RankOps extends QueryModule {
     * re-assembly; the reference subsequence rides the same shape —
     * two keyed shuffles, no window over the corpus. */
   def decodeRoundTrip(spark: SparkSession, dir: String): DataFrame = {
-    val vocab = vocab50(spark, dir).localCheckpoint()
+    val vocab = vocab50(spark, dir) // memoized parquet read
+
     def reassemble(df: DataFrame, out: String) =
       df.groupBy(col("doc_id"))
         .agg(concat_ws(" ", transform(

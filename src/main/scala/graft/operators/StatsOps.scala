@@ -113,8 +113,12 @@ object StatsOps extends QueryModule {
     * x_t − μ ∓ μ/4 into 84·x_t − 5·S21 / 3·S21 − 84·x_t and h into
     * 8·S21 (S21 = the type's 21-day count), so both engines agree
     * bit-for-bit with zero division. Both directions monitored; a
-    * type absent from the baseline (S21 = 0) alarms on its first
-    * observation — new-feed detection, deliberate.
+    * type absent from the baseline (S21 = 0, threshold 0) alarms UP
+    * from its first observation onward — new-feed detection,
+    * deliberate — and the strict `statistic > 0` conjunct keeps the
+    * zero threshold from firing on empty days before that first
+    * observation, or ever firing DOWN for a feed with no baseline to
+    * fall below (review finding, r8).
     *
     * Scale: two linear scans aggregate onto domain-bounded frames
     * (types, types×9) before the windows; windows run per type over
@@ -163,8 +167,10 @@ object StatsOps extends QueryModule {
         least(min(col("p_dn")).over(w), lit(0L)))
       .select(col("event_type"), col("day"), col("n_obs"),
         col("c_up"), col("c_dn"),
-        (col("c_up") >= col("s21") * 8L).as("alarm_up"),
-        (col("c_dn") >= col("s21") * 8L).as("alarm_dn"))
+        (col("c_up") >= col("s21") * 8L && col("c_up") > 0L)
+          .as("alarm_up"),
+        (col("c_dn") >= col("s21") * 8L && col("c_dn") > 0L)
+          .as("alarm_dn"))
       .orderBy(col("event_type"), col("day"))
   }
 
@@ -221,7 +227,8 @@ object StatsOps extends QueryModule {
        |     ROWS UNBOUNDED PRECEDING))
        |SELECT event_type, day, n_obs,
        | CAST(c_up AS BIGINT) AS c_up, CAST(c_dn AS BIGINT) AS c_dn,
-       | c_up >= s21 * 8 AS alarm_up, c_dn >= s21 * 8 AS alarm_dn
+       | c_up >= s21 * 8 AND c_up > 0 AS alarm_up,
+       | c_dn >= s21 * 8 AND c_dn > 0 AS alarm_dn
        |FROM c ORDER BY event_type, day""".stripMargin
 
   private lazy val seasonalAnomalySql: String =

@@ -679,16 +679,21 @@ class StatsOpsSpec extends SparkSpec {
           r.getString(0) == t && r.getLong(1) == d).get
         assert(r.getAs[Long]("c_up") === cUp, s"$t day $d")
         assert(r.getAs[Long]("c_dn") === cDn, s"$t day $d")
-        assert(r.getAs[Boolean]("alarm_up") === (cUp >= s21 * 8L))
-        assert(r.getAs[Boolean]("alarm_dn") === (cDn >= s21 * 8L))
+        assert(r.getAs[Boolean]("alarm_up") ===
+          (cUp >= s21 * 8L && cUp > 0L))
+        assert(r.getAs[Boolean]("alarm_dn") ===
+          (cDn >= s21 * 8L && cDn > 0L))
       }
     }
     // detection: a +100% shift from day 25 must alarm up; the stable
-    // twin must stay silent both directions
+    // twin must stay silent both directions; a type with NO baseline
+    // alarms up from its first observation onward, never before, and
+    // never down (the s21=0 threshold-0 edge — review finding)
     val plantedE =
       (0L until 30L).flatMap(d => Seq.fill(100)(("stable", d))) ++
       (0L until 25L).flatMap(d => Seq.fill(100)(("shifted", d))) ++
-      (25L until 30L).flatMap(d => Seq.fill(200)(("shifted", d)))
+      (25L until 30L).flatMap(d => Seq.fill(200)(("shifted", d))) ++
+      (26L until 30L).flatMap(d => Seq.fill(50)(("newfeed", d)))
     val out = StatsOps.cusumOf(spark,
       plantedE.toDF("event_type", "day")).collect()
     assert(out.filter(_.getString(0) == "shifted")
@@ -696,6 +701,11 @@ class StatsOpsSpec extends SparkSpec {
     out.filter(_.getString(0) == "stable").foreach { r =>
       assert(!r.getAs[Boolean]("alarm_up") &&
         !r.getAs[Boolean]("alarm_dn"), r.toString)
+    }
+    out.filter(_.getString(0) == "newfeed").foreach { r =>
+      assert(r.getAs[Boolean]("alarm_up") === (r.getLong(1) >= 26L),
+        r.toString)
+      assert(!r.getAs[Boolean]("alarm_dn"), r.toString)
     }
   }
 }
