@@ -432,7 +432,83 @@ object SessionOps extends QueryModule {
        |FROM m JOIN z USING (cohort_wk)
        |ORDER BY 1, 2""".stripMargin
 
+  /** U12 regularity gate: flag when the squared coefficient of
+    * variation of a user's inter-arrival gaps falls below 1/10 —
+    * human traffic is bursty (exponential gaps have CV² ≈ 1),
+    * schedulers and replay scripts tick (CV² → 0). */
+  val BotCv2Den = 10L
+  /** Minimum gaps before the CV² is meaningful. */
+  val BotMinGaps = 5L
+
+  /** U12: bot / automation detection — the behavioral gate next to
+    * u10's transition matrix: per user, inter-arrival-gap count, mean
+    * gap and squared coefficient of variation, flagged when timing is
+    * too REGULAR to be human. All-integer: gaps are epoch-second
+    * diffs; CV² = (n·Σg² − (Σg)²)/(Σg)² compares to 1/[[BotCv2Den]]
+    * by cross-multiplication (DECIMAL(38) — n·Σg² is quartic in the
+    * horizon and leaves Long around 2M same-user events), so no
+    * division decides a flag. Scale: one lag window PARTITIONED BY
+    * user (high-cardinality key — the u10 shape, never a constant
+    * partition) + one user-keyed aggregate; output is one row per
+    * qualifying user. */
+  def botDetection(spark: SparkSession, dir: String): DataFrame =
+    botDetectionOf(Tables.events(spark, dir))
+
+  /** [[botDetection]]'s core over any events-shaped frame — public so
+    * the spec can plant a metronome user (organic traffic is bursty,
+    * which a detection test must not rely on). */
+  private[graft] def botDetectionOf(e: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def d(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      c.cast(DecimalType(38, 0))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val gaps = e
+      .withColumn("prev_s", lag(col("ts_s"), 1).over(w))
+      .filter(col("prev_s").isNotNull)
+      .select(col("user_id"), (col("ts_s") - col("prev_s")).as("g"))
+    gaps.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("g")).as("sg"),
+        sum(d(col("g")) * d(col("g"))).as("sg2"))
+      .filter(col("n_gaps") >= BotMinGaps && col("sg") > 0L)
+      .select(col("user_id"), col("n_gaps"),
+        Exact.ratio6(col("sg"), col("n_gaps")).as("mean_gap_s"),
+        Exact.ratio6Dec(
+          d(col("n_gaps")) * col("sg2") - d(col("sg")) * d(col("sg")),
+          d(col("sg")) * d(col("sg"))).as("cv2"),
+        ((d(col("n_gaps")) * col("sg2") - d(col("sg")) * d(col("sg")))
+          * BotCv2Den < d(col("sg")) * d(col("sg"))).as("is_bot"))
+      .orderBy(col("user_id"))
+  }
+
+  private lazy val botDetectionSql: String =
+    s"""WITH g AS (SELECT user_id,
+       |  epoch_us(ts)//1000000 -
+       |    lag(epoch_us(ts)//1000000, 1) OVER (PARTITION BY user_id
+       |      ORDER BY epoch_us(ts), event_id) AS g
+       |  FROM events),
+       | a AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+       |        CAST(sum(g) AS BIGINT) AS sg,
+       |        sum(g::HUGEINT * g) AS sg2
+       |       FROM g WHERE g IS NOT NULL GROUP BY 1)
+       |SELECT user_id, n_gaps,
+       | ${OracleSql.ratio6("sg", "n_gaps")} AS mean_gap_s,
+       | ${OracleSql.ratio6Huge("n_gaps::HUGEINT * sg2 - sg::HUGEINT * sg",
+          "sg::HUGEINT * sg")} AS cv2,
+       | (n_gaps::HUGEINT * sg2 - sg::HUGEINT * sg) * $BotCv2Den
+       |   < sg::HUGEINT * sg AS is_bot
+       |FROM a WHERE n_gaps >= $BotMinGaps AND sg > 0
+       |ORDER BY user_id""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("u12_bot_detection",
+      "U12 bot/automation detection: per-user inter-arrival gap count, " +
+        "mean and squared coefficient of variation, flagged when " +
+        "timing is too regular to be human — all-integer " +
+        "cross-multiplied compare, one user-keyed lag window + one " +
+        "keyed aggregate",
+      botDetection, Some(botDetectionSql)),
     GraftQuery("u10_markov_transitions",
       "U10 next-event Markov transition matrix: consecutive-pair " +
         "counts per user (one lead window) row-normalized to " +

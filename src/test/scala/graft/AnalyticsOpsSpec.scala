@@ -589,4 +589,51 @@ class AnalyticsOpsSpec extends SparkSpec {
     val zeroes = rows.filter(_.getLong(1) == 0L).map(_.getLong(0))
     assert(cohorts.sorted.toSeq === zeroes.sorted.toSeq)
   }
+
+  test("u12 bot detection: stats recompute from a local gap walk, a " +
+    "planted metronome flags, and a bursty twin does not") {
+    val rows = graft.operators.SessionOps.botDetection(spark, sf0001)
+      .collect()
+    val raw = Tables.events(spark, sf0001)
+      .select(col("user_id"), col("ts_us"), col("ts_s"), col("event_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byUser = raw.groupBy(_._1)
+    val want = byUser.flatMap { case (u, es) =>
+      val ts = es.sortBy(e => (e._2, e._4)).map(_._3)
+      val gaps = ts.sliding(2).map(p => p(1) - p(0)).toSeq
+      val (n, sg) = (gaps.length.toLong, gaps.sum)
+      if (n >= 5 && sg > 0) {
+        val sg2 = gaps.map(g => BigInt(g) * g).sum
+        val num = BigInt(n) * sg2 - BigInt(sg) * sg
+        val den = BigInt(sg) * sg
+        Some(u -> (n, (sg * 1000000L + n / 2) / n,
+          ((num * 2000000 + den) / (den * 2)).toLong,
+          num * graft.operators.SessionOps.BotCv2Den < den))
+      } else None
+    }
+    assert(rows.length === want.size)
+    rows.foreach { r =>
+      val (n, mg, cv2m, bot) = want(r.getLong(0))
+      assert(r.getAs[Long]("n_gaps") === n)
+      assert(r.getAs[Double]("mean_gap_s") === mg.toDouble / 1e6)
+      assert(r.getAs[Double]("cv2") === cv2m.toDouble / 1e6)
+      assert(r.getAs[Boolean]("is_bot") === bot, s"user ${r.getLong(0)}")
+    }
+    // detection on a planted frame: user 1 ticks every 30 s exactly
+    // (a scheduler), user 2 is bursty
+    val burstyGaps = Seq(1L, 50L, 3L, 200L, 7L, 120L, 2L, 400L)
+    def tsOf(gaps: Seq[Long]): Seq[Long] = gaps.scanLeft(1000L)(_ + _)
+    val planted =
+      tsOf(Seq.fill(8)(30L)).zipWithIndex.map { case (t, i) =>
+        (i.toLong, t * 1000000L, t, 1L, "click", 0.0, "{}") } ++
+      tsOf(burstyGaps).zipWithIndex.map { case (t, i) =>
+        (100L + i, t * 1000000L, t, 2L, "click", 0.0, "{}") }
+    val pdf = planted.toDF("event_id", "ts_us", "ts_s", "user_id",
+      "event_type", "value", "props")
+    val out = graft.operators.SessionOps.botDetectionOf(pdf).collect()
+      .map(r => r.getLong(0) -> r.getAs[Boolean]("is_bot")).toMap
+    assert(out(1L), "the metronome user must flag")
+    assert(!out(2L), "the bursty user must not flag")
+  }
 }
