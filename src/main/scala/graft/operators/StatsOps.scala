@@ -916,8 +916,11 @@ object StatsOps extends QueryModule {
     * t statistic run in doubles (identical operands → identical IEEE
     * bits; sqrt is correctly rounded by spec — the v39 argument).
     * Scale: one user-keyed shuffle + a 2-row arm frame; nothing else. */
-  def abTest(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+  /** The one-row per-arm sufficient-statistics frame (n, integer
+    * micro mean6/var6 per arm) — w20's core, shared with the w27
+    * power analysis so design and readout use one spelling. */
+  private def armStatsOne(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
     def d(c: Column): Column = c.cast(DecimalType(38, 0))
     val perUser = ev(spark, dir)
       .groupBy(col("user_id"))
@@ -935,10 +938,15 @@ object StatsOps extends QueryModule {
           d(col("n")) * (d(col("n")) - 1) * lit(1000000L)).as("var6"))
     def pick(a: String, c: String): Column =
       min(when(col("arm") === a, col(c)))
-    val one = arms.agg(
+    arms.agg(
       pick("A", "n").as("n_a"), pick("B", "n").as("n_b"),
       pick("A", "mean6").as("ma6"), pick("B", "mean6").as("mb6"),
       pick("A", "var6").as("va6"), pick("B", "var6").as("vb6"))
+  }
+
+  def abTest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    val one = armStatsOne(spark, dir)
     val ma = col("ma6").cast(DoubleType) / 1000000.0
     val mb = col("mb6").cast(DoubleType) / 1000000.0
     val va = col("va6").cast(DoubleType) / 1000000.0
@@ -950,8 +958,54 @@ object StatsOps extends QueryModule {
       round(t, 6).as("welch_t"), (t > 1.96).as("significant"))
   }
 
-  private val abTestSql: String =
-    s"""WITH pu AS (SELECT user_id, ${OracleSql.microSum("value")} AS xm
+  /** W27: power analysis / minimum detectable effect — the DESIGN half
+    * of the A/B family (w20 reads out, w24 monitors, THIS says whether
+    * the experiment was ever big enough): from the same per-arm
+    * sufficient statistics as w20 (one spelling, [[armStatsOne]]),
+    * report the standard error of the mean difference, the absolute
+    * and relative MDE at two-sided α=0.05 / power 0.80 (multiplier
+    * z₀.₉₇₅+z₀.₈ ≈ 2.8), and the per-arm sample size a 5% relative
+    * lift would need. The integer mean/variance pipeline is exact;
+    * the final sqrt/divisions are IEEE-identical operand-for-operand
+    * across engines (the w20 welch_t convention). */
+  def powerAnalysis(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    val one = armStatsOne(spark, dir)
+    val ma = col("ma6").cast(DoubleType) / 1000000.0
+    val va = col("va6").cast(DoubleType) / 1000000.0
+    val vb = col("vb6").cast(DoubleType) / 1000000.0
+    val se = sqrt(va / col("n_a").cast(DoubleType) +
+      vb / col("n_b").cast(DoubleType))
+    val mde = lit(2.8) * se
+    val delta5 = lit(0.05) * ma
+    one.select(col("n_a"), col("n_b"),
+      round(se, 6).as("se"),
+      round(mde, 6).as("mde_abs"),
+      round(mde / ma, 6).as("mde_rel"),
+      ceil(lit(2.8) * lit(2.8) * (va + vb) / (delta5 * delta5))
+        .cast("long").as("n_per_arm_5pct"))
+  }
+
+  private lazy val powerAnalysisSql: String = {
+    val ma = "CAST(ma6 AS DOUBLE) / 1000000.0"
+    val va = "CAST(va6 AS DOUBLE) / 1000000.0"
+    val vb = "CAST(vb6 AS DOUBLE) / 1000000.0"
+    val se = s"sqrt($va / CAST(n_a AS BIGINT) + $vb / CAST(n_b AS BIGINT))"
+    s"""WITH $armStatsCtes
+       |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       | round($se, 6) AS se,
+       | round(2.8 * $se, 6) AS mde_abs,
+       | round(2.8 * $se / ($ma), 6) AS mde_rel,
+       | CAST(ceil(2.8 * 2.8 * (($va) + ($vb))
+       |   / ((0.05 * ($ma)) * (0.05 * ($ma)))) AS BIGINT)
+       |   AS n_per_arm_5pct
+       |FROM w""".stripMargin
+  }
+
+  /** DuckDB spelling of [[armStatsOne]] — the CTE chain shared by the
+    * w20 readout and the w27 power analysis. */
+  private lazy val armStatsCtes: String =
+    s"""pu AS (SELECT user_id, ${OracleSql.microSum("value")} AS xm
        |            FROM events GROUP BY 1),
        | ar AS (SELECT $ArmSqlCase AS arm, xm FROM pu),
        | g AS (SELECT arm, count(*) AS n, sum(xm) AS sx,
@@ -967,7 +1021,10 @@ object StatsOps extends QueryModule {
        |   max(CASE WHEN arm = 'A' THEN mean6 END) AS ma6,
        |   max(CASE WHEN arm = 'B' THEN mean6 END) AS mb6,
        |   max(CASE WHEN arm = 'A' THEN var6 END) AS va6,
-       |   max(CASE WHEN arm = 'B' THEN var6 END) AS vb6 FROM s)
+       |   max(CASE WHEN arm = 'B' THEN var6 END) AS vb6 FROM s)""".stripMargin
+
+  private lazy val abTestSql: String =
+    s"""WITH $armStatsCtes
        |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
        | CAST(ma6 AS DOUBLE) / 1000000.0 AS mean_a,
        | CAST(mb6 AS DOUBLE) / 1000000.0 AS mean_b,
@@ -1449,6 +1506,12 @@ object StatsOps extends QueryModule {
         "cross-multiplication, both directions, dense grid so an " +
         "outage day counts zero",
       cusumMonitor, Some(cusumSql)),
+    GraftQuery("w27_power_analysis",
+      "W27 power analysis / MDE: standard error, absolute and " +
+        "relative minimum detectable effect at alpha=0.05 power=0.8, " +
+        "and the per-arm n a 5% lift needs — the design half of the " +
+        "A/B family, from w20's own sufficient-statistics spelling",
+      powerAnalysis, Some(powerAnalysisSql)),
     GraftQuery("st26_streaming_cusum",
       "ST26 the CUSUM monitor served live: per-(type, day) eval " +
         "counts as algebraic streaming aggregation state, batch-side " +

@@ -648,6 +648,27 @@ class StatsOpsSpec extends SparkSpec {
       s"planted correlation must yield high variance reduction: $planted")
   }
 
+  test("w27 power analysis reconciles with w20's published moments") {
+    def r6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ab = StatsOps.abTest(spark, sf0001).collect()(0)
+    val (na, nb) = (ab.getAs[Long]("n_a"), ab.getAs[Long]("n_b"))
+    val (ma, va, vb) = (ab.getAs[Double]("mean_a"),
+      ab.getAs[Double]("var_a"), ab.getAs[Double]("var_b"))
+    val se = math.sqrt(va / na + vb / nb)
+    val r = StatsOps.powerAnalysis(spark, sf0001).collect()(0)
+    assert(r.getAs[Long]("n_a") === na)
+    assert(r.getAs[Long]("n_b") === nb)
+    assert(r.getAs[Double]("se") === r6(se))
+    assert(r.getAs[Double]("mde_abs") === r6(2.8 * se))
+    assert(r.getAs[Double]("mde_rel") === r6(2.8 * se / ma))
+    assert(r.getAs[Long]("n_per_arm_5pct") ===
+      math.ceil(2.8 * 2.8 * (va + vb) / ((0.05 * ma) * (0.05 * ma)))
+        .toLong)
+    assert(r.getAs[Double]("se") > 0.0)
+    assert(r.getAs[Long]("n_per_arm_5pct") > 0L)
+  }
+
   test("st26 streaming CUSUM equals the batch monitor row-for-row") {
     val stream = StatsOps.streamingCusum(spark, sf0001).collect()
     val batch = StatsOps.cusumMonitor(spark, sf0001).collect()
