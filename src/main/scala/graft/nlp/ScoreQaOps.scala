@@ -205,7 +205,65 @@ object ScoreQaOps extends QueryModule {
        |   / 1000000.0 AS kappa
        |FROM nn, dg, rc""".stripMargin
 
+  /** The shipped v13 gate threshold in micro units (0.38) — the
+    * operating point v77 evaluates. */
+  private val GateMicro = 380000L
+
+  /** V77: gate operating point — v55 says the score RANKS well and
+    * v56 says it is calibrated; neither says what the gate DOES at
+    * the threshold the pipeline actually ships (0.38): per-class
+    * confusion counts and exact precision / recall / F1 / accuracy
+    * against the declared-English class. F1 avoids the two-ratio
+    * composition entirely via its integer identity
+    * 2tp/(2tp+fp+fn) — one exact ratio, no intermediate rounding.
+    * One conditional-sum pass over the scored frame; a 1-row
+    * output. */
+  def gateOperatingPoint(spark: SparkSession, dir: String): DataFrame = {
+    val s = scored(spark, dir)
+      .withColumn("pred", (col("sc") >= GateMicro).cast("int"))
+    s.agg(
+      sum(col("pred") * col("pos")).cast("long").as("tp"),
+      sum(col("pred") * (lit(1) - col("pos"))).cast("long").as("fp"),
+      sum((lit(1) - col("pred")) * col("pos")).cast("long").as("fn"),
+      sum((lit(1) - col("pred")) * (lit(1) - col("pos"))).cast("long")
+        .as("tn"))
+      .select(lit(0.38).as("threshold"),
+        col("tp"), col("fp"), col("fn"), col("tn"),
+        Exact.ratio6(col("tp"), col("tp") + col("fp")).as("precision"),
+        Exact.ratio6(col("tp"), col("tp") + col("fn")).as("recall"),
+        Exact.ratio6(col("tp") * 2L,
+          col("tp") * 2L + col("fp") + col("fn")).as("f1"),
+        Exact.ratio6(col("tp") + col("tn"),
+          col("tp") + col("fp") + col("fn") + col("tn")).as("accuracy"))
+  }
+
+  private lazy val gateOperatingPointSql: String =
+    s"""WITH $scoredSql,
+       | cm AS (SELECT
+       |   CAST(sum(CASE WHEN sc >= $GateMicro AND pos = 1
+       |     THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |   CAST(sum(CASE WHEN sc >= $GateMicro AND pos = 0
+       |     THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       |   CAST(sum(CASE WHEN sc < $GateMicro AND pos = 1
+       |     THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+       |   CAST(sum(CASE WHEN sc < $GateMicro AND pos = 0
+       |     THEN 1 ELSE 0 END) AS BIGINT) AS tn
+       |  FROM scd)
+       |SELECT CAST(0.38 AS DOUBLE) AS threshold, tp, fp, fn, tn,
+       | ${OracleSql.ratio6("tp", "tp + fp")} AS precision,
+       | ${OracleSql.ratio6("tp", "tp + fn")} AS recall,
+       | ${OracleSql.ratio6("tp * 2", "tp * 2 + fp + fn")} AS f1,
+       | ${OracleSql.ratio6("(tp + tn)", "tp + fp + fn + tn")} AS accuracy
+       |FROM cm""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("v77_gate_operating_point",
+      "V77 gate operating point: confusion counts + exact precision/" +
+        "recall/F1/accuracy of the v4b score at the SHIPPED 0.38 gate " +
+        "threshold vs the declared-English class — F1 via its integer " +
+        "identity 2tp/(2tp+fp+fn), one conditional-sum pass, 1-row " +
+        "output",
+      gateOperatingPoint, Some(gateOperatingPointSql)),
     GraftQuery("v55_score_auc",
       "V55 ROC-AUC of the v4b quality score vs the declared-English " +
         "class (tie-aware pairwise form) — computed on the bounded " +

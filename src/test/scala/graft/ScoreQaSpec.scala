@@ -46,4 +46,24 @@ class ScoreQaSpec extends SparkSpec {
     assert(math.abs(k - (po - pe) / (1 - pe)) < 1e-4,
       s"kappa $k vs (po-pe)/(1-pe) ${(po - pe) / (1 - pe)}")
   }
+
+  test("v77 operating point: confusion partitions the corpus, both " +
+    "classes are populated, and the ratios reproduce the counts") {
+    val r = ScoreQaOps.gateOperatingPoint(spark, sf0001).collect().head
+    val (tp, fp, fn, tn) = (r.getAs[Long]("tp"), r.getAs[Long]("fp"),
+      r.getAs[Long]("fn"), r.getAs[Long]("tn"))
+    assert(tp + fp + fn + tn === 500L)
+    assert(tp > 0L, "the gate must pass some declared-en docs")
+    assert(fp + tn > 0L, "the negative class must be populated")
+    def r6(num: Long, den: Long): Double =
+      ((num * 1000000L + den / 2) / den).toDouble / 1e6
+    assert(r.getAs[Double]("precision") === r6(tp, tp + fp))
+    assert(r.getAs[Double]("recall") === r6(tp, tp + fn))
+    assert(r.getAs[Double]("f1") === r6(2 * tp, 2 * tp + fp + fn))
+    assert(r.getAs[Double]("accuracy") === r6(tp + tn, 500L))
+    // F1 sits between precision and recall's min and max
+    val (p, rec, f1) = (r.getAs[Double]("precision"),
+      r.getAs[Double]("recall"), r.getAs[Double]("f1"))
+    assert(f1 >= math.min(p, rec) - 1e-6 && f1 <= math.max(p, rec) + 1e-6)
+  }
 }
