@@ -80,7 +80,7 @@ object QualityOps extends QueryModule {
       .orderBy(col("table_name"), col("chk"))
   }
 
-  private lazy val expectationsSql: String = {
+  private[graft] lazy val expectationsSql: String = {
     def row(table: String, name: String, n: String, bad: String,
         from: String) =
       s"""SELECT '$table' AS table_name, '$name' AS chk,
@@ -248,7 +248,7 @@ object QualityOps extends QueryModule {
       .orderBy(col("relation"))
   }
 
-  private lazy val refIntegritySql: String = {
+  private[graft] lazy val refIntegritySql: String = {
     def audit(rel: String, child: String, ck: String, parent: String,
         pk: String) =
       s"""SELECT '$rel' AS relation,
@@ -371,7 +371,82 @@ object QualityOps extends QueryModule {
        | count(*) < $DiversityL AS at_risk
        |FROM cells GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Release-gate thresholds: max tolerated distribution shift (v35
+    * TVD) and exact-duplicate share. */
+  val GateMaxTvd = 0.2
+  val GateMaxDupShare = 0.05
+
+  /** V78: the RELEASE GATE — the one-row go/no-go a snapshot must pass
+    * before a training run consumes it, composing the monitors this
+    * engine already runs: v37 expectations (any failed check?), v38
+    * referential integrity (any orphan?), w26 CUSUM (any feed alarm in
+    * the eval window?), v35 drift (worst per-type TVD under
+    * [[GateMaxTvd]]?), and the exact-duplicate share (under
+    * [[GateMaxDupShare]]?). Each component is CONSUMED THROUGH ITS OWN
+    * registered operator (and the oracle embeds each component's own
+    * oracle SQL as a subquery), so the gate cannot drift from the
+    * monitors it summarizes. Five 1-row aggregates crossJoined — the
+    * headline numbers ride along so a red gate says why. */
+  def releaseGate(spark: SparkSession, dir: String): DataFrame = {
+    val exp = expectations(spark, dir)
+      .agg(sum(lit(1) - col("pass")).cast("long").as("n_failed_checks"))
+    val fk = refIntegrity(spark, dir)
+      .agg(sum(col("n_orphan")).cast("long").as("n_orphans"))
+    val al = StatsOps.cusumMonitor(spark, dir)
+      .agg(sum(col("alarm_up").cast("int") + col("alarm_dn").cast("int"))
+        .cast("long").as("n_alarms"))
+    val dr = StatsOps.drift(spark, dir).agg(max(col("tvd")).as("max_tvd"))
+    val dp = Tables.documents(spark, dir)
+      .agg(Exact.ratio6(
+        count(lit(1)) - countDistinct(md5(col("text").cast("binary"))),
+        count(lit(1))).as("dup_share"))
+    val ok = col("n_failed_checks") === 0L && col("n_orphans") === 0L &&
+      col("n_alarms") === 0L && col("max_tvd") <= GateMaxTvd &&
+      col("dup_share") <= GateMaxDupShare
+    exp.crossJoin(broadcast(fk)).crossJoin(broadcast(al))
+      .crossJoin(broadcast(dr)).crossJoin(broadcast(dp))
+      .select(col("n_failed_checks"), col("n_orphans"), col("n_alarms"),
+        col("max_tvd"), col("dup_share"),
+        (col("n_failed_checks") === 0L).as("expectations_ok"),
+        (col("n_orphans") === 0L).as("fk_ok"),
+        (col("n_alarms") === 0L).as("feed_stable"),
+        (col("max_tvd") <= GateMaxTvd).as("drift_ok"),
+        (col("dup_share") <= GateMaxDupShare).as("dup_ok"),
+        ok.as("ship"))
+  }
+
+  private lazy val releaseGateSql: String =
+    s"""WITH expq AS (SELECT CAST(sum(1 - pass) AS BIGINT) AS n_failed_checks
+       |   FROM ($expectationsSql)),
+       | fkq AS (SELECT CAST(sum(n_orphan) AS BIGINT) AS n_orphans
+       |   FROM (${refIntegritySql})),
+       | alq AS (SELECT CAST(sum(
+       |     CASE WHEN alarm_up THEN 1 ELSE 0 END +
+       |     CASE WHEN alarm_dn THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms
+       |   FROM (${StatsOps.cusumSql})),
+       | drq AS (SELECT max(tvd) AS max_tvd FROM (${StatsOps.driftSql})),
+       | dpq AS (SELECT ${OracleSql.ratio6(
+            "(count(*) - count(DISTINCT md5(text)))", "count(*)")}
+       |     AS dup_share FROM documents)
+       |SELECT n_failed_checks, n_orphans, n_alarms, max_tvd, dup_share,
+       | n_failed_checks = 0 AS expectations_ok,
+       | n_orphans = 0 AS fk_ok,
+       | n_alarms = 0 AS feed_stable,
+       | max_tvd <= $GateMaxTvd AS drift_ok,
+       | dup_share <= $GateMaxDupShare AS dup_ok,
+       | (n_failed_checks = 0 AND n_orphans = 0 AND n_alarms = 0
+       |  AND max_tvd <= $GateMaxTvd AND dup_share <= $GateMaxDupShare)
+       |   AS ship
+       |FROM expq, fkq, alq, drq, dpq""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("v78_release_gate",
+      "V78 release gate: the one-row go/no-go composing the shipped " +
+        "monitors — v37 expectations, v38 FK integrity, w26 CUSUM " +
+        "alarms, v35 worst drift, exact-dup share — each consumed " +
+        "through its own operator and oracle SQL, headline numbers " +
+        "alongside the verdict",
+      releaseGate, Some(releaseGateSql)),
     GraftQuery("w21_k_anonymity",
       "W21 k-anonymity audit: quasi-identifier equivalence classes " +
         "with size, 1/n re-identification probability and below-k " +

@@ -201,7 +201,7 @@ object StatsOps extends QueryModule {
     cusumReadout(cusumAssemble(grid, obs, s21))
   }
 
-  private lazy val cusumSql: String =
+  private[graft] lazy val cusumSql: String =
     s"""WITH e AS (SELECT event_type,
        |   (epoch_us(ts)//1000000 - $Start) // $Day AS day FROM events),
        | s21 AS (SELECT event_type, CAST(count(*) AS BIGINT) AS s21
@@ -313,7 +313,7 @@ object StatsOps extends QueryModule {
       .orderBy(col("event_type"))
   }
 
-  private val driftSql: String = {
+  private[graft] lazy val driftSql: String = {
     val pm = OracleSql.ratio6Micro("na", "na_tot")
     val qm = OracleSql.ratio6Micro("nb", "nb_tot")
     s"""WITH b AS (

@@ -93,6 +93,37 @@ class QualityOpsSpec extends SparkSpec {
     assert(a.getAs[Long]("n_childless") === 2L)
   }
 
+  test("v78 release gate reconciles with every component monitor and " +
+    "the verdict is the conjunction") {
+    val g = QualityOps.releaseGate(spark, sf0001).collect().head
+    val failed = QualityOps.expectations(spark, sf0001).collect()
+      .map(r => 1L - r.getAs[Int]("pass")).sum
+    val orphans = QualityOps.refIntegrity(spark, sf0001).collect()
+      .map(_.getAs[Long]("n_orphan")).sum
+    val alarms = graft.operators.StatsOps.cusumMonitor(spark, sf0001)
+      .collect().map(r => (if (r.getAs[Boolean]("alarm_up")) 1L else 0L) +
+        (if (r.getAs[Boolean]("alarm_dn")) 1L else 0L)).sum
+    val maxTvd = graft.operators.StatsOps.drift(spark, sf0001)
+      .collect().map(_.getAs[Double]("tvd")).max
+    assert(g.getAs[Long]("n_failed_checks") === failed)
+    assert(g.getAs[Long]("n_orphans") === orphans)
+    assert(g.getAs[Long]("n_alarms") === alarms)
+    assert(g.getAs[Double]("max_tvd") === maxTvd)
+    val dup = g.getAs[Double]("dup_share")
+    assert(dup >= 0.0 && dup <= 1.0)
+    assert(g.getAs[Boolean]("expectations_ok") === (failed == 0L))
+    assert(g.getAs[Boolean]("fk_ok") === (orphans == 0L))
+    assert(g.getAs[Boolean]("feed_stable") === (alarms == 0L))
+    assert(g.getAs[Boolean]("drift_ok") ===
+      (maxTvd <= QualityOps.GateMaxTvd))
+    assert(g.getAs[Boolean]("dup_ok") ===
+      (dup <= QualityOps.GateMaxDupShare))
+    assert(g.getAs[Boolean]("ship") ===
+      (failed == 0L && orphans == 0L && alarms == 0L &&
+        maxTvd <= QualityOps.GateMaxTvd &&
+        dup <= QualityOps.GateMaxDupShare))
+  }
+
   test("w25 l-diversity: every class recomputes from a local bracket " +
     "replay, and a planted homogeneous class flags at_risk") {
     val rows = QualityOps.lDiversity(spark, sf0001).collect()
