@@ -319,6 +319,47 @@ object ClusterOps extends QueryModule {
     * partial-agg shuffle over the corpus; everything after runs on
     * labels×dims rows (bounded — 640 here), pairs on labels² — the
     * v39 domain-bounded-frame discipline. */
+  /** V79 imbalance bar: a class more than 2× off its uniform share
+    * flags (the conventional "needs reweighting/resampling" line the
+    * v52/v48 rebalancers then act on). */
+  val BalanceFactor = 2L
+
+  /** V79: class-balance audit — the label-distribution check a
+    * supervised (or classifier-filtered) pipeline runs before
+    * training: per label, count, exact share, deviation from the
+    * uniform share, and a flag when the class sits more than
+    * [[BalanceFactor]]× off uniform in either direction. All integer
+    * cross-multiplication (n·k vs total — no division decides a
+    * flag); one keyed partial-agg shuffle onto the bounded label
+    * frame; k and total ride a broadcast 1-row aggregate. */
+  def classBalance(spark: SparkSession, dir: String): DataFrame = {
+    val perLabel = Tables.embeddings(spark, dir)
+      .groupBy(col("label")).agg(count(lit(1)).as("n"))
+    val totals = perLabel.agg(sum(col("n")).as("total"),
+      count(lit(1)).as("k"))
+    perLabel.crossJoin(broadcast(totals))
+      .select(col("label"), col("n"),
+        Exact.ratio6(col("n"), col("total")).as("share"),
+        Exact.ratio6(abs(col("n") * col("k") - col("total")),
+          col("total")).as("uniform_dev"),
+        (col("n") * col("k") > col("total") * BalanceFactor ||
+          col("n") * col("k") * BalanceFactor < col("total"))
+          .as("imbalanced"))
+      .orderBy(col("label"))
+  }
+
+  private lazy val classBalanceSql: String =
+    s"""WITH p AS (SELECT label, CAST(count(*) AS BIGINT) AS n
+       |           FROM embeddings GROUP BY 1),
+       | t AS (SELECT CAST(sum(n) AS BIGINT) AS total,
+       |        CAST(count(*) AS BIGINT) AS k FROM p)
+       |SELECT label, n,
+       | ${OracleSql.ratio6("n", "total")} AS share,
+       | ${OracleSql.ratio6("abs(n * k - total)", "total")} AS uniform_dev,
+       | (n * k > total * $BalanceFactor
+       |  OR n * k * $BalanceFactor < total) AS imbalanced
+       |FROM p, t ORDER BY label""".stripMargin
+
   def labelAffinity(spark: SparkSession, dir: String): DataFrame = {
     val m = labelCentroids(spark, dir).localCheckpoint()
     val norms = m.groupBy(col("label"))
@@ -384,6 +425,12 @@ object ClusterOps extends QueryModule {
         "native TopKPerKey operator (bounded heaps astride one " +
         "exchange) — fully oracle-checked including the draw",
       balancedCoreset, Some(coresetSql)),
+    GraftQuery("v79_class_balance",
+      "V79 class-balance audit: per-label count, exact share, " +
+        "deviation from uniform, and a 2x-off-uniform imbalance flag " +
+        "— integer cross-multiplied, one keyed agg onto the bounded " +
+        "label frame, broadcast totals",
+      classBalance, Some(classBalanceSql)),
     GraftQuery("v51_label_affinity",
       "V51 label affinity matrix: pairwise cosine between per-label " +
         "integer-micro centroids (exact dots, IEEE sqrt) — which label " +

@@ -92,6 +92,32 @@ class ClusterSpec extends SparkSpec {
     }
   }
 
+  test("v79 class balance recomputes locally (flag logic replayed " +
+    "exactly) and the near-uniform fixture stays clean") {
+    val rows = ClusterOps.classBalance(spark, sf0001).collect()
+    val byLabel = pts.groupBy(_._2).map { case (l, xs) =>
+      l.toLong -> xs.size.toLong
+    }
+    val total = pts.size.toLong
+    val k = byLabel.size.toLong
+    assert(rows.length === byLabel.size)
+    assert(rows.map(_.getAs[Long]("n")).sum === total)
+    rows.foreach { r =>
+      val n = byLabel(r.getAs[Int]("label").toLong)
+      assert(r.getAs[Long]("n") === n)
+      assert(r.getAs[Double]("share") ===
+        ((n * 1000000L + total / 2) / total).toDouble / 1e6)
+      assert(r.getAs[Double]("uniform_dev") ===
+        ((math.abs(n * k - total) * 1000000L + total / 2) / total)
+          .toDouble / 1e6)
+      assert(r.getAs[Boolean]("imbalanced") ===
+        (n * k > total * 2 || n * k * 2 < total), r.toString)
+    }
+    // the near-uniform fixture must not flag anything — and the flag
+    // logic itself is pinned by the exact replay above
+    assert(!rows.exists(_.getAs[Boolean]("imbalanced")))
+  }
+
   test("v47 k-means profile equals an engine-free Lloyd reimplementation") {
     val got = ClusterOps.kmeans(spark, sf0001).collect()
       .map(r => (r.getAs[Long]("cluster"),
