@@ -332,9 +332,14 @@ object ClusterOps extends QueryModule {
     * cross-multiplication (n·k vs total — no division decides a
     * flag); one keyed partial-agg shuffle onto the bounded label
     * frame; k and total ride a broadcast 1-row aggregate. */
-  def classBalance(spark: SparkSession, dir: String): DataFrame = {
-    val perLabel = Tables.embeddings(spark, dir)
-      .groupBy(col("label")).agg(count(lit(1)).as("n"))
+  def classBalance(spark: SparkSession, dir: String): DataFrame =
+    classBalanceReadout(Tables.embeddings(spark, dir)
+      .groupBy(col("label")).agg(count(lit(1)).as("n")))
+
+  /** The share/deviation/flag readout over a (label, n) count frame —
+    * one spelling for the batch audit and its streaming twin (st27),
+    * which supplies the counts from streaming aggregation state. */
+  private def classBalanceReadout(perLabel: DataFrame): DataFrame = {
     val totals = perLabel.agg(sum(col("n")).as("total"),
       count(lit(1)).as("k"))
     perLabel.crossJoin(broadcast(totals))
@@ -346,6 +351,23 @@ object ClusterOps extends QueryModule {
           col("n") * col("k") * BalanceFactor < col("total"))
           .as("imbalanced"))
       .orderBy(col("label"))
+  }
+
+  /** ST27: the class-balance audit SERVED LIVE — label skew is an
+    * ingest property (one upstream labeler outage skews the stream
+    * long before a batch audit runs): per-label counts as algebraic
+    * streaming aggregation state (O(labels) rows), the
+    * share/deviation/flag readout on the final bounded state through
+    * the SAME [[classBalanceReadout]] spelling — shares v79's
+    * oracle. */
+  def streamingClassBalance(spark: SparkSession, dir: String): DataFrame = {
+    val schema = Tables.table(spark, dir, "embeddings").schema
+    val counts = graft.streaming.StreamingOps.runToBatch(spark,
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+        .groupBy(col("label")).agg(count(lit(1)).as("n")),
+      s"st27_balance_${System.nanoTime()}")
+    classBalanceReadout(counts)
   }
 
   private lazy val classBalanceSql: String =
@@ -431,6 +453,12 @@ object ClusterOps extends QueryModule {
         "— integer cross-multiplied, one keyed agg onto the bounded " +
         "label frame, broadcast totals",
       classBalance, Some(classBalanceSql)),
+    GraftQuery("st27_streaming_class_balance",
+      "ST27 the class-balance audit served live: per-label counts as " +
+        "algebraic streaming aggregation state, the share/deviation/" +
+        "flag readout on the final bounded state through v79's own " +
+        "spelling — shares its oracle",
+      streamingClassBalance, Some(classBalanceSql)),
     GraftQuery("v51_label_affinity",
       "V51 label affinity matrix: pairwise cosine between per-label " +
         "integer-micro centroids (exact dots, IEEE sqrt) — which label " +

@@ -116,6 +116,9 @@ class ClusterSpec extends SparkSpec {
     // the near-uniform fixture must not flag anything — and the flag
     // logic itself is pinned by the exact replay above
     assert(!rows.exists(_.getAs[Boolean]("imbalanced")))
+    // st27: the streaming twin equals the batch audit row-for-row
+    val stream = ClusterOps.streamingClassBalance(spark, sf0001).collect()
+    assert(stream.map(_.toSeq).toSeq === rows.map(_.toSeq).toSeq)
   }
 
   test("v47 k-means profile equals an engine-free Lloyd reimplementation") {
