@@ -118,6 +118,12 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}"""
     println(shortLine)
     println(line)
+    // Round-8 verdict: the driver keeps the END of stdout, so a short
+    // line printed only BEFORE the ~10 KB per-query line gets evicted
+    // from the tail window ("parsed": null three rounds running).
+    // Print it again AFTER the long line so it sits inside any
+    // tail-keeping capture as well as any head-keeping one.
+    println(shortLine)
     System.out.flush()
     // The driver's BENCH artifact head-truncates long stdout captures
     // (round 4 kept only 60 of 154 per-query times), so also write the

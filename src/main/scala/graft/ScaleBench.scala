@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Measured scale evidence (round-8 verdict gap #2): synthesize a
+  * ×FACTOR blow-up of the hot tables ([[graft.util.ScaleData]] — salted
+  * so dup/ANN densities stay constant), run the heaviest dedup / ANN /
+  * text / streaming entries at 1× and FACTOR×, and print the wall-clock
+  * ratio per entry. ≈FACTOR means linear scaling; >>FACTOR exposes a
+  * super-linear stage. Results are recorded in SCALING.md; the
+  * noise-free structural twins (candidate/work ROW counts at 1× vs N×)
+  * are pinned in ScaleSpec.
+  *
+  * Two deliberate index-parameter regimes for the IVF entries:
+  * `v2d2[fixed]` keeps nlist=16 at both scales (cells grow ×FACTOR, the
+  * in-cell pair stage is O(N²/nlist) — the regime a deployment AVOIDS),
+  * while `v2d2[scaled]` grows nlist with the corpus (FAISS practice,
+  * constant expected cell size) — the honest 100 TB configuration.
+  * v3c needs no scaled twin: its maxCellSize sub-split bounds cell
+  * blow-up by construction.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=<base> runMain graft.ScaleBench [factor]
+  * (one process measures both scales back to back: same JIT state, and
+  * none of the measured entries writes a OncePerProcess fixture). */
+object ScaleBench {
+  def main(args: Array[String]): Unit = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      "/root/testdata/sf0.1")
+    val factor = args.headOption.map(_.toInt).getOrElse(10)
+    val spark = GraftSession.local(appName = "graft-scale")
+    val blown = graft.util.TempArtifacts.register(
+      s"${sys.props("java.io.tmpdir")}/graft_scale_${factor}x_" +
+        ProcessHandle.current().pid())
+    val t0 = System.nanoTime()
+    graft.util.ScaleData.blowUp(spark, base, blown, factor)
+    println(f"[scale] blow-up ×$factor built in " +
+      f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+
+    // (label, dir-parameterized plan). Registry entries by name where
+    // the binding is dump-free; the two IVF regimes call the operator
+    // directly to vary nlist.
+    val reg = SparkEntry.queries
+    val entries: Seq[(String, (SparkSession, String, Int) => Long)] = Seq(
+      ("v1_dedup_exact", (s: SparkSession, d: String, _: Int) =>
+        reg("v1_dedup_exact")(s, d).count()),
+      ("v2b_minhash_lsh", (s: SparkSession, d: String, _: Int) =>
+        reg("v2b_minhash_lsh")(s, d).count()),
+      ("v16_decontamination", (s: SparkSession, d: String, _: Int) =>
+        reg("v16_decontamination")(s, d).count()),
+      ("v67_span_scrub", (s: SparkSession, d: String, _: Int) =>
+        reg("v67_span_scrub")(s, d).count()),
+      ("v50_semantic_prune", (s: SparkSession, d: String, _: Int) =>
+        reg("v50_semantic_prune")(s, d).count()),
+      ("v19_bm25_search", (s: SparkSession, d: String, _: Int) =>
+        reg("v19_bm25_search")(s, d).count()),
+      ("v66_curation_dag", (s: SparkSession, d: String, _: Int) =>
+        reg("v66_curation_dag")(s, d).count()),
+      ("v6_sessionization", (s: SparkSession, d: String, _: Int) =>
+        reg("v6_sessionization")(s, d).count()),
+      ("v2d2[fixed nlist=16]", (s: SparkSession, d: String, _: Int) =>
+        graft.dedup.DedupOps.embeddingNearDupIvf(s, d, 16, 4).count()),
+      ("v2d2[scaled nlist]", (s: SparkSession, d: String, f: Int) =>
+        graft.dedup.DedupOps.embeddingNearDupIvf(s, d, 16 * f, 4).count()),
+      ("v3c_knn_join", (s: SparkSession, d: String, _: Int) =>
+        reg("v3c_knn_join")(s, d).count()),
+      ("st19_streaming_span_scrub", (s: SparkSession, d: String, _: Int) =>
+        reg("st19_streaming_span_scrub")(s, d).count()),
+      ("st24_streaming_neardup_gate", (s: SparkSession, d: String, _: Int) =>
+        reg("st24_streaming_neardup_gate")(s, d).count()),
+      ("st8_stream_stream_join", (s: SparkSession, d: String, _: Int) =>
+        reg("st8_stream_stream_join")(s, d).count()))
+
+    def minOf2(fn: => Long): (Double, Long) = {
+      def once(): (Double, Long) = {
+        val s = System.nanoTime()
+        val n = fn
+        val dt = (System.nanoTime() - s) / 1e9
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        (dt, n)
+      }
+      val (a, na) = once(); val (b, nb) = once()
+      require(na == nb, s"nondeterministic row count: $na vs $nb")
+      (math.min(a, b), na)
+    }
+
+    println(f"| entry | 1x sec | rows | ${factor}x sec | rows | " +
+      "time ratio | row ratio |")
+    println("|---|---|---|---|---|---|---|")
+    val rows = entries.map { case (label, fn) =>
+      val (tb, nb) = minOf2(fn(spark, base, 1))
+      val (tx, nx) = minOf2(fn(spark, blown, factor))
+      val line = f"| $label | $tb%.2f | $nb | $tx%.2f | $nx | " +
+        f"${tx / tb}%.1fx | ${nx.toDouble / math.max(nb, 1)}%.1fx |"
+      println(line)
+      line
+    }
+    println("SCALEBENCH_DONE")
+    val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT",
+      "/tmp/scalebench.md")
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (Seq(s"factor=$factor base=$base") ++ rows).mkString("\n")
+        .getBytes("UTF-8")): Unit
+    spark.stop()
+  }
+}

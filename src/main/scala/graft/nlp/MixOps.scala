@@ -215,16 +215,24 @@ object MixOps extends QueryModule {
     * order-independent 32-bit content signature for the manifest
     * checksum. */
   private def exportRows(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"), col("text"),
-        md5(concat(lit("shard"), col("doc_id").cast("string"))).as("sk"),
-        when(col("text").isNotNull,
-          size(split(lower(col("text")), " "))).otherwise(0)
-          .cast("long").as("toks"),
-        conv(substring(md5(concat(lit("sig"),
-          col("doc_id").cast("string"), lit("|"),
-          coalesce(TextCanon.normalized, lit("")))), 1, 8), 16, 10)
-          .cast("long").as("sig"))
+    withExportCols(Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text")))
+
+  /** The sk/toks/sig derivations over any (doc_id, source, text) frame
+    * — ONE spelling shared by the export assignment and the v65c
+    * read-back verification, so the jsonl round-trip witness recomputes
+    * the manifest ingredients from the FILE BYTES through exactly the
+    * expressions the assignment used. */
+  private def withExportCols(d: DataFrame): DataFrame =
+    d.select(col("*"),
+      md5(concat(lit("shard"), col("doc_id").cast("string"))).as("sk"),
+      when(col("text").isNotNull,
+        size(split(lower(col("text")), " "))).otherwise(0)
+        .cast("long").as("toks"),
+      conv(substring(md5(concat(lit("sig"),
+        col("doc_id").cast("string"), lit("|"),
+        coalesce(TextCanon.normalized, lit("")))), 1, 8), 16, 10)
+        .cast("long").as("sig"))
 
   /** Shard assignment: deterministic global shuffle order = (sk,
     * doc_id); a doc belongs to the shard its FIRST token falls in
@@ -326,6 +334,49 @@ object MixOps extends QueryModule {
     shardManifest(spark, dir)
       .write.mode("overwrite").parquet(s"$out/manifest")
     out
+  }
+
+  /** V65c: the gzip-JSONL hand-off twin of [[exportShards]] — the
+    * format real training loaders read (one gzip-framed jsonl file per
+    * shard, one `{"doc_id":…,"source":…,"text":…}` object per line).
+    * The registered entry is a ROUND-TRIP witness, not a manifest
+    * recomputed from the source table: the shard files are written
+    * once per process (ArtifactCache), then read BACK (gunzip + JSON
+    * parse), and every manifest ingredient — token counts, the
+    * order-independent content checksum, the shuffle-key range — is
+    * recomputed from the parsed file contents through the same
+    * [[withExportCols]] expressions the assignment used, grouped by
+    * the shard_id each line was FOUND under. Hash-agreeing with the
+    * v65 oracle therefore proves every document landed in exactly the
+    * assigned shard file with byte-intact text, through the actual
+    * gzip jsonl bytes a trainer would consume. Scale: the write is
+    * one shard-keyed repartition (no global sort — line order within
+    * a shard is irrelevant to every manifest column); the read-back
+    * is a linear scan of the written files. */
+  def jsonlShardExport(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.util.ArtifactCache.persistent(
+        "v65c_jsonl", "v1", dir) { p =>
+      withShards(spark, dir)
+        .select(col("shard_id"),
+          to_json(struct(col("doc_id"), col("source"), col("text")))
+            .as("value"))
+        .repartition(col("shard_id"))
+        .write.mode("overwrite").partitionBy("shard_id")
+        .option("compression", "gzip").text(p)
+    }
+    val lineSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("source",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val parsed = spark.read.text(root)
+      .select(col("shard_id").cast("long").as("shard_id"),
+        from_json(col("value"), lineSchema).as("j"))
+      .select(col("shard_id"), col("j.doc_id").as("doc_id"),
+        col("j.source").as("source"), col("j.text").as("text"))
+    manifestOf(withExportCols(parsed)).orderBy(col("shard_id"))
   }
 
   /** The shard chain as a CTE LIST: `${p}d` export rows (under `pred`),
@@ -827,5 +878,13 @@ object MixOps extends QueryModule {
         "generation — the 10% delta exports as NEW shards numbered " +
         "after the base maximum, base shards never rewritten; " +
         "generation-tagged manifest union",
-      shardManifestIncremental, Some(shardIncrementalSql)))
+      shardManifestIncremental, Some(shardIncrementalSql)),
+    GraftQuery("v65c_jsonl_export",
+      "V65c gzip-JSONL shard export (the trainer hand-off format): " +
+        "one jsonl.gz file per v65 shard, written once then read BACK " +
+        "— manifest ingredients recomputed from the gunzipped parsed " +
+        "lines and grouped by the shard each line was found under, so " +
+        "the v65 oracle hash-agreeing proves placement + byte-intact " +
+        "round-trip through the actual files a loader would read",
+      jsonlShardExport, Some(shardManifestSql)))
 }

@@ -106,7 +106,11 @@ object RankOps extends QueryModule {
     * ingest-time work at 100 TB — the same explode + (term,doc)
     * aggregate v19 runs per query, paid once. Returns the index path. */
   def writeInvertedIndex(spark: SparkSession, dir: String): String =
-    graft.util.ArtifactCache.cached("inv_index", dir) { path =>
+    // persistent: the index is immutable once built (the incremental
+    // twin maintains its OWN incr_index copy) and the build is
+    // deterministic, so a later process adopts it byte-identically
+    // instead of re-deriving — bump the version on format changes
+    graft.util.ArtifactCache.persistent("inv_index", "v1", dir) { path =>
       val docs = withWords(spark, dir).withColumn("dl", size(col("w")))
       docs.select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
         .groupBy(col("term"), col("doc_id"), col("dl"))

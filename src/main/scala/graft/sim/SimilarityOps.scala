@@ -144,6 +144,7 @@ object SimilarityOps extends QueryModule {
   private[graft] def ivfBuild(spark: SparkSession, dir: String,
       nlist: Int, iters: Int): (DataFrame, DataFrame, DataFrame) = {
     val base = ivfCache.computeIfAbsent((spark, dir, nlist, iters), _ => {
+      graft.util.BuildCounters.inc(s"ivf:$dir:n${nlist}_i$iters")
       // one materialization of the normed projection: every Lloyd
       // round and the final assignment re-scan e, and re-reading
       // parquet + re-computing norms per pass is pure repeated work

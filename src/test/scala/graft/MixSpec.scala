@@ -241,6 +241,32 @@ class MixSpec extends SparkSpec {
     }
   }
 
+  test("v65c jsonl export round-trips: the gunzip+parse manifest " +
+    "equals the v65 manifest, and the files are real gzip jsonl") {
+    val viaFiles = MixOps.jsonlShardExport(spark, sf0001).collect()
+    val direct = MixOps.shardManifest(spark, sf0001).collect()
+    assert(viaFiles.toSeq === direct.toSeq)
+    assert(viaFiles.length > 1, "budget should yield multiple shards")
+    // the written artifact is genuinely gzip-framed jsonl: pick one
+    // part file and decode it outside Spark
+    val root = graft.util.ArtifactCache.persistent(
+      "v65c_jsonl", "v1", sf0001)(_ =>
+      fail("v65c artifact must already exist after the entry ran"))
+    val part = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(root)).find(_.getName.endsWith(".txt.gz"))
+        .getOrElse(fail("no .txt.gz part written"))
+    }
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.FileInputStream(part))
+    val first = new java.io.BufferedReader(
+      new java.io.InputStreamReader(in, "UTF-8")).readLine()
+    in.close()
+    assert(first != null && first.startsWith("{\"doc_id\":"),
+      s"not a jsonl line: $first")
+  }
+
   test("v65b incremental export conserves the corpus: generations are " +
     "disjoint, totals equal the one-shot export, ids never collide") {
     import org.apache.spark.sql.functions._

@@ -360,6 +360,95 @@ class ScaleSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  // ---- measured scale laws (round-9: the 100 TB claims as numbers) --
+  //
+  // Wall-clock ratios are host-noise-bound, so the SPEC pins the
+  // noise-free structural twin: the ROW COUNT through each operator's
+  // expensive stage at 1x vs FACTORx of a salted blow-up
+  // (graft.util.ScaleData — copies are mutually dissimilar, so dup /
+  // ANN densities stay constant and linear designs must produce
+  // linear work). Wall-clock at sf0.1 x10 is recorded in SCALING.md
+  // by graft.ScaleBench.
+  private lazy val scaleFactor = 8
+  private lazy val blownDir: String = {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_scalespec").toString
+    graft.util.ScaleData.blowUp(spark, "/root/testdata/sf0.01", out,
+      scaleFactor)
+    out
+  }
+  private val baseDir = "/root/testdata/sf0.01"
+
+  test("blow-up synthesizer: schemas unchanged, hot tables exactly " +
+    "xfactor rows, salted copies mutually distinct") {
+    Seq("documents", "embeddings", "events").foreach { t =>
+      val b = Tables.table(spark, baseDir, t)
+      val x = Tables.table(spark, blownDir, t)
+      assert(x.schema.map(f => (f.name, f.dataType)) ===
+        b.schema.map(f => (f.name, f.dataType)), t)
+      assert(x.count() === scaleFactor * b.count(), t)
+    }
+    // no text collides across copies (the whole point of the salt)
+    val d = Tables.documents(spark, blownDir)
+    assert(d.filter(col("text").isNotNull).count() ===
+      d.filter(col("text").isNotNull).select(col("text")).distinct()
+        .count() + Tables.documents(spark, baseDir)
+        .filter(col("text").isNotNull).groupBy(col("text")).count()
+        .filter(col("count") > 1)
+        .agg(coalesce(sum(col("count") - 1), lit(0L))).first().getLong(0)
+        * scaleFactor)
+  }
+
+  test("exact dedup and span scrub scale EXACTLY linearly: salted " +
+    "copies reproduce the base structure, nothing crosses copies") {
+    val q = SparkEntry.queries
+    assert(q("v1_dedup_exact")(spark, blownDir).count() ===
+      scaleFactor * q("v1_dedup_exact")(spark, baseDir).count())
+    val scrubB = q("v67_span_scrub")(spark, baseDir)
+      .agg(count(lit(1)), coalesce(sum(col("n_removed")), lit(0L)))
+      .first()
+    val scrubX = q("v67_span_scrub")(spark, blownDir)
+      .agg(count(lit(1)), coalesce(sum(col("n_removed")), lit(0L)))
+      .first()
+    assert(scrubX.getLong(0) === scaleFactor * scrubB.getLong(0))
+    assert(scrubX.getLong(1) === scaleFactor * scrubB.getLong(1))
+    assert(q("v6_sessionization")(spark, blownDir).count() ===
+      scaleFactor * q("v6_sessionization")(spark, baseDir).count())
+  }
+
+  test("LSH candidate work scales ~linearly (quadratic would be " +
+    s"~${8 * 8}x at x8; band rejects anything past 3x linear)") {
+    import graft.dedup.DedupOps
+    val base = DedupOps.lshCandidates(DedupOps.signatures(
+      Tables.documents(spark, baseDir))).count()
+    val blown = DedupOps.lshCandidates(DedupOps.signatures(
+      Tables.documents(spark, blownDir))).count()
+    assert(base > 0, "base corpus must have LSH candidates")
+    assert(blown <= 3L * scaleFactor * base,
+      s"super-linear candidate blow-up: $base -> $blown at x$scaleFactor")
+    assert(blown >= base,
+      s"candidates should not shrink with scale: $base -> $blown")
+  }
+
+  test("IVF candidate work: nlist scaled with the corpus (the FAISS " +
+    "practice the deployment uses) keeps candidates ~linear") {
+    import graft.sim.SimilarityOps
+    def cands(dir: String, nlist: Int): Long = {
+      val (e, cents, _) = SimilarityOps.ivfBuild(spark, dir, nlist, 1)
+      val probed = SimilarityOps.multiProbeAssign(e, cents, 4)
+      val x = probed.select(col("cent_id"), col("vec_id").as("i"))
+      val y = probed.select(col("cent_id"), col("vec_id").as("j"))
+      x.join(y, Seq("cent_id")).filter(col("i") < col("j"))
+        .select(col("i"), col("j")).distinct().count()
+    }
+    val base = cands(baseDir, 16)
+    val scaled = cands(blownDir, 16 * scaleFactor)
+    assert(base > 0)
+    assert(scaled <= 4L * scaleFactor * base,
+      s"scaled-nlist candidates super-linear: $base -> $scaled " +
+        s"at x$scaleFactor")
+  }
+
   test("H15-H17 time-range helpers mirror the reference parsers") {
     assert(TimeRanges.parseInterval("5 minutes") === Some(300L))
     assert(TimeRanges.parseInterval("1 day") === Some(86400L))
