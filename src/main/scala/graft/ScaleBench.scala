@@ -28,13 +28,19 @@ object ScaleBench {
       "/root/testdata/sf0.1")
     val factor = args.headOption.map(_.toInt).getOrElse(10)
     val spark = GraftSession.local(appName = "graft-scale")
-    val blown = graft.util.TempArtifacts.register(
-      s"${sys.props("java.io.tmpdir")}/graft_scale_${factor}x_" +
-        ProcessHandle.current().pid())
-    val t0 = System.nanoTime()
-    graft.util.ScaleData.blowUp(spark, base, blown, factor)
-    println(f"[scale] blow-up ×$factor built in " +
-      f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+    // SPARK_GRAFT_SCALE_DIR: reuse/keep a blow-up across processes
+    // (skips cleanup + skips the rebuild when the tables exist) — for
+    // profiling a single entry at scale without paying the synth.
+    val blown = sys.env.get("SPARK_GRAFT_SCALE_DIR").getOrElse(
+      graft.util.TempArtifacts.register(
+        s"${sys.props("java.io.tmpdir")}/graft_scale_${factor}x_" +
+          ProcessHandle.current().pid()))
+    if (!new java.io.File(s"$blown/documents.parquet").exists()) {
+      val t0 = System.nanoTime()
+      graft.util.ScaleData.blowUp(spark, base, blown, factor)
+      println(f"[scale] blow-up ×$factor built in " +
+        f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
 
     // (label, dir-parameterized plan). Registry entries by name where
     // the binding is dump-free; the two IVF regimes call the operator
@@ -67,8 +73,15 @@ object ScaleBench {
         reg("st19_streaming_span_scrub")(s, d).count()),
       ("st24_streaming_neardup_gate", (s: SparkSession, d: String, _: Int) =>
         reg("st24_streaming_neardup_gate")(s, d).count()),
+      ("st25_streaming_ingest_dag", (s: SparkSession, d: String, _: Int) =>
+        reg("st25_streaming_ingest_dag")(s, d).count()),
       ("st8_stream_stream_join", (s: SparkSession, d: String, _: Int) =>
         reg("st8_stream_stream_join")(s, d).count()))
+
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').toSeq).getOrElse(Seq.empty)
+    val selected = entries.filter { case (label, _) =>
+      only.isEmpty || only.exists(label.contains) }
 
     def minOf2(fn: => Long): (Double, Long) = {
       def once(): (Double, Long) = {
@@ -88,7 +101,7 @@ object ScaleBench {
     println(f"| entry | 1x sec | rows | ${factor}x sec | rows | " +
       "time ratio | row ratio |")
     println("|---|---|---|---|---|---|---|")
-    val rows = entries.map { case (label, fn) =>
+    val rows = selected.map { case (label, fn) =>
       val (tb, nb) = minOf2(fn(spark, base, 1))
       val (tx, nx) = minOf2(fn(spark, blown, factor))
       val line = f"| $label | $tb%.2f | $nb | $tx%.2f | $nx | " +

@@ -1,0 +1,455 @@
+package graft.dedup
+
+import graft._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Removal-grade scrubbing + decontamination (round-9 split of
+  * DedupOps — pure move): V67 repeated-span scrub, V69 benchmark
+  * scrub, V16/V16b (semantic) decontamination and their streaming
+  * gates, plus the IVF near-dup candidate path that shares the v3
+  * build. Mixed into [[DedupOps]].
+  */
+private[dedup] trait DedupScrub { self: DedupOps.type =>
+  // ---- V67: exact repeated-span SCRUBBING (the removal operator) ----
+
+  /** Span-scrub window width (words). Production exact-substring dedup
+    * (Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better") removes repeats of ~50 BPE tokens found via suffix
+    * arrays; fixed-width word windows give the same removal decision
+    * for any repeat ≥ W words, in plain dataflow. */
+  val ScrubWindow = 8
+
+  /** (doc_id, s, h): every [[ScrubWindow]]-word window's 1-based start
+    * and md5 hash over a (doc_id, w) frame — THE window spelling (
+    * lowercase words, single-space join, md5 of the W-word slice)
+    * shared by v67, st19's ledger and v69 (review finding, round 8:
+    * independent copies would let a tokenization tweak silently turn
+    * another scrub into a no-op). st19's stream side keeps the IN-ROW
+    * expression twin of this spelling; DuckDB side:
+    * [[scrubWindowCtes]]. */
+  private[dedup] def scrubWindows(d: DataFrame): DataFrame = {
+    val W = ScrubWindow
+    d.filter(size(col("w")) >= W)
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(1), size(col("w")) - (W - 1))).as("s"))
+      .select(col("doc_id"), col("s"),
+        md5(array_join(slice(col("w"), col("s"), lit(W)), " ")).as("h"))
+  }
+
+  /** DuckDB spelling of the `sd`/`so` window CTEs behind
+    * [[scrubWindows]]. */
+  private[dedup] lazy val scrubWindowCtes: String = {
+    val W = ScrubWindow
+    s"""sd AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+       |  FROM documents WHERE text IS NOT NULL),
+       | so AS (SELECT doc_id, s,
+       |   md5(array_to_string(list_slice(w, s, s + ${W - 1}), ' ')) AS h
+       |  FROM (SELECT doc_id, w,
+       |          unnest(range(1, len(w) - ${W - 2})) AS s
+       |        FROM sd WHERE len(w) >= $W))""".stripMargin
+  }
+
+  /** V67: the fourth dedup granularity completed — v1 removes whole
+    * duplicate DOCS, v2f near-dup docs, v50 semantic neighbors, v22
+    * only DETECTS copied spans; this operator REMOVES them. Every
+    * [[ScrubWindow]]-word window occurring in ≥ 2 documents is
+    * scrubbed from every document EXCEPT the lowest-doc_id holder
+    * (keep-first, the v1/v50 convention): a word is dropped when any
+    * duplicated window covering it belongs to a later doc. Output is
+    * the per-doc scrub report with the cleaned text witnessed by md5 —
+    * the operator that turns v22's findings into training data.
+    *
+    * Scale shape: one explode to (doc, start, window-hash) rows, one
+    * hash-keyed aggregate for (first holder, occurrence count), one
+    * hash-keyed join back, one doc-keyed aggregate of removed
+    * positions, rebuild in-row — all linear in corpus token count, no
+    * pair join anywhere (the hash aggregate replaces the suffix
+    * array). */
+  def spanScrub(spark: SparkSession, dir: String): DataFrame = {
+    val W = ScrubWindow
+    val d = Tables.documents(spark, dir).filter(col("text").isNotNull)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+    val occ = scrubWindows(d)
+    val firsts = occ.groupBy(col("h"))
+      .agg(min(col("doc_id")).as("keep_doc"), count(lit(1)).as("n_occ"))
+    val scrubbed = occ.join(firsts, Seq("h"))
+      .filter(col("n_occ") >= 2 && col("doc_id") > col("keep_doc"))
+    val removed = scrubbed
+      .select(col("doc_id"),
+        explode(sequence(col("s"), col("s") + (W - 1))).as("p"))
+      .distinct()
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_removed"),
+        sort_array(collect_list(col("p").cast("long"))).as("ps"))
+    d.join(removed, Seq("doc_id"), "left")
+      .select(col("doc_id"), size(col("w")).as("n_words"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        md5(array_join(
+          when(col("ps").isNull, col("w")).otherwise(
+            filter(col("w"), (_, i) =>
+              !array_contains(col("ps"), i.cast("long") + 1L))),
+          " ")).as("clean_hash"))
+      .orderBy(col("doc_id"))
+  }
+
+  private[dedup] lazy val spanScrubSql: String = {
+    val W = ScrubWindow
+    s"""WITH $scrubWindowCtes,
+       | sg AS (SELECT h, min(doc_id) AS keep_doc, count(*) AS n_occ
+       |        FROM so GROUP BY 1),
+       | sp AS (SELECT DISTINCT so.doc_id, unnest(range(so.s, so.s + $W))
+       |          AS p
+       |  FROM so JOIN sg USING (h)
+       |  WHERE sg.n_occ >= 2 AND so.doc_id > sg.keep_doc),
+       | sr AS (SELECT doc_id, count(*) AS n_removed,
+       |         list(p ORDER BY p) AS ps
+       |        FROM sp GROUP BY 1)
+       |SELECT sd.doc_id, CAST(len(sd.w) AS INT) AS n_words,
+       | CAST(coalesce(sr.n_removed, 0) AS BIGINT) AS n_removed,
+       | md5(coalesce(array_to_string(CASE WHEN sr.ps IS NULL THEN sd.w
+       |   ELSE list_filter(sd.w,
+       |          (x, i) -> NOT list_contains(sr.ps, i)) END,
+       |   ' '), '')) AS clean_hash
+       |FROM sd LEFT JOIN sr USING (doc_id)
+       |ORDER BY sd.doc_id""".stripMargin
+  }
+
+  /** ST19: STREAMING span scrub — v67 as an ingest-time gate (copied
+    * spans removed before a document lands), the st17 convention for
+    * the span granularity: the duplicated-window LEDGER (hash →
+    * first-holder doc id, only hashes occurring ≥ 2×) is computed
+    * batch-side, folded into ONE broadcast map row (localCheckpointed
+    * — broadcast sides re-execute per micro-batch), and each arriving
+    * document scrubs itself IN-ROW: window hashes looked up in the
+    * map, covered positions flattened/deduped, words rebuilt. A
+    * stateless append map, so the finite stream equals batch v67 and
+    * SHARES its oracle. At a ledger too large for one map row, the
+    * v20b Bloom runtime filter is the membership probe (candidates
+    * then pay a keyed join). */
+  /** The duplicated-window ledger as a Spark BROADCAST of the flat
+    * (window-hash → first-holder) pairs — a stored artifact (PlanMemo
+    * materializes the (h, keep_doc) table; a production corpus
+    * maintains its dup-window ledger ingest-side and consumers read
+    * it), collected once per (session, dir) and shipped to executors
+    * through the broadcast machinery rather than as a one-row column.
+    * Round-9 scale history (SCALING.md): the 256-bucket one-row map
+    * probed per window ran interpreted at ~200 µs/window, and ANY
+    * column form drags the multi-MB array through every joined row's
+    * fallback materialization — the broadcast + compiled expression
+    * ([[graft.functions.ScrubReport]]) removes both terms. The driver
+    * collect is bounded by the same "ledger fits in memory" contract
+    * the broadcast itself asserts; beyond ~1M dup windows the v20b
+    * Bloom runtime filter + keyed join is the right membership probe
+    * (see the st19 docstring). Shared by st19 and the st25 ingest
+    * DAG. */
+  private val scrubBc = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String),
+    org.apache.spark.broadcast.Broadcast[Array[(String, Long)]]]()
+
+  private[dedup] def scrubLedgerBroadcast(spark: SparkSession,
+      dir: String):
+      org.apache.spark.broadcast.Broadcast[Array[(String, Long)]] =
+    scrubBc.computeIfAbsent((spark, dir), _ => {
+      val stored = graft.util.PlanMemo.memo(spark, "st19_ledger", dir) {
+        scrubWindows(
+          Tables.documents(spark, dir).filter(col("text").isNotNull)
+            .select(col("doc_id"), split(lower(col("text")), " ").as("w")))
+          .groupBy(col("h"))
+          .agg(min(col("doc_id")).as("keep_doc"),
+            count(lit(1)).as("n_occ"))
+          .filter(col("n_occ") >= 2)
+          .select(col("h"), col("keep_doc"))
+      }
+      spark.sparkContext.broadcast(
+        stored.collect().map(r => (r.getString(0), r.getLong(1))))
+    })
+
+  /** In-row scrub over a frame carrying (doc_id, w): appends n_words /
+    * n_removed / clean_hash computed in ONE compiled JVM pass per
+    * document ([[graft.functions.ScrubReport]] — window md5s via
+    * MessageDigest, broadcast ledger as a java HashMap, O(1) probe per
+    * window). FunctionsSpec pins the expression bit-identical to the
+    * composable SQL spelling, so st19/st25 keep sharing v67's oracle.
+    * One spelling for st19 and st25. */
+  private[dedup] def withInRowScrub(df: DataFrame,
+      ledger: org.apache.spark.broadcast.Broadcast[
+        Array[(String, Long)]]): DataFrame =
+    df.withColumn("sr", graft.functions.ScrubFunctions.scrub_report(
+        col("w"), col("doc_id"), ledger, ScrubWindow))
+      .withColumn("n_words", col("sr.n_words"))
+      .withColumn("n_removed", col("sr.n_removed"))
+      .withColumn("clean_hash", col("sr.clean_hash"))
+      .drop("sr")
+
+  def streamingSpanScrub(spark: SparkSession, dir: String): DataFrame = {
+    val ledger = scrubLedgerBroadcast(spark, dir)
+    val schema = Tables.table(spark, dir, "documents").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val scrubbed = withInRowScrub(stream.filter(col("text").isNotNull)
+        .repartition(32)
+        .select(col("doc_id"), split(lower(col("text")), " ").as("w")),
+        ledger)
+      .select(col("doc_id"), col("n_words"), col("n_removed"),
+        col("clean_hash"))
+    graft.streaming.StreamingOps.runToBatchAppend(spark, scrubbed,
+        s"st19_scrub_${System.nanoTime()}")
+      .orderBy(col("doc_id"))
+  }
+
+  // ---- V69: benchmark span SCRUBBING (decontamination as removal) ----
+
+  /** V69: window-level benchmark decontamination — the REMOVAL form of
+    * v16's gate. v16 DROPS a document whose shingle containment against
+    * the pooled benchmark crosses a threshold; below that threshold a
+    * contaminated span still ships to the trainer verbatim. This
+    * operator instead removes every [[ScrubWindow]]-word window of a
+    * corpus document that also occurs anywhere in the benchmark — eval
+    * answers cut out of the training text itself, the document kept.
+    * The benchmark here is the `doc_id % 7 == 0` slice, denser than
+    * v16's `% 97`: the sparse slice shares no 8-word window with the
+    * corpus at the test SFs, so the removal branch would go untested. Output is the per-corpus-doc scrub
+    * report (word count, removed-word count, cleaned-text md5), zero-hit
+    * docs included, so the oracle pins both the removals AND the
+    * untouched complement.
+    *
+    * Scale shape: the benchmark's distinct window hashes broadcast
+    * (benchmarks are small by definition — v16's argument); the corpus
+    * side is one linear explode → broadcast LEFT SEMI probe → one
+    * doc-keyed aggregate of covered positions → in-row rebuild. No
+    * corpus-vs-corpus join, no keep-first ordering (the benchmark is
+    * always the holder), linear in corpus token count. */
+  def benchmarkScrub(spark: SparkSession, dir: String): DataFrame = {
+    val W = ScrubWindow
+    val d = Tables.documents(spark, dir).filter(col("text").isNotNull)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+    val bench = scrubWindows(d.filter(pmod(col("doc_id"), lit(7)) === 0))
+      .select(col("h")).distinct()
+    val corpus = d.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+    val removed = scrubWindows(corpus)
+      .join(broadcast(bench), Seq("h"), "left_semi")
+      .select(col("doc_id"),
+        explode(sequence(col("s"), col("s") + (W - 1))).as("p"))
+      .distinct()
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_removed"),
+        sort_array(collect_list(col("p").cast("long"))).as("ps"))
+    corpus.join(removed, Seq("doc_id"), "left")
+      .select(col("doc_id"), size(col("w")).as("n_words"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        md5(array_join(
+          when(col("ps").isNull, col("w")).otherwise(
+            filter(col("w"), (_, i) =>
+              !array_contains(col("ps"), i.cast("long") + 1L))),
+          " ")).as("clean_hash"))
+      .orderBy(col("doc_id"))
+  }
+
+  private[dedup] lazy val benchmarkScrubSql: String = {
+    val W = ScrubWindow
+    s"""WITH $scrubWindowCtes,
+       | bh AS (SELECT DISTINCT h FROM so WHERE doc_id % 7 = 0),
+       | sp AS (SELECT DISTINCT so.doc_id, unnest(range(so.s, so.s + $W))
+       |          AS p
+       |  FROM so JOIN bh USING (h) WHERE so.doc_id % 7 <> 0),
+       | sr AS (SELECT doc_id, count(*) AS n_removed,
+       |         list(p ORDER BY p) AS ps
+       |        FROM sp GROUP BY 1)
+       |SELECT sd.doc_id, CAST(len(sd.w) AS INT) AS n_words,
+       | CAST(coalesce(sr.n_removed, 0) AS BIGINT) AS n_removed,
+       | md5(coalesce(array_to_string(CASE WHEN sr.ps IS NULL THEN sd.w
+       |   ELSE list_filter(sd.w,
+       |          (x, i) -> NOT list_contains(sr.ps, i)) END,
+       |   ' '), '')) AS clean_hash
+       |FROM sd LEFT JOIN sr USING (doc_id)
+       |WHERE sd.doc_id % 7 <> 0
+       |ORDER BY sd.doc_id""".stripMargin
+  }
+
+  /** V2d2: the candidates+verify twin of [[embeddingNearDup]] — multi-probe
+    * IVF cells (each vector assigned to its `nprobe` nearest of `nlist`
+    * centroids), candidate pairs share a probed cell, exact cosine verify
+    * touches candidates only. This is the 100 TB SHAPE (one shuffle on
+    * cell id, in-cell pair products); on this data at τ=0.4 its recall vs
+    * the exact join is ≈0.92-0.95 (pinned in DedupSpec) because the
+    * threshold sits inside a continuous background — at true near-dup
+    * thresholds the same plan is both sub-quadratic AND recall≈1. */
+  def embeddingNearDupIvf(spark: SparkSession, dir: String,
+      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    import graft.functions.VectorFunctions.dot_product
+    // the SAME Lloyd-refined index the v3 queries use (one iteration),
+    // from the shared per-process build — candidate generation and ANN
+    // probing share one notion of "cell" AND one build
+    val (e, cents, _) =
+      graft.sim.SimilarityOps.ivfBuild(spark, dir, nlist, 1)
+    val probed = graft.sim.SimilarityOps.multiProbeAssign(e, cents, nprobe)
+    val x = probed.select(col("cent_id"), col("vec_id").as("i"))
+    val y = probed.select(col("cent_id"), col("vec_id").as("j"))
+    // hash join beats SMJ on the nlist-key cell join (no sort needed)
+    val cands = x.join(y.hint("shuffle_hash"), Seq("cent_id"))
+      .filter(col("i") < col("j"))
+      .select(col("i"), col("j"))
+      .distinct() // a pair may share several probed cells
+    val si = e.select(col("vec_id").as("i"), col("v").as("v_i"),
+      col("nrm").as("n_i"))
+    val sj = e.select(col("vec_id").as("j"), col("v").as("v_j"),
+      col("nrm").as("n_j"))
+    cands.join(si, Seq("i")).join(sj, Seq("j"))
+      .withColumn("cos", round(
+        dot_product(col("v_i"), col("v_j")) / (col("n_i") * col("n_j")), 6))
+      .filter(col("cos") >= 0.4)
+      .select(col("i"), col("j"), col("cos"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  /** V16: benchmark decontamination — the training-data op that keeps
+    * eval answers out of the corpus: flag every corpus document whose
+    * 3-word-shingle set is contained in the POOLED benchmark shingle
+    * set above `tau`. The benchmark here is the deterministic
+    * `doc_id % 97 == 0` slice standing in for an external eval table
+    * (tiny relative to the corpus, as real benchmarks are).
+    *
+    * Scale shape: the benchmark's distinct shingles broadcast (a few
+    * million strings at worst — benchmarks are small by definition);
+    * the corpus side is one linear explode → broadcast LEFT SEMI probe
+    * → one shuffle on doc_id for the hit count. No corpus-vs-corpus
+    * join anywhere, so it stays linear in corpus size. */
+  def decontaminate(spark: SparkSession, dir: String,
+      tau: Double = ContamTau): DataFrame = {
+    val sets = shingleSets(spark, dir)
+    val bench = sets.filter(pmod(col("doc_id"), lit(97)) === 0)
+      .select(explode(col("sh")).as("shingle")).distinct()
+    val corpus = sets.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+    corpus
+      .select(col("doc_id"), col("sz"), explode(col("sh")).as("shingle"))
+      .join(broadcast(bench), Seq("shingle"), "left_semi")
+      .groupBy(col("doc_id"), col("sz"))
+      .agg(count(lit(1)).as("n_hit"))
+      .withColumn("contamination", Exact.ratio6(col("n_hit"), col("sz")))
+      .filter(col("contamination") >= tau)
+      .select(col("doc_id"), col("sz").as("n_shingles"), col("n_hit"),
+        col("contamination"))
+      .orderBy(col("doc_id"))
+  }
+
+  // lazy: interpolates shinglesSql, which is declared LATER in this
+  // object — a plain val here would capture null at construction time
+  // (object vals initialize in declaration order) and silently emit
+  // `null AS sh` into the oracle SQL.
+  private[dedup] lazy val decontaminateSql: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+       | s AS (SELECT doc_id, $shinglesSql AS sh FROM t),
+       | bench AS (SELECT DISTINCT unnest(sh) AS shingle FROM s
+       |           WHERE doc_id % 97 = 0),
+       | c AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS shingle FROM s
+       |       WHERE doc_id % 97 <> 0),
+       | h AS (SELECT doc_id, sz, count(*) AS n_hit FROM c
+       |       WHERE shingle IN (SELECT shingle FROM bench) GROUP BY 1,2)
+       |SELECT doc_id, CAST(sz AS INT) AS n_shingles,
+       | CAST(n_hit AS BIGINT) AS n_hit,
+       | ${OracleSql.ratio6("n_hit", "sz")} AS contamination
+       |FROM h
+       |WHERE ${OracleSql.ratio6("n_hit", "sz")} >= $ContamTau
+       |ORDER BY doc_id""".stripMargin
+
+  /** V16b: SEMANTIC decontamination — v16's embedding-space sibling
+    * (and the modern pipeline's second line of defense: paraphrased or
+    * translated eval material shares no shingles but sits next to the
+    * benchmark in embedding space). Flag every corpus vector whose
+    * cosine to ANY benchmark vector (the same deterministic
+    * `vec_id % 97` slice convention as v16's doc slice) reaches `tau`.
+    *
+    * Scale shape: the benchmark embeddings fold into ONE broadcast row
+    * of structs (benchmarks are small by definition — the assignSub /
+    * v47 centroid-bundle convention) and the per-vector max cosine is
+    * computed IN-ROW (transform + array_max over the bundle): one
+    * linear corpus scan, ZERO extra shuffle, no corpus-vs-corpus join. */
+  def semanticDecontaminate(spark: SparkSession, dir: String,
+      tau: Double = 0.3): DataFrame = {
+    val e = graft.sim.SimilarityOps.withNorm(Tables.embeddings(spark, dir))
+    val benchRow = e.filter(pmod(col("vec_id"), lit(97)) === 0)
+      .agg(array_sort(collect_list(struct(col("vec_id").as("bid"),
+        col("v").as("bv"), col("nrm").as("bn")))).as("bs"))
+    e.filter(pmod(col("vec_id"), lit(97)) =!= 0)
+      .crossJoin(broadcast(benchRow))
+      .withColumn("cs", transform(col("bs"), b =>
+        round(graft.sim.SimilarityOps.dot(col("v"), b.getField("bv")) /
+          (col("nrm") * b.getField("bn")), 6)))
+      .select(col("vec_id"),
+        size(filter(col("cs"), _ >= tau)).cast("long").as("n_bench_hits"),
+        array_max(col("cs")).as("max_bench_cos"))
+      .filter(col("max_bench_cos") >= tau)
+      .orderBy(col("vec_id"))
+  }
+
+  private[dedup] val semanticDecontaminateSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+       |       CAST(embedding AS DOUBLE[]))) AS nrm FROM embeddings),
+       | b AS (SELECT * FROM e WHERE vec_id % 97 = 0),
+       | c AS (SELECT * FROM e WHERE vec_id % 97 <> 0),
+       | s AS (SELECT c.vec_id,
+       |   round(list_dot_product(c.v, b.v)/(c.nrm*b.nrm), 6) AS cos
+       |  FROM c, b)
+       |SELECT vec_id,
+       | CAST(count(*) FILTER (WHERE cos >= 0.3) AS BIGINT) AS n_bench_hits,
+       | max(cos) AS max_bench_cos
+       |FROM s GROUP BY 1 HAVING max(cos) >= 0.3
+       |ORDER BY vec_id""".stripMargin
+
+  /** ST17: STREAMING decontamination — v16 as an ingest-time gate
+    * (catch eval contamination before a document ever lands in the
+    * corpus) in the st15/st16 train-batch/serve-streaming convention:
+    * the pooled benchmark shingles are computed batch-side (a static
+    * eval table in production), folded into one broadcast row, and each
+    * arriving document's containment is computed IN-ROW over its own
+    * shingle set — a stateless append-mode map, so the finite stream
+    * equals the batch decontaminate and SHARES v16's oracle unchanged.
+    * (At a benchmark too large for array_contains scans, the v20b
+    * Bloom runtime filter is the drop-in membership probe.) */
+  def streamingDecontaminate(spark: SparkSession, dir: String,
+      tau: Double = 0.05): DataFrame = {
+    // PlanMemo (was localCheckpoint): a broadcast subquery on a stream
+    // re-executes EVERY micro-batch — without materialization the
+    // 1-row benchmark bundle re-scans the corpus per batch (measured
+    // ~1.7 s/batch at sf0.1). The memo additionally survives the
+    // bench's between-run block hygiene, so the second drive broadcasts
+    // a trivial parquet read instead of re-aggregating the corpus.
+    val benchRow = graft.util.PlanMemo.memo(spark, "st17_bench_row",
+      dir)(shingleSets(spark, dir)
+        .filter(pmod(col("doc_id"), lit(97)) === 0)
+        .select(explode(col("sh")).as("shingle")).distinct()
+        .agg(array_sort(collect_list(col("shingle"))).as("bench")))
+    val schema = Tables.table(spark, dir, "documents").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val scored = stream
+      .filter(pmod(col("doc_id"), lit(97)) =!= 0)
+      // the micro-batch inherits the FILE's partitioning (one task per
+      // source file) — spread the per-row shingle+intersect work
+      // across cores before it runs (measured 2.2 s -> sub-second on
+      // one sf0.1 file); at 100 TB this is the decode-parallelism
+      // exchange every scoring ingest pays
+      .repartition(32)
+      .select(col("doc_id"), shingles.as("sh"))
+      .withColumn("sz", size(col("sh")))
+      .filter(col("sz") > 0)
+      .crossJoin(broadcast(benchRow))
+      // array_intersect, NOT filter+array_contains: both sides are
+      // distinct sets, so |sh ∩ bench| is the same count, but the
+      // per-row cost is one hash-set pass (O(|sh|+|bench|)) instead of
+      // |sh|·|bench| string comparisons — measured 50.9 s → ~1 s at
+      // sf0.1 (~2.6k bench shingles × ~52 per doc × 5k docs)
+      .withColumn("n_hit",
+        size(array_intersect(col("sh"), col("bench"))).cast("long"))
+      .withColumn("contamination", Exact.ratio6(col("n_hit"), col("sz")))
+      .filter(col("contamination") >= tau)
+      .select(col("doc_id"), col("sz").as("n_shingles"), col("n_hit"),
+        col("contamination"))
+    graft.streaming.StreamingOps.runToBatchAppend(spark, scored,
+        s"st17_decon_${System.nanoTime()}")
+      .orderBy(col("doc_id"))
+  }
+
+}

@@ -748,17 +748,22 @@ object Relational extends QueryModule {
         "integer cross-multiplied threshold, broadcast brand filter",
       smallQuantityRevenue, Some(smallQuantitySql)),
     GraftQuery("q21_waiting_suppliers",
-      "Q21-shape waiting suppliers: double correlated EXISTS/NOT " +
-        "EXISTS decorrelated by construction — one fact pass computes " +
+      "Q21-SHAPE (adapted, NOT literal TPC-H Q21 — late = " +
+        "ship+60d, no nation filter; numbers are not comparable to " +
+        "published Q21 results): double correlated EXISTS/NOT EXISTS " +
+        "decorrelated by construction — one fact pass computes " +
         "per-order (distinct suppliers, distinct late suppliers), both " +
         "existence predicates collapse to n_supp>1 AND n_late=1; " +
         "dims broadcast, top-100 via TakeOrderedAndProject",
       waitingSuppliers, Some(waitingSuppliersSql)),
     GraftQuery("q22_sales_opportunity",
-      "Q22-shape global sales opportunity: scalar subquery as one " +
-        "broadcast 1-row aggregate, threshold compare cross-multiplied " +
-        "in DECIMAL integer space, NOT EXISTS as one left_anti hash " +
-        "join, nation rollup — no per-row probes, no division",
+      "Q22-SHAPE (adapted, NOT literal TPC-H Q22 — 'inactive' = no " +
+        "order since 1998-09-01 rather than never-ordered; numbers " +
+        "are not comparable to published Q22 results): scalar " +
+        "subquery as one broadcast 1-row aggregate, threshold compare " +
+        "cross-multiplied in DECIMAL integer space, NOT EXISTS as one " +
+        "left_anti hash join, nation rollup — no per-row probes, no " +
+        "division",
       globalSalesOpportunity, Some(globalSalesOpportunitySql)),
     GraftQuery("q18_large_orders",
       "Q18-shape: grouped-HAVING semi-reduction on the fact table " +

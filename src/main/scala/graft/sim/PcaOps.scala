@@ -77,7 +77,7 @@ object PcaOps extends QueryModule {
     // d² in-row products are interpreted HOF work — spread it (the
     // st16/st17 finding; measured ~2 s -> sub-second at sf0.1)
     val pts = ClusterOps.pointsOf(Tables.embeddings(spark, dir))
-      .repartition(8)
+      .repartition(32)
     // in-row d² product array → one (k)-keyed partial-agg shuffle
     val prods = pts.select(posexplode(flatten(transform(col("xm"),
         xi => transform(col("xm"), xj => xi * xj)))))
@@ -169,7 +169,7 @@ object PcaOps extends QueryModule {
   def pcaSourceDrift(spark: SparkSession, dir: String): DataFrame = {
     val vRow = principalRow(spark, dir).select(col("v"))
     val pts = ClusterOps.pointsOf(Tables.embeddings(spark, dir))
-      .repartition(8)
+      .repartition(32)
     val proj = pts.crossJoin(broadcast(vRow))
       .select(col("vec_id"),
         aggregate(sequence(lit(0), lit(D - 1)), lit(0L), (acc, i) =>

@@ -295,7 +295,7 @@ object PqOps extends QueryModule {
         ClusterOps.microVec(col("embedding")).as("xm64"))
       // spread the interpreted per-row argmin across cores: a stream's
       // micro-batch otherwise runs one task per source file
-      .repartition(8)
+      .repartition(32)
       .crossJoin(broadcast(bundle))
       .withColumn("codes", expr(
         s"""transform(sequence(0, ${M - 1}), s ->
@@ -488,7 +488,7 @@ object PqOps extends QueryModule {
       .filter(pmod(col("vec_id"), lit(ServeModulus)) === 0)
       // spread the in-row route/LUT work (one task per source file
       // otherwise — the st16 lesson)
-      .repartition(8)
+      .repartition(32)
       .select(col("vec_id").as("qid"),
         ClusterOps.microVec(col("embedding")).as("xm64"))
       .crossJoin(broadcast(coarseBundle))

@@ -141,6 +141,18 @@ object SimilarityOps extends QueryModule {
   private val ivfCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String, Int, Int), String]()
 
+  /** nlist sized to the corpus (FAISS practice: a roughly constant
+    * expected cell size, here ~125 vectors — sf0.1's 2000/16, floor
+    * 16) — the round-9 scale fix: SCALING.md measured the FIXED
+    * nlist=16 near-dup plan at 84.7x wall-clock for x10 data (in-cell
+    * pairing is O(N²/nlist)) vs 8.8x with nlist grown alongside the
+    * corpus. EXACTLY the old fixed default at every driver SF
+    * (n ≤ 2000 → 16), so every oracle/recall band is untouched; the
+    * adaptation only engages beyond test scale, where it holds the
+    * expected cell size (and so per-vector probe cost) constant. */
+  def adaptiveNlist(spark: SparkSession, dir: String): Int =
+    math.max(16L, Tables.embeddings(spark, dir).count() / 125L).toInt
+
   private[graft] def ivfBuild(spark: SparkSession, dir: String,
       nlist: Int, iters: Int): (DataFrame, DataFrame, DataFrame) = {
     val base = ivfCache.computeIfAbsent((spark, dir, nlist, iters), _ => {
@@ -816,7 +828,7 @@ object SimilarityOps extends QueryModule {
     GraftQuery("v3c_knn_join",
       "V3 approximate kNN join: per-vector top-5 within IVF cells " +
         "(linear-shuffle similarity join; recall pinned in DedupSpec)",
-      (s, d) => knnJoin(s, d), None),
+      (s, d) => knnJoin(s, d, nlist = adaptiveNlist(s, d)), None),
     GraftQuery("v3c2_knn_recall",
       "V3c2 macro recall@5 of the IVF-cell kNN join vs the exact " +
         "top-5 over the deterministic vec_id%16 query sample, " +

@@ -128,4 +128,79 @@ class FunctionsSpec extends SparkSpec {
       df.select(dot_product(col("a"), col("b"))).collect()
     }
   }
+
+  test("scrub_report equals the composable HOF spelling bit-for-bit " +
+    "(incl. short docs, keep-first holder, all-removed, empty ledger)") {
+    import graft.functions.ScrubFunctions
+    import spark.implicits._
+    val W = 3 // small window so hand-built docs exercise every branch
+    val docs = Seq(
+      (1L, "a b c d e f"),        // first holder of "a b c" etc.
+      (2L, "a b c d e f"),        // full duplicate -> everything removed
+      (3L, "x y a b c z q"),      // partial overlap -> middle removed
+      (4L, "short doc"),          // < W words -> no windows
+      (5L, "u v w"),              // unique -> untouched
+      (6L, "")) // single empty word after split
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+    // ledger from the same docs through the v67 aggregate
+    val wins = docs.filter(size(col("w")) >= W)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("w")) - (W - 1))).as("s"))
+      .join(docs, Seq("doc_id"))
+      .select(col("doc_id"), col("s"),
+        md5(array_join(slice(col("w"), col("s"), lit(W)), " ")).as("h"))
+    val ledgerRows = wins.groupBy(col("h"))
+      .agg(min(col("doc_id")).as("keep_doc"), count(lit(1)).as("n"))
+      .filter(col("n") >= 2).select(col("h"), col("keep_doc"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val bc = spark.sparkContext.broadcast(ledgerRows)
+    val got = docs.withColumn("sr",
+        ScrubFunctions.scrub_report(col("w"), col("doc_id"), bc, W))
+      .select(col("doc_id"), col("sr.n_words"), col("sr.n_removed"),
+        col("sr.clean_hash"))
+      .collect().map(r => (r.getLong(0),
+        (r.getInt(1), r.getLong(2), r.getString(3)))).toMap
+    // the composable reference spelling (the pre-round-9 in-row form,
+    // kept here as the pin): flat-ledger exists probe per window
+    val ledgerDf = ledgerRows.toSeq.toDF("h", "keep_doc")
+      .agg(collect_list(struct(col("h"), col("keep_doc"))).as("dup"))
+    val ref = docs.crossJoin(broadcast(ledgerDf))
+      .withColumn("starts",
+        when(size(col("w")) >= W,
+          sequence(lit(1), size(col("w")) - (W - 1)))
+          .otherwise(array().cast("array<int>")))
+      .withColumn("wh", transform(col("starts"), s =>
+        md5(array_join(slice(col("w"), s, lit(W)), " "))))
+      .withColumn("hits",
+        filter(arrays_zip(col("starts"), col("wh")), p =>
+          exists(col("dup"), e =>
+            e.getField("h") === p.getField("wh") &&
+              e.getField("keep_doc") < col("doc_id"))))
+      .withColumn("ps", array_sort(array_distinct(flatten(
+        transform(col("hits"), p =>
+          sequence(p.getField("starts").cast("long"),
+            p.getField("starts").cast("long") + (W - 1)))))))
+      .select(col("doc_id"), size(col("w")).as("n_words"),
+        size(col("ps")).cast("long").as("n_removed"),
+        md5(array_join(
+          filter(col("w"), (_, i) =>
+            !array_contains(col("ps"), i.cast("long") + 1L)),
+          " ")).as("clean_hash"))
+      .collect().map(r => (r.getLong(0),
+        (r.getInt(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got === ref)
+    // the full-duplicate doc really lost everything: md5("")
+    assert(got(2L)._3 === ref(2L)._3)
+    assert(got(2L)._2 === 6L)
+    // and the unique doc lost nothing
+    assert(got(5L)._2 === 0L)
+    // empty ledger leaves every doc untouched
+    val bcEmpty = spark.sparkContext
+      .broadcast(Array.empty[(String, Long)])
+    val untouched = docs.withColumn("sr",
+        ScrubFunctions.scrub_report(col("w"), col("doc_id"), bcEmpty, W))
+      .filter(col("sr.n_removed") > 0).count()
+    assert(untouched === 0L)
+  }
 }
