@@ -561,7 +561,9 @@ object SimilarityOps extends QueryModule {
     * value row every round, not only a spec assertion. */
   def ivfTopKRecall(spark: SparkSession, dir: String): DataFrame = {
     ivfTopkOnce.ensure(dir) {
-      ivfTopK(spark, dir).select(col("vec_id"))
+      // same nlist spelling as the v3b entry the witness certifies
+      ivfTopK(spark, dir, nlist = adaptiveNlist(spark, dir))
+        .select(col("vec_id"))
         .coalesce(1).write.mode("overwrite").parquet(IvfTopkPath)
     }
     val stored = spark.read.parquet(IvfTopkPath).withColumn("h", lit(1))
@@ -860,9 +862,10 @@ object SimilarityOps extends QueryModule {
              |FROM e, q WHERE e.vec_id <> 0
              |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin)),
     GraftQuery("v3b_ivf_topk",
-      "V3 IVF-probed ANN top-10 (nlist=16, nprobe=4; scale path, " +
+      "V3 IVF-probed ANN top-10 (nlist grows with the corpus — " +
+        "adaptiveNlist, =16 at every test SF; nprobe=4; scale path, " +
         "approximate — recall pinned in DedupSpec)",
-      (s, d) => ivfTopK(s, d), None),
+      (s, d) => ivfTopK(s, d, nlist = adaptiveNlist(s, d)), None),
     GraftQuery("v3b2_ivf_stored",
       "V3 stored IVF index: assignment parquet-partitioned by centroid, " +
         "probe reads only nprobe partitions (pruning + equality pinned " +
@@ -874,7 +877,7 @@ object SimilarityOps extends QueryModule {
         val idx = graft.util.TempArtifacts.register(
           s"${sys.props("java.io.tmpdir")}/graft_ivf_index_" +
             ProcessHandle.current().pid())
-        writeIvfIndex(s, d, idx)
+        writeIvfIndex(s, d, idx, nlist = adaptiveNlist(s, d))
         // the query vector arrives from OUTSIDE the index (a pushed-down
         // point lookup on the source table, like b6)
         ivfTopKStored(s, idx, queryVector(s, d, 0L), excludeVecId = 0L)

@@ -31,6 +31,11 @@ final case class SearchRequest(
     pageSize: Int = 10)
 
 class TraceService(spans: DataFrame) {
+  /** BFS frontier rows under which a level joins by BROADCAST instead
+    * of shuffle (spanDepths): ~10 M rows of 4 narrow columns ≈
+    * low-hundreds of MB — inside a healthy executor broadcast budget,
+    * far above any registry frontier. */
+  private val BroadcastFrontierLimit = 10000000L
   private val durMs = (col("duration_ns") / lit(1000000.0)).as("duration_ms")
   private def isRoot = col("parent_span_id") === ""
   private def hasException =
@@ -336,26 +341,39 @@ class TraceService(spans: DataFrame) {
       var frontier = base.filter(isRoot)
         .select(col("trace_id"), col("span_id"), lit(1).as("depth"),
           col("duration_ns").as("path_ns"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val levels = scala.collection.mutable.ArrayBuffer(frontier)
       var level = 1
-      // one isEmpty action (job) per level; the ceiling only fires when
+      // LAZY checkpoint + count = ONE job per level (an eager
+      // checkpoint then count paid two; with the broadcast join below
+      // the loop is job-overhead bound, so jobs per level is the cost)
+      // — the count both terminates the loop
+      // AND sizes the join strategy below; the ceiling only fires when
       // a level BEYOND maxLevels actually has content — a legitimate
       // acyclic tree of depth exactly maxLevels completes normally
-      var done = frontier.isEmpty
-      while (!done) {
+      var frontierN = frontier.count()
+      while (frontierN > 0) {
         level += 1
+        // size-guarded broadcast frontier (round 9): at registry scale
+        // every BFS level was paying a full shuffle of base + frontier
+        // (~0.3 s/level of pure exchange). A frontier under the limit
+        // broadcasts instead — base never shuffles, the level is one
+        // map-side hash join over the cached scan. Wide trees (a
+        // frontier near corpus size at 100 TB) keep the shuffle join:
+        // the guard is a row count already paid by the loop test.
+        val fSel = frontier.select(col("trace_id"),
+          col("span_id").as("parent_span_id"), col("depth"),
+          col("path_ns"))
+        val f = if (frontierN <= BroadcastFrontierLimit) broadcast(fSel)
+          else fSel
         frontier = base
-          .join(frontier.select(col("trace_id"),
-            col("span_id").as("parent_span_id"), col("depth"),
-            col("path_ns")),
-            Seq("trace_id", "parent_span_id"))
+          .join(f, Seq("trace_id", "parent_span_id"))
           .select(col("trace_id"), col("span_id"),
             (col("depth") + 1).as("depth"),
             (col("path_ns") + col("duration_ns")).as("path_ns"))
-          .localCheckpoint()
-        done = frontier.isEmpty
-        if (!done) {
+          .localCheckpoint(eager = false)
+        frontierN = frontier.count()
+        if (frontierN > 0) {
           if (level > maxLevels)
             throw new IllegalStateException(
               s"span tree deeper than $maxLevels levels — parent-link cycle?")
