@@ -53,6 +53,10 @@ object ScaleBench {
         reg("v2b_minhash_lsh")(s, d).count()),
       ("v16_decontamination", (s: SparkSession, d: String, _: Int) =>
         reg("v16_decontamination")(s, d).count()),
+      // the deployment shape: benchmark FIXED (always the base dir's
+      // slice) while the corpus scales — the linear-scan claim proper
+      ("v16[fixed benchmark]", (s: SparkSession, d: String, _: Int) =>
+        graft.dedup.DedupOps.decontaminateAgainst(s, d, base).count()),
       ("v67_span_scrub", (s: SparkSession, d: String, _: Int) =>
         reg("v67_span_scrub")(s, d).count()),
       ("v50_semantic_prune", (s: SparkSession, d: String, _: Int) =>

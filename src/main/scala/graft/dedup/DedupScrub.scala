@@ -333,6 +333,31 @@ private[dedup] trait DedupScrub { self: DedupOps.type =>
       .orderBy(col("doc_id"))
   }
 
+  /** [[decontaminate]] with the benchmark taken from a SEPARATE dir —
+    * the real deployment shape (the benchmark is an external
+    * fixed-size eval set, not a slice that grows with the corpus).
+    * ScaleBench measures this form to substantiate the linear-scan
+    * claim: the per-doc cost is O(|sh| + |bench|), so only a FIXED
+    * benchmark keeps the total linear in corpus size (SCALING.md —
+    * the v16 fixture's co-growing slice measured 46.5× at ×100). */
+  def decontaminateAgainst(spark: SparkSession, corpusDir: String,
+      benchDir: String, tau: Double = ContamTau): DataFrame = {
+    val bench = shingleSets(spark, benchDir)
+      .filter(pmod(col("doc_id"), lit(97)) === 0)
+      .select(explode(col("sh")).as("shingle")).distinct()
+    shingleSets(spark, corpusDir)
+      .filter(pmod(col("doc_id"), lit(97)) =!= 0)
+      .select(col("doc_id"), col("sz"), explode(col("sh")).as("shingle"))
+      .join(broadcast(bench), Seq("shingle"), "left_semi")
+      .groupBy(col("doc_id"), col("sz"))
+      .agg(count(lit(1)).as("n_hit"))
+      .withColumn("contamination", Exact.ratio6(col("n_hit"), col("sz")))
+      .filter(col("contamination") >= tau)
+      .select(col("doc_id"), col("sz").as("n_shingles"), col("n_hit"),
+        col("contamination"))
+      .orderBy(col("doc_id"))
+  }
+
   // lazy: interpolates shinglesSql, which is declared LATER in this
   // object — a plain val here would capture null at construction time
   // (object vals initialize in declaration order) and silently emit

@@ -353,9 +353,16 @@ object MixOps extends QueryModule {
     * one shard-keyed repartition (no global sort — line order within
     * a shard is irrelevant to every manifest column); the read-back
     * is a linear scan of the written files. */
-  def jsonlShardExport(spark: SparkSession, dir: String): DataFrame = {
-    val root = graft.util.ArtifactCache.persistent(
-        "v65c_jsonl", "v1", dir) { p =>
+  def jsonlShardExport(spark: SparkSession, dir: String): DataFrame =
+    manifestOf(withExportCols(readJsonlShards(spark, dir)))
+      .orderBy(col("shard_id"))
+
+  /** The written v65c shard tree (one gzip jsonl file per shard),
+    * built once per input fingerprint into the persistent artifact
+    * catalog; both v65c (manifest witness) and v65d (corpus loader)
+    * read from here. */
+  private def jsonlRoot(spark: SparkSession, dir: String): String =
+    graft.util.ArtifactCache.persistent("v65c_jsonl", "v1", dir) { p =>
       withShards(spark, dir)
         .select(col("shard_id"),
           to_json(struct(col("doc_id"), col("source"), col("text")))
@@ -364,6 +371,11 @@ object MixOps extends QueryModule {
         .write.mode("overwrite").partitionBy("shard_id")
         .option("compression", "gzip").text(p)
     }
+
+  /** The LOADER half of the jsonl hand-off: gunzip + parse the written
+    * shard files back to (shard_id, doc_id, source, text) rows — what
+    * a training loader does with the export. */
+  private def readJsonlShards(spark: SparkSession, dir: String): DataFrame = {
     val lineSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("doc_id",
         org.apache.spark.sql.types.LongType),
@@ -371,13 +383,30 @@ object MixOps extends QueryModule {
         org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField("text",
         org.apache.spark.sql.types.StringType)))
-    val parsed = spark.read.text(root)
+    spark.read.text(jsonlRoot(spark, dir))
       .select(col("shard_id").cast("long").as("shard_id"),
         from_json(col("value"), lineSchema).as("j"))
       .select(col("shard_id"), col("j.doc_id").as("doc_id"),
         col("j.source").as("source"), col("j.text").as("text"))
-    manifestOf(withExportCols(parsed)).orderBy(col("shard_id"))
   }
+
+  /** V65d: corpus RECONSTRUCTION from the jsonl shards — the loader's
+    * integrity check stated at document grain: every (doc_id, source,
+    * text) from the gunzipped shard files must equal the source table
+    * byte-for-byte. v65c's manifest witnesses per-shard AGGREGATES
+    * (counts, checksum sums); this entry is the stronger row-level
+    * claim — the DuckDB oracle recomputes (doc_id, source, md5(text))
+    * from the ORIGINAL table, so a single altered byte, lost doc or
+    * duplicated line in any shard file hash-mismatches. Linear scan of
+    * the written files; no joins. */
+  def jsonlRoundTrip(spark: SparkSession, dir: String): DataFrame =
+    readJsonlShards(spark, dir)
+      .select(col("doc_id"), col("source"), md5(col("text")).as("text_hash"))
+      .orderBy(col("doc_id"))
+
+  private lazy val jsonlRoundTripSql: String =
+    """SELECT doc_id, source, md5(text) AS text_hash
+      |FROM documents ORDER BY doc_id""".stripMargin
 
   /** The shard chain as a CTE LIST: `${p}d` export rows (under `pred`),
     * `${p}c` the prefix-summed rows, `${p}m` the manifest. */
@@ -886,5 +915,12 @@ object MixOps extends QueryModule {
         "lines and grouped by the shard each line was found under, so " +
         "the v65 oracle hash-agreeing proves placement + byte-intact " +
         "round-trip through the actual files a loader would read",
-      jsonlShardExport, Some(shardManifestSql)))
+      jsonlShardExport, Some(shardManifestSql)),
+    GraftQuery("v65d_jsonl_roundtrip",
+      "V65d jsonl loader round-trip: the corpus RECONSTRUCTED from the " +
+        "gunzipped v65c shard files, row-for-row — (doc_id, source, " +
+        "md5(text)) vs the original table's own hashes; one altered " +
+        "byte, lost doc or duplicated line in any shard file breaks " +
+        "the oracle hash",
+      jsonlRoundTrip, Some(jsonlRoundTripSql)))
 }
