@@ -1,0 +1,156 @@
+package graft.functions
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftshim.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Product-quantization codebook assignment as compiled JVM loops —
+  * the round-9 ScrubReport treatment applied to the PQ family's hot
+  * path. The composable spelling argmin'd each (vector, subspace)
+  * through `filter`/`transform`/`zip_with`/`aggregate` higher-order
+  * functions, which are CodegenFallback and run INTERPRETED: measured
+  * ~400 µs per vector for a 6-byte encode (st16 at the ×10 blow-up),
+  * ~100× the arithmetic's real cost. The codebooks ship as a Spark
+  * BROADCAST captured by the expression (512 entries ≈ 32 KB; never a
+  * column, so no per-row payload copies), grouped per subspace and
+  * sorted by code id once per executor.
+  *
+  * Semantics are BIT-IDENTICAL to the composable form (PqSpec /
+  * the v18 oracles pin it end to end in DuckDB HUGEINT): integer
+  * micro-unit squared L2, argmin with ties to the LOWEST code id
+  * (the `array_min(struct(d, cid))` lexicographic rule — iterating
+  * cids ascending with a strict `<` keeps the first minimum). */
+private[functions] object PqCodebooks {
+  /** (per-sub sorted-by-cid candidate arrays) from the broadcast
+    * (sub, cid, cm) triples. */
+  def bySub(cb: Array[(Int, Long, Array[Long])],
+      m: Int): Array[Array[(Long, Array[Long])]] = {
+    val out = Array.fill(m)(Array.empty[(Long, Array[Long])])
+    cb.groupBy(_._1).foreach { case (s, entries) =>
+      if (s >= 0 && s < m)
+        out(s) = entries.sortBy(_._2).map(e => (e._2, e._3))
+    }
+    out
+  }
+
+  def sqDist(xm: Array[Long], off: Int, cm: Array[Long]): Long = {
+    var d = 0L
+    var i = 0
+    while (i < cm.length) {
+      val diff = xm(off + i) - cm(i)
+      d += diff * diff
+      i += 1
+    }
+    d
+  }
+
+  /** argmin (d, cid) over one subspace's candidates; null when the
+    * subspace has no codebook entries (matches array_min(empty)). */
+  def argmin(xm: Array[Long], off: Int,
+      cands: Array[(Long, Array[Long])]): (Long, Long) = {
+    if (cands.isEmpty) return null
+    var bestD = Long.MaxValue
+    var bestC = -1L
+    var i = 0
+    while (i < cands.length) {
+      val d = sqDist(xm, off, cands(i)._2)
+      if (d < bestD) { bestD = d; bestC = cands(i)._1 }
+      i += 1
+    }
+    (bestD, bestC)
+  }
+}
+
+/** struct(d, cid): the nearest codebook entry of ONE (vector-slice,
+  * subspace) row — the training/encode inner loop. */
+case class PqAssign(xm: Expression, sub: Expression,
+    codebooks: Broadcast[Array[(Int, Long, Array[Long])]], m: Int)
+    extends BinaryExpression with CodegenFallback {
+
+  override def left: Expression = xm
+  override def right: Expression = sub
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("d", LongType, nullable = false),
+    StructField("cid", LongType, nullable = false)))
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (xm.dataType, sub.dataType) match {
+      case (ArrayType(LongType, _), IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"pq_assign expects (ARRAY<LONG>, INT), got $other")
+    }
+
+  @transient private lazy val bySub = PqCodebooks.bySub(codebooks.value, m)
+
+  override def nullSafeEval(xmAny: Any, subAny: Any): Any = {
+    val arr = xmAny.asInstanceOf[ArrayData].toLongArray()
+    val s = subAny.asInstanceOf[Int]
+    if (s < 0 || s >= m) return null
+    val best = PqCodebooks.argmin(arr, 0, bySub(s))
+    if (best == null) null else InternalRow(best._1, best._2)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression =
+    copy(xm = newLeft, sub = newRight)
+}
+
+/** array of all M sub-codes of a full micro-vector — the stateless
+  * in-row encode (st16 / the stored code table). */
+case class PqCodes(xm64: Expression,
+    codebooks: Broadcast[Array[(Int, Long, Array[Long])]], m: Int,
+    subDims: Int) extends UnaryExpression with CodegenFallback {
+
+  override def child: Expression = xm64
+
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = true)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    xm64.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"pq_codes expects ARRAY<LONG>, got ${other.simpleString}")
+    }
+
+  @transient private lazy val bySub = PqCodebooks.bySub(codebooks.value, m)
+
+  override def nullSafeEval(xmAny: Any): Any = {
+    val arr = xmAny.asInstanceOf[ArrayData].toLongArray()
+    val codes = new Array[Any](m)
+    var s = 0
+    while (s < m) {
+      val best = PqCodebooks.argmin(arr, s * subDims, bySub(s))
+      codes(s) = if (best == null) null else best._2
+      s += 1
+    }
+    new GenericArrayData(codes)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(xm64 = newChild)
+}
+
+object PqFunctions {
+  def pq_assign(xm: Column, sub: Column,
+      codebooks: Broadcast[Array[(Int, Long, Array[Long])]],
+      m: Int): Column =
+    ColumnBridge.column(PqAssign(ColumnBridge.expression(xm),
+      ColumnBridge.expression(sub), codebooks, m))
+
+  def pq_codes(xm64: Column,
+      codebooks: Broadcast[Array[(Int, Long, Array[Long])]],
+      m: Int, subDims: Int): Column =
+    ColumnBridge.column(PqCodes(ColumnBridge.expression(xm64),
+      codebooks, m, subDims))
+}

@@ -77,17 +77,33 @@ object PqOps extends QueryModule {
           s"s -> slice(xm64, s * $SubDims + 1, $SubDims))")))
       .toDF("vec_id", "sub", "xm")
 
-  /** All M codebooks folded into ONE broadcast row; assignment is a
-    * pure in-row argmin over the row's own subspace (ties to the
-    * lowest code id, mirroring the oracle's ORDER BY d, cid). */
-  private def assignSub(pts: DataFrame, cents: DataFrame): DataFrame =
-    pts.crossJoin(broadcast(cents.agg(array_sort(collect_list(
-        struct(col("sub"), col("cid"), col("cm")))).as("cs"))))
-      .withColumn("best", expr(
-        "array_min(transform(filter(cs, c -> c.sub = sub), " +
-          s"c -> named_struct('d', $distExpr, 'cid', c.cid)))"))
+  /** The trained codebooks collected (512 rows, ~32 KB) and shipped
+    * as a Spark broadcast for the compiled assign/encode expressions
+    * ([[graft.functions.PqAssign]]/[[graft.functions.PqCodes]]) — the
+    * ScrubReport convention: never a column, so no per-row payload
+    * copies; each Lloyd iteration broadcasts its fresh codebooks. */
+  private def collectCodebooks(cents: DataFrame): org.apache.spark
+      .broadcast.Broadcast[Array[(Int, Long, Array[Long])]] = {
+    val spark = cents.sparkSession
+    val rows = cents.select(col("sub"), col("cid"), col("cm")).collect()
+      .map(r => (r.getInt(0), r.getLong(1),
+        r.getSeq[Long](2).toArray))
+    spark.sparkContext.broadcast(rows)
+  }
+
+  /** Assignment is a compiled in-row argmin over the row's own
+    * subspace (ties to the lowest code id, mirroring the oracle's
+    * ORDER BY d, cid) — round 9: the previous composable spelling
+    * (filter/transform/zip_with/aggregate over a one-row codebook
+    * bundle) ran interpreted at ~400 µs/vector; PqSpec and the v18
+    * oracle chain pin the compiled form bit-identical. */
+  private def assignSub(pts: DataFrame, cents: DataFrame): DataFrame = {
+    val bc = collectCodebooks(cents)
+    pts.withColumn("best",
+        graft.functions.PqFunctions.pq_assign(col("xm"), col("sub"), bc, M))
       .select(col("vec_id"), col("sub"),
         col("best.cid").as("cid"), col("best.d").as("d"))
+  }
 
   /** Lloyd update over all subspaces at once: one (sub, cid, dim)
     * partial-agg shuffle, k-row-scale output localCheckpointed (the
@@ -285,26 +301,19 @@ object PqOps extends QueryModule {
     * NOTE Spark SQL's `arr[i]` is 0-based (element_at is the 1-based
     * form). */
   private def encodeInRow(df: DataFrame, cents: DataFrame): DataFrame = {
-    // localCheckpoint: the 1-row codebook bundle would otherwise be
-    // re-aggregated from the memo parquet EVERY micro-batch when `df`
-    // is a stream (broadcast subqueries re-execute per batch)
-    val bundle = cents.agg(array_sort(collect_list(
-      struct(col("sub"), col("cid"), col("cm")))).as("cs"))
-      .localCheckpoint()
+    // broadcast codebooks + compiled PqCodes (round 9): the previous
+    // form crossJoined a one-row bundle and argmin'd through
+    // interpreted higher-order functions (~400 µs/vector measured at
+    // the x10 blow-up); the broadcast also stops a streaming df from
+    // re-aggregating the bundle every micro-batch
+    val bc = collectCodebooks(cents)
     df.select(col("vec_id"),
         ClusterOps.microVec(col("embedding")).as("xm64"))
-      // spread the interpreted per-row argmin across cores: a stream's
+      // spread the per-row encode across cores: a stream's
       // micro-batch otherwise runs one task per source file
       .repartition(32)
-      .crossJoin(broadcast(bundle))
-      .withColumn("codes", expr(
-        s"""transform(sequence(0, ${M - 1}), s ->
-           |  array_min(transform(filter(cs, c -> c.sub = s),
-           |    c -> named_struct('d',
-           |      aggregate(zip_with(slice(xm64, s * $SubDims + 1, $SubDims),
-           |        c.cm, (a, b) -> (a - b) * (a - b)),
-           |        CAST(0 AS BIGINT), (acc, v) -> acc + v),
-           |      'cid', c.cid))).cid)""".stripMargin))
+      .withColumn("codes",
+        graft.functions.PqFunctions.pq_codes(col("xm64"), bc, M, SubDims))
       .select(col("vec_id"),
         expr("aggregate(codes, CAST(0 AS BIGINT), (acc, v) -> acc + v)")
           .as("code_sum"),
