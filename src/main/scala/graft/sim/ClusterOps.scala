@@ -59,15 +59,25 @@ object ClusterOps extends QueryModule {
     cents.agg(array_sort(collect_list(struct(col("cid"), col("cm"))))
       .as("cs"))
 
-  /** Per point: (cid, d) of the nearest centroid — argmin via
-    * `array_min` over (d, cid) structs, so ties break to the lowest
-    * centroid id, identically to the oracle's `ORDER BY d, cid`. */
-  private[graft] def assign(pts: DataFrame, cents: DataFrame): DataFrame =
-    pts.crossJoin(broadcast(bundle(cents)))
-      .withColumn("best", expr("array_min(transform(cs, " +
-        s"c -> named_struct('d', $distExpr, 'cid', c.cid)))"))
+  /** Per point: (cid, d) of the nearest centroid — a compiled in-row
+    * argmin ([[graft.functions.PqAssign]] with one full-width
+    * "subspace") against the centroids shipped as a Spark broadcast;
+    * ties break to the LOWEST centroid id, identically to the
+    * oracle's `ORDER BY d, cid` (the expression iterates cids
+    * ascending with a strict `<`). Round 9: the previous composable
+    * `array_min(transform(cs, ...))` spelling ran interpreted per
+    * point (the SCALING.md HOF class); the v47 HUGEINT oracle chain
+    * pins the compiled form bit-identical. */
+  private[graft] def assign(pts: DataFrame, cents: DataFrame): DataFrame = {
+    val spark = cents.sparkSession
+    val bc = spark.sparkContext.broadcast(
+      cents.select(col("cid"), col("cm")).collect()
+        .map(r => (0, r.getLong(0), r.getSeq[Long](1).toArray)))
+    pts.withColumn("best",
+        graft.functions.PqFunctions.pq_assign(col("xm"), lit(0), bc, 1))
       .select(col("vec_id"), col("xm"),
         col("best.cid").as("cid"), col("best.d").as("d"))
+  }
 
   /** Lloyd update: per-(cluster, dim) mean in micro-units, half-away-
     * from-zero ([[Exact.signedDivRound]] — embedding coordinates go
