@@ -123,6 +123,11 @@ object Bench {
     // from the tail window ("parsed": null three rounds running).
     // Print it again AFTER the long line so it sits inside any
     // tail-keeping capture as well as any head-keeping one.
+    // DELIBERATE trade-off (round-9 review): a last-match parser now
+    // always gets the short form without the per-query map — but for a
+    // tail-keeping window the long line can never fit anyway, and the
+    // full map is durable in BENCH_FULL.json below; a sum-all-totals
+    // parser would triple count, which no known consumer does.
     println(shortLine)
     System.out.flush()
     // The driver's BENCH artifact head-truncates long stdout captures

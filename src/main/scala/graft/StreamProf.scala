@@ -29,8 +29,12 @@ object StreamProf {
     })
     val names = if (args.nonEmpty) args.toSeq else Seq("st25", "st1")
     names.foreach { n =>
+      // exact name or '<prefix>_' — bare startsWith("st1") would hit
+      // whichever of st10..st19 the Map's iteration order offers first
       val (full, fn) = SparkEntry.queries
-        .find(_._1.startsWith(n)).getOrElse(sys.error(s"no entry $n"))
+        .find(e => e._1 == n || e._1.startsWith(n + "_"))
+        .orElse(SparkEntry.queries.find(_._1.startsWith(n)))
+        .getOrElse(sys.error(s"no entry $n"))
       (1 to 2).foreach { run =>
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()

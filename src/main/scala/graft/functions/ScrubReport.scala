@@ -58,14 +58,14 @@ case class ScrubReport(words: Expression, docId: Expression,
         s"scrub_report expects (ARRAY<STRING>, LONG), got $other")
     }
 
+  // per-BROADCAST-ID shared map (round-9 review): a @transient lazy
+  // val on the expression alone rebuilds once per DESERIALIZED TASK
+  // (32 × O(|ledger|) builds per drive at the repartition width); the
+  // companion cache keys on the broadcast id so every task of every
+  // query over one ledger shares a single build per JVM.
   @transient private lazy val ledgerMap:
-      java.util.HashMap[String, java.lang.Long] = {
-    val entries = ledger.value
-    val m = new java.util.HashMap[String, java.lang.Long](
-      entries.length * 2)
-    entries.foreach { case (h, keep) => m.put(h, keep) }
-    m
-  }
+      java.util.HashMap[String, java.lang.Long] =
+    ScrubReport.mapFor(ledger)
 
   override def nullSafeEval(wAny: Any, idAny: Any): Any = {
     val w = wAny.asInstanceOf[ArrayData]
@@ -127,6 +127,24 @@ case class ScrubReport(words: Expression, docId: Expression,
 }
 
 object ScrubReport {
+  private val maps = new java.util.concurrent.ConcurrentHashMap[
+    Long, java.util.HashMap[String, java.lang.Long]]()
+
+  /** The flattened ledger map for a broadcast, built once per JVM per
+    * broadcast id (bounded: old ledgers evict wholesale past 8 — a
+    * process touches a handful of (dir, ledger) pairs). */
+  private[functions] def mapFor(
+      bc: Broadcast[Array[(String, Long)]]):
+      java.util.HashMap[String, java.lang.Long] =
+    maps.computeIfAbsent(bc.id, _ => {
+      if (maps.size() > 8) maps.clear()
+      val entries = bc.value
+      val m = new java.util.HashMap[String, java.lang.Long](
+        entries.length * 2)
+      entries.foreach { case (h, keep) => m.put(h, keep) }
+      m
+    })
+
   private val digest = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")

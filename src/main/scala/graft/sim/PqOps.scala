@@ -58,10 +58,6 @@ object PqOps extends QueryModule {
     * small unroll keeps the oracle expressible as chained CTEs). */
   val Iters = 2
 
-  private val distExpr =
-    "aggregate(zip_with(xm, c.cm, (a, b) -> (a - b) * (a - b)), " +
-      "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
-
   /** (vec_id, xm64) — full micro-unit vectors. */
   private def base(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)

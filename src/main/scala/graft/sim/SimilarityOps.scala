@@ -150,8 +150,19 @@ object SimilarityOps extends QueryModule {
     * (n ≤ 2000 → 16), so every oracle/recall band is untouched; the
     * adaptation only engages beyond test scale, where it holds the
     * expected cell size (and so per-vector probe cost) constant. */
+  private val nlistCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), Integer]()
+
   def adaptiveNlist(spark: SparkSession, dir: String): Int =
-    math.max(16L, Tables.embeddings(spark, dir).count() / 125L).toInt
+    nlistCache.computeIfAbsent((spark, dir), _ =>
+      // clamp BEFORE narrowing: count/125 exceeds Int.MaxValue around
+      // 2.7e11 vectors and a bare .toInt would wrap negative exactly
+      // in the regime this function exists for; memoized per
+      // (session, dir) so the six IVF consumers (x2 bench runs) pay
+      // ONE count job per process, the ivfCache convention
+      math.min(math.max(16L,
+        Tables.embeddings(spark, dir).count() / 125L),
+        Int.MaxValue.toLong).toInt): Int
 
   private[graft] def ivfBuild(spark: SparkSession, dir: String,
       nlist: Int, iters: Int): (DataFrame, DataFrame, DataFrame) = {
@@ -646,7 +657,9 @@ object SimilarityOps extends QueryModule {
     * becomes a driver-hashed value each round, at any SF. */
   def knnJoinRecall(spark: SparkSession, dir: String): DataFrame = {
     knnPairsOnce.ensure(dir) {
-      knnJoin(spark, dir).select(col("i"), col("j"))
+      // same nlist spelling as the v3c entry the witness certifies
+      knnJoin(spark, dir, nlist = adaptiveNlist(spark, dir))
+        .select(col("i"), col("j"))
         .coalesce(1).write.mode("overwrite").parquet(KnnPairsPath)
     }
     graft.dedup.DedupOps.overlapAgainstDump(spark, KnnPairsPath,

@@ -32,10 +32,13 @@ final case class SearchRequest(
 
 class TraceService(spans: DataFrame) {
   /** BFS frontier rows under which a level joins by BROADCAST instead
-    * of shuffle (spanDepths): ~10 M rows of 4 narrow columns ≈
-    * low-hundreds of MB — inside a healthy executor broadcast budget,
-    * far above any registry frontier. */
-  private val BroadcastFrontierLimit = 10000000L
+    * of shuffle (spanDepths). Sized for the MATERIALIZED cost, not the
+    * raw bytes: a broadcast hash relation of (two string ids + two
+    * longs) runs ~100-200 bytes/row once unsafe rows + the hash table
+    * are counted, so 1 M rows ≈ 100-200 MB on the driver and each
+    * executor — a safe broadcast budget. Wider frontiers keep the
+    * shuffle join. */
+  private val BroadcastFrontierLimit = 1000000L
   private val durMs = (col("duration_ns") / lit(1000000.0)).as("duration_ms")
   private def isRoot = col("parent_span_id") === ""
   private def hasException =
