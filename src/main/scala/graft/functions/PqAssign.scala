@@ -141,12 +141,83 @@ case class PqCodes(xm64: Expression,
     copy(xm64 = newChild)
 }
 
+/** The whole per-query serve-side prep of st21/st21b in one compiled
+  * pass: coarse route (the `ncell` nearest cells by integer micro-L2,
+  * ties to the lower cell id — the array_sort(struct(d, cid)) rule)
+  * and the full ADC lookup table (every (sub, cid) squared
+  * sub-distance), already crossed to the exploded
+  * (cell, sub, cid, ld) rows the stream-static code join consumes.
+  * The composable spelling ran ~34 ms per query interpreted — the
+  * serving path's per-request cost. */
+case class PqRouteLut(xm64: Expression,
+    coarse: Broadcast[Array[(Long, Array[Long])]],
+    codebooks: Broadcast[Array[(Int, Long, Array[Long])]],
+    ncell: Int, subDims: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def child: Expression = xm64
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("cell", LongType, nullable = false),
+    StructField("sub", IntegerType, nullable = false),
+    StructField("cid", LongType, nullable = false),
+    StructField("ld", LongType, nullable = false))),
+    containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    xm64.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"pq_route_lut expects ARRAY<LONG>, got ${other.simpleString}")
+    }
+
+  @transient private lazy val sortedCb: Array[(Int, Long, Array[Long])] =
+    codebooks.value.sortBy(e => (e._1, e._2))
+
+  override def nullSafeEval(xmAny: Any): Any = {
+    val arr = xmAny.asInstanceOf[ArrayData].toLongArray()
+    // route: ncell lowest (d, cid)
+    val cells = coarse.value
+      .map { case (cid, cm) => (PqCodebooks.sqDist(arr, 0, cm), cid) }
+      .sorted
+      .take(ncell)
+      .map(_._2)
+    // LUT in (sub, cid) order, each against its own slice of the query
+    val cb = sortedCb
+    val out = new Array[Any](cells.length * cb.length)
+    var o = 0
+    var i = 0
+    while (i < cells.length) {
+      var j = 0
+      while (j < cb.length) {
+        val e = cb(j)
+        out(o) = InternalRow(cells(i), e._1, e._2,
+          PqCodebooks.sqDist(arr, e._1 * subDims, e._3))
+        o += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(xm64 = newChild)
+}
+
 object PqFunctions {
   def pq_assign(xm: Column, sub: Column,
       codebooks: Broadcast[Array[(Int, Long, Array[Long])]],
       m: Int): Column =
     ColumnBridge.column(PqAssign(ColumnBridge.expression(xm),
       ColumnBridge.expression(sub), codebooks, m))
+
+  def pq_route_lut(xm64: Column,
+      coarse: Broadcast[Array[(Long, Array[Long])]],
+      codebooks: Broadcast[Array[(Int, Long, Array[Long])]],
+      ncell: Int, subDims: Int): Column =
+    ColumnBridge.column(PqRouteLut(ColumnBridge.expression(xm64),
+      coarse, codebooks, ncell, subDims))
 
   def pq_codes(xm64: Column,
       codebooks: Broadcast[Array[(Int, Long, Array[Long])]],
