@@ -135,15 +135,20 @@ object ScrubReport {
     * process touches a handful of (dir, ledger) pairs). */
   private[functions] def mapFor(
       bc: Broadcast[Array[(String, Long)]]):
-      java.util.HashMap[String, java.lang.Long] =
+      java.util.HashMap[String, java.lang.Long] = {
+    // Evict BEFORE computeIfAbsent: ConcurrentHashMap's contract
+    // forbids the mapping function from mutating the map (clear()
+    // inside it can corrupt size accounting or deadlock). Racy
+    // double-clear is harmless — the map is a pure cache.
+    if (maps.size() > 8 && !maps.containsKey(bc.id)) maps.clear()
     maps.computeIfAbsent(bc.id, _ => {
-      if (maps.size() > 8) maps.clear()
       val entries = bc.value
       val m = new java.util.HashMap[String, java.lang.Long](
         entries.length * 2)
       entries.foreach { case (h, keep) => m.put(h, keep) }
       m
     })
+  }
 
   private val digest = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =

@@ -20,10 +20,12 @@ import org.apache.spark.sql.functions._
   *    MinHash, SimHash, winnowing AND span-scrub ledgers), while word
   *    counts and length distributions are preserved. doc_id offset by
   *    k·1e8.
-  *  - embeddings: the vector is ROTATED by k positions — norm and
+  *  - embeddings: the vector is ROTATED by k positions, composed (for
+  *    k >= 64, where the rotation would repeat) with a deterministic
+  *    per-group sign flip of ~half the coordinates — norm and
   *    coordinate distribution preserved, but copies are not mutual
-  *    near-neighbours, so ANN candidate density stays constant.
-  *    vec_id offset by k·1e8.
+  *    near-neighbours at ANY factor, so ANN candidate density stays
+  *    constant. vec_id offset by k·1e8.
   *  - events: event_id/user_id offset by k·1e12/1e9 — user cardinality
   *    scales with the corpus (sessionization, per-user state and
   *    group-bys see ×factor KEYS, not ×factor rows per key); the time
@@ -62,14 +64,33 @@ object ScaleData {
            w => concat(w, lit(s"~$k"))), " ")).cast("long")).as("n_chars"))
     }
     salted("embeddings") { (e, k) =>
-      val r = pmod(lit(k), size(col("embedding")))
+      val d = size(col("embedding"))
+      val r = pmod(lit(k), d)
+      val rotated =
+        if (k == 0) col("embedding")
+        else concat(
+          slice(col("embedding"), r + lit(1), d - r),
+          slice(col("embedding"), lit(1), r))
+      // The rotation repeats every D copies (k and k+D rotate
+      // identically, D = 64 in the testdata), so beyond k >= 64 it is
+      // composed with a deterministic pseudo-random SIGN pattern keyed
+      // by the copy group g = k/64: coordinate i is negated iff
+      // murmur3(g, i) is odd. Norm and coordinate distribution are
+      // preserved; copies in different groups have expected cosine ~0
+      // (about half the coordinates flip), so the "copies are not
+      // mutual near-neighbours / constant ANN density" invariant holds
+      // at every factor, not just factor <= 64. Copies 1..63 keep the
+      // pure rotation so the pinned ScaleSpec x8 work counts and all
+      // prior <=x10 measurements are unchanged.
+      val g = k / 64
+      val vec =
+        if (g == 0) rotated
+        else transform(rotated,
+          (x, i) => when(pmod(hash(lit(g), i), lit(2)) === lit(1),
+            negate(x)).otherwise(x))
       e.select(
         (col("vec_id") + lit(k.toLong * 100000000L)).as("vec_id"),
-        (if (k == 0) col("embedding")
-         else concat(
-           slice(col("embedding"), r + lit(1),
-             size(col("embedding")) - r),
-           slice(col("embedding"), lit(1), r))).as("embedding"),
+        vec.as("embedding"),
         col("label"))
     }
     salted("events") { (ev, k) =>
