@@ -283,7 +283,8 @@ private[dedup] trait DedupScrub { self: DedupOps.type =>
     // probing share one notion of "cell" AND one build
     val (e, cents, _) =
       graft.sim.SimilarityOps.ivfBuild(spark, dir, nlist, 1)
-    val probed = graft.sim.SimilarityOps.multiProbeAssign(e, cents, nprobe)
+    val probed =
+      graft.sim.SimilarityOps.multiProbeAssign(e, cents, nprobe, nlist)
     val x = probed.select(col("cent_id"), col("vec_id").as("i"))
     val y = probed.select(col("cent_id"), col("vec_id").as("j"))
     // hash join beats SMJ on the nlist-key cell join (no sort needed)

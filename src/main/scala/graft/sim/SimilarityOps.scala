@@ -51,21 +51,91 @@ object SimilarityOps extends QueryModule {
       .limit(k)
   }
 
+  /** Coarse assignments stay EXACT (flat, every centroid evaluated) up
+    * to this many centroids; above it the two-level hierarchical path
+    * engages ([[hierCandidates]]). 256 is far above every driver SF's
+    * adaptiveNlist (=16 at n <= 2000 vectors), so all IVF/PQ oracles
+    * and recall bands see the flat path bit-for-bit; the hierarchy
+    * only exists in the >= ~32k-vector regime where flat assignment's
+    * O(n*nlist) = O(n^2/125) term was the one super-linear boundary
+    * left in the ANN stack (SCALING.md "Honest limits", round 9). */
+  private[graft] val HierNlistThreshold = 256
+
+  /** Group-layer probes per vector on the hierarchical path: the FAISS
+    * multi-probe convention for a two-level coarse quantizer — probing
+    * 2 of ~sqrt(nlist) groups keeps Voronoi-boundary misses rare while
+    * the evaluated candidate set stays ~2*sqrt(nlist) per vector. */
+  private[graft] val GroupsProbed = 2
+
   /** Nearest-centroid assignment of `e` (vec_id, v, nrm) against a
-    * centroid frame (cent_id, c_v, c_nrm): broadcast the centroids, then
-    * a hash-aggregate max_by — partial/final combine instead of the sort
+    * centroid frame (cent_id, c_v, c_nrm). Flat path (nlist <=
+    * [[HierNlistThreshold]]): broadcast the centroids, then a
+    * hash-aggregate max_by — partial/final combine instead of the sort
     * exchange a row_number window would need (tie-break: higher cosine,
-    * then lower centroid id). */
-  private def assignTo(e: DataFrame, cents: DataFrame): DataFrame =
-    e.crossJoin(broadcast(cents))
-      .withColumn("c_cos",
-        dot(col("v"), col("c_v")) / (col("nrm") * col("c_nrm")))
+    * then lower centroid id). Hierarchical path: the same max_by over
+    * the two-level candidate set — O(n*sqrt(nlist)) evaluated pairs
+    * instead of O(n*nlist). */
+  private[graft] def assignTo(e: DataFrame, cents: DataFrame,
+      nlist: Int): DataFrame = {
+    val pairs =
+      if (nlist <= HierNlistThreshold)
+        e.crossJoin(broadcast(cents))
+          .withColumn("c_cos",
+            dot(col("v"), col("c_v")) / (col("nrm") * col("c_nrm")))
+      else hierCandidates(e, cents, nlist, GroupsProbed)
+    pairs
       .groupBy(col("vec_id"))
       .agg(first(col("v")).as("v"), first(col("nrm")).as("nrm"),
         max_by(col("cent_id"),
           struct(col("c_cos"), (-col("cent_id")).as("neg_id")))
           .as("cent_id"))
       .select(col("vec_id"), col("v"), col("nrm"), col("cent_id"))
+  }
+
+  /** Two-level (hierarchical) coarse quantization — the FAISS
+    * coarse-HNSW regime expressed as dataflow, closing the last
+    * super-linear ANN term (round-9 SCALING.md "Honest limits": exact
+    * coarse assignment is O(n*nlist) = O(n^2/cell) once nlist grows
+    * with the corpus). The nlist centroids are themselves k-means'd
+    * into g = ceil(sqrt(nlist)) GROUPS (one Lloyd round over an
+    * nlist-row frame — trivial); each data vector is routed to its
+    * `groupsProbed` nearest group-centroids (O(n*g) dot products) and
+    * then evaluated against ONLY the centroids living in those groups
+    * (expected groupsProbed*nlist/g = ~2*sqrt(nlist) pairs/vector).
+    * Returns the candidate pair frame (vec_id, v, nrm, cent_id, c_v,
+    * c_nrm, c_cos) for the caller's max_by / top-nprobe reduction.
+    *
+    * Recursion: the group layer's own routing goes back through
+    * [[multiProbeAssign]]/[[assignTo]] with nlist' = g, so beyond
+    * g > threshold (nlist > ~65k centroids, ~10^7+ vectors) a third
+    * level appears automatically — depth grows as log log nlist.
+    *
+    * The centroid->group table broadcast here is the SAME size as the
+    * full-centroid broadcast the flat path ships; what the hierarchy
+    * cuts is the per-vector dot-product count, which is what the x10
+    * blow-up measured as the super-linear term. Beyond driver-broadcast
+    * bounds (~10^8-vector corpora) the equi-join on g_id degrades to a
+    * shuffle join and stays correct. */
+  private[graft] def hierCandidates(e: DataFrame, cents: DataFrame,
+      nlist: Int, groupsProbed: Int): DataFrame = {
+    val g = math.max(2, math.ceil(math.sqrt(nlist.toDouble)).toInt)
+    // the centroids re-shaped as a points frame; localCheckpoint: it
+    // feeds the group Lloyd round, the group assignment AND (through
+    // refineCentroids) a twice-referenced lineage
+    val ptsCk = cents.select(col("cent_id").as("vec_id"),
+        col("c_v").as("v"), col("c_nrm").as("nrm"))
+      .localCheckpoint()
+    val gCents = refineCentroids(ptsCk, g, 1)
+    val centGroups = assignTo(ptsCk, gCents, g)
+      .select(col("cent_id").as("g_id"), col("vec_id").as("cent_id"),
+        col("v").as("c_v"), col("nrm").as("c_nrm"))
+    val routed = multiProbeAssign(e, gCents, groupsProbed, g)
+      .select(col("vec_id"), col("cent_id").as("g_id"),
+        col("v"), col("nrm"))
+    routed.join(broadcast(centGroups), Seq("g_id"))
+      .withColumn("c_cos",
+        dot(col("v"), col("c_v")) / (col("nrm") * col("c_nrm")))
+  }
 
   /** Lloyd-refined IVF centroids: deterministic seeding (first `nlist`
     * vectors by id) + `iters` k-means rounds. Cell means are computed
@@ -79,7 +149,7 @@ object SimilarityOps extends QueryModule {
       .select(col("vec_id").as("cent_id"), col("v").as("c_v"),
         col("nrm").as("c_nrm"))
     for (_ <- 1 to iters) {
-      val assigned = assignTo(e, cents)
+      val assigned = assignTo(e, cents, nlist)
       val means = assigned
         .select(col("cent_id"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy(col("cent_id"), col("pos"))
@@ -103,15 +173,30 @@ object SimilarityOps extends QueryModule {
 
   /** Multi-probe assignment: each vector mapped to its `nprobe` nearest
     * centroids — one output row per (vector, probed cell). The candidate
-    * generator for the dedup module's embedding near-dup twin. */
+    * generator for the dedup module's embedding near-dup twin. Flat up
+    * to [[HierNlistThreshold]] centroids (bit-identical to all prior
+    * rounds at every driver SF); two-level candidates above it, with
+    * enough groups probed that the expected candidate pool covers
+    * `nprobe` cells. */
   private[graft] def multiProbeAssign(e: DataFrame, cents: DataFrame,
-      nprobe: Int): DataFrame = {
+      nprobe: Int, nlist: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id"))
       .orderBy(col("c_cos").desc, col("cent_id"))
-    e.crossJoin(broadcast(cents))
-      .withColumn("c_cos",
-        dot(col("v"), col("c_v")) / (col("nrm") * col("c_nrm")))
+    val pairs =
+      if (nlist <= HierNlistThreshold)
+        e.crossJoin(broadcast(cents))
+          .withColumn("c_cos",
+            dot(col("v"), col("c_v")) / (col("nrm") * col("c_nrm")))
+      else {
+        val g = math.max(2, math.ceil(math.sqrt(nlist.toDouble)).toInt)
+        // expected cells per group is nlist/g (~sqrt(nlist)); probe
+        // enough groups that nprobe cells are expected to be present
+        val gp = math.max(GroupsProbed,
+          math.ceil(nprobe.toDouble * g / nlist).toInt + 1)
+        hierCandidates(e, cents, nlist, gp)
+      }
+    pairs
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= nprobe)
       .select(col("vec_id"), col("cent_id"), col("v"), col("nrm"))
@@ -182,7 +267,8 @@ object SimilarityOps extends QueryModule {
           s"${ivfCounter.incrementAndGet()}_n${nlist}_i$iters")
       e.write.mode("overwrite").parquet(s"$root/e")
       cents.write.mode("overwrite").parquet(s"$root/cents")
-      assignTo(e, cents).write.mode("overwrite").parquet(s"$root/assign")
+      assignTo(e, cents, nlist).write.mode("overwrite")
+        .parquet(s"$root/assign")
       root
     })
     (spark.read.parquet(s"$base/e"),
@@ -281,7 +367,7 @@ object SimilarityOps extends QueryModule {
         .cast("int"))
       .select(col("cent_id"), col("sub"),
         col("vec_id").as("j"), col("v").as("v_j"), col("nrm").as("n_j"))
-    val a = multiProbeAssign(e, cents, nprobe)
+    val a = multiProbeAssign(e, cents, nprobe, nlist)
       .join(broadcast(sizes), Seq("cent_id"))
       .withColumn("n_sub",
         greatest(lit(1L), ceil(col("cell_n") / maxCellSize)).cast("int"))

@@ -435,7 +435,7 @@ class ScaleSpec extends SparkSpec {
     import graft.sim.SimilarityOps
     def cands(dir: String, nlist: Int): Long = {
       val (e, cents, _) = SimilarityOps.ivfBuild(spark, dir, nlist, 1)
-      val probed = SimilarityOps.multiProbeAssign(e, cents, 4)
+      val probed = SimilarityOps.multiProbeAssign(e, cents, 4, nlist)
       val x = probed.select(col("cent_id"), col("vec_id").as("i"))
       val y = probed.select(col("cent_id"), col("vec_id").as("j"))
       x.join(y, Seq("cent_id")).filter(col("i") < col("j"))
@@ -447,6 +447,84 @@ class ScaleSpec extends SparkSpec {
     assert(scaled <= 4L * scaleFactor * base,
       s"scaled-nlist candidates super-linear: $base -> $scaled " +
         s"at x$scaleFactor")
+  }
+
+  // ---- hierarchical coarse quantizer (round 10: the two-level
+  // assignment that closes the O(n*nlist) flat-assign boundary) ----
+
+  /** Deterministic clustered synthetic corpus: `n` vectors in `dims`
+    * dims around `nClusters` well-separated centers (seeded Random —
+    * reproducible), plus a centroid frame of the first `nlist` vectors
+    * (the refineCentroids seeding convention). */
+  private def hierFixture(n: Int, nlist: Int, dims: Int = 8,
+      nClusters: Int = 24): (org.apache.spark.sql.DataFrame,
+      org.apache.spark.sql.DataFrame) = {
+    val rnd = new scala.util.Random(42)
+    val centers = Array.fill(nClusters)(
+      Array.fill(dims)(rnd.nextDouble() * 20.0 - 10.0))
+    val rows = (0 until n).map { i =>
+      val c = centers(i % nClusters)
+      (i.toLong, c.map(x => x + rnd.nextGaussian() * 0.05).toSeq)
+    }
+    import spark.implicits._
+    val e = rows.toDF("vec_id", "v")
+      .withColumn("nrm", sqrt(graft.sim.SimilarityOps.dot(
+        col("v"), col("v"))))
+    val cents = e.filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("cent_id"), col("v").as("c_v"),
+        col("nrm").as("c_nrm"))
+    (e.localCheckpoint(), cents.localCheckpoint())
+  }
+
+  test("hierarchical coarse assign: candidate work is ~2*sqrt(nlist) " +
+    "per vector, not nlist — the group-probe work-count band") {
+    import graft.sim.SimilarityOps
+    val nlist = 512 // > HierNlistThreshold → two-level path
+    val (e, cents) = hierFixture(n = 1200, nlist = nlist)
+    assert(nlist > SimilarityOps.HierNlistThreshold)
+    val cands = SimilarityOps.hierCandidates(e, cents, nlist,
+      SimilarityOps.GroupsProbed)
+    val nCands = cands.count()
+    val g = math.ceil(math.sqrt(nlist.toDouble)).toLong // 23 groups
+    // expected: gp * nlist/g centroids per vector (~45); band allows
+    // 3x group-size skew but must sit FAR below the flat path's
+    // n*nlist = 614k pairs
+    val flatPairs = 1200L * nlist
+    val band = 1200L * SimilarityOps.GroupsProbed * 3L * (nlist / g)
+    assert(nCands >= 1200L, s"every vector needs >=1 candidate: $nCands")
+    assert(nCands <= band, s"group-probe work $nCands above band $band")
+    assert(nCands * 4 <= flatPairs,
+      s"hier path must cut evaluated pairs >=4x: $nCands vs $flatPairs")
+  }
+
+  test("hierarchical coarse assign agrees with exact flat assignment " +
+    "on clustered data (boundary misses only)") {
+    import graft.sim.SimilarityOps
+    val nlist = 512
+    val (e, cents) = hierFixture(n = 1200, nlist = nlist)
+    // exact flat assignment computed inline (the pre-round-10 shape)
+    val flat = e.crossJoin(broadcast(cents))
+      .withColumn("c_cos", SimilarityOps.dot(col("v"), col("c_v")) /
+        (col("nrm") * col("c_nrm")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cent_id"),
+        struct(col("c_cos"), (-col("cent_id")).as("neg_id")))
+        .as("cent_flat"))
+    val hier = SimilarityOps.assignTo(e, cents, nlist)
+      .select(col("vec_id"), col("cent_id").as("cent_hier"))
+    assert(hier.count() === 1200L, "every vector must be assigned once")
+    val agree = flat.join(hier, Seq("vec_id"))
+      .filter(col("cent_flat") === col("cent_hier")).count()
+    assert(agree >= (1200 * 0.9).toLong,
+      s"two-level assignment agreement too low: $agree/1200")
+  }
+
+  test("flat path still taken at driver SFs: adaptiveNlist(sf0.01) " +
+    "is far below the hierarchical threshold") {
+    import graft.sim.SimilarityOps
+    assert(SimilarityOps.adaptiveNlist(spark, baseDir) <=
+      SimilarityOps.HierNlistThreshold,
+      "driver SFs must stay on the bit-identical flat path")
   }
 
   test("H15-H17 time-range helpers mirror the reference parsers") {
