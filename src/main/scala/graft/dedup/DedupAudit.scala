@@ -159,11 +159,18 @@ private[dedup] trait DedupAudit { self: DedupOps.type =>
       dir)(docsB.filter(pmod(col("doc_id"), lit(97)) === 0)
         .select(explode(shingles).as("shingle")).distinct()
         .agg(collect_list(col("shingle")).as("bench")))
-    val ledger = scrubLedgerBroadcast(spark, dir)
-    val schema = Tables.table(spark, dir, "documents").schema
-    val enriched = withInRowScrub(
-      spark.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    // scrub stage dispatched on ledger size (the st19 convention): the
+    // in-row broadcast probe while the dup-window ledger fits, the
+    // v20b Bloom + keyed-join shape beyond — mid-stream that fallback
+    // runs the whole per-doc DAG per micro-batch via foreachBatch
+    // (every stage here is per-document, so batch-union equals the
+    // streaming plan).
+    val fits = scrubLedgerFitsBroadcast(spark, dir)
+    val scrubStage: DataFrame => DataFrame =
+      if (fits) { df => withInRowScrub(df, scrubLedgerBroadcast(spark, dir)) }
+      else { df => scrubViaLedgerJoin(spark, dir, df) }
+    def planOver(docs: DataFrame): DataFrame = {
+      val enriched = scrubStage(docs
         .filter(col("text").isNotNull && col("doc_id") % 3 === 0)
         .repartition(32)
         .withColumn("w", split(lower(col("text")), " "))
@@ -176,9 +183,8 @@ private[dedup] trait DedupAudit { self: DedupOps.type =>
         .withColumn("bm", pmod(col("doc_id"), lit(97)) === 0)
         .crossJoin(broadcast(benchRow))
         .withColumn("contam", Exact.ratio6(
-          size(array_intersect(col("sh_i"), col("bench"))), col("sz_i"))),
-        ledger)
-      .join(exLedger, Seq("norm_hash"), "left")
+          size(array_intersect(col("sh_i"), col("bench"))), col("sz_i"))))
+        .join(exLedger, Seq("norm_hash"), "left")
     val cand = enriched
       .select(Seq(col("doc_id"), col("ex_flag"), col("bm"), col("contam"),
         col("n_removed"), col("clean_hash"), col("sh_i"), col("sz_i")) ++
@@ -200,17 +206,32 @@ private[dedup] trait DedupAudit { self: DedupOps.type =>
         max(when(col("jac") >= Tau, 1).otherwise(0)).as("near_hit"))
     val kept = col("ex_flag").isNull && col("near_hit") === 0 &&
       !col("bm") && col("contam") < ContamTau
-    val out = perDoc.select(col("doc_id"),
-      when(col("ex_flag").isNotNull, "exact_dup")
-        .when(col("near_hit") === 1, "near_dup")
-        .when(col("bm"), "benchmark")
-        .when(col("contam") >= ContamTau, "contaminated")
-        .otherwise("kept").as("verdict"),
-      when(kept, col("n_rm")).as("n_removed"),
-      when(kept, col("ch")).as("clean_hash"))
-    graft.streaming.StreamingOps.runToBatch(spark, out,
-        s"st25_ingest_${System.nanoTime()}")
-      .orderBy(col("doc_id"))
+      perDoc.select(col("doc_id"),
+        when(col("ex_flag").isNotNull, "exact_dup")
+          .when(col("near_hit") === 1, "near_dup")
+          .when(col("bm"), "benchmark")
+          .when(col("contam") >= ContamTau, "contaminated")
+          .otherwise("kept").as("verdict"),
+        when(kept, col("n_rm")).as("n_removed"),
+        when(kept, col("ch")).as("clean_hash"))
+    }
+    val schema = Tables.table(spark, dir, "documents").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    if (fits)
+      graft.streaming.StreamingOps.runToBatch(spark, planOver(stream),
+          s"st25_ingest_${System.nanoTime()}")
+        .orderBy(col("doc_id"))
+    else {
+      val out = graft.util.TempArtifacts.register(
+        s"${System.getProperty("java.io.tmpdir")}/graft_st25_fb_" +
+          s"${ProcessHandle.current().pid()}_${System.nanoTime()}")
+      graft.streaming.StreamingOps.runForeachBatch(spark, stream,
+        s"st25_ingest_${System.nanoTime()}") { (b, _) =>
+        planOver(b).write.mode("append").parquet(out)
+      }
+      spark.read.parquet(out).orderBy(col("doc_id"))
+    }
   }
 
   private[dedup] lazy val streamingIngestDagSql: String =

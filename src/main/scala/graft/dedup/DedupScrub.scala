@@ -147,23 +147,126 @@ private[dedup] trait DedupScrub { self: DedupOps.type =>
     (SparkSession, String),
     org.apache.spark.broadcast.Broadcast[Array[(String, Long)]]]()
 
+  /** The stored (window-hash → first-holder) dup-window ledger — the
+    * artifact BOTH probe shapes read (in-row broadcast below the size
+    * bound, Bloom + keyed join above it). */
+  private[dedup] def scrubLedgerStored(spark: SparkSession,
+      dir: String): DataFrame =
+    graft.util.PlanMemo.memo(spark, "st19_ledger", dir) {
+      scrubWindows(
+        Tables.documents(spark, dir).filter(col("text").isNotNull)
+          .select(col("doc_id"), split(lower(col("text")), " ").as("w")))
+        .groupBy(col("h"))
+        .agg(min(col("doc_id")).as("keep_doc"),
+          count(lit(1)).as("n_occ"))
+        .filter(col("n_occ") >= 2)
+        .select(col("h"), col("keep_doc"))
+    }
+
+  /** Dup-window count of the stored ledger, memoized per (session,
+    * dir) — one count job decides the probe shape for every consumer
+    * in the process. */
+  private val scrubCountCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), java.lang.Long]()
+  private[dedup] def scrubLedgerCount(spark: SparkSession,
+      dir: String): Long =
+    scrubCountCache.computeIfAbsent((spark, dir),
+      _ => scrubLedgerStored(spark, dir).count()): Long
+
+  /** Broadcast bound for the in-row scrub ledger, in dup WINDOWS: the
+    * flat (32-hex-hash, long) pairs run ~100 B/entry materialized, so
+    * 1M windows ≈ 100 MB on the driver and per executor — the same
+    * budget as the BFS frontier bound (TraceService). Above it the
+    * probe switches automatically to the v20b shape
+    * ([[scrubViaLedgerJoin]]): until round 10 this fallback was
+    * documented in SCALING.md "Honest limits" but not wired. */
+  private[dedup] val ScrubLedgerBroadcastMax: Long = 1000000L
+
+  /** Test seam: force the bound down so the fixture exercises the
+    * fallback path (DedupSpec pins both shapes bit-identical). */
+  @volatile private[graft] var scrubLedgerMaxOverride: Option[Long] = None
+  private[dedup] def scrubLedgerMax: Long =
+    scrubLedgerMaxOverride.getOrElse(ScrubLedgerBroadcastMax)
+
+  /** True when (session, dir)'s ledger fits the in-row broadcast. */
+  private[graft] def scrubLedgerFitsBroadcast(spark: SparkSession,
+      dir: String): Boolean =
+    scrubLedgerCount(spark, dir) <= scrubLedgerMax
+
   private[dedup] def scrubLedgerBroadcast(spark: SparkSession,
       dir: String):
       org.apache.spark.broadcast.Broadcast[Array[(String, Long)]] =
-    scrubBc.computeIfAbsent((spark, dir), _ => {
-      val stored = graft.util.PlanMemo.memo(spark, "st19_ledger", dir) {
-        scrubWindows(
-          Tables.documents(spark, dir).filter(col("text").isNotNull)
-            .select(col("doc_id"), split(lower(col("text")), " ").as("w")))
-          .groupBy(col("h"))
-          .agg(min(col("doc_id")).as("keep_doc"),
-            count(lit(1)).as("n_occ"))
-          .filter(col("n_occ") >= 2)
-          .select(col("h"), col("keep_doc"))
-      }
+    scrubBc.computeIfAbsent((spark, dir), _ =>
       spark.sparkContext.broadcast(
-        stored.collect().map(r => (r.getString(0), r.getLong(1))))
-    })
+        scrubLedgerStored(spark, dir).collect()
+          .map(r => (r.getString(0), r.getLong(1)))))
+
+  /** The over-the-broadcast-bound scrub probe — v20b's runtime-filter
+    * shape applied to windows: a Bloom of the ledger's window hashes
+    * (Catalyst BloomFilterAggregate, ~1.2 GB per 10⁹ windows — always
+    * shippable) screens every window in-row; only the might-contain
+    * fraction pays the exact keyed join against the STORED ledger
+    * (never collected to the driver), Bloom false positives die in the
+    * join, covered positions fold per doc, and the clean text is
+    * rebuilt in-row. Output is bit-identical to
+    * [[withInRowScrub]]/[[graft.functions.ScrubReport]] (DedupSpec
+    * pins it on the fixture with a forced-low bound): same window
+    * spelling ([[scrubWindows]]), same keep-first rule, same md5
+    * rebuild. Appends n_words / n_removed / clean_hash like
+    * withInRowScrub; passthrough columns preserved. */
+  private[graft] def scrubViaLedgerJoin(spark: SparkSession, dir: String,
+      df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    import org.apache.spark.sql.types.BinaryType
+    val W = ScrubWindow
+    val stored = scrubLedgerStored(spark, dir)
+    val nLedger = math.max(1L, scrubLedgerCount(spark, dir))
+    def hashOf(c: org.apache.spark.sql.Column) =
+      new XxHash64(Seq(ColumnBridge.expression(c)))
+    val bfBytes = stored.select(ColumnBridge.column(
+        new BloomFilterAggregate(hashOf(col("h")),
+          Literal(nLedger), Literal(nLedger * 8L))
+          .toAggregateExpression()).as("bf"))
+      .head.getAs[Array[Byte]](0)
+    val wins = scrubWindows(df.select(col("doc_id"), col("w")))
+    val candidates =
+      if (bfBytes == null) wins.filter(lit(false)) // empty ledger
+      else wins.filter(ColumnBridge.column(BloomFilterMightContain(
+        Literal(bfBytes, BinaryType), hashOf(col("h")))))
+    val ps = candidates
+      .join(stored.hint("shuffle_hash"), Seq("h"))
+      .filter(col("keep_doc") < col("doc_id"))
+      .select(col("doc_id"),
+        explode(sequence(col("s"), col("s") + lit(W - 1))).as("p"))
+      .groupBy(col("doc_id"))
+      // collect_set dedups overlapping windows; ps stays ≤ |w| ints
+      .agg(sort_array(collect_set(col("p"))).as("ps"))
+    df.join(ps, Seq("doc_id"), "left")
+      .withColumn("n_words", size(col("w")))
+      .withColumn("n_removed", when(col("ps").isNull, lit(0L))
+        .otherwise(size(col("ps")).cast("long")))
+      // word index i is 0-based, ledger positions 1-based (the slice
+      // convention) — the HOF filter runs interpreted but only the
+      // dup-hit docs carry a non-null ps, and the rebuild itself is
+      // O(|w|·|ps|) on exactly those docs
+      .withColumn("clean_hash", md5(array_join(
+        when(col("ps").isNull, col("w"))
+          .otherwise(filter(col("w"),
+            (x, i) => not(array_contains(col("ps"), i + 1)))), " ")))
+      .drop("ps")
+  }
+
+  /** Size-dispatched batch scrub: the in-row broadcast probe while the
+    * ledger fits ([[ScrubLedgerBroadcastMax]]), the Bloom + keyed-join
+    * shape beyond — the automatic switch round 9 documented but did
+    * not wire. */
+  private[graft] def scrubDispatch(spark: SparkSession, dir: String,
+      df: DataFrame): DataFrame =
+    if (scrubLedgerFitsBroadcast(spark, dir))
+      withInRowScrub(df, scrubLedgerBroadcast(spark, dir))
+    else scrubViaLedgerJoin(spark, dir, df)
 
   /** In-row scrub over a frame carrying (doc_id, w): appends n_words /
     * n_removed / clean_hash computed in ONE compiled JVM pass per
@@ -183,19 +286,38 @@ private[dedup] trait DedupScrub { self: DedupOps.type =>
       .drop("sr")
 
   def streamingSpanScrub(spark: SparkSession, dir: String): DataFrame = {
-    val ledger = scrubLedgerBroadcast(spark, dir)
     val schema = Tables.table(spark, dir, "documents").schema
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "documents.parquet").parquet(dir)
-    val scrubbed = withInRowScrub(stream.filter(col("text").isNotNull)
-        .repartition(32)
-        .select(col("doc_id"), split(lower(col("text")), " ").as("w")),
-        ledger)
-      .select(col("doc_id"), col("n_words"), col("n_removed"),
-        col("clean_hash"))
-    graft.streaming.StreamingOps.runToBatchAppend(spark, scrubbed,
-        s"st19_scrub_${System.nanoTime()}")
-      .orderBy(col("doc_id"))
+      .filter(col("text").isNotNull)
+      .repartition(32)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+    val outCols = Seq(col("doc_id"), col("n_words"), col("n_removed"),
+      col("clean_hash"))
+    if (scrubLedgerFitsBroadcast(spark, dir)) {
+      val scrubbed =
+        withInRowScrub(stream, scrubLedgerBroadcast(spark, dir))
+          .select(outCols: _*)
+      graft.streaming.StreamingOps.runToBatchAppend(spark, scrubbed,
+          s"st19_scrub_${System.nanoTime()}")
+        .orderBy(col("doc_id"))
+    } else {
+      // Over the broadcast bound the gate runs per MICRO-BATCH through
+      // foreachBatch: each arriving batch is a plain DataFrame, so it
+      // pays the v20b Bloom + keyed-join scrub against the stored
+      // ledger — the scrub is per-document and stateless across
+      // batches, so the union of batch outputs equals the batch scrub
+      // (the in-row path's own equivalence argument, unchanged).
+      val out = graft.util.TempArtifacts.register(
+        s"${System.getProperty("java.io.tmpdir")}/graft_st19_fb_" +
+          s"${ProcessHandle.current().pid()}_${System.nanoTime()}")
+      graft.streaming.StreamingOps.runForeachBatch(spark, stream,
+        s"st19_scrub_${System.nanoTime()}") { (b, _) =>
+        scrubViaLedgerJoin(spark, dir, b).select(outCols: _*)
+          .write.mode("append").parquet(out)
+      }
+      spark.read.parquet(out).orderBy(col("doc_id"))
+    }
   }
 
   // ---- V69: benchmark span SCRUBBING (decontamination as removal) ----

@@ -290,6 +290,46 @@ class DedupSpec extends SparkSpec {
     assert(local === expected)
   }
 
+  test("scrub ledger size trigger: the v20b Bloom+join fallback is " +
+    "bit-identical to the in-row broadcast probe, batch and streaming") {
+    val dir = sf0001
+    val df = Tables.documents(spark, dir).filter(col("text").isNotNull)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+      .localCheckpoint()
+    def asMap(d: org.apache.spark.sql.DataFrame) =
+      d.select("doc_id", "n_words", "n_removed", "clean_hash").collect()
+        .map(r => r.getLong(0) ->
+          ((r.getInt(1), r.getLong(2), r.getString(3)))).toMap
+    // default bound: the fixture ledger fits, dispatcher takes in-row
+    assert(DedupOps.scrubLedgerFitsBroadcast(spark, dir))
+    val inRow = asMap(DedupOps.scrubDispatch(spark, dir, df))
+    assert(inRow.values.exists(_._2 > 0), "fixture must scrub something")
+    val st19Bc = DedupOps.streamingSpanScrub(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3)))
+    val st25Bc = DedupOps.streamingIngestDag(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.get(2)),
+        Option(r.get(3))))
+    DedupOps.scrubLedgerMaxOverride = Some(0L)
+    try {
+      assert(!DedupOps.scrubLedgerFitsBroadcast(spark, dir))
+      // the fallback shape directly…
+      val viaJoin = asMap(DedupOps.scrubViaLedgerJoin(spark, dir, df))
+      assert(viaJoin === inRow, "Bloom+join scrub diverged from in-row")
+      // …and through the dispatcher
+      assert(asMap(DedupOps.scrubDispatch(spark, dir, df)) === inRow)
+      // st19 through the per-micro-batch foreachBatch fallback
+      val st19Fb = DedupOps.streamingSpanScrub(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          r.getString(3)))
+      assert(st19Fb.toSeq === st19Bc.toSeq)
+      // st25's whole ingest DAG through the fallback
+      val st25Fb = DedupOps.streamingIngestDag(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getString(1), Option(r.get(2)),
+          Option(r.get(3))))
+      assert(st25Fb.toSeq === st25Bc.toSeq)
+    } finally DedupOps.scrubLedgerMaxOverride = None
+  }
+
   test("V67 span scrub removes a planted repeated span from the later " +
     "doc only, and never touches unique docs") {
     val rows = DedupOps.spanScrub(spark, sf).collect()
