@@ -407,22 +407,29 @@ private[dedup] trait DedupScrub { self: DedupOps.type =>
       graft.sim.SimilarityOps.ivfBuild(spark, dir, nlist, 1)
     val probed =
       graft.sim.SimilarityOps.multiProbeAssign(e, cents, nprobe, nlist)
-    val x = probed.select(col("cent_id"), col("vec_id").as("i"))
-    val y = probed.select(col("cent_id"), col("vec_id").as("j"))
+    // Verify IN-CELL (round-10 x100 fix): the previous shape deduped
+    // candidate pairs FIRST and then joined the vectors back on — two
+    // more shuffles whose rows carry a 64-dim vector each (~50 GB of
+    // exchange at x100; it filled the disk). Here the vectors ride the
+    // ONE cell-keyed exchange of n*nprobe probe rows (~0.5 GB at
+    // x100), the cosine is computed inside the pair-join stage, the
+    // tau filter shrinks the survivors BEFORE the distinct, and the
+    // distinct dedups multi-cell pairs on slim (i, j, cos) rows. A
+    // pair shared by several probed cells recomputes its dot product
+    // (bounded by nprobe), which is far cheaper than re-shuffling
+    // every candidate with vectors attached. Same pairs, same values.
+    val x = probed.select(col("cent_id"), col("vec_id").as("i"),
+      col("v").as("v_i"), col("nrm").as("n_i"))
+    val y = probed.select(col("cent_id"), col("vec_id").as("j"),
+      col("v").as("v_j"), col("nrm").as("n_j"))
     // hash join beats SMJ on the nlist-key cell join (no sort needed)
-    val cands = x.join(y.hint("shuffle_hash"), Seq("cent_id"))
+    x.join(y.hint("shuffle_hash"), Seq("cent_id"))
       .filter(col("i") < col("j"))
-      .select(col("i"), col("j"))
-      .distinct() // a pair may share several probed cells
-    val si = e.select(col("vec_id").as("i"), col("v").as("v_i"),
-      col("nrm").as("n_i"))
-    val sj = e.select(col("vec_id").as("j"), col("v").as("v_j"),
-      col("nrm").as("n_j"))
-    cands.join(si, Seq("i")).join(sj, Seq("j"))
       .withColumn("cos", round(
         dot_product(col("v_i"), col("v_j")) / (col("n_i") * col("n_j")), 6))
       .filter(col("cos") >= 0.4)
       .select(col("i"), col("j"), col("cos"))
+      .distinct() // a pair may share several probed cells
       .orderBy(col("i"), col("j"))
   }
 

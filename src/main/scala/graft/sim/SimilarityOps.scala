@@ -183,23 +183,35 @@ object SimilarityOps extends QueryModule {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id"))
       .orderBy(col("c_cos").desc, col("cent_id"))
-    val pairs =
-      if (nlist <= HierNlistThreshold)
-        e.crossJoin(broadcast(cents))
-          .withColumn("c_cos",
-            dot(col("v"), col("c_v")) / (col("nrm") * col("c_nrm")))
-      else {
-        val g = math.max(2, math.ceil(math.sqrt(nlist.toDouble)).toInt)
-        // expected cells per group is nlist/g (~sqrt(nlist)); probe
-        // enough groups that nprobe cells are expected to be present
-        val gp = math.max(GroupsProbed,
-          math.ceil(nprobe.toDouble * g / nlist).toInt + 1)
-        hierCandidates(e, cents, nlist, gp)
-      }
-    pairs
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= nprobe)
-      .select(col("vec_id"), col("cent_id"), col("v"), col("nrm"))
+    if (nlist <= HierNlistThreshold)
+      e.crossJoin(broadcast(cents))
+        .withColumn("c_cos",
+          dot(col("v"), col("c_v")) / (col("nrm") * col("c_nrm")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= nprobe)
+        .select(col("vec_id"), col("cent_id"), col("v"), col("nrm"))
+    else {
+      val g = math.max(2, math.ceil(math.sqrt(nlist.toDouble)).toInt)
+      // expected cells per group is nlist/g (~sqrt(nlist)); probe
+      // enough groups that nprobe cells are expected to be present
+      val gp = math.max(GroupsProbed,
+        math.ceil(nprobe.toDouble * g / nlist).toInt + 1)
+      // SLIM the pair frame to (vec_id, cent_id, c_cos) BEFORE the
+      // rank window and re-join the vectors afterwards: the window is
+      // a full shuffle of the candidate set, and at x100 scale pair
+      // rows still carrying the 64-dim vector measured ~20 GB+ of
+      // sort spill (the round-10 x100 run filled the disk through
+      // this exact shape); ranked output is ~2 ints/vector, then ONE
+      // n-row join restores (v, nrm). Same rows, same values.
+      val top = hierCandidates(e, cents, nlist, gp)
+        .select(col("vec_id"), col("cent_id"), col("c_cos"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= nprobe)
+        .select(col("vec_id"), col("cent_id"))
+      top.join(e.select(col("vec_id"), col("v"), col("nrm")),
+          Seq("vec_id"))
+        .select(col("vec_id"), col("cent_id"), col("v"), col("nrm"))
+    }
   }
 
   /** Per-process IVF build cache — the registry analog of "the index
@@ -383,6 +395,12 @@ object SimilarityOps extends QueryModule {
       .filter(col("i") =!= col("j"))
       .withColumn("cos",
         round(dot(col("v_i"), col("v_j")) / (col("n_i") * col("n_j")), 6))
+      // project the vectors away BEFORE the top-k window: the window
+      // re-shuffles every candidate pair, and pair rows still carrying
+      // v_i/v_j are ~1 KB each — at x100 that shuffle measured into
+      // the hundreds of GB and filled the disk (round-10 x100 run);
+      // (i, j, cos) is ~24 B. Same rows, same values.
+      .select(col("i"), col("j"), col("cos"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("i"), col("j"), col("cos"), col("rk"))
