@@ -392,19 +392,32 @@ private[dedup] trait DedupLedger { self: DedupOps.type =>
     * band-hash spelling as the stored index, so stream probe and batch
     * index cannot disagree on a bucket; candidates join the two static
     * frames (band index, ledger shingle sets), verify exact Jaccard
-    * in-row, and dedupe multi-band hits with a keyed dropDuplicates
-    * (state bounded by VERIFIED pairs, not the corpus). Append mode
-    * end-to-end — no aggregation, no watermark needed on a finite
-    * stream.
+    * in-row, and dedupe multi-band hits with a WATERMARK-SCOPED
+    * dropDuplicatesWithinWatermark. Append mode end-to-end.
     *
-    * CONTRACT (unbounded reuse): the keyed dropDuplicates holds its
-    * keys in the state store with NO watermark, which is safe here
-    * only because the source is a finite file stream. Reusing this
-    * path on a genuinely unbounded source requires switching to
-    * `withWatermark(...).dropDuplicatesWithinWatermark(...)` (or an
-    * event-time column + watermark-scoped dropDuplicates) so dedup
-    * state is evictable; otherwise state grows without bound. */
+    * Bounded state (round-10 fix of the round-9 advice carry-over):
+    * a doc's multi-band duplicate hits all surface in the one
+    * micro-batch that reads its file (posexplode of one input row),
+    * so deduping within an arrival-time watermark is output-identical
+    * to the unscoped dropDuplicates this used before — but the state
+    * store now EVICTS seen pairs once the watermark passes, so the
+    * same plan is safe on a genuinely unbounded source instead of
+    * carrying a "finite streams only" contract. The arrival column is
+    * the batch timestamp (current_timestamp is batch-constant in
+    * micro-batch mode), used only for eviction and dropped from the
+    * output. StreamingSpec pins the DeduplicateWithinWatermark +
+    * EventTimeWatermark nodes in the plan. */
   def streamingNearDupGate(spark: SparkSession, dir: String): DataFrame = {
+    val verified = nearDupGatePlan(spark, dir)
+    graft.streaming.StreamingOps.runToBatchAppend(spark, verified,
+        s"st24_neardup_${System.nanoTime()}")
+      .orderBy(col("doc_id"), col("dup_of"))
+  }
+
+  /** The st24 streaming plan itself (test seam: StreamingSpec asserts
+    * the bounded-state shape on the unstarted frame). */
+  private[graft] def nearDupGatePlan(spark: SparkSession,
+      dir: String): DataFrame = {
     val ledger = Tables.documents(spark, dir)
       .filter(col("text").isNotNull && col("doc_id") % 3 =!= 0)
     val ledgerBands = graft.util.PlanMemo.memo(spark, "v20c_band_index",
@@ -432,7 +445,7 @@ private[dedup] trait DedupLedger { self: DedupOps.type =>
       .withColumn("sz_i", size(col("sh_i")))
       .select(col("i"), col("sh_i"), col("sz_i"),
         posexplode(array(bandHashCols: _*)).as(Seq("band_idx", "band_hash")))
-    val verified = probes
+    probes
       .join(ledgerBands, Seq("band_idx", "band_hash"))
       .join(ledgerSets, Seq("j"))
       .withColumn("inter",
@@ -441,10 +454,10 @@ private[dedup] trait DedupLedger { self: DedupOps.type =>
         col("sz_i") + col("sz_j") - col("inter")))
       .filter(col("jaccard") >= Tau)
       .select(col("i").as("doc_id"), col("j").as("dup_of"), col("jaccard"))
-      .dropDuplicates("doc_id", "dup_of")
-    graft.streaming.StreamingOps.runToBatchAppend(spark, verified,
-        s"st24_neardup_${System.nanoTime()}")
-      .orderBy(col("doc_id"), col("dup_of"))
+      .withColumn("arrival", current_timestamp())
+      .withWatermark("arrival", "10 seconds")
+      .dropDuplicatesWithinWatermark("doc_id", "dup_of")
+      .drop("arrival")
   }
 
   private[dedup] lazy val streamingNearDupSql: String =

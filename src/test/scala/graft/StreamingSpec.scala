@@ -117,6 +117,18 @@ class StreamingSpec extends SparkSpec {
     assert(gatedN === allN - erasedN)
   }
 
+  test("st24 dedup state is watermark-scoped (evictable on unbounded " +
+    "sources): EventTimeWatermark + DeduplicateWithinWatermark in plan") {
+    import org.apache.spark.sql.catalyst.plans.logical.{DeduplicateWithinWatermark, EventTimeWatermark}
+    val plan = graft.dedup.DedupOps.nearDupGatePlan(spark, sf0001)
+      .queryExecution.analyzed
+    assert(plan.collect { case e: EventTimeWatermark => e }.nonEmpty,
+      "st24 must watermark its dedup state")
+    assert(plan.collect {
+      case d: DeduplicateWithinWatermark => d }.nonEmpty,
+      "st24 must dedup WITHIN the watermark, not with unbounded state")
+  }
+
   test("session_window matches batch gap sessionization") {
     val stream = StreamingOps.eventsStream(spark, sf0001)
     val sessions = StreamingOps.runToBatch(spark,
