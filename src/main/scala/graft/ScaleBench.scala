@@ -73,8 +73,46 @@ object ScaleBench {
         graft.dedup.DedupOps.embeddingNearDupIvf(s, d, 16 * f, 4).count()),
       ("v3c_knn_join", (s: SparkSession, d: String, _: Int) =>
         reg("v3c_knn_join")(s, d).count()),
+      // the coarse ASSIGNMENT term in isolation (the round-9 "Honest
+      // limits" boundary, closed by the round-10 hierarchical path):
+      // build memoized, assignment recomputed per run so min-of-2
+      // times the assignment itself
+      ("ivf_assign[scaled nlist]", (s: SparkSession, d: String, f: Int) => {
+        val nlist = 16 * f
+        val (e, cents, _) =
+          graft.sim.SimilarityOps.ivfBuild(s, d, nlist, 1)
+        graft.sim.SimilarityOps.assignTo(e, cents, nlist).count()
+      }),
+      ("v3b_ivf_topk", (s: SparkSession, d: String, _: Int) =>
+        reg("v3b_ivf_topk")(s, d).count()),
+      ("v18h_ivfpq_topk", (s: SparkSession, d: String, _: Int) =>
+        reg("v18h_ivfpq_topk")(s, d).count()),
+      ("v18i_ivfpq_stored", (s: SparkSession, d: String, _: Int) =>
+        reg("v18i_ivfpq_stored")(s, d).count()),
+      ("st21_streaming_ann_serve", (s: SparkSession, d: String, _: Int) =>
+        reg("st21_streaming_ann_serve")(s, d).count()),
+      // deployment serving shape: query set FIXED (base dir) while the
+      // indexed corpus scales — the registry entry co-grows both,
+      // which compounds queries x candidates into a fixture-artifact
+      // quadratic at blow-up factors (see streamingAnnServeAgainst)
+      ("st21[fixed queries]", (s: SparkSession, d: String, _: Int) =>
+        graft.sim.PqOps.streamingAnnServeAgainst(s, base, d).count()),
+      ("st3_streaming_trace_assembly",
+        (s: SparkSession, d: String, _: Int) =>
+          reg("st3_streaming_trace_assembly")(s, d).count()),
+      ("st4_streaming_trace_status",
+        (s: SparkSession, d: String, _: Int) =>
+          reg("st4_streaming_trace_status")(s, d).count()),
       ("st19_streaming_span_scrub", (s: SparkSession, d: String, _: Int) =>
         reg("st19_streaming_span_scrub")(s, d).count()),
+      // the same entry FORCED through the over-the-bound Bloom +
+      // keyed-join fallback (round 10): the shape a >1M-window ledger
+      // takes automatically
+      ("st19[bloom-join fallback]", (s: SparkSession, d: String, _: Int) => {
+        graft.dedup.DedupOps.scrubLedgerMaxOverride = Some(0L)
+        try reg("st19_streaming_span_scrub")(s, d).count()
+        finally graft.dedup.DedupOps.scrubLedgerMaxOverride = None
+      }),
       ("st24_streaming_neardup_gate", (s: SparkSession, d: String, _: Int) =>
         reg("st24_streaming_neardup_gate")(s, d).count()),
       ("st25_streaming_ingest_dag", (s: SparkSession, d: String, _: Int) =>
@@ -95,6 +133,12 @@ object ScaleBench {
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
+        // x100 entries leave multi-GB shuffle files behind; the
+        // ContextCleaner only deletes them after a JVM GC proves the
+        // dependency unreachable (periodicGC default is 30 min — far
+        // past a run). Forcing a GC between runs keeps peak /tmp usage
+        // at one entry's shuffles instead of the whole suite's.
+        System.gc()
         (dt, n)
       }
       val (a, na) = once(); val (b, nb) = once()
