@@ -203,10 +203,11 @@ object TextOps extends QueryModule {
       .filter(col("text").isNotNull)
       .withColumn("w", words)
       .filter(size(col("w")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(w) - 1), " +
-          "i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"))
-        .as("bigram"))
+      // compiled bigram pass ([[graft.functions.Bigrams]]) — the
+      // interpreted transform/element_at lambda was the family's last
+      // per-element HOF hot loop; bit-identical (FunctionsSpec)
+      .select(col("doc_id"), explode(
+        graft.functions.BigramFunctions.bigrams(col("w"))).as("bigram"))
     val freq = bg.groupBy(col("bigram")).agg(count(lit(1)).as("bf"))
     bg.join(freq, Seq("bigram"))
       .groupBy(col("doc_id"))

@@ -759,10 +759,8 @@ object StreamingOps extends QueryModule {
     val ledger = docs.filter(col("text").isNotNull)
       .withColumn("w", split(lower(col("text")), " "))
       .filter(size(col("w")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(w) - 1), " +
-          "i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"))
-        .as("bigram"))
+      .select(col("doc_id"), explode(
+        graft.functions.BigramFunctions.bigrams(col("w"))).as("bigram"))
       .withColumn("batch", expr("doc_id div 50"))
       .groupBy(col("bigram"))
       .agg(min(col("batch")).as("fb"), count(lit(1)).as("occ"))

@@ -21,6 +21,36 @@ class FunctionsSpec extends SparkSpec {
     assert(got === Seq(32.0, 0.0))
   }
 
+  test("bigrams equals the composable transform/element_at spelling " +
+    "bit-for-bit on real corpus text") {
+    val docs = Tables.documents(spark, sf0001)
+      .filter(col("text").isNotNull)
+      .withColumn("w", split(lower(col("text")), " "))
+      .filter(size(col("w")) >= 2)
+    val got = docs.select(col("doc_id"),
+        graft.functions.BigramFunctions.bigrams(col("w")).as("bg"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val ref = docs.select(col("doc_id"), expr(
+        "transform(sequence(1, size(w) - 1), " +
+          "i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))")
+        .as("bg"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(got.size === ref.size)
+    assert(got === ref)
+    assert(got.values.exists(_.nonEmpty))
+    // edge semantics: null word -> null element; < 2 words -> empty
+    val edge = Seq(
+      (1L, Seq("a", null, "b")),
+      (2L, Seq("only")),
+      (3L, Seq[String]())).toDF("doc_id", "w")
+    val e = edge.select(col("doc_id"),
+        graft.functions.BigramFunctions.bigrams(col("w")).as("bg"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(e(1L) === Seq(null, null))
+    assert(e(2L) === Seq())
+    assert(e(3L) === Seq())
+  }
+
   test("dot_product edge semantics match the composed form exactly") {
     // null input, length mismatch, null element — all must agree with
     // aggregate(zip_with(a,b,*),0.0,+) or FuseDotProduct changes results
