@@ -97,6 +97,25 @@ object ScaleBench {
       // quadratic at blow-up factors (see streamingAnnServeAgainst)
       ("st21[fixed queries]", (s: SparkSession, d: String, _: Int) =>
         graft.sim.PqOps.streamingAnnServeAgainst(s, base, d).count()),
+      // round 10: the SAME deployment shape with the coarse cell count
+      // grown alongside the corpus (adaptiveCoarseK — cells of ~250
+      // vectors) — candidates/query stay constant instead of growing
+      // as ncell/K of the corpus; the per-query linear term the fixed
+      // K=8 row still carries
+      ("st21[fixed queries, adaptive K]",
+        (s: SparkSession, d: String, _: Int) =>
+          graft.sim.PqOps.streamingAnnServeAgainst(s, base, d,
+            coarseK = graft.sim.PqOps.adaptiveCoarseK(s, d)).count()),
+      // the adaptive-K coarse ASSIGNMENT in isolation (build memoized,
+      // assignment recomputed per run — the ivf_assign convention):
+      // above 256 cells this runs the two-level hierarchical path
+      ("ivfpq_assign[adaptive K]", (s: SparkSession, d: String, _: Int) => {
+        val k = graft.sim.PqOps.adaptiveCoarseK(s, d)
+        val (_, cents) = graft.sim.ClusterOps.coarseAt(s, d, k)
+        graft.sim.ClusterOps.assignAt(
+          graft.sim.ClusterOps.pointsOf(Tables.embeddings(s, d)),
+          cents, k).count()
+      }),
       ("st3_streaming_trace_assembly",
         (s: SparkSession, d: String, _: Int) =>
           reg("st3_streaming_trace_assembly")(s, d).count()),

@@ -205,12 +205,86 @@ case class PqRouteLut(xm64: Expression,
     copy(xm64 = newChild)
 }
 
+/** array of the `n` nearest candidates of ONE (vector, candidate-list)
+  * row, ascending (d, cid) with ties to the LOWEST cid — the
+  * `array_sort(struct(d, cid))[0..n]` rule compiled. The group-layer
+  * router of the hierarchical coarse assignment (micro/L2 space): the
+  * `sub` child selects which candidate list of the broadcast to rank
+  * against (the [[PqAssign]] convention — offset 0, full-width
+  * vectors), so one broadcast can carry per-group centroid lists and
+  * the probe stays a pure in-row expression. n is small (2-3 probes),
+  * so selection is one insertion pass, not a sort. */
+case class PqAssignTop(xm: Expression, sub: Expression,
+    codebooks: Broadcast[Array[(Int, Long, Array[Long])]], m: Int,
+    n: Int) extends BinaryExpression with CodegenFallback {
+
+  override def left: Expression = xm
+  override def right: Expression = sub
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("d", LongType, nullable = false),
+    StructField("cid", LongType, nullable = false))),
+    containsNull = false)
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (xm.dataType, sub.dataType) match {
+      case (ArrayType(LongType, _), IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"pq_assign_top expects (ARRAY<LONG>, INT), got $other")
+    }
+
+  @transient private lazy val bySub = PqCodebooks.bySub(codebooks.value, m)
+
+  override def nullSafeEval(xmAny: Any, subAny: Any): Any = {
+    val arr = xmAny.asInstanceOf[ArrayData].toLongArray()
+    val s = subAny.asInstanceOf[Int]
+    if (s < 0 || s >= m) return null
+    val cands = bySub(s)
+    val keep = math.min(n, cands.length)
+    if (keep == 0) return new GenericArrayData(Array.empty[Any])
+    // bounded insertion into (dTop, cTop), ascending (d, cid): cands
+    // iterate cids ascending, so a strict < on d preserves the
+    // lowest-cid tie rule at every slot
+    val dTop = Array.fill(keep)(Long.MaxValue)
+    val cTop = Array.fill(keep)(Long.MaxValue)
+    var i = 0
+    while (i < cands.length) {
+      val d = PqCodebooks.sqDist(arr, 0, cands(i)._2)
+      if (d < dTop(keep - 1)) {
+        var j = keep - 1
+        while (j > 0 && d < dTop(j - 1)) {
+          dTop(j) = dTop(j - 1); cTop(j) = cTop(j - 1); j -= 1
+        }
+        dTop(j) = d; cTop(j) = cands(i)._1
+      }
+      i += 1
+    }
+    val out = new Array[Any](keep)
+    var o = 0
+    while (o < keep) { out(o) = InternalRow(dTop(o), cTop(o)); o += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression =
+    copy(xm = newLeft, sub = newRight)
+}
+
 object PqFunctions {
   def pq_assign(xm: Column, sub: Column,
       codebooks: Broadcast[Array[(Int, Long, Array[Long])]],
       m: Int): Column =
     ColumnBridge.column(PqAssign(ColumnBridge.expression(xm),
       ColumnBridge.expression(sub), codebooks, m))
+
+  def pq_assign_top(xm: Column, sub: Column,
+      codebooks: Broadcast[Array[(Int, Long, Array[Long])]],
+      m: Int, n: Int): Column =
+    ColumnBridge.column(PqAssignTop(ColumnBridge.expression(xm),
+      ColumnBridge.expression(sub), codebooks, m, n))
 
   def pq_route_lut(xm64: Column,
       coarse: Broadcast[Array[(Long, Array[Long])]],

@@ -166,6 +166,157 @@ object ClusterOps extends QueryModule {
   private[graft] def finalAssign(spark: SparkSession, dir: String): DataFrame =
     lloyd(spark, dir)._1.select(col("vec_id"), col("cid"))
 
+  /** Flat coarse assignment stays exact (every centroid evaluated by
+    * the compiled in-row argmin) up to this many centroids — the
+    * [[SimilarityOps.HierNlistThreshold]] convention carried into
+    * integer micro/L2 space. Far above K=8, so every PQ-family oracle
+    * sees the flat path bit-for-bit; the hierarchy only exists in the
+    * adaptive-coarse-K regime beyond driver SFs. */
+  private[graft] val HierCoarseThreshold = 256
+
+  /** Group-layer probes per point on the hierarchical path (the
+    * [[SimilarityOps.GroupsProbed]] convention: 2 of ~sqrt(k) groups
+    * keeps Voronoi-boundary misses rare at ~2*sqrt(k) evaluated
+    * centroids per point). */
+  private[graft] val CoarseGroupsProbed = 2
+
+  /** Nearest-centroid assignment at ANY centroid count, zero-shuffle
+    * either way. Flat up to [[HierCoarseThreshold]] centroids —
+    * IDENTICAL to [[assign]]. Above it, the two-level path: the k
+    * centroids are k-means'd driver-side into ~sqrt(k) GROUPS (k rows
+    * of metadata — bytes, the FAISS train-coarse-on-sample regime),
+    * each point routes to its `probes` nearest group-centroids
+    * (compiled [[graft.functions.PqAssignTop]], O(g) per point) and
+    * argmins over ONLY those groups' centroids (compiled
+    * [[graft.functions.PqAssign]] with the group id as the
+    * candidate-list selector) — ~2*sqrt(k) evaluated centroids per
+    * point instead of k, all in-row: no explode, no shuffle, no join.
+    * Ties break (d, cid) ascending in every layer, matching the flat
+    * rule. Approximate exactly like [[SimilarityOps.hierCandidates]]
+    * (a point near a group boundary can land in its second-best cell);
+    * probing ALL groups recovers the flat assignment bit-for-bit —
+    * pinned in CoarseSpec. */
+  private[graft] def assignAt(pts: DataFrame, cents: DataFrame, k: Int,
+      probes: Int = CoarseGroupsProbed): DataFrame = {
+    if (k <= HierCoarseThreshold) assign(pts, cents)
+    else {
+      val spark = cents.sparkSession
+      val arr = cents.select(col("cid"), col("cm")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+        .sortBy(_._1)
+      val (gCents, centGroup) = trainGroups(arr)
+      val g = gCents.length
+      val p = math.min(math.max(1, probes), g)
+      val gBc = spark.sparkContext.broadcast(
+        gCents.map { case (gid, gm) => (0, gid, gm) })
+      val byGroupBc = spark.sparkContext.broadcast(
+        arr.zipWithIndex.map { case ((cid, cm), i) =>
+          (centGroup(i), cid, cm) })
+      import graft.functions.PqFunctions.{pq_assign, pq_assign_top}
+      val routed = pts.withColumn("gs",
+        pq_assign_top(col("xm"), lit(0), gBc, 1, p))
+      val bs = (0 until p).map { i =>
+        pq_assign(col("xm"),
+          element_at(col("gs"), i + 1).getField("cid").cast("int"),
+          byGroupBc, g)
+      }
+      val best = if (bs.length == 1) bs.head else least(bs: _*)
+      routed.withColumn("best", best)
+        .select(col("vec_id"), col("xm"),
+          col("best.cid").as("cid"), col("best.d").as("d"))
+    }
+  }
+
+  /** Driver-side integer Lloyd over the centroid table itself: groups
+    * the k coarse centroids into ceil(sqrt(k)) clusters (seeded from
+    * the first sqrt(k) by cid, 2 iterations, half-away-from-zero
+    * means — the [[update]] arithmetic in plain Scala). Returns the
+    * non-empty group centroids with DENSE ids 0..g-1 plus each input
+    * centroid's group index — empty groups are dropped so every
+    * probed group carries candidates and the in-row argmin never goes
+    * null. Deterministic: pure integer arithmetic over a cid-sorted
+    * array. */
+  private def trainGroups(cents: Array[(Long, Array[Long])])
+      : (Array[(Long, Array[Long])], Array[Int]) = {
+    val k = cents.length
+    val g0 = math.max(2, math.ceil(math.sqrt(k.toDouble)).toInt)
+    val dims = cents.head._2.length
+    var gm = Array.tabulate(math.min(g0, k))(i => cents(i)._2.clone())
+    val asg = new Array[Int](k)
+    def sqd(a: Array[Long], b: Array[Long]): Long = {
+      var d = 0L; var i = 0
+      while (i < a.length) { val x = a(i) - b(i); d += x * x; i += 1 }
+      d
+    }
+    def divRound(s: Long, n: Long): Long =
+      if (s >= 0) (s + n / 2) / n else -((-s + n / 2) / n)
+    def assignAll(): Unit = {
+      var i = 0
+      while (i < k) {
+        var bd = Long.MaxValue; var bg = 0; var j = 0
+        while (j < gm.length) {
+          val d = sqd(cents(i)._2, gm(j))
+          if (d < bd) { bd = d; bg = j }
+          j += 1
+        }
+        asg(i) = bg
+        i += 1
+      }
+    }
+    for (_ <- 1 to 2) {
+      assignAll()
+      val sums = Array.fill(gm.length, dims)(0L)
+      val cnts = new Array[Long](gm.length)
+      var i = 0
+      while (i < k) {
+        val s = sums(asg(i)); val cm = cents(i)._2
+        var d = 0
+        while (d < dims) { s(d) += cm(d); d += 1 }
+        cnts(asg(i)) += 1
+        i += 1
+      }
+      gm = gm.indices.map { j =>
+        if (cnts(j) == 0) gm(j)
+        else Array.tabulate(dims)(d => divRound(sums(j)(d), cnts(j)))
+      }.toArray
+    }
+    // the group ids handed out must match the group centroids the
+    // points will route against: one final assignment of the
+    // centroids to the POST-update means
+    assignAll()
+    // drop empty groups, re-index dense
+    val used = asg.distinct.sorted
+    val remap = used.zipWithIndex.toMap
+    val outCents = used.map(j => (remap(j).toLong, gm(j)))
+    (outCents, asg.map(remap))
+  }
+
+  /** The coarse quantizer chain at ANY cell count — the adaptive-K
+    * seam the PQ serving family routes through
+    * ([[graft.sim.PqOps.adaptiveCoarseK]]): k == [[K]] is the shared
+    * v47 Lloyd run VERBATIM (same memo, same integers — every
+    * PQ-family oracle replays it), any other k trains its own chain
+    * (first-k seeding, [[Iters]] rounds) with the assignment routed
+    * through [[assignAt]] — flat and exact through 256 cells,
+    * two-level above. Returns (final assignment (vec_id, xm, cid, d),
+    * final centroids (cid, cm)), memoized per (k, dir). */
+  private[graft] def coarseAt(spark: SparkSession, dir: String,
+      k: Int): (DataFrame, DataFrame) =
+    if (k == K) lloyd(spark, dir)
+    else {
+      val cents = graft.util.PlanMemo.memo(spark, s"coarse_cents_k$k", dir) {
+        graft.util.BuildCounters.inc(s"coarse:$dir:k$k")
+        val pts = points(spark, dir)
+        var c = pts.filter(col("vec_id") < k)
+          .select(col("vec_id").as("cid"), col("xm").as("cm"))
+        for (_ <- 1 to Iters) c = update(assignAt(pts, c, k))
+        c
+      }
+      val fin = graft.util.PlanMemo.memo(spark, s"coarse_assign_k$k", dir)(
+        assignAt(points(spark, dir), cents, k))
+      (fin, cents)
+    }
+
   /** The WITH-chain shared by every oracle that consumes the Lloyd
     * run: pts → c0 → 3 iterations → final assignment `fa`. */
   private[graft] lazy val lloydChainSql: String = {

@@ -342,17 +342,46 @@ object PqOps extends QueryModule {
     * directories (partition pruning, pinned in PqSpec): query cost
     * scales with ncell/K of the codes, never the corpus. */
   def writeIvfPqIndex(spark: SparkSession, dir: String,
-      indexPath: String): Unit = {
-    val cells = ClusterOps.finalAssign(spark, dir)
-      .withColumnRenamed("cid", "cell")
+      indexPath: String): Unit =
+    writeIvfPqIndex(spark, dir, indexPath, ClusterOps.K)
+
+  /** [[writeIvfPqIndex]] at ANY coarse cell count — the adaptive-K
+    * build: the PQ half (codebooks, code table) is coarse-independent
+    * and unchanged; only the cell map and the stored coarse-centroid
+    * table come from [[ClusterOps.coarseAt]]. coarseK == K is the
+    * oracle-replayed v47 chain verbatim. */
+  def writeIvfPqIndex(spark: SparkSession, dir: String,
+      indexPath: String, coarseK: Int): Unit = {
+    val (fin, cents) = ClusterOps.coarseAt(spark, dir, coarseK)
+    val cells = fin.select(col("vec_id"), col("cid").as("cell"))
     codes(spark, dir).join(cells, Seq("vec_id"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$indexPath/codes")
     codebooks(spark, dir).write.mode("overwrite")
       .parquet(s"$indexPath/codebooks")
-    ClusterOps.finalCentroids(spark, dir).write.mode("overwrite")
+    cents.write.mode("overwrite")
       .parquet(s"$indexPath/coarse")
   }
+
+  /** Coarse cell count sized to the corpus — the
+    * [[SimilarityOps.adaptiveNlist]] pattern applied to the PQ coarse
+    * quantizer (round-9 SCALING.md named it as THE remaining
+    * production lever in the serving path): cells of ~250 vectors
+    * (sf0.1's 2000/8), floor [[ClusterOps.K]], so candidates/query
+    * (= ncell/K of the corpus) stay constant as the corpus grows
+    * instead of growing linearly with it. EXACTLY K=8 at every driver
+    * SF (n <= 2000), so the 12 PQ-family oracles and every stored
+    * fixture replay the K=8 Lloyd chain untouched; the adaptation —
+    * and with it the hierarchical two-level assignment above 256
+    * cells — engages only beyond test scale. */
+  def adaptiveCoarseK(spark: SparkSession, dir: String): Int =
+    coarseKCache.computeIfAbsent((spark, dir), _ =>
+      math.min(math.max(ClusterOps.K.toLong,
+        Tables.embeddings(spark, dir).count() / 250L),
+        Int.MaxValue.toLong).toInt): Int
+
+  private val coarseKCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), Integer]()
 
   /** Write the IVF-PQ index INCREMENTALLY: base generation = the 90%
     * `vec_id % 10 != 0` slice, delta = the 10% append encoded with the
@@ -527,17 +556,18 @@ object PqOps extends QueryModule {
     * slice of the same table), which compounds two linear factors —
     * queries × per-query candidates — into a quadratic fixture
     * artifact at blow-up factors; this twin isolates the corpus
-    * dimension. (The remaining per-query linear term is the fixed
-    * K=8 cell count — candidates/query = ncell/K of the corpus, the
-    * standard IVF trade; the production lever is growing K with the
-    * corpus exactly like `SimilarityOps.adaptiveNlist`, pinned at 8
-    * here because the 12 PQ-family oracles replay the K=8 Lloyd chain
-    * verbatim.) */
+    * dimension. The per-query candidate term (ncell/K of the corpus)
+    * is closed by `coarseK` (round 10): pass
+    * [[adaptiveCoarseK]] to hold candidates/query constant as the
+    * corpus grows — the default stays K=8 because the 12 PQ-family
+    * oracles replay the K=8 Lloyd chain verbatim, and every driver SF
+    * resolves adaptiveCoarseK to exactly 8 anyway. */
   private[graft] def streamingAnnServeAgainst(spark: SparkSession,
       queryDir: String, corpusDir: String, k: Int = 10,
-      ncell: Int = NCell): DataFrame = {
-    val idx = graft.util.ArtifactCache.persistent("ivfpq_index", "v1",
-      corpusDir)(writeIvfPqIndex(spark, corpusDir, _))
+      ncell: Int = NCell, coarseK: Int = ClusterOps.K): DataFrame = {
+    val ver = if (coarseK == ClusterOps.K) "v1" else s"v1-ck$coarseK"
+    val idx = graft.util.ArtifactCache.persistent("ivfpq_index", ver,
+      corpusDir)(writeIvfPqIndex(spark, corpusDir, _, coarseK))
     val q = serveQueryFrame(spark, queryDir, idx, ncell)
     val codes = spark.read.parquet(s"$idx/codes")
       .select(col("vec_id"), col("sub"), col("cid"),
