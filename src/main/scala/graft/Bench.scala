@@ -76,7 +76,10 @@ object Bench {
     def calibrate(): Double = {
       def once(): Double = {
         val t0 = System.nanoTime()
-        spark.range(0, 64000000L, 1, cpus.toInt)
+        // cpus may be any master-string arity ("*"), not only an int
+        spark.range(0, 64000000L, 1,
+            scala.util.Try(cpus.toInt).getOrElse(
+              spark.sparkContext.defaultParallelism))
           .selectExpr("sum(xxhash64(id) % 1048576) as s").collect(): Unit
         (System.nanoTime() - t0) / 1e9
       }

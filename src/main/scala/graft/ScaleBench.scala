@@ -89,8 +89,19 @@ object ScaleBench {
         reg("v18h_ivfpq_topk")(s, d).count()),
       ("v18i_ivfpq_stored", (s: SparkSession, d: String, _: Int) =>
         reg("v18i_ivfpq_stored")(s, d).count()),
-      ("st21_streaming_ann_serve", (s: SparkSession, d: String, _: Int) =>
-        reg("st21_streaming_ann_serve")(s, d).count()),
+      // the registry entry co-grows its query slice with the corpus
+      // (queries x candidates compounds quadratically at blow-up
+      // factors — SCALING.md documents it not completing at x100), so
+      // it is factor-guarded: measured through x10, SKIPPED above with
+      // a visible log line (no silent cap); the [fixed queries] twins
+      // below carry the deployment shape at any factor
+      ("st21_streaming_ann_serve", (s: SparkSession, d: String, f: Int) =>
+        if (f > 10) {
+          println("[scale] st21_streaming_ann_serve SKIPPED above " +
+            s"x10 (fixture quadratic, factor=$f); see st21[fixed " +
+            "queries]")
+          -1L
+        } else reg("st21_streaming_ann_serve")(s, d).count()),
       // deployment serving shape: query set FIXED (base dir) while the
       // indexed corpus scales — the registry entry co-grows both,
       // which compounds queries x candidates into a fixture-artifact
@@ -116,6 +127,16 @@ object ScaleBench {
           graft.sim.ClusterOps.pointsOf(Tables.embeddings(s, d)),
           cents, k).count()
       }),
+      // round 10: the events/graph analytics family (the last family
+      // with no measured scale row) — the salted events copies offset
+      // user_ids, so the user-keyed self-join edge build scales with
+      // users while the event-type graph stays constant
+      ("v29_pagerank", (s: SparkSession, d: String, _: Int) =>
+        reg("v29_pagerank")(s, d).count()),
+      ("t05_service_dependencies", (s: SparkSession, d: String, _: Int) =>
+        reg("t05_service_dependencies")(s, d).count()),
+      ("u12_bot_detection", (s: SparkSession, d: String, _: Int) =>
+        reg("u12_bot_detection")(s, d).count()),
       ("st3_streaming_trace_assembly",
         (s: SparkSession, d: String, _: Int) =>
           reg("st3_streaming_trace_assembly")(s, d).count()),

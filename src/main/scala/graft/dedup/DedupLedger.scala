@@ -321,23 +321,14 @@ private[dedup] trait DedupLedger { self: DedupOps.type =>
     * (8 bits/item here ≈ 2% fpp at capacity). */
   private[graft] def newDocsBloom(inc: DataFrame, ex: DataFrame,
       expectedItems: Long = 1000000L): DataFrame = {
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
-    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-    import org.apache.spark.sql.graftshim.ColumnBridge
-    import org.apache.spark.sql.types.BinaryType
-    def hashOf(c: Column) = new XxHash64(Seq(ColumnBridge.expression(c)))
-    val bfBytes = ex.select(ColumnBridge.column(
-        new BloomFilterAggregate(hashOf(col("norm_hash")),
-          Literal(expectedItems), Literal(expectedItems * 8L))
-          .toAggregateExpression()).as("bf"))
-      .head.getAs[Array[Byte]](0)
+    val bfBytes = BloomSketch.bloomBytes(ex, col("norm_hash"),
+      expectedItems)
     val sel = Seq(col("doc_id"), col("source"), col("norm_hash"))
     // empty ledger: the aggregate evals to null, and a null filter
     // bloom would drop EVERY row on both branches — the exact answer
     // is "everything is new", no probe needed
     if (bfBytes == null) return inc.select(sel: _*).orderBy(col("doc_id"))
-    val might = ColumnBridge.column(BloomFilterMightContain(
-      Literal(bfBytes, BinaryType), hashOf(col("norm_hash"))))
+    val might = BloomSketch.mightContain(bfBytes, col("norm_hash"))
     val definiteNew = inc.filter(not(might)).select(sel: _*)
     val candidates = inc.filter(might)
       .join(ex.select(col("norm_hash")), Seq("norm_hash"), "left_anti")

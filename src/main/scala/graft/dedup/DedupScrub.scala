@@ -147,6 +147,12 @@ private[dedup] trait DedupScrub { self: DedupOps.type =>
     (SparkSession, String),
     org.apache.spark.broadcast.Broadcast[Array[(String, Long)]]]()
 
+  /** Bloom bytes of the stored ledger for the over-the-bound join
+    * path — Option because an empty ledger aggregates to null and
+    * ConcurrentHashMap cannot hold null values. */
+  private val scrubBloomCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), Option[Array[Byte]]]()
+
   /** The stored (window-hash → first-holder) dup-window ledger — the
     * artifact BOTH probe shapes read (in-row broadcast below the size
     * bound, Bloom + keyed join above it). */
@@ -216,25 +222,19 @@ private[dedup] trait DedupScrub { self: DedupOps.type =>
     * withInRowScrub; passthrough columns preserved. */
   private[graft] def scrubViaLedgerJoin(spark: SparkSession, dir: String,
       df: DataFrame): DataFrame = {
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
-    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-    import org.apache.spark.sql.graftshim.ColumnBridge
-    import org.apache.spark.sql.types.BinaryType
     val W = ScrubWindow
     val stored = scrubLedgerStored(spark, dir)
-    val nLedger = math.max(1L, scrubLedgerCount(spark, dir))
-    def hashOf(c: org.apache.spark.sql.Column) =
-      new XxHash64(Seq(ColumnBridge.expression(c)))
-    val bfBytes = stored.select(ColumnBridge.column(
-        new BloomFilterAggregate(hashOf(col("h")),
-          Literal(nLedger), Literal(nLedger * 8L))
-          .toAggregateExpression()).as("bf"))
-      .head.getAs[Array[Byte]](0)
+    // the sketch depends only on (session, dir): memoized so the
+    // streaming fallbacks (st19/st25 over the bound) pay the full-
+    // ledger aggregation ONCE, not once per micro-batch (round-10
+    // review finding — the scrubBc convention applied to the bytes)
+    val bfBytes = scrubBloomCache.computeIfAbsent((spark, dir), _ =>
+      Option(BloomSketch.bloomBytes(stored, col("h"),
+        math.max(1L, scrubLedgerCount(spark, dir))))).orNull
     val wins = scrubWindows(df.select(col("doc_id"), col("w")))
     val candidates =
       if (bfBytes == null) wins.filter(lit(false)) // empty ledger
-      else wins.filter(ColumnBridge.column(BloomFilterMightContain(
-        Literal(bfBytes, BinaryType), hashOf(col("h")))))
+      else wins.filter(BloomSketch.mightContain(bfBytes, col("h")))
     val ps = candidates
       .join(stored.hint("shuffle_hash"), Seq("h"))
       .filter(col("keep_doc") < col("doc_id"))

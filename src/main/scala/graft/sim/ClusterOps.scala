@@ -167,18 +167,19 @@ object ClusterOps extends QueryModule {
     lloyd(spark, dir)._1.select(col("vec_id"), col("cid"))
 
   /** Flat coarse assignment stays exact (every centroid evaluated by
-    * the compiled in-row argmin) up to this many centroids — the
-    * [[SimilarityOps.HierNlistThreshold]] convention carried into
-    * integer micro/L2 space. Far above K=8, so every PQ-family oracle
-    * sees the flat path bit-for-bit; the hierarchy only exists in the
-    * adaptive-coarse-K regime beyond driver SFs. */
-  private[graft] val HierCoarseThreshold = 256
+    * the compiled in-row argmin) up to this many centroids — ALIASED
+    * to [[SimilarityOps.HierNlistThreshold]] (not re-defined) so the
+    * IVF and PQ families can never silently diverge on the flat/hier
+    * switchover if the threshold is retuned. Far above K=8, so every
+    * PQ-family oracle sees the flat path bit-for-bit. */
+  private[graft] def HierCoarseThreshold: Int =
+    SimilarityOps.HierNlistThreshold
 
-  /** Group-layer probes per point on the hierarchical path (the
-    * [[SimilarityOps.GroupsProbed]] convention: 2 of ~sqrt(k) groups
-    * keeps Voronoi-boundary misses rare at ~2*sqrt(k) evaluated
-    * centroids per point). */
-  private[graft] val CoarseGroupsProbed = 2
+  /** Group-layer probes per point on the hierarchical path — aliased
+    * to [[SimilarityOps.GroupsProbed]] for the same reason: 2 of
+    * ~sqrt(k) groups keeps Voronoi-boundary misses rare at ~2*sqrt(k)
+    * evaluated centroids per point. */
+  private[graft] def CoarseGroupsProbed: Int = SimilarityOps.GroupsProbed
 
   /** Nearest-centroid assignment at ANY centroid count, zero-shuffle
     * either way. Flat up to [[HierCoarseThreshold]] centroids —

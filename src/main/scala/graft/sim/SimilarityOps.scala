@@ -129,7 +129,18 @@ object SimilarityOps extends QueryModule {
     val centGroups = assignTo(ptsCk, gCents, g)
       .select(col("cent_id").as("g_id"), col("vec_id").as("cent_id"),
         col("v").as("c_v"), col("nrm").as("c_nrm"))
-    val routed = multiProbeAssign(e, gCents, groupsProbed, g)
+      .localCheckpoint()
+    // route only against groups that actually HOLD centroids: a Lloyd
+    // round can strand a group centroid with zero members (boundary
+    // centroids migrate in the update), and a vector whose probed
+    // groups were all empty would produce zero candidate rows and
+    // silently VANISH from the assignment (round-10 review finding —
+    // the ClusterOps.trainGroups drop-empty-groups rule, here as a
+    // semi-join on the nlist-row metadata frame)
+    val gUsed = gCents.join(
+      centGroups.select(col("g_id").as("cent_id")).distinct(),
+      Seq("cent_id"), "left_semi")
+    val routed = multiProbeAssign(e, gUsed, groupsProbed, g)
       .select(col("vec_id"), col("cent_id").as("g_id"),
         col("v"), col("nrm"))
     routed.join(broadcast(centGroups), Seq("g_id"))

@@ -433,8 +433,8 @@ object StreamingOps extends QueryModule {
     // same file). Each drive still gets a FRESH stream dir (sentinel
     // files from a previous drive must not pollute batch 1), with the
     // immutable dump HARDLINKED in — per-drive cost drops to one
-    // link(2) call. The max lands in a sidecar so no drive re-reads
-    // the dump just to place its sentinels.
+    // link(2) call. The max is consumed HERE, baking the two sentinel
+    // files, so no drive re-reads the dump to place its sentinels.
     val prep = graft.util.ArtifactCache.persistent(
         "stdrive_frame", "v2", dir) { p =>
       sampledSpanFrame(spark, dir).coalesce(1)
@@ -442,9 +442,6 @@ object StreamingOps extends QueryModule {
       val mx = spark.read.parquet(p)
         .agg(coalesce(max(col("start_time_unix_nano")), lit(0L)))
         .first().getLong(0)
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get(p, "_maxus.txt"),
-        mx.toString.getBytes("UTF-8")): Unit
       // The two 1-row sentinel FILES are per-dir constants too (they
       // depend only on mx), so they are baked here once and HARDLINKED
       // into each drive's stream dir between batches — each drive

@@ -330,6 +330,27 @@ class DedupSpec extends SparkSpec {
     } finally DedupOps.scrubLedgerMaxOverride = None
   }
 
+  test("Bloom build is NOT clamped by Spark's runtime-filter size caps " +
+    "above 8M items, and the session confs are restored after") {
+    // BloomFilterAggregate silently clamps to
+    // spark.sql.optimizer.runtime.bloomFilter.maxNumBits (2^26) /
+    // maxNumItems (4M) — past ~8.4M ledger windows a default-conf
+    // sketch saturates and the fallback's screen degrades to a no-op
+    // (round-10 review finding). BloomSketch raises the caps around
+    // the build; size params are literals, so a tiny input frame
+    // proves the sizing without a big fixture.
+    import spark.implicits._
+    val tiny = Seq("a", "b", "c").toDF("h")
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val before = spark.conf.getOption(bitsKey)
+    val n = 16000000L // requested bits = 128M, default cap = 67.1M
+    val bytes = graft.dedup.BloomSketch.bloomBytes(tiny, col("h"), n)
+    assert(bytes.length.toLong * 8L >= n * 8L,
+      s"sketch clamped: ${bytes.length} bytes for ${n * 8L} bits")
+    assert(spark.conf.getOption(bitsKey) === before,
+      "bloom build leaked its conf override")
+  }
+
   test("V67 span scrub removes a planted repeated span from the later " +
     "doc only, and never touches unique docs") {
     val rows = DedupOps.spanScrub(spark, sf).collect()
