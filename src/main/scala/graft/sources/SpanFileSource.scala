@@ -180,6 +180,12 @@ private[sources] class SpanScanBuilder(dir: String,
     * scan, where the sidecar totals are exact by construction. */
   private def servable(agg: Aggregation): Option[Seq[String]] =
     if (agg.groupByExpressions().nonEmpty) None
+    // an EMPTY sidecar (collector started, nothing ingested) has no
+    // min/max to serve — min over an empty table is SQL NULL, which
+    // the non-nullable stats row cannot carry (and .min would throw).
+    // Decline the pushdown entirely: Spark's own aggregation over the
+    // then-empty scan produces the correct NULL/0 row.
+    else if (SpanFileSource.readStats(dir).isEmpty) None
     else {
       val kinds = agg.aggregateExpressions().toSeq
         .map(SpanFileSource.statKind)

@@ -54,7 +54,11 @@ class TraceService(spans: DataFrame) {
         col("trace_id"))
       .limit(n)
 
-  /** T2: latest 100 root spans of one service (api/service.go:212-244). */
+  /** T2: latest 100 spans of one service — ANY span, not only roots:
+    * the reference endpoint (api/service.go:212-244) filters
+    * scope_name only, unlike its root-scoped siblings
+    * (round-10 review re-check; the earlier "root spans" doc phrase
+    * was wrong, the code was faithful). */
   def serviceTraces(service: String, n: Int = 100): DataFrame =
     spans.filter(col("scope_name") === service)
       .select(col("trace_id"), col("span_id"), col("name"),
@@ -156,18 +160,31 @@ class TraceService(spans: DataFrame) {
   /** T9: DSL search (SearchDsl.SpanBinder — correct map semantics, see
     * SURVEY §7 hard-part 3) + mode + range + sort + pagination
     * (api/service.go:698-892). */
-  def search(req: SearchRequest): DataFrame = {
+  /** The filtered (pre-sort, pre-page) frame of T9 — ONE spelling of
+    * the predicate/mode/range chain shared by [[search]] and
+    * [[searchWithTotal]], so the reported total can never disagree
+    * with the page contents (round-10 review: the chain was built
+    * twice and could drift). */
+  private def searchFiltered(req: SearchRequest): DataFrame = {
     val pred = if (req.query.isEmpty) lit(true)
       else SearchDsl.predicate(req.query, SearchDsl.SpanBinder)
     val mode = if (req.rootOnly) isRoot else col("parent_span_id") =!= ""
-    val sortCol = if (req.ascending) col(req.sortField).asc
-      else col(req.sortField).desc
     spans
       .filter(col("start_time_unix_nano") >= req.startNs &&
         col("end_time_unix_nano") <= req.endNs)
       .filter(pred && mode)
+  }
+
+  def search(req: SearchRequest): DataFrame = {
+    val sortCol = if (req.ascending) col(req.sortField).asc
+      else col(req.sortField).desc
+    // page is 1-based at the API boundary; clamp instead of handing
+    // Spark a negative offset (an opaque AnalysisException far from
+    // the caller — the percentileSeries clamp convention)
+    val page = math.max(1, req.page)
+    searchFiltered(req)
       .orderBy(sortCol, col("span_id"))
-      .offset((req.page - 1) * req.pageSize)
+      .offset((page - 1) * req.pageSize)
       .limit(req.pageSize)
   }
 
@@ -175,16 +192,8 @@ class TraceService(spans: DataFrame) {
     * total count for pagination (api/service.go:887-891). Two scans
     * (count + page) — at 100 TB swap the exact total for a cheaper bound
     * or cache it per predicate; the page itself stays TakeOrdered. */
-  def searchWithTotal(req: SearchRequest): (DataFrame, Long) = {
-    val pred = if (req.query.isEmpty) lit(true)
-      else SearchDsl.predicate(req.query, SearchDsl.SpanBinder)
-    val mode = if (req.rootOnly) isRoot else col("parent_span_id") =!= ""
-    val total = spans
-      .filter(col("start_time_unix_nano") >= req.startNs &&
-        col("end_time_unix_nano") <= req.endNs)
-      .filter(pred && mode).count()
-    (search(req), total)
-  }
+  def searchWithTotal(req: SearchRequest): (DataFrame, Long) =
+    (search(req), searchFiltered(req).count())
 
   /** Series helpers (T10/T14/T15/T16/T17): zero-filled time buckets,
     * interval = range/15 like the reference (utils/utils.go:81-85),
@@ -311,10 +320,15 @@ class TraceService(spans: DataFrame) {
       .withColumn("t0", min(col("start_time_unix_nano")).over(w))
       .withColumn("t1", max(col("end_time_unix_nano")).over(w))
       .select(col("span_id"), col("name"), col("scope_name"),
-        ((col("start_time_unix_nano") - col("t0")) * lit(100.0) /
-          (col("t1") - col("t0"))).as("offset_pct"),
-        (col("duration_ns") * lit(100.0) / (col("t1") - col("t0")))
-          .as("width_pct"))
+        // a zero-width trace (every span an instant at one timestamp)
+        // must not divide by zero into NULL percentages: the single
+        // instant fills the view — offset 0, width 100
+        when(col("t1") === col("t0"), lit(0.0))
+          .otherwise((col("start_time_unix_nano") - col("t0")) *
+            lit(100.0) / (col("t1") - col("t0"))).as("offset_pct"),
+        when(col("t1") === col("t0"), lit(100.0))
+          .otherwise(col("duration_ns") * lit(100.0) /
+            (col("t1") - col("t0"))).as("width_pct"))
       .orderBy(col("span_id"))
   }
 

@@ -13,28 +13,33 @@ object ArtifactCache {
     (String, String), java.util.concurrent.FutureTask[String]]()
   private val seq = new java.util.concurrent.atomic.AtomicInteger()
 
-  def cached(kind: String, dir: String)(build: String => Unit): String = {
-    val task = cache.computeIfAbsent((kind, dir),
-      _ => new java.util.concurrent.FutureTask(() => {
-        BuildCounters.inc(s"artifact:$kind:$dir")
-        val path = TempArtifacts.register(
-          s"${sys.props("java.io.tmpdir")}/graft_${kind}_" +
-            s"${ProcessHandle.current().pid()}_${seq.getAndIncrement()}")
-        build(path)
-        path
-      }))
+  /** The shared run/get/evict-on-failure protocol of both entry
+    * points: a failed build must not poison the key forever — evict
+    * so a later caller retries (fresh pid+seq path; the partial
+    * directory is already registered for exit-time cleanup) and
+    * surface the build's own exception, not the wrapper. */
+  private def runEvicting(key: (String, String))(
+      mk: () => String): String = {
+    val task = cache.computeIfAbsent(key,
+      _ => new java.util.concurrent.FutureTask[String](() => mk()))
     task.run()
     try task.get()
     catch {
       case e: java.util.concurrent.ExecutionException =>
-        // a failed build must not poison the key forever: evict so a
-        // later caller retries (a fresh pid+seq path — the partial
-        // directory is already registered for exit-time cleanup), and
-        // surface the build's own exception, not the wrapper
-        cache.remove((kind, dir), task)
+        cache.remove(key, task)
         throw e.getCause
     }
   }
+
+  def cached(kind: String, dir: String)(build: String => Unit): String =
+    runEvicting((kind, dir)) { () =>
+      BuildCounters.inc(s"artifact:$kind:$dir")
+      val path = TempArtifacts.register(
+        s"${sys.props("java.io.tmpdir")}/graft_${kind}_" +
+          s"${ProcessHandle.current().pid()}_${seq.getAndIncrement()}")
+      build(path)
+      path
+    }
 
   // ---- persistent (cross-process) catalog ----------------------------
   //
@@ -70,9 +75,18 @@ object ArtifactCache {
         Array.empty[java.io.File])
       .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
       .map(f => s"${f.getName}:${f.length()}:${f.lastModified()}")
+    // a dir with NO top-level parquet (mistyped path, pre-ingest dir)
+    // must not alias every other such dir to md5("") in the SHARED
+    // catalog — that would let a later process silently adopt an
+    // artifact built from the wrong dir's data. Keep the historical
+    // fingerprint for the normal case (existing published artifacts
+    // stay valid); disambiguate the empty case by the canonical path.
+    val id =
+      if (files.isEmpty)
+        s"EMPTY|${new java.io.File(dir).getCanonicalPath}"
+      else files.mkString("|")
     val md = java.security.MessageDigest.getInstance("MD5")
-    md.digest(files.mkString("|").getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
+    md.digest(id.getBytes("UTF-8")).map("%02x".format(_)).mkString
   }
 
   /** Like [[cached]], but the artifact survives the process: resolved
@@ -81,41 +95,32 @@ object ArtifactCache {
     * version, input fingerprint). Returns the immutable published
     * path. */
   def persistent(kind: String, version: String, dir: String)(
-      build: String => Unit): String = {
-    val task = cache.computeIfAbsent((s"$kind@$version", dir),
-      _ => new java.util.concurrent.FutureTask(() => {
-        val fp = inputFingerprint(dir)
-        val finalDir =
-          new java.io.File(catalogRoot, s"${kind}_${version}_$fp")
-        val marker = new java.io.File(finalDir, "_COMPLETE")
-        if (!marker.exists()) {
-          BuildCounters.inc(s"persistent:$kind@$version:$dir")
-          val tmp = TempArtifacts.register(new java.io.File(catalogRoot,
-            s".build_${kind}_${version}_${fp}_" +
-              s"${ProcessHandle.current().pid()}_${seq.getAndIncrement()}")
-            .getPath)
-          build(tmp)
-          java.nio.file.Files.write(
-            java.nio.file.Paths.get(tmp, "_COMPLETE"),
-            Array.emptyByteArray): Unit
-          if (!new java.io.File(tmp).renameTo(finalDir)) {
-            // lost the publish race (or a stale finalDir without a
-            // marker blocks the rename): adopt the winner if complete,
-            // otherwise surface the inconsistency loudly
-            require(marker.exists(),
-              s"artifact publish failed and $finalDir is incomplete")
-          }
+      build: String => Unit): String =
+    runEvicting((s"$kind@$version", dir)) { () =>
+      val fp = inputFingerprint(dir)
+      val finalDir =
+        new java.io.File(catalogRoot, s"${kind}_${version}_$fp")
+      val marker = new java.io.File(finalDir, "_COMPLETE")
+      if (!marker.exists()) {
+        BuildCounters.inc(s"persistent:$kind@$version:$dir")
+        val tmp = TempArtifacts.register(new java.io.File(catalogRoot,
+          s".build_${kind}_${version}_${fp}_" +
+            s"${ProcessHandle.current().pid()}_${seq.getAndIncrement()}")
+          .getPath)
+        build(tmp)
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(tmp, "_COMPLETE"),
+          Array.emptyByteArray): Unit
+        if (!new java.io.File(tmp).renameTo(finalDir)) {
+          // lost the publish race (or a stale finalDir without a
+          // marker blocks the rename): adopt the winner if complete,
+          // otherwise surface the inconsistency loudly
+          require(marker.exists(),
+            s"artifact publish failed and $finalDir is incomplete")
         }
-        finalDir.getPath
-      }))
-    task.run()
-    try task.get()
-    catch {
-      case e: java.util.concurrent.ExecutionException =>
-        cache.remove((s"$kind@$version", dir), task)
-        throw e.getCause
+      }
+      finalDir.getPath
     }
-  }
 
   /** TEST-ONLY seam: forget the in-process memo for kinds matching
     * `prefix` so a spec can prove the disk catalog alone satisfies a
@@ -129,7 +134,14 @@ object ArtifactCache {
     * file present byte-identical in place. */
   def parquetListing(root: String): Map[String, Long] = {
     def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      // listFiles() is null for vanished/unreadable dirs (a Spark
+      // _temporary dir deleted mid-walk) — same guard as
+      // inputFingerprint, or the witness fails with an NPE instead of
+      // a file diff
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+          .toSeq.flatMap(walk)
+      else Seq(f)
     walk(new java.io.File(root))
       .filter(_.getName.endsWith(".parquet"))
       .map(f => f.getPath -> f.length()).toMap

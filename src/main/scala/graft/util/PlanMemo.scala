@@ -57,6 +57,14 @@ object PlanMemo {
     * dependency graph here is a DAG by construction. */
   def memo(spark: SparkSession, key: String, dir: String)
       (build: => DataFrame): DataFrame = {
+    // entries keyed by a STOPPED session can never be read again (the
+    // recreated-session rule above forces a rebuild under the new
+    // key), but a strong reference here would pin every dead session
+    // — and everything it transitively holds — for the JVM's lifetime
+    // (round-10 review). The maps are small (one entry per memoized
+    // plan), so a sweep on entry is cheaper than weak-ref machinery.
+    paths.keySet.removeIf(_._1.sparkContext.isStopped)
+    locks.keySet.removeIf(_._1.sparkContext.isStopped)
     val k = (spark, key, dir)
     var p = paths.get(k)
     if (p == null) {

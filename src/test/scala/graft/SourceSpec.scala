@@ -169,6 +169,23 @@ class SourceSpec extends SparkSpec {
     assert(row.getLong(2) == want.getLong(2))
   }
 
+  test("aggregate over an EMPTY sidecar dir declines the pushdown and " +
+    "returns SQL's empty-table answer (count 0, min/max NULL)") {
+    // collector started, nothing ingested: stats list is empty — a
+    // pushed min over it would have to fabricate a non-nullable value
+    // (it previously threw empty.min at planning)
+    val d = java.nio.file.Files
+      .createTempDirectory("graft_empty_src").toString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(d, "_stats.json"), "[]".getBytes("UTF-8"))
+    val df = SpanFileSource.read(spark, d)
+      .agg(count(lit(1)), min(col("start_ns")), max(col("start_ns")))
+    val row = df.collect().head
+    assert(plan(df).contains("GraftSpanScan"), plan(df))
+    assert(row.getLong(0) === 0L)
+    assert(row.isNullAt(1) && row.isNullAt(2))
+  }
+
   test("grouped or filtered aggregates fall back to the row scan") {
     val grouped = source().groupBy(col("service_name")).count()
     grouped.collect()

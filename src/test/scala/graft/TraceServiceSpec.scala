@@ -2,6 +2,7 @@ package graft
 
 import graft.spans.TraceService
 import graft.spans.SearchRequest
+import org.apache.spark.sql.functions.{col, lit}
 
 /** Span-native semantics pinned on the canonical FIXTURES.md §B trace. */
 class TraceServiceSpec extends SparkSpec {
@@ -58,6 +59,35 @@ class TraceServiceSpec extends SparkSpec {
     assert(w("s1")._1 === 0.0)
     assert(w("s1")._2 === 100.0)
     assert(w("s3")._1 === 10.0 && w("s3")._2 === 40.0)
+  }
+
+  test("T2 service traces: ANY span of the service, not only roots " +
+    "(the reference filters scope_name only, api/service.go:212-244)") {
+    val t = svc.serviceTraces("db").collect()
+    assert(t.map(_.getString(1)).toSeq === Seq("s3"),
+      "db has only the child span s3 — it must be returned")
+  }
+
+  test("U1 waterfall: a zero-width trace yields offset 0 / width 100, " +
+    "never NULL percentages") {
+    val z = SpanFixtures.spans(spark).filter(col("span_id") === "s1")
+      .withColumn("trace_id", lit("TZ"))
+      .withColumn("end_time_unix_nano", col("start_time_unix_nano"))
+      .withColumn("duration_ns", lit(0L))
+    val zsvc = new TraceService(z)
+    val w = zsvc.waterfall("TZ").collect()
+    assert(w.length === 1)
+    assert(w.head.getDouble(3) === 0.0 && w.head.getDouble(4) === 100.0)
+  }
+
+  test("T9 search: page 0 clamps to page 1, and searchWithTotal's " +
+    "total equals the filtered count behind the page") {
+    val req = graft.spans.SearchRequest()
+    val p1 = svc.search(req.copy(page = 1)).collect().toSeq
+    val p0 = svc.search(req.copy(page = 0)).collect().toSeq
+    assert(p0 === p1, "page 0 must behave as page 1, not a negative offset")
+    val (pageDf, total) = svc.searchWithTotal(req)
+    assert(total >= pageDf.count())
   }
 
   test("U2 error spans: exception details extracted from event attrs") {
