@@ -28,9 +28,16 @@ object Exact {
     ColumnBridge.column(IntegralDivide(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
+  /** ONE double → 1e-6-unit long conversion (half-up via DECIMAL) —
+    * the per-row expression w20/w22/w24/st22 all read "the same
+    * experiment" through; a scale or rounding tweak must hit every
+    * consumer at once or their cross-entry comparability silently
+    * breaks (round-10 review). */
+  def micro(c: Column): Column =
+    (c.cast(DecimalType(18, 6)) * 1000000).cast(LongType)
+
   /** Exact sum of a double column in 1e-6 units (long). */
-  def microSum(c: Column): Column =
-    sum((c.cast(DecimalType(18, 6)) * 1000000).cast(LongType))
+  def microSum(c: Column): Column = sum(micro(c))
 
   /** Order-independent exact sum of a double column, as double. */
   def sumExact(c: Column): Column =

@@ -42,6 +42,19 @@ import org.apache.spark.sql.functions._
   */
 object MixOps extends QueryModule {
 
+  /** THE whitespace token count of a document — v15 packs, v40
+    * budgets and v65 shard manifests all claim to count "v15's
+    * whitespace tokens", so there is exactly ONE spelling (Spark
+    * here, SQL in [[toksSql]]); a tokenizer tweak applied to one copy
+    * would silently desynchronize packs from budgets from manifests
+    * (round-10 review — the armCol/CupedCutS discipline). */
+  private def toksCol: Column = when(col("text").isNotNull,
+    size(split(lower(col("text")), " "))).otherwise(0)
+
+  /** [[toksCol]]'s DuckDB spelling (BIGINT). */
+  private def toksSql: String =
+    "CAST(coalesce(len(string_split(lower(text), ' ')), 0) AS BIGINT)"
+
   // ---- V14: deterministic stratified sample mix ----
 
   /** Per-source sampling fraction: source srcN takes weight 2^-(N mod 4)
@@ -142,8 +155,7 @@ object MixOps extends QueryModule {
     * global cumulative count is offset + local — identical, row for
     * row, to the single-window form the oracle SQL states. */
   def tokenPacking(spark: SparkSession, dir: String): DataFrame = {
-    val toks = when(col("text").isNotNull,
-      size(split(lower(col("text")), " "))).otherwise(0)
+    val toks = toksCol
     val d = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), toks.cast("long").as("toks"))
       .withColumn("shard",
@@ -180,7 +192,7 @@ object MixOps extends QueryModule {
   private val tokenPackingSql: String =
     s"""WITH d AS (
        | SELECT source, doc_id,
-       |  CAST(coalesce(len(string_split(lower(text), ' ')), 0) AS BIGINT)
+       |  $toksSql
        |    AS toks
        | FROM documents),
        |c AS (
@@ -226,9 +238,7 @@ object MixOps extends QueryModule {
   private def withExportCols(d: DataFrame): DataFrame =
     d.select(col("*"),
       md5(concat(lit("shard"), col("doc_id").cast("string"))).as("sk"),
-      when(col("text").isNotNull,
-        size(split(lower(col("text")), " "))).otherwise(0)
-        .cast("long").as("toks"),
+      toksCol.cast("long").as("toks"),
       conv(substring(md5(concat(lit("sig"),
         col("doc_id").cast("string"), lit("|"),
         coalesce(TextCanon.normalized, lit("")))), 1, 8), 16, 10)
@@ -415,7 +425,7 @@ object MixOps extends QueryModule {
     s"""${p}d AS (
        | SELECT doc_id,
        |  md5('shard' || CAST(doc_id AS VARCHAR)) AS sk,
-       |  CAST(coalesce(len(string_split(lower(text), ' ')), 0) AS BIGINT)
+       |  $toksSql
        |    AS toks,
        |  ('0x' || substr(md5('sig' || CAST(doc_id AS VARCHAR) || '|' ||
        |     coalesce($norm, '')), 1, 8))::BIGINT AS sig
@@ -616,8 +626,7 @@ object MixOps extends QueryModule {
     * that domain-bounded frame. Two logical uses of the frame (flags +
     * totals) recompute it — two scans, v26's two-pass precedent. */
   def tokenBudget(spark: SparkSession, dir: String): DataFrame = {
-    val toks = when(col("text").isNotNull,
-      size(split(lower(col("text")), " "))).otherwise(0)
+    val toks = toksCol
     val caps = Tables.documents(spark, dir)
       .groupBy(col("source"))
       .agg(sum(toks.cast("long")).as("c"))
@@ -651,8 +660,7 @@ object MixOps extends QueryModule {
   private lazy val tokenBudgetSql: String =
     s"""WITH caps AS (
        | SELECT source,
-       |  sum(CAST(coalesce(len(string_split(lower(text), ' ')), 0)
-       |      AS BIGINT)) AS c,
+       |  sum($toksSql) AS c,
        |  8 // (1 << (CAST(substr(source, 4) AS INT) % 4)) AS w
        | FROM documents GROUP BY source),
        |t AS (SELECT sum(c) AS totc, sum(w) AS totw FROM caps),

@@ -258,6 +258,15 @@ object SeriesOps extends QueryModule {
     val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("n_dau"))
     val days = spark.range(0, nDays).toDF("d")
     val wau = ud
+      // post-window activity (day > nDays-1) must contribute to NO
+      // trailing window: Spark's sequence(a, b) runs DESCENDING when
+      // a > b (sequence(30, 29) = [30, 29]), which would leak a
+      // future day into day-29's WAU, while the oracle's
+      // generate_series(30, 29) is empty — filter to the window
+      // BEFORE the explode so both engines agree on boundary data
+      // (round-10 review; pre-window days stay, ascending is safe
+      // there and their trailing windows genuinely include day 0+)
+      .filter(col("day") <= nDays - 1)
       .select(col("user_id"), explode(sequence(col("day"),
         least(col("day") + 6, lit(nDays - 1)))).as("d"))
       .groupBy(col("d"))

@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
   * distance; robust z → a rational multiple of MAD): transcendental
   * libm calls are the one thing two engines won't agree on.
   *
-  * Scale notes: v35/w11/w12 aggregate onto DOMAIN-bounded frames (≤21
+  * Scale notes: v35/w11/w12 aggregate onto DOMAIN-bounded frames (~23
   * value bins, 30 days, 720 hour-buckets per type) before any window
   * runs, so their windows never see data-sized partitions — same
   * argument as v30's bucketed CDF. v36 is winsorize's (v26) two-level
@@ -34,7 +34,9 @@ object StatsOps extends QueryModule {
   private val Hour = 3600L
   /** v35's split point: first 15 days vs the rest of the month. */
   private val Mid = Start + 15 * Day
-  /** v35's value-bin width; value ∈ [0, ~500) → ≤21 bins. */
+  /** v35's value-bin width; shipped values reach ~560 at sf0.1 → ~23
+    * bins (the earlier "≤21" claim was stale); the 1024 pack factor
+    * keeps the decode sound through value < 25600. */
   private val BinW = 25.0
 
   private def ev(spark: SparkSession, dir: String): DataFrame =
@@ -270,7 +272,7 @@ object StatsOps extends QueryModule {
     * is PSI's bounded, log-free cousin — exact in integer space, where
     * PSI's per-bin log ratio would hash-diverge across engines.
     *
-    * One scan → (type, bin) counts (≤21 bins/type BY DOMAIN, however
+    * One scan → (type, bin) counts (~23 bins/type BY DOMAIN, however
     * many rows); shares and |p−q| in integer micro-units over the
     * bounded bin frame; max-jump tie-broken deterministically by packing
     * (Δmicro, bin) into one integer key. Linear, one shuffle. */
@@ -301,15 +303,19 @@ object StatsOps extends QueryModule {
         count(lit(1)).as("n_bins"),
         (sum(col("d")).cast("double") / 2000000.0).as("tvd"),
         // (Δmicro, bin) packed into one integer so max() is
-        // deterministic under ties (largest bin wins); bin < 100 by
-        // the value domain (≤ ~500 / 25), mirrored in the oracle
-        max(col("d") * 100L + col("bin")).as("key"))
+        // deterministic under ties (largest bin wins); factor 1024
+        // (the w17 convention) bounds the decode at value < 25600 —
+        // the shipped data already passed the earlier comment's ~500
+        // domain (sf0.1 max 560 → bin 22), so the old *100 pack had
+        // only ~4x headroom before silently decoding garbage in BOTH
+        // engines (round-10 review); mirrored in the oracle
+        max(col("d") * 1024L + col("bin")).as("key"))
       .select(col("event_type"), col("n_early"), col("n_late"),
         col("n_bins"),
         col("tvd"),
-        (Exact.intDiv(col("key"), lit(100L)).cast("double") / 1000000.0)
+        (Exact.intDiv(col("key"), lit(1024L)).cast("double") / 1000000.0)
           .as("max_jump"),
-        pmod(col("key"), lit(100L)).cast("int").as("jump_bin"))
+        pmod(col("key"), lit(1024L)).cast("int").as("jump_bin"))
       .orderBy(col("event_type"))
   }
 
@@ -335,8 +341,8 @@ object StatsOps extends QueryModule {
        | CAST(max(nb_tot) AS BIGINT) AS n_late,
        | CAST(count(*) AS BIGINT) AS n_bins,
        | CAST(sum(d) AS DOUBLE) / 2000000.0 AS tvd,
-       | CAST(max(d * 100 + bin) // 100 AS DOUBLE) / 1000000.0 AS max_jump,
-       | CAST(max(d * 100 + bin) % 100 AS INT) AS jump_bin
+       | CAST(max(d * 1024 + bin) // 1024 AS DOUBLE) / 1000000.0 AS max_jump,
+       | CAST(max(d * 1024 + bin) % 1024 AS INT) AS jump_bin
        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
@@ -492,7 +498,12 @@ object StatsOps extends QueryModule {
         Exact.intDiv(col("ts_s") - Start, lit(Day)).as("x"))
       .agg(count(lit(1)).as("yn"), Exact.microSum(col("value")).as("yv"))
     val frame = spark.range(0, (End - Start) / Day).toDF("x")
-    val types = ev(spark, dir).select(col("event_type")).distinct()
+    // the dictionary is derivable from the aggregate (ev is the FULL
+    // table, so every type with >=1 event has >=1 daily group) — a
+    // second ev() scan doubled the dominant cost, and deriving from
+    // `daily` lets ReuseExchange serve both branches from one scan
+    // (round-10 review; same trick in outageWindows/gapFill below)
+    val types = daily.select(col("event_type")).distinct()
     types.crossJoin(frame)
       .join(daily, Seq("event_type", "x"), "left")
       .select(col("event_type"), col("x"),
@@ -622,8 +633,13 @@ object StatsOps extends QueryModule {
       .groupBy(col("event_type"),
         Exact.intDiv(col("ts_s") - Start, lit(Hour)).as("h"))
       .agg(count(lit(1)).as("n"))
+    // ONE spelling of the grid's last index: 719 was previously
+    // hardcoded in the tie-break pack AND the start reconstruction —
+    // a widened EventWindow would silently decode every
+    // max_gap_start_s against the wrong anchor (round-10 review)
+    val lastH = (End - Start) / Hour - 1
     val frame = spark.range(0, (End - Start) / Hour).toDF("h")
-    val types = ev(spark, dir).select(col("event_type")).distinct()
+    val types = obs.select(col("event_type")).distinct()
     val empties = types.crossJoin(frame)
       .join(obs, Seq("event_type", "h"), "left")
       .filter(col("n").isNull)
@@ -635,10 +651,10 @@ object StatsOps extends QueryModule {
     val gaps = islands.groupBy(col("event_type"))
       .agg(sum(col("len")).as("n_empty_hours"),
         count(lit(1)).as("n_gaps"),
-        max(col("len") * 1024L + (lit(719L) - col("start_h"))).as("key"))
+        max(col("len") * 1024L + (lit(lastH) - col("start_h"))).as("key"))
       .select(col("event_type"), col("n_empty_hours"), col("n_gaps"),
         Exact.intDiv(col("key"), lit(1024L)).as("max_gap_hours"),
-        ((lit(719L) - pmod(col("key"), lit(1024L))) * Hour + Start)
+        ((lit(lastH) - pmod(col("key"), lit(1024L))) * Hour + Start)
           .as("max_gap_start_s"))
     types.join(gaps, Seq("event_type"), "left")
       .select(col("event_type"),
@@ -651,6 +667,7 @@ object StatsOps extends QueryModule {
 
   private lazy val outageSql: String = {
     val nHours = (End - Start) / Hour
+    val lastH = nHours - 1
     s"""WITH o AS (
        |  SELECT event_type, (epoch_us(ts)//1000000 - $Start) // $Hour AS h,
        |   count(*) AS n
@@ -672,13 +689,13 @@ object StatsOps extends QueryModule {
        | a AS (
        |  SELECT event_type, sum(len) AS n_empty_hours,
        |   count(*) AS n_gaps,
-       |   max(len * 1024 + (719 - start_h)) AS key
+       |   max(len * 1024 + ($lastH - start_h)) AS key
        |  FROM g GROUP BY 1)
        |SELECT t.event_type,
        | CAST(coalesce(a.n_empty_hours, 0) AS BIGINT) AS n_empty_hours,
        | CAST(coalesce(a.n_gaps, 0) AS BIGINT) AS n_gaps,
        | CAST(coalesce(a.key // 1024, 0) AS BIGINT) AS max_gap_hours,
-       | CAST(coalesce((719 - a.key % 1024) * $Hour + $Start, -1) AS BIGINT)
+       | CAST(coalesce(($lastH - a.key % 1024) * $Hour + $Start, -1) AS BIGINT)
        |   AS max_gap_start_s
        |FROM t LEFT JOIN a USING (event_type)
        |ORDER BY 1""".stripMargin
@@ -811,7 +828,7 @@ object StatsOps extends QueryModule {
         Exact.intDiv(Exact.microSum(col("value")) +
           shiftright(count(lit(1)), 1), count(lit(1))).as("vmu"))
     val frame = spark.range(0, End - Start, Hour).toDF("off")
-    val types = ev(spark, dir).select(col("event_type")).distinct()
+    val types = obs.select(col("event_type")).distinct()
     val grid = types.crossJoin(frame)
       .join(obs, Seq("event_type", "off"), "left")
       .withColumn("n", coalesce(col("n"), lit(0L)))
@@ -1069,8 +1086,7 @@ object StatsOps extends QueryModule {
     import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
     def d(c: Column): Column = c.cast(DecimalType(38, 0))
     def microIf(cond: Column): Column =
-      sum(when(cond, (col("value").cast(DecimalType(18, 6)) * 1000000)
-        .cast(LongType)).otherwise(0L))
+      sum(when(cond, Exact.micro(col("value"))).otherwise(0L))
     val perUser = ev(spark, dir)
       .groupBy(col("user_id"))
       .agg(microIf(col("ts_s") < CupedCutS).as("cm"),
@@ -1199,12 +1215,20 @@ object StatsOps extends QueryModule {
     * which is exactly what lets st22 maintain them as streaming state. */
   private def lookAggs: Seq[Column] = {
     import org.apache.spark.sql.types.{DecimalType, LongType}
-    val micro =
-      (col("value").cast(DecimalType(18, 6)) * 1000000).cast(LongType)
+    val micro = Exact.micro(col("value"))
     (1 to SeqLooks).map(l => Start + l * LookStep).zipWithIndex.flatMap {
-      case (cut, i) => Seq(
-        sum(when(col("ts_s") < cut, micro).otherwise(0L)).as(s"c${i + 1}"),
-        max(when(col("ts_s") < cut, 1).otherwise(0)).as(s"h${i + 1}"))
+      case (cut, i) =>
+        // interim looks cut strictly BEFORE their boundary, but the
+        // FINAL look is the full window and must include an event
+        // stamped exactly at EndS — w20's abTest sums unconditionally
+        // over the inclusive window, and the documented
+        // "look 6 == w20" invariant breaks on boundary data with a
+        // strict cut (round-10 review; mirrored in the oracle)
+        val cond =
+          if (i == SeqLooks - 1) col("ts_s") <= cut else col("ts_s") < cut
+        Seq(
+          sum(when(cond, micro).otherwise(0L)).as(s"c${i + 1}"),
+          max(when(cond, 1).otherwise(0)).as(s"h${i + 1}"))
     }
   }
 
@@ -1283,9 +1307,12 @@ object StatsOps extends QueryModule {
       "CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)"
     val cuts = (1 to SeqLooks).map(l => Start + l * LookStep)
     val puCols = cuts.zipWithIndex.map { case (cut, i) =>
-      s"""sum(CASE WHEN epoch_us(ts) // 1000000 < $cut
+      // final look inclusive, matching lookAggs (look 6 == w20's
+      // unconditional full-window sum)
+      val op = if (i == SeqLooks - 1) "<=" else "<"
+      s"""sum(CASE WHEN epoch_us(ts) // 1000000 $op $cut
          |     THEN $micro ELSE 0 END) AS c${i + 1},
-         |   max(CASE WHEN epoch_us(ts) // 1000000 < $cut
+         |   max(CASE WHEN epoch_us(ts) // 1000000 $op $cut
          |     THEN 1 ELSE 0 END) AS h${i + 1}""".stripMargin
     }.mkString(",\n   ")
     val unions = (1 to SeqLooks).map(l =>
