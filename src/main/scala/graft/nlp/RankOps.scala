@@ -40,9 +40,16 @@ object RankOps extends QueryModule {
     * the "100 TB layout" claim matters. The DuckDB oracle needs no
     * change: sum(dl) is already HUGEINT there, promoting every product.
     * The quotient (score·10⁶ ≤ ~2.2e7) still fits the Long the
-    * IntegralDivide returns. */
+    * IntegralDivide returns. Rounding goes through [[Exact.ratio6Dec]]
+    * (the doubled form, no `den div 2` intermediate): the previous
+    * spelling materialized den/2 through an IntegralDivide whose LONG
+    * result wraps once den passes 2⁶⁴ — the exact wrap class
+    * ratio6Dec was built for, reachable at the corpus sizes this
+    * module's own scale claim targets (round-10 review). Identical
+    * output wherever the old form didn't wrap, so the oracle is
+    * untouched. */
   private def bm25ScoreT: Column = {
-    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    import org.apache.spark.sql.types.DecimalType
     def d(c: Column): Column = c.cast(DecimalType(38, 0))
     val num = d(lit(22L)) * d(col("tf")) * d(col("total_dl")) *
       (d(lit(2L)) * d(col("n_docs")) - d(lit(2L)) * d(col("df")) + d(lit(1L)))
@@ -50,8 +57,7 @@ object RankOps extends QueryModule {
       d(lit(3L)) * d(col("total_dl")) +
       d(lit(9L)) * d(col("dl")) * d(col("n_docs"))) *
       (d(lit(2L)) * d(col("df")) + d(lit(1L)))
-    Exact.intDiv(num * d(lit(1000000L)) + Exact.intDiv(den, d(lit(2L))),
-      den).cast(DoubleType) / 1000000.0
+    Exact.ratio6Dec(num, den)
   }
 
   /** Shared scoring tail: per-term df (tiny, broadcast) + 1-row totals
@@ -123,6 +129,23 @@ object RankOps extends QueryModule {
         .write.mode("overwrite").parquet(s"$path/totals")
     }
 
+  /** ONE spelling of the stored-index probe (shared by v19b and
+    * v19c): engine-hash bucket ids for the query terms, then the
+    * postings read pruned to those bucket partitions and filtered to
+    * the terms — a pruning fix applied here reaches both entries
+    * (round-10 review; the two blocks had drifted into copies). */
+  private def probePostings(spark: SparkSession, path: String,
+      terms: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val bucketIds = terms.toDF("term")
+      .select(pmod(xxhash64(col("term")), lit(IndexBuckets)))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    spark.read.parquet(s"$path/postings")
+      .filter(col("bucket").isin(bucketIds: _*))
+      .filter(col("term").isin(terms: _*))
+      .select(col("doc_id"), col("dl"), col("term"), col("tf"))
+  }
+
   /** V19b: BM25 answered FROM the stored index — the literal 100 TB
     * retrieval layout (v3b2's analog for text): the probe reads ONLY
     * the query terms' hash-bucket partitions (PartitionFilters,
@@ -133,15 +156,7 @@ object RankOps extends QueryModule {
   def bm25Stored(spark: SparkSession, dir: String,
       terms: Seq[String] = QueryTerms, k: Int = 10): DataFrame = {
     val path = writeInvertedIndex(spark, dir)
-    // bucket ids via the engine's own hash (bounded: one row per term)
-    import spark.implicits._
-    val bucketIds = terms.toDF("term")
-      .select(pmod(xxhash64(col("term")), lit(IndexBuckets)))
-      .distinct().collect().map(_.getLong(0)).toSeq
-    val tf = spark.read.parquet(s"$path/postings")
-      .filter(col("bucket").isin(bucketIds: _*))
-      .filter(col("term").isin(terms: _*))
-      .select(col("doc_id"), col("dl"), col("term"), col("tf"))
+    val tf = probePostings(spark, path, terms)
     val totals = spark.read.parquet(s"$path/totals")
     scoreTopK(tf, totals, k)
   }
@@ -199,14 +214,7 @@ object RankOps extends QueryModule {
   def bm25Incremental(spark: SparkSession, dir: String,
       terms: Seq[String] = QueryTerms, k: Int = 10): DataFrame = {
     val path = writeIncrementalIndex(spark, dir)
-    import spark.implicits._
-    val bucketIds = terms.toDF("term")
-      .select(pmod(xxhash64(col("term")), lit(IndexBuckets)))
-      .distinct().collect().map(_.getLong(0)).toSeq
-    val tf = spark.read.parquet(s"$path/postings")
-      .filter(col("bucket").isin(bucketIds: _*))
-      .filter(col("term").isin(terms: _*))
-      .select(col("doc_id"), col("dl"), col("term"), col("tf"))
+    val tf = probePostings(spark, path, terms)
     val totals = spark.read.parquet(s"$path/totals")
       .agg(sum(col("n_docs")).as("n_docs"),
         sum(col("total_dl")).as("total_dl"))
@@ -241,12 +249,16 @@ object RankOps extends QueryModule {
        |SELECT doc_id, n_terms, score FROM bmscores
        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
 
-  /** Adjacent-word bigram list built IN-ROW: zip_with of two slices —
-    * no positional explode + self-join (shared by V21 and V4h). */
-  private def bigramsCol: Column = zip_with(
-    slice(col("w"), lit(1), size(col("w")) - 1),
-    slice(col("w"), lit(2), size(col("w")) - 1),
-    (a, b) => concat(a, lit(" "), b))
+  /** Adjacent-word bigram list built IN-ROW — the COMPILED pass
+    * ([[graft.functions.Bigrams]], the v27/st14 swap of commit
+    * round 10 applied to this module's four corpus-scale consumers:
+    * v4h, v63, v71, v21): the previous zip_with-of-two-slices spelling
+    * is a CodegenFallback higher-order function that evaluates an
+    * interpreted lambda per word per row. Bit-identical under the
+    * `size(w) >= 2` filter every call site applies (FunctionsSpec
+    * pins it), so all four oracles are untouched. */
+  private def bigramsCol: Column =
+    graft.functions.BigramFunctions.bigrams(col("w"))
 
   /** V4h: adjacent-pair counts — the counting step of one BPE training
     * iteration (count all adjacent symbol pairs, merge the top pair);
@@ -339,12 +351,19 @@ object RankOps extends QueryModule {
     * 100 TB), one doc-keyed mean. Self-inclusion on the general side
     * is v63's documented corpus-stats regime. */
   def contrastiveSelect(spark: SparkSession, dir: String): DataFrame = {
+    // ONE materialization of the corpus bigram explode: its three
+    // consumers (in-domain LM build, general LM build, probe side)
+    // filter differently, so ReuseExchange cannot unify them and the
+    // dominant linear explode would execute three times (round-10
+    // review — the v49 localCheckpoint discipline; the scaladoc's
+    // "share one corpus bigram explode" is now literally true)
     val pairs = Tables.documents(spark, dir)
       .filter(col("text").isNotNull)
       .select(col("doc_id"), col("source"),
         split(lower(col("text")), " ").as("w"))
       .filter(size(col("w")) >= 2)
       .select(col("doc_id"), col("source"), explode(bigramsCol).as("bg"))
+      .localCheckpoint()
     val inLm = bigramLm(
       pairs.filter(col("source") === InDomainSource), "pi")
     val genPairs = pairs.filter(col("source") =!= InDomainSource)
@@ -520,7 +539,18 @@ object RankOps extends QueryModule {
         (merges, path)
       }))
     task.run()
-    task.get()
+    // the ArtifactCache evict-on-failure protocol: a transient build
+    // failure must not poison the key for the process's lifetime (and
+    // the caller gets the build's own exception, not the
+    // ExecutionException wrapper) — round-10 review; this private
+    // cache predates ArtifactCache.runEvicting and had kept the
+    // pre-eviction shape
+    try task.get()
+    catch {
+      case e: java.util.concurrent.ExecutionException =>
+        bpeCache.remove(dir, task)
+        throw e.getCause
+    }
   }
 
   def bpeTrain(spark: SparkSession, dir: String, nMerges: Int = 6): DataFrame = {
@@ -561,8 +591,11 @@ object RankOps extends QueryModule {
         sum(col("c") * col("syms")).as("n_tokens"),
         sum(col("c") * col("chars")).as("n_chars"))
       .select(col("source"), col("n_words"), col("n_tokens"), col("n_chars"),
-        Exact.ratio6(col("n_tokens"), col("n_words")).as("fertility"),
-        Exact.ratio6(col("n_chars"), col("n_tokens")).as("chars_per_token"))
+        // corpus-total numerators (tokens/chars × 1e6 wrap Long past
+        // ~9.2e12) — decimal form, identical below the wrap point
+        Exact.ratio6Dec(col("n_tokens"), col("n_words")).as("fertility"),
+        Exact.ratio6Dec(col("n_chars"), col("n_tokens"))
+          .as("chars_per_token"))
       .orderBy(col("source"))
   }
 
@@ -705,9 +738,16 @@ object RankOps extends QueryModule {
       .select(col("doc_id"), posexplode(col("w")))
       .toDF("doc_id", "pos", "token")
       .join(broadcast(vocab.select(col("token"))), Seq("token")), "orig_inv")
-    reassemble(decoded, "decoded")
-      .join(decoded.select(col("doc_id"), col("n_ids")).distinct(),
-        Seq("doc_id"))
+    // n_ids rides THROUGH the reassembly aggregate (it is functionally
+    // dependent on doc_id): the previous distinct-and-join-back
+    // re-executed the whole decode dataflow a second time plus an
+    // extra shuffle (round-10 review — the vocab50 re-run class)
+    val decodedAsm = decoded.groupBy(col("doc_id"))
+      .agg(first(col("n_ids")).as("n_ids"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("token")))),
+          s => s.getField("token"))).as("decoded"))
+    decodedAsm
       .join(target, Seq("doc_id"))
       .select(col("doc_id"), col("n_ids"),
         md5(col("decoded").cast("binary")).as("decoded_md5"),

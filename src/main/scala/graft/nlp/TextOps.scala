@@ -540,7 +540,10 @@ object TextOps extends QueryModule {
     def m(name: String, v: Column) =
       struct(lit(name).as("metric"), v.cast("double").as("value"))
     a.select(explode(array(
-        m("avg_chars", Exact.ratio6(col("chars"), col("n"))),
+        // corpus-TOTAL numerator: chars*1e6 passes Long.MaxValue at
+        // ~9.2e12 chars (~10 TB of text) — the decimal form is exact
+        // there and identical below it (round-10 review)
+        m("avg_chars", Exact.ratio6Dec(col("chars"), col("n"))),
         m("dup_share",
           Exact.ratio6(col("n_text") - col("n_uniq"), col("n_text"))),
         m("en_share", Exact.ratio6(col("n_en"), col("n"))),

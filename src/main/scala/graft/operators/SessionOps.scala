@@ -17,16 +17,26 @@ import org.apache.spark.sql.functions._
 object SessionOps extends QueryModule {
   private val GapUs: Long = 30L * 60 * 1000 * 1000 // 30 min session gap
 
-  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+  /** THE 30-min-gap session assignment — one Spark spelling shared by
+    * v6 sessionize and u7 attribution (u7's doc claims "same gap,
+    * same keys"; the gap-marking block existed as two copies that a
+    * session-rule tweak could silently desynchronize — round-10
+    * review, the userFirsts/firstsCte discipline). Appends
+    * `session_idx` to the frame; the window orders by
+    * (ts_us, event_id) per user. */
+  private def withSessionIdx(ev: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts_us"), col("event_id"))
-    val marked = Tables.events(spark, dir)
-      .withColumn("prev_ts", lag(col("ts_us"), 1).over(w))
+    ev.withColumn("prev_ts", lag(col("ts_us"), 1).over(w))
       .withColumn("new_sess",
         when(col("prev_ts").isNull ||
           col("ts_us") - col("prev_ts") > GapUs, 1).otherwise(0))
       .withColumn("session_idx",
         sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+  }
+
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val marked = withSessionIdx(Tables.events(spark, dir))
     marked.groupBy(col("user_id"), col("session_idx"))
       .agg(count(lit(1)).as("n_events"),
         min(col("ts_us")).as("start_us"),
@@ -300,17 +310,10 @@ object SessionOps extends QueryModule {
     * shuffle; the output aggregate is ≤ types² rows. Purchase mass is
     * decimal-exact. */
   def attribution(spark: SparkSession, dir: String): DataFrame = {
-    val wU = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts_us"), col("event_id"))
-    val sessed = Tables.events(spark, dir)
-      .select(col("user_id"), col("event_id"), col("event_type"),
-        col("ts_us"), col("value"))
-      .withColumn("prev_ts", lag(col("ts_us"), 1).over(wU))
-      .withColumn("new_sess",
-        when(col("prev_ts").isNull ||
-          col("ts_us") - col("prev_ts") > GapUs, 1).otherwise(0))
-      .withColumn("sess",
-        sum(col("new_sess")).over(wU.rowsBetween(Window.unboundedPreceding, 0)))
+    val sessed = withSessionIdx(Tables.events(spark, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("ts_us"), col("value")))
+      .withColumnRenamed("session_idx", "sess")
     val wS = Window.partitionBy(col("user_id"), col("sess"))
       .orderBy(col("ts_us"), col("event_id"))
     sessed
