@@ -460,8 +460,16 @@ private[dedup] trait DedupAudit { self: DedupOps.type =>
       |WHERE norm_hash NOT IN (SELECT norm_hash FROM ex)
       |ORDER BY doc_id""".stripMargin
 
+  /** Mirrors [[graft.functions.ShingleHashes]]'s window rule exactly,
+    * INCLUDING docs under 3 words: the engine emits one whole-text
+    * shingle there (max(n-2, 1) windows, each clipped to the array),
+    * and the previous `w[i]||' '||w[i+1]||' '||w[i+2]` spelling went
+    * NULL out of range so list_distinct dropped it — an empty oracle
+    * shingle set for short docs, silently diverging every
+    * Jaccard-based oracle on them (round-10 review; the slice form is
+    * verified element-identical for >=3-word docs). */
   private[graft] val shinglesSql =
-    """list_distinct([w[i]||' '||w[i+1]||' '||w[i+2]
+    """list_distinct([array_to_string(w[i:least(i+2, len(w))], ' ')
       | for i in generate_series(1, greatest(len(w)-2, 1))])""".stripMargin
       .replace("\n", " ")
 

@@ -145,12 +145,17 @@ private[dedup] trait DedupPairing { self: DedupOps.type =>
     * (The previous form exploded hashes into a 32-min groupBy: a
     * corpus-sized SHUFFLE for numbers that never leave the row;
     * FunctionsSpec pins bit-equality of the two spellings.) The
-    * explode form dropped BOTH null-text docs AND non-null docs too
-    * short to shingle (<3 words) — they had no rows to aggregate.
-    * The fused form must filter both: a doc with zero shingles would
-    * otherwise get an all-sentinel (Long.MaxValue) signature, making
-    * every tiny doc a pairwise LSH candidate of every other (an
-    * O(m^2) hot bucket) and feeding 0/0 into the Jaccard verify. */
+    * null filter matches the explode form (null text had no rows to
+    * aggregate). The `size(sh) > 0` guard below is DEFENSIVE-ONLY
+    * today: [[graft.functions.ShingleHashes]] emits max(n-2, 1) ≥ 1
+    * shingles for ANY non-null text (a <3-word doc gets one
+    * whole-text shingle and participates in banding normally —
+    * round-10 review corrected the earlier claim that such docs are
+    * dropped here). The guard stays because an all-sentinel
+    * (Long.MaxValue) signature — possible only if the shingle rule
+    * ever changes to emit empty arrays — would make every tiny doc a
+    * pairwise LSH candidate of every other (an O(m²) hot bucket) and
+    * feed 0/0 into the Jaccard verify. */
   private[graft] def signatures(docs: DataFrame): DataFrame =
     docs.filter(col("text").isNotNull)
       .withColumn("sh",

@@ -143,7 +143,14 @@ object SimilarityOps extends QueryModule {
     val routed = multiProbeAssign(e, gUsed, groupsProbed, g)
       .select(col("vec_id"), col("cent_id").as("g_id"),
         col("v"), col("nrm"))
-    routed.join(broadcast(centGroups), Seq("g_id"))
+    // no broadcast() HINT: the scaladoc promises this join "degrades
+    // to a shuffle join and stays correct" beyond driver-broadcast
+    // bounds, but a hinted broadcast never degrades — it fails with a
+    // broadcast OOM at exactly the large-nlist regime this path
+    // exists for (round-10 review). centGroups is localCheckpointed,
+    // so its accurate runtime size lets AQE broadcast it whenever it
+    // actually fits.
+    routed.join(centGroups, Seq("g_id"))
       .withColumn("c_cos",
         dot(col("v"), col("c_v")) / (col("nrm") * col("c_nrm")))
   }
@@ -261,20 +268,62 @@ object SimilarityOps extends QueryModule {
   private val nlistCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), Integer]()
 
-  def adaptiveNlist(spark: SparkSession, dir: String): Int =
-    nlistCache.computeIfAbsent((spark, dir), _ =>
+  def adaptiveNlist(spark: SparkSession, dir: String): Int = {
+    // stopped-session sweep (the PlanMemo round-10 discipline): a
+    // strong dead-session key would pin the whole session graph
+    nlistCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    val k = (spark, dir)
+    val hit = nlistCache.get(k)
+    if (hit != null) hit
+    else {
+      // the count job runs OUTSIDE any map lock (the PlanMemo
+      // monitor lesson: a Spark job inside computeIfAbsent blocks
+      // unrelated keys in the same bin); a lost race recomputes the
+      // same deterministic value
       // clamp BEFORE narrowing: count/125 exceeds Int.MaxValue around
       // 2.7e11 vectors and a bare .toInt would wrap negative exactly
       // in the regime this function exists for; memoized per
       // (session, dir) so the six IVF consumers (x2 bench runs) pay
       // ONE count job per process, the ivfCache convention
-      math.min(math.max(16L,
+      val v: Integer = math.min(math.max(16L,
         Tables.embeddings(spark, dir).count() / 125L),
-        Int.MaxValue.toLong).toInt): Int
+        Int.MaxValue.toLong).toInt
+      val prior = nlistCache.putIfAbsent(k, v)
+      (if (prior != null) prior else v): Int
+    }
+  }
+
+  private val ivfLocks = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Int, Int), Object]()
 
   private[graft] def ivfBuild(spark: SparkSession, dir: String,
       nlist: Int, iters: Int): (DataFrame, DataFrame, DataFrame) = {
-    val base = ivfCache.computeIfAbsent((spark, dir, nlist, iters), _ => {
+    ivfCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    ivfLocks.keySet.removeIf(_._1.sparkContext.isStopped)
+    val key = (spark, dir, nlist, iters)
+    // the multi-job build runs under a PER-KEY monitor, never inside
+    // the ConcurrentHashMap's bin lock (the PlanMemo discipline —
+    // round-10 review: a minutes-long build in computeIfAbsent blocks
+    // unrelated keys hashed to the same bin and cannot safely call
+    // back into the caches)
+    var base = ivfCache.get(key)
+    if (base == null) {
+      val lock = ivfLocks.computeIfAbsent(key, _ => new Object)
+      lock.synchronized {
+        base = ivfCache.get(key)
+        if (base == null) {
+          base = buildIvf(spark, dir, nlist, iters)
+          ivfCache.put(key, base)
+        }
+      }
+    }
+    (spark.read.parquet(s"$base/e"),
+      spark.read.parquet(s"$base/cents"),
+      spark.read.parquet(s"$base/assign"))
+  }
+
+  private def buildIvf(spark: SparkSession, dir: String,
+      nlist: Int, iters: Int): String = {
       graft.util.BuildCounters.inc(s"ivf:$dir:n${nlist}_i$iters")
       // one materialization of the normed projection: every Lloyd
       // round and the final assignment re-scan e, and re-reading
@@ -293,10 +342,6 @@ object SimilarityOps extends QueryModule {
       assignTo(e, cents, nlist).write.mode("overwrite")
         .parquet(s"$root/assign")
       root
-    })
-    (spark.read.parquet(s"$base/e"),
-      spark.read.parquet(s"$base/cents"),
-      spark.read.parquet(s"$base/assign"))
   }
 
   /** IVF index: Lloyd-refined centroids + nearest-centroid assignment of
@@ -692,14 +737,13 @@ object SimilarityOps extends QueryModule {
         .select(col("vec_id"))
         .coalesce(1).write.mode("overwrite").parquet(IvfTopkPath)
     }
-    val stored = spark.read.parquet(IvfTopkPath).withColumn("h", lit(1))
-    cosineTopK(spark, dir).select(col("vec_id"))
-      .join(broadcast(stored), Seq("vec_id"), "left")
-      .agg(coalesce(sum(coalesce(col("h"), lit(0))), lit(0))
-        .cast("long").as("n_hit"),
-        count(lit(1)).as("n_exact"))
-      .select(col("n_hit"), col("n_exact"),
-        Exact.ratio6(col("n_hit"), col("n_exact")).as("recall_at_10"))
+    // the SHARED witness tail (overlapAgainstDump) — this method had
+    // kept a byte-identical inline copy of it, so a fix to the
+    // overlap shape would have had to land twice (round-10 review;
+    // DedupLedger documents v3b3 as one of its consumers)
+    graft.dedup.DedupOps.overlapAgainstDump(spark, IvfTopkPath,
+      cosineTopK(spark, dir).select(col("vec_id")),
+      Seq("vec_id"), "recall_at_10")
   }
 
   private lazy val ivfTopKRecallSql: String =
