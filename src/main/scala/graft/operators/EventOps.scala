@@ -230,8 +230,13 @@ object EventOps extends QueryModule {
         // plain double round: µs-scale operands overflow the integer-space
         // trick, and boundary hits need the denominator to divide 2*10^8 —
         // measure-zero for ~1e12-scale µs deltas
-        round((col("ts_us") - col("t0")) * lit(100.0) / (col("t1") - col("t0")), 6)
-          .as("offset_pct"),
+        // zero-width guard (single-timestamp trace): Spark's non-ANSI
+        // divide-by-zero returns NULL while DuckDB's double division
+        // yields inf — a latent cross-engine divergence; both engines
+        // now spell "the instant sits at offset 0" (round-10 review)
+        when(col("t1") === col("t0"), lit(0.0))
+          .otherwise(round((col("ts_us") - col("t0")) * lit(100.0) /
+            (col("t1") - col("t0")), 6)).as("offset_pct"),
         round(col("value") * lit(100.0) / col("total_v"), 6).as("share_pct"))
       .orderBy(col("ts_us"), col("event_id"))
   }
@@ -579,8 +584,11 @@ object EventOps extends QueryModule {
       "U1 waterfall offset%/share% via window functions (TraceDetails.tsx:207-242)",
       waterfall,
       Some(s"""SELECT event_id, epoch_us(ts) AS ts_us,
-             | round((epoch_us(ts) - min(epoch_us(ts)) OVER w)*100.0 /
-             |   (max(epoch_us(ts)) OVER w - min(epoch_us(ts)) OVER w),6) AS offset_pct,
+             | CASE WHEN max(epoch_us(ts)) OVER w = min(epoch_us(ts)) OVER w
+             |   THEN 0.0
+             |   ELSE round((epoch_us(ts) - min(epoch_us(ts)) OVER w)*100.0 /
+             |     (max(epoch_us(ts)) OVER w - min(epoch_us(ts)) OVER w),6)
+             |   END AS offset_pct,
              | round(value*100.0 /
              |   CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE),6) AS share_pct
              |FROM events WHERE user_id=13

@@ -369,10 +369,14 @@ object Relational extends QueryModule {
     def d(c: Column): Column = c.cast(DecimalType(38, 0))
     val cust = Tables.customer(spark, dir)
       .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
-        (col("c_acctbal").cast(DecimalType(18, 6)) * 1000000)
-          .cast(LongType).as("bal_micro"))
+        Exact.micro(col("c_acctbal")).as("bal_micro"))
+    // the SUM rides DECIMAL(38): a raw Long sum wraps at ~1-2e9
+    // positive-balance customers — exactly the regime the product
+    // below already defends with d() — while the oracle's HUGEINT
+    // sum stays exact (round-10 review); same values wherever the
+    // Long sum didn't wrap, so the hash is untouched
     val pos = cust.filter(col("bal_micro") > 0L)
-      .agg(sum(col("bal_micro")).as("sum_pos"),
+      .agg(sum(d(col("bal_micro"))).as("sum_pos"),
         count(lit(1)).as("n_pos"))
     cust.crossJoin(broadcast(pos))
       .filter(d(col("bal_micro")) * d(col("n_pos")) > d(col("sum_pos")))
@@ -394,7 +398,7 @@ object Relational extends QueryModule {
        |  CAST(CAST(c_acctbal AS DECIMAL(18,6)) * 1000000 AS BIGINT)
        |    AS bal_micro
        | FROM customer),
-       | p AS (SELECT CAST(sum(bal_micro) AS BIGINT) AS sum_pos,
+       | p AS (SELECT sum(bal_micro) AS sum_pos,
        |        CAST(count(*) AS BIGINT) AS n_pos
        |       FROM c WHERE bal_micro > 0),
        | r AS (SELECT c.* FROM c, p
@@ -473,9 +477,7 @@ object Relational extends QueryModule {
       .select(col("p_partkey"))
     val l = Tables.lineitem(spark, dir)
       .join(broadcast(pa), col("l_partkey") === col("p_partkey"))
-      .withColumn("qm", (col("l_quantity")
-        .cast(org.apache.spark.sql.types.DecimalType(18, 6)) * 1000000)
-        .cast("long"))
+      .withColumn("qm", Exact.micro(col("l_quantity")))
     val w = Window.partitionBy(col("l_partkey"))
     l.withColumn("s", sum(col("qm")).over(w))
       .withColumn("n", count(lit(1)).over(w))
@@ -606,11 +608,11 @@ object Relational extends QueryModule {
        |  ${OracleSql.ratio6("abs(a_s - e_s)", "e_s")} FROM a, e)
        |ORDER BY col_name""".stripMargin
 
-  /** Micro-unit freeze of an already-6dp-rounded double — the exact
-    * integer both engines agree on (the Exact cast chain). */
-  private def micro6(c: Column): Column =
-    (c.cast(org.apache.spark.sql.types.DecimalType(18, 6)) * 1000000)
-      .cast("long")
+  /** Micro-unit freeze of an already-6dp-rounded double — delegates
+    * to [[Exact.micro]], THE one spelling (its doc: a scale/rounding
+    * tweak must hit every consumer at once; this file carried three
+    * private copies — round-10 review). */
+  private def micro6(c: Column): Column = Exact.micro(c)
   private def micro6Sql(x: String): String =
     s"CAST(CAST($x AS DECIMAL(18,6)) * 1000000 AS BIGINT)"
 

@@ -121,11 +121,30 @@ object JdbcSpanSink {
     "resource_attributes VARCHAR(32000)",
     "span_attributes VARCHAR(32000)", "events VARCHAR(32000)")
     .mkString(", ")
-  /** Span rows with JDBC-portable types: maps/arrays → JSON text. */
+  /** DDL width per clamped column — one spelling for both the CREATE
+    * types above and the projection's truncation guard below. */
+  private val ClampWidths: Map[String, Int] = Map(
+    "name" -> 1024, "scope_name" -> 512,
+    "resource_schema_url" -> 1024,
+    "resource_attributes" -> 32000, "span_attributes" -> 32000,
+    "events" -> 32000)
+
+  /** Span rows with JDBC-portable types: maps/arrays → JSON text,
+    * free-text columns CLAMPED to their DDL widths. Without the clamp
+    * one span whose attributes serialize past the VARCHAR cap (OTLP
+    * values are unbounded) turns into a poison row: the INSERT throws
+    * a truncation error, the micro-batch fails, and foreachBatch's
+    * at-least-once replay retries the identical batch forever — the
+    * pipeline halts on one row (round-10 review). A clamped JSON
+    * payload may be un-parseable past the cap; that bounds the damage
+    * to one mangled VALUE instead of a wedged stream, and a target
+    * with wider/native types overrides this projection. */
   def relationalProjection(spans: DataFrame): DataFrame =
     spans.select(graft.spans.SpanSchema.columns.map {
       case c @ ("resource_attributes" | "span_attributes" | "events") =>
-        to_json(col(c)).as(c)
+        substring(to_json(col(c)), 1, ClampWidths(c)).as(c)
+      case c if ClampWidths.contains(c) =>
+        substring(col(c), 1, ClampWidths(c)).as(c)
       case c => col(c)
     }: _*)
 
@@ -138,12 +157,18 @@ object JdbcSpanSink {
 
 object SpanSinks {
   /** Stream span rows into a sink via foreachBatch — the one place the
-    * streaming machinery meets the storage decision. */
+    * streaming machinery meets the storage decision. Sink-agnostic
+    * means COLUMN-agnostic: rows arrive at the sink as handed in —
+    * a producer that added helper columns (the streaming layer's
+    * `start_ts` watermark column) drops them BEFORE calling (the
+    * previous in-seam drop("start_ts") reached up-stack for a column
+    * only one producer adds, and a renamed watermark column would
+    * have leaked into every sink silently — round-10 review). */
   def streamTo(spans: DataFrame, sink: SpanSink,
       checkpoint: String): StreamingQuery =
     spans.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        sink.writeBatch(batch.drop("start_ts"), batchId)
+        sink.writeBatch(batch, batchId)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())

@@ -133,9 +133,17 @@ object OtlpIngest {
     val entryType = ArrayType(StructType(Seq(
       StructField("key", StringType), StructField("value", StringType))))
     when(attrs.isNull, array().cast(entryType))
-      .otherwise(transform(attrs, kv => struct(
-        kv.getField("key").as("key"),
-        valueToString(kv.getField("value")).as("value"))))
+      .otherwise(transform(
+        // a malformed attribute object without "key" parses to
+        // key=null (legal JSON, invalid wire data) and would throw
+        // "Cannot use null as map key" inside the lastWinsMap fold —
+        // the kill-the-whole-ingest class that helper exists to
+        // prevent, and under streaming the poison doc replays forever
+        // (round-10 review); drop the entry instead
+        filter(attrs, kv => kv.getField("key").isNotNull),
+        kv => struct(
+          kv.getField("key").as("key"),
+          valueToString(kv.getField("value")).as("value"))))
   }
 
   /** Entry array → map with LAST-entry-wins per key (Go-map overwrite
@@ -236,14 +244,23 @@ object OtlpIngest {
   /** Flatten parsed OTLP structs → SpanSchema rows. */
   def flatten(parsed: DataFrame): DataFrame = {
     val legacy = col("rs.instrumentationLibrarySpans")
+    // scopeSpans wins only when it actually CARRIES spans: a
+    // migration-era exporter may emit BOTH fields (receivers were
+    // required to accept either), and (a) spans read from scopeSpans
+    // must not get the legacy attr-merge semantics, (b) an
+    // empty-but-non-null scopeSpans beside populated legacy spans
+    // must not silently drop every span (round-10 review) — is_legacy
+    // now derives from which branch actually supplied the spans
+    val useScope =
+      col("rs.scopeSpans").isNotNull && size(col("rs.scopeSpans")) > 0
     parsed
       .select(explode(col("resourceSpans")).as("rs"))
       .select(
         col("rs.resource.attributes").as("res_attrs"),
         col("rs.schemaUrl").as("resource_schema_url"),
-        // legacy marker: scopeSpans came from instrumentationLibrarySpans
-        legacy.isNotNull.as("is_legacy"),
-        explode(coalesce(col("rs.scopeSpans"), legacy)).as("ss"))
+        (!useScope && legacy.isNotNull).as("is_legacy"),
+        explode(when(useScope, col("rs.scopeSpans")).otherwise(legacy))
+          .as("ss"))
       .select(
         col("res_attrs"), col("resource_schema_url"), col("is_legacy"),
         coalesce(col("ss.scope.name"),
@@ -274,21 +291,31 @@ object OtlpIngest {
           e.getField("name").as("name"),
           attrsToMap(e.getField("attributes")).as("attributes"))),
           array().cast(ArrayType(SpanSchema.eventType))).as("events"))
-      .withColumn("parent_span_id", coalesce(col("parent_span_id"), lit("")))
       .transform(withDerivedIds(_, Some(col("__res_identity"))))
       .select(SpanSchema.columns.map(col): _*)
   }
 
   // ---- A4: sink ----
 
+  /** Writer tasks per date — bounds files/partition while keeping
+    * write parallelism (see [[writeSpans]]). */
+  val WriteTasksPerDate = 8
+
   /** Append the span table as date-partitioned parquet. Partitioning by
     * event date + parquet min/max stats replaces the reference's MergeTree
-    * time clustering (db/clickhouse.go:107-109) for range pruning. */
+    * time clustering (db/clickhouse.go:107-109) for range pruning.
+    * The repartition is SALTED by trace hash: live telemetry batches
+    * are overwhelmingly single-date, so repartition(date) alone
+    * funnels each micro-batch through ONE writer task (zero
+    * parallelism, straggler/OOM at the volumes this path claims —
+    * round-10 review); date+salt keeps ≤[[WriteTasksPerDate]] files
+    * per (batch, date) with parallel writers. */
   def writeSpans(spans: DataFrame, path: String): Unit =
     spans
       .withColumn("date",
         to_date(timestamp_micros(expr("start_time_unix_nano div 1000"))))
-      .repartition(col("date"))
+      .repartition(col("date"),
+        pmod(xxhash64(col("trace_id")), lit(WriteTasksPerDate)))
       .write.mode("append").partitionBy("date").parquet(path)
 
   def readSpans(spark: SparkSession, path: String): DataFrame =

@@ -42,13 +42,11 @@ object StreamingOps extends QueryModule {
     * store via foreachBatch — the exact write path batch ingest uses. */
   def writeToSpanStore(spans: DataFrame, path: String,
       checkpoint: String): StreamingQuery =
-    spans.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        OtlpIngest.writeSpans(batch.drop("start_ts"), path)
-      }
-      .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.AvailableNow())
-      .start()
+    // delegates to the ONE sink seam (this was a verbatim copy of
+    // streamTo + ParquetSpanSink — round-10 review); the watermark
+    // column is dropped HERE, by the layer that added it
+    graft.sinks.SpanSinks.streamTo(spans.drop("start_ts"),
+      new graft.sinks.ParquetSpanSink(path), checkpoint)
 
   /** A1-streaming, protobuf branch: a binary-file stream of serialized
     * ExportTraceServiceRequest payloads (the shape a Kafka value column

@@ -65,6 +65,37 @@ class OtlpIngestSpec extends SparkSpec {
       .apply("service.name") === "legacy-span-svc")
   }
 
+  test("transition-era request carrying BOTH span-list fields: " +
+    "scopeSpans wins, no legacy attr merge; empty scopeSpans falls " +
+    "back to the legacy spans") {
+    import spark.implicits._
+    // a real migration-era exporter shape: both fields present
+    val both = """{"resourceSpans":[{"resource":{"attributes":[
+      |{"key":"service.name","value":{"stringValue":"svc-r"}}]},
+      |"scopeSpans":[{"scope":{"name":"modern-lib"},"spans":[
+      | {"traceId":"0102030405060708090a0b0c0d0e0f10","spanId":"0102030405060708",
+      |  "name":"modern-span","startTimeUnixNano":"1","endTimeUnixNano":"2",
+      |  "attributes":[{"key":"service.name","value":{"stringValue":"SPAN-OVERRIDE"}}]}]}],
+      |"instrumentationLibrarySpans":[{"instrumentationLibrary":{"name":"old-lib"},
+      |"spans":[{"traceId":"0102030405060708090a0b0c0d0e0f10","spanId":"1112131415161718",
+      | "name":"legacy-span","startTimeUnixNano":"1","endTimeUnixNano":"2"}]}]}]}"""
+      .stripMargin.replace("\n", "")
+    val rows = OtlpIngest.fromJson(spark.createDataset(Seq(both))).collect()
+    // only the scopeSpans span is read, and the legacy attr merge is
+    // NOT applied (span attrs must not fold into resource attrs)
+    assert(rows.map(_.getAs[String]("name")).toSeq === Seq("modern-span"))
+    assert(rows.head.getAs[Map[String, String]]("resource_attributes")
+      .apply("service.name") === "svc-r")
+    // empty-but-non-null scopeSpans must NOT shadow populated legacy
+    // spans (coalesce picked the empty array and dropped every span)
+    val emptyScope = both.replace(
+      """"scopeSpans":[{"scope":{"name":"modern-lib"},"spans":[""",
+      """"scopeSpans":[],"unused":[{"scope":{"name":"modern-lib"},"spans":[""")
+    val rows2 =
+      OtlpIngest.fromJson(spark.createDataset(Seq(emptyScope))).collect()
+    assert(rows2.map(_.getAs[String]("name")).toSeq === Seq("legacy-span"))
+  }
+
   test("repeated keys within one attribute list: last wins, no crash") {
     import spark.implicits._
     // legal on the wire; the Go reference's map assignment last-wins and
