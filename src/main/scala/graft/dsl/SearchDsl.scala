@@ -121,10 +121,22 @@ object SearchDsl {
       case "user" => Some(col("user_id").cast("string"))
       case _      => None
     }
+    /** The DSL key is a LITERAL property name (the reference's
+      * attribute lookup), never a JSON-path expression: bracket-quote
+      * it so path metacharacters in a key (`a.b`, `x[0]`, `*`) match
+      * the literal key instead of navigating the document (round-10
+      * review — `$.a.b` wrongly matched the NESTED {"a":{"b":..}} and
+      * missed the literal "a.b" property). Quotes inside a key stay
+      * unsupported (escaped brackets are not portable across JsonPath
+      * dialects) — such a query matches nothing, which is the DSL's
+      * all-or-nothing convention, not a crash. */
+    private def literalPath(key: String): String =
+      s"$$['${key.replace("'", "\\'")}']"
     def genericEq(key: String, value: String): Column =
-      get_json_object(col("props"), s"$$.$key") === value
+      get_json_object(col("props"), literalPath(key)) === value
     def genericNeq(key: String, value: String): Column =
-      coalesce(get_json_object(col("props"), s"$$.$key") =!= value, lit(true))
+      coalesce(get_json_object(col("props"), literalPath(key)) =!= value,
+        lit(true))
     def broad(q: String): Column =
       col("event_type") === q || col("props") === q
   }

@@ -134,9 +134,20 @@ object SearchOps extends QueryModule {
     GraftQuery("v5_json_extract",
       "V5 JSON property extraction + aggregation over props",
       jsonExtract,
+      // parity fixes (round-10 review): TRY_CAST mirrors the Spark
+      // side's cast-to-long-then-non-null filter (a non-integer k was
+      // dropped by Spark but fatal/counted in DuckDB), and avg_k uses
+      // the SAME half-up integer-micro spelling as Exact.avgExact (the
+      // previous double round() could land on the other side of a .5
+      // micro boundary)
       Some(s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-              | round(CAST(sum(CAST(CAST(json_extract_string(props,'$$.k') AS BIGINT) AS DECIMAL(18,6))) AS DOUBLE)/count(*),6) AS avg_k,
-              | max(CAST(json_extract_string(props,'$$.k') AS BIGINT)) AS max_k
-              |FROM events WHERE json_extract_string(props,'$$.k') IS NOT NULL
+              | ${OracleSql.avgExact(
+                   "TRY_CAST(json_extract_string(props,'$.k') AS BIGINT)")}
+              |   AS avg_k,
+              | max(TRY_CAST(json_extract_string(props,'$$.k') AS BIGINT))
+              |   AS max_k
+              |FROM events
+              |WHERE TRY_CAST(json_extract_string(props,'$$.k') AS BIGINT)
+              |  IS NOT NULL
               |GROUP BY 1 ORDER BY 1""".stripMargin)))
 }

@@ -5,7 +5,7 @@ import graft.spans.OtlpIngest
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.StreamingQuery
 
 /** Structured-Streaming surface (SURVEY §1.5, §7 PR 5). The reference's
   * "streaming" is push-based micro-batching by accident — each OTLP POST
@@ -223,7 +223,15 @@ object StreamingOps extends QueryModule {
         .format("memory").queryName(name).start()
       try q.processAllAvailable() finally q.stop()
     }
-    spark.table(name)
+    // detach the result from the memory sink's temp view and DROP the
+    // view: every drive registers a unique nanoTime-suffixed name, so
+    // undropped sink tables (some corpus-shaped) would accumulate in
+    // driver memory for the JVM's lifetime (round-10 review). The
+    // localCheckpoint blocks are released by the bench's between-entry
+    // hygiene like every other materialized frame.
+    val out = spark.table(name).localCheckpoint()
+    spark.catalog.dropTempView(name): Unit
+    out
   }
 
   /** [[runToBatch]] in append mode, for non-aggregating plans. */
