@@ -226,14 +226,25 @@ object QualityOps extends QueryModule {
     * are clean, which a detection test must not rely on). */
   def audit(rel: String, child: DataFrame, childKey: String,
       parent: DataFrame, parentKey: String): DataFrame = {
-    val orphans = child.join(parent,
-      child(childKey) === parent(parentKey), "left_anti")
-    val childless = parent.join(child,
-      parent(parentKey) === child(childKey), "left_anti")
-    child.agg(count(lit(1)).as("n_child"))
-      .crossJoin(orphans.agg(count(lit(1)).as("n_orphan")))
-      .crossJoin(parent.agg(count(lit(1)).as("n_parent")))
-      .crossJoin(childless.agg(count(lit(1)).as("n_childless")))
+    // ONE scan per table: total and miss-count fused into one
+    // left-join aggregate per direction (the separate agg + anti-join
+    // form scanned each table twice more — the dominant cost at the
+    // scale this module's own doc budgets in bytes scanned; round-10
+    // review). Null keys never match the distinct key side, so they
+    // count as misses exactly like the anti-join did.
+    val pKeys = parent.select(parent(parentKey).as("__pk")).distinct()
+    val childStats = child.select(child(childKey).as("__ck"))
+      .join(pKeys, col("__ck") === col("__pk"), "left")
+      .agg(count(lit(1)).as("n_child"),
+        coalesce(sum(when(col("__pk").isNull, 1L).otherwise(0L)),
+          lit(0L)).as("n_orphan"))
+    val cKeys = child.select(child(childKey).as("__ck2")).distinct()
+    val parentStats = parent.select(parent(parentKey).as("__pk2"))
+      .join(cKeys, col("__pk2") === col("__ck2"), "left")
+      .agg(count(lit(1)).as("n_parent"),
+        coalesce(sum(when(col("__ck2").isNull, 1L).otherwise(0L)),
+          lit(0L)).as("n_childless"))
+    childStats.crossJoin(parentStats)
       .select(lit(rel).as("relation"), col("n_child"), col("n_orphan"),
         Exact.ratio6(col("n_orphan"), col("n_child")).as("orphan_share"),
         col("n_parent"), col("n_childless"))

@@ -98,7 +98,12 @@ object OtlpProto {
   final case class PBytes(bs: Array[Byte]) extends PValue
 
   private def readAnyValue(r: Reader): PValue = {
-    var v: PValue = PString("")
+    // an AnyValue with NO recognized field set must surface as a NULL
+    // attribute value, matching the JSON path's coalesce chain (the
+    // previous PString("") default made element_at return "" on one
+    // ingest path and NULL on the other, and diverged the
+    // canonicalAttrs hash feeding resource_id — round-10 review)
+    var v: PValue = null
     while (r.hasNext) {
       val (f, w) = r.tag()
       f match {
@@ -148,18 +153,24 @@ object OtlpProto {
     case c => c.toString
   }
   def stringify(v: PValue): String = v match {
+    case null       => null
     case PString(s) => s
     case PBool(b)   => b.toString
     case PInt(i)    => i.toString
     case PDouble(d) => d.toString
     case PBytes(bs) => Base64.getEncoder.encodeToString(bs)
-    case PArray(vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[PString]) =>
+    // empty array joins to "" exactly like the JSON path (forall over
+    // an empty array is true there, so it takes the comma-join branch)
+    case PArray(vs) if vs.forall(_.isInstanceOf[PString]) =>
       vs.map(_.asInstanceOf[PString].s).mkString(",")
     case PArray(vs) =>
-      vs.map(x => s""""${jsonEscape(stringify(x))}"""").mkString("[", ",", "]")
+      vs.map(x => Option(stringify(x))
+          .map(sx => s""""${jsonEscape(sx)}"""").getOrElse("null"))
+        .mkString("[", ",", "]")
     case PKvList(kvs) =>
       kvs.map { case (k, x) =>
-        s""""${jsonEscape(k)}":"${jsonEscape(stringify(x))}""""
+        s""""${jsonEscape(k)}":""" + Option(stringify(x))
+          .map(sx => s""""${jsonEscape(sx)}"""").getOrElse("null")
       }.mkString("{", ",", "}")
   }
 
@@ -278,13 +289,36 @@ object OtlpProto {
   }
 
   /** Dataset of serialized requests → span DataFrame (SpanSchema column
-    * order), decoded per partition. */
-  def fromProtobuf(requests: Dataset[Array[Byte]]): DataFrame = {
+    * order), decoded per partition.
+    *
+    * `lenient = true` (the STREAMING callers' mode) drops a message
+    * that fails to decode instead of throwing: a corrupt payload in a
+    * batch job should fail loudly, but in a streaming source the
+    * failed micro-batch replays the same offsets on restart and
+    * crashes forever — the poison-replay class the JSON path already
+    * degrades around (from_json → nulls). Dropped messages are
+    * counted in [[droppedMessages]] (per-executor, monitoring seam) —
+    * a production deployment routes the raw bytes to a dead-letter
+    * sink instead (round-10 review). */
+  def fromProtobuf(requests: Dataset[Array[Byte]],
+      lenient: Boolean = false): DataFrame = {
     val spark = requests.sparkSession
     import spark.implicits._
-    requests.mapPartitions(_.flatMap(decodeRequest))
+    requests.mapPartitions(_.flatMap { bytes =>
+        if (!lenient) decodeRequest(bytes)
+        else
+          try decodeRequest(bytes)
+          catch {
+            case _: IllegalArgumentException =>
+              droppedMessages.incrementAndGet()
+              Seq.empty
+          }
+      })
       .toDF()
       .transform(OtlpIngest.withDerivedIds(_)) // same derivation as JSON path
       .select(SpanSchema.columns.map(col): _*)
   }
+
+  /** Per-JVM count of lenient-mode messages dropped as undecodable. */
+  val droppedMessages = new java.util.concurrent.atomic.AtomicLong(0)
 }

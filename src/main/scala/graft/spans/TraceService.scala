@@ -97,7 +97,13 @@ class TraceService(spans: DataFrame) {
 
   /** T5: service dependency edges — child span joined to its parent span,
     * cross-service only (api/service.go:365-398). Both sides shuffle once
-    * on the join key; skew handled by AQE. */
+    * on the join key; skew handled by AQE. FAITHFULNESS NOTE: the
+    * reference joins on span id alone, and so does this method — but
+    * OTLP only guarantees span-id uniqueness WITHIN a trace, so at
+    * ~2³²⁺ spans birthday collisions fabricate cross-trace edges; a
+    * deployment past that scale joins on (trace_id, parent_span_id)
+    * (the [[spanDepths]] convention) and accepts deviating from the
+    * reference's own collision behavior (round-10 review). */
   def serviceDependencies(): DataFrame = {
     val parents = spans.select(col("span_id").as("p_span_id"),
       col("scope_name").as("parent_service"))
@@ -178,14 +184,16 @@ class TraceService(spans: DataFrame) {
   def search(req: SearchRequest): DataFrame = {
     val sortCol = if (req.ascending) col(req.sortField).asc
       else col(req.sortField).desc
-    // page is 1-based at the API boundary; clamp instead of handing
-    // Spark a negative offset (an opaque AnalysisException far from
-    // the caller — the percentileSeries clamp convention)
+    // page is 1-based and pageSize positive at the API boundary; clamp
+    // both instead of handing Spark a negative offset/limit (an opaque
+    // AnalysisException far from the caller — the percentileSeries
+    // clamp convention)
     val page = math.max(1, req.page)
+    val pageSize = math.max(1, req.pageSize)
     searchFiltered(req)
       .orderBy(sortCol, col("span_id"))
-      .offset((page - 1) * req.pageSize)
-      .limit(req.pageSize)
+      .offset((page - 1) * pageSize)
+      .limit(pageSize)
   }
 
   /** T9 with page metadata: the reference wraps search results with a

@@ -67,7 +67,8 @@ object StreamingOps extends QueryModule {
     val raw = spark.readStream.format("binaryFile").schema(binarySchema)
       .option("pathGlobFilter", "*.pb").load(inputDir)
       .select(col("content")).as[Array[Byte]]
-    graft.spans.OtlpProto.fromProtobuf(raw)
+    // lenient: a corrupt payload must not poison-replay the stream
+    graft.spans.OtlpProto.fromProtobuf(raw, lenient = true)
       .withColumn("start_ts",
         timestamp_micros(expr("start_time_unix_nano div 1000")))
       .withWatermark("start_ts", watermarkDelay)
@@ -103,7 +104,8 @@ object StreamingOps extends QueryModule {
     val spark = kafkaRows.sparkSession
     import spark.implicits._
     graft.spans.OtlpProto.fromProtobuf(
-      kafkaRows.select(col("value")).as[Array[Byte]])
+      kafkaRows.select(col("value")).as[Array[Byte]],
+      lenient = true) // corrupt values skip + count, never poison-replay
       .withColumn("start_ts",
         timestamp_micros(expr("start_time_unix_nano div 1000")))
       .withWatermark("start_ts", watermarkDelay)
