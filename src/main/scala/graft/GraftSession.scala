@@ -12,18 +12,20 @@ import org.apache.spark.sql.SparkSession
 object GraftSession {
   def local(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"),
             appName: String = "graft"): SparkSession = {
-    val spark = SparkSession.builder()
+    // oracle-parity confs come from THE one list below (Verify/Bench
+    // iterate it too) — local() previously re-hardcoded them inline,
+    // so a conf added to requiredConfs took effect on the grading
+    // path but silently not on local()-built sessions (round-10
+    // review); only session-specific extras are spelled here
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.warehouse.dir",
         s"${sys.props("java.io.tmpdir")}/graft-warehouse")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    requiredConfs.foreach { case (k, v) => builder.config(k, v) }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
   }
@@ -50,17 +52,26 @@ object GraftSession {
     val canceller = new Thread(() => {
       try {
         Thread.sleep(timeoutSeconds * 1000)
-        sc.cancelJobGroup(groupId)
+        // AndFutureJobs: an AQE query runs one job per stage, and a
+        // deadline firing BETWEEN stage jobs would make the plain
+        // cancelJobGroup a no-op — the remaining stages then run
+        // arbitrarily past the ceiling (round-10 review)
+        sc.cancelJobGroupAndFutureJobs(groupId)
       } catch { case _: InterruptedException => () }
     })
     canceller.setDaemon(true)
     canceller.start()
+    // cancellation can surface WRAPPED (awaitResult and friends put
+    // the cancelled job in the cause chain) — walk it instead of
+    // trusting the top message
+    def cancelled(t: Throwable, depth: Int = 8): Boolean =
+      t != null && depth > 0 &&
+        ((t.isInstanceOf[org.apache.spark.SparkException] &&
+          t.getMessage != null && t.getMessage.contains("cancelled")) ||
+          cancelled(t.getCause, depth - 1))
     try Some(action)
-    catch {
-      case e: org.apache.spark.SparkException
-          if e.getMessage != null && e.getMessage.contains("cancelled") =>
-        None
-    } finally {
+    catch { case e: Throwable if cancelled(e) => None }
+    finally {
       canceller.interrupt()
       sc.clearJobGroup()
     }

@@ -20,9 +20,18 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * compiled loop per row computes every minimum in a single walk, and
   * the signature becomes a per-row projection — no shuffle at any
   * scale. Output order matches the coefficient order; values are
-  * bit-identical to the composable form (same pmod arithmetic), which
-  * FunctionsSpec pins — the stored band indexes built from either
-  * spelling agree bucket-for-bucket.
+  * bit-identical to the composable form (same pmod arithmetic) FOR
+  * NON-EMPTY input — FunctionsSpec pins it, and the stored band
+  * indexes built from either spelling agree bucket-for-bucket. An
+  * EMPTY hash array yields all-Long.MaxValue sentinels where the
+  * composable array_min would be NULL: every caller must guard
+  * (DedupPairing's `size(sh) > 0` discipline), because identical
+  * all-sentinel signatures would put every empty row in one LSH
+  * bucket — an O(m²) hot-bucket blow-up (round-10 review made this
+  * caller contract explicit). The constructor rejects primes above
+  * 2³¹: `h0 * a` stays under 2⁶³ only for 31-bit primes, and a
+  * larger (e.g. 61-bit Mersenne) prime would wrap negative under the
+  * plain `%` here, silently diverging from the pmod spelling.
   *
   * [[CodegenFallback]] by the [[ShingleHashes]] argument: one compiled
   * JVM call per row running a tight primitive loop beats per-element
@@ -31,6 +40,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   */
 case class MinHashSig(child: Expression, coefs: Seq[(Long, Long)],
     prime: Long) extends UnaryExpression with CodegenFallback {
+
+  require(prime > 0 && prime <= (1L << 31),
+    s"minhash prime must be a positive 31-bit value (got $prime): " +
+      "h0 * a overflows Long past that and plain % goes negative, " +
+      "diverging from the pmod spelling")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 

@@ -49,6 +49,14 @@ case class ShingleHashes(child: Expression)
   override def nullSafeEval(input: Any): Any = {
     val words = input.asInstanceOf[UTF8String].toString.split(" ")
     val n = words.length
+    // encode each word ONCE: an interior word sits in up to 3 windows
+    // and the per-window getBytes tripled allocations on the dedup
+    // families' dominant per-row pass (round-10 review)
+    val wordBytes = new Array[Array[Byte]](n)
+    var w = 0
+    while (w < n) {
+      wordBytes(w) = words(w).getBytes("UTF-8"); w += 1
+    }
     val nShingles = math.max(n - 2, 1)
     val seen = new java.util.HashSet[java.lang.Long](nShingles * 2)
     val out = new scala.collection.mutable.ArrayBuffer[Long](nShingles)
@@ -59,7 +67,7 @@ case class ShingleHashes(child: Expression)
       val end = math.min(i + 3, n)
       while (k < end) {
         if (k > i) h = (h ^ ' '.toLong) * FnvPrime
-        h = fnv(h, words(k).getBytes("UTF-8"))
+        h = fnv(h, wordBytes(k))
         k += 1
       }
       if (seen.add(h)) out += h

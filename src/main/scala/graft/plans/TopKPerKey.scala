@@ -135,6 +135,13 @@ object TopKPerKey {
     * through, just package-private. */
   def topK(df: DataFrame, keyNames: Seq[String], orderNames: Seq[String],
       k: Int): DataFrame = {
+    // validated at the door: empty keys would otherwise die deep in
+    // physical planning (ClusteredDistribution(Nil)'s require) far
+    // from the caller (round-10 review); a global top-k is an
+    // orderBy().limit(k) — TakeOrderedAndProject already serves it
+    require(keyNames.nonEmpty,
+      "topK needs at least one key column; for a GLOBAL top-k use " +
+        "orderBy(...).limit(k)")
     val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
     val analyzed = ds.queryExecution.analyzed
     def attr(n: String): Attribute = analyzed.output
