@@ -37,7 +37,11 @@ object ScoreQaOps extends QueryModule {
   private def scored(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .filter(col("text").isNotNull)
-      .withColumn("w", split(lower(col("text")), " "))
+      // THE gate's tokenization (TextOps.words), not a local re-spell:
+      // these validators certify the score the v13 gate ships, so a
+      // tokenization change must hit scorer and validators at once
+      // (round-10 review)
+      .withColumn("w", TextOps.words)
       .withColumn("n_words", size(col("w")).cast("long"))
       .withColumn("n_distinct",
         size(array_distinct(col("w"))).cast("long"))
@@ -207,7 +211,8 @@ object ScoreQaOps extends QueryModule {
 
   /** The shipped v13 gate threshold in micro units (0.38) — the
     * operating point v77 evaluates. */
-  private val GateMicro = 380000L
+  private val GateMicro =
+    math.round(graft.nlp.TextOps.GateThreshold * 1e6)
 
   /** V77: gate operating point — v55 says the score RANKS well and
     * v56 says it is calibrated; neither says what the gate DOES at
@@ -227,7 +232,7 @@ object ScoreQaOps extends QueryModule {
       sum((lit(1) - col("pred")) * col("pos")).cast("long").as("fn"),
       sum((lit(1) - col("pred")) * (lit(1) - col("pos"))).cast("long")
         .as("tn"))
-      .select(lit(0.38).as("threshold"),
+      .select(lit(GateMicro / 1e6).as("threshold"),
         col("tp"), col("fp"), col("fn"), col("tn"),
         Exact.ratio6(col("tp"), col("tp") + col("fp")).as("precision"),
         Exact.ratio6(col("tp"), col("tp") + col("fn")).as("recall"),
@@ -249,7 +254,7 @@ object ScoreQaOps extends QueryModule {
        |   CAST(sum(CASE WHEN sc < $GateMicro AND pos = 0
        |     THEN 1 ELSE 0 END) AS BIGINT) AS tn
        |  FROM scd)
-       |SELECT CAST(0.38 AS DOUBLE) AS threshold, tp, fp, fn, tn,
+       |SELECT CAST(${GateMicro / 1e6} AS DOUBLE) AS threshold, tp, fp, fn, tn,
        | ${OracleSql.ratio6("tp", "tp + fp")} AS precision,
        | ${OracleSql.ratio6("tp", "tp + fn")} AS recall,
        | ${OracleSql.ratio6("tp * 2", "tp * 2 + fp + fn")} AS f1,

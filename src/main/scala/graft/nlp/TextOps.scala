@@ -22,7 +22,14 @@ object TextOps extends QueryModule {
     "es" -> Seq("el", "la", "de", "los", "que"),
     "fr" -> Seq("le", "les", "et", "des", "une"))
 
-  private def words: Column = split(lower(col("text")), " ")
+  private[graft] def words: Column = split(lower(col("text")), " ")
+
+  /** THE shipped v13 gate threshold — one spelling for the curate
+    * defaults, their oracle SQL, and ScoreQaOps' micro-unit twin
+    * (GateMicro) plus v77's reported threshold column: the 0.38 cut
+    * previously existed as seven independent literals that a retune
+    * could silently desynchronize (round-10 review). */
+  private[graft] val GateThreshold: Double = 0.38
 
   private val langs = Seq("en", "de", "es", "fr")
 
@@ -303,7 +310,8 @@ object TextOps extends QueryModule {
     * marker pass; every stage is the same logic as its standalone
     * operator (v4f/v1/v4a/v4b/v8), so the whole pipeline stays
     * oracle-checkable end-to-end. */
-  def curate(spark: SparkSession, dir: String, minScore: Double = 0.38,
+  def curate(spark: SparkSession, dir: String,
+      minScore: Double = GateThreshold,
       perSource: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = Tables.documents(spark, dir)
@@ -337,7 +345,7 @@ object TextOps extends QueryModule {
     * scoring pass, one per-source rank over lang+quality survivors,
     * assembled by disjoint unions. */
   def curateExplain(spark: SparkSession, dir: String,
-      minScore: Double = 0.38, perSource: Int = 10): DataFrame = {
+      minScore: Double = GateThreshold, perSource: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val allDocs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), col("text"))
@@ -395,7 +403,7 @@ object TextOps extends QueryModule {
        |  FROM s),
        | surv AS (SELECT doc_id, source, score, row_number() OVER (
        |    PARTITION BY source ORDER BY doc_id) AS rk
-       |  FROM g WHERE lang_ok AND score >= 0.38)
+       |  FROM g WHERE lang_ok AND score >= $GateThreshold)
        |SELECT doc_id, source, verdict, score FROM (
        | SELECT doc_id, source, 'null_text' AS verdict,
        |  CAST(NULL AS DOUBLE) AS score FROM alln WHERE text IS NULL
@@ -405,7 +413,7 @@ object TextOps extends QueryModule {
        | SELECT doc_id, source, 'language', NULL FROM g WHERE NOT lang_ok
        | UNION ALL
        | SELECT doc_id, source, 'quality', score FROM g
-       | WHERE lang_ok AND score < 0.38
+       | WHERE lang_ok AND score < $GateThreshold
        | UNION ALL
        | SELECT doc_id, source,
        |  CASE WHEN rk <= 10 THEN 'kept' ELSE 'cap' END, score FROM surv)
@@ -721,7 +729,7 @@ object TextOps extends QueryModule {
               |   AND s_en >= s_de AND s_en >= s_es AND s_en >= s_fr)
               |SELECT doc_id, source, CAST(nw AS INT) AS n_words, score
               |FROM g
-              |WHERE score >= 0.38
+              |WHERE score >= $GateThreshold
               |QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 10
               |ORDER BY source, doc_id""".stripMargin)),
     GraftQuery("v13b_curation_explain",

@@ -243,28 +243,20 @@ object CdcOps extends QueryModule {
     .agg(count(lit(1)).as("n"), Exact.microSum(col("value"))
       .as("value_micro"))
 
-  private val incAggCache = new java.util.concurrent.ConcurrentHashMap[
-    String, java.util.concurrent.FutureTask[String]]()
-  private val incAggSeq = new java.util.concurrent.atomic.AtomicInteger()
-
   /** Materialize the BASE aggregate (events before the cutoff, rolled up
     * to (day, event_type) with count + exact value micro-sum) once per
     * (process, dir) — the stored materialized view a production pipeline
-    * maintains instead of re-scanning history. Same FutureTask-outside-
-    * bin-lock + pid-suffixed-path discipline as the v19b index build. */
-  def writeBaseAgg(spark: SparkSession, dir: String): String = {
-    val task = incAggCache.computeIfAbsent(dir,
-      _ => new java.util.concurrent.FutureTask(() => {
-        val path = graft.util.TempArtifacts.register(
-          s"${sys.props("java.io.tmpdir")}/graft_incagg_" +
-            s"${ProcessHandle.current().pid()}_${incAggSeq.getAndIncrement()}")
-        dailyRollup(Tables.eventsUntil(spark, dir, IncAggCutoffS))
-          .write.mode("overwrite").parquet(path)
-        path
-      }))
-    task.run()
-    task.get()
-  }
+    * maintains instead of re-scanning history. Goes through
+    * [[graft.util.ArtifactCache.cached]] — this method carried its own
+    * pre-ArtifactCache FutureTask copy, which cached a FAILED build's
+    * exception forever (no evict-on-failure) and rethrew the wrapper
+    * instead of the cause (round-10 review; ArtifactCache was created
+    * to absorb exactly these private copies). */
+  def writeBaseAgg(spark: SparkSession, dir: String): String =
+    graft.util.ArtifactCache.cached("incagg", dir) { path =>
+      dailyRollup(Tables.eventsUntil(spark, dir, IncAggCutoffS))
+        .write.mode("overwrite").parquet(path)
+    }
 
   /** W19: incremental aggregation maintenance — the materialized-view
     * refresh dataflow: the result equals a full recompute (the oracle

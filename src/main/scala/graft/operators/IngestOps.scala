@@ -116,27 +116,38 @@ object IngestOps extends QueryModule {
     // preserved every scalar column (JSON payload fidelity — attr maps,
     // events — is engine-specific text and stays pinned in SinkSpec)
     val spans = dumpFixture(spark)
-    // idempotent sink, with batch 0 REPLAYED (the at-least-once failure
-    // mode foreachBatch exposes) — contents must still be exactly-once
-    val sink = new graft.sinks.IdempotentJdbcSpanSink(
-      url, "denormalized_span", props)
-    sink.writeBatch(spans, 0L)
-    sink.writeBatch(spans, 0L) // simulated replay after a mid-write crash
-    val back = JdbcSpanSink.readBack(spark, url, "denormalized_span", props)
-      .select(col("trace_id"), col("span_id"), col("parent_span_id"),
-        col("name"), col("scope_id"), col("scope_name"),
-        col("resource_id"), col("duration_ns"))
-      .orderBy(col("trace_id"), col("span_id"))
-    // materialize the (tiny) round-trip eagerly so the database can be
-    // dropped — no heap outlives the run
-    val rows = back.collect().toSeq
-    try java.sql.DriverManager.getConnection(s"jdbc:derby:$db;drop=true")
-    catch {
-      case e: java.sql.SQLException if e.getSQLState == "08006" =>
-        () // 08006 = single-database drop succeeded (always thrown)
-    }
+    // the drop rides a finally: a failure anywhere after boot (lock
+    // timeout in writeBatch, a failed collect) previously left the
+    // in-memory database booted with its rows resident for the JVM's
+    // lifetime — the exact heap-accumulation mode the comment above
+    // says this design must avoid (round-10 review)
+    val rows =
+      try {
+        // idempotent sink, with batch 0 REPLAYED (the at-least-once
+        // failure mode foreachBatch exposes) — contents must still be
+        // exactly-once
+        val sink = new graft.sinks.IdempotentJdbcSpanSink(
+          url, "denormalized_span", props)
+        sink.writeBatch(spans, 0L)
+        sink.writeBatch(spans, 0L) // simulated replay after a crash
+        val back = JdbcSpanSink.readBack(
+            spark, url, "denormalized_span", props)
+          .select(col("trace_id"), col("span_id"), col("parent_span_id"),
+            col("name"), col("scope_id"), col("scope_name"),
+            col("resource_id"), col("duration_ns"))
+          .orderBy(col("trace_id"), col("span_id"))
+        // materialize the (tiny) round-trip eagerly so the database
+        // can be dropped — no heap outlives the run
+        (back.collect().toSeq, back.schema)
+      } finally {
+        try java.sql.DriverManager.getConnection(s"jdbc:derby:$db;drop=true")
+        catch {
+          case e: java.sql.SQLException if e.getSQLState == "08006" =>
+            () // 08006 = single-database drop succeeded (always thrown)
+        }
+      }
     spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1), back.schema)
+      spark.sparkContext.parallelize(rows._1, 1), rows._2)
   }
 
   val queries: Seq[GraftQuery] = Seq(

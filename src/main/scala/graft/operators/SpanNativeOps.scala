@@ -93,8 +93,13 @@ object SpanNativeOps extends QueryModule {
   /** TraceService.errorCounts (exists() over the events array) through
     * the oracle. */
   def spanErrorSeries(spark: SparkSession, dir: String): DataFrame =
+    // bounds DERIVED from the one EventWindow definition (this main-
+    // source call and its oracle previously hardcoded them, so a
+    // testdata window shift would have zero-filled the whole series
+    // with the hash gate still green — round-10 review; specs alone
+    // deliberately re-hardcode to stay independent)
     svc(spark, dir).errorCounts(
-      1704067200000000000L, 1706659200000000000L)
+      EventWindow.StartS * 1000000000L, EventWindow.EndS * 1000000000L)
 
   private val durNs = "CAST(floor(value*1000000) AS BIGINT)"
 
@@ -143,11 +148,14 @@ object SpanNativeOps extends QueryModule {
       "span-native TraceService.errorCounts: exists(events,'exception') " +
         "bucketed + zero-filled (api/service.go:1240-1297)",
       spanErrorSeries,
-      Some(s"""WITH f AS (SELECT unnest(generate_series(1703980800, 1706659200, 172800)) AS bucket_s),
+      Some(s"""WITH f AS (SELECT unnest(generate_series(
+              |   ${EventWindow.StartS - EventWindow.StartS % 172800L},
+              |   ${EventWindow.EndS}, 172800)) AS bucket_s),
               | c AS (SELECT (epoch_us(ts)//1000000) - (epoch_us(ts)//1000000) % 172800 AS b,
               |        sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS n
               |       FROM events
-              |       WHERE epoch_us(ts)//1000000 BETWEEN 1704067200 AND 1706659200
+              |       WHERE epoch_us(ts)//1000000
+              |        BETWEEN ${EventWindow.StartS} AND ${EventWindow.EndS}
               |       GROUP BY 1)
               |SELECT f.bucket_s, CAST(coalesce(c.n,0) AS BIGINT) AS n_errors
               |FROM f LEFT JOIN c ON f.bucket_s=c.b ORDER BY 1""".stripMargin)))
