@@ -83,6 +83,22 @@ case class FreqSketchAgg(
 
   override def createAggregationBuffer(): FreqSummary = FreqSummary(k)
 
+  // the Catalyst-internal toString of a non-string child (DateType
+  // day-ints, timestamp micros) silently reported internal values as
+  // "items" (round-10 review) — reject at analysis
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(
+            s"freq_sketch expects STRING, got ${other.simpleString}" +
+              " (cast the column first)")
+    }
+
   override def update(buf: FreqSummary, input: InternalRow): FreqSummary = {
     val v = child.eval(input)
     if (v != null) buf.add(v.toString)

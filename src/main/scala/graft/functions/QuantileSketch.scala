@@ -70,6 +70,10 @@ final case class CentroidDigest(compression: Int) {
   /** Quantile estimate: walk cumulative weight, interpolate linearly
     * between neighbouring centroid means. */
   def quantile(q: Double): Double = {
+    // out-of-range q (a typo like 95 for 0.95) previously returned the
+    // min/max centroid as a plausible-looking number — fail loudly
+    // like percentile_approx (round-10 review)
+    require(q >= 0.0 && q <= 1.0, s"quantile q must be in [0,1]: $q")
     if (total == 0) return Double.NaN
     compact() // ensure sorted, bounded
     val idx = means.indices.sortBy(means(_))
@@ -107,6 +111,21 @@ case class QuantileSketchAgg(
 
   override def createAggregationBuffer(): CentroidDigest =
     CentroidDigest(compression)
+
+  // a non-Double child previously passed analysis and threw an opaque
+  // executor-side ClassCastException (round-10 review)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case DoubleType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(
+            s"percentile_sketch expects DOUBLE, got ${other.simpleString}" +
+              " (cast the column first)")
+    }
 
   override def update(buf: CentroidDigest, input: InternalRow): CentroidDigest = {
     val v = child.eval(input)

@@ -33,20 +33,29 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
     val counts = new Array[Int](64)
+    // null elements are SKIPPED (a null hash must not vote 0 on every
+    // bit — the zeroed slot read as 0L did exactly that; round-10
+    // review), and the vote total only counts real elements
+    var voters = 0
     var i = 0
     while (i < n) {
-      val h = arr.getLong(i)
-      var b = 0
-      while (b < 64) {
-        if (((h >>> b) & 1L) == 1L) counts(b) += 1
-        b += 1
+      if (!arr.isNullAt(i)) {
+        voters += 1
+        val h = arr.getLong(i)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1
+          b += 1
+        }
       }
       i += 1
     }
     var sig = 0L
     var b = 0
     while (b < 64) {
-      if (counts(b) * 2 >= n) sig |= (1L << b)
+      // 2L: an Int doubling wraps past 2^30 set votes and flips the
+      // majority comparison
+      if (2L * counts(b) >= voters) sig |= (1L << b)
       b += 1
     }
     java.lang.Long.valueOf(sig)
@@ -64,7 +73,10 @@ case class SimHash64(child: Expression) extends UnaryExpression {
       s"""
          |int $n = $a.numElements();
          |int[] $counts = new int[64];
+         |int ${n}_voters = 0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) continue;
+         |  ${n}_voters++;
          |  long $h = $a.getLong($i);
          |  for (int $b = 0; $b < 64; $b++) {
          |    if ((($h >>> $b) & 1L) == 1L) $counts[$b]++;
@@ -72,7 +84,7 @@ case class SimHash64(child: Expression) extends UnaryExpression {
          |}
          |long $sig = 0L;
          |for (int $b = 0; $b < 64; $b++) {
-         |  if ($counts[$b] * 2 >= $n) $sig |= (1L << $b);
+         |  if (2L * $counts[$b] >= ${n}_voters) $sig |= (1L << $b);
          |}
          |${ev.value} = $sig;
        """.stripMargin

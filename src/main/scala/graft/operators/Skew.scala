@@ -23,6 +23,12 @@ object Skew {
     * are reproducible. */
   def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
       probeSaltSource: Column, saltBuckets: Int = 8): DataFrame = {
+    // the working column must not clobber caller data: a pre-existing
+    // __salt (e.g. a previous salted stage that kept it) would be
+    // overwritten and then silently DROPPED (round-10 review)
+    require(!probe.columns.contains("__salt") &&
+      !build.columns.contains("__salt"),
+      "saltedJoin inputs must not already carry a __salt column")
     val salted = probe.withColumn("__salt",
       pmod(hash(probeSaltSource), lit(saltBuckets)))
     val exploded = build.withColumn("__salt",

@@ -41,6 +41,22 @@ object ScaleData {
   def blowUp(spark: SparkSession, srcDir: String, outDir: String,
       factor: Int): String = {
     require(factor >= 1, s"factor $factor")
+    // LOUD id-range guard: the copy offsets only separate copies while
+    // base ids stay below them — a bigger source (or an already-blown
+    // dir reused as source) would silently produce colliding ids
+    // across copies while row counts still look right (round-10
+    // review); fail the synth instead
+    def maxId(t: String, c: String): Long =
+      spark.read.parquet(s"$srcDir/$t.parquet")
+        .agg(coalesce(max(col(c).cast("long")), lit(0L)))
+        .head.getLong(0)
+    require(maxId("documents", "doc_id") < 100000000L &&
+      maxId("embeddings", "vec_id") < 100000000L &&
+      maxId("events", "user_id") < 1000000000L &&
+      maxId("events", "event_id") < 1000000000000L,
+      s"$srcDir ids exceed the per-copy offsets — blowUp of an " +
+        "already-blown or oversized source would collide ids across " +
+        "copies")
     val out = new java.io.File(outDir)
     java.nio.file.Files.createDirectories(out.toPath)
 
@@ -72,21 +88,26 @@ object ScaleData {
           slice(col("embedding"), r + lit(1), d - r),
           slice(col("embedding"), lit(1), r))
       // The rotation repeats every D copies (k and k+D rotate
-      // identically, D = 64 in the testdata), so beyond k >= 64 it is
-      // composed with a deterministic pseudo-random SIGN pattern keyed
-      // by the copy group g = k/64: coordinate i is negated iff
-      // murmur3(g, i) is odd. Norm and coordinate distribution are
-      // preserved; copies in different groups have expected cosine ~0
-      // (about half the coordinates flip), so the "copies are not
-      // mutual near-neighbours / constant ANN density" invariant holds
-      // at every factor, not just factor <= 64. Copies 1..63 keep the
-      // pure rotation so the pinned ScaleSpec x8 work counts and all
-      // prior <=x10 measurements are unchanged.
-      val g = k / 64
+      // identically), so beyond a full rotation cycle it is composed
+      // with a deterministic pseudo-random SIGN pattern keyed by the
+      // copy group g = k/D: coordinate i is negated iff murmur3(g, i)
+      // is odd. Norm and coordinate distribution are preserved; copies
+      // in different groups have expected cosine ~0 (about half the
+      // coordinates flip), so the "copies are not mutual
+      // near-neighbours / constant ANN density" invariant holds at
+      // every factor. g derives from the ACTUAL embedding dimension
+      // (it was hardcoded k/64 — for a d<64 table, copies k and k+d
+      // inside one 64-group would have been identical vectors under
+      // different ids, the exact invariant breach; round-10 review).
+      // First-cycle copies keep the pure rotation (g = 0, no flips),
+      // so the pinned ScaleSpec x8 work counts and all prior <=x10
+      // measurements are unchanged at the shipped D = 64.
+      val gCol = floor((lit(k) - r) / d).cast("int")
       val vec =
-        if (g == 0) rotated
+        if (k == 0) rotated
         else transform(rotated,
-          (x, i) => when(pmod(hash(lit(g), i), lit(2)) === lit(1),
+          (x, i) => when(gCol > 0 &&
+              pmod(hash(gCol, i), lit(2)) === lit(1),
             negate(x)).otherwise(x))
       e.select(
         (col("vec_id") + lit(k.toLong * 100000000L)).as("vec_id"),
@@ -104,9 +125,16 @@ object ScaleData {
     Tables.names.filterNot(
         Seq("documents", "embeddings", "events").contains).foreach { t =>
       val dst = java.nio.file.Paths.get(outDir, s"$t.parquet")
+      val src = java.nio.file.Paths.get(srcDir, s"$t.parquet")
       if (!java.nio.file.Files.exists(dst))
-        java.nio.file.Files.createLink(
-          dst, java.nio.file.Paths.get(srcDir, s"$t.parquet")): Unit
+        // hardlink when same filesystem; COPY across devices (tmpfs
+        // blow-up dir vs on-disk testdata threw EXDEV — round-10
+        // review) — cold tables are small, the copy is cheap
+        try java.nio.file.Files.createLink(dst, src): Unit
+        catch {
+          case _: java.nio.file.FileSystemException =>
+            java.nio.file.Files.copy(src, dst): Unit
+        }
     }
     outDir
   }
