@@ -73,18 +73,18 @@ object Bench {
     // max(start,end) / nominal is embedded in every artifact, so a
     // contended run is self-labeling. Nominal pinned from an idle
     // local[32] host (min-of-3 after warm; see BenchCalib).
+    def calibOnce(): Double = {
+      val t0 = System.nanoTime()
+      // cpus may be any master-string arity ("*"), not only an int
+      spark.range(0, 64000000L, 1,
+          scala.util.Try(cpus.toInt).getOrElse(
+            spark.sparkContext.defaultParallelism))
+        .selectExpr("sum(xxhash64(id) % 1048576) as s").collect(): Unit
+      (System.nanoTime() - t0) / 1e9
+    }
     def calibrate(): Double = {
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        // cpus may be any master-string arity ("*"), not only an int
-        spark.range(0, 64000000L, 1,
-            scala.util.Try(cpus.toInt).getOrElse(
-              spark.sparkContext.defaultParallelism))
-          .selectExpr("sum(xxhash64(id) % 1048576) as s").collect(): Unit
-        (System.nanoTime() - t0) / 1e9
-      }
-      once() // warm the codegen path; not counted
-      Seq(once(), once(), once()).min
+      calibOnce() // warm the codegen path; not counted
+      Seq(calibOnce(), calibOnce(), calibOnce()).min
     }
     // Idle local[32] reference for the calibration job, pinned round
     // 10 (measured 0.11-0.16 s min-of-3 on the quiet sandbox host).
@@ -116,7 +116,22 @@ object Bench {
     // to them — release those too so the next run starts clean. Safe:
     // every cross-entry memo in this repo hands over a parquet PATH,
     // never a persisted frame.
-    val results = selected.map { case (name, fn) =>
+    // Interleaved contention canary (round-10 verdict "What's wrong"
+    // #1: the start/end calibration pair read 1.007 on a run whose
+    // MID-RUN entries blew up 10x — endpoint probes are necessary but
+    // not sufficient). A single calibration sample is re-timed every
+    // CanaryEvery entries and the whole series is embedded in both
+    // artifacts as `calib_series`; a mid-run contention window now
+    // shows up as a spike at the canary index even when the endpoints
+    // read clean. One sample, not min-of-3: the canary IS the noise
+    // probe, smoothing it would hide exactly what it exists to catch.
+    val CanaryEvery = 50
+    val midCalib = scala.collection.mutable.ArrayBuffer[Double]()
+    val sampleLog =
+      scala.collection.mutable.ArrayBuffer[(String, Double, Double)]()
+    val results = selected.toSeq.zipWithIndex.map {
+      case ((name, fn), idx) =>
+      if (idx > 0 && idx % CanaryEvery == 0) midCalib += calibOnce()
       def once(): Double = {
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
@@ -128,20 +143,35 @@ object Bench {
         if (ok) dt else -1.0
       }
       val (a, b) = (once(), once())
+      sampleLog += ((name, a, b))
       // an erroring entry must read as broken, not fast: -1 unless
       // BOTH runs succeed (a flaky single failure is itself a signal)
       name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val calibEnd = calibrate()
     val hostNoise = math.max(calibStart, calibEnd) / NominalCalibSec
     def r3(x: Double): Double = math.round(x * 1000.0) / 1000.0
+    // Both min-of-2 samples per entry (BENCH_FULL only — the stdout /
+    // short lines keep the driver's one-number-per-entry contract).
+    // How to read: `queries` holds min(a,b); `samples` holds [a,b];
+    // an entry in `noise_split` had its two same-code samples disagree
+    // >2x and >0.3s — its min is trustworthy, its max was a noise hit.
+    val samplesJson = sampleLog.map { case (k, a, b) =>
+      s"\"" + k + s"\":[${r3(a)},${r3(b)}]" }.mkString("{", ",", "}")
+    val noiseSplit = sampleLog.collect { case (k, a, b)
+      if a > 0 && b > 0 && math.max(a, b) > 2 * math.min(a, b) &&
+        math.max(a, b) - math.min(a, b) > 0.3 => k }
+    val noiseSplitJson =
+      noiseSplit.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val calibSeries = (calibStart +: midCalib :+ calibEnd)
+      .map(r3).mkString("[", ",", "]")
     val noiseFields =
-      s""""calib_start_sec":${r3(calibStart)},"calib_end_sec":${r3(calibEnd)},"host_noise_factor":${r3(hostNoise)}"""
+      s""""calib_start_sec":${r3(calibStart)},"calib_end_sec":${r3(calibEnd)},"host_noise_factor":${r3(hostNoise)},"calib_series":$calibSeries,"noise_split":$noiseSplitJson"""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec",$noiseFields,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec",$noiseFields,"queries":$qs,"samples":$samplesJson,"sf":"$sfDir"}"""
     // The driver's stdout capture has head-truncated the single long
     // JSON line twice (r4, r7: "parsed": null). Print a SHORT line the
     // parser can always swallow first, then the full per-query map;

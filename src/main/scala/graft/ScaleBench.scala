@@ -71,6 +71,23 @@ object ScaleBench {
         graft.dedup.DedupOps.embeddingNearDupIvf(s, d, 16, 4).count()),
       ("v2d2[scaled nlist]", (s: SparkSession, d: String, f: Int) =>
         graft.dedup.DedupOps.embeddingNearDupIvf(s, d, 16 * f, 4).count()),
+      // round 11: the PLANTED near-dup continuum (v2d2's x100 caveat
+      // turned into a design readout): a synthesized embeddings table
+      // whose true pairs grow EXACTLY linearly in factor (one planted
+      // twin per PlantEvery ids, all other cosines ~22 orders below
+      // the tau=0.9 measurement threshold). The row's row-ratio IS the
+      // design readout — ~factor means the candidates+verify plan
+      // finds the linear truth at linear cost; the tau=0.4 rows above
+      // keep measuring the clustered-fixture continuum
+      ("v2d2[planted, tau=0.9]", (s: SparkSession, d: String, f: Int) => {
+        val pd = sys.props("java.io.tmpdir") +
+          s"/graft_planted_${f}x_" + ProcessHandle.current().pid()
+        if (!new java.io.File(s"$pd/embeddings.parquet").exists())
+          graft.util.ScaleData.plantedBlowUp(s, base,
+            graft.util.TempArtifacts.register(pd), f)
+        graft.dedup.DedupOps.embeddingNearDupIvf(s, pd, 16 * f, 4,
+          tau = graft.util.ScaleData.PlantTau).count()
+      }),
       ("v3c_knn_join", (s: SparkSession, d: String, _: Int) =>
         reg("v3c_knn_join")(s, d).count()),
       // the coarse ASSIGNMENT term in isolation (the round-9 "Honest
@@ -126,6 +143,27 @@ object ScaleBench {
         graft.sim.ClusterOps.assignAt(
           graft.sim.ClusterOps.pointsOf(Tables.embeddings(s, d)),
           cents, k).count()
+      }),
+      // round 11: the group-layer BUILD in isolation (SCALING.md
+      // "Remaining bound", closed this round): the centroid table is
+      // the corpus itself (k = n), a 64-point probe set makes the
+      // point-routing term negligible, so the row times collect +
+      // group training + the final k-centroid->group assignment. At 1x
+      // (k ~ 2000 <= 4096) this is the original driver-side Lloyd; at
+      // x10/x100 the training runs on the 4096-row stride sample and
+      // the final assignment is ONE distributed PqAssign job — the old
+      // path's O(k^1.5*d) single-threaded term (~15 s at k=200k) is
+      // gone
+      ("coarse_group_build[k=corpus]", (s: SparkSession, d: String, _: Int) => {
+        val p = graft.sim.ClusterOps.pointsOf(Tables.embeddings(s, d))
+        val k = Tables.embeddings(s, d).count()
+        val cents = p.select(
+          org.apache.spark.sql.functions.col("vec_id").as("cid"),
+          org.apache.spark.sql.functions.col("xm").as("cm"))
+        val probe = p.filter(
+          org.apache.spark.sql.functions.col("vec_id") < 64)
+        graft.sim.ClusterOps.assignAt(probe, cents,
+          math.min(k, Int.MaxValue.toLong).toInt).count()
       }),
       // round 10: the events/graph analytics family (the last family
       // with no measured scale row) — the salted events copies offset

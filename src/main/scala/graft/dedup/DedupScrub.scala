@@ -175,9 +175,21 @@ private[dedup] trait DedupScrub { self: DedupOps.type =>
   private val scrubCountCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), java.lang.Long]()
   private[dedup] def scrubLedgerCount(spark: SparkSession,
-      dir: String): Long =
-    scrubCountCache.computeIfAbsent((spark, dir),
-      _ => scrubLedgerStored(spark, dir).count()): Long
+      dir: String): Long = {
+    // stopped-session sweep + count-outside-lock (the adaptiveNlist
+    // pattern): a Spark job inside computeIfAbsent blocks unrelated
+    // keys in the same bin, and dead-session keys pin the session
+    // graph plus (for the sibling caches below) broadcast/Bloom bytes
+    scrubCountCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    val k = (spark, dir)
+    val hit = scrubCountCache.get(k)
+    if (hit != null) hit
+    else {
+      val v: java.lang.Long = scrubLedgerStored(spark, dir).count()
+      val prior = scrubCountCache.putIfAbsent(k, v)
+      (if (prior != null) prior else v): Long
+    }
+  }
 
   /** Broadcast bound for the in-row scrub ledger, in dup WINDOWS: the
     * flat (32-hex-hash, long) pairs run ~100 B/entry materialized, so
@@ -201,11 +213,21 @@ private[dedup] trait DedupScrub { self: DedupOps.type =>
 
   private[dedup] def scrubLedgerBroadcast(spark: SparkSession,
       dir: String):
-      org.apache.spark.broadcast.Broadcast[Array[(String, Long)]] =
-    scrubBc.computeIfAbsent((spark, dir), _ =>
-      spark.sparkContext.broadcast(
+      org.apache.spark.broadcast.Broadcast[Array[(String, Long)]] = {
+    scrubBc.keySet.removeIf(_._1.sparkContext.isStopped)
+    val k = (spark, dir)
+    val hit = scrubBc.get(k)
+    if (hit != null) hit
+    else {
+      // collect + broadcast OUTSIDE the map lock; a lost race leaks
+      // one redundant broadcast of a bounded ledger, never a wrong one
+      val v = spark.sparkContext.broadcast(
         scrubLedgerStored(spark, dir).collect()
-          .map(r => (r.getString(0), r.getLong(1)))))
+          .map(r => (r.getString(0), r.getLong(1))))
+      val prior = scrubBc.putIfAbsent(k, v)
+      if (prior != null) { v.destroy(); prior } else v
+    }
+  }
 
   /** The over-the-broadcast-bound scrub probe — v20b's runtime-filter
     * shape applied to windows: a Bloom of the ledger's window hashes
@@ -228,9 +250,18 @@ private[dedup] trait DedupScrub { self: DedupOps.type =>
     // streaming fallbacks (st19/st25 over the bound) pay the full-
     // ledger aggregation ONCE, not once per micro-batch (round-10
     // review finding — the scrubBc convention applied to the bytes)
-    val bfBytes = scrubBloomCache.computeIfAbsent((spark, dir), _ =>
-      Option(BloomSketch.bloomBytes(stored, col("h"),
-        math.max(1L, scrubLedgerCount(spark, dir))))).orNull
+    scrubBloomCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    val bfKey = (spark, dir)
+    val bfHit = scrubBloomCache.get(bfKey)
+    val bfBytes = (if (bfHit != null) bfHit
+    else {
+      // aggregation job outside the map lock (adaptiveNlist pattern);
+      // deterministic value, so a lost race is harmless
+      val v = Option(BloomSketch.bloomBytes(stored, col("h"),
+        math.max(1L, scrubLedgerCount(spark, dir))))
+      val prior = scrubBloomCache.putIfAbsent(bfKey, v)
+      if (prior != null) prior else v
+    }).orNull
     val wins = scrubWindows(df.select(col("doc_id"), col("w")))
     val candidates =
       if (bfBytes == null) wins.filter(lit(false)) // empty ledger
@@ -398,7 +429,8 @@ private[dedup] trait DedupScrub { self: DedupOps.type =>
     * threshold sits inside a continuous background — at true near-dup
     * thresholds the same plan is both sub-quadratic AND recall≈1. */
   def embeddingNearDupIvf(spark: SparkSession, dir: String,
-      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+      nlist: Int = 16, nprobe: Int = 4,
+      tau: Double = 0.4): DataFrame = {
     import graft.functions.VectorFunctions.dot_product
     // the SAME Lloyd-refined index the v3 queries use (one iteration),
     // from the shared per-process build — candidate generation and ANN
@@ -427,7 +459,7 @@ private[dedup] trait DedupScrub { self: DedupOps.type =>
       .filter(col("i") < col("j"))
       .withColumn("cos", round(
         dot_product(col("v_i"), col("v_j")) / (col("n_i") * col("n_j")), 6))
-      .filter(col("cos") >= 0.4)
+      .filter(col("cos") >= tau)
       .select(col("i"), col("j"), col("cos"))
       .distinct() // a pair may share several probed cells
       .orderBy(col("i"), col("j"))

@@ -205,7 +205,7 @@ object ClusterOps extends QueryModule {
       val arr = cents.select(col("cid"), col("cm")).collect()
         .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
         .sortBy(_._1)
-      val (gCents, centGroup) = trainGroups(arr)
+      val (gCents, centGroup) = trainGroups(spark, cents, arr)
       val g = gCents.length
       val p = math.min(math.max(1, probes), g)
       val gBc = spark.sparkContext.broadcast(
@@ -228,22 +228,54 @@ object ClusterOps extends QueryModule {
     }
   }
 
-  /** Driver-side integer Lloyd over the centroid table itself: groups
-    * the k coarse centroids into ceil(sqrt(k)) clusters (seeded from
-    * the first sqrt(k) by cid, 2 iterations, half-away-from-zero
-    * means — the [[update]] arithmetic in plain Scala). Returns the
-    * non-empty group centroids with DENSE ids 0..g-1 plus each input
-    * centroid's group index — empty groups are dropped so every
-    * probed group carries candidates and the in-row argmin never goes
-    * null. Deterministic: pure integer arithmetic over a cid-sorted
-    * array. */
-  private def trainGroups(cents: Array[(Long, Array[Long])])
+  /** Cap on the rows the DRIVER-side group-mean Lloyd iterates over —
+    * round-10 SCALING.md "Remaining bound": training the group layer
+    * over the full k-row centroid table was the last non-distributed
+    * O(k^1.5·d) term in the ANN stack. Above the cap the group means
+    * train on a deterministic stride sample of ≤4096 centroids (the
+    * FAISS train-coarse-on-sample regime — group means are a routing
+    * heuristic, not part of any exact contract) and the k-centroid →
+    * group assignment itself runs as ONE Spark job through the
+    * compiled [[graft.functions.PqAssign]] argmin. At or below the cap
+    * (every driver SF and CoarseSpec's k=300 fixture) the whole chain
+    * is the original driver-side path, bit for bit. */
+  private[graft] val GroupTrainSampleMax = 4096
+
+  /** Test seam: force the sample cap down so specs/ScaleBench exercise
+    * the sampled-training + distributed-assignment path at fixture
+    * scale (the scrubLedgerMaxOverride convention). */
+  @volatile private[graft] var groupTrainMaxOverride: Option[Int] = None
+  private def groupTrainMax: Int =
+    groupTrainMaxOverride.getOrElse(GroupTrainSampleMax)
+
+  /** Groups the k coarse centroids into ceil(sqrt(k)) clusters (seeded
+    * from the first sqrt(k) by cid, 2 integer Lloyd iterations,
+    * half-away-from-zero means — the [[update]] arithmetic in plain
+    * Scala). Returns the non-empty group centroids with DENSE ids
+    * 0..g-1 plus each input centroid's group index — empty groups are
+    * dropped so every probed group carries candidates and the in-row
+    * argmin never goes null. Deterministic: pure integer arithmetic
+    * over a cid-sorted array; the sampled/distributed path above
+    * [[GroupTrainSampleMax]] is equally deterministic (stride sample
+    * by cid order; [[graft.functions.PqAssign]] replays the exact
+    * strict-< lowest-id argmin of the local loop). `centsDf` is the
+    * same table `cents` was collected from — the distributed final
+    * assignment scans it instead of looping on the driver. */
+  private def trainGroups(spark: SparkSession, centsDf: DataFrame,
+      cents: Array[(Long, Array[Long])])
       : (Array[(Long, Array[Long])], Array[Int]) = {
     val k = cents.length
     val g0 = math.max(2, math.ceil(math.sqrt(k.toDouble)).toInt)
     val dims = cents.head._2.length
-    var gm = Array.tabulate(math.min(g0, k))(i => cents(i)._2.clone())
-    val asg = new Array[Int](k)
+    // deterministic stride sample caps the driver-side Lloyd: every
+    // ceil(k/max)-th centroid in cid order, ≤ GroupTrainSampleMax rows
+    val stride = math.max(1,
+      math.ceil(k.toDouble / groupTrainMax).toInt)
+    val train: Array[Array[Long]] =
+      if (stride == 1) cents.map(_._2)
+      else Array.range(0, k, stride).map(i => cents(i)._2)
+    val n = train.length
+    var gm = Array.tabulate(math.min(g0, n))(i => train(i).clone())
     def sqd(a: Array[Long], b: Array[Long]): Long = {
       var d = 0L; var i = 0
       while (i < a.length) { val x = a(i) - b(i); d += x * x; i += 1 }
@@ -251,29 +283,27 @@ object ClusterOps extends QueryModule {
     }
     def divRound(s: Long, n: Long): Long =
       if (s >= 0) (s + n / 2) / n else -((-s + n / 2) / n)
-    def assignAll(): Unit = {
-      var i = 0
-      while (i < k) {
-        var bd = Long.MaxValue; var bg = 0; var j = 0
-        while (j < gm.length) {
-          val d = sqd(cents(i)._2, gm(j))
-          if (d < bd) { bd = d; bg = j }
-          j += 1
-        }
-        asg(i) = bg
-        i += 1
+    def assignOne(cm: Array[Long]): Int = {
+      var bd = Long.MaxValue; var bg = 0; var j = 0
+      while (j < gm.length) {
+        val d = sqd(cm, gm(j))
+        if (d < bd) { bd = d; bg = j }
+        j += 1
       }
+      bg
     }
+    val trainAsg = new Array[Int](n)
     for (_ <- 1 to 2) {
-      assignAll()
+      var i = 0
+      while (i < n) { trainAsg(i) = assignOne(train(i)); i += 1 }
       val sums = Array.fill(gm.length, dims)(0L)
       val cnts = new Array[Long](gm.length)
-      var i = 0
-      while (i < k) {
-        val s = sums(asg(i)); val cm = cents(i)._2
+      i = 0
+      while (i < n) {
+        val s = sums(trainAsg(i)); val cm = train(i)
         var d = 0
         while (d < dims) { s(d) += cm(d); d += 1 }
-        cnts(asg(i)) += 1
+        cnts(trainAsg(i)) += 1
         i += 1
       }
       gm = gm.indices.map { j =>
@@ -282,9 +312,26 @@ object ClusterOps extends QueryModule {
       }.toArray
     }
     // the group ids handed out must match the group centroids the
-    // points will route against: one final assignment of the
-    // centroids to the POST-update means
-    assignAll()
+    // points will route against: one final assignment of ALL k
+    // centroids to the POST-update means. Driver loop at/below the
+    // sample cap (the original path, bit-identical); ONE distributed
+    // argmin job above it — the term SCALING.md carried as the last
+    // driver-side bound
+    val asg: Array[Int] =
+      if (stride == 1) cents.map(c => assignOne(c._2))
+      else {
+        val gmBc = spark.sparkContext.broadcast(
+          gm.zipWithIndex.map { case (m, j) => (0, j.toLong, m) })
+        val gid = centsDf
+          .select(col("cid"), graft.functions.PqFunctions
+            .pq_assign(col("cm"), lit(0), gmBc, 1)
+            .getField("cid").as("gid"))
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1).toInt)).toMap
+        val out = cents.map { case (cid, _) => gid(cid) }
+        gmBc.destroy()
+        out
+      }
     // drop empty groups, re-index dense
     val used = asg.distinct.sorted
     val remap = used.zipWithIndex.toMap

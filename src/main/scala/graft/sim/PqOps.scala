@@ -374,11 +374,23 @@ object PqOps extends QueryModule {
     * fixture replay the K=8 Lloyd chain untouched; the adaptation —
     * and with it the hierarchical two-level assignment above 256
     * cells — engages only beyond test scale. */
-  def adaptiveCoarseK(spark: SparkSession, dir: String): Int =
-    coarseKCache.computeIfAbsent((spark, dir), _ =>
-      math.min(math.max(ClusterOps.K.toLong,
+  def adaptiveCoarseK(spark: SparkSession, dir: String): Int = {
+    // stopped-session sweep + compute-outside-lock: the
+    // SimilarityOps.adaptiveNlist pattern verbatim — a Spark count()
+    // inside computeIfAbsent would block unrelated keys hashed to the
+    // same bin, and an unswept dead-session key pins the session graph
+    coarseKCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    val k = (spark, dir)
+    val hit = coarseKCache.get(k)
+    if (hit != null) hit
+    else {
+      val v: Integer = math.min(math.max(ClusterOps.K.toLong,
         Tables.embeddings(spark, dir).count() / 250L),
-        Int.MaxValue.toLong).toInt): Int
+        Int.MaxValue.toLong).toInt
+      val prior = coarseKCache.putIfAbsent(k, v)
+      (if (prior != null) prior else v): Int
+    }
+  }
 
   private val coarseKCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), Integer]()
@@ -500,7 +512,8 @@ object PqOps extends QueryModule {
     * micro-batch otherwise, the st15/st16 lesson), then exploded to
     * its bounded ncell·M·Ksub rows. */
   private def serveQueryFrame(spark: SparkSession, dir: String,
-      idx: String, ncell: Int): DataFrame = {
+      idx: String, ncell: Int,
+      queryBound: Long = Long.MaxValue): DataFrame = {
     // coarse centroids + codebooks collected once per call (8 + 512
     // tiny rows from the stored index) and shipped as Spark broadcasts
     // for the compiled route+LUT expression (round 9 — the previous
@@ -517,9 +530,15 @@ object PqOps extends QueryModule {
         .select(col("sub"), col("cid"), col("cm")).collect()
         .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Long](2).toArray)))
     val schema = Tables.table(spark, dir, "embeddings").schema
-    spark.readStream.schema(schema)
+    val src = spark.readStream.schema(schema)
       .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
       .filter(pmod(col("vec_id"), lit(ServeModulus)) === 0)
+    // st21c's FIXED query slice: an id bound on top of the modulus
+    // keeps the query COUNT constant as the corpus grows (the
+    // v16[fixed benchmark] convention made a registry entry) — guarded
+    // so st21/st21b plans are byte-identical to prior rounds
+    (if (queryBound == Long.MaxValue) src
+     else src.filter(col("vec_id") < queryBound))
       // spread the in-row route/LUT work (one task per source file
       // otherwise — the st16 lesson)
       .repartition(32)
@@ -564,11 +583,12 @@ object PqOps extends QueryModule {
     * resolves adaptiveCoarseK to exactly 8 anyway. */
   private[graft] def streamingAnnServeAgainst(spark: SparkSession,
       queryDir: String, corpusDir: String, k: Int = 10,
-      ncell: Int = NCell, coarseK: Int = ClusterOps.K): DataFrame = {
+      ncell: Int = NCell, coarseK: Int = ClusterOps.K,
+      queryBound: Long = Long.MaxValue): DataFrame = {
     val ver = if (coarseK == ClusterOps.K) "v1" else s"v1-ck$coarseK"
     val idx = graft.util.ArtifactCache.persistent("ivfpq_index", ver,
       corpusDir)(writeIvfPqIndex(spark, corpusDir, _, coarseK))
-    val q = serveQueryFrame(spark, queryDir, idx, ncell)
+    val q = serveQueryFrame(spark, queryDir, idx, ncell, queryBound)
     val codes = spark.read.parquet(s"$idx/codes")
       .select(col("vec_id"), col("sub"), col("cid"),
         col("cell").cast("long").as("cell"))
@@ -645,11 +665,25 @@ object PqOps extends QueryModule {
     rankTopK(spark.read.parquet(outPath), k)
   }
 
-  private lazy val annServeSql: String =
+  /** Fixed-query-slice bound for st21c: the modulus slice capped at a
+    * CONSTANT id bound, so the query count stays fixed (6 queries)
+    * while the indexed corpus grows — the deployment serving shape
+    * ScaleBench measures as `st21[fixed queries, adaptive K]`, here as
+    * a driver-graded oracle entry. 500 = the sf0.001 corpus size, so
+    * the slice is identical at every driver SF. */
+  private[graft] val FixedServeBound = 500L
+
+  private lazy val annServeSql: String = annServeSqlFor(
+    s"vec_id % $ServeModulus = 0")
+
+  private lazy val annServeFixedqSql: String = annServeSqlFor(
+    s"vec_id % $ServeModulus = 0 AND vec_id < $FixedServeBound")
+
+  private def annServeSqlFor(queryPred: String): String =
     s"""${ClusterOps.lloydChainSql},
        | ${pqCtes("p")},
        | sq AS (SELECT vec_id AS qid, xm FROM pts
-       |        WHERE vec_id % $ServeModulus = 0),
+       |        WHERE $queryPred),
        | sqd AS (SELECT q.qid, c.cid,
        |   CAST(list_sum(list_transform(range(1, len(c.cm) + 1),
        |     k -> (c.cm[k] - q.xm[k]) * (c.cm[k] - q.xm[k]))) AS BIGINT)
@@ -659,7 +693,7 @@ object PqOps extends QueryModule {
        |   QUALIFY row_number() OVER (PARTITION BY qid
        |     ORDER BY d, cid) <= $NCell),
        | spq AS (SELECT vec_id AS qid, sub, xm AS qm FROM ppts
-       |         WHERE vec_id % $ServeModulus = 0),
+       |         WHERE $queryPred),
        | slut AS (SELECT q.qid, c.sub, c.cid,
        |   CAST(list_sum(list_transform(range(1, len(c.cm) + 1),
        |     k -> (c.cm[k] - q.qm[k]) * (c.cm[k] - q.qm[k]))) AS BIGINT)
@@ -855,6 +889,16 @@ object PqOps extends QueryModule {
         "per-(query,candidate) ADC sums, read-side top-10 — the full " +
         "approximate serving path integer-exact and DuckDB-oracled",
       (s, d) => streamingAnnServe(s, d), Some(annServeSql)),
+    GraftQuery("st21c_streaming_ann_fixedq",
+      "ST21c the DEPLOYMENT serving shape driver-graded: a FIXED " +
+        "6-query slice (modulus + constant id bound) served against " +
+        "the adaptiveCoarseK-built stored index — the configuration " +
+        "whose x100 ScaleBench row is ~2x (constant queries, constant " +
+        "candidates/query); adaptiveCoarseK == 8 at every driver SF, " +
+        "so the oracle replays the shared K=8 Lloyd chain",
+      (s, d) => streamingAnnServeAgainst(s, d, d,
+        coarseK = adaptiveCoarseK(s, d), queryBound = FixedServeBound),
+      Some(annServeFixedqSql)),
     GraftQuery("st21b_streaming_ann_pruned",
       "ST21b the PRUNED streaming serving loop: each micro-batch's " +
         "probed-cell union resolves driver-side (bounded collect, the " +

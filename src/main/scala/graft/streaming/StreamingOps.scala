@@ -219,8 +219,8 @@ object StreamingOps extends QueryModule {
     * use append — complete requires an aggregation, and a join's
     * matched rows are final once emitted. */
   def runToBatch(spark: SparkSession, agg: DataFrame, name: String,
-      mode: String = "complete"): DataFrame = {
-    withStreamSizedShuffle(spark, 2) {
+      mode: String = "complete", shufflePartitions: Int = 2): DataFrame = {
+    withStreamSizedShuffle(spark, shufflePartitions) {
       val q = agg.writeStream.outputMode(mode)
         .format("memory").queryName(name).start()
       try q.processAllAvailable() finally q.stop()
@@ -236,9 +236,15 @@ object StreamingOps extends QueryModule {
     out
   }
 
-  /** [[runToBatch]] in append mode, for non-aggregating plans. */
+  /** [[runToBatch]] in append mode, for non-aggregating plans.
+    * `shufflePartitions` sizes the drive's shuffles AND state stores
+    * (read at query start): 2 suits the tiny-state gates; a drive
+    * whose batch is join-compute-bound (st24's band join + shingle
+    * intersect) buys real parallelism with a few more near-free
+    * tmpfs-backed stores. */
   def runToBatchAppend(spark: SparkSession, df: DataFrame,
-      name: String): DataFrame = runToBatch(spark, df, name, "append")
+      name: String, shufflePartitions: Int = 2): DataFrame =
+    runToBatch(spark, df, name, "append", shufflePartitions)
 
   /** Run a finite stream to completion through `foreachBatch` — the
     * per-micro-batch serving-loop shape (st21b): the caller's function

@@ -139,6 +139,71 @@ object ScaleData {
     outDir
   }
 
+  /** Planted-pair spacing for [[plantedBlowUp]]: vectors v with
+    * v % PlantEvery == 0 share a center with v+1 (their planted twin);
+    * every other vector gets a unique center. Divides the 1e8 copy
+    * offset, so the pattern is copy-aligned at every factor. */
+  val PlantEvery = 50L
+
+  /** Cosine the planted twins comfortably exceed (noise amplitude 0.03
+    * on unit-ish uniform coordinates puts them at ~0.999) and the
+    * random cross-pair continuum cannot reach (64-dim random pairs:
+    * P(cos >= 0.9) ~ 1e-22) — the measurement threshold for the
+    * planted ScaleBench row. */
+  val PlantTau = 0.9
+
+  /** A ×factor embeddings table with CONTROLLED near-dup structure —
+    * the round-11 answer to v2d2's ×100 fixture caveat (SCALING.md:
+    * verified pairs grew 1400× at ×100 because τ=0.4 sits inside the
+    * clustered base corpus's cosine continuum, so the row measured the
+    * fixture, not the design). Here every vector is synthesized from a
+    * per-center deterministic hash (uniform-ish [-1,1] coordinates):
+    * exactly one planted pair per [[PlantEvery]] ids (twin = same
+    * center + 3% noise, cos ≈ 0.999), all other pairs are independent
+    * 64-dim hash vectors whose cosine tail dies ~22 orders of
+    * magnitude below [[PlantTau]]. True pairs therefore grow EXACTLY
+    * linearly in factor, and a near-dup run at τ = PlantTau measures
+    * recall and cost on a controlled continuum. Row counts, ids and
+    * schema match [[blowUp]]'s embeddings so cost is comparable; the
+    * non-embedding tables hardlink/copy from the source unchanged
+    * (the planted dir exists for embedding entries only). */
+  def plantedBlowUp(spark: SparkSession, srcDir: String, outDir: String,
+      factor: Int): String = {
+    require(factor >= 1, s"factor $factor")
+    val out = new java.io.File(outDir)
+    java.nio.file.Files.createDirectories(out.toPath)
+    val base = spark.read.parquet(s"$srcDir/embeddings.parquet")
+    val dims = base.select(size(col("embedding"))).head.getInt(0)
+    val ids = (0 until factor).map { k =>
+      base.select(
+        (col("vec_id") + lit(k.toLong * 100000000L)).as("vec_id"),
+        col("label"))
+    }.reduce(_ unionByName _)
+    def u(h: org.apache.spark.sql.Column) =
+      (pmod(h, lit(2001)) - lit(1000)) / lit(1000.0)
+    val planted = ids
+      .withColumn("ck", when(pmod(col("vec_id"), lit(PlantEvery)) === 1,
+        col("vec_id") - 1).otherwise(col("vec_id")))
+      .withColumn("embedding",
+        transform(sequence(lit(0), lit(dims - 1)), j =>
+          (u(hash(col("ck"), j)) +
+            u(hash(col("vec_id"), j, lit(7))) * lit(0.03))
+            .cast("float")))
+      .select(col("vec_id"), col("embedding"), col("label"))
+    writeSingleFile(planted, s"$outDir/embeddings.parquet")
+    Tables.names.filterNot(_ == "embeddings").foreach { t =>
+      val dst = java.nio.file.Paths.get(outDir, s"$t.parquet")
+      val src = java.nio.file.Paths.get(srcDir, s"$t.parquet")
+      if (!java.nio.file.Files.exists(dst))
+        try java.nio.file.Files.createLink(dst, src): Unit
+        catch {
+          case _: java.nio.file.FileSystemException =>
+            java.nio.file.Files.copy(src, dst): Unit
+        }
+    }
+    outDir
+  }
+
   /** Write `df` as ONE parquet file at exactly `destFile` (the testdata
     * single-file layout the streaming glob readers require). */
   private def writeSingleFile(df: DataFrame, destFile: String): Unit = {

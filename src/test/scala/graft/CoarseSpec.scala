@@ -112,6 +112,56 @@ class CoarseSpec extends SparkSpec {
       s"2-probe agreement ${agree.toDouble / hier.size} below 0.9")
   }
 
+  test("sampled group training + distributed final assignment " +
+    "(forced cap): all-probes still equals flat exactly; 2-probe " +
+    "agreement holds on clustered data") {
+    // the round-11 scale path: above GroupTrainSampleMax the group
+    // means train on a stride sample and the k-centroid -> group
+    // assignment runs as one Spark job through PqAssign. The all-
+    // probes pin is STRUCTURAL (probing every group argmins over all
+    // centroids, whatever the group means are) — it must survive
+    // sampling bit-for-bit; agreement at 2 probes stays the quality
+    // band of the unsampled test above.
+    val rnd = new scala.util.Random(42)
+    val dims = 8
+    val centers = Array.fill(24)(
+      Array.fill(dims)((rnd.nextDouble() * 2e7 - 1e7).toLong))
+    val rows = (0 until 1200).map { i =>
+      val c = centers(i % 24)
+      (i.toLong, c.map(x => x + (rnd.nextGaussian() * 5e4).toLong).toSeq)
+    }
+    import spark.implicits._
+    val p = rows.toDF("vec_id", "xm").localCheckpoint()
+    val cents = p.filter(col("vec_id") < 300)
+      .select(col("vec_id").as("cid"), col("xm").as("cm"))
+      .localCheckpoint()
+    val flat = ClusterOps.assignAt(p, cents, k = 8)
+      .select(col("vec_id"), col("cid"), col("d")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    ClusterOps.groupTrainMaxOverride = Some(64) // 300 cents -> stride 5
+    try {
+      val hierAll = ClusterOps.assignAt(p, cents, k = 300,
+          probes = Int.MaxValue)
+        .select(col("vec_id"), col("cid"), col("d")).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(hierAll === flat,
+        "all-groups-probed must equal flat even with sampled training")
+      val hier2 = ClusterOps.assignAt(p, cents, k = 300)
+        .select(col("vec_id"), col("cid"), col("d")).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(hier2.keySet === flat.keySet,
+        "no vector may vanish through the sampled routing")
+      var agree = 0
+      hier2.foreach { case (v, (cid, d)) =>
+        val (fc, fd) = flat(v)
+        assert(d >= fd, s"vec $v: hier d=$d below the flat optimum $fd")
+        if (cid == fc) agree += 1
+      }
+      assert(agree.toDouble / hier2.size >= 0.9,
+        s"sampled 2-probe agreement ${agree.toDouble / hier2.size}")
+    } finally ClusterOps.groupTrainMaxOverride = None
+  }
+
   test("adaptiveCoarseK == 8 at every driver SF — the PQ oracles " +
     "replay the K=8 chain untouched") {
     Seq(sf0001, sf001, "/root/testdata/sf0.1").foreach { d =>

@@ -449,6 +449,39 @@ class ScaleSpec extends SparkSpec {
         s"at x$scaleFactor")
   }
 
+  test("planted near-dup continuum: true pairs grow EXACTLY linearly " +
+    "in factor; IVF candidates+verify at tau=0.9 finds them with " +
+    "recall >= 0.9 and zero false positives at both scales") {
+    import graft.util.ScaleData
+    def plantedDir(f: Int): String = {
+      val pd = s"${sys.props("java.io.tmpdir")}/graft_planted_spec_" +
+        s"${f}x_${ProcessHandle.current().pid()}"
+      if (!new java.io.File(s"$pd/embeddings.parquet").exists())
+        ScaleData.plantedBlowUp(spark, baseDir,
+          graft.util.TempArtifacts.register(pd), f)
+      pd
+    }
+    def found(f: Int): Array[(Long, Long)] =
+      graft.dedup.DedupOps.embeddingNearDupIvf(spark, plantedDir(f),
+          nlist = 16 * f, nprobe = 4, tau = ScaleData.PlantTau)
+        .select(col("i"), col("j")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+    val nBase = Tables.embeddings(spark, baseDir).count()
+    def planted(f: Int): Long = f * (nBase / ScaleData.PlantEvery)
+    Seq(1, scaleFactor).foreach { f =>
+      val pairs = found(f)
+      // zero false positives: every found pair IS a planted twin
+      pairs.foreach { case (i, j) =>
+        assert(j === i + 1 && i % ScaleData.PlantEvery === 0,
+          s"non-planted pair ($i,$j) above tau=${ScaleData.PlantTau} " +
+            "— the controlled continuum leaked")
+      }
+      val recall = pairs.length.toDouble / planted(f)
+      assert(recall >= 0.9 && recall <= 1.0,
+        s"x$f planted recall $recall (${pairs.length}/${planted(f)})")
+    }
+  }
+
   // ---- hierarchical coarse quantizer (round 10: the two-level
   // assignment that closes the O(n*nlist) flat-assign boundary) ----
 
