@@ -155,10 +155,11 @@ private[dedup] trait DedupAudit { self: DedupOps.type =>
         .withColumn("sz", size(col("sh"))))
       .select(col("doc_id").as("j"), col("sh").as("sh_j"),
         col("sz").as("sz_j"))
-    val benchRow = graft.util.PlanMemo.memo(spark, "st25_bench_row",
-      dir)(docsB.filter(pmod(col("doc_id"), lit(97)) === 0)
-        .select(explode(shingles).as("shingle")).distinct()
-        .agg(collect_list(col("shingle")).as("bench")))
+    // round 11: bench shingles as a plain broadcast + compiled in-row
+    // probe (SetHitCount) — the 1-row array + per-row array_intersect
+    // rebuilt the bench hash set per document and measured 587× at
+    // ×100 (the slice co-grows with the corpus); see benchShinglesBc
+    val benchBc = benchShinglesBc(spark, dir)
     // scrub stage dispatched on ledger size (the st19 convention): the
     // in-row broadcast probe while the dup-window ledger fits, the
     // v20b Bloom + keyed-join shape beyond — mid-stream that fallback
@@ -181,9 +182,9 @@ private[dedup] trait DedupAudit { self: DedupOps.type =>
           graft.functions.ShingleFunctions.shingle_hashes(col("text")),
           coefs, Prime))
         .withColumn("bm", pmod(col("doc_id"), lit(97)) === 0)
-        .crossJoin(broadcast(benchRow))
         .withColumn("contam", Exact.ratio6(
-          size(array_intersect(col("sh_i"), col("bench"))), col("sz_i"))))
+          graft.functions.SetHitCount.set_hit_count(col("sh_i"), benchBc),
+          col("sz_i"))))
         .join(exLedger, Seq("norm_hash"), "left")
     val cand = enriched
       .select(Seq(col("doc_id"), col("ex_flag"), col("bm"), col("contam"),

@@ -153,6 +153,40 @@ private[dedup] trait DedupScrub { self: DedupOps.type =>
   private val scrubBloomCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), Option[Array[Byte]]]()
 
+  /** The %97 benchmark slice's DISTINCT shingles as a Spark broadcast,
+    * for the compiled in-row containment probe
+    * ([[graft.functions.SetHitCount]]) — round-11 ScaleBench finding:
+    * the 1-row bench-ARRAY crossJoin + array_intersect spelling
+    * rebuilt the bench hash set per document (O(|bench|)/row), and the
+    * fixture's bench slice co-grows with the corpus, so st25 measured
+    * 587× at ×100. The broadcast is bounded by the same
+    * benchmarks-are-small contract as v16's semi-join side; memoized
+    * per (session, dir) with the adaptiveNlist cache discipline.
+    * Shared by st17 and the st25 ingest DAG (their slices explode to
+    * the same distinct set — null-text docs contribute no shingles
+    * either way). */
+  private val benchBcCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String),
+    org.apache.spark.broadcast.Broadcast[Array[String]]]()
+
+  private[dedup] def benchShinglesBc(spark: SparkSession, dir: String):
+      org.apache.spark.broadcast.Broadcast[Array[String]] = {
+    benchBcCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    val k = (spark, dir)
+    val hit = benchBcCache.get(k)
+    if (hit != null) hit
+    else {
+      val v = spark.sparkContext.broadcast(
+        graft.util.PlanMemo.memo(spark, "bench_shingles", dir)(
+          shingleSets(spark, dir)
+            .filter(pmod(col("doc_id"), lit(97)) === 0)
+            .select(explode(col("sh")).as("shingle")).distinct())
+          .collect().map(_.getString(0)))
+      val prior = benchBcCache.putIfAbsent(k, v)
+      if (prior != null) { v.destroy(); prior } else v
+    }
+  }
+
   /** The stored (window-hash → first-holder) dup-window ledger — the
     * artifact BOTH probe shapes read (in-row broadcast below the size
     * bound, Bloom + keyed join above it). */
@@ -597,17 +631,13 @@ private[dedup] trait DedupScrub { self: DedupOps.type =>
     * Bloom runtime filter is the drop-in membership probe.) */
   def streamingDecontaminate(spark: SparkSession, dir: String,
       tau: Double = 0.05): DataFrame = {
-    // PlanMemo (was localCheckpoint): a broadcast subquery on a stream
-    // re-executes EVERY micro-batch — without materialization the
-    // 1-row benchmark bundle re-scans the corpus per batch (measured
-    // ~1.7 s/batch at sf0.1). The memo additionally survives the
-    // bench's between-run block hygiene, so the second drive broadcasts
-    // a trivial parquet read instead of re-aggregating the corpus.
-    val benchRow = graft.util.PlanMemo.memo(spark, "st17_bench_row",
-      dir)(shingleSets(spark, dir)
-        .filter(pmod(col("doc_id"), lit(97)) === 0)
-        .select(explode(col("sh")).as("shingle")).distinct()
-        .agg(array_sort(collect_list(col("shingle"))).as("bench")))
+    // round 11: the bench set rides a PLAIN broadcast probed by the
+    // compiled SetHitCount (built once per JVM) — the previous 1-row
+    // array + per-row array_intersect rebuilt the bench hash set per
+    // document, quadratic once the fixture slice co-grows (see
+    // benchShinglesBc). Same n_hit values; the memo behind the
+    // broadcast still spares the per-batch corpus re-scan.
+    val benchBc = benchShinglesBc(spark, dir)
     val schema = Tables.table(spark, dir, "documents").schema
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "documents.parquet").parquet(dir)
@@ -622,14 +652,9 @@ private[dedup] trait DedupScrub { self: DedupOps.type =>
       .select(col("doc_id"), shingles.as("sh"))
       .withColumn("sz", size(col("sh")))
       .filter(col("sz") > 0)
-      .crossJoin(broadcast(benchRow))
-      // array_intersect, NOT filter+array_contains: both sides are
-      // distinct sets, so |sh ∩ bench| is the same count, but the
-      // per-row cost is one hash-set pass (O(|sh|+|bench|)) instead of
-      // |sh|·|bench| string comparisons — measured 50.9 s → ~1 s at
-      // sf0.1 (~2.6k bench shingles × ~52 per doc × 5k docs)
       .withColumn("n_hit",
-        size(array_intersect(col("sh"), col("bench"))).cast("long"))
+        graft.functions.SetHitCount.set_hit_count(col("sh"), benchBc)
+          .cast("long"))
       .withColumn("contamination", Exact.ratio6(col("n_hit"), col("sz")))
       .filter(col("contamination") >= tau)
       .select(col("doc_id"), col("sz").as("n_shingles"), col("n_hit"),
