@@ -165,6 +165,17 @@ object ScaleBench {
         graft.sim.ClusterOps.assignAt(probe, cents,
           math.min(k, Int.MaxValue.toLong).toInt).count()
       }),
+      // round 11: u5 both plans — the salted events copies offset
+      // user_ids, so TRACES multiply while each tree keeps its shape:
+      // the BFS pays depth x (pass over the whole table) regardless,
+      // the grouped walk pays one shuffle + per-trace work. The ratio
+      // pair is the evidence for the spanDepthsAuto dispatch
+      ("u5[grouped]", (s: SparkSession, d: String, _: Int) =>
+        new graft.spans.TraceService(graft.operators.SpanNativeOps
+          .eventsAsTreeSpans(s, d)).spanDepthsGrouped().count()),
+      ("u5[bfs]", (s: SparkSession, d: String, _: Int) =>
+        new graft.spans.TraceService(graft.operators.SpanNativeOps
+          .eventsAsTreeSpans(s, d)).spanDepths().count()),
       // round 10: the events/graph analytics family (the last family
       // with no measured scale row) — the salted events copies offset
       // user_ids, so the user-keyed self-join edge build scales with

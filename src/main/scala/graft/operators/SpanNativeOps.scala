@@ -75,7 +75,7 @@ object SpanNativeOps extends QueryModule {
   /** TraceService.spanDepths (BFS depth + critical path) through the
     * oracle, over the synthesized heap tree. */
   def spanCriticalPath(spark: SparkSession, dir: String): DataFrame =
-    new TraceService(eventsAsTreeSpans(spark, dir)).spanDepths()
+    new TraceService(eventsAsTreeSpans(spark, dir)).spanDepthsAuto()
 
   /** TraceService.endpointLatencies through the oracle. */
   def spanLatencies(spark: SparkSession, dir: String): DataFrame = {

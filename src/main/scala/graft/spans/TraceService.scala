@@ -414,6 +414,113 @@ class TraceService(spans: DataFrame) {
     } finally base.unpersist()
   }
 
+  /** U5, grouped form: the same depth/critical-path semantics as
+    * [[spanDepths]] in ONE shuffle. A critical path is a PER-TRACE
+    * computation — shuffling spans to their trace once and walking the
+    * tree in-group replaces depth-many full passes over the table (the
+    * BFS's residual cost is depth × fixed job cost; at 100 TB each of
+    * those jobs is a pass over the cached base, and caching 100 TB is
+    * itself the problem). The walk mirrors the BFS join EXACTLY —
+    * multiplicity included: a child whose parent span_id appears on k
+    * reached rows is reached k times with k path sums, the same rows
+    * the per-level hash join would produce, so `n_spans`, `max_depth`
+    * and `critical_path_ns` are bit-identical (TraceServiceSpec pins
+    * grouped ≡ BFS on the fixture tree plus orphan / duplicate-id /
+    * null-duration cases). Orphans stay unreachable; content deeper
+    * than `maxLevels` raises the same cycle error instead of looping.
+    *
+    * Memory: one trace's spans are materialized per task (~100 B/row),
+    * so this form assumes traces are individually small — the real
+    * shape of a trace (one request). [[spanDepthsAuto]] dispatches to
+    * the BFS when a probe finds a trace wider than the cap. */
+  def spanDepthsGrouped(maxLevels: Int = 64): DataFrame = {
+    val sess = spans.sparkSession
+    import sess.implicits._
+    spans.select(col("trace_id").cast("string").as("_1"),
+        col("span_id").cast("string").as("_2"),
+        col("parent_span_id").cast("string").as("_3"),
+        col("duration_ns").cast("long").as("_4"))
+      .as[(String, String, String, Option[Long])]
+      .groupByKey(_._1)
+      .flatMapGroups { (tid, it) =>
+        val rows = it.toArray
+        // parent span_id -> child row indices (null parents join nothing)
+        val byParent = new java.util.HashMap[String, java.util.ArrayList[Int]]()
+        var i = 0
+        while (i < rows.length) {
+          val p = rows(i)._3
+          if (p != null) {
+            var l = byParent.get(p)
+            if (l == null) { l = new java.util.ArrayList[Int](4); byParent.put(p, l) }
+            l.add(i): Unit
+          }
+          i += 1
+        }
+        // frontier of (row idx, root-to-row duration sum); a null
+        // duration nulls the whole path, exactly as `path + dur` does
+        var frontier = new scala.collection.mutable.ArrayBuffer[(Int, java.lang.Long)]()
+        i = 0
+        while (i < rows.length) {
+          if (rows(i)._3 == "")
+            frontier += ((i, rows(i)._4.map(java.lang.Long.valueOf).orNull))
+          i += 1
+        }
+        var depth = 1
+        var n = 0L
+        var maxDepth = 0
+        var best: java.lang.Long = null
+        while (frontier.nonEmpty) {
+          if (depth > maxLevels)
+            throw new IllegalStateException(
+              s"span tree deeper than $maxLevels levels — parent-link cycle?")
+          maxDepth = depth
+          val next = new scala.collection.mutable.ArrayBuffer[(Int, java.lang.Long)]()
+          frontier.foreach { case (ri, path) =>
+            n += 1
+            if (path != null && (best == null || path.longValue > best.longValue))
+              best = path
+            val kids = byParent.get(rows(ri)._2)
+            if (kids != null) {
+              var k = 0
+              while (k < kids.size) {
+                val ci = kids.get(k)
+                val d = rows(ci)._4
+                val np: java.lang.Long =
+                  if (path == null || d.isEmpty) null
+                  else java.lang.Long.valueOf(path.longValue + d.get)
+                next += ((ci, np))
+                k += 1
+              }
+            }
+          }
+          frontier = next
+          depth += 1
+        }
+        if (n == 0) Iterator.empty
+        else Iterator((tid, maxDepth, n, Option(best).map(_.longValue)))
+      }
+      .toDF("trace_id", "max_depth", "n_spans", "critical_path_ns")
+      .orderBy(col("trace_id"))
+  }
+
+  /** Spans per trace above which [[spanDepthsAuto]] keeps the
+    * level-synchronous BFS instead of materializing a trace in one
+    * task: 2 M rows ≈ a few hundred MB boxed — inside a normal
+    * executor's task budget, far beyond any real trace. */
+  private val GroupedTraceSpanLimit = 2000000L
+
+  /** U5 dispatcher: grouped single-shuffle walk when every trace fits
+    * a task ([[spanDepthsGrouped]]), level-synchronous BFS otherwise
+    * ([[spanDepths]]). The probe is one partial-agg count shuffle over
+    * trace ids — cheap at any scale relative to either plan. */
+  def spanDepthsAuto(maxLevels: Int = 64): DataFrame = {
+    val widest = spans.groupBy(col("trace_id")).count()
+      .agg(max(col("count"))).collect()(0)
+    if (!widest.isNullAt(0) && widest.getLong(0) > GroupedTraceSpanLimit)
+      spanDepths(maxLevels)
+    else spanDepthsGrouped(maxLevels)
+  }
+
   /** U2: error flag + exception details per span
     * (TraceDetails.tsx:111-124). */
   def errorSpans(): DataFrame = {

@@ -3,6 +3,7 @@ package graft
 import graft.operators.{EventOps, GraphOps, SeriesOps, SessionOps, SpanNativeOps}
 import graft.nlp.{MixOps, TextOps}
 import graft.spans.TraceService
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 
 /** The second round-4 extension block: t21 spike detection, v26
@@ -392,6 +393,70 @@ class AnalyticsOpsSpec extends SparkSpec {
       .toDF("trace_id", "span_id", "parent_span_id", "duration_ns")
     val r = new TraceService(chain).spanDepths(maxLevels = 3).collect()
     assert(r.head.getAs[Int]("max_depth") === 3)
+  }
+
+  test("u5 grouped walk ≡ BFS: fixture tree, orphans, duplicate ids, " +
+    "null durations, cycle ceiling, auto dispatch") {
+    def cmp(svc: TraceService): Unit = {
+      val a = svc.spanDepths().collect().map(_.toSeq).toSeq
+      val b = svc.spanDepthsGrouped().collect().map(_.toSeq).toSeq
+      assert(a === b)
+    }
+    // the real u5 construction: the synthesized heap tree at sf0.001
+    cmp(new TraceService(
+      graft.operators.SpanNativeOps.eventsAsTreeSpans(spark, sf0001)))
+    // orphans + a second trace
+    cmp(new TraceService(Seq(
+      ("t1", "root", "", 10L), ("t1", "a", "root", 5L),
+      ("t1", "b", "root", 20L), ("t1", "c", "a", 100L),
+      ("t1", "orphan", "ghost", 999L), ("t2", "solo", "", 7L))
+      .toDF("trace_id", "span_id", "parent_span_id", "duration_ns")))
+    // DUPLICATE span id off the root: the BFS join reaches the shared
+    // child once per duplicate parent row, with two path sums — the
+    // grouped walk must replay that multiplicity (n_spans counts both)
+    cmp(new TraceService(Seq(
+      ("t1", "root", "", 1L), ("t1", "dup", "root", 2L),
+      ("t1", "dup", "root", 30L), ("t1", "leaf", "dup", 400L))
+      .toDF("trace_id", "span_id", "parent_span_id", "duration_ns")))
+    // null durations null the path sum downstream of them, max skips
+    // nulls — both engines
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("trace_id",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("span_id",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("parent_span_id",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("duration_ns",
+        org.apache.spark.sql.types.LongType)))
+    val withNulls = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row("t1", "root", "", null), Row("t1", "a", "root", 5L),
+        Row("t2", "r2", "", 3L), Row("t2", "x", "r2", null),
+        Row("t2", "y", "x", 8L)),
+      schema)
+    cmp(new TraceService(withNulls))
+    // reachable cycle raises the same ceiling error; unreachable
+    // cycles and rootless traces stay silent/empty
+    intercept[org.apache.spark.SparkException] {
+      new TraceService(
+        Seq(("t1", "root", "", 1L), ("t1", "a", "root", 1L),
+          ("t1", "root", "a", 1L))
+          .toDF("trace_id", "span_id", "parent_span_id", "duration_ns"))
+        .spanDepthsGrouped(maxLevels = 4).collect()
+    }
+    assert(new TraceService(
+      Seq(("t1", "loop", "root", 1L), ("t1", "root", "loop", 1L))
+        .toDF("trace_id", "span_id", "parent_span_id", "duration_ns"))
+      .spanDepthsGrouped().collect().isEmpty)
+    // auto dispatch picks the grouped plan (no Join at trace width 1)
+    val auto = new TraceService(Seq(("t1", "r", "", 1L))
+      .toDF("trace_id", "span_id", "parent_span_id", "duration_ns"))
+      .spanDepthsAuto()
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    assert(auto.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.optimizedPlan.collect { case j: Join => j }.isEmpty)
+    assert(auto.collect().head.getAs[Int]("max_depth") === 1)
   }
 
   test("v42 vocabulary growth recomputes from raw docs and the " +
