@@ -38,7 +38,20 @@ object GraftSession {
     "spark.sql.session.timeZone" -> "UTC",
     "spark.sql.adaptive.enabled" -> "true",
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
-    "spark.sql.extensions" -> "graft.GraftExtensions")
+    "spark.sql.extensions" -> "graft.GraftExtensions") ++
+    // Shuffle/broadcast/block-manager scratch on tmpfs when the host
+    // offers one (the streaming drives' shmCheckpointRoot discipline,
+    // applied to batch): java.io.tmpdir here is disk-backed ext4, so
+    // every shuffle map output paid file-system journaling that a
+    // local-mode run never needs durable. Spark creates and removes
+    // its own blockmgr-*/spark-* subdirs; the pid suffix keeps
+    // concurrent graft processes (driver + builder) apart. Cluster
+    // deployments set their own spark.local.dir — this only fills the
+    // local-mode default.
+    (if (new java.io.File("/dev/shm").canWrite)
+      Map("spark.local.dir" -> graft.util.TempArtifacts.register(
+        s"/dev/shm/graft_local_${ProcessHandle.current().pid()}"))
+    else Map.empty[String, String])
 
   /** Query timeout — the analog of the reference's ClickHouse
     * `max_execution_time: 60` ceiling (db/clickhouse.go:20-22): run the
