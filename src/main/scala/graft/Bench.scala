@@ -129,47 +129,84 @@ object Bench {
     val midCalib = scala.collection.mutable.ArrayBuffer[Double]()
     val sampleLog =
       scala.collection.mutable.ArrayBuffer[(String, Double, Double)]()
-    val results = selected.toSeq.zipWithIndex.map {
-      case ((name, fn), idx) =>
+    def once(fn: (SparkSession, String) =>
+        org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      val ok = try { fn(spark, sfDir).count(); true }
+        catch { case _: Throwable => false }
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      if (ok) dt else -1.0
+    }
+    val sel = selected.toSeq
+    val firstPass = sel.zipWithIndex.map { case ((name, fn), idx) =>
       if (idx > 0 && idx % CanaryEvery == 0) midCalib += calibOnce()
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true }
-          catch { case _: Throwable => false }
-        val dt = (System.nanoTime() - t0) / 1e9
-        spark.catalog.clearCache()
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
-        if (ok) dt else -1.0
-      }
-      val (a, b) = (once(), once())
+      val (a, b) = (once(fn), once(fn))
       sampleLog += ((name, a, b))
       // an erroring entry must read as broken, not fast: -1 unless
       // BOTH runs succeed (a flaky single failure is itself a signal)
       name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
+    val calibEnd = calibrate()
+    // END-OF-SUITE RETRY for contention-window entries (the first two
+    // round-11 close runs showed why min-of-2 alone is not enough:
+    // BOTH of v42's samples landed inside one hypervisor-contention
+    // window and agreed at 8-10 s against a 0.4 s true cost — split
+    // detection can't see a window that swallows both samples, but the
+    // CANARY bracketing those entries read 14x nominal). Every entry
+    // whose bracketing canary samples read >1.5x nominal — plus every
+    // noise_split entry — gets ONE more sample here, minutes later,
+    // almost certainly outside the window; `queries` takes the min of
+    // all samples (a contended retry can never make an entry worse).
+    val series0 = (calibStart +: midCalib :+ calibEnd).toIndexedSeq
+    def contendedWindow(idx: Int): Boolean = {
+      val lo = math.min(idx / CanaryEvery, series0.length - 1)
+      val hi = math.min(lo + 1, series0.length - 1)
+      math.max(series0(lo), series0(hi)) > 1.5 * NominalCalibSec
+    }
+    val noiseSplit0 = sampleLog.collect { case (k, a, b)
+      if a > 0 && b > 0 && math.max(a, b) > 2 * math.min(a, b) &&
+        math.max(a, b) - math.min(a, b) > 0.3 => k }.toSet
+    val retrySample = scala.collection.mutable.Map[String, Double]()
+    sel.zipWithIndex.foreach { case ((name, fn), idx) =>
+      if (firstPass(idx)._2 >= 0 &&
+          (contendedWindow(idx) || noiseSplit0.contains(name))) {
+        val c = once(fn)
+        if (c >= 0) retrySample(name) = c
+      }
+    }
+    val results = firstPass.map { case (name, v) =>
+      name -> (retrySample.get(name) match {
+        case Some(c) if v >= 0 => math.min(v, c)
+        case _ => v
+      })
+    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val calibEnd = calibrate()
     val hostNoise = math.max(calibStart, calibEnd) / NominalCalibSec
     def r3(x: Double): Double = math.round(x * 1000.0) / 1000.0
-    // Both min-of-2 samples per entry (BENCH_FULL only — the stdout /
-    // short lines keep the driver's one-number-per-entry contract).
-    // How to read: `queries` holds min(a,b); `samples` holds [a,b];
-    // an entry in `noise_split` had its two same-code samples disagree
-    // >2x and >0.3s — its min is trustworthy, its max was a noise hit.
+    // All samples per entry (BENCH_FULL only — the stdout / short
+    // lines keep the driver's one-number-per-entry contract).
+    // How to read: `queries` holds the min over samples; `samples`
+    // holds [a,b] (+ the end-of-suite retry as a third element for
+    // entries in `retried`); an entry in `noise_split` had its two
+    // same-code samples disagree >2x and >0.3s — its min is
+    // trustworthy, its max was a noise hit; `retried` entries sat in a
+    // canary-flagged contention window (or split) and carry one extra
+    // sample taken after the suite finished.
     val samplesJson = sampleLog.map { case (k, a, b) =>
-      s"\"" + k + s"\":[${r3(a)},${r3(b)}]" }.mkString("{", ",", "}")
-    val noiseSplit = sampleLog.collect { case (k, a, b)
-      if a > 0 && b > 0 && math.max(a, b) > 2 * math.min(a, b) &&
-        math.max(a, b) - math.min(a, b) > 0.3 => k }
+      val extra = retrySample.get(k).map(c => s",${r3(c)}").getOrElse("")
+      s"\"" + k + s"\":[${r3(a)},${r3(b)}$extra]" }.mkString("{", ",", "}")
     val noiseSplitJson =
-      noiseSplit.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val calibSeries = (calibStart +: midCalib :+ calibEnd)
-      .map(r3).mkString("[", ",", "]")
+      noiseSplit0.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val retriedJson = retrySample.keys.toSeq.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val calibSeries = series0.map(r3).mkString("[", ",", "]")
     val noiseFields =
-      s""""calib_start_sec":${r3(calibStart)},"calib_end_sec":${r3(calibEnd)},"host_noise_factor":${r3(hostNoise)},"calib_series":$calibSeries,"noise_split":$noiseSplitJson"""
+      s""""calib_start_sec":${r3(calibStart)},"calib_end_sec":${r3(calibEnd)},"host_noise_factor":${r3(hostNoise)},"calib_series":$calibSeries,"noise_split":$noiseSplitJson,"retried":$retriedJson"""
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec",$noiseFields,"queries":$qs,"samples":$samplesJson,"sf":"$sfDir"}"""
     // The driver's stdout capture has head-truncated the single long
