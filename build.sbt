@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The forked run JVM inherits sbt's own stdout/stderr instead of being
+// re-logged line-by-line with an "[info] " prefix. Five rounds of the
+// driver's BENCH artifact read `"parsed": null` because every stdout
+// line from `runMain graft.Bench` arrived sbt-decorated — a parser
+// anchored at line start (`^{"metric"`) can never match a decorated
+// line. With StdoutOutput the bench JSON lands at column 0.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -160,6 +160,103 @@ object FusionOps extends QueryModule {
     sel.orderBy(col("step"))
   }
 
+  /** [[mmrDiversify]]'s greedy selection in ONE job — the u5
+    * grouped-walk convention applied to the MMR unroll. The unrolled
+    * form is correct dataflow but pays k−1 job round-trips (join +
+    * argmax + union each) over a ≤[[Pool]]-row pool: pure scheduler
+    * overhead at ANY scale, because the pool is query-bounded by
+    * construction (top-[[Pool]] of one query — the nprobe-id-list
+    * boundedness class, not a corpus-sized frame). Here the bounded
+    * pool (≤Pool rel rows + <Pool² sim rows) shuffles to one task and
+    * the greedy walk runs in-group, mirroring the unroll EXACTLY: the
+    * same λ·rel − (1−λ)·max-sim doubles in the same evaluation order,
+    * candidates require a sim edge to the selected set (the unroll's
+    * inner join against `marg`), argmax ties break toward the smaller
+    * vec_id, picks append with their step index. Corpus-side work —
+    * the top-Pool scan and the pair-sims join — stays distributed and
+    * identical; only the O(k·Pool) selection moves in-group.
+    * FusionProbeSpec pins grouped ≡ unrolled bit-for-bit at two SFs;
+    * the registered v60 entry keeps the identical DuckDB unroll
+    * oracle. */
+  def mmrDiversifyGrouped(spark: SparkSession, dir: String,
+      k: Int = 5): DataFrame = {
+    import spark.implicits._
+    val rel = SimilarityOps.cosineTopK(spark, dir, k = Pool)
+      .withColumnRenamed("cos", "rel").localCheckpoint()
+    val e = SimilarityOps.withNorm(Tables.embeddings(spark, dir))
+    val pool = rel.join(e, Seq("vec_id"))
+    val sims = pool.select(col("vec_id").as("i"), col("v").as("vi"),
+        col("nrm").as("ni"))
+      .join(broadcast(pool.select(col("vec_id").as("j"),
+        col("v").as("vj"), col("nrm").as("nj"))), col("i") =!= col("j"))
+      .select(col("i"), col("j"), round(SimilarityOps.dot(col("vi"),
+        col("vj")) / (col("ni") * col("nj")), 6).as("sim"))
+    val tagged = rel.select(lit("r").as("t"),
+        col("vec_id").cast("long").as("i"), lit(-1L).as("j"),
+        col("rel").as("x"))
+      .unionByName(sims.select(lit("s").as("t"), col("i").cast("long"),
+        col("j").cast("long"), col("sim").as("x")))
+    tagged.as[(String, Long, Long, Double)]
+      .groupByKey(_ => 0)
+      .flatMapGroups { (_, it) =>
+        val relA = new scala.collection.mutable.ArrayBuffer[(Long, Double)]()
+        val simM = new java.util.HashMap[Long, java.util.HashMap[Long, java.lang.Double]]()
+        it.foreach {
+          case ("r", i, _, x) => relA += ((i, x))
+          case (_, i, j, x) =>
+            var m = simM.get(i)
+            if (m == null) { m = new java.util.HashMap(); simM.put(i, m) }
+            m.put(j, x): Unit
+        }
+        val out = new scala.collection.mutable.ArrayBuffer[(Long, Int, Double, Double)]()
+        if (relA.nonEmpty) {
+          // s1: argmax rel, ties toward the smaller vec_id — the
+          // unroll's orderBy(rel desc, vec_id).limit(1)
+          var first = relA.head
+          relA.foreach { c =>
+            if (c._2 > first._2 || (c._2 == first._2 && c._1 < first._1))
+              first = c
+          }
+          val selected = new scala.collection.mutable.ArrayBuffer[Long]()
+          val selSet = new java.util.HashSet[Long]()
+          selected += first._1; selSet.add(first._1): Unit
+          out += ((first._1, 1, first._2, Lambda * first._2))
+          var step = 2
+          while (step <= k) {
+            // (vec, rel, mmr); null = no candidate this step (the
+            // unroll's empty `pick` frame)
+            var bv = -1L; var br = 0.0; var bm = 0.0; var any = false
+            relA.foreach { case (i, r) =>
+              if (!selSet.contains(i)) {
+                val edges = simM.get(i)
+                var ms = 0.0; var has = false
+                if (edges != null) selected.foreach { j =>
+                  val s = edges.get(j)
+                  if (s != null && (!has || s.doubleValue > ms)) {
+                    ms = s.doubleValue; has = true
+                  }
+                }
+                if (has) {
+                  val m = Lambda * r - (1 - Lambda) * ms
+                  if (!any || m > bm || (m == bm && i < bv)) {
+                    bv = i; br = r; bm = m; any = true
+                  }
+                }
+              }
+            }
+            if (any) {
+              selected += bv; selSet.add(bv): Unit
+              out += ((bv, step, br, bm))
+            }
+            step += 1
+          }
+        }
+        out.iterator
+      }
+      .toDF("vec_id", "step", "rel", "mmr")
+      .orderBy(col("step"))
+  }
+
   private def mmrSql(k: Int = 5): String = {
     val steps = (2 to k).map { n =>
       val selected = (1 until n).map(i => s"SELECT vec_id FROM s$i")
@@ -313,9 +410,11 @@ object FusionOps extends QueryModule {
         "stored-index plans",
       (s, d) => hybridRrf(s, d), Some(hybridRrfSql)),
     GraftQuery("v60_mmr_diversify",
-      "V60 MMR diversification of the dense top-20: greedy " +
-        "lambda*rel - (1-lambda)*max-sim selection UNROLLED as " +
-        "bounded dataflow steps (no driver loop); DuckDB replays the " +
-        "identical unroll so every pick and marginal score hash-match",
-      (s, d) => mmrDiversify(s, d), Some(mmrSql())))
+      "V60 MMR diversification of the dense top-20: distributed " +
+        "top-pool + pair-sims, then the greedy lambda*rel - " +
+        "(1-lambda)*max-sim selection as ONE in-group walk over the " +
+        "query-bounded pool (pinned bit-identical to the k-step " +
+        "dataflow unroll); DuckDB replays the unroll so every pick " +
+        "and marginal score hash-match",
+      (s, d) => mmrDiversifyGrouped(s, d), Some(mmrSql())))
 }

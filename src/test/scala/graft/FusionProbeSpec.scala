@@ -52,6 +52,19 @@ class FusionProbeSpec extends SparkSpec {
     mmrs.sliding(2).foreach { case Array(a, b) => assert(a >= b) }
   }
 
+  test("v60 grouped walk is bit-identical to the dataflow unroll at " +
+    "two SFs (schema, every pick, every marginal score)") {
+    Seq("/root/testdata/sf0.001", sf001).foreach { d =>
+      val unrolled = graft.sim.FusionOps.mmrDiversify(spark, d)
+      val grouped = graft.sim.FusionOps.mmrDiversifyGrouped(spark, d)
+      assert(grouped.schema.map(f => (f.name, f.dataType)) ===
+        unrolled.schema.map(f => (f.name, f.dataType)), s"schema @ $d")
+      val u = unrolled.collect().map(_.toSeq)
+      val g = grouped.collect().map(_.toSeq)
+      assert(g.toSeq === u.toSeq, s"rows @ $d")
+    }
+  }
+
   test("v60 diversifies: the MMR list's mean in-pool pairwise cosine " +
     "is below the plain top-5's") {
     import graft.sim.SimilarityOps
