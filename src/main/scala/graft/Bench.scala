@@ -161,10 +161,21 @@ object Bench {
     // almost certainly outside the window; `queries` takes the min of
     // all samples (a contended retry can never make an entry worse).
     val series0 = (calibStart +: midCalib :+ calibEnd).toIndexedSeq
+    // The contention threshold adapts to the RUN's own quiet floor
+    // (round-11 field observation: this host's min-of-3 calibration
+    // moved from the 0.11-0.16 s band the 0.13 nominal was pinned from
+    // to 0.062-0.074 s — against the stale pin a normal sample read
+    // >1.5x and the retry pass re-timed all 263 entries even in mild
+    // noise). min(series) is the best available estimate of what the
+    // calibration job costs on THIS host when quiet; the pinned
+    // nominal stays as a floor-of-the-floor so one glitch-fast sample
+    // cannot mark a genuinely contended run clean, and host_noise_
+    // factor keeps the pinned nominal for round-over-round comparison.
+    val calibFloor = math.max(series0.min, NominalCalibSec * 0.5)
     def contendedWindow(idx: Int): Boolean = {
       val lo = math.min(idx / CanaryEvery, series0.length - 1)
       val hi = math.min(lo + 1, series0.length - 1)
-      math.max(series0(lo), series0(hi)) > 1.5 * NominalCalibSec
+      math.max(series0(lo), series0(hi)) > 1.5 * calibFloor
     }
     val noiseSplit0 = sampleLog.collect { case (k, a, b)
       if a > 0 && b > 0 && math.max(a, b) > 2 * math.min(a, b) &&
