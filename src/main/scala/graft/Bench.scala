@@ -119,12 +119,18 @@ object Bench {
     // Interleaved contention canary (round-10 verdict "What's wrong"
     // #1: the start/end calibration pair read 1.007 on a run whose
     // MID-RUN entries blew up 10x — endpoint probes are necessary but
-    // not sufficient). A single calibration sample is re-timed every
+    // not sufficient). The calibration job is re-timed every
     // CanaryEvery entries and the whole series is embedded in both
     // artifacts as `calib_series`; a mid-run contention window now
     // shows up as a spike at the canary index even when the endpoints
-    // read clean. One sample, not min-of-3: the canary IS the noise
-    // probe, smoothing it would hide exactly what it exists to catch.
+    // read clean. Min-of-TWO back-to-back samples, not one and not
+    // min-of-3: three same-code close runs showed a single sample is
+    // systematically 2-5x elevated by the just-finished entry's GC/
+    // cleaner churn (the canary fires right after the between-entry
+    // hygiene) — chronic false "contended" labels that re-timed all
+    // 263 entries every run — while a real external window (the 14x
+    // spike the canary caught in this round's first close runs)
+    // inflates both samples; min-of-3 would over-smooth short windows.
     val CanaryEvery = 50
     val midCalib = scala.collection.mutable.ArrayBuffer[Double]()
     val sampleLog =
@@ -142,7 +148,8 @@ object Bench {
     }
     val sel = selected.toSeq
     val firstPass = sel.zipWithIndex.map { case ((name, fn), idx) =>
-      if (idx > 0 && idx % CanaryEvery == 0) midCalib += calibOnce()
+      if (idx > 0 && idx % CanaryEvery == 0)
+        midCalib += math.min(calibOnce(), calibOnce())
       val (a, b) = (once(fn), once(fn))
       sampleLog += ((name, a, b))
       // an erroring entry must read as broken, not fast: -1 unless
@@ -180,10 +187,35 @@ object Bench {
     val noiseSplit0 = sampleLog.collect { case (k, a, b)
       if a > 0 && b > 0 && math.max(a, b) > 2 * math.min(a, b) &&
         math.max(a, b) - math.min(a, b) > 0.3 => k }.toSet
+    // Per-entry known-cost baseline (BENCH_BASELINE.json: flat
+    // {"name":sec}, the per-entry MIN across prior same-code close
+    // runs, refreshed each round). Catches the one class the canary
+    // and the split detector both miss: a disturbance LOCAL to one
+    // entry (a long GC pause, a page-cache eviction) that swallows
+    // both samples while the bracketing canaries read clean — v68b
+    // read 5.39 s on both samples against a 0.45 s known cost in a
+    // run whose canary series was spotless. An entry whose best
+    // sample exceeds 3x baseline + 0.3 s gets the same end-of-suite
+    // retry; min-of-all-samples means a retry can never worsen it,
+    // and a GENUINE regression reproduces in the retry and stays.
+    // Failure-open: no file / unparseable / missing entry = no flag.
+    val baseline: Map[String, Double] = (try {
+      val p = java.nio.file.Paths.get(sys.env.getOrElse(
+        "SPARK_GRAFT_BENCH_BASELINE", "/root/repo/BENCH_BASELINE.json"))
+      if (java.nio.file.Files.exists(p)) {
+        val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        "\"([^\"]+)\"\\s*:\\s*([0-9.eE+-]+)".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } else Map.empty[String, Double]
+    } catch { case _: Throwable => Map.empty[String, Double] })
+    val overBaseline0 = firstPass.collect { case (name, v)
+      if v >= 0 && baseline.get(name).exists(b => v > 3 * b + 0.3) =>
+        name }.toSet
     val retrySample = scala.collection.mutable.Map[String, Double]()
     sel.zipWithIndex.foreach { case ((name, fn), idx) =>
       if (firstPass(idx)._2 >= 0 &&
-          (contendedWindow(idx) || noiseSplit0.contains(name))) {
+          (contendedWindow(idx) || noiseSplit0.contains(name) ||
+            overBaseline0.contains(name))) {
         val c = once(fn)
         if (c >= 0) retrySample(name) = c
       }
@@ -215,9 +247,11 @@ object Bench {
       noiseSplit0.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val retriedJson = retrySample.keys.toSeq.sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val overBaselineJson = overBaseline0.toSeq.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val calibSeries = series0.map(r3).mkString("[", ",", "]")
     val noiseFields =
-      s""""calib_start_sec":${r3(calibStart)},"calib_end_sec":${r3(calibEnd)},"host_noise_factor":${r3(hostNoise)},"calib_series":$calibSeries,"noise_split":$noiseSplitJson,"retried":$retriedJson"""
+      s""""calib_start_sec":${r3(calibStart)},"calib_end_sec":${r3(calibEnd)},"host_noise_factor":${r3(hostNoise)},"calib_series":$calibSeries,"noise_split":$noiseSplitJson,"over_baseline":$overBaselineJson,"retried":$retriedJson"""
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec",$noiseFields,"queries":$qs,"samples":$samplesJson,"sf":"$sfDir"}"""
     // The driver's stdout capture has head-truncated the single long
