@@ -178,7 +178,14 @@ object Bench {
     // nominal stays as a floor-of-the-floor so one glitch-fast sample
     // cannot mark a genuinely contended run clean, and host_noise_
     // factor keeps the pinned nominal for round-over-round comparison.
-    val calibFloor = math.max(series0.min, NominalCalibSec * 0.5)
+    // Capped above as well as below: under sustained whole-run
+    // contention series0.min is itself inflated, and an uncapped floor
+    // would raise canaryThreshold with the contention — flagging
+    // nothing exactly when the run is uniformly slow. 2x nominal keeps
+    // the threshold anchored to the idle-host pin in that regime
+    // (host_noise_factor + over_baseline still label the run).
+    val calibFloor = math.min(
+      math.max(series0.min, NominalCalibSec * 0.5), NominalCalibSec * 2.0)
     // Threshold: the QUIET band itself spans ~2.5x on this host (a
     // clean run read series 0.063-0.16 — noise factor 1.01 — and
     // 1.5x-the-min flagged every window, re-timing all 264 entries for
@@ -212,12 +219,23 @@ object Bench {
         "SPARK_GRAFT_BENCH_BASELINE", "/root/repo/BENCH_BASELINE.json"))
       if (java.nio.file.Files.exists(p)) {
         val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        // Per-token Try: one malformed numeric must skip that entry,
+        // not silently discard the whole baseline map (which would
+        // disable the over-baseline trigger for every entry).
         "\"([^\"]+)\"\\s*:\\s*([0-9.eE+-]+)".r.findAllMatchIn(txt)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          .flatMap(m => scala.util.Try(m.group(2).toDouble).toOption
+            .map(m.group(1) -> _)).toMap
       } else Map.empty[String, Double]
     } catch { case _: Throwable => Map.empty[String, Double] })
+    // Trigger: max(2x base + 0.15, 3x base). The old 3x+0.3 form's
+    // absolute term exempted exactly the entries whose known cost is
+    // small (median registry cost 0.35 s): t10 read 4.9x its 0.146 s
+    // floor in the r11 driver run without tripping (0.72 observed vs
+    // the 0.74 threshold). The +0.15 floor still absorbs per-entry
+    // jitter on sub-0.1 s entries without re-timing the whole tail.
     val overBaseline0 = firstPass.collect { case (name, v)
-      if v >= 0 && baseline.get(name).exists(b => v > 3 * b + 0.3) =>
+      if v >= 0 && baseline.get(name)
+        .exists(b => v > math.max(2 * b + 0.15, 3 * b)) =>
         name }.toSet
     val retrySample = scala.collection.mutable.Map[String, Double]()
     sel.zipWithIndex.foreach { case ((name, fn), idx) =>
@@ -281,6 +299,27 @@ object Bench {
     // full map is durable in BENCH_FULL.json below; a sum-all-totals
     // parser would triple count, which no known consumer does.
     println(shortLine)
+    // Round-11 post-mortem: even the "short" line blew past the
+    // driver's 2000-char tail window, because noise_split /
+    // over_baseline / retried each embed up to ~55 query NAMES (the
+    // r11 tail began mid-array — no `{"metric"` survived, "parsed":
+    // null for the 6th round). The VERY LAST stdout line must have a
+    // BOUNDED size: same metric/value/unit/sf contract, noise arrays
+    // replaced by counts, plus a fixed ~12-entry headline-query map so
+    // a queries-expecting parser still gets a non-empty map. Full
+    // fidelity lives in the long line above + BENCH_FULL.json.
+    val headlineNames = Seq(
+      "a5_scan_count", "t04_endpoint_latencies", "t05_service_dependencies",
+      "t10_trace_counts", "u5_critical_path", "v1_dedup_exact",
+      "v3a_cosine_topk", "v16_decontamination", "v29_pagerank",
+      "v66_curation_dag", "st1_streaming_counts", "v7_multimodal_features")
+    val resultMap = results.toMap
+    val headlineJson = headlineNames
+      .flatMap(n => resultMap.get(n).map(v => s"\"" + n + s"\":${r3(v)}"))
+      .mkString("{", ",", "}")
+    val tailLine =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","calib_start_sec":${r3(calibStart)},"calib_end_sec":${r3(calibEnd)},"host_noise_factor":${r3(hostNoise)},"calib_series":$calibSeries,"noise_split_n":${noiseSplit0.size},"over_baseline_n":${overBaseline0.size},"retried_n":${retrySample.size},"queries_n":${results.size},"queries":$headlineJson,"sf":"$sfDir"}"""
+    println(tailLine)
     System.out.flush()
     // The driver's BENCH artifact head-truncates long stdout captures
     // (round 4 kept only 60 of 154 per-query times), so also write the

@@ -57,6 +57,13 @@ object ScaleBench {
       // slice) while the corpus scales — the linear-scan claim proper
       ("v16[fixed benchmark]", (s: SparkSession, d: String, _: Int) =>
         graft.dedup.DedupOps.decontaminateAgainst(s, d, base).count()),
+      // the DRIVER-GRADED fixed-benchmark twins (round 12): same
+      // deployment shape as the row above, but via the registry
+      // entries the driver actually hashes — the slice is bounded
+      // in-table (id%97==0 AND id<500, constant under blow-up)
+      ("v16c_decontamination_fixedbench",
+        (s: SparkSession, d: String, _: Int) =>
+          reg("v16c_decontamination_fixedbench")(s, d).count()),
       ("v67_span_scrub", (s: SparkSession, d: String, _: Int) =>
         reg("v67_span_scrub")(s, d).count()),
       ("v50_semantic_prune", (s: SparkSession, d: String, _: Int) =>
@@ -65,6 +72,9 @@ object ScaleBench {
         reg("v19_bm25_search")(s, d).count()),
       ("v66_curation_dag", (s: SparkSession, d: String, _: Int) =>
         reg("v66_curation_dag")(s, d).count()),
+      ("v66b_curation_dag_fixedbench",
+        (s: SparkSession, d: String, _: Int) =>
+          reg("v66b_curation_dag_fixedbench")(s, d).count()),
       ("v6_sessionization", (s: SparkSession, d: String, _: Int) =>
         reg("v6_sessionization")(s, d).count()),
       ("v2d2[fixed nlist=16]", (s: SparkSession, d: String, _: Int) =>

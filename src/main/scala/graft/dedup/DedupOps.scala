@@ -195,6 +195,15 @@ object DedupOps extends QueryModule
         "overlaps the pooled benchmark (doc_id%97) shingles >= 0.05 " +
         "containment — broadcast semi-join, linear in corpus size",
       (s, d) => decontaminate(s, d), Some(decontaminateSql)),
+    GraftQuery("v16c_decontamination_fixedbench",
+      "V16c deployment-shape decontamination: the v16 plan with the " +
+        "benchmark slice held at a FIXED size (doc_id%97==0 AND " +
+        "doc_id<500 — six ids at every SF, constant under corpus " +
+        "blow-up), the st21c convention applied to decontam; grades " +
+        "the configuration whose x100 ScaleBench row is <= linear " +
+        "instead of the co-growing %97 fixture",
+      (s, d) => decontaminateFixedBench(s, d),
+      Some(decontaminateFixedSql)),
     GraftQuery("v16b_semantic_decontamination",
       "V16b semantic decontamination: corpus vectors with cosine >= " +
         "0.3 to any benchmark embedding (vec_id%97 slice) — benchmark " +

@@ -20,6 +20,16 @@ private[dedup] trait DedupPairing { self: DedupOps.type =>
     * composes). */
   private[graft] val ContamTau = 0.05
 
+  /** Ceiling for the FIXED benchmark slice (v16c/v66b): benchmark =
+    * `id % 97 == 0 AND id < 500` — six ids {0,97,194,291,388,485},
+    * present at every driver SF and CONSTANT under any corpus
+    * blow-up. The registry v16/v16b/v66 keep the unbounded `% 97`
+    * slice (the fixture that co-grows with the corpus and reads
+    * super-linear at ×100 — SCALING.md); these `*_fixedbench` twins
+    * grade the DEPLOYMENT shape, where the benchmark is an external
+    * fixed-size eval set (the st21c convention applied to decontam). */
+  private[graft] val FixedBenchCeil = 500L
+
   /** Distinct 3-word shingle strings of `text` — the fused single-pass
     * expression; string output keeps the DuckDB oracle's shingle
     * semantics byte-for-byte. */

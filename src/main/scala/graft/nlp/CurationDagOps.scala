@@ -60,9 +60,15 @@ object CurationDagOps extends QueryModule {
     * (composition must not rescan a stage's table) and the entry
     * plan's zero raw-table scans. */
   private[graft] def verdictLedger(spark: SparkSession,
-      dir: String): DataFrame = {
+      dir: String, fixedBench: Boolean = false): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), col("text"))
+    // v66b (fixedBench): every benchmark-slice use — the lexical
+    // shingle pool, the semantic bench bundle, and the membership
+    // gate — bounded by DedupOps.FixedBenchCeil, so the benchmark is
+    // a CONSTANT-size external set under corpus blow-up (the st21c
+    // deployment-shape convention; registry v66 keeps the co-growing
+    // %97 fixture for continuity with rounds 1-11)
 
     // stage 1 — v13's gates, one chain: dedup window + fused scoring
     val nonNull = docs.filter(col("text").isNotNull)
@@ -78,9 +84,13 @@ object CurationDagOps extends QueryModule {
         lit(true).as("g"))
 
     // stage 2 — decontamination flags, each operator's own plan
-    val lexFlag = DedupOps.decontaminate(spark, dir)
+    val lexFlag = (if (fixedBench)
+        DedupOps.decontaminateFixedBench(spark, dir)
+      else DedupOps.decontaminate(spark, dir))
       .select(col("doc_id"), lit(true).as("lex_c"))
-    val semFlag = DedupOps.semanticDecontaminate(spark, dir)
+    val semFlag = (if (fixedBench)
+        DedupOps.semanticDecontaminateFixedBench(spark, dir)
+      else DedupOps.semanticDecontaminate(spark, dir))
       .select(col("vec_id").as("doc_id"), lit(true).as("sem_c"))
 
     // stage 3 — v50 SemDeDup verdicts (corpus-wide keep-first)
@@ -98,7 +108,10 @@ object CurationDagOps extends QueryModule {
       .join(pruneFlag, Seq("doc_id"), "left")
       .withColumn("stage",
         when(col("g").isNull, 0)
-          .when(pmod(col("doc_id"), lit(97)) === 0 ||
+          .when((if (fixedBench)
+              pmod(col("doc_id"), lit(97)) === 0 &&
+                col("doc_id") < DedupOps.FixedBenchCeil
+            else pmod(col("doc_id"), lit(97)) === 0) ||
             col("lex_c").isNotNull || col("sem_c").isNotNull, 1)
           .when(col("sem_p").isNotNull, 2)
           .otherwise(3))
@@ -107,11 +120,12 @@ object CurationDagOps extends QueryModule {
       .select(col("doc_id"), col("source"), col("stage"), col("toks_k"))
   }
 
-  def curationDag(spark: SparkSession, dir: String): DataFrame = {
+  def curationDag(spark: SparkSession, dir: String,
+      fixedBench: Boolean = false): DataFrame = {
     // materialize the ledger once; like distributedComponents' final
     // labels frame, the checkpoint blocks live until the context
     // cleaner collects the frame — a narrow 4-column per-doc table
-    val verdict = verdictLedger(spark, dir).localCheckpoint()
+    val verdict = verdictLedger(spark, dir, fixedBench).localCheckpoint()
 
     // v15 packing of the survivors in ONE window pass: non-survivors
     // add 0 tokens, so the exclusive cumsum AT a kept row equals the
@@ -155,9 +169,27 @@ object CurationDagOps extends QueryModule {
       .orderBy(col("source"))
   }
 
-  private lazy val curationDagSql: String = {
+  private def curationDagSql(fixedBench: Boolean): String = {
     val w = TextOps.wordsSql
     def m(l: String) = TextOps.markerSql(l)
+    // benchmark-slice predicates — the ONLY text that differs between
+    // the v66 oracle and the v66b (fixed-benchmark) oracle
+    val benchDoc =
+      if (fixedBench)
+        s"(doc_id % 97 = 0 AND doc_id < ${DedupOps.FixedBenchCeil})"
+      else "doc_id % 97 = 0"
+    val notBenchDoc =
+      if (fixedBench) s"NOT $benchDoc" else "doc_id % 97 <> 0"
+    val benchVec =
+      if (fixedBench)
+        s"(vec_id % 97 = 0 AND vec_id < ${DedupOps.FixedBenchCeil})"
+      else "vec_id % 97 = 0"
+    val notBenchVec =
+      if (fixedBench) s"NOT $benchVec" else "vec_id % 97 <> 0"
+    val memberDoc =
+      if (fixedBench)
+        s"(d.doc_id % 97 = 0 AND d.doc_id < ${DedupOps.FixedBenchCeil})"
+      else "d.doc_id % 97 = 0"
     s"""WITH base AS (SELECT doc_id, source, text,
        |   ${OracleSql.normHashText} AS norm_hash
        |  FROM documents WHERE text IS NOT NULL),
@@ -177,9 +209,9 @@ object CurationDagOps extends QueryModule {
        | lt AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
        | ls AS (SELECT doc_id, ${DedupOps.shinglesSql} AS sh FROM lt),
        | lbench AS (SELECT DISTINCT unnest(sh) AS shingle FROM ls
-       |            WHERE doc_id % 97 = 0),
+       |            WHERE $benchDoc),
        | lc AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS shingle
-       |        FROM ls WHERE doc_id % 97 <> 0),
+       |        FROM ls WHERE $notBenchDoc),
        | lh AS (SELECT doc_id, sz, count(*) AS n_hit FROM lc
        |        WHERE shingle IN (SELECT shingle FROM lbench)
        |        GROUP BY 1, 2),
@@ -189,8 +221,8 @@ object CurationDagOps extends QueryModule {
        |   sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
        |        CAST(embedding AS DOUBLE[]))) AS nrm FROM embeddings),
        | sflag AS (SELECT c.vec_id FROM
-       |   (SELECT * FROM se WHERE vec_id % 97 <> 0) c,
-       |   (SELECT * FROM se WHERE vec_id % 97 = 0) b
+       |   (SELECT * FROM se WHERE $notBenchVec) c,
+       |   (SELECT * FROM se WHERE $benchVec) b
        |  GROUP BY 1
        |  HAVING max(round(list_dot_product(c.v, b.v)/(c.nrm*b.nrm), 6))
        |    >= 0.3),
@@ -204,7 +236,7 @@ object CurationDagOps extends QueryModule {
        |    >= 0.35),
        | v AS (SELECT d.doc_id, d.source, g.toks,
        |   CASE WHEN g.doc_id IS NULL THEN 0
-       |        WHEN d.doc_id % 97 = 0
+       |        WHEN $memberDoc
        |          OR lf.doc_id IS NOT NULL OR sf.vec_id IS NOT NULL THEN 1
        |        WHEN pf.vec_id IS NOT NULL THEN 2
        |        ELSE 3 END AS stage
@@ -249,5 +281,15 @@ object CurationDagOps extends QueryModule {
         "one entry with per-stage per-source row-count provenance " +
         "(first-failing-stage verdicts, doc-keyed flag joins, one " +
         "window pass packs the survivors)",
-      curationDag, Some(curationDagSql)))
+      (s, d) => curationDag(s, d), Some(curationDagSql(false))),
+    GraftQuery("v66b_curation_dag_fixedbench",
+      "V66b deployment-shape curation DAG: v66 with every benchmark " +
+        "slice (lexical shingle pool, semantic bench bundle, " +
+        "membership gate) held at a FIXED size (id%97==0 AND id<500) " +
+        "— the st21c convention for the composed pipeline, grading " +
+        "the configuration whose x100 cost is <= linear instead of " +
+        "the co-growing %97 fixture (registry v66: 138.7x at x100, " +
+        "entirely the fixture class — SCALING.md)",
+      (s, d) => curationDag(s, d, fixedBench = true),
+      Some(curationDagSql(true))))
 }

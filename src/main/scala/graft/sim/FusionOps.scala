@@ -177,7 +177,10 @@ object FusionOps extends QueryModule {
     * identical; only the O(k·Pool) selection moves in-group.
     * FusionProbeSpec pins grouped ≡ unrolled bit-for-bit at two SFs;
     * the registered v60 entry keeps the identical DuckDB unroll
-    * oracle. */
+    * oracle. NaN handling: the walk uses java.lang.Double.compare
+    * (NaN above every double, NaN equal to NaN) to mirror Spark's
+    * orderBy/max ordering, so a zero-norm embedding (cosine = NaN)
+    * cannot split the grouped and unrolled paths. */
   def mmrDiversifyGrouped(spark: SparkSession, dir: String,
       k: Int = 5): DataFrame = {
     import spark.implicits._
@@ -214,7 +217,11 @@ object FusionOps extends QueryModule {
           // unroll's orderBy(rel desc, vec_id).limit(1)
           var first = relA.head
           relA.foreach { c =>
-            if (c._2 > first._2 || (c._2 == first._2 && c._1 < first._1))
+            // Double.compare, not `>`: Spark's orderBy ranks NaN above
+            // every double and NaN equal to NaN — a zero-norm embedding
+            // (cosine = NaN) must break the same way in both paths.
+            val cmp = java.lang.Double.compare(c._2, first._2)
+            if (cmp > 0 || (cmp == 0 && c._1 < first._1))
               first = c
           }
           val selected = new scala.collection.mutable.ArrayBuffer[Long]()
@@ -232,13 +239,18 @@ object FusionOps extends QueryModule {
                 var ms = 0.0; var has = false
                 if (edges != null) selected.foreach { j =>
                   val s = edges.get(j)
-                  if (s != null && (!has || s.doubleValue > ms)) {
+                  // Spark's max aggregate returns NaN when any input
+                  // is NaN (NaN ranks above all doubles)
+                  if (s != null && (!has ||
+                      java.lang.Double.compare(s.doubleValue, ms) > 0)) {
                     ms = s.doubleValue; has = true
                   }
                 }
                 if (has) {
                   val m = Lambda * r - (1 - Lambda) * ms
-                  if (!any || m > bm || (m == bm && i < bv)) {
+                  val cmp =
+                    if (any) java.lang.Double.compare(m, bm) else 1
+                  if (cmp > 0 || (cmp == 0 && i < bv)) {
                     bv = i; br = r; bm = m; any = true
                   }
                 }
