@@ -81,7 +81,9 @@ object StreamingOps extends QueryModule {
     * this build's classpath — verified unobtainable in-sandbox: absent
     * from /opt/spark/jars and every local ivy/coursier/maven cache, and
     * the build resolves offline (COURSIER_MODE=offline, zero egress) so
-    * no vendoring path exists. This is therefore compile-checked
+    * no vendoring path exists (re-verified rounds 10-12; round 12 also
+    * re-probed the media codecs for v7's decode stub — PIL/cv2/javacv
+    * all absent). This is therefore compile-checked
     * wiring; the decode half ([[fromKafkaValues]]) is specced against
     * the exact (key, value, topic, partition, offset, timestamp) row
     * shape the connector emits, proving plug-compatibility. */
@@ -220,7 +222,13 @@ object StreamingOps extends QueryModule {
     * matched rows are final once emitted. */
   def runToBatch(spark: SparkSession, agg: DataFrame, name: String,
       mode: String = "complete", shufflePartitions: Int = 2): DataFrame = {
-    withStreamSizedShuffle(spark, shufflePartitions) {
+    // profiling seam (never set by the driver): override every drive's
+    // state-store/shuffle sizing for an A/B without touching call
+    // sites. Round-12 A/B at 8 vs 2 showed no win outside host noise
+    // on the toy batches, so 2 stays the default.
+    val parts = sys.env.get("SPARK_GRAFT_DRIVE_PARTS")
+      .map(_.toInt).getOrElse(shufflePartitions)
+    withStreamSizedShuffle(spark, parts) {
       val q = agg.writeStream.outputMode(mode)
         .format("memory").queryName(name).start()
       try q.processAllAvailable() finally q.stop()

@@ -692,4 +692,39 @@ class DedupSpec extends SparkSpec {
     val np = rows.map(_.getAs[Long]("n_pairs")).toSeq
     assert(np === np.sorted.reverse, "pair counts must fall with tau")
   }
+
+  test("V16c fixed-benchmark decontam: identical to v16 when every id " +
+    "is under the ceiling, and treats over-ceiling %97 ids as corpus") {
+    // sf0.001 has doc_ids 0..499 < FixedBenchCeil=500, so the fixed
+    // slice IS v16's slice and the two entries must agree bit-for-bit
+    val v16 = DedupOps.decontaminate(spark, sf0001).collect().toSeq
+    val v16c = DedupOps.decontaminateFixedBench(spark, sf0001)
+      .collect().toSeq
+    assert(v16c === v16)
+    assert(v16c.nonEmpty)
+    // sf0.1 has doc_ids up to 4999: %97 ids >= 500 are CORPUS docs in
+    // v16c (scannable, flaggable) while v16 excludes them entirely —
+    // the deployment semantics of a closed external benchmark
+    val sf01 = "/root/testdata/sf0.1"
+    val over = DedupOps.decontaminateFixedBench(spark, sf01)
+      .collect().map(_.getLong(0))
+      .filter(id => id % 97 == 0 && id >= 500)
+    assert(over.nonEmpty,
+      "over-ceiling %97 docs must be contamination-scannable corpus")
+    val v16Ids = DedupOps.decontaminate(spark, sf01)
+      .collect().map(_.getLong(0)).toSet
+    assert(over.forall(!v16Ids.contains(_)))
+  }
+
+  test("V66b fixed-benchmark curation DAG == v66 when every id is " +
+    "under the ceiling") {
+    // same bit-identity argument at sf0.001: all three benchmark
+    // predicates coincide, so the composed provenance rows must match
+    val v66 = graft.nlp.CurationDagOps.curationDag(spark, sf0001)
+      .collect().toSeq
+    val v66b = graft.nlp.CurationDagOps
+      .curationDag(spark, sf0001, fixedBench = true).collect().toSeq
+    assert(v66b === v66)
+    assert(v66b.nonEmpty)
+  }
 }
