@@ -68,6 +68,15 @@ object ScaleBench {
         reg("v67_span_scrub")(s, d).count()),
       ("v50_semantic_prune", (s: SparkSession, d: String, _: Int) =>
         reg("v50_semantic_prune")(s, d).count()),
+      // round 12: the label-block fixture vs the deployment shape —
+      // blowUp keeps the 10-label set constant, so v50's blocks
+      // CO-GROW with the corpus and the within-block pair count is
+      // quadratic (the benchmark-slice fixture class, third member);
+      // v50c grows the cell count instead (cells of ~250) so the
+      // pair work per vector is constant
+      ("v50c[adaptive cells]", (s: SparkSession, d: String, _: Int) =>
+        graft.dedup.DedupOps.semanticPruneKmeans(s, d,
+          cellK = graft.sim.PqOps.adaptiveCoarseK(s, d)).count()),
       ("v19_bm25_search", (s: SparkSession, d: String, _: Int) =>
         reg("v19_bm25_search")(s, d).count()),
       ("v66_curation_dag", (s: SparkSession, d: String, _: Int) =>

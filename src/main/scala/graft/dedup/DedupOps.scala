@@ -235,6 +235,18 @@ object DedupOps extends QueryModule
         "keep-first prune within each cluster); DuckDB reruns the " +
         "identical Lloyd unroll so even the cell map is hash-agreed",
       (s, d) => semanticPruneKmeans(s, d), Some(semanticPruneKmeansSql)),
+    GraftQuery("v50c_semantic_prune_adaptive",
+      "V50c the SemDeDup DEPLOYMENT shape driver-graded (the st21c " +
+        "convention): v50b with the cell count grown alongside the " +
+        "corpus (adaptiveCoarseK, cells of ~250) so expected block " +
+        "size — and with it the within-block pair work per vector — " +
+        "stays CONSTANT as the corpus scales; v50's fixed label set " +
+        "is the co-growing-block degenerate case (quadratic pair " +
+        "count, SCALING.md round 12). adaptiveCoarseK == 8 at every " +
+        "driver SF, so the oracle replays v50b's shared Lloyd chain",
+      (s, d) => semanticPruneKmeans(s, d,
+        cellK = graft.sim.PqOps.adaptiveCoarseK(s, d)),
+      Some(semanticPruneKmeansSql)),
     GraftQuery("v2d_embedding_neardup",
       "V2 embedding-cosine near-dup pairs (cos >= 0.4), exact " +
         "block-partitioned pair join (no unbounded broadcast)",

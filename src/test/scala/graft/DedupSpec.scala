@@ -228,6 +228,39 @@ class DedupSpec extends SparkSpec {
     assert(agree < r.length, "k-means blocks identical to label blocks?")
   }
 
+  test("V50c adaptive cells: shared-oracle precondition holds and the " +
+      "forced-adaptive branch stays coherent") {
+    // precondition for v50c sharing v50b's oracle: at every driver SF
+    // the adaptive cell count collapses to the shared v47 K, so the
+    // graded entry replays the shared Lloyd chain bit-for-bit
+    assert(graft.sim.PqOps.adaptiveCoarseK(spark, sf) ===
+      graft.sim.ClusterOps.K)
+    val v50b = DedupOps.semanticPruneKmeans(spark, sf).collect()
+    val v50c = DedupOps.semanticPruneKmeans(spark, sf,
+      cellK = graft.sim.PqOps.adaptiveCoarseK(spark, sf)).collect()
+    assert(v50b.map(_.toString).sorted === v50c.map(_.toString).sorted)
+    // the deployment lever itself (cellK != K → coarseAt-trained
+    // cells): full corpus covered, verdicts follow the witness rule,
+    // and the finer partition prunes no MORE than the coarse one can
+    // justify (every pruned row still carries a cos >= tau witness)
+    val forced = DedupOps.semanticPruneKmeans(spark, sf, cellK = 16)
+      .collect()
+    assert(forced.length === v50b.length)
+    forced.foreach { row =>
+      val mpc = Option(row.get(2)).map(_.asInstanceOf[Double])
+      assert(row.getBoolean(3) === mpc.exists(_ >= 0.35), row.toString)
+    }
+    // the lever genuinely changes the blocking: 16 independently
+    // trained cells partition the corpus more finely than the shared
+    // 8-cell run (populated cell count strictly up). Note 16-cells are
+    // NOT nested in 8-cells (independent first-k seeding), so prune
+    // counts may move either way — only the witness rule is invariant.
+    val cells16 = graft.sim.ClusterOps.coarseAt(spark, sf, 16)._1
+      .select("cid").distinct().count()
+    assert(cells16 > graft.sim.ClusterOps.K.toLong,
+      s"expected a finer populated partition, got $cells16 cells")
+  }
+
   test("V2e cluster paths agree: local union-find == distributed labels") {
     import spark.implicits._
     // a chain, a triangle, an isolated pair — exercises transitivity
