@@ -138,7 +138,10 @@ object Bench {
     def once(fn: (SparkSession, String) =>
         org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
+      // Force.rows, NOT count(): count lets Catalyst prune computed
+      // columns and eliminate unique-keyed joins, timing a fraction of
+      // the query the driver actually hashes (see Force's scaladoc)
+      val ok = try { graft.util.Force.rows(fn(spark, sfDir)); true }
         catch { case _: Throwable => false }
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()

@@ -23,6 +23,14 @@ import org.apache.spark.sql.SparkSession
   * (one process measures both scales back to back: same JIT state, and
   * none of the measured entries writes a OncePerProcess fixture). */
 object ScaleBench {
+  /** The measured action: full-plan materialization, not count() —
+    * count lets Catalyst prune computed columns and eliminate
+    * unique-keyed joins (see [[graft.util.Force]]; the v50 rows
+    * measured 0.5 s at ×100 under count() vs 174 s real). */
+  private implicit class Forced(df: org.apache.spark.sql.DataFrame) {
+    def forced(): Long = graft.util.Force.rows(df)
+  }
+
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
       "/root/testdata/sf0.1")
@@ -48,26 +56,26 @@ object ScaleBench {
     val reg = SparkEntry.queries
     val entries: Seq[(String, (SparkSession, String, Int) => Long)] = Seq(
       ("v1_dedup_exact", (s: SparkSession, d: String, _: Int) =>
-        reg("v1_dedup_exact")(s, d).count()),
+        reg("v1_dedup_exact")(s, d).forced()),
       ("v2b_minhash_lsh", (s: SparkSession, d: String, _: Int) =>
-        reg("v2b_minhash_lsh")(s, d).count()),
+        reg("v2b_minhash_lsh")(s, d).forced()),
       ("v16_decontamination", (s: SparkSession, d: String, _: Int) =>
-        reg("v16_decontamination")(s, d).count()),
+        reg("v16_decontamination")(s, d).forced()),
       // the deployment shape: benchmark FIXED (always the base dir's
       // slice) while the corpus scales — the linear-scan claim proper
       ("v16[fixed benchmark]", (s: SparkSession, d: String, _: Int) =>
-        graft.dedup.DedupOps.decontaminateAgainst(s, d, base).count()),
+        graft.dedup.DedupOps.decontaminateAgainst(s, d, base).forced()),
       // the DRIVER-GRADED fixed-benchmark twins (round 12): same
       // deployment shape as the row above, but via the registry
       // entries the driver actually hashes — the slice is bounded
       // in-table (id%97==0 AND id<500, constant under blow-up)
       ("v16c_decontamination_fixedbench",
         (s: SparkSession, d: String, _: Int) =>
-          reg("v16c_decontamination_fixedbench")(s, d).count()),
+          reg("v16c_decontamination_fixedbench")(s, d).forced()),
       ("v67_span_scrub", (s: SparkSession, d: String, _: Int) =>
-        reg("v67_span_scrub")(s, d).count()),
+        reg("v67_span_scrub")(s, d).forced()),
       ("v50_semantic_prune", (s: SparkSession, d: String, _: Int) =>
-        reg("v50_semantic_prune")(s, d).count()),
+        reg("v50_semantic_prune")(s, d).forced()),
       // round 12: the label-block fixture vs the deployment shape —
       // blowUp keeps the 10-label set constant, so v50's blocks
       // CO-GROW with the corpus and the within-block pair count is
@@ -76,20 +84,20 @@ object ScaleBench {
       // pair work per vector is constant
       ("v50c[adaptive cells]", (s: SparkSession, d: String, _: Int) =>
         graft.dedup.DedupOps.semanticPruneKmeans(s, d,
-          cellK = graft.sim.PqOps.adaptiveCoarseK(s, d)).count()),
+          cellK = graft.sim.PqOps.adaptiveCoarseK(s, d)).forced()),
       ("v19_bm25_search", (s: SparkSession, d: String, _: Int) =>
-        reg("v19_bm25_search")(s, d).count()),
+        reg("v19_bm25_search")(s, d).forced()),
       ("v66_curation_dag", (s: SparkSession, d: String, _: Int) =>
-        reg("v66_curation_dag")(s, d).count()),
+        reg("v66_curation_dag")(s, d).forced()),
       ("v66b_curation_dag_fixedbench",
         (s: SparkSession, d: String, _: Int) =>
-          reg("v66b_curation_dag_fixedbench")(s, d).count()),
+          reg("v66b_curation_dag_fixedbench")(s, d).forced()),
       ("v6_sessionization", (s: SparkSession, d: String, _: Int) =>
-        reg("v6_sessionization")(s, d).count()),
+        reg("v6_sessionization")(s, d).forced()),
       ("v2d2[fixed nlist=16]", (s: SparkSession, d: String, _: Int) =>
-        graft.dedup.DedupOps.embeddingNearDupIvf(s, d, 16, 4).count()),
+        graft.dedup.DedupOps.embeddingNearDupIvf(s, d, 16, 4).forced()),
       ("v2d2[scaled nlist]", (s: SparkSession, d: String, f: Int) =>
-        graft.dedup.DedupOps.embeddingNearDupIvf(s, d, 16 * f, 4).count()),
+        graft.dedup.DedupOps.embeddingNearDupIvf(s, d, 16 * f, 4).forced()),
       // round 11: the PLANTED near-dup continuum (v2d2's x100 caveat
       // turned into a design readout): a synthesized embeddings table
       // whose true pairs grow EXACTLY linearly in factor (one planted
@@ -105,10 +113,10 @@ object ScaleBench {
           graft.util.ScaleData.plantedBlowUp(s, base,
             graft.util.TempArtifacts.register(pd), f)
         graft.dedup.DedupOps.embeddingNearDupIvf(s, pd, 16 * f, 4,
-          tau = graft.util.ScaleData.PlantTau).count()
+          tau = graft.util.ScaleData.PlantTau).forced()
       }),
       ("v3c_knn_join", (s: SparkSession, d: String, _: Int) =>
-        reg("v3c_knn_join")(s, d).count()),
+        reg("v3c_knn_join")(s, d).forced()),
       // the coarse ASSIGNMENT term in isolation (the round-9 "Honest
       // limits" boundary, closed by the round-10 hierarchical path):
       // build memoized, assignment recomputed per run so min-of-2
@@ -117,14 +125,14 @@ object ScaleBench {
         val nlist = 16 * f
         val (e, cents, _) =
           graft.sim.SimilarityOps.ivfBuild(s, d, nlist, 1)
-        graft.sim.SimilarityOps.assignTo(e, cents, nlist).count()
+        graft.sim.SimilarityOps.assignTo(e, cents, nlist).forced()
       }),
       ("v3b_ivf_topk", (s: SparkSession, d: String, _: Int) =>
-        reg("v3b_ivf_topk")(s, d).count()),
+        reg("v3b_ivf_topk")(s, d).forced()),
       ("v18h_ivfpq_topk", (s: SparkSession, d: String, _: Int) =>
-        reg("v18h_ivfpq_topk")(s, d).count()),
+        reg("v18h_ivfpq_topk")(s, d).forced()),
       ("v18i_ivfpq_stored", (s: SparkSession, d: String, _: Int) =>
-        reg("v18i_ivfpq_stored")(s, d).count()),
+        reg("v18i_ivfpq_stored")(s, d).forced()),
       // the registry entry co-grows its query slice with the corpus
       // (queries x candidates compounds quadratically at blow-up
       // factors — SCALING.md documents it not completing at x100), so
@@ -137,13 +145,13 @@ object ScaleBench {
             s"x10 (fixture quadratic, factor=$f); see st21[fixed " +
             "queries]")
           -1L
-        } else reg("st21_streaming_ann_serve")(s, d).count()),
+        } else reg("st21_streaming_ann_serve")(s, d).forced()),
       // deployment serving shape: query set FIXED (base dir) while the
       // indexed corpus scales — the registry entry co-grows both,
       // which compounds queries x candidates into a fixture-artifact
       // quadratic at blow-up factors (see streamingAnnServeAgainst)
       ("st21[fixed queries]", (s: SparkSession, d: String, _: Int) =>
-        graft.sim.PqOps.streamingAnnServeAgainst(s, base, d).count()),
+        graft.sim.PqOps.streamingAnnServeAgainst(s, base, d).forced()),
       // round 10: the SAME deployment shape with the coarse cell count
       // grown alongside the corpus (adaptiveCoarseK — cells of ~250
       // vectors) — candidates/query stay constant instead of growing
@@ -152,7 +160,7 @@ object ScaleBench {
       ("st21[fixed queries, adaptive K]",
         (s: SparkSession, d: String, _: Int) =>
           graft.sim.PqOps.streamingAnnServeAgainst(s, base, d,
-            coarseK = graft.sim.PqOps.adaptiveCoarseK(s, d)).count()),
+            coarseK = graft.sim.PqOps.adaptiveCoarseK(s, d)).forced()),
       // the adaptive-K coarse ASSIGNMENT in isolation (build memoized,
       // assignment recomputed per run — the ivf_assign convention):
       // above 256 cells this runs the two-level hierarchical path
@@ -161,7 +169,7 @@ object ScaleBench {
         val (_, cents) = graft.sim.ClusterOps.coarseAt(s, d, k)
         graft.sim.ClusterOps.assignAt(
           graft.sim.ClusterOps.pointsOf(Tables.embeddings(s, d)),
-          cents, k).count()
+          cents, k).forced()
       }),
       // round 11: the group-layer BUILD in isolation (SCALING.md
       // "Remaining bound", closed this round): the centroid table is
@@ -182,7 +190,7 @@ object ScaleBench {
         val probe = p.filter(
           org.apache.spark.sql.functions.col("vec_id") < 64)
         graft.sim.ClusterOps.assignAt(probe, cents,
-          math.min(k, Int.MaxValue.toLong).toInt).count()
+          math.min(k, Int.MaxValue.toLong).toInt).forced()
       }),
       // round 11: u5 both plans — the salted events copies offset
       // user_ids, so TRACES multiply while each tree keeps its shape:
@@ -191,42 +199,42 @@ object ScaleBench {
       // pair is the evidence for the spanDepthsAuto dispatch
       ("u5[grouped]", (s: SparkSession, d: String, _: Int) =>
         new graft.spans.TraceService(graft.operators.SpanNativeOps
-          .eventsAsTreeSpans(s, d)).spanDepthsGrouped().count()),
+          .eventsAsTreeSpans(s, d)).spanDepthsGrouped().forced()),
       ("u5[bfs]", (s: SparkSession, d: String, _: Int) =>
         new graft.spans.TraceService(graft.operators.SpanNativeOps
-          .eventsAsTreeSpans(s, d)).spanDepths().count()),
+          .eventsAsTreeSpans(s, d)).spanDepths().forced()),
       // round 10: the events/graph analytics family (the last family
       // with no measured scale row) — the salted events copies offset
       // user_ids, so the user-keyed self-join edge build scales with
       // users while the event-type graph stays constant
       ("v29_pagerank", (s: SparkSession, d: String, _: Int) =>
-        reg("v29_pagerank")(s, d).count()),
+        reg("v29_pagerank")(s, d).forced()),
       ("t05_service_dependencies", (s: SparkSession, d: String, _: Int) =>
-        reg("t05_service_dependencies")(s, d).count()),
+        reg("t05_service_dependencies")(s, d).forced()),
       ("u12_bot_detection", (s: SparkSession, d: String, _: Int) =>
-        reg("u12_bot_detection")(s, d).count()),
+        reg("u12_bot_detection")(s, d).forced()),
       ("st3_streaming_trace_assembly",
         (s: SparkSession, d: String, _: Int) =>
-          reg("st3_streaming_trace_assembly")(s, d).count()),
+          reg("st3_streaming_trace_assembly")(s, d).forced()),
       ("st4_streaming_trace_status",
         (s: SparkSession, d: String, _: Int) =>
-          reg("st4_streaming_trace_status")(s, d).count()),
+          reg("st4_streaming_trace_status")(s, d).forced()),
       ("st19_streaming_span_scrub", (s: SparkSession, d: String, _: Int) =>
-        reg("st19_streaming_span_scrub")(s, d).count()),
+        reg("st19_streaming_span_scrub")(s, d).forced()),
       // the same entry FORCED through the over-the-bound Bloom +
       // keyed-join fallback (round 10): the shape a >1M-window ledger
       // takes automatically
       ("st19[bloom-join fallback]", (s: SparkSession, d: String, _: Int) => {
         graft.dedup.DedupOps.scrubLedgerMaxOverride = Some(0L)
-        try reg("st19_streaming_span_scrub")(s, d).count()
+        try reg("st19_streaming_span_scrub")(s, d).forced()
         finally graft.dedup.DedupOps.scrubLedgerMaxOverride = None
       }),
       ("st24_streaming_neardup_gate", (s: SparkSession, d: String, _: Int) =>
-        reg("st24_streaming_neardup_gate")(s, d).count()),
+        reg("st24_streaming_neardup_gate")(s, d).forced()),
       ("st25_streaming_ingest_dag", (s: SparkSession, d: String, _: Int) =>
-        reg("st25_streaming_ingest_dag")(s, d).count()),
+        reg("st25_streaming_ingest_dag")(s, d).forced()),
       ("st8_stream_stream_join", (s: SparkSession, d: String, _: Int) =>
-        reg("st8_stream_stream_join")(s, d).count()))
+        reg("st8_stream_stream_join")(s, d).forced()))
 
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(',').toSeq).getOrElse(Seq.empty)

@@ -119,12 +119,31 @@ object JoinOps extends QueryModule {
       .withColumn("bucket", explode(sequence(
         expr(s"(err_ts - $RangeHalfUs) div $RangeBucketUs"),
         expr(s"(err_ts + $RangeHalfUs) div $RangeBucketUs"))))
+    // SORT-BASED distinct, not countDistinct and not a per-(err,user)
+    // pre-aggregate (round 12, exposed when the bench action stopped
+    // letting count() prune the plan): with ~275 candidates per error
+    // and nearly all users distinct within a neighborhood, BOTH hash
+    // spellings aggregate the ~5.5M candidate rows into ~5M groups —
+    // countDistinct additionally Expands every row ×2 — and the
+    // no-compression hash agg alone measures 4.6 s at sf0.1. One
+    // err-keyed shuffle + in-group sort by user instead: a user's
+    // FIRST row in its error group marks the distinct count (the lag
+    // trick), and the following groupBy compresses 5.5M → |errors|
+    // rows map-side. 5.0 → 2.5 s, values identical (the isNotNull
+    // guard keeps count(DISTINCT)'s null semantics), oracle untouched.
+    val byErrUser = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("err_id")).orderBy(col("user_id"))
     intervals.join(probes, Seq("bucket"))
       .filter(abs(col("ts_us") - col("err_ts")) <= RangeHalfUs &&
         col("event_id") =!= col("err_id"))
+      .withColumn("first_u",
+        when(col("user_id").isNotNull &&
+          (lag(col("user_id"), 1).over(byErrUser).isNull ||
+            lag(col("user_id"), 1).over(byErrUser) =!= col("user_id")),
+          1L).otherwise(0L))
       .groupBy(col("err_id"), col("err_ts"))
       .agg(count(lit(1)).as("n_nearby"),
-        countDistinct(col("user_id")).as("n_users"),
+        sum(col("first_u")).as("n_users"),
         sum(when(col("event_type") === "error", 1L).otherwise(0L))
           .as("n_errors"))
       .orderBy(col("err_id"))
