@@ -401,16 +401,14 @@ private[dedup] trait DedupPairing { self: DedupOps.type =>
     // v50c's deployment lever: grow the CELL COUNT with the corpus
     // (cells of ~250 — the adaptiveCoarseK convention) so expected
     // block size stays constant and the within-block pair work stays
-    // LINEAR in corpus size. At cellK == K the original Lloyd chain
-    // replays bit-for-bit (coarseAt aliases lloyd there), which is
-    // every driver SF — so v50c shares v50b's oracle, st21c-style.
-    // A fixed cell count — like v50's fixed label set — makes blocks
-    // co-grow and the pair term quadratic (SCALING.md round 12).
-    val cells =
-      if (cellK == graft.sim.ClusterOps.K)
-        graft.sim.ClusterOps.finalAssign(spark, dir)
-      else graft.sim.ClusterOps.coarseAt(spark, dir, cellK)._1
-        .select(col("vec_id"), col("cid"))
+    // LINEAR in corpus size. coarseAt IS the aliasing seam: at
+    // cellK == K it returns the shared v47 Lloyd run verbatim — which
+    // is every driver SF — so v50c replays v50b bit-for-bit and
+    // shares its oracle, st21c-style. A fixed cell count — like v50's
+    // fixed label set — makes blocks co-grow and the pair term
+    // quadratic (SCALING.md round 12).
+    val cells = graft.sim.ClusterOps.coarseAt(spark, dir, cellK)._1
+      .select(col("vec_id"), col("cid"))
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))

@@ -514,9 +514,25 @@ private[dedup] trait DedupScrub { self: DedupOps.type =>
   def decontaminate(spark: SparkSession, dir: String,
       tau: Double = ContamTau): DataFrame = {
     val sets = shingleSets(spark, dir)
-    val bench = sets.filter(pmod(col("doc_id"), lit(97)) === 0)
-      .select(explode(col("sh")).as("shingle")).distinct()
-    val corpus = sets.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+    decontamOf(sets, pmod(col("doc_id"), lit(97)) === 0, tau)
+  }
+
+  /** The shared decontam dataflow: pooled distinct shingles of the
+    * `isBench` slice broadcast, complement probed. One body for v16,
+    * v16c, and (via [[contaminationAgg]]) the cross-dir form — a
+    * tau/shingle change hits every variant at once (round-12 review). */
+  private def decontamOf(sets: DataFrame, isBench: Column,
+      tau: Double): DataFrame =
+    contaminationAgg(
+      sets.filter(!isBench),
+      sets.filter(isBench)
+        .select(explode(col("sh")).as("shingle")).distinct(),
+      tau)
+
+  /** The decontam aggregation tail over an explicit (corpus, bench
+    * shingles) pair. */
+  private def contaminationAgg(corpus: DataFrame, bench: DataFrame,
+      tau: Double): DataFrame =
     corpus
       .select(col("doc_id"), col("sz"), explode(col("sh")).as("shingle"))
       .join(broadcast(bench), Seq("shingle"), "left_semi")
@@ -527,7 +543,6 @@ private[dedup] trait DedupScrub { self: DedupOps.type =>
       .select(col("doc_id"), col("sz").as("n_shingles"), col("n_hit"),
         col("contamination"))
       .orderBy(col("doc_id"))
-  }
 
   /** [[decontaminate]] with the benchmark taken from a SEPARATE dir —
     * the real deployment shape (the benchmark is an external
@@ -537,22 +552,14 @@ private[dedup] trait DedupScrub { self: DedupOps.type =>
     * benchmark keeps the total linear in corpus size (SCALING.md —
     * the v16 fixture's co-growing slice measured 46.5× at ×100). */
   def decontaminateAgainst(spark: SparkSession, corpusDir: String,
-      benchDir: String, tau: Double = ContamTau): DataFrame = {
-    val bench = shingleSets(spark, benchDir)
-      .filter(pmod(col("doc_id"), lit(97)) === 0)
-      .select(explode(col("sh")).as("shingle")).distinct()
-    shingleSets(spark, corpusDir)
-      .filter(pmod(col("doc_id"), lit(97)) =!= 0)
-      .select(col("doc_id"), col("sz"), explode(col("sh")).as("shingle"))
-      .join(broadcast(bench), Seq("shingle"), "left_semi")
-      .groupBy(col("doc_id"), col("sz"))
-      .agg(count(lit(1)).as("n_hit"))
-      .withColumn("contamination", Exact.ratio6(col("n_hit"), col("sz")))
-      .filter(col("contamination") >= tau)
-      .select(col("doc_id"), col("sz").as("n_shingles"), col("n_hit"),
-        col("contamination"))
-      .orderBy(col("doc_id"))
-  }
+      benchDir: String, tau: Double = ContamTau): DataFrame =
+    contaminationAgg(
+      shingleSets(spark, corpusDir)
+        .filter(pmod(col("doc_id"), lit(97)) =!= 0),
+      shingleSets(spark, benchDir)
+        .filter(pmod(col("doc_id"), lit(97)) === 0)
+        .select(explode(col("sh")).as("shingle")).distinct(),
+      tau)
 
   /** V16c: [[decontaminate]] with the benchmark slice held at a FIXED
     * size — `doc_id % 97 == 0 AND doc_id < `[[FixedBenchCeil]] (six
@@ -566,59 +573,39 @@ private[dedup] trait DedupScrub { self: DedupOps.type =>
     * (ids ≥ the ceiling with `% 97 == 0` are ordinary corpus docs
     * here, unlike v16 — the benchmark is a closed external set). */
   def decontaminateFixedBench(spark: SparkSession, dir: String,
-      tau: Double = ContamTau): DataFrame = {
-    val isBench = pmod(col("doc_id"), lit(97)) === 0 &&
-      col("doc_id") < FixedBenchCeil
-    val sets = shingleSets(spark, dir)
-    val bench = sets.filter(isBench)
-      .select(explode(col("sh")).as("shingle")).distinct()
-    sets.filter(!isBench)
-      .select(col("doc_id"), col("sz"), explode(col("sh")).as("shingle"))
-      .join(broadcast(bench), Seq("shingle"), "left_semi")
-      .groupBy(col("doc_id"), col("sz"))
-      .agg(count(lit(1)).as("n_hit"))
-      .withColumn("contamination", Exact.ratio6(col("n_hit"), col("sz")))
-      .filter(col("contamination") >= tau)
-      .select(col("doc_id"), col("sz").as("n_shingles"), col("n_hit"),
-        col("contamination"))
-      .orderBy(col("doc_id"))
-  }
+      tau: Double = ContamTau): DataFrame =
+    decontamOf(shingleSets(spark, dir),
+      pmod(col("doc_id"), lit(97)) === 0 &&
+        col("doc_id") < FixedBenchCeil,
+      tau)
+
+  /** One oracle CTE chain for both decontam variants — `benchPred` is
+    * the only thing that differs (round-12 review: the v16c chain was
+    * a near-verbatim copy). Callers are lazy vals: this interpolates
+    * shinglesSql, declared LATER in this object — a plain val caller
+    * would capture null at construction time (object vals initialize
+    * in declaration order) and silently emit `null AS sh`. */
+  private def decontamSqlFor(benchPred: String): String =
+    s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+       | s AS (SELECT doc_id, $shinglesSql AS sh FROM t),
+       | bench AS (SELECT DISTINCT unnest(sh) AS shingle FROM s
+       |           WHERE $benchPred),
+       | c AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS shingle FROM s
+       |       WHERE NOT ($benchPred)),
+       | h AS (SELECT doc_id, sz, count(*) AS n_hit FROM c
+       |       WHERE shingle IN (SELECT shingle FROM bench) GROUP BY 1,2)
+       |SELECT doc_id, CAST(sz AS INT) AS n_shingles,
+       | CAST(n_hit AS BIGINT) AS n_hit,
+       | ${OracleSql.ratio6("n_hit", "sz")} AS contamination
+       |FROM h
+       |WHERE ${OracleSql.ratio6("n_hit", "sz")} >= $ContamTau
+       |ORDER BY doc_id""".stripMargin
 
   private[dedup] lazy val decontaminateFixedSql: String =
-    s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
-       | s AS (SELECT doc_id, $shinglesSql AS sh FROM t),
-       | bench AS (SELECT DISTINCT unnest(sh) AS shingle FROM s
-       |           WHERE doc_id % 97 = 0 AND doc_id < $FixedBenchCeil),
-       | c AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS shingle FROM s
-       |       WHERE NOT (doc_id % 97 = 0 AND doc_id < $FixedBenchCeil)),
-       | h AS (SELECT doc_id, sz, count(*) AS n_hit FROM c
-       |       WHERE shingle IN (SELECT shingle FROM bench) GROUP BY 1,2)
-       |SELECT doc_id, CAST(sz AS INT) AS n_shingles,
-       | CAST(n_hit AS BIGINT) AS n_hit,
-       | ${OracleSql.ratio6("n_hit", "sz")} AS contamination
-       |FROM h
-       |WHERE ${OracleSql.ratio6("n_hit", "sz")} >= $ContamTau
-       |ORDER BY doc_id""".stripMargin
+    decontamSqlFor(s"doc_id % 97 = 0 AND doc_id < $FixedBenchCeil")
 
-  // lazy: interpolates shinglesSql, which is declared LATER in this
-  // object — a plain val here would capture null at construction time
-  // (object vals initialize in declaration order) and silently emit
-  // `null AS sh` into the oracle SQL.
   private[dedup] lazy val decontaminateSql: String =
-    s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
-       | s AS (SELECT doc_id, $shinglesSql AS sh FROM t),
-       | bench AS (SELECT DISTINCT unnest(sh) AS shingle FROM s
-       |           WHERE doc_id % 97 = 0),
-       | c AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS shingle FROM s
-       |       WHERE doc_id % 97 <> 0),
-       | h AS (SELECT doc_id, sz, count(*) AS n_hit FROM c
-       |       WHERE shingle IN (SELECT shingle FROM bench) GROUP BY 1,2)
-       |SELECT doc_id, CAST(sz AS INT) AS n_shingles,
-       | CAST(n_hit AS BIGINT) AS n_hit,
-       | ${OracleSql.ratio6("n_hit", "sz")} AS contamination
-       |FROM h
-       |WHERE ${OracleSql.ratio6("n_hit", "sz")} >= $ContamTau
-       |ORDER BY doc_id""".stripMargin
+    decontamSqlFor("doc_id % 97 = 0")
 
   /** V16b: SEMANTIC decontamination — v16's embedding-space sibling
     * (and the modern pipeline's second line of defense: paraphrased or
@@ -633,12 +620,20 @@ private[dedup] trait DedupScrub { self: DedupOps.type =>
     * computed IN-ROW (transform + array_max over the bundle): one
     * linear corpus scan, ZERO extra shuffle, no corpus-vs-corpus join. */
   def semanticDecontaminate(spark: SparkSession, dir: String,
-      tau: Double = 0.3): DataFrame = {
+      tau: Double = 0.3): DataFrame =
+    semanticDecontamOf(spark, dir,
+      pmod(col("vec_id"), lit(97)) === 0, tau)
+
+  /** The shared semantic-decontam dataflow — one body for v16b and
+    * its fixed-benchmark twin, `isBench` the only difference
+    * (round-12 review). */
+  private def semanticDecontamOf(spark: SparkSession, dir: String,
+      isBench: Column, tau: Double): DataFrame = {
     val e = graft.sim.SimilarityOps.withNorm(Tables.embeddings(spark, dir))
-    val benchRow = e.filter(pmod(col("vec_id"), lit(97)) === 0)
+    val benchRow = e.filter(isBench)
       .agg(array_sort(collect_list(struct(col("vec_id").as("bid"),
         col("v").as("bv"), col("nrm").as("bn")))).as("bs"))
-    e.filter(pmod(col("vec_id"), lit(97)) =!= 0)
+    e.filter(!isBench)
       .crossJoin(broadcast(benchRow))
       .withColumn("cs", transform(col("bs"), b =>
         round(graft.sim.SimilarityOps.dot(col("v"), b.getField("bv")) /
@@ -657,24 +652,11 @@ private[dedup] trait DedupScrub { self: DedupOps.type =>
     * scan is O(1) per vector instead of O(corpus/97) — the term that
     * makes the registry v16b read super-linear at ×100. Feeds v66b. */
   def semanticDecontaminateFixedBench(spark: SparkSession, dir: String,
-      tau: Double = 0.3): DataFrame = {
-    val isBench = pmod(col("vec_id"), lit(97)) === 0 &&
-      col("vec_id") < FixedBenchCeil
-    val e = graft.sim.SimilarityOps.withNorm(Tables.embeddings(spark, dir))
-    val benchRow = e.filter(isBench)
-      .agg(array_sort(collect_list(struct(col("vec_id").as("bid"),
-        col("v").as("bv"), col("nrm").as("bn")))).as("bs"))
-    e.filter(!isBench)
-      .crossJoin(broadcast(benchRow))
-      .withColumn("cs", transform(col("bs"), b =>
-        round(graft.sim.SimilarityOps.dot(col("v"), b.getField("bv")) /
-          (col("nrm") * b.getField("bn")), 6)))
-      .select(col("vec_id"),
-        size(filter(col("cs"), _ >= tau)).cast("long").as("n_bench_hits"),
-        array_max(col("cs")).as("max_bench_cos"))
-      .filter(col("max_bench_cos") >= tau)
-      .orderBy(col("vec_id"))
-  }
+      tau: Double = 0.3): DataFrame =
+    semanticDecontamOf(spark, dir,
+      pmod(col("vec_id"), lit(97)) === 0 &&
+        col("vec_id") < FixedBenchCeil,
+      tau)
 
   private[dedup] val semanticDecontaminateSql: String =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

@@ -227,7 +227,8 @@ object StreamingOps extends QueryModule {
     // sites. Round-12 A/B at 8 vs 2 showed no win outside host noise
     // on the toy batches, so 2 stays the default.
     val parts = sys.env.get("SPARK_GRAFT_DRIVE_PARTS")
-      .map(_.toInt).getOrElse(shufflePartitions)
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+      .getOrElse(shufflePartitions)
     withStreamSizedShuffle(spark, parts) {
       val q = agg.writeStream.outputMode(mode)
         .format("memory").queryName(name).start()
