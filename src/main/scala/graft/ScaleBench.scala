@@ -234,7 +234,28 @@ object ScaleBench {
       ("st25_streaming_ingest_dag", (s: SparkSession, d: String, _: Int) =>
         reg("st25_streaming_ingest_dag")(s, d).forced()),
       ("st8_stream_stream_join", (s: SparkSession, d: String, _: Int) =>
-        reg("st8_stream_stream_join")(s, d).forced()))
+        reg("st8_stream_stream_join")(s, d).forced()),
+      // round 12: the time-axis regimes for the ±1h range join (the
+      // w2 re-plan's scale evidence). blowUp multiplies DENSITY at a
+      // constant 30-day span — every error's ±1h neighborhood grows
+      // ×factor, pair count ×factor² (the co-growing fixture class on
+      // the time axis; run at ×10 only — ×100 would be 110G pairs by
+      // construction, not a plan defect). A deployment accretes TIME
+      // at roughly constant density — spanShiftBlowUp grows the span
+      // ×factor instead, neighborhoods constant, pair count ×factor:
+      // the linear-scan claim proper.
+      ("w2_range_join[density-grown]",
+        (s: SparkSession, d: String, _: Int) =>
+          reg("w2_range_join")(s, d).forced()),
+      ("w2_range_join[span-grown]",
+        (s: SparkSession, d: String, f: Int) => {
+          val pd = sys.props("java.io.tmpdir") +
+            s"/graft_spanshift_${f}x_" + ProcessHandle.current().pid()
+          if (!new java.io.File(s"$pd/events.parquet").exists())
+            graft.util.ScaleData.spanShiftBlowUp(s, base,
+              graft.util.TempArtifacts.register(pd), f)
+          reg("w2_range_join")(s, pd).forced()
+        }))
 
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(',').toSeq).getOrElse(Seq.empty)

@@ -122,20 +122,11 @@ object ScaleData {
         col("event_type"), col("value"), col("props"))
     }
 
-    Tables.names.filterNot(
-        Seq("documents", "embeddings", "events").contains).foreach { t =>
-      val dst = java.nio.file.Paths.get(outDir, s"$t.parquet")
-      val src = java.nio.file.Paths.get(srcDir, s"$t.parquet")
-      if (!java.nio.file.Files.exists(dst))
-        // hardlink when same filesystem; COPY across devices (tmpfs
-        // blow-up dir vs on-disk testdata threw EXDEV — round-10
-        // review) — cold tables are small, the copy is cheap
-        try java.nio.file.Files.createLink(dst, src): Unit
-        catch {
-          case _: java.nio.file.FileSystemException =>
-            java.nio.file.Files.copy(src, dst): Unit
-        }
-    }
+    // hardlink when same filesystem; COPY across devices (tmpfs
+    // blow-up dir vs on-disk testdata threw EXDEV — round-10
+    // review) — cold tables are small, the copy is cheap
+    linkOthers(srcDir, outDir,
+      except = Set("documents", "embeddings", "events"))
     outDir
   }
 
@@ -191,7 +182,53 @@ object ScaleData {
             .cast("float")))
       .select(col("vec_id"), col("embedding"), col("label"))
     writeSingleFile(planted, s"$outDir/embeddings.parquet")
-    Tables.names.filterNot(_ == "embeddings").foreach { t =>
+    linkOthers(srcDir, outDir, except = Set("embeddings"))
+    outDir
+  }
+
+  /** Events blow-up at CONSTANT density: copy k keeps every column
+    * but shifts `ts` by k·(span + 1 h), so the time axis grows
+    * ×factor while events-per-hour stays constant — the deployment
+    * regime for time-neighborhood operators (w2's ±1 h range join:
+    * per-error candidates constant, total pair count ×factor). The
+    * standard [[blowUp]] keeps `ts` and multiplies DENSITY ×factor
+    * instead, growing every ±1 h neighborhood ×factor and the pair
+    * count ×factor² — the co-growing fixture class on the time axis.
+    * The 1 h gap between copies exceeds the widest neighborhood
+    * window, so no pair spans two copies. `ts` is written in the
+    * canonical ns-long form ([[Tables.normalizeTsNs]] passes it
+    * through on read). Only events is synthesized; other tables
+    * hardlink. */
+  def spanShiftBlowUp(spark: SparkSession, srcDir: String,
+      outDir: String, factor: Int): String = {
+    require(factor >= 1, s"factor $factor")
+    java.nio.file.Files.createDirectories(
+      new java.io.File(outDir).toPath)
+    val base = Tables.normalizeTsNs(
+      spark.read.parquet(s"$srcDir/events.parquet"))
+    val mm = base.agg(min(col("ts")), max(col("ts")),
+      max(col("event_id").cast("long")),
+      max(col("user_id").cast("long"))).head
+    require(mm.getLong(2) < 1000000000000L && mm.getLong(3) < 1000000000L,
+      s"$srcDir ids exceed the per-copy offsets (already-blown source?)")
+    val stepNs = mm.getLong(1) - mm.getLong(0) + 3600L * 1000000000L
+    val all = (0 until factor).map { k =>
+      base.select(
+        (col("event_id") + lit(k.toLong * 1000000000000L)).as("event_id"),
+        (col("ts") + lit(k * stepNs)).as("ts"),
+        (col("user_id") + lit(k.toLong * 1000000000L)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.reduce(_ unionByName _)
+    writeSingleFile(all, s"$outDir/events.parquet")
+    linkOthers(srcDir, outDir, except = Set("events"))
+    outDir
+  }
+
+  /** Hardlink (or copy across filesystems) every table except the
+    * synthesized ones into a blow-up dir. */
+  private def linkOthers(srcDir: String, outDir: String,
+      except: Set[String]): Unit =
+    Tables.names.filterNot(except.contains).foreach { t =>
       val dst = java.nio.file.Paths.get(outDir, s"$t.parquet")
       val src = java.nio.file.Paths.get(srcDir, s"$t.parquet")
       if (!java.nio.file.Files.exists(dst))
@@ -201,8 +238,6 @@ object ScaleData {
             java.nio.file.Files.copy(src, dst): Unit
         }
     }
-    outDir
-  }
 
   /** Write `df` as ONE parquet file at exactly `destFile` (the testdata
     * single-file layout the streaming glob readers require). */
