@@ -4,9 +4,6 @@ import graft._
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-import java.awt.image.BufferedImage
-import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
-import javax.imageio.ImageIO
 
 /** Multimodal-column plumbing (SURVEY §2.V north-star): media payloads as
   * opaque `binary` columns with a typed metadata struct, and per-batch
@@ -15,10 +12,12 @@ import javax.imageio.ImageIO
   *
   * The payloads are REAL PNG images, synthesized deterministically from the
   * fixture corpus (the testdata ships no media files): each non-null
-  * document becomes an 8-bit grayscale `BufferedImage` whose dimensions and
+  * document becomes an 8-bit grayscale raster whose dimensions and
   * two-band pixel pattern are closed-form functions of `doc_id` and the
-  * text length, encoded with the JDK's `ImageIO` PNG writer. The decode
-  * side ([[ImageCodec.decode]]) is a genuine `ImageIO.read` of the PNG
+  * text length, wrapped in a spec-conformant PNG container
+  * ([[PngGray.encode]]; round 12 — previously the JDK `ImageIO` writer,
+  * which paid per-call writer/stream setup ~2× the pixel work). The decode
+  * side ([[ImageCodec.decode]]) is a genuine ImageIO read of the PNG
   * container — width/height/pixel sums come from the decoded raster, not
   * from the synthesis formulas — and the oracle recomputes the same
   * features from the closed forms (PNG is lossless, so decoded pixels
@@ -58,45 +57,27 @@ object MultimodalOps extends QueryModule {
     def pngBytes(docId: Long, nChars: Int): Array[Byte] = {
       val (w, h) = dims(nChars)
       val (g1, g2) = grays(docId)
-      val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
-      val raster = img.getRaster
+      // row-major raster built directly (same pixels the BufferedImage
+      // path produced), encoded by the fast container writer — decoded
+      // pixels are pinned identical in PngCodecSpec
+      val raster = new Array[Byte](w * h)
       val h1 = h / 2
-      var y = 0
-      while (y < h) {
-        val g = if (y < h1) g1 else g2
-        var x = 0
-        while (x < w) { raster.setSample(x, y, 0, g); x += 1 }
-        y += 1
-      }
-      val bos = new ByteArrayOutputStream(1024)
-      ImageIO.write(img, "png", bos)
-      bos.toByteArray
+      java.util.Arrays.fill(raster, 0, w * h1, g1.toByte)
+      java.util.Arrays.fill(raster, w * h1, w * h, g2.toByte)
+      PngGray.encode(w, h, raster)
     }
   }
 
   /** Real PNG decode via the JDK's ImageIO. Every emitted feature is read
-    * from the DECODED raster — the synthesis formulas never appear here. */
+    * from the DECODED raster — the synthesis formulas never appear here.
+    * Round 12: delegates to [[PngGray.decode]] (reused per-thread
+    * `ImageReader`, bulk raster copy) — still a genuine ImageIO decode,
+    * value-identical to the original per-pixel extraction
+    * (PngCodecSpec pins both). */
   object ImageCodec {
     /** @return (width, height, rasterBytes row-major) */
-    def decode(payload: Array[Byte]): (Int, Int, Array[Byte]) = {
-      val img = ImageIO.read(new ByteArrayInputStream(payload))
-      require(img != null, "payload is not a decodable image")
-      val w = img.getWidth
-      val h = img.getHeight
-      val raster = img.getRaster
-      val bytes = new Array[Byte](w * h)
-      var i = 0
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          bytes(i) = raster.getSample(x, y, 0).toByte
-          i += 1; x += 1
-        }
-        y += 1
-      }
-      (w, h, bytes)
-    }
+    def decode(payload: Array[Byte]): (Int, Int, Array[Byte]) =
+      PngGray.decode(payload)
   }
 
   /** documents re-cast as a real-media table: each non-null text row
@@ -106,10 +87,14 @@ object MultimodalOps extends QueryModule {
     * mapPartitions pass, no shuffle. */
   def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
-    Tables.documents(spark, dir)
+    // spread the NARROW pre-synth projection across cores: the driver
+    // testdata is one row group per table, so without this the whole
+    // synth+decode pipeline fuses into a single scan task (round 12;
+    // no-op when the input already scans wide — Spread scaladoc)
+    graft.util.Spread.toCores(Tables.documents(spark, dir)
       .filter(col("text").isNotNull)
       .select(col("doc_id"), length(col("text")).cast("int").as("n_chars"),
-        col("source"))
+        col("source")))
       .as[(Long, Int, String)]
       .mapPartitions { rows =>
         rows.map { case (id, n, src) =>
@@ -216,20 +201,18 @@ object MultimodalOps extends QueryModule {
     }
     def pngBytes(hex: String, docId: Long): Array[Byte] = {
       val p = params(hex, docId)
-      val img = new BufferedImage(p.w, p.h, BufferedImage.TYPE_BYTE_GRAY)
-      val raster = img.getRaster
+      // same pixel formula, written straight into the row-major raster
+      val raster = new Array[Byte](p.w * p.h)
       var y = 0
       while (y < p.h) {
         var x = 0
         while (x < p.w) {
-          raster.setSample(x, y, 0, (p.dx * x + p.dy * y) % 100 + 1 + p.a)
+          raster(y * p.w + x) = ((p.dx * x + p.dy * y) % 100 + 1 + p.a).toByte
           x += 1
         }
         y += 1
       }
-      val bos = new ByteArrayOutputStream(1024)
-      ImageIO.write(img, "png", bos)
-      bos.toByteArray
+      PngGray.encode(p.w, p.h, raster)
     }
   }
 
@@ -266,9 +249,11 @@ object MultimodalOps extends QueryModule {
     * Distributed synthesis, one mapPartitions pass, no shuffle. */
   def phashMediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
-    Tables.documents(spark, dir)
+    // same single-row-group spread as mediaTable: the pattern synth +
+    // decode downstream is the heavy per-row work (round 12)
+    graft.util.Spread.toCores(Tables.documents(spark, dir)
       .filter(col("text").isNotNull)
-      .select(col("doc_id"), graft.TextCanon.normHash.as("hh"))
+      .select(col("doc_id"), graft.TextCanon.normHash.as("hh")))
       .as[(Long, String)]
       .mapPartitions { rows =>
         rows.map { case (id, hh) =>
