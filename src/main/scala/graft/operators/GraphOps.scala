@@ -31,6 +31,19 @@ object GraphOps extends QueryModule {
   private val Scale = 1000000000000L
   private val Iters = 10
 
+  /** Ceilings under which the power iteration runs on the driver over
+    * the COLLECTED (node, edge) tables instead of as 10 chained Spark
+    * jobs (round 12, guide §1.2 — the distributed algorithm first):
+    * the service graph is bounded by the event-type enum (single-digit
+    * nodes at every SF), so each iteration's join+agg+checkpoint was
+    * pure scheduler/planning overhead — ~10 jobs to move a handful of
+    * longs. Same bounded-collect class as the k-row centroid tables
+    * (ClusterOps): 4096 nodes / 262144 grouped edges collect to a few
+    * MB. Past the ceilings the original distributed loop runs
+    * unchanged (v2e's doc-cluster graphs, where nodes grow with data). */
+  private val MaxDriverNodes = 4096L
+  private val MaxDriverEdges = 262144L
+
   /** V29: weighted PageRank, damping 0.85, 10 fixed iterations.
     * rank' = (0.15/N)·S + 0.85·Σ_in (rank·wf ÷ 1e6) where wf is the
     * edge's out-weight fraction pre-quantized to 1e6 units — all in
@@ -54,6 +67,50 @@ object GraphOps extends QueryModule {
       .select(col("event_type").as("node")).distinct()
     val nodesN = nodes.crossJoin(broadcast(
       nodes.agg(count(lit(1)).as("n_nodes")))).localCheckpoint()
+    val probe = nodesN.limit(1).collect()
+    val nNodes = if (probe.isEmpty) 0L else probe(0).getLong(1)
+    val nEdges = ew.count() // post-checkpoint: counts blocks, no recompute
+    val ranks =
+      if (nNodes > 0 && nNodes <= MaxDriverNodes && nEdges <= MaxDriverEdges)
+        pageRankDriver(spark, nodesN, ew, nNodes)
+      else pageRankDistributed(nodesN, ew)
+    ranks
+      .withColumn("rank_norm", Exact.ratio6(col("rank"), lit(Scale)))
+      .orderBy(col("rank").desc, col("node"))
+  }
+
+  /** The bounded-graph fast path: identical scaled-integer arithmetic
+    * (truncating division on non-negative longs ≡ [[Exact.intDiv]];
+    * inflow is a sum of longs, associative, so accumulation order
+    * cannot move a bit), run over arrays on the driver. GraphSpec pins
+    * driver ≡ distributed bit-for-bit. */
+  private[graft] def pageRankDriver(spark: SparkSession, nodesN: DataFrame,
+      ew: DataFrame, nNodes: Long): DataFrame = {
+    val n = nNodes
+    val nodeArr = nodesN.select(col("node")).collect().map(_.getString(0))
+    val idx = nodeArr.zipWithIndex.toMap
+    // src/dst are event_types drawn from the same events scan as the
+    // node list, so membership is structural
+    val es = ew.select(col("src"), col("dst"), col("wf")).collect()
+      .map(r => (idx(r.getString(0)), idx(r.getString(1)), r.getLong(2)))
+    var rank = Array.fill(nodeArr.length)(Scale / n)
+    var it = 0
+    while (it < Iters) {
+      val inflow = new Array[Long](nodeArr.length)
+      es.foreach { case (s, d, wf) => inflow(d) += rank(s) * wf / 1000000L }
+      rank = Array.tabulate(nodeArr.length)(i =>
+        Scale * 15L / (n * 100L) + inflow(i) * 85L / 100L)
+      it += 1
+    }
+    import spark.implicits._
+    nodeArr.indices.map(i => (nodeArr(i), rank(i)))
+      .toDF("node", "rank")
+  }
+
+  /** The original distributed loop — node-keyed shuffle per iteration,
+    * checkpoint-per-iteration lineage cut (v2e's convention). */
+  private[graft] def pageRankDistributed(nodesN: DataFrame,
+      ew: DataFrame): DataFrame = {
     var ranks = nodesN.select(col("node"),
       Exact.intDiv(lit(Scale), col("n_nodes")).as("rank"))
     for (_ <- 1 to Iters) {
@@ -69,8 +126,6 @@ object GraphOps extends QueryModule {
         .localCheckpoint()
     }
     ranks
-      .withColumn("rank_norm", Exact.ratio6(col("rank"), lit(Scale)))
-      .orderBy(col("rank").desc, col("node"))
   }
 
   /** The t05 edge subquery verbatim (same oracle text as

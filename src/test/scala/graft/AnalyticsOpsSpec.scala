@@ -120,6 +120,30 @@ class AnalyticsOpsSpec extends SparkSpec {
     }
   }
 
+  test("v29 pagerank driver fast path is bit-identical to the " +
+    "distributed loop (round-12 dispatch)") {
+    // rebuild the shared inputs exactly as pageRank does
+    val edges = EventOps.serviceDependencies(spark, sf0001)
+      .select(col("parent_type").as("src"), col("child_type").as("dst"),
+        col("n_calls").as("w"))
+    val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("ow"))
+    val ew = edges.join(outw, Seq("src"))
+      .withColumn("wf", Exact.intDiv(col("w") * 1000000L, col("ow")))
+      .localCheckpoint()
+    val nodes = Tables.events(spark, sf0001)
+      .select(col("event_type").as("node")).distinct()
+    val nodesN = nodes.crossJoin(broadcast(
+      nodes.agg(count(lit(1)).as("n_nodes")))).localCheckpoint()
+    val n = nodesN.limit(1).collect()(0).getLong(1)
+    def ranksOf(df: org.apache.spark.sql.DataFrame): Seq[(String, Long)] =
+      df.orderBy("node").collect()
+        .map(r => (r.getAs[String]("node"), r.getAs[Long]("rank"))).toSeq
+    val fast = ranksOf(GraphOps.pageRankDriver(spark, nodesN, ew, n))
+    val dist = ranksOf(GraphOps.pageRankDistributed(nodesN, ew))
+    assert(fast === dist)
+    assert(fast.nonEmpty)
+  }
+
   test("w10 burn windows recompute on calendar hours and the alert " +
     "implies both thresholds") {
     val rows = SeriesOps.sloBurn(spark, sf0001).collect()
