@@ -347,39 +347,48 @@ object TextOps extends QueryModule {
   def curateExplain(spark: SparkSession, dir: String,
       minScore: Double = GateThreshold, perSource: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val allDocs = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"), col("text"))
-    val nulls = allDocs.filter(col("text").isNull)
-      .select(col("doc_id"), col("source"),
-        lit("null_text").as("verdict"), lit(null).cast("double").as("score"))
-    val withDk = allDocs.filter(col("text").isNotNull)
-      .withColumn("norm_hash", TextCanon.normHash)
-      .withColumn("dk", row_number().over(
-        Window.partitionBy(col("norm_hash")).orderBy(col("doc_id"))))
-    val dups = withDk.filter(col("dk") > 1)
-      .select(col("doc_id"), col("source"),
-        lit("duplicate").as("verdict"), lit(null).cast("double").as("score"))
-    val scored = withMarkerScores(withDk.filter(col("dk") === 1))
+    // ONE pass, round 12: the original disjoint-union assembly
+    // recomputed every shared subtree per branch — the dedup window ran
+    // 4x and the marker-scoring pass 3x (5 scans / 11 Window nodes in
+    // the physical plan). All five verdicts are derivable from one
+    // scored frame: the first-failing-gate order becomes a CASE chain,
+    // and the per-source survivor rank is a window partitioned by
+    // (source, ok) — within the ok=true slice it equals the old
+    // survivors-only rank. For masked rows (null text / dups) the
+    // scoring expressions evaluate to null and the verdict chain never
+    // reads them: argmaxLang/scoreCol are null-proof (MarkerCounts is
+    // nullSafeEval; ratio6's den nw >= 1 on any non-null text), and for
+    // every row that can reach the language/quality/cap branches
+    // detected and score are non-null, so the CASE picks exactly the
+    // branch the old filters did. Plan: 1 scan, 2 windows, same output
+    // (ScaleSpec first-gate-wins pins + the DuckDB oracle unchanged).
+    val scored = withMarkerScores(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"), col("text"))
+        .withColumn("norm_hash", TextCanon.normHash)
+        .withColumn("dk", row_number().over(
+          Window.partitionBy(col("norm_hash")).orderBy(col("doc_id")))))
       .withColumn("detected", argmaxLang)
       .withColumn("n_words", size(col("w")))
       .withColumn("n_distinct", size(array_distinct(col("w"))))
       .withColumn("score", scoreCol)
-    val langFail = scored.filter(col("detected") =!= "en")
-      .select(col("doc_id"), col("source"),
-        lit("language").as("verdict"), lit(null).cast("double").as("score"))
-    val qualFail = scored
-      .filter(col("detected") === "en" && col("score") < minScore)
-      .select(col("doc_id"), col("source"),
-        lit("quality").as("verdict"), col("score"))
-    val surv = scored
-      .filter(col("detected") === "en" && col("score") >= minScore)
+    val ok = col("text").isNotNull && col("dk") === 1 &&
+      col("detected") === "en" && col("score") >= minScore
+    scored
+      .withColumn("ok", ok)
       .withColumn("rk", row_number().over(
-        Window.partitionBy(col("source")).orderBy(col("doc_id"))))
+        Window.partitionBy(col("source"), col("ok"))
+          .orderBy(col("doc_id"))))
       .select(col("doc_id"), col("source"),
-        when(col("rk") <= perSource, "kept").otherwise("cap").as("verdict"),
-        col("score"))
-    nulls.unionByName(dups).unionByName(langFail).unionByName(qualFail)
-      .unionByName(surv)
+        when(col("text").isNull, "null_text")
+          .when(col("dk") > 1, "duplicate")
+          .when(col("detected") =!= "en", "language")
+          .when(col("score") < minScore, "quality")
+          .when(col("rk") <= perSource, "kept")
+          .otherwise("cap").as("verdict"),
+        when(col("text").isNotNull && col("dk") === 1 &&
+          col("detected") === "en", col("score"))
+          .otherwise(lit(null).cast("double")).as("score"))
       .orderBy(col("doc_id"))
   }
 
