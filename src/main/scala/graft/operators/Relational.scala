@@ -308,12 +308,24 @@ object Relational extends QueryModule {
           col("o_orderdate").cast("date")) > 60)
     // n_late = 1 makes the late supplier UNIQUE per qualifying order,
     // so min(late suppkey) recovers its identity inside the same
-    // aggregate — no second fact pass, no join back to lines
-    val perOrder = lines.groupBy(col("l_orderkey"))
-      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
-        countDistinct(when(col("delayed"), col("l_suppkey")))
+    // aggregate — no second fact pass, no join back to lines.
+    // Two-phase spelling (round 12): the double countDistinct planned
+    // as Expand x2 over every fact row + two exchanges of the expanded
+    // stream; aggregating to (order, supp) grain first and counting
+    // groups computes the identical values — countDistinct(supp) is
+    // the number of non-null supp groups, countDistinct(when(delayed,
+    // supp)) the number with any delayed line (max(delayed) is
+    // null-skipping, like the distinct over when()), min(when(...))
+    // distributes over the group max — with no Expand and narrower
+    // exchanges. Values and oracle untouched.
+    val perPair = lines.groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(col("delayed")).as("d"))
+    val perOrder = perPair.groupBy(col("l_orderkey"))
+      .agg(sum(when(col("l_suppkey").isNotNull, 1L).otherwise(0L))
+          .as("n_supp"),
+        sum(when(col("d") && col("l_suppkey").isNotNull, 1L).otherwise(0L))
           .as("n_late"),
-        min(when(col("delayed"), col("l_suppkey"))).as("late_supp"))
+        min(when(col("d"), col("l_suppkey"))).as("late_supp"))
       .filter(col("n_supp") > 1 && col("n_late") === 1)
     val waits = perOrder.groupBy(col("late_supp").as("l_suppkey"))
       .agg(count(lit(1)).as("numwait"))
