@@ -487,10 +487,10 @@ private[dedup] trait DedupAudit { self: DedupOps.type =>
     * contract: pid-suffixed, NOT exit-deleted — the oracle SQL reads
     * them from DuckDB after the Verify JVM exits). */
   val SimhashPairsPath: String =
-    s"${sys.props("java.io.tmpdir")}/graft_simhash_pairs_" +
+    s"${graft.util.TempArtifacts.fastBase}/graft_simhash_pairs_" +
       ProcessHandle.current().pid()
   val WinnowPairsPath: String =
-    s"${sys.props("java.io.tmpdir")}/graft_winnow_pairs_" +
+    s"${graft.util.TempArtifacts.fastBase}/graft_winnow_pairs_" +
       ProcessHandle.current().pid()
   private[dedup] val simhashPairsOnce =
     new graft.util.OncePerProcess("SimHash pair dump")

@@ -18,7 +18,7 @@ private[dedup] trait DedupLedger { self: DedupOps.type =>
   // from DuckDB after the Verify JVM exits (same contract as the OTLP
   // fixture) — exit-time deletion would break the gate.
   val IvfPairsPath: String =
-    s"${sys.props("java.io.tmpdir")}/graft_ivf_pairs_" +
+    s"${graft.util.TempArtifacts.fastBase}/graft_ivf_pairs_" +
       ProcessHandle.current().pid()
 
   /** One write per process, and the IVF pairs DEPEND on the data dir

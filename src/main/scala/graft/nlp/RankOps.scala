@@ -533,7 +533,7 @@ object RankOps extends QueryModule {
       _ => new java.util.concurrent.FutureTask(() => {
         val (merges, words) = learnMerges(spark, dir, 6)
         val path = graft.util.TempArtifacts.register(
-          s"${sys.props("java.io.tmpdir")}/graft_bpe_" +
+          s"${graft.util.TempArtifacts.fastBase}/graft_bpe_" +
             s"${ProcessHandle.current().pid()}_${bpeSeq.getAndIncrement()}")
         words.write.mode("overwrite").parquet(path)
         (merges, path)

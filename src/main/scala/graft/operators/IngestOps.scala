@@ -34,7 +34,7 @@ object IngestOps extends QueryModule {
   // a2a3/a4b oracle SQL, which the driver's DuckDB executes AFTER the
   // Verify JVM exits — exit-time deletion would break the gate.
   val FixturePath: String =
-    s"${sys.props("java.io.tmpdir")}/graft_otlp_fixture_" +
+    s"${graft.util.TempArtifacts.fastBase}/graft_otlp_fixture_" +
       ProcessHandle.current().pid()
 
   private def projection(flat: DataFrame): DataFrame =

@@ -136,6 +136,12 @@ object JoinOps extends QueryModule {
     intervals.join(probes, Seq("bucket"))
       .filter(abs(col("ts_us") - col("err_ts")) <= RangeHalfUs &&
         col("event_id") =!= col("err_id"))
+      // narrow the err-keyed exchange (guide §2.3, project before the
+      // exchange): the candidate stream is the one shuffle this plan
+      // pays, and the event_type STRING rides it only to be compared
+      // to 'error' after — fold it to a long flag on the map side
+      .select(col("err_id"), col("err_ts"), col("user_id"),
+        when(col("event_type") === "error", 1L).otherwise(0L).as("is_err"))
       .withColumn("first_u",
         when(col("user_id").isNotNull &&
           (lag(col("user_id"), 1).over(byErrUser).isNull ||
@@ -144,8 +150,7 @@ object JoinOps extends QueryModule {
       .groupBy(col("err_id"), col("err_ts"))
       .agg(count(lit(1)).as("n_nearby"),
         sum(col("first_u")).as("n_users"),
-        sum(when(col("event_type") === "error", 1L).otherwise(0L))
-          .as("n_errors"))
+        sum(col("is_err")).as("n_errors"))
       .orderBy(col("err_id"))
   }
 

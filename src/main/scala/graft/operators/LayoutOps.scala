@@ -92,7 +92,7 @@ object LayoutOps extends QueryModule {
     // empty table / all-NULL ids: nothing to cluster — answer the box
     // query directly (same layout-invariant result, no crash)
     if (ub.isNullAt(0)) return boxAgg(ev)
-    val out = java.nio.file.Files.createTempDirectory("graft-zorder")
+    val out = compactScratch("graft-zorder")
     val path = s"$out/events_z"
     // materialize the 1-row aggregate eagerly so the per-run clustered
     // copy can be deleted before returning (same convention as the
@@ -136,7 +136,7 @@ object LayoutOps extends QueryModule {
   private def ensureBucketTables(spark: SparkSession, dir: String): Unit =
     bucketsOnce.ensure(dir) {
       val root = graft.util.TempArtifacts.register(
-        s"${sys.props("java.io.tmpdir")}/graft_buckets_" +
+        s"${graft.util.TempArtifacts.fastBase}/graft_buckets_" +
           ProcessHandle.current().pid())
       spark.sql("DROP TABLE IF EXISTS graft_lineitem_b")
       spark.sql("DROP TABLE IF EXISTS graft_orders_b")
@@ -179,6 +179,14 @@ object LayoutOps extends QueryModule {
     * spec's file-count probe — ONE definition, so the 64→4 pin in
     * ExtendedOpsSpec always tests the shipped rewrite. Returns the
     * compacted path. */
+  /** Per-call scratch for the rewrite fixtures: tmpfs when available
+    * (the [[graft.util.TempArtifacts.fastBase]] convention — the
+    * 64-file fragmentation otherwise pays ext4 journaling per file). */
+  private def compactScratch(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(graft.util.TempArtifacts.fastBase), prefix)
+      .toString
+
   private def writeFragAndCompact(spark: SparkSession, df: DataFrame,
       root: String): String = {
     df.repartition(FragFiles).write.mode("overwrite")
@@ -191,8 +199,7 @@ object LayoutOps extends QueryModule {
   }
 
   def compaction(spark: SparkSession, dir: String): DataFrame = {
-    val root = java.nio.file.Files
-      .createTempDirectory("graft_compact").toString
+    val root = compactScratch("graft_compact")
     try {
       val ev = Tables.events(spark, dir)
         .select(col("event_id"), col("user_id"), col("event_type"),
@@ -218,8 +225,7 @@ object LayoutOps extends QueryModule {
     * frag=[[FragFiles]], compact=[[CompactFiles]], content equal). */
   private[graft] def compactionFileCounts(spark: SparkSession,
       dir: String): (Long, Long) = {
-    val root = java.nio.file.Files
-      .createTempDirectory("graft_compact_spec").toString
+    val root = compactScratch("graft_compact_spec")
     try {
       val ev = Tables.events(spark, dir).select(col("event_id"))
       writeFragAndCompact(spark, ev, root)

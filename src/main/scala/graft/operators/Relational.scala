@@ -572,7 +572,7 @@ object Relational extends QueryModule {
 
   /** v10c dump path + guard (IvfPairsPath contract). */
   val HllCountsPath: String =
-    s"${sys.props("java.io.tmpdir")}/graft_hll_counts_" +
+    s"${graft.util.TempArtifacts.fastBase}/graft_hll_counts_" +
       ProcessHandle.current().pid()
   private val hllCountsOnce =
     new graft.util.OncePerProcess("HLL counts dump")
@@ -630,10 +630,10 @@ object Relational extends QueryModule {
 
   /** t04d / v9c dump paths + guards (IvfPairsPath contract). */
   val ApproxLatPath: String =
-    s"${sys.props("java.io.tmpdir")}/graft_approx_lat_" +
+    s"${graft.util.TempArtifacts.fastBase}/graft_approx_lat_" +
       ProcessHandle.current().pid()
   val ProfileHllPath: String =
-    s"${sys.props("java.io.tmpdir")}/graft_profile_hll_" +
+    s"${graft.util.TempArtifacts.fastBase}/graft_profile_hll_" +
       ProcessHandle.current().pid()
   private val approxLatOnce =
     new graft.util.OncePerProcess("approx latency dump")

@@ -196,7 +196,7 @@ object SeriesOps extends QueryModule {
   /** t20c dump path + guard (the IvfPairsPath contract: pid-suffixed,
     * not exit-deleted — the oracle SQL reads it after the JVM exits). */
   val HllSeriesPath: String =
-    s"${sys.props("java.io.tmpdir")}/graft_hll_series_" +
+    s"${graft.util.TempArtifacts.fastBase}/graft_hll_series_" +
       ProcessHandle.current().pid()
   private val hllSeriesOnce =
     new graft.util.OncePerProcess("HLL series dump")

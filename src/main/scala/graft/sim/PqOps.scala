@@ -626,7 +626,7 @@ object PqOps extends QueryModule {
       writeIvfPqIndex(spark, dir, _))
     val q = serveQueryFrame(spark, dir, idx, ncell)
     val outPath = graft.util.TempArtifacts.register(
-      s"${sys.props("java.io.tmpdir")}/graft_st21b_" +
+      s"${graft.util.TempArtifacts.fastBase}/graft_st21b_" +
         s"${ProcessHandle.current().pid()}_${System.nanoTime()}")
     // seed the result store with the empty frame so a workload with no
     // queries reads back empty exactly like st21's memory sink (review

@@ -716,7 +716,7 @@ object SimilarityOps extends QueryModule {
     * oracle SQL after the Verify JVM exits, so NOT exit-deleted
     * (the v2d2b/IvfPairsPath contract). */
   val IvfTopkPath: String =
-    s"${sys.props("java.io.tmpdir")}/graft_ivf_topk_" +
+    s"${graft.util.TempArtifacts.fastBase}/graft_ivf_topk_" +
       ProcessHandle.current().pid()
 
   private val ivfTopkOnce =
@@ -765,7 +765,7 @@ object SimilarityOps extends QueryModule {
 
   /** v3c2 dump path + guard (the IvfTopkPath contract). */
   val KnnPairsPath: String =
-    s"${sys.props("java.io.tmpdir")}/graft_knn_pairs_" +
+    s"${graft.util.TempArtifacts.fastBase}/graft_knn_pairs_" +
       ProcessHandle.current().pid()
   private val knnPairsOnce =
     new graft.util.OncePerProcess("kNN join dump")
@@ -846,7 +846,7 @@ object SimilarityOps extends QueryModule {
 
   /** v18c dump path + guard (the IvfTopkPath contract). */
   val QuantTopkPath: String =
-    s"${sys.props("java.io.tmpdir")}/graft_quant_topk_" +
+    s"${graft.util.TempArtifacts.fastBase}/graft_quant_topk_" +
       ProcessHandle.current().pid()
   private val quantTopkOnce =
     new graft.util.OncePerProcess("quantized top-k dump")
@@ -1047,7 +1047,7 @@ object SimilarityOps extends QueryModule {
         // each other's index mid-read (rows-only entry: no oracle SQL
         // needs the path, so per-process uniqueness is free)
         val idx = graft.util.TempArtifacts.register(
-          s"${sys.props("java.io.tmpdir")}/graft_ivf_index_" +
+          s"${graft.util.TempArtifacts.fastBase}/graft_ivf_index_" +
             ProcessHandle.current().pid())
         writeIvfIndex(s, d, idx, nlist = adaptiveNlist(s, d))
         // the query vector arrives from OUTSIDE the index (a pushed-down

@@ -105,7 +105,7 @@ object SpanFixture {
     * stable within the process and survive JVM exit for the driver's
     * DuckDB pass. */
   val Dir: String =
-    s"${sys.props("java.io.tmpdir")}/graft_spanfiles_" +
+    s"${graft.util.TempArtifacts.fastBase}/graft_spanfiles_" +
       ProcessHandle.current().pid()
 
   private val once = new graft.util.OncePerProcess("span-file fixture")

@@ -494,7 +494,7 @@ object StreamingOps extends QueryModule {
     // registered for exit-time cleanup — one fresh dir per run (the
     // nanoTime-suffixed query name), holding links to the shared dump
     val streamDir = graft.util.TempArtifacts.register(
-      s"${sys.props("java.io.tmpdir")}/graft_stdrive_" +
+      s"${graft.util.TempArtifacts.fastBase}/graft_stdrive_" +
         ProcessHandle.current().pid() + "_" + name)
     java.nio.file.Files.createDirectories(
       java.nio.file.Paths.get(streamDir))
@@ -843,7 +843,7 @@ object StreamingOps extends QueryModule {
 
   /** st6c dump path + guard (IvfPairsPath contract). */
   val SketchSeriesPath: String =
-    s"${sys.props("java.io.tmpdir")}/graft_sketch_series_" +
+    s"${graft.util.TempArtifacts.fastBase}/graft_sketch_series_" +
       ProcessHandle.current().pid()
   private val sketchSeriesOnce =
     new graft.util.OncePerProcess("streaming sketch series dump")

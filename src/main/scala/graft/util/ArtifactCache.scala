@@ -35,7 +35,7 @@ object ArtifactCache {
     runEvicting((kind, dir)) { () =>
       BuildCounters.inc(s"artifact:$kind:$dir")
       val path = TempArtifacts.register(
-        s"${sys.props("java.io.tmpdir")}/graft_${kind}_" +
+        s"${graft.util.TempArtifacts.fastBase}/graft_${kind}_" +
           s"${ProcessHandle.current().pid()}_${seq.getAndIncrement()}")
       build(path)
       path
@@ -62,7 +62,7 @@ object ArtifactCache {
 
   private val catalogRoot: java.io.File = {
     val f = new java.io.File(
-      s"${sys.props("java.io.tmpdir")}/graft_artifact_catalog")
+      s"${graft.util.TempArtifacts.fastBase}/graft_artifact_catalog")
     java.nio.file.Files.createDirectories(f.toPath)
     f
   }

@@ -74,7 +74,7 @@ object PlanMemo {
         if (p == null) {
           BuildCounters.inc(s"memo:$key:$dir")
           p = TempArtifacts.register(
-            s"${sys.props("java.io.tmpdir")}/graft_memo_" +
+            s"${graft.util.TempArtifacts.fastBase}/graft_memo_" +
               s"${ProcessHandle.current().pid()}_" +
               s"${counter.incrementAndGet()}_$key")
           build.write.mode("overwrite").parquet(p)

@@ -25,4 +25,18 @@ object TempArtifacts {
     paths.add(path)
     path
   }
+
+  /** Root for the small per-process artifacts above plus the
+    * cross-process memo/index stores: tmpfs when the host offers one
+    * (round 12 — the GraftSession `spark.local.dir` convention applied
+    * to our own artifact I/O: java.io.tmpdir here is disk-backed ext4,
+    * so every tiny parquet memo/fixture write paid file-system
+    * journaling, and v25's 64-file fragmentation fixture paid it 64
+    * times), else java.io.tmpdir unchanged. Cluster deployments never
+    * see this path — these artifacts are local-mode scratch. */
+  lazy val fastBase: String = {
+    val shm = new java.io.File("/dev/shm")
+    if (shm.isDirectory && shm.canWrite) "/dev/shm"
+    else sys.props("java.io.tmpdir")
+  }
 }
