@@ -112,10 +112,15 @@ object RankQaOps extends QueryModule {
     * the broadcast query counts, IEEE sqrt norms, rounded 6 — bucketed
     * by [[CosHi]]/[[CosMid]]/[[CosLo]]. */
   private def wordCosLabels(spark: SparkSession, dir: String): DataFrame = {
+    // materialized once (round 12): f feeds the query row, the norms
+    // and the dots — three aggregation consumers that each re-ran the
+    // word explode+count otherwise (no exchange reuse fires across the
+    // differing parent aggregates)
     val f = Tables.documents(spark, dir).filter(col("text").isNotNull)
       .select(col("doc_id"),
         explode(split(lower(col("text")), " ")).as("word"))
       .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     val q = f.filter(col("doc_id") === 0)
       .select(col("word"), col("c").as("qc"))
     val qn = q.agg(sum(col("qc") * col("qc")).as("qnn"))
@@ -133,6 +138,11 @@ object RankQaOps extends QueryModule {
       .select(col("doc_id"),
         when(col("cos") >= CosHi, 3).when(col("cos") >= CosMid, 2)
           .when(col("cos") >= CosLo, 1).otherwise(0).as("rel"))
+      // materialized once more at the label grain: ndcg10 consumes the
+      // labels twice (DCG join + ideal top-10) and would re-run the
+      // cosine chain per consumer. lexLabels stays un-checkpointed —
+      // it is one in-row pass, cheaper than the eager materialization.
+      .localCheckpoint()
   }
 
   /** V64a: nDCG@10 of the BM25 ranking against the graded lexical
@@ -163,11 +173,15 @@ object RankQaOps extends QueryModule {
     * pair counts over a ≤10-row frame; tau as a signed micro ratio
     * ([[Exact.signedDivRound]]). */
   def rrfTauVsBm25(spark: SparkSession, dir: String): DataFrame = {
+    // materialized once (round 12): the ≤10-row fused pool feeds both
+    // sides of the pair self-join, which otherwise re-ran the whole
+    // RRF fusion (bm25 + dense arm) twice
     val fused = FusionOps.hybridRrf(spark, dir)
       .withColumn("f", row_number().over(
         Window.orderBy(col("rrf").desc, col("doc_id"))))
       .filter(col("r_bm25") > 0)
       .select(col("doc_id"), col("f"), col("r_bm25"))
+      .localCheckpoint()
     val a = fused.select(col("doc_id").as("i"), col("f").as("fi"),
       col("r_bm25").as("bi"))
     val b = fused.select(col("doc_id").as("j"), col("f").as("fj"),
