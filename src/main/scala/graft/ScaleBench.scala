@@ -87,6 +87,16 @@ object ScaleBench {
           cellK = graft.sim.PqOps.adaptiveCoarseK(s, d)).forced()),
       ("v19_bm25_search", (s: SparkSession, d: String, _: Int) =>
         reg("v19_bm25_search")(s, d).forced()),
+      // round-12 re-planned entry: the single-pass explain report
+      // (was 5 union branches recomputing the scoring). q21's rewrite
+      // has no row here — blowUp synthesizes docs/embeddings/events
+      // only, not the TPC-H tables.
+      ("v13b_curation_explain", (s: SparkSession, d: String, _: Int) =>
+        reg("v13b_curation_explain")(s, d).forced()),
+      // round-12 codec + spread: one synth-encode + decode per doc,
+      // now spread across cores and through the fast PNG container
+      ("v7_multimodal_features", (s: SparkSession, d: String, _: Int) =>
+        reg("v7_multimodal_features")(s, d).forced()),
       ("v66_curation_dag", (s: SparkSession, d: String, _: Int) =>
         reg("v66_curation_dag")(s, d).forced()),
       ("v66b_curation_dag_fixedbench",

@@ -187,7 +187,10 @@ object RankQaOps extends QueryModule {
     val b = fused.select(col("doc_id").as("j"), col("f").as("fj"),
       col("r_bm25").as("bj"))
     val sgn = (col("fi") - col("fj")) * (col("bi") - col("bj"))
-    a.crossJoin(b).filter(col("i") < col("j"))
+    // explicit broadcast: the checkpointed pool's ≤10-row bound is no
+    // longer visible in its lineage, so the hint carries the
+    // smallness claim (PlanSpec sweep convention)
+    a.crossJoin(broadcast(b)).filter(col("i") < col("j"))
       .agg(count(lit(1)).as("n_pairs"),
         coalesce(sum(when(sgn > 0, 1L).otherwise(0L)), lit(0L))
           .as("n_concordant"),
