@@ -12,7 +12,12 @@ object Explain {
     val Array(sfDir, outFile) = args
     val spark = GraftSession.local(appName = "graft-explain")
     val sb = new StringBuilder
-    SparkEntry.all.foreach { q =>
+    // same substring filter as Bench/Verify, for fast plan iteration
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').toSeq).getOrElse(Seq.empty)
+    SparkEntry.all
+      .filter(q => only.isEmpty || only.exists(q.id.contains))
+      .foreach { q =>
       sb.append(s"==== ${q.id} — ${q.doc}\n")
       try {
         val df = q.run(spark, sfDir)

@@ -70,18 +70,35 @@ private[dedup] trait DedupScrub { self: DedupOps.type =>
     val W = ScrubWindow
     val d = Tables.documents(spark, dir).filter(col("text").isNotNull)
       .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
-    val occ = scrubWindows(d)
-    val firsts = occ.groupBy(col("h"))
-      .agg(min(col("doc_id")).as("keep_doc"), count(lit(1)).as("n_occ"))
-    val scrubbed = occ.join(firsts, Seq("h"))
-      .filter(col("n_occ") >= 2 && col("doc_id") > col("keep_doc"))
-    val removed = scrubbed
-      .select(col("doc_id"),
-        explode(sequence(col("s"), col("s") + (W - 1))).as("p"))
-      .distinct()
+    // ONE pass over the exploded windows (round 13): the per-hash
+    // aggregate carries each occurrence (doc_id, s) through the single
+    // h-keyed exchange it pays anyway, so the old shape's SECOND
+    // scan+explode+md5 of every window (occ consumed by both the
+    // groupBy and the join probe side) and the join itself disappear.
+    // (doc_id > keep_doc) alone ≡ (n_occ >= 2 && doc_id > keep_doc):
+    // an occurrence above the minimum implies a second occurrence, and
+    // a window occurring only in the keeper doc has none above it.
+    val starts = scrubWindows(d)
+      .groupBy(col("h"))
+      .agg(min(col("doc_id")).as("keep_doc"),
+        collect_list(struct(col("doc_id"), col("s"))).as("occs"))
+      .select(col("keep_doc"), explode(col("occs")).as("o"))
+      .filter(col("o.doc_id") > col("keep_doc"))
+      .select(col("o.doc_id").as("doc_id"), col("o.s").as("s"))
+    // covered positions folded IN-ROW per doc: the doc-keyed exchange
+    // carries one row per scrubbed WINDOW (start only), not the W
+    // exploded positions the old explode+distinct shuffled (8x the
+    // rows and an extra exchange for the distinct). array_distinct ∘
+    // flatten ∘ sequence reproduces the exploded-distinct set exactly.
+    val removed = starts
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_removed"),
-        sort_array(collect_list(col("p").cast("long"))).as("ps"))
+      .agg(collect_list(col("s")).as("ss"))
+      .select(col("doc_id"),
+        array_sort(array_distinct(flatten(transform(col("ss"),
+          x => sequence(x.cast("long"),
+            x.cast("long") + lit((W - 1).toLong)))))).as("ps"))
+      .select(col("doc_id"), size(col("ps")).cast("long").as("n_removed"),
+        col("ps"))
     d.join(removed, Seq("doc_id"), "left")
       .select(col("doc_id"), size(col("w")).as("n_words"),
         coalesce(col("n_removed"), lit(0L)).as("n_removed"),
@@ -414,14 +431,20 @@ private[dedup] trait DedupScrub { self: DedupOps.type =>
     val bench = scrubWindows(d.filter(pmod(col("doc_id"), lit(7)) === 0))
       .select(col("h")).distinct()
     val corpus = d.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+    // doc-keyed exchange carries one row per hit WINDOW (start only);
+    // covered positions expand + dedup IN-ROW (the round-13 v67
+    // treatment: the old explode+distinct shuffled W x the rows plus
+    // an extra exchange for the distinct).
     val removed = scrubWindows(corpus)
       .join(broadcast(bench), Seq("h"), "left_semi")
-      .select(col("doc_id"),
-        explode(sequence(col("s"), col("s") + (W - 1))).as("p"))
-      .distinct()
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_removed"),
-        sort_array(collect_list(col("p").cast("long"))).as("ps"))
+      .agg(collect_list(col("s")).as("ss"))
+      .select(col("doc_id"),
+        array_sort(array_distinct(flatten(transform(col("ss"),
+          x => sequence(x.cast("long"),
+            x.cast("long") + lit((W - 1).toLong)))))).as("ps"))
+      .select(col("doc_id"), size(col("ps")).cast("long").as("n_removed"),
+        col("ps"))
     corpus.join(removed, Seq("doc_id"), "left")
       .select(col("doc_id"), size(col("w")).as("n_words"),
         coalesce(col("n_removed"), lit(0L)).as("n_removed"),

@@ -672,24 +672,55 @@ object RankOps extends QueryModule {
         .select(col("token"), col("id"))
     }
 
+  /** The 50-entry vocab as a driver-side pair list — a BOUNDED collect
+    * of the memoized [[vocab50]] (LIMIT 50 by construction: the v29
+    * bounded-collect class), cached per (session, dir) so the three
+    * consumers (v4i, v4j's decode + reference arms) pay the collect
+    * once. In-row literal-map lookups replace the old posexplode +
+    * broadcast join + collect_list re-assembly per consumer: the
+    * corpus never explodes or shuffles at all (round 13, guide §1.2
+    * step 1 — same values, the join was only a 50-row dictionary). */
+  private val vocabLitCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), Seq[(String, Int)]]()
+  private def vocabPairs(spark: SparkSession,
+      dir: String): Seq[(String, Int)] = {
+    vocabLitCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    val k = (spark, dir)
+    val hit = vocabLitCache.get(k)
+    if (hit != null) hit
+    else {
+      // collect outside the map lock (the adaptiveNlist pattern); a
+      // lost race recomputes a deterministic 50-row list, never a
+      // wrong one
+      val v = vocab50(spark, dir).collect()
+        .map(r => (r.getString(0), r.getInt(1))).toSeq
+      val prior = vocabLitCache.putIfAbsent(k, v)
+      if (prior != null) prior else v
+    }
+  }
+
   /** V4i: vocabulary ENCODING — the sequel to v4e's vocabulary build:
     * map each doc's words to token ids under the learned top-50 vocab
     * (id = 1-based rank by freq desc, token asc; out-of-vocab words
     * drop, the minimal tokenizer-application semantics). Scale: the
-    * 50-row vocab BROADCASTS; positions survive the explode so one
-    * (doc)-keyed re-assembly restores order. Output is the id sequence
-    * as CSV — the driver's hash compare sorts COLUMNS, and list
-    * columns don't sort; same convention as v18's checksums. */
+    * 50-row vocab is an in-row literal map (element_at lookup per
+    * word), so encoding is ONE narrow scan — no explode, no shuffle;
+    * `transform` preserves word order, which is exactly what the old
+    * posexplode + (pos, id) re-assembly reconstructed. Output is the
+    * id sequence as CSV — the driver's hash compare sorts COLUMNS, and
+    * list columns don't sort; same convention as v18's checksums. */
   def encode(spark: SparkSession, dir: String): DataFrame = {
-    val vocab = vocab50(spark, dir)
+    val tok2id = typedLit(vocabPairs(spark, dir).toMap)
     withWords(spark, dir)
-      .select(col("doc_id"), posexplode(col("w"))).toDF("doc_id", "pos", "token")
-      .join(broadcast(vocab), Seq("token"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_ids"),
-        concat_ws(",", transform(
-          array_sort(collect_list(struct(col("pos"), col("id")))),
-          s => s.getField("id").cast("string"))).as("ids_csv"))
+      .select(col("doc_id"),
+        filter(transform(col("w"), t => element_at(tok2id, t)),
+          x => x.isNotNull).as("ids"))
+      // the old inner join dropped docs with zero in-vocab words from
+      // the groupBy — keep that exact output set
+      .filter(size(col("ids")) > 0)
+      .select(col("doc_id"), size(col("ids")).cast("long").as("n_ids"),
+        concat_ws(",", transform(col("ids"), i => i.cast("string")))
+          .as("ids_csv"))
       .orderBy(col("doc_id"))
   }
 
@@ -717,36 +748,25 @@ object RankOps extends QueryModule {
     * collision-free and order survives serialization — the invariant
     * that silently breaks when a vocab is rebuilt with a different
     * tie order than the one the shards were encoded under. Scale:
-    * decode is one broadcast 50-row lookup + a (doc)-keyed
-    * re-assembly; the reference subsequence rides the same shape —
-    * two keyed shuffles, no window over the corpus. */
+    * decode is an in-row literal-map lookup over the SERIALIZED id
+    * string (split → element_at per id — it still consumes nothing
+    * but ids_csv + the stored vocab), the reference subsequence an
+    * in-row membership filter over the original words; `transform`/
+    * `filter` preserve order, so both arms reproduce the old
+    * posexplode + (pos, token) re-assembly exactly with ZERO corpus
+    * shuffles (round 13) — one doc-keyed join compares them. */
   def decodeRoundTrip(spark: SparkSession, dir: String): DataFrame = {
-    val vocab = vocab50(spark, dir) // memoized parquet read
-
-    def reassemble(df: DataFrame, out: String) =
-      df.groupBy(col("doc_id"))
-        .agg(concat_ws(" ", transform(
-          array_sort(collect_list(struct(col("pos"), col("token")))),
-          s => s.getField("token"))).as(out))
-    val decoded = encode(spark, dir)
+    val pairs = vocabPairs(spark, dir)
+    val tok2id = typedLit(pairs.toMap)
+    val id2tok = typedLit(pairs.map(p => (p._2, p._1)).toMap)
+    val decodedAsm = encode(spark, dir)
       .select(col("doc_id"), col("n_ids"),
-        posexplode(split(col("ids_csv"), ","))).toDF(
-          "doc_id", "n_ids", "pos", "id_s")
-      .withColumn("id", col("id_s").cast("int"))
-      .join(broadcast(vocab), Seq("id"))
-    val target = reassemble(withWords(spark, dir)
-      .select(col("doc_id"), posexplode(col("w")))
-      .toDF("doc_id", "pos", "token")
-      .join(broadcast(vocab.select(col("token"))), Seq("token")), "orig_inv")
-    // n_ids rides THROUGH the reassembly aggregate (it is functionally
-    // dependent on doc_id): the previous distinct-and-join-back
-    // re-executed the whole decode dataflow a second time plus an
-    // extra shuffle (round-10 review — the vocab50 re-run class)
-    val decodedAsm = decoded.groupBy(col("doc_id"))
-      .agg(first(col("n_ids")).as("n_ids"),
-        concat_ws(" ", transform(
-          array_sort(collect_list(struct(col("pos"), col("token")))),
-          s => s.getField("token"))).as("decoded"))
+        concat_ws(" ", transform(split(col("ids_csv"), ","),
+          s => element_at(id2tok, s.cast("int")))).as("decoded"))
+    val target = withWords(spark, dir)
+      .select(col("doc_id"),
+        concat_ws(" ", filter(col("w"),
+          t => element_at(tok2id, t).isNotNull)).as("orig_inv"))
     decodedAsm
       .join(target, Seq("doc_id"))
       .select(col("doc_id"), col("n_ids"),
@@ -893,15 +913,16 @@ object RankOps extends QueryModule {
       bpeApply, Some(bpeApplySql)),
     GraftQuery("v4i_encode",
       "V4i vocabulary encoding: docs mapped to token-id sequences " +
-        "under the v4e-learned top-50 vocab (broadcast lookup, " +
-        "position-preserving re-assembly; OOV drops)",
+        "under the v4e-learned top-50 vocab (in-row literal-map " +
+        "lookup, order preserved by transform; OOV drops) — one " +
+        "narrow scan, zero shuffles",
       encode, Some(encodeSql)),
     GraftQuery("v4j_decode_roundtrip",
       "V4j decode round-trip witness: each doc rebuilt from only its " +
         "serialized id sequence + the stored vocab, proven equal to " +
         "its in-vocab word subsequence — certifies collision-free ids " +
-        "and order-preserving serialization; broadcast 50-row lookup " +
-        "+ doc-keyed re-assembly",
+        "and order-preserving serialization; in-row 50-entry map " +
+        "lookups both arms, one doc-keyed join",
       decodeRoundTrip, Some(decodeRoundTripSql)),
     GraftQuery("v21_repetition_filter",
       "V21 Gopher-style repetition gate: duplicate-word + top-bigram " +
