@@ -309,10 +309,25 @@ object MixOps extends QueryModule {
     * export's) is pinned in MixSpec. */
   def shardManifestIncremental(spark: SparkSession,
       dir: String): DataFrame = {
+    // The narrow per-doc export columns were consumed SIX times in the
+    // old plan (base/delta branch × the prefix-sum's two passes, plus
+    // the whole base branch again under the numbering offset) — six
+    // documents scans each re-deriving the md5 shuffle key and content
+    // signature. Materialize them ONCE with text projected away
+    // (round 13, guide §7.2 duplicated subtrees / §2.3 project early);
+    // the base manifest is checkpointed too (bounded: one row per
+    // shard) so the offset aggregate and the union share one branch
+    // execution.
+    // LAZY checkpoints: the first consuming job materializes each
+    // frame in place (an eager job per checkpoint measured as pure
+    // added latency at bench scale); later consumers read the blocks.
     val rows = exportRows(spark, dir)
+      .select(col("doc_id"), col("sk"), col("toks"), col("sig"))
+      .localCheckpoint(eager = false)
     val baseM = manifestOf(
       withShardsOf(rows.filter(pmod(col("doc_id"), lit(10)) =!= 0)))
       .withColumn("gen", lit(0))
+      .localCheckpoint(eager = false)
     val offset = baseM
       .agg(coalesce(max(col("shard_id")) + 1L, lit(0L)).as("off"))
     val deltaM = manifestOf(

@@ -68,26 +68,53 @@ object RankQaOps extends QueryModule {
   /** nDCG@10 of `ranked` (a ≤10-row frame with a deterministic total
     * order given by `ord`) against `labels(doc_id, rel)`: rank weights
     * from [[DcgWeights]], gains 2^rel−1, unlabeled docs grade 0, ideal
-    * DCG from the label frame's top-10 grades. One output row. */
+    * DCG from the label frame's top-10 grades. One output row.
+    *
+    * ONE labels pass (round 13): ideal DCG is a pure function of the
+    * per-grade label counts — gains depend only on rel, and the
+    * doc_id tie-break never moves the sum — so the old sort + limit +
+    * window arm folds into the same aggregate that computes the DCG
+    * hits, halving the label passes (v64b's labels are a full corpus
+    * dataflow at scale). The ≤10-row ranked frame is checkpointed so
+    * n_ranked and the broadcast probe share one ranker execution (the
+    * v64d pool convention); ranked docs missing from the labels frame
+    * carry grade 0 = gain 0, so the labels-side probe loses nothing. */
   private def ndcg10(ranker: String, ranked: DataFrame, ord: Seq[Column],
       labels: DataFrame): DataFrame = {
     val wArr = typedLit(DcgWeights)
-    val dcg = ranked
+    // cumulative rank-weight sums W(0)..W(10): ideal-DCG in closed form
+    val cumW = typedLit(DcgWeights.scanLeft(0L)(_ + _))
+    def wTo(n: Column) =
+      element_at(cumW, least(n, lit(DcgK.toLong)).cast("int") + 1)
+    val r = ranked
       .withColumn("rnk", row_number().over(Window.orderBy(ord: _*)))
-      .join(labels, Seq("doc_id"), "left")
-      .withColumn("rel", coalesce(col("rel"), lit(0)))
-      .withColumn("g", gains(col("rel")))
-      .withColumn("wt", element_at(wArr, col("rnk")))
-      .agg(count(lit(1)).as("n_ranked"),
-        sum(col("g") * col("wt")).as("dcg_micro"))
-    val idcg = labels
-      .orderBy(col("rel").desc, col("doc_id")).limit(DcgK)
-      .withColumn("rnk", row_number().over(
-        Window.orderBy(col("rel").desc, col("doc_id"))))
-      .withColumn("g", gains(col("rel")))
-      .withColumn("wt", element_at(wArr, col("rnk")))
-      .agg(sum(col("g") * col("wt")).as("idcg_micro"))
-    dcg.crossJoin(idcg)
+      .select(col("doc_id"), col("rnk"))
+      // LAZY checkpoint: the first consumer's own job materializes the
+      // ≤10 rows (no separate eager job — that cost more than it saved
+      // on the cheap-label arms when measured); the second consumer
+      // reads the blocks, so the ranker still executes exactly once
+      .localCheckpoint(eager = false)
+    val stats = labels.join(broadcast(r), Seq("doc_id"), "left")
+      .agg(count(lit(1)).as("n_lab"),
+        coalesce(sum(when(col("rnk").isNotNull,
+          gains(col("rel")) * element_at(wArr, col("rnk")))), lit(0L))
+          .as("dcg_hit"),
+        coalesce(sum(when(col("rel") === 3, 1L)), lit(0L)).as("n3"),
+        coalesce(sum(when(col("rel") === 2, 1L)), lit(0L)).as("n2"),
+        coalesce(sum(when(col("rel") === 1, 1L)), lit(0L)).as("n1"))
+    r.agg(count(lit(1)).as("n_ranked")).crossJoin(stats)
+      // degenerate-input parity with the old two-arm form: an empty
+      // ranked frame summed to NULL dcg, an empty labels frame to
+      // NULL idcg
+      .withColumn("dcg_micro", when(col("n_ranked") === 0,
+        lit(null).cast("long")).otherwise(col("dcg_hit")))
+      .withColumn("t3", wTo(col("n3")))
+      .withColumn("t32", wTo(col("n3") + col("n2")))
+      .withColumn("t321", wTo(col("n3") + col("n2") + col("n1")))
+      .withColumn("idcg_micro", when(col("n_lab") === 0,
+        lit(null).cast("long")).otherwise(
+          lit(7L) * col("t3") + lit(3L) * (col("t32") - col("t3")) +
+            (col("t321") - col("t32"))))
       .select(lit(ranker).as("ranker"), col("n_ranked"),
         col("dcg_micro"), col("idcg_micro"),
         Exact.ratio6(col("dcg_micro"), col("idcg_micro")).as("ndcg"))
@@ -138,11 +165,11 @@ object RankQaOps extends QueryModule {
       .select(col("doc_id"),
         when(col("cos") >= CosHi, 3).when(col("cos") >= CosMid, 2)
           .when(col("cos") >= CosLo, 1).otherwise(0).as("rel"))
-      // materialized once more at the label grain: ndcg10 consumes the
-      // labels twice (DCG join + ideal top-10) and would re-run the
-      // cosine chain per consumer. lexLabels stays un-checkpointed —
-      // it is one in-row pass, cheaper than the eager materialization.
-      .localCheckpoint()
+      // no label-grain checkpoint since round 13: ndcg10 folds the
+      // ideal-DCG arm into the DCG aggregate, so the labels frame has
+      // exactly ONE consumer and the eager materialization would be
+      // pure overhead (the measured-and-rejected generic-checkpoint
+      // lesson, now applying to this frame too).
   }
 
   /** V64a: nDCG@10 of the BM25 ranking against the graded lexical
