@@ -12,6 +12,18 @@ object Explain {
     val Array(sfDir, outFile) = args
     val spark = GraftSession.local(appName = "graft-explain")
     val sb = new StringBuilder
+    // v66's entry plan reads the checkpointed ledger (zero raw scans by
+    // design), so the plan the optimization rounds actually argue about
+    // is the LEDGER's — dump it as a pseudo-entry when requested
+    if (sys.env.contains("SPARK_GRAFT_LEDGER")) {
+      for ((nm, fb) <- Seq(("v66_ledger", false), ("v66b_ledger", true))) {
+        sb.append(s"==== $nm — verdictLedger(fixedBench=$fb) pre-checkpoint\n")
+        sb.append(graft.nlp.CurationDagOps.verdictLedger(spark, sfDir, fb)
+          .queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode))
+        sb.append("\n")
+      }
+    }
     // same substring filter as Bench/Verify, for fast plan iteration
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(',').toSeq).getOrElse(Seq.empty)

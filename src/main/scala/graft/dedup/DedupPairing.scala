@@ -338,18 +338,35 @@ private[dedup] trait DedupPairing { self: DedupOps.type =>
     * DedupSpec pins the bound on an all-one-label fixture. */
   def semanticPrune(spark: SparkSession, dir: String,
       tau: Double = 0.35, maxBlockSize: Int = 4096): DataFrame = {
-    import graft.functions.VectorFunctions.dot_product
-    // project label INLINE next to v/nrm — one scan, no recovery join
-    // (review finding, round 6)
-    val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("label").as("blk"),
-        transform(col("embedding"), x => x.cast("double")).as("v"))
-      .withColumn("nrm", sqrt(dot_product(col("v"), col("v"))))
-    saltedSemanticPrune(e, tau, maxBlockSize)
+    saltedSemanticPrune(labelBlocked(spark, dir), tau, maxBlockSize)
       .withColumnRenamed("blk", "label")
       .select(col("vec_id"), col("label"), col("max_prior_cos"),
         col("pruned"))
   }
+
+  /** The label-blocked (blk, vec_id, v, nrm) projection [[semanticPrune]]
+    * runs over — label INLINE next to v/nrm: one scan, no recovery join
+    * (review finding, round 6). */
+  private def labelBlocked(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.dot_product
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label").as("blk"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(dot_product(col("v"), col("v"))))
+  }
+
+  /** The PRUNED ids alone — (vec_id) where max_prior_cos >= tau. v66's
+    * ledger consumes only this flag set; going through
+    * [[semanticPrune]]'s full report pays an extra embeddings scan and
+    * a join to restore the unpruned rows a flag consumer immediately
+    * drops (round 13). Same salted pair join, same verdict set:
+    * pruned == (max_prior_cos IS NOT NULL AND >= tau), which is the
+    * post-filter survivor set of [[saltedMaxPrior]] verbatim. */
+  private[graft] def semanticPruneFlags(spark: SparkSession, dir: String,
+      tau: Double = 0.35, maxBlockSize: Int = 4096): DataFrame =
+    saltedMaxPrior(labelBlocked(spark, dir), maxBlockSize)
+      .filter(col("max_prior_cos") >= tau)
+      .select(col("j").as("vec_id"))
 
   /** The salted keep-first prune over any (blk, vec_id, v, nrm) frame —
     * the shared core of v50 (blk = label) and v50b (blk = v47 k-means
@@ -358,6 +375,21 @@ private[dedup] trait DedupPairing { self: DedupOps.type =>
     * all of them, so every i<j pair meets exactly once and the result
     * is bit-identical to the unsalted block join. */
   private[graft] def saltedSemanticPrune(e: DataFrame, tau: Double,
+      maxBlockSize: Int): DataFrame = {
+    val maxPrior = saltedMaxPrior(e, maxBlockSize)
+    e.select(col("vec_id"), col("blk"))
+      .join(maxPrior, col("vec_id") === col("j"), "left")
+      .select(col("vec_id"), col("blk"), col("max_prior_cos"),
+        coalesce(col("max_prior_cos") >= tau, lit(false)).as("pruned"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** The salted pair-join core: (j, max_prior_cos) per vector that has
+    * at least one same-block predecessor — see [[saltedSemanticPrune]]
+    * for the exactness argument (the j side lands in one subcell, the
+    * i side is replicated across all of them, so every i<j pair meets
+    * exactly once). */
+  private[graft] def saltedMaxPrior(e: DataFrame,
       maxBlockSize: Int): DataFrame = {
     import graft.functions.VectorFunctions.dot_product
     val sizes = e.groupBy(col("blk")).agg(count(lit(1)).as("blk_n"))
@@ -374,16 +406,11 @@ private[dedup] trait DedupPairing { self: DedupOps.type =>
     // build the UNreplicated j side (~maxBlockSize rows per (blk,sub)
     // partition); the replicated i side streams — same convention as
     // the v3c cell join
-    val maxPrior = a.join(b.hint("shuffle_hash"), Seq("blk", "sub"))
+    a.join(b.hint("shuffle_hash"), Seq("blk", "sub"))
       .filter(col("i") < col("j"))
       .withColumn("cos", round(
         dot_product(col("v_i"), col("v_j")) / (col("n_i") * col("n_j")), 6))
       .groupBy(col("j")).agg(max(col("cos")).as("max_prior_cos"))
-    e.select(col("vec_id"), col("blk"))
-      .join(maxPrior, col("vec_id") === col("j"), "left")
-      .select(col("vec_id"), col("blk"), col("max_prior_cos"),
-        coalesce(col("max_prior_cos") >= tau, lit(false)).as("pruned"))
-      .orderBy(col("vec_id"))
   }
 
   /** V50b: the UNSUPERVISED SemDeDup composition — the form the paper

@@ -70,18 +70,30 @@ object CurationDagOps extends QueryModule {
     // deployment-shape convention; registry v66 keeps the co-growing
     // %97 fixture for continuity with rounds 1-11)
 
-    // stage 1 — v13's gates, one chain: dedup window + fused scoring
-    val nonNull = docs.filter(col("text").isNotNull)
-      .withColumn("norm_hash", TextCanon.normHash)
-      .withColumn("dk", row_number().over(
-        Window.partitionBy(col("norm_hash")).orderBy(col("doc_id"))))
-    val gated = TextOps.withMarkerScores(nonNull.filter(col("dk") === 1))
+    // stage 1 — v13's gates in ONE pass over one documents scan
+    // (round 13, the v13b/curateExplain convention): the old shape
+    // filtered the survivors into their own frame and joined them BACK
+    // to the full doc table — a second documents scan plus two doc_id
+    // exchanges for a flag derivable in place. Scoring expressions are
+    // null-proof on masked rows (null text / dups — MarkerCounts is
+    // nullSafeEval, size(null) is null), and the g conjunction reads
+    // them only behind text IS NOT NULL && dk = 1, exactly the rows
+    // the old filter chain scored; null-text rows share the one
+    // null-hash window partition, which cannot displace real ranks
+    // (the v13b argument). toks is read only at stage 3, where g
+    // guarantees it is the old gated value.
+    val scored = TextOps.withMarkerScores(
+        docs.withColumn("norm_hash", TextCanon.normHash)
+          .withColumn("dk", row_number().over(
+            Window.partitionBy(col("norm_hash")).orderBy(col("doc_id")))))
       .withColumn("n_words", size(col("w")))
       .withColumn("n_distinct", size(array_distinct(col("w"))))
-      .filter(TextOps.argmaxLang === "en" &&
-        TextOps.scoreMicro >= MinScoreMicro)
-      .select(col("doc_id"), col("n_words").cast("long").as("toks"),
-        lit(true).as("g"))
+      .withColumn("g", coalesce(
+        col("text").isNotNull && col("dk") === 1 &&
+          TextOps.argmaxLang === "en" &&
+          TextOps.scoreMicro >= MinScoreMicro, lit(false)))
+      .select(col("doc_id"), col("source"),
+        col("n_words").cast("long").as("toks"), col("g"))
 
     // stage 2 — decontamination flags, each operator's own plan
     val lexFlag = (if (fixedBench)
@@ -93,21 +105,22 @@ object CurationDagOps extends QueryModule {
       else DedupOps.semanticDecontaminate(spark, dir))
       .select(col("vec_id").as("doc_id"), lit(true).as("sem_c"))
 
-    // stage 3 — v50 SemDeDup verdicts (corpus-wide keep-first)
-    val pruneFlag = DedupOps.semanticPrune(spark, dir)
-      .filter(col("pruned"))
+    // stage 3 — v50 SemDeDup verdicts (corpus-wide keep-first); the
+    // flags-only core (round 13): semanticPrune's full report restores
+    // the unpruned rows with an extra embeddings scan + join that this
+    // consumer immediately filters away
+    val pruneFlag = DedupOps.semanticPruneFlags(spark, dir)
       .select(col("vec_id").as("doc_id"), lit(true).as("sem_p"))
 
     // assembly: first failing stage wins (v13b's convention across
     // operators); stage = how far the doc got (0 gates, 1 decontam,
     // 2 prune, 3 kept)
-    docs
-      .join(gated, Seq("doc_id"), "left")
+    scored
       .join(lexFlag, Seq("doc_id"), "left")
       .join(semFlag, Seq("doc_id"), "left")
       .join(pruneFlag, Seq("doc_id"), "left")
       .withColumn("stage",
-        when(col("g").isNull, 0)
+        when(!col("g"), 0)
           .when((if (fixedBench)
               pmod(col("doc_id"), lit(97)) === 0 &&
                 col("doc_id") < DedupOps.FixedBenchCeil
