@@ -74,6 +74,21 @@ object ScaleBench {
           reg("v16c_decontamination_fixedbench")(s, d).forced()),
       ("v67_span_scrub", (s: SparkSession, d: String, _: Int) =>
         reg("v67_span_scrub")(s, d).forced()),
+      // round-13 re-planned entries (single-pass window agg, in-row
+      // vocab map, label-pass-fused nDCG, materialized export rows,
+      // pre-split streaming drive source)
+      ("v69_benchmark_scrub", (s: SparkSession, d: String, _: Int) =>
+        reg("v69_benchmark_scrub")(s, d).forced()),
+      ("v4i_encode", (s: SparkSession, d: String, _: Int) =>
+        reg("v4i_encode")(s, d).forced()),
+      ("v4j_decode_roundtrip", (s: SparkSession, d: String, _: Int) =>
+        reg("v4j_decode_roundtrip")(s, d).forced()),
+      ("v64b_ndcg_hashed", (s: SparkSession, d: String, _: Int) =>
+        reg("v64b_ndcg_hashed")(s, d).forced()),
+      ("v65b_shard_incremental", (s: SparkSession, d: String, _: Int) =>
+        reg("v65b_shard_incremental")(s, d).forced()),
+      ("st2_streaming_sessions", (s: SparkSession, d: String, _: Int) =>
+        reg("st2_streaming_sessions")(s, d).forced()),
       ("v50_semantic_prune", (s: SparkSession, d: String, _: Int) =>
         reg("v50_semantic_prune")(s, d).forced()),
       // round 12: the label-block fixture vs the deployment shape —

@@ -173,7 +173,6 @@ private[dedup] trait DedupAudit { self: DedupOps.type =>
     def planOver(docs: DataFrame): DataFrame = {
       val enriched = scrubStage(docs
         .filter(col("text").isNotNull && col("doc_id") % 3 === 0)
-        .repartition(32)
         .withColumn("w", split(lower(col("text")), " "))
         .withColumn("norm_hash", TextCanon.normHash)
         .withColumn("sh_i", shingles)
@@ -216,9 +215,8 @@ private[dedup] trait DedupAudit { self: DedupOps.type =>
         when(kept, col("n_rm")).as("n_removed"),
         when(kept, col("ch")).as("clean_hash"))
     }
-    val schema = Tables.table(spark, dir, "documents").schema
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val stream = graft.streaming.StreamingOps
+      .tableStream(spark, dir, "documents")
     if (fits)
       graft.streaming.StreamingOps.runToBatch(spark, planOver(stream),
           s"st25_ingest_${System.nanoTime()}")

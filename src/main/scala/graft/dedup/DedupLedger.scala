@@ -419,15 +419,13 @@ private[dedup] trait DedupLedger { self: DedupOps.type =>
         .withColumn("sz", size(col("sh"))))
       .select(col("doc_id").as("j"), col("sh").as("sh_j"),
         col("sz").as("sz_j"))
-    val schema = Tables.table(spark, dir, "documents").schema
-    val probes = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val probes = graft.streaming.StreamingOps
+      .tableStream(spark, dir, "documents")
       .filter(col("text").isNotNull && col("doc_id") % 3 === 0)
       // same zero-shingle guard as the batch signatures(): a <3-word
       // doc must not probe with an all-sentinel signature
       .filter(size(graft.functions.ShingleFunctions
         .shingle_hashes(col("text"))) > 0)
-      .repartition(32)
       .withColumn("sig", graft.functions.MinHashFunctions.minhash_sig(
         graft.functions.ShingleFunctions.shingle_hashes(col("text")),
         coefs, Prime))

@@ -368,11 +368,11 @@ private[dedup] trait DedupScrub { self: DedupOps.type =>
       .drop("sr")
 
   def streamingSpanScrub(spark: SparkSession, dir: String): DataFrame = {
-    val schema = Tables.table(spark, dir, "documents").schema
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    // pre-split source: the per-row scrub work spreads across the
+    // micro-batch's file splits — no round-robin exchange needed
+    val stream = graft.streaming.StreamingOps
+      .tableStream(spark, dir, "documents")
       .filter(col("text").isNotNull)
-      .repartition(32)
       .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
     val outCols = Seq(col("doc_id"), col("n_words"), col("n_removed"),
       col("clean_hash"))
@@ -715,17 +715,14 @@ private[dedup] trait DedupScrub { self: DedupOps.type =>
     // benchShinglesBc). Same n_hit values; the memo behind the
     // broadcast still spares the per-batch corpus re-scan.
     val benchBc = benchShinglesBc(spark, dir)
-    val schema = Tables.table(spark, dir, "documents").schema
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    // pre-split source (round 13): the micro-batch inherits the FILE
+    // partitioning, so splitting the source spreads the per-row
+    // shingle+intersect work across cores WITHOUT the round-robin
+    // exchange (and its sort-before-repartition) the round-11 fix paid
+    val stream = graft.streaming.StreamingOps
+      .tableStream(spark, dir, "documents")
     val scored = stream
       .filter(pmod(col("doc_id"), lit(97)) =!= 0)
-      // the micro-batch inherits the FILE's partitioning (one task per
-      // source file) — spread the per-row shingle+intersect work
-      // across cores before it runs (measured 2.2 s -> sub-second on
-      // one sf0.1 file); at 100 TB this is the decode-parallelism
-      // exchange every scoring ingest pays
-      .repartition(32)
       .select(col("doc_id"), shingles.as("sh"))
       .withColumn("sz", size(col("sh")))
       .filter(col("sz") > 0)

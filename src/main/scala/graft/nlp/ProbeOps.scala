@@ -177,9 +177,8 @@ object ProbeOps extends QueryModule {
     * before they ever land in the corpus. */
   def streamingProbeScores(spark: SparkSession, dir: String): DataFrame = {
     val coef = fitted(spark, dir)
-    val schema = Tables.table(spark, dir, "documents").schema
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val stream = graft.streaming.StreamingOps
+      .tableStream(spark, dir, "documents")
     val out = scoreAgainst(featuresOf(stream), coef)
       .select(col("doc_id"), col("x1"), col("x2"), col("pred_micro"),
         col("pred_en"), (col("y") === 1L).as("teacher_en"))

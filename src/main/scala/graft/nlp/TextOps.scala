@@ -366,6 +366,11 @@ object TextOps extends QueryModule {
       Tables.documents(spark, dir)
         .select(col("doc_id"), col("source"), col("text"))
         .withColumn("norm_hash", TextCanon.normHash)
+        // skew assumption (round-13 ADVICE): null-text rows all carry a
+        // NULL norm_hash and share ONE window partition. Correct (the
+        // verdict CASE tests text IS NULL before dk) and fine at this
+        // corpus's null density (~1%); a null-heavy corpus would
+        // pre-split nulls or partition by (norm_hash, text IS NULL).
         .withColumn("dk", row_number().over(
           Window.partitionBy(col("norm_hash")).orderBy(col("doc_id")))))
       .withColumn("detected", argmaxLang)

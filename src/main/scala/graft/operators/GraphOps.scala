@@ -90,9 +90,14 @@ object GraphOps extends QueryModule {
     val nodeArr = nodesN.select(col("node")).collect().map(_.getString(0))
     val idx = nodeArr.zipWithIndex.toMap
     // src/dst are event_types drawn from the same events scan as the
-    // node list, so membership is structural
+    // node list, so membership is structural today — but an edge whose
+    // endpoint is missing must DROP (the distributed path's inner/left
+    // joins do), not crash (round-13 ADVICE)
     val es = ew.select(col("src"), col("dst"), col("wf")).collect()
-      .map(r => (idx(r.getString(0)), idx(r.getString(1)), r.getLong(2)))
+      .flatMap { r =>
+        for (s <- idx.get(r.getString(0)); d <- idx.get(r.getString(1)))
+          yield (s, d, r.getLong(2))
+      }
     var rank = Array.fill(nodeArr.length)(Scale / n)
     var it = 0
     while (it < Iters) {

@@ -570,10 +570,8 @@ object ClusterOps extends QueryModule {
     * the SAME [[classBalanceReadout]] spelling — shares v79's
     * oracle. */
   def streamingClassBalance(spark: SparkSession, dir: String): DataFrame = {
-    val schema = Tables.table(spark, dir, "embeddings").schema
     val counts = graft.streaming.StreamingOps.runToBatch(spark,
-      spark.readStream.schema(schema)
-        .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+      graft.streaming.StreamingOps.tableStream(spark, dir, "embeddings")
         .groupBy(col("label")).agg(count(lit(1)).as("n")),
       s"st27_balance_${System.nanoTime()}")
     classBalanceReadout(counts)

@@ -197,9 +197,8 @@ object PcaOps extends QueryModule {
   def streamingPcaDrift(spark: SparkSession, dir: String): DataFrame = {
     val vRow = principalRow(spark, dir).select(col("v"))
       .localCheckpoint() // broadcast sides re-execute per micro-batch
-    val schema = Tables.table(spark, dir, "embeddings").schema
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+    val stream = graft.streaming.StreamingOps
+      .tableStream(spark, dir, "embeddings")
     val proj = ClusterOps.pointsOf(stream)
       .crossJoin(broadcast(vRow))
       .select(col("vec_id"),

@@ -326,9 +326,8 @@ object PqOps extends QueryModule {
     * map, so the finite stream equals the batch encode and shares
     * v18e's oracle unchanged. */
   def streamingPqEncode(spark: SparkSession, dir: String): DataFrame = {
-    val schema = Tables.table(spark, dir, "embeddings").schema
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+    val stream = graft.streaming.StreamingOps
+      .tableStream(spark, dir, "embeddings")
     val enc = encodeInRow(stream, codebooks(spark, dir))
     graft.streaming.StreamingOps.runToBatchAppend(spark, enc,
         s"st16_pq_${System.nanoTime()}")
@@ -529,9 +528,8 @@ object PqOps extends QueryModule {
       spark.read.parquet(s"$idx/codebooks")
         .select(col("sub"), col("cid"), col("cm")).collect()
         .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Long](2).toArray)))
-    val schema = Tables.table(spark, dir, "embeddings").schema
-    val src = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+    val src = graft.streaming.StreamingOps
+      .tableStream(spark, dir, "embeddings")
       .filter(pmod(col("vec_id"), lit(ServeModulus)) === 0)
     // st21c's FIXED query slice: an id bound on top of the modulus
     // keeps the query COUNT constant as the corpus grows (the
@@ -539,9 +537,8 @@ object PqOps extends QueryModule {
     // so st21/st21b plans are byte-identical to prior rounds
     (if (queryBound == Long.MaxValue) src
      else src.filter(col("vec_id") < queryBound))
-      // spread the in-row route/LUT work (one task per source file
-      // otherwise — the st16 lesson)
-      .repartition(32)
+      // pre-split source: the in-row route/LUT work spreads across the
+      // micro-batch's file splits without a round-robin exchange
       .select(col("vec_id").as("qid"),
         ClusterOps.microVec(col("embedding")).as("xm64"))
       .select(col("qid"),

@@ -131,16 +131,87 @@ object StreamingOps extends QueryModule {
         unix_timestamp(col("session_window.end")).as("end_s"),
         col("n_events"))
 
+  /** Split unit for [[tableStream]]'s re-layout: ~16 KiB of parquet
+    * per file — small enough that every driver SF's hot tables split
+    * to [[SplitCap]] width (sf0.001's documents still get 3 files),
+    * large enough that a sub-unit table builds no copy at all. */
+  private val SplitUnitBytes = 16L << 10
+
+  /** Width ceiling for the re-layout. NOT a local-core tuning: each
+    * extra file costs per-batch reader setup (footer read, filter
+    * pushdown init, one task's scheduling) in EVERY micro-batch, while
+    * the parallel gain saturates once the per-row map work is spread —
+    * a 13-run 3-arm A/B (off / 8 / session-width=32, elementwise
+    * floors, OPTIMIZATION_r13.md) measured 8 strictly dominating both
+    * 1 and 32 at BOTH bench widths' file sizes. Deployment inputs
+    * never enter the copy branch at all, so this caps only the toy
+    * re-layout. */
+  private val SplitCap = 8L
+
+  /** [[tableStream]] never copies an input above this: a single file
+    * this large carries many row groups and splits on its own; it is
+    * only the toy single-row-group shape that needs the re-layout. */
+  private val MaxSplitCopyBytes = 1L << 30
+
+  /** Streaming source over a registry table, PRE-SPLIT for micro-batch
+    * scan parallelism (guide §2.5/§6 — the round-12 verdict's top
+    * item): the driver testdata ships each table as ONE
+    * single-row-group parquet file, so a micro-batch scan planned over
+    * it is a single task and all per-row work a drive fuses into the
+    * scan stage runs on ONE core, at any session width. The drive
+    * source is each entry's own input prep (the stdrive_frame
+    * convention), so the table is re-laid out once per (dir, width) as
+    * a multi-file copy in the cross-process catalog and every drive
+    * streams the split copy: same rows, schema and values — only file
+    * boundaries change, and every registry drive is an aggregation or
+    * ends in an explicit orderBy, so outputs are identical. All files
+    * are present before `start()`, so batch structure is unchanged
+    * (one data micro-batch). Scale-adaptive by construction: the
+    * target is derived from input size and session parallelism, and a
+    * deployment-scale input (many row groups / many files) never
+    * enters the copy branch — it splits on its own. */
+  def tableStream(spark: SparkSession, dir: String,
+      table: String): DataFrame = {
+    val schema = Tables.table(spark, dir, table).schema
+    splitCopyPath(spark, dir, table) match {
+      case Some(split) => spark.readStream.schema(schema).parquet(split)
+      case None => spark.readStream.schema(schema)
+        .option("pathGlobFilter", s"$table.parquet").parquet(dir)
+    }
+  }
+
+  /** The split copy's path, building it on first use — None when the
+    * input doesn't need (or shouldn't get) a re-layout. Package-private
+    * so StreamingSpec can pin the copy row-identical to the table. */
+  private[graft] def splitCopyPath(spark: SparkSession, dir: String,
+      table: String): Option[String] = {
+    val f = new java.io.File(s"$dir/$table.parquet")
+    // profiling seam (never set by the driver): SPARK_GRAFT_STSPLIT=0
+    // disables the re-layout, =N overrides the width cap, for
+    // in-binary A/Bs
+    val cap = sys.env.get("SPARK_GRAFT_STSPLIT")
+      .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
+      .getOrElse(SplitCap)
+    val target =
+      if (!f.isFile || f.length() > MaxSplitCopyBytes || cap == 0) 1
+      else math.min(math.min(cap,
+        spark.sparkContext.defaultParallelism.toLong),
+        math.max(1L, f.length() / SplitUnitBytes)).toInt
+    if (target <= 1) None
+    else Some(graft.util.ArtifactCache.persistent(
+      s"stsrc_$table", s"v1-n$target", dir) { p =>
+      spark.read.parquet(f.getPath).repartition(target)
+        .write.mode("overwrite").parquet(p)
+    })
+  }
+
   /** Events parquet as a file stream (schema must be supplied up front in
     * streaming reads). */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
-    val schema = Tables.table(spark, dir, "events").schema
-    // streaming file sources take a directory; select the one table file.
     // normalizeTsNs dispatches on the static schema, so it composes with
     // a streaming frame exactly as with a batch one.
     Tables.withEpochCols(
-        Tables.normalizeTsNs(spark.readStream.schema(schema)
-          .option("pathGlobFilter", "events.parquet").parquet(dir)))
+        Tables.normalizeTsNs(tableStream(spark, dir, "events")))
       .withColumn("event_ts", timestamp_micros(col("ts_us")))
   }
 
@@ -318,9 +389,7 @@ object StreamingOps extends QueryModule {
     * corpus maintains. Keyed by (source, hash) rather than hash alone
     * so the output is arrival-order-independent. */
   def streamingDedup(spark: SparkSession, dir: String): DataFrame = {
-    val schema = Tables.table(spark, dir, "documents").schema
-    val docs = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val docs = tableStream(spark, dir, "documents")
     val agg = docs
       .groupBy(col("source"), md5(col("text").cast("binary")).as("text_hash"))
       .agg(min(col("doc_id")).as("keep_id"),
@@ -458,9 +527,20 @@ object StreamingOps extends QueryModule {
     // immutable dump HARDLINKED in — per-drive cost drops to one
     // link(2) call. The max is consumed HERE, baking the two sentinel
     // files, so no drive re-reads the dump to place its sentinels.
+    // split like [[tableStream]] (the quarter sample keeps ~1/4 of the
+    // events bytes): all data files are present before start(), so the
+    // real spans still all land in micro-batch 1 — only the batch-1
+    // scan's task count changes
+    val nSplit = {
+      val ef = new java.io.File(s"$dir/events.parquet")
+      if (!ef.isFile) 1
+      else math.min(math.min(SplitCap,
+        spark.sparkContext.defaultParallelism.toLong),
+        math.max(1L, ef.length() / 4 / SplitUnitBytes)).toInt
+    }
     val prep = graft.util.ArtifactCache.persistent(
-        "stdrive_frame", "v2", dir) { p =>
-      sampledSpanFrame(spark, dir).coalesce(1)
+        "stdrive_frame", s"v3-n$nSplit", dir) { p =>
+      sampledSpanFrame(spark, dir).repartition(nSplit)
         .write.mode("overwrite").parquet(p)
       val mx = spark.read.parquet(p)
         .agg(coalesce(max(col("start_time_unix_nano")), lit(0L)))
@@ -773,9 +853,7 @@ object StreamingOps extends QueryModule {
     * materialized ledger into the per-batch novelty curve. Bigram
     * spelling shared with v27. Finite-stream = batch → full oracle. */
   def streamingVocabLedger(spark: SparkSession, dir: String): DataFrame = {
-    val schema = Tables.table(spark, dir, "documents").schema
-    val docs = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val docs = tableStream(spark, dir, "documents")
     val ledger = docs.filter(col("text").isNotNull)
       .withColumn("w", split(lower(col("text")), " "))
       .filter(size(col("w")) >= 2)
@@ -825,9 +903,7 @@ object StreamingOps extends QueryModule {
     * inertia-per-cluster rising means the model no longer fits the
     * stream. */
   def streamingClusterAssign(spark: SparkSession, dir: String): DataFrame = {
-    val schema = Tables.table(spark, dir, "embeddings").schema
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+    val stream = tableStream(spark, dir, "embeddings")
     val pts = graft.sim.ClusterOps.pointsOf(stream)
     // localCheckpoint: the broadcast centroid table re-executes per
     // micro-batch otherwise (bounded: K rows)

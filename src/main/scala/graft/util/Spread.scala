@@ -20,11 +20,24 @@ import org.apache.spark.sql.DataFrame
   * per-row output is order-independent, so results are unchanged.
   */
 object Spread {
+  // The partition probe (df.rdd) compiles a separate physical plan per
+  // invocation; the callers construct the SAME (table, dir) frame many
+  // times per process, so the probed count is memoized per semantically
+  // equal logical plan (round-13 ADVICE). The probe reflects the
+  // pre-AQE scan split by design: it asks "can this INPUT spread on its
+  // own", which is a property of the file layout, not of AQE coalescing.
+  private val plannedParts =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Integer]()
+
   /** Repartition `df` round-robin to the session's default parallelism
     * iff its planned execution has fewer partitions than that — i.e.
     * iff the input cannot spread on its own. */
   def toCores(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val key = (System.identityHashCode(df.sparkSession),
+      df.queryExecution.logical.semanticHash())
+    val planned = plannedParts.computeIfAbsent(key,
+      _ => Integer.valueOf(df.rdd.getNumPartitions))
+    if (planned < target) df.repartition(target) else df
   }
 }

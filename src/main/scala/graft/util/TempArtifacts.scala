@@ -36,7 +36,16 @@ object TempArtifacts {
     * see this path — these artifacts are local-mode scratch. */
   lazy val fastBase: String = {
     val shm = new java.io.File("/dev/shm")
-    if (shm.isDirectory && shm.canWrite) "/dev/shm"
-    else sys.props("java.io.tmpdir")
+    // Capacity probe (round-13 ADVICE): tmpfs is typically capped at
+    // 50% of RAM, and the artifacts routed here include bucketed table
+    // copies and stored indexes that grow with the bench SF. Demand
+    // comfortable headroom (16 GiB ≫ the ×100 artifact budget measured
+    // in SCALING.md) before preferring it, and honor an explicit
+    // opt-out, so a constrained host degrades to the disk-backed
+    // tmpdir instead of ENOSPC mid-run.
+    val wantTmpfs = !sys.env.contains("SPARK_GRAFT_NO_TMPFS") &&
+      shm.isDirectory && shm.canWrite &&
+      shm.getUsableSpace >= (16L << 30)
+    if (wantTmpfs) "/dev/shm" else sys.props("java.io.tmpdir")
   }
 }

@@ -49,6 +49,29 @@ class StreamingSpec extends SparkSpec {
     assert(got.head.getAs[Long]("duration_ns") === 100000000L)
   }
 
+  test("pre-split drive source: split copy row-identical to the table") {
+    // round 13: every streaming drive reads a multi-file re-layout of
+    // its single-file table (scan parallelism, guide §2.5/§6). The
+    // copy must hold EXACTLY the table's rows — same schema, same
+    // multiset — and actually be split (>1 part file at sf0.01).
+    val dir = "/root/testdata/sf0.01"
+    for (t <- Seq("events", "documents", "embeddings")) {
+      val split = StreamingOps.splitCopyPath(spark, dir, t)
+      assert(split.isDefined, s"$t at sf0.01 should re-layout")
+      val nFiles = new java.io.File(split.get).listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      assert(nFiles > 1, s"$t split into $nFiles files")
+      val orig = Tables.table(spark, dir, t)
+      val copy = spark.read.parquet(split.get)
+      assert(copy.schema === orig.schema)
+      assert(copy.count() === orig.count())
+      assert(copy.exceptAll(orig).isEmpty, s"$t: copy has extra rows")
+      assert(orig.exceptAll(copy).isEmpty, s"$t: copy lost rows")
+    }
+    // a table below one split unit gets no copy at all
+    assert(StreamingOps.splitCopyPath(spark, sf0001, "region").isEmpty)
+  }
+
   test("streaming windowed counts equal batch group-by") {
     val streamed = StreamingOps.streamingCounts(spark, sf0001)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
