@@ -311,19 +311,20 @@ object Bench {
     // replaced by counts, plus a fixed ~12-entry headline-query map so
     // a queries-expecting parser still gets a non-empty map. Full
     // fidelity lives in the long line above + BENCH_FULL.json.
-    // Round-13 refresh (r12 verdict item 6): the 12 headline names now
-    // track where the suite's cost mass actually is — the cheapest five
-    // (a5 0.22, t04 0.14, t10 0.21, v1 0.23, v3a 0.21 in the r12 driver
-    // run) swapped for the most expensive entries (v66b, w2, v67, st2,
-    // st21c) so the driver's bounded-tail regression signal covers the
-    // time. List-only change: totals, the full map and BENCH_FULL.json
-    // are byte-same in shape.
+    // Round-13 refresh (r12 verdict item 6): the headline map gains the
+    // most expensive entries (v66b, w2, v67, st2, st21c — where the
+    // suite's cost mass actually is) so the driver's bounded-tail
+    // regression signal covers the time. ADDITIONS ONLY — the original
+    // 12 names all stay, so round-over-round PERF keeps its full common
+    // set; 17 entries ≈ 1.0 KB tail line, still inside the driver's
+    // 2000-char window with margin.
     val headlineNames = Seq(
-      "t05_service_dependencies", "u5_critical_path",
-      "v16_decontamination", "v29_pagerank", "v66_curation_dag",
+      "a5_scan_count", "t04_endpoint_latencies", "t05_service_dependencies",
+      "t10_trace_counts", "u5_critical_path", "v1_dedup_exact",
+      "v3a_cosine_topk", "v16_decontamination", "v29_pagerank",
+      "v66_curation_dag", "st1_streaming_counts", "v7_multimodal_features",
       "v66b_curation_dag_fixedbench", "w2_range_join", "v67_span_scrub",
-      "st1_streaming_counts", "st2_streaming_sessions",
-      "st21c_streaming_ann_fixedq", "v7_multimodal_features")
+      "st2_streaming_sessions", "st21c_streaming_ann_fixedq")
     val resultMap = results.toMap
     val headlineJson = headlineNames
       .flatMap(n => resultMap.get(n).map(v => s"\"" + n + s"\":${r3(v)}"))
